@@ -3,36 +3,227 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+The oracle-checked queries use the engine's ``simple`` tokenize mode
+(lowercase + single-space split, zero UDF — SURVEY.md §2.2), which is
+exactly expressible in DuckDB as ``string_split(lower(text), ' ')``;
+the ``full`` reference-parity tokenizer (numbers/entities/stopwords/
+Porter) is exercised by ``entry()`` and by tests/test_parser.py —
+it is deliberately NOT oracle-checked because DuckDB cannot express
+the Porter stemmer (driver records the rows-only check for those).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF001 = "/root/testdata/sf0.001"
+
+# BM25 constants — keep in sync with searchenginejava_spark.config
+_K1, _B, _TOPK = 1.2, 0.75, 10
+
+# fixed query set for the oracle-checked BM25 slice (simple tokenizer)
+_ORACLE_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["spark", "merge", "window"]),
+    (1, ["fast", "table", "scan"]),
+    (2, ["hash", "join"]),
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full-parity index build (EP1) + batch BM25 top-10 (EP3)
+    on sf0.001, exhaustive scorer. Driver checks rows>0, stable schema."""
+    from searchenginejava_spark.plans.pipeline import build_index, run_queries
+    from searchenginejava_spark.sources.source import read_documents
+
+    corpus = read_documents(spark, SF001)
+    idx = build_index(
+        spark, corpus, text_col="text", mode="full", num_partitions=8,
+        num_salts=4,
+    )
+    queries = [
+        (0, "spark merge window"),
+        (1, "fast table scan"),
+        (2, "hash join"),
+        (3, "batch stream key value"),
+    ]
+    return run_queries(spark, idx, queries, path="exhaustive")
+
+
+# ---------------------------------------------------------------------------
+# shared helpers for the oracle-checked slices
+# ---------------------------------------------------------------------------
+
+def _tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, tf) via the zero-UDF simple tokenize path."""
+    from searchenginejava_spark.functions.tokenize import tokens_simple_col
+    from searchenginejava_spark.operators.index import (
+        explode_tokens,
+        term_frequencies,
+    )
+    from searchenginejava_spark.sources.source import read_documents
+
+    corpus = read_documents(spark, sf_dir)
+    toks = corpus.select("doc_id", tokens_simple_col("text").alias("tokens"))
+    return term_frequencies(explode_tokens(toks)).select(
+        "doc_id", "term", F.col("tf").cast("long").alias("tf")
+    )
+
+
+_SQL_TF = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM tok WHERE term <> '' GROUP BY doc_id, term
+)
+"""
+
+
+def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tf(spark, sf_dir)
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tf(spark, sf_dir).groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("doc_len"),
+        F.max("tf").cast("long").alias("max_tf"),
+        F.count(F.lit(1)).cast("long").alias("uniq_terms"),
+    )
+
+
+def q_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tf(spark, sf_dir).groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+        F.max("tf").cast("long").alias("max_tf"),
+    )
+
+
+def q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dl = _tf(spark, sf_dir).groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("doc_len")
+    )
+    return dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+        F.sum("doc_len").cast("long").alias("total_terms"),
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BM25 pipeline (relational slice): tf → dl → stats → dict →
+    broadcast semi-join on query terms → native score → top-10 window."""
+    tf = _tf(spark, sf_dir)
+    tf.persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    n, avgdl = int(stats["n"]), float(stats["avgdl"])
+    dct = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    cand = tf.join(F.broadcast(dct.join(F.broadcast(qt), "term")), "term")
+    idf = F.log((F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    scored = cand.join(dl, "doc_id").withColumn(
+        "part",
+        F.col("qtf")
+        * idf
+        * (F.col("tf") * F.lit(_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(_K1)
+            * (F.lit(1.0 - _B) + F.lit(_B) * F.col("doc_len") / F.lit(avgdl))
+        ),
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(F.sum("part").alias("s"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.round(F.col("s"), 6).alias("score"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q_term_frequencies": q_term_frequencies,
+        "q_doc_stats": q_doc_stats,
+        "q_dictionary": q_dictionary,
+        "q_collection_stats": q_collection_stats,
+        "q_bm25_topk": q_bm25_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    q_values = ", ".join(
+        f"({qid}, '{t}', 1)" for qid, terms in _ORACLE_QUERIES for t in terms
+    )
+    return {
+        "q_term_frequencies": _SQL_TF + "SELECT doc_id, term, tf FROM tf",
+        "q_doc_stats": _SQL_TF
+        + """
+        SELECT doc_id,
+               CAST(sum(tf) AS BIGINT) AS doc_len,
+               CAST(max(tf) AS BIGINT) AS max_tf,
+               count(*) AS uniq_terms
+        FROM tf GROUP BY doc_id
+        """,
+        "q_dictionary": _SQL_TF
+        + """
+        SELECT term,
+               count(*) AS df,
+               CAST(sum(tf) AS BIGINT) AS cf,
+               CAST(max(tf) AS BIGINT) AS max_tf
+        FROM tf GROUP BY term
+        """,
+        "q_collection_stats": _SQL_TF
+        + """
+        , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+                 FROM tf GROUP BY doc_id)
+        SELECT count(*) AS n_docs,
+               avg(doc_len) AS avgdl,
+               CAST(sum(doc_len) AS BIGINT) AS total_terms
+        FROM dl
+        """,
+        "q_bm25_topk": _SQL_TF
+        + f"""
+        , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+                 FROM tf GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+        dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        q(query_id, term, qtf) AS (VALUES {q_values}),
+        scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 sum(q.qtf
+                     * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                     * (tf.tf * {_K1 + 1.0})
+                     / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+                 ) AS s
+          FROM q
+          JOIN dict USING (term)
+          JOIN tf USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          GROUP BY q.query_id, tf.doc_id
+        )
+        SELECT CAST(query_id AS INT) AS query_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, doc_id ASC) AS INT) AS rank,
+               doc_id,
+               round(s, 6) AS score
+        FROM scored
+        QUALIFY rank <= {_TOPK}
+        """,
+    }

@@ -1,0 +1,31 @@
+"""searchenginejava_spark — a from-scratch, PySpark-native inverted-index +
+BM25 retrieval engine with the query/data-processing capabilities of the
+reference ``jonmartz/SearchEngineJava`` (see /root/repo/SURVEY.md).
+
+NOT a port: the reference is a single-JVM Java pipeline
+(ReadFile → Parse → Stemmer → Indexer → Searcher → Ranker, SURVEY.md §3);
+this engine re-expresses the same semantics as declarative Spark DataFrame
+plans plus exactly four Arrow-vectorized Python crossings (SURVEY.md §2.7):
+
+1. ``tokenize_udf``   — scalar pandas UDF, string → array<string>
+2. ``spimi_partial``  — mapInPandas per-partition partial postings
+3. ``merge_postings`` — applyInPandas salted, skew-aware merge
+4. ``wand_topk``      — applyInPandas block-max WAND pruned scorer
+
+Everything else (sha256, tf/df/doc-stats aggregations, BM25 arithmetic,
+joins, top-k windows) is native Catalyst and stays inside whole-stage
+codegen.
+
+Package layout:
+    functions/   tokenizer, Porter stemmer, stopwords, varbyte codec
+    sources/     corpus source (Parquet stand-in for the Iceberg table),
+                 checkpoint manifests
+    operators/   index build (SPIMI + salted merge), search (BM25 + WAND),
+                 dedup, similarity, text-stats, multimodal plumbing
+    plans/       end-to-end pipelines (build index, run query batch)
+    streaming/   incremental ingest demo (Structured Streaming)
+    synth/       deterministic (seed=42) synthetic source-code corpus +
+                 query-set generators — no external data
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,29 @@
+"""Engine-wide constants.
+
+BM25 constants and the idf variant are provisional until /root/reference is
+populated (SURVEY.md §0 re-verification item 3); defaults follow the
+standard Robertson/Zaragoza 2009 formulation with the Lucene idf variant
+``ln((N - df + 0.5) / (df + 0.5) + 1)`` which is non-negative for all df.
+"""
+
+from __future__ import annotations
+
+# --- BM25 -----------------------------------------------------------------
+BM25_K1: float = 1.2
+BM25_B: float = 0.75
+TOP_K: int = 10  # contract checks top-10 rank identity (BASELINE.json:2)
+
+# --- index build ----------------------------------------------------------
+# Number of salts for the two-level skew-aware merge (SURVEY.md §2.4).
+# Hot terms (Zipf head) are split across DEFAULT_SALTS groups in merge
+# level 1 so no single Python worker ever materializes a full hot-term
+# posting list; level 2 concatenates <= DEFAULT_SALTS already-encoded runs.
+DEFAULT_SALTS: int = 16
+
+# Posting-list block size for block-max metadata (WAND pruning).
+BLOCK_SIZE: int = 128
+
+# Target rows per input partition for the SPIMI stage at small scale;
+# on a real cluster this is superseded by explicit repartition(P) with
+# P ~ 2-4x total cores (SURVEY.md §4.2).
+DEFAULT_SHUFFLE_PARTITIONS: int = 32

@@ -1,0 +1,126 @@
+"""Delta + variable-byte posting-list codec — fully NumPy-vectorized.
+
+Contract: "delta + varbyte compression … posting-list byte-exactness after
+compression" (BASELINE.json:6; SURVEY.md §2.4). The reference stores
+plain-text posting files ([R:Indexer], unverified); compression is a
+contract requirement of THIS engine, so byte-exactness is defined as
+encode→decode round-trip identity plus frozen hand-computed byte vectors
+(tests/test_codec.py, FIXTURES.md "Codec vectors").
+
+Encoding (classic IIR §5.3 varbyte, Manning et al.):
+  each uint is written as big-endian 7-bit groups; the LAST byte of each
+  value has its high bit set (0x80), all preceding bytes have it clear.
+  Example: 5 → [0x85]; 130 → [0x01, 0x82]; 16384 → [0x01, 0x00, 0x80].
+
+Posting-list layout (one ``bytes`` per term):
+  VB(n) VB(gap_1)…VB(gap_n) VB(tf_1)…VB(tf_n)
+  where gap_1 = doc_id_1 and gap_i = doc_id_i − doc_id_{i−1} (doc_ids are
+  sorted strictly ascending, so every gap >= 1 except gap_1 >= 0).
+
+Both encode and decode operate on whole NumPy arrays — no Python loops over
+postings (the loops below are over *byte positions*, max 10 iterations).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_BYTES = 10  # 7*10 = 70 bits > 64
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Varbyte-encode a 1-D array of non-negative ints (vectorized)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # number of 7-bit groups per value: 1 + floor(log128(v)) for v>0
+    nb = np.ones(v.shape, dtype=np.int64)
+    threshold = np.uint64(128)
+    for _ in range(_MAX_BYTES - 1):
+        mask = v >= threshold
+        if not mask.any():
+            break
+        nb += mask
+        if threshold > np.uint64(1) << np.uint64(56):
+            break
+        threshold = threshold * np.uint64(128)
+    total = int(nb.sum())
+    out = np.empty(total, dtype=np.uint8)
+    ends = np.cumsum(nb)          # index one past each value's last byte
+    starts = ends - nb
+    # write byte j counted from the END (j=0 is the last byte, high bit set)
+    max_nb = int(nb.max())
+    for j in range(max_nb):
+        mask = nb > j
+        pos = ends[mask] - 1 - j
+        byte = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        out[pos] = byte.astype(np.uint8)
+    out[ends - 1] |= 0x80
+    return out.tobytes()
+
+
+def vb_decode(buf: bytes) -> np.ndarray:
+    """Decode a varbyte stream into a uint64 array (vectorized)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) != 0
+    ends = np.flatnonzero(is_end)               # last-byte index per value
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    lengths = ends - starts + 1
+    payload = (b & np.uint8(0x7F)).astype(np.uint64)
+    vals = np.zeros(ends.shape, dtype=np.uint64)
+    max_len = int(lengths.max())
+    for j in range(max_len):                    # j=0 is the LAST byte
+        mask = lengths > j
+        vals[mask] |= payload[ends[mask] - j] << np.uint64(7 * j)
+    return vals
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Encode one term's posting list: sorted doc_ids + per-doc tfs."""
+    d = np.asarray(doc_ids, dtype=np.uint64)
+    t = np.asarray(tfs, dtype=np.uint64)
+    if d.size != t.size:
+        raise ValueError("doc_ids and tfs length mismatch")
+    if d.size == 0:
+        return vb_encode(np.array([0], dtype=np.uint64))
+    if d.size > 1 and not (d[1:] > d[:-1]).all():
+        raise ValueError("doc_ids must be strictly ascending")
+    gaps = np.empty_like(d)
+    gaps[0] = d[0]
+    np.subtract(d[1:], d[:-1], out=gaps[1:])
+    n = np.array([d.size], dtype=np.uint64)
+    return vb_encode(np.concatenate([n, gaps, t]))
+
+
+def decode_postings(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one term's posting bytes → (doc_ids int64, tfs int64)."""
+    vals = vb_decode(buf)
+    n = int(vals[0])
+    gaps = vals[1 : 1 + n]
+    tfs = vals[1 + n : 1 + 2 * n].astype(np.int64)
+    doc_ids = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
+    return doc_ids, tfs
+
+
+def block_maxima(
+    doc_ids: np.ndarray, tfs: np.ndarray, block_size: int
+) -> tuple[list[int], list[int]]:
+    """Per-block (max_tf, last_doc_id) metadata for block-max WAND.
+
+    Blocks are consecutive ``block_size`` runs of the doc_id-sorted list.
+    Returns (block_max_tf, block_last_doc) as plain lists for Spark
+    ArrayType columns.
+    """
+    n = len(doc_ids)
+    if n == 0:
+        return [], []
+    nblocks = (n + block_size - 1) // block_size
+    pad = nblocks * block_size - n
+    t = np.asarray(tfs, dtype=np.int64)
+    d = np.asarray(doc_ids, dtype=np.int64)
+    tp = np.pad(t, (0, pad), constant_values=0).reshape(nblocks, block_size)
+    max_tf = tp.max(axis=1)
+    last_idx = np.minimum(np.arange(1, nblocks + 1) * block_size, n) - 1
+    return max_tf.tolist(), d[last_idx].tolist()

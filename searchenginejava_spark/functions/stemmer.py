@@ -1,0 +1,185 @@
+"""Classic Porter stemmer (Porter, 1980) — pure Python, zero dependencies.
+
+Re-implements the published algorithm ("An algorithm for suffix stripping",
+M.F. Porter, Program 14(3) 1980) from the paper's rule tables; this is the
+stemmer family the reference uses (SURVEY.md §2.2 [R:Stemmer.stem], [B:6]
+"Porter-style stemming"). Written from the public specification — no code
+copied from any implementation.
+
+Called per *unique* token per Arrow batch with a memo dict (see
+functions/tokenize.py), so the per-call cost is batch-amortized.
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aeiou")
+
+
+def _is_consonant(word: str, i: int) -> bool:
+    c = word[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        # 'y' is a consonant when at position 0 or preceded by a vowel-class
+        # letter; i.e. it is a vowel iff the previous letter is a consonant.
+        return i == 0 or not _is_consonant(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """m = number of VC sequences in the [C](VC)^m[V] form of the stem."""
+    m = 0
+    prev_vowel = False
+    for i in range(len(stem)):
+        if _is_consonant(stem, i):
+            if prev_vowel:
+                m += 1
+            prev_vowel = False
+        else:
+            prev_vowel = True
+    return m
+
+
+def _contains_vowel(stem: str) -> bool:
+    return any(not _is_consonant(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_consonant(word: str) -> bool:
+    return (
+        len(word) >= 2
+        and word[-1] == word[-2]
+        and _is_consonant(word, len(word) - 1)
+    )
+
+
+def _ends_cvc(word: str) -> bool:
+    """*o: stem ends cvc where the final c is not w, x or y."""
+    if len(word) < 3:
+        return False
+    return (
+        _is_consonant(word, len(word) - 3)
+        and not _is_consonant(word, len(word) - 2)
+        and _is_consonant(word, len(word) - 1)
+        and word[-1] not in "wxy"
+    )
+
+
+def _replace(word: str, suffix: str, repl: str, min_m: int) -> str | None:
+    """If word ends with suffix and measure(stem) > min_m, swap suffix."""
+    if not word.endswith(suffix):
+        return None
+    stem = word[: len(word) - len(suffix)]
+    if _measure(stem) > min_m:
+        return stem + repl
+    return word  # suffix matched but condition failed: rule consumed, no-op
+
+
+def _step1a(w: str) -> str:
+    if w.endswith("sses"):
+        return w[:-2]
+    if w.endswith("ies"):
+        return w[:-2]
+    if w.endswith("ss"):
+        return w
+    if w.endswith("s"):
+        return w[:-1]
+    return w
+
+
+def _step1b(w: str) -> str:
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            return w[:-1]
+        return w
+    flag = False
+    if w.endswith("ed") and _contains_vowel(w[:-2]):
+        w, flag = w[:-2], True
+    elif w.endswith("ing") and _contains_vowel(w[:-3]):
+        w, flag = w[:-3], True
+    if flag:
+        if w.endswith(("at", "bl", "iz")):
+            return w + "e"
+        if _ends_double_consonant(w) and w[-1] not in "lsz":
+            return w[:-1]
+        if _measure(w) == 1 and _ends_cvc(w):
+            return w + "e"
+    return w
+
+
+def _step1c(w: str) -> str:
+    if w.endswith("y") and _contains_vowel(w[:-1]):
+        return w[:-1] + "i"
+    return w
+
+
+_STEP2 = (
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+    ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+    ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+    ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+)
+
+_STEP3 = (
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+)
+
+_STEP4 = (
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+)
+
+
+def _step2(w: str) -> str:
+    for suf, repl in _STEP2:
+        if w.endswith(suf):
+            r = _replace(w, suf, repl, 0)
+            return r if r is not None else w
+    return w
+
+
+def _step3(w: str) -> str:
+    for suf, repl in _STEP3:
+        if w.endswith(suf):
+            r = _replace(w, suf, repl, 0)
+            return r if r is not None else w
+    return w
+
+
+def _step4(w: str) -> str:
+    for suf in _STEP4:
+        if w.endswith(suf):
+            stem = w[: len(w) - len(suf)]
+            if _measure(stem) > 1:
+                if suf == "ion" and (not stem or stem[-1] not in "st"):
+                    return w
+                return stem
+            return w
+    return w
+
+
+def _step5(w: str) -> str:
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _ends_cvc(stem)):
+            w = stem
+    if _ends_double_consonant(w) and w.endswith("l") and _measure(w[:-1]) > 1:
+        w = w[:-1]
+    return w
+
+
+def porter_stem(word: str) -> str:
+    """Stem one lowercase word. Words of length <= 2 are returned unchanged
+    (per the original algorithm's remark that short words are left alone)."""
+    if len(word) <= 2:
+        return word
+    w = _step1a(word)
+    w = _step1b(w)
+    w = _step1c(w)
+    w = _step2(w)
+    w = _step3(w)
+    w = _step4(w)
+    w = _step5(w)
+    return w

@@ -1,0 +1,200 @@
+"""Tokenizer / normalizer — the engine's Parse-pipeline equivalent.
+
+Reproduces the reference's Parse + Stemmer stage (SURVEY.md §2.2,
+[R:Parse.parse], [R:Stemmer.stem], [B:6]) as ONE Arrow-vectorized pandas
+UDF: ``string → array<string>`` — the only Python crossing in the tokenize
+stage ([B:15] "vectorized pandas/Arrow UDFs (no per-row Python)": batches
+cross the boundary as Arrow columns; the rule loop runs batch-side with a
+per-batch memoized stemmer so stemming cost is per *unique* token).
+
+Two modes:
+
+- ``simple``: lowercase + single-space split + drop empty tokens. This is a
+  100% *native* Catalyst expression (no UDF at all) — used for the
+  DuckDB-oracle-checkable query slices, where the oracle runs
+  ``string_split(lower(text), ' ')``.
+- ``full``: the reference Parse rule set — ordered, deterministic:
+    1. raw tokens = runs of word chars incl. ``$ % , . - '`` (regex);
+    2. entity rule: each run of >= 2 consecutive Capitalized words emits an
+       extra joined token ``new_york`` (reference's consecutive-capitals
+       entity handling, [R:Parse] — provisional until /root/reference is
+       populated, SURVEY.md §0 item 2);
+    3. number rewriting: ``1,000,000``→``1m``; ``12000``→``12k``;
+       ``3.5 billion``→``3.5b``; ``10.6 percent``/``10.6%``→``10.6%``;
+       ``$450,000``→``450k dollars``; plain numbers < 1000 kept verbatim;
+    4. hyphenated words split into parts (``state-of-the-art`` → 4 tokens);
+    5. case-fold to lowercase; strip surrounding punctuation;
+    6. stopword removal (functions/stopwords.py);
+    7. Porter stemming (functions/stemmer.py), memoized per Arrow batch.
+
+The SAME function runs at index time and query time — the reference's
+critical invariant (SURVEY.md §1.1 row 7).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+from .stemmer import porter_stem
+from .stopwords import STOPWORDS
+
+_TOKEN_RE = re.compile(r"[A-Za-z0-9$%][A-Za-z0-9$%,.\-']*")
+_NUM_RE = re.compile(r"^\$?\d{1,3}(?:,\d{3})*(?:\.\d+)?%?$|^\$?\d+(?:\.\d+)?%?$")
+_CAP_RE = re.compile(r"^[A-Z][a-z]+$")
+_STRIP_CHARS = ".,'-"
+
+_SCALE_WORDS = {"thousand": 1e3, "million": 1e6, "billion": 1e9}
+_PERCENT_WORDS = {"percent", "percentage"}
+
+
+def _fmt_num(x: float) -> str:
+    """Render 1234.0 → '1234', 3.5 → '3.5' (no exponent, no trailing zeros)."""
+    if x == int(x) and abs(x) < 1e15:
+        return str(int(x))
+    return repr(x)
+
+
+def _rewrite_number(tok: str, nxt: str | None) -> tuple[list[str], bool]:
+    """Apply the ordered number rules. Returns (tokens, consumed_next)."""
+    is_price = tok.startswith("$")
+    raw = tok.lstrip("$")
+    is_pct = raw.endswith("%")
+    raw = raw.rstrip("%").replace(",", "")
+    try:
+        val = float(raw)
+    except ValueError:
+        return [tok.lower()], False
+
+    consumed = False
+    nxt_l = nxt.lower() if nxt else None
+    if not is_pct and nxt_l in _PERCENT_WORDS:
+        is_pct, consumed = True, True
+    elif nxt_l in _SCALE_WORDS:
+        val *= _SCALE_WORDS[nxt_l]
+        consumed = True
+
+    if is_pct:
+        return [f"{_fmt_num(val)}%"], consumed
+    if val >= 1e9:
+        out = f"{_fmt_num(val / 1e9)}b"
+    elif val >= 1e6:
+        out = f"{_fmt_num(val / 1e6)}m"
+    elif val >= 1e3:
+        out = f"{_fmt_num(val / 1e3)}k"
+    else:
+        out = _fmt_num(val)
+    if is_price:
+        return [out, "dollars"], consumed
+    return [out], consumed
+
+
+def tokenize_text(
+    text: str,
+    *,
+    stem: bool = True,
+    remove_stopwords: bool = True,
+    entities: bool = True,
+    _memo: dict[str, str] | None = None,
+) -> list[str]:
+    """Full-mode tokenizer — pure function, used by the UDF and by tests."""
+    if not text:
+        return []
+    memo = _memo if _memo is not None else {}
+    raw = _TOKEN_RE.findall(text)
+    out: list[str] = []
+
+    # entity rule: runs of >=2 consecutive Capitalized words
+    if entities:
+        run: list[str] = []
+        for tok in raw + [""]:
+            if _CAP_RE.match(tok):
+                run.append(tok)
+            else:
+                if len(run) >= 2:
+                    out.append("_".join(w.lower() for w in run))
+                run = []
+
+    i = 0
+    n = len(raw)
+    while i < n:
+        tok = raw[i]
+        if _NUM_RE.match(tok):
+            toks, consumed = _rewrite_number(tok, raw[i + 1] if i + 1 < n else None)
+            for t2 in toks:
+                if t2.isalpha():  # unit markers ('dollars') take the word path
+                    if remove_stopwords and t2 in STOPWORDS:
+                        continue
+                    out.append(porter_stem(t2) if stem else t2)
+                else:
+                    out.append(t2)
+            i += 2 if consumed else 1
+            continue
+        for part in tok.split("-"):
+            part = part.strip(_STRIP_CHARS).lower()
+            if not part:
+                continue
+            if remove_stopwords and part in STOPWORDS:
+                continue
+            if stem:
+                s = memo.get(part)
+                if s is None:
+                    s = porter_stem(part)
+                    memo[part] = s
+                part = s
+            out.append(part)
+        i += 1
+    return out
+
+
+def make_tokenize_udf(
+    *, stem: bool = True, remove_stopwords: bool = True, entities: bool = True
+):
+    """Build the scalar pandas UDF ``content:string → tokens:array<string>``.
+
+    One stemmer memo dict per Arrow batch: stemming runs once per unique
+    surface form per batch, not once per occurrence.
+    """
+
+    @pandas_udf(ArrayType(StringType()))
+    def tokenize_udf(s: pd.Series) -> pd.Series:
+        memo: dict[str, str] = {}
+        return s.map(
+            lambda t: tokenize_text(
+                t,
+                stem=stem,
+                remove_stopwords=remove_stopwords,
+                entities=entities,
+                _memo=memo,
+            )
+            if isinstance(t, str)
+            else []
+        )
+
+    return tokenize_udf
+
+
+def tokens_simple_col(col: Column | str) -> Column:
+    """``simple`` mode as a pure Catalyst expression (zero Python).
+
+    Matches the DuckDB oracle ``string_split(lower(x), ' ')`` + drop-empty
+    exactly; stays inside whole-stage codegen.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), " "), lambda x: x != F.lit(""))
+
+
+def tokenize_query(text: str) -> list[str]:
+    """Query-time tokenization — same code path as index time (full mode)."""
+    return tokenize_text(text)
+
+
+def tokenize_many(texts: Iterable[str]) -> list[list[str]]:
+    memo: dict[str, str] = {}
+    return [tokenize_text(t, _memo=memo) for t in texts]

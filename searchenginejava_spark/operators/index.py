@@ -1,0 +1,288 @@
+"""Index build — tokenize → tf/df/doc-stats → SPIMI partials → salted merge.
+
+Re-expresses the reference Indexer (SURVEY.md §2.3–§2.4, [R:Indexer],
+[B:6] "per-partition SPIMI-style posting lists … merged in a salted,
+skew-aware shuffle") as Spark dataflow:
+
+  tokens --explode--> (doc_id, term) --hashAgg--> tf(doc_id, term, tf)
+      tf --rangePartition(doc_id)--> mapInPandas(spimi_partial)     [UDF 2]
+         --shuffle(term, salt)--> applyInPandas(merge level 1)      [UDF 3a]
+         --shuffle(term)------> applyInPandas(merge level 2)        [UDF 3b]
+         --> postings(term, df, cf, max_tf, blocks, binary)
+
+Skew design (the one thing naive Spark gets wrong at 10^12 scale,
+SURVEY.md §7.4): input is range-partitioned by doc_id, so each partition
+covers a contiguous doc range; a partition's partial run for a term is
+doc-sorted and disjoint from every other partition's run. Salt =
+contiguous block of partition ids → a hot term's postings split across up
+to ``num_salts`` level-1 tasks, each bounded by ~df/num_salts entries;
+level 2 only concatenates <= num_salts already-encoded runs. No single
+Python worker ever materializes an unsalted hot-term list. AQE handles
+join skew, but groupBy skew needs exactly this dataflow (SURVEY.md §4.1).
+
+Everything before ``spimi_partials`` and all of tf/df/doc-stats/dictionary
+is native Catalyst (partial+final hash aggregation, whole-stage codegen).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import BLOCK_SIZE, DEFAULT_SALTS
+from ..schema import PARTIAL_POSTINGS, POSTINGS, POSTINGS_EXPLODED
+
+
+# --------------------------------------------------------------------------
+# Relational stages — pure Catalyst, DuckDB-oracle-checkable
+# --------------------------------------------------------------------------
+
+def explode_tokens(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """(doc_id, tokens[]) → (doc_id, term); drops the array immediately so
+    ``content``/``tokens`` never travel through the shuffle."""
+    return df.select("doc_id", F.explode(F.col(tokens_col)).alias("term"))
+
+
+def term_frequencies(exploded: DataFrame) -> DataFrame:
+    """(doc_id, term) → (doc_id, term, tf). Catalyst partial+final hash agg
+    — the map-side combine is the SPIMI in-memory batch equivalent."""
+    return (
+        exploded.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+
+
+def doc_stats(tf: DataFrame) -> DataFrame:
+    """Per-doc stats: doc_len (Σtf), max_tf, uniq_terms ([R:Indexer docs map])."""
+    return tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("int").alias("doc_len"),
+        F.max("tf").cast("int").alias("max_tf"),
+        F.count(F.lit(1)).cast("int").alias("uniq_terms"),
+    )
+
+
+def dictionary(tf: DataFrame) -> DataFrame:
+    """Global term dictionary: df (exact — feeds BM25 idf), cf, max_tf."""
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+        F.max("tf").cast("int").alias("max_tf"),
+    )
+
+
+def collection_stats(docs: DataFrame) -> dict:
+    """N, avgdl, total_terms — one tiny agg, collected and broadcast."""
+    row = docs.agg(
+        F.count(F.lit(1)).alias("N"),
+        F.avg("doc_len").alias("avgdl"),
+        F.sum("doc_len").alias("total_terms"),
+    ).collect()[0]
+    return {
+        "N": int(row["N"]),
+        "avgdl": float(row["avgdl"]),
+        "total_terms": int(row["total_terms"]),
+    }
+
+
+# --------------------------------------------------------------------------
+# SPIMI partials + salted two-level merge (UDFs 2 and 3, SURVEY.md §2.7)
+# --------------------------------------------------------------------------
+
+def spimi_partials(
+    tf: DataFrame, *, num_partitions: int | None = None, num_salts: int = DEFAULT_SALTS
+) -> DataFrame:
+    """Per-partition partial posting runs, already delta+varbyte encoded.
+
+    Input is range-partitioned on doc_id so every partition owns a
+    contiguous doc range; salt = pid * S // P maps contiguous partition
+    blocks to the same salt, keeping each (term, salt) group's doc range
+    contiguous → the merges are pure concatenations, never interleaves.
+    """
+    P = num_partitions or tf.sparkSession.sparkContext.defaultParallelism
+    ranged = tf.repartitionByRange(P, "doc_id").sortWithinPartitions("term", "doc_id")
+
+    def build(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # executor-side
+        from pyspark import TaskContext
+
+        from searchenginejava_spark.functions.codec import encode_postings, vb_encode
+
+        pid = TaskContext.get().partitionId()
+        salt = pid * num_salts // max(P, 1)
+        chunks = [pdf for pdf in iterator if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        # already sorted by (term, doc_id) within the partition
+        terms = pdf["term"].to_numpy()
+        doc_ids = pdf["doc_id"].to_numpy(dtype="int64")
+        tfs = pdf["tf"].to_numpy(dtype="int64")
+        # group boundaries over the sorted term column (vectorized)
+        starts = np.flatnonzero(
+            np.concatenate(([True], terms[1:] != terms[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(terms)]))
+        rows = []
+        for s, e in zip(starts, ends):
+            d = doc_ids[s:e]
+            t = tfs[s:e]
+            rows.append(
+                (
+                    terms[s],
+                    salt,
+                    encode_postings(d, t),
+                    vb_encode(t.astype(np.uint64)),
+                    int(e - s),
+                    int(d[0]),
+                    int(d[-1]),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["term", "salt", "doc_ids", "tfs", "n", "min_doc", "max_doc"],
+        )
+
+    return ranged.mapInPandas(build, schema=PARTIAL_POSTINGS)
+
+
+def _merge_runs(pdf: pd.DataFrame):
+    """Decode a group's runs in min_doc order, concatenate, return arrays.
+
+    Runs are doc-range disjoint by construction; asserts strict ordering.
+    """
+    import numpy as np
+
+    from searchenginejava_spark.functions.codec import decode_postings
+
+    pdf = pdf.sort_values("min_doc")
+    ids_parts, tf_parts = [], []
+    for buf in pdf["doc_ids"]:
+        d, t = decode_postings(bytes(buf))
+        ids_parts.append(d)
+        tf_parts.append(t)
+    doc_ids = np.concatenate(ids_parts)
+    tfs = np.concatenate(tf_parts)
+    if len(doc_ids) > 1 and not (doc_ids[1:] > doc_ids[:-1]).all():
+        raise AssertionError("posting runs overlap — doc ranges not disjoint")
+    return doc_ids, tfs
+
+
+def merge_postings(
+    partials: DataFrame, *, block_size: int = BLOCK_SIZE
+) -> DataFrame:
+    """Two-level salted merge → final ``postings`` dataset.
+
+    Level 1 groups (term, salt): bounded at ~df/S postings per task — the
+    OOM guard for Zipf-head terms. Level 2 groups term: concatenates <= S
+    compressed runs and stamps df/cf/max_tf + block-max metadata.
+    """
+
+    def level1(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from searchenginejava_spark.functions.codec import encode_postings, vb_encode
+
+        if len(pdf) == 1:
+            return pdf
+        doc_ids, tfs = _merge_runs(pdf)
+        return pd.DataFrame(
+            [
+                (
+                    pdf["term"].iloc[0],
+                    int(pdf["salt"].iloc[0]),
+                    encode_postings(doc_ids, tfs),
+                    vb_encode(tfs.astype(np.uint64)),
+                    int(len(doc_ids)),
+                    int(doc_ids[0]),
+                    int(doc_ids[-1]),
+                )
+            ],
+            columns=pdf.columns,
+        )
+
+    def level2(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from searchenginejava_spark.functions.codec import (
+            block_maxima,
+            encode_postings,
+        )
+
+        doc_ids, tfs = _merge_runs(pdf)
+        bmax, blast = block_maxima(doc_ids, tfs, block_size)
+        return pd.DataFrame(
+            [
+                (
+                    pdf["term"].iloc[0],
+                    int(len(doc_ids)),
+                    int(tfs.sum()),
+                    int(tfs.max()),
+                    len(bmax),
+                    bmax,
+                    blast,
+                    encode_postings(doc_ids, tfs),
+                )
+            ],
+            columns=[
+                "term",
+                "df",
+                "cf",
+                "max_tf",
+                "n_blocks",
+                "block_max_tf",
+                "block_last_doc",
+                "postings",
+            ],
+        )
+
+    level1_out = partials.groupBy("term", "salt").applyInPandas(
+        level1, schema=PARTIAL_POSTINGS
+    )
+    return level1_out.groupBy("term").applyInPandas(level2, schema=POSTINGS)
+
+
+def decode_postings_df(postings: DataFrame) -> DataFrame:
+    """postings(binary) → exploded (term, doc_id, tf) — UDF decode path."""
+
+    def decode(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from searchenginejava_spark.functions.codec import decode_postings
+
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            terms, ids, tfs = [], [], []
+            for term, buf in zip(pdf["term"], pdf["postings"]):
+                d, t = decode_postings(bytes(buf))
+                terms.append(np.full(len(d), term, dtype=object))
+                ids.append(d)
+                tfs.append(t)
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms),
+                    "doc_id": np.concatenate(ids),
+                    "tf": np.concatenate(tfs).astype("int32"),
+                }
+            )
+
+    return postings.select("term", "postings").mapInPandas(
+        decode, schema=POSTINGS_EXPLODED
+    )
+
+
+def build_postings(
+    tf: DataFrame,
+    *,
+    num_partitions: int | None = None,
+    num_salts: int = DEFAULT_SALTS,
+    block_size: int = BLOCK_SIZE,
+) -> DataFrame:
+    """tf(doc_id, term, tf) → compressed postings via the salted merge."""
+    partials = spimi_partials(
+        tf, num_partitions=num_partitions, num_salts=num_salts
+    )
+    return merge_postings(partials, block_size=block_size)

@@ -1,0 +1,168 @@
+"""Query-time operators — Searcher + Ranker equivalents (SURVEY.md §2.5).
+
+Exhaustive scorer: 100% native Catalyst (broadcast semi-join on query
+terms → BM25 as a Column expression → hash agg → per-query top-k window).
+Zero Python in the hot path; this is the rank-identity oracle the pruned
+WAND path (operators/wand.py) must match exactly.
+
+BM25 ([L:Robertson & Zaragoza 2009], Lucene idf variant — provisional per
+SURVEY.md §0 item 3):
+
+    idf(t)      = ln((N − df + 0.5) / (df + 0.5) + 1)
+    score(q, d) = Σ_{t∈q} qtf_t · idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+
+Tie-break: (score desc, doc_id asc) everywhere — mandatory for
+reproducible rank identity (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import BM25_B, BM25_K1, TOP_K
+from ..functions.tokenize import tokenize_query
+
+
+def query_terms_df(
+    spark: SparkSession,
+    queries: Sequence[tuple[int, str]],
+    *,
+    tokenizer=tokenize_query,
+) -> DataFrame:
+    """(query_id, text) pairs → (query_id, term, qtf) rows.
+
+    Queries are tokenized with the SAME pipeline as documents — the
+    reference's index/query consistency invariant ([R:Searcher.search]).
+    Driver-side: the query set is tiny by definition.
+    """
+    rows = []
+    for qid, text in queries:
+        for term, qtf in Counter(tokenizer(text)).items():
+            rows.append((int(qid), term, int(qtf)))
+    return spark.createDataFrame(rows, "query_id int, term string, qtf int")
+
+
+def idf_col(df_col: Column, n_docs: int) -> Column:
+    return F.log((F.lit(float(n_docs)) - df_col + 0.5) / (df_col + 0.5) + 1.0)
+
+
+def bm25_score_col(
+    tf: Column,
+    doc_len: Column,
+    df_col: Column,
+    n_docs: int,
+    avgdl: float,
+    *,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> Column:
+    """Per-(term, doc) BM25 contribution as a native Column expression."""
+    norm = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * doc_len / F.lit(avgdl))
+    return idf_col(df_col, n_docs) * (tf * F.lit(k1 + 1.0)) / norm
+
+
+def score_exhaustive(
+    query_terms: DataFrame,
+    postings_exploded: DataFrame,
+    docs: DataFrame,
+    dictionary: DataFrame,
+    stats: dict,
+    *,
+    k: int = TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Full (non-pruned) BM25 top-k for every query in one Spark job (EP3).
+
+    Plan shape: dictionary ⋈ broadcast(query_terms) (semi-join prunes the
+    dictionary to the query vocabulary) → postings ⋈ broadcast(matched
+    terms) → ⋈ docs(doc_len) → native score → hash agg → top-k window.
+    At 10^12 scale the only large shuffle is the final per-query agg over
+    candidate docs; postings of non-query terms are never read thanks to
+    term-partitioned storage + pushdown (SURVEY.md §4.1).
+    """
+    qt = F.broadcast(query_terms)
+    # df per query term (tiny after the broadcast semi-join)
+    q_dict = dictionary.join(qt, "term").select(
+        "query_id", "term", "qtf", "df"
+    )
+    cand = postings_exploded.join(F.broadcast(q_dict), "term")
+    scored = cand.join(docs.select("doc_id", "doc_len"), "doc_id").withColumn(
+        "part_score",
+        F.col("qtf")
+        * bm25_score_col(
+            F.col("tf").cast("double"),
+            F.col("doc_len").cast("double"),
+            F.col("df").cast("double"),
+            stats["N"],
+            stats["avgdl"],
+            k1=k1,
+            b=b,
+        ),
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("part_score").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("int"),
+            F.col("rank").cast("int"),
+            F.col("doc_id").cast("long"),
+            F.col("score").cast("double"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def bm25_numpy_oracle(
+    query_terms: list[tuple[int, str, int]],
+    postings: dict[str, list[tuple[int, int]]],
+    doc_lens: dict[int, int],
+    n_docs: int,
+    avgdl: float,
+    *,
+    k: int = TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> list[tuple[int, int, int, float]]:
+    """In-process reference scorer for tests (SURVEY.md §5 test_bm25.py).
+
+    Deterministic summation order: terms sorted lexicographically per query
+    so float addition order is fixed (SURVEY.md §2.5 determinism note).
+    """
+    import math
+    from collections import defaultdict
+
+    results = []
+    by_query: dict[int, list[tuple[str, int]]] = defaultdict(list)
+    for qid, term, qtf in query_terms:
+        by_query[qid].append((term, qtf))
+    for qid in sorted(by_query):
+        acc: dict[int, float] = defaultdict(float)
+        for term, qtf in sorted(by_query[qid]):
+            plist = postings.get(term)
+            if not plist:
+                continue
+            dfv = len(plist)
+            idf = math.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0)
+            for doc_id, tf in plist:
+                dl = doc_lens[doc_id]
+                acc[doc_id] += (
+                    qtf
+                    * idf
+                    * (tf * (k1 + 1.0))
+                    / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                )
+        top = sorted(acc.items(), key=lambda x: (-x[1], x[0]))[:k]
+        for rank, (doc_id, score) in enumerate(top, start=1):
+            results.append((qid, rank, doc_id, score))
+    return results

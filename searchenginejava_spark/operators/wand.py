@@ -1,0 +1,199 @@
+"""Block-max WAND pruned top-k — the engine's physical optimization path.
+
+The reference Ranker scores exhaustively ([R:Ranker], SURVEY.md §2.5); the
+contract adds block-max WAND pruning over posting lists (BASELINE.json:6,
+[L:Broder et al. CIKM 2003; Ding & Suel SIGIR 2011]) as OUR optimization.
+It must be rank-identical to the exhaustive scorer (SURVEY.md §5.4) — the
+tests assert top-k equality with scores at 1e-9 rel-tol.
+
+Shape: one ``applyInPandas`` group per query_id (UDF 4 of 4, SURVEY.md
+§2.7). Input rows carry the query's terms joined to their compressed
+posting lists + block-max metadata; doc lengths arrive as a broadcast
+dense int32 array (doc_ids are dense by construction). At 10^12 scale the
+norms array would be a doc-range-partitioned sidecar co-located with
+posting blocks instead of a broadcast — documented trade-off; the
+algorithm is unchanged.
+
+Pruning structure:
+- WAND pivot selection over term-level upper bounds (ub_t = qtf·idf·
+  (k1+1)·max_tf / (max_tf + K(dl_min))) — skips docs that cannot enter
+  the current top-k;
+- block-max refinement at scoring time: if the sum of the pivot's
+  per-block upper bounds is below the heap threshold, the exact scoring
+  of that document is skipped entirely.
+Both bounds are true upper bounds (tf-monotone, dl-antitone), so no
+qualifying document is ever skipped → exact top-k.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import BM25_B, BM25_K1, TOP_K
+from ..schema import RESULTS
+
+
+def _wand_one_query(
+    qid: int,
+    terms: list[dict],
+    doc_lens,
+    n_docs: int,
+    avgdl: float,
+    dl_min: float,
+    k: int,
+    k1: float,
+    b: float,
+) -> list[tuple[int, int, int, float]]:
+    import numpy as np
+
+    from searchenginejava_spark.functions.codec import decode_postings
+
+    K_min = k1 * (1.0 - b + b * dl_min / avgdl)
+    ptrs = []
+    for t in terms:
+        doc_ids, tfs = decode_postings(bytes(t["postings"]))
+        dfv = float(t["df"])
+        idf = math.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0)
+        w = float(t["qtf"]) * idf
+        mt = float(t["max_tf"])
+        ub = w * (mt * (k1 + 1.0)) / (mt + K_min)
+        bmax = np.asarray(t["block_max_tf"], dtype=np.float64)
+        block_ub = w * (bmax * (k1 + 1.0)) / (bmax + K_min)
+        blast = np.asarray(t["block_last_doc"], dtype=np.int64)
+        ptrs.append(
+            {
+                "ids": doc_ids,
+                "tfs": tfs,
+                "pos": 0,
+                "n": len(doc_ids),
+                "w": w,
+                "ub": ub,
+                "block_ub": block_ub,
+                "blast": blast,
+            }
+        )
+
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+
+    def theta() -> float:
+        return heap[0][0] if len(heap) == k else -1.0
+
+    def better(score: float, doc_id: int) -> bool:
+        # strictly better than the heap floor under (score desc, doc_id asc)
+        s0, negd0 = heap[0]
+        return score > s0 or (score == s0 and doc_id < -negd0)
+
+    live = [p for p in ptrs if p["n"] > 0]
+    while live:
+        live.sort(key=lambda p: p["ids"][p["pos"]])
+        # pivot: smallest prefix whose ub sum could beat theta
+        acc = 0.0
+        pivot_i = -1
+        th = theta()
+        for i, p in enumerate(live):
+            acc += p["ub"]
+            # >= not >: a doc whose exact score ties theta can still win
+            # the (score desc, doc_id asc) tie-break
+            if len(heap) < k or acc >= th:
+                pivot_i = i
+                break
+        if pivot_i < 0:
+            break  # no prefix can beat theta → done
+        pivot_doc = int(live[pivot_i]["ids"][live[pivot_i]["pos"]])
+        first_doc = int(live[0]["ids"][live[0]["pos"]])
+        if first_doc == pivot_doc:
+            # all pointers [0..pivot_i] sit on pivot_doc → candidate
+            involved = [
+                p for p in live if int(p["ids"][p["pos"]]) == pivot_doc
+            ]
+            # block-max refinement: skip exact scoring if block ubs can't win
+            if len(heap) == k:
+                bub = 0.0
+                import numpy as np
+
+                for p in involved:
+                    bi = int(np.searchsorted(p["blast"], pivot_doc))
+                    bub += float(p["block_ub"][min(bi, len(p["block_ub"]) - 1)])
+                do_score = bub > th or (bub == th)
+            else:
+                do_score = True
+            if do_score:
+                dl = float(doc_lens[pivot_doc])
+                Kd = k1 * (1.0 - b + b * dl / avgdl)
+                score = 0.0
+                for p in sorted(involved, key=lambda p: p["w"]):
+                    tf = float(p["tfs"][p["pos"]])
+                    score += p["w"] * (tf * (k1 + 1.0)) / (tf + Kd)
+                if len(heap) < k:
+                    heapq.heappush(heap, (score, -pivot_doc))
+                elif better(score, pivot_doc):
+                    heapq.heapreplace(heap, (score, -pivot_doc))
+            for p in involved:
+                p["pos"] += 1
+            live = [p for p in live if p["pos"] < p["n"]]
+        else:
+            # advance the lagging pointer with the largest ub to >= pivot
+            import numpy as np
+
+            lag = max(
+                (p for p in live if int(p["ids"][p["pos"]]) < pivot_doc),
+                key=lambda p: p["ub"],
+            )
+            lag["pos"] = int(
+                np.searchsorted(lag["ids"], pivot_doc, side="left")
+            )
+            if lag["pos"] >= lag["n"]:
+                live.remove(lag)
+
+    ranked = sorted(heap, key=lambda x: (-x[0], -x[1]))
+    return [
+        (qid, r + 1, -negd, s) for r, (s, negd) in enumerate(ranked)
+    ]
+
+
+def wand_topk(
+    spark: SparkSession,
+    query_terms: DataFrame,
+    postings: DataFrame,
+    doc_lens_array,
+    stats: dict,
+    *,
+    k: int = TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Pruned per-query top-k over the compressed postings dataset.
+
+    ``doc_lens_array``: dense int32 numpy array indexed by doc_id.
+    """
+    bc = spark.sparkContext.broadcast(doc_lens_array)
+    n_docs, avgdl = stats["N"], stats["avgdl"]
+    dl_min = float(stats.get("dl_min", 1.0))
+
+    q_post = postings.join(F.broadcast(query_terms), "term").select(
+        "query_id",
+        "term",
+        "qtf",
+        "df",
+        "max_tf",
+        "block_max_tf",
+        "block_last_doc",
+        "postings",
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        terms = pdf.to_dict("records")
+        rows = _wand_one_query(
+            qid, terms, bc.value, n_docs, avgdl, dl_min, k, k1, b
+        )
+        return pd.DataFrame(
+            rows, columns=["query_id", "rank", "doc_id", "score"]
+        )
+
+    return q_post.groupBy("query_id").applyInPandas(run, schema=RESULTS)

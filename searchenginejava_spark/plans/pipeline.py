@@ -1,0 +1,134 @@
+"""End-to-end pipelines — the Model entry points (SURVEY.md §3).
+
+EP1 build_index : corpus → docs / dictionary / postings / stats
+EP2+EP3 run_queries : query batch → ranked top-k (one Spark job for the
+                      whole batch, not a per-query loop)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import BLOCK_SIZE, DEFAULT_SALTS, TOP_K
+from ..functions.tokenize import make_tokenize_udf, tokens_simple_col
+from ..operators.index import (
+    build_postings,
+    collection_stats,
+    dictionary as dictionary_op,
+    doc_stats,
+    explode_tokens,
+    term_frequencies,
+)
+from ..operators.search import query_terms_df, score_exhaustive
+from ..operators.wand import wand_topk
+
+
+@dataclass
+class IndexArtifacts:
+    """The built index: the engine's Indexer outputs (SURVEY.md §1.1)."""
+
+    docs: DataFrame          # doc_id, (identity cols), doc_len, max_tf, uniq_terms
+    tf: DataFrame            # exploded postings (term, doc_id, tf) — oracle form
+    dictionary: DataFrame    # term, df, cf, max_tf
+    postings: DataFrame | None  # compressed (term, df, cf, max_tf, blocks, binary)
+    stats: dict = field(default_factory=dict)  # N, avgdl, total_terms, dl_min
+
+    def persist(self) -> "IndexArtifacts":
+        self.docs.persist()
+        self.tf.persist()
+        self.dictionary.persist()
+        if self.postings is not None:
+            self.postings.persist()
+        return self
+
+
+def tokenize_corpus(
+    corpus: DataFrame,
+    *,
+    text_col: str = "text",
+    mode: str = "full",
+) -> DataFrame:
+    """corpus → (doc_id, tokens). ``simple`` mode is zero-UDF Catalyst;
+    ``full`` mode is the reference Parse pipeline in one pandas UDF.
+    The text column is dropped immediately after tokenize so it never
+    enters a shuffle (column-pruning discipline, SURVEY.md §4.1)."""
+    if mode == "simple":
+        toks = tokens_simple_col(text_col)
+    elif mode == "full":
+        toks = make_tokenize_udf()(F.col(text_col))
+    else:
+        raise ValueError(f"unknown tokenize mode: {mode}")
+    return corpus.select("doc_id", toks.alias("tokens"))
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    *,
+    text_col: str = "text",
+    mode: str = "full",
+    identity_cols: tuple[str, ...] = (),
+    compress: bool = True,
+    num_partitions: int | None = None,
+    num_salts: int = DEFAULT_SALTS,
+    block_size: int = BLOCK_SIZE,
+) -> IndexArtifacts:
+    """EP1: build the full index from a corpus with a ``doc_id`` column."""
+    tokens = tokenize_corpus(corpus, text_col=text_col, mode=mode)
+    tf = term_frequencies(explode_tokens(tokens))
+    tf.persist()
+    ds = doc_stats(tf)
+    if identity_cols:
+        ds = corpus.select("doc_id", *identity_cols).join(ds, "doc_id")
+    dct = dictionary_op(tf)
+    stats = collection_stats(ds)
+    dl_min = ds.agg(F.min("doc_len")).collect()[0][0]
+    stats["dl_min"] = float(dl_min) if dl_min is not None else 1.0
+    postings = (
+        build_postings(
+            tf,
+            num_partitions=num_partitions,
+            num_salts=num_salts,
+            block_size=block_size,
+        )
+        if compress
+        else None
+    )
+    return IndexArtifacts(
+        docs=ds, tf=tf, dictionary=dct, postings=postings, stats=stats
+    )
+
+
+def run_queries(
+    spark: SparkSession,
+    index: IndexArtifacts,
+    queries: list[tuple[int, str]],
+    *,
+    k: int = TOP_K,
+    path: str = "exhaustive",
+    tokenizer=None,
+) -> DataFrame:
+    """EP3: batch query → results(query_id, rank, doc_id, score)."""
+    kwargs = {} if tokenizer is None else {"tokenizer": tokenizer}
+    qt = query_terms_df(spark, queries, **kwargs)
+    if path == "exhaustive":
+        return score_exhaustive(
+            qt, index.tf, index.docs, index.dictionary, index.stats, k=k
+        )
+    if path == "wand":
+        if index.postings is None:
+            raise ValueError("wand path needs compressed postings")
+        import numpy as np
+
+        rows = index.docs.select("doc_id", "doc_len").collect()
+        n = max(r["doc_id"] for r in rows) + 1
+        doc_lens = np.zeros(int(n), dtype=np.int32)
+        for r in rows:
+            doc_lens[r["doc_id"]] = r["doc_len"]
+        return wand_topk(
+            spark, qt, index.postings, doc_lens, index.stats, k=k
+        )
+    raise ValueError(f"unknown path: {path}")

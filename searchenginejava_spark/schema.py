@@ -1,0 +1,109 @@
+"""Explicit schemas — never inferred (SURVEY.md §1.3).
+
+Pinned because (a) the sha256 per-row invariant (BASELINE.json:15) needs
+byte-stable string handling and (b) checkpoint resume (BASELINE.json:14)
+needs schema-stable shuffle/checkpoint files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Contract input table (BASELINE.json:15 input_hint) — Iceberg on a real
+# cluster, Parquet stand-in in-sandbox (same logical schema).
+SOURCE_CODE = StructType(
+    [
+        StructField("repo", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("commit", StringType(), False),
+        StructField("lang", StringType(), False),
+        StructField("content", StringType(), False),
+    ]
+)
+
+# Driver-provided generic corpus (/root/testdata/*/documents.parquet).
+DOCUMENTS = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("source", StringType(), True),
+        StructField("n_chars", LongType(), True),
+    ]
+)
+
+# Derived artifacts (FIXTURES.md §B "Derived-artifact schemas").
+DOCS = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("repo", StringType(), True),
+        StructField("path", StringType(), True),
+        StructField("commit", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("content_sha256", StringType(), True),
+        StructField("doc_len", IntegerType(), True),
+        StructField("max_tf", IntegerType(), True),
+        StructField("uniq_terms", IntegerType(), True),
+    ]
+)
+
+POSTINGS = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("df", LongType(), False),
+        StructField("cf", LongType(), False),
+        StructField("max_tf", IntegerType(), False),
+        StructField("n_blocks", IntegerType(), False),
+        StructField("block_max_tf", ArrayType(IntegerType()), False),
+        StructField("block_last_doc", ArrayType(LongType()), False),
+        StructField("postings", BinaryType(), False),
+    ]
+)
+
+POSTINGS_EXPLODED = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("tf", IntegerType(), False),
+    ]
+)
+
+DICTIONARY = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("df", LongType(), False),
+        StructField("cf", LongType(), False),
+        StructField("max_tf", IntegerType(), False),
+    ]
+)
+
+RESULTS = StructType(
+    [
+        StructField("query_id", IntegerType(), False),
+        StructField("rank", IntegerType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("score", DoubleType(), False),
+    ]
+)
+
+# SPIMI partial runs (level-1 output of the salted merge, SURVEY.md §2.4).
+PARTIAL_POSTINGS = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("salt", IntegerType(), False),
+        StructField("doc_ids", BinaryType(), False),  # varbyte(delta(doc_ids))
+        StructField("tfs", BinaryType(), False),      # varbyte(tfs)
+        StructField("n", IntegerType(), False),
+        StructField("min_doc", LongType(), False),
+        StructField("max_doc", LongType(), False),
+    ]
+)

@@ -1,0 +1,100 @@
+"""Corpus sources — the engine's ReadFile equivalent (SURVEY.md §2.1).
+
+The contract input is an Iceberg table ``(repo, path, commit, lang,
+content)`` at 10^12-file scale (BASELINE.json:15). This sandbox has no
+Iceberg runtime jar and no network (verified, SURVEY.md §7.0), so the
+physical source is Parquet with the identical logical schema; on a real
+cluster ``read_source_code`` swaps to ``spark.read.format("iceberg")`` in
+one line — everything downstream is format-agnostic DataFrame code.
+
+Scale notes (10^12 files):
+- scans are declarative → Catalyst pushes ``lang``/path predicates and
+  prunes columns down to the Parquet/Iceberg reader automatically;
+- ``doc_id`` assignment: at test scale we use a global ``row_number()``
+  over ``(repo, path, commit)`` (deterministic, total order). At 10^12
+  rows a single global window is a bottleneck; ``assign_doc_ids`` also
+  implements the scalable two-pass variant — per-partition counts →
+  prefix-sum offsets broadcast back — which gives the SAME ids for the
+  same partitioning and is O(1) in driver memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..schema import DOCUMENTS, SOURCE_CODE
+
+
+def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-provided generic corpus: doc_id/text/lang/source/n_chars."""
+    return spark.read.schema(DOCUMENTS).parquet(f"{sf_dir}/documents.parquet")
+
+
+def read_source_code(
+    spark: SparkSession, path: str, *, fmt: str = "parquet"
+) -> DataFrame:
+    """Contract input table. ``fmt='iceberg'`` on a real cluster."""
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(path)
+    return spark.read.schema(SOURCE_CODE).parquet(path)
+
+
+def with_sha256(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Per-row invariant column (BASELINE.json:15): JVM-native sha2, no UDF."""
+    return df.withColumn("content_sha256", F.sha2(F.col(content_col), 256))
+
+
+def assign_doc_ids(
+    df: DataFrame,
+    order_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    *,
+    scalable: bool = False,
+) -> DataFrame:
+    """Deterministic dense int64 doc_id from a total order on the keys.
+
+    scalable=False: global window row_number (fine at test scale; single
+    exchange to one ordering).
+    scalable=True:  sort → per-partition prefix-sum offsets (two narrow
+    passes; no global window state). Same output ids given the same range
+    partitioning — documented for the 10^12 path (SURVEY.md §7.4).
+    """
+    if not scalable:
+        w = Window.orderBy(*[F.col(c) for c in order_cols])
+        return df.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+
+    ordered = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+
+    def _with_pid(it):
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+        from pyspark import TaskContext  # noqa: PLC0415
+
+        pid = TaskContext.get().partitionId()
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["_pid"] = pid
+            pdf["_row_in_part"] = range(len(pdf))
+            yield pdf
+
+    import pyspark.sql.types as T  # local alias
+
+    sch = T.StructType(
+        ordered.schema.fields
+        + [T.StructField("_pid", T.IntegerType()), T.StructField("_row_in_part", T.LongType())]
+    )
+    tagged = ordered.mapInPandas(_with_pid, schema=sch)
+    counts = (
+        tagged.groupBy("_pid").count().orderBy("_pid").collect()
+    )  # tiny: one row per partition
+    offsets = {}
+    acc = 0
+    for r in counts:
+        offsets[r["_pid"]] = acc
+        acc += r["count"]
+    mapping = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    return (
+        tagged.withColumn("doc_id", (mapping[F.col("_pid")] + F.col("_row_in_part")).cast("long"))
+        .drop("_pid", "_row_in_part")
+    )

@@ -1,0 +1,104 @@
+"""BM25 rank identity (BASELINE.json:6 "BM25 rank identity"; SURVEY.md
+§5.1 test_bm25.py): exhaustive Spark scorer == block-max WAND pruned
+scorer == in-process NumPy/python oracle, top-10, scores at 1e-9 rel-tol,
+ties broken (score desc, doc_id asc)."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import pytest
+
+from searchenginejava_spark.operators.search import (
+    bm25_numpy_oracle,
+    query_terms_df,
+)
+from searchenginejava_spark.plans.pipeline import build_index, run_queries
+from searchenginejava_spark.sources.source import read_documents
+
+from conftest import TESTDATA
+
+# frozen seed=42-style query set proxy: hot terms, rare terms, OOV,
+# stopword-only, repeated terms (qtf>1)
+QUERIES = [
+    (0, "spark merge window"),
+    (1, "fast table scan"),
+    (2, "hash join"),
+    (3, "zzz_out_of_vocabulary"),
+    (4, "the a an and"),
+    (5, "batch batch stream"),
+    (6, "key value store compaction"),
+    (7, "sort order by key"),
+]
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    corpus = read_documents(spark, TESTDATA)
+    idx = build_index(
+        spark, corpus, text_col="text", mode="full", num_partitions=8,
+        num_salts=4,
+    )
+    idx.persist()
+    yield idx
+
+
+def _as_key(rows):
+    return sorted((r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows)
+
+
+def assert_rank_identical(a, b):
+    assert len(a) == len(b)
+    for (qa, ra, da, sa), (qb, rb, db, sb) in zip(a, b):
+        assert (qa, ra, da) == (qb, rb, db)
+        assert math.isclose(sa, sb, rel_tol=1e-9), (qa, ra, sa, sb)
+
+
+def test_exhaustive_vs_wand(spark, index):
+    ex = _as_key(run_queries(spark, index, QUERIES, path="exhaustive").collect())
+    wd = _as_key(run_queries(spark, index, QUERIES, path="wand").collect())
+    assert_rank_identical(ex, wd)
+    # OOV and stopword-only queries return nothing
+    qids = {q for q, *_ in ex}
+    assert 3 not in qids and 4 not in qids
+
+
+def test_exhaustive_vs_numpy_oracle(spark, index):
+    qt = query_terms_df(spark, QUERIES)
+    postings = defaultdict(list)
+    for r in index.tf.collect():
+        postings[r["term"]].append((r["doc_id"], r["tf"]))
+    for t in postings:
+        postings[t].sort()
+    doc_lens = {r["doc_id"]: r["doc_len"] for r in index.docs.collect()}
+    oracle = bm25_numpy_oracle(
+        [(r["query_id"], r["term"], r["qtf"]) for r in qt.collect()],
+        postings,
+        doc_lens,
+        index.stats["N"],
+        index.stats["avgdl"],
+    )
+    ex = _as_key(run_queries(spark, index, QUERIES, path="exhaustive").collect())
+    assert_rank_identical(ex, sorted(oracle))
+
+
+def test_topk_tiebreak_determinism(spark, index):
+    """Two runs produce byte-identical (query_id, rank, doc_id)."""
+    a = run_queries(spark, index, QUERIES, path="exhaustive").collect()
+    b = run_queries(spark, index, QUERIES, path="exhaustive").collect()
+    assert [(r["query_id"], r["rank"], r["doc_id"]) for r in a] == [
+        (r["query_id"], r["rank"], r["doc_id"]) for r in b
+    ]
+
+
+def test_qtf_weighting(spark, index):
+    """Repeated query term doubles its contribution (query 5)."""
+    one = run_queries(spark, index, [(0, "batch stream")], path="exhaustive")
+    two = run_queries(spark, index, [(0, "batch batch stream")], path="exhaustive")
+    s1 = {r["doc_id"]: r["score"] for r in one.collect()}
+    s2 = {r["doc_id"]: r["score"] for r in two.collect()}
+    common = set(s1) & set(s2)
+    assert common
+    # scores differ because 'batch' counts twice
+    assert any(not math.isclose(s1[d], s2[d], rel_tol=1e-12) for d in common)

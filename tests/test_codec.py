@@ -1,0 +1,117 @@
+"""Varbyte+delta codec byte-exactness (BASELINE.json:6; FIXTURES.md codec
+vectors). Hand-computed byte vectors + randomized round-trips (seed=42)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from searchenginejava_spark.functions.codec import (
+    block_maxima,
+    decode_postings,
+    encode_postings,
+    vb_decode,
+    vb_encode,
+)
+
+HAND_VECTORS = [
+    (0, bytes([0x80])),
+    (1, bytes([0x81])),
+    (5, bytes([0x85])),
+    (127, bytes([0xFF])),
+    (128, bytes([0x01, 0x80])),
+    (130, bytes([0x01, 0x82])),
+    (16383, bytes([0x7F, 0xFF])),
+    (16384, bytes([0x01, 0x00, 0x80])),
+    # 2^28 = 2^(7*4): five 7-bit groups [1, 0, 0, 0, 0]
+    (2**28, bytes([0x01, 0x00, 0x00, 0x00, 0x80])),
+    (2**28 + 1, bytes([0x01, 0x00, 0x00, 0x00, 0x81])),
+]
+
+
+def test_vb_hand_vectors():
+    for value, expected in HAND_VECTORS:
+        got = vb_encode(np.array([value], dtype=np.uint64))
+        assert got == expected, f"{value}: {got.hex()} != {expected.hex()}"
+        back = vb_decode(expected)
+        assert back.tolist() == [value]
+
+
+def test_vb_stream_concat():
+    vals = np.array([v for v, _ in HAND_VECTORS], dtype=np.uint64)
+    buf = vb_encode(vals)
+    assert buf == b"".join(b for _, b in HAND_VECTORS)
+    assert vb_decode(buf).tolist() == vals.tolist()
+
+
+def test_vb_empty():
+    assert vb_encode(np.array([], dtype=np.uint64)) == b""
+    assert vb_decode(b"").size == 0
+
+
+@pytest.mark.parametrize("n", [1, 2, 100, 10_000, 1_000_000])
+def test_roundtrip_random(n):
+    rng = np.random.default_rng(42)
+    gaps = rng.integers(1, 2**20, n).astype(np.uint64)
+    doc_ids = np.cumsum(gaps)
+    tfs = rng.integers(1, 1000, n).astype(np.uint64)
+    buf = encode_postings(doc_ids, tfs)
+    d, t = decode_postings(buf)
+    np.testing.assert_array_equal(d, doc_ids.astype(np.int64))
+    np.testing.assert_array_equal(t, tfs.astype(np.int64))
+    # byte-exact re-encode: the codec is a bijection on sorted postings
+    assert encode_postings(d, t) == buf
+
+
+def test_boundary_cases():
+    # gap = 1 everywhere; single doc; doc_id 0; huge gap > 2^28
+    for ids, tfs in [
+        ([0], [1]),
+        ([0, 1, 2, 3], [1, 1, 1, 1]),
+        ([5], [3]),
+        ([1, 2**29 + 7], [1, 2]),
+    ]:
+        buf = encode_postings(np.array(ids), np.array(tfs))
+        d, t = decode_postings(buf)
+        assert d.tolist() == ids and t.tolist() == tfs
+
+
+def test_rejects_unsorted():
+    with pytest.raises(ValueError):
+        encode_postings(np.array([5, 3]), np.array([1, 1]))
+    with pytest.raises(ValueError):
+        encode_postings(np.array([3, 3]), np.array([1, 1]))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=2**40), min_size=1, max_size=300),
+    st.data(),
+)
+def test_roundtrip_hypothesis(gaps, data):
+    doc_ids = np.cumsum(np.array(gaps, dtype=np.uint64))
+    tfs = np.array(
+        data.draw(
+            st.lists(
+                st.integers(min_value=1, max_value=2**31),
+                min_size=len(gaps),
+                max_size=len(gaps),
+            )
+        ),
+        dtype=np.uint64,
+    )
+    buf = encode_postings(doc_ids, tfs)
+    d, t = decode_postings(buf)
+    assert d.tolist() == doc_ids.astype(np.int64).tolist()
+    assert t.tolist() == tfs.astype(np.int64).tolist()
+
+
+def test_block_maxima():
+    ids = np.arange(10, 310)
+    tfs = np.concatenate([np.full(128, 2), np.full(128, 9), np.full(44, 4)])
+    bmax, blast = block_maxima(ids, tfs, 128)
+    assert bmax == [2, 9, 4]
+    assert blast == [137, 265, 309]
+    assert block_maxima(np.array([], dtype=np.int64), np.array([]), 128) == ([], [])

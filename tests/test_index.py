@@ -1,0 +1,107 @@
+"""Index-build correctness: tf/df/doc-stats consistency, compressed
+postings == relational postings, salted vs unsalted merge identity
+(SURVEY.md §5.1 test_merge.py / BASELINE.json:6 "merge correctness")."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginejava_spark.operators.index import (
+    build_postings,
+    decode_postings_df,
+)
+from searchenginejava_spark.plans.pipeline import build_index
+from searchenginejava_spark.sources.source import read_documents
+
+from conftest import TESTDATA
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    corpus = read_documents(spark, TESTDATA)
+    idx = build_index(
+        spark, corpus, text_col="text", mode="full", num_partitions=8,
+        num_salts=4,
+    )
+    idx.persist()
+    yield idx
+
+
+def test_doc_stats(index):
+    docs = {r["doc_id"]: r for r in index.docs.collect()}
+    tf = index.tf.collect()
+    from collections import defaultdict
+
+    dl, mx, uq = defaultdict(int), defaultdict(int), defaultdict(int)
+    for r in tf:
+        dl[r["doc_id"]] += r["tf"]
+        mx[r["doc_id"]] = max(mx[r["doc_id"]], r["tf"])
+        uq[r["doc_id"]] += 1
+    assert set(dl) == set(docs)
+    for d, row in docs.items():
+        assert row["doc_len"] == dl[d]
+        assert row["max_tf"] == mx[d]
+        assert row["uniq_terms"] == uq[d]
+
+
+def test_dictionary_matches_postings(index):
+    """df/cf/max_tf in the dictionary == stamped on the compressed postings."""
+    joined = index.dictionary.alias("d").join(
+        index.postings.alias("p"), "term", "full_outer"
+    )
+    assert joined.filter(F.col("d.df").isNull() | F.col("p.df").isNull()).count() == 0
+    bad = joined.filter(
+        (F.col("d.df") != F.col("p.df"))
+        | (F.col("d.cf") != F.col("p.cf"))
+        | (F.col("d.max_tf") != F.col("p.max_tf"))
+    )
+    assert bad.count() == 0
+
+
+def test_compressed_postings_roundtrip(index):
+    """decode(postings binary) == the relational tf table, row-exact."""
+    dec = decode_postings_df(index.postings)
+    tf = index.tf.select("term", "doc_id", F.col("tf").cast("int").alias("tf"))
+    assert dec.exceptAll(tf).count() == 0
+    assert tf.exceptAll(dec).count() == 0
+
+
+def test_salted_merge_equals_unsalted(spark, index):
+    """salted (S=4, P=8) merge output == single-partition unsalted merge —
+    the core 'salted merge == reference merge' invariant (SURVEY.md §5.1)."""
+    unsalted = build_postings(index.tf, num_partitions=1, num_salts=1)
+    a = {r["term"]: r for r in index.postings.collect()}
+    b = {r["term"]: r for r in unsalted.collect()}
+    assert set(a) == set(b)
+    for term in a:
+        ra, rb = a[term], b[term]
+        assert bytes(ra["postings"]) == bytes(rb["postings"]), term
+        assert (ra["df"], ra["cf"], ra["max_tf"]) == (rb["df"], rb["cf"], rb["max_tf"])
+        assert ra["block_max_tf"] == rb["block_max_tf"]
+        assert ra["block_last_doc"] == rb["block_last_doc"]
+
+
+def test_skewed_term_merge(spark):
+    """A term present in 100% of docs (max skew) merges correctly across
+    salts; block metadata covers every posting."""
+    import pandas as pd
+
+    n = 5000
+    rows = [(i, "hot", 1 + i % 7) for i in range(n)] + [
+        (i, f"rare_{i}", 1) for i in range(0, n, 100)
+    ]
+    tf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "term", "tf"])
+    )
+    postings = build_postings(tf, num_partitions=16, num_salts=8)
+    hot = postings.filter(F.col("term") == "hot").collect()[0]
+    assert hot["df"] == n
+    assert hot["cf"] == sum(1 + i % 7 for i in range(n))
+    assert hot["max_tf"] == 7
+    assert hot["n_blocks"] == (n + 127) // 128
+    from searchenginejava_spark.functions.codec import decode_postings
+
+    d, t = decode_postings(bytes(hot["postings"]))
+    assert d.tolist() == list(range(n))
+    assert t.tolist() == [1 + i % 7 for i in range(n)]

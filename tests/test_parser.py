@@ -1,0 +1,96 @@
+"""Tokenizer/stemmer parity golden vectors (SURVEY.md §5.1 test_parser.py).
+
+PROVISIONAL goldens: frozen from our documented rule list (FIXTURES.md
+"Parser golden vectors") because /root/reference is empty (SURVEY.md §0);
+re-freeze from the real Parse/Stemmer behavior if it is ever populated.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from searchenginejava_spark.functions.stemmer import porter_stem
+from searchenginejava_spark.functions.tokenize import tokenize_text
+
+# classic vectors from the Porter 1980 paper's rule examples
+PORTER_VECTORS = {
+    "caresses": "caress", "ponies": "poni", "ties": "ti", "cats": "cat",
+    "feed": "feed", "agreed": "agre", "plastered": "plaster", "bled": "bled",
+    "motoring": "motor", "sing": "sing", "conflated": "conflat",
+    "troubled": "troubl", "sized": "size", "hopping": "hop", "tanned": "tan",
+    "falling": "fall", "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+    "filing": "file", "happy": "happi", "sky": "sky", "relational": "relat",
+    "conditional": "condit", "rational": "ration", "valenci": "valenc",
+    "hesitanci": "hesit", "digitizer": "digit", "conformabli": "conform",
+    "radicalli": "radic", "differentli": "differ", "vileli": "vile",
+    "analogousli": "analog", "vietnamization": "vietnam",
+    "predication": "predic", "operator": "oper", "feudalism": "feudal",
+    "decisiveness": "decis", "hopefulness": "hope", "callousness": "callous",
+    "formaliti": "formal", "sensitiviti": "sensit", "sensibiliti": "sensibl",
+    "triplicate": "triplic", "formative": "form", "formalize": "formal",
+    "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+    "goodness": "good", "revival": "reviv", "allowance": "allow",
+    "inference": "infer", "airliner": "airlin", "gyroscopic": "gyroscop",
+    "adjustable": "adjust", "defensible": "defens", "irritant": "irrit",
+    "replacement": "replac", "adjustment": "adjust", "dependent": "depend",
+    "adoption": "adopt", "communism": "commun", "activate": "activ",
+    "angulariti": "angular", "homologous": "homolog", "effective": "effect",
+    "bowdlerize": "bowdler", "probate": "probat", "rate": "rate",
+    "cease": "ceas", "controll": "control", "roll": "roll",
+}
+
+
+def test_porter_vectors():
+    for word, stem in PORTER_VECTORS.items():
+        assert porter_stem(word) == stem, word
+
+
+GOLDEN = [
+    # case folding + stemming + stopwords
+    ("The quick brown foxes were running", ["quick", "brown", "fox", "run"]),
+    # entity rule: >=2 consecutive Capitalized words
+    (
+        "New York Times reported",
+        ["new_york_times", "new", "york", "time", "report"],
+    ),
+    # numbers: K/M/B scaling
+    ("1,000,000 users and 12000 files", ["1m", "user", "12k", "file"]),
+    ("3.5 billion rows", ["3.5b", "row"]),
+    ("a mere 999 rows", ["mere", "999", "row"]),
+    # percent forms unify
+    ("10.6 percent vs 10.6%", ["10.6%", "vs", "10.6%"]),
+    # prices
+    ("$450,000 up front", ["450k", "dollar", "front"]),
+    ("$12 fee", ["12", "dollar", "fee"]),
+    # hyphens split
+    ("state-of-the-art design", ["state", "art", "design"]),
+    # stopword-only → empty
+    ("the a an and of", []),
+    # empty / whitespace
+    ("", []),
+    ("   ", []),
+    # unicode passthrough (non-ascii letters are not token chars)
+    ("naïve café", ["na", "ve", "caf"]),
+    # punctuation stripping
+    ("hello, world. (really)", ["hello", "world", "realli"]),
+]
+
+
+@pytest.mark.parametrize("text,expected", GOLDEN)
+def test_tokenize_golden(text, expected):
+    assert tokenize_text(text) == expected
+
+
+def test_index_query_consistency():
+    """Same function at index and query time — the invariant of §1.1 row 7."""
+    from searchenginejava_spark.functions.tokenize import tokenize_query
+
+    text = "Distributed Systems are running 3 million QUERIES"
+    assert tokenize_query(text) == tokenize_text(text)
+
+
+def test_stem_memoization_consistency():
+    memo: dict[str, str] = {}
+    a = tokenize_text("running runner runs", _memo=memo)
+    b = tokenize_text("running runner runs")
+    assert a == b

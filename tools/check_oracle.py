@@ -1,0 +1,98 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs every ``queries()`` entry at sf0.01 on Spark and the matching
+``oracle_sql()`` on DuckDB, compares row count, column names, and an
+order-insensitive value comparison (columns sorted by name, rows sorted,
+floats rounded to 9 significant decimals before hashing).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return v
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def main() -> int:
+    import __spark_entry__ as se
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("oracle-check")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    qs, oracles = se.queries(), se.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        sdf = fn(spark, SF_DIR)
+        srows = sdf.collect()
+        scols = sdf.columns
+        if name not in oracles:
+            print(f"{name}: rows-only check — {len(srows)} rows")
+            continue
+        orel = con.sql(oracles[name])
+        ocols = [d[0] for d in orel.description]
+        orows = orel.fetchall()
+        sc, sr = norm_rows(scols, [tuple(r) for r in srows])
+        oc, orr = norm_rows(ocols, orows)
+        ok = sc == oc and len(sr) == len(orr) and sr == orr
+        status = "OK " if ok else "FAIL"
+        print(f"{status} {name}: spark {len(sr)} rows, oracle {len(orr)} rows")
+        if not ok:
+            failed.append(name)
+            if sc != oc:
+                print(f"  cols spark={sc} oracle={oc}")
+            else:
+                for a, b in zip(sr, orr):
+                    if a != b:
+                        print(f"  first diff:\n   spark  {a}\n   oracle {b}")
+                        break
+    spark.stop()
+    if failed:
+        print("FAILED:", failed)
+        return 1
+    print("all queries match the oracle")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
