@@ -156,6 +156,110 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline ops (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchenginejava_spark.sources.source import read_documents
+
+    return read_documents(spark, sf_dir)
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchenginejava_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_documents(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchenginejava_spark.operators.dedup import jaccard_pairs, shingles
+
+    return jaccard_pairs(shingles(_documents(spark, sf_dir), n=3), threshold=0.4)
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchenginejava_spark.operators.dedup import (
+        minhash_signatures,
+        shingles,
+    )
+
+    return minhash_signatures(
+        shingles(_documents(spark, sf_dir), n=3), num_hashes=16
+    )
+
+
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchenginejava_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    sigs = minhash_signatures(
+        shingles(_documents(spark, sf_dir), n=3), num_hashes=16
+    )
+    return lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchenginejava_spark.operators.dedup import simhash
+
+    return simhash(_documents(spark, sf_dir), bits=32)
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchenginejava_spark.operators.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(
+        _documents(spark, sf_dir), bits=32, max_hamming=2
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchenginejava_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return cosine_topk(emb, qvec, k=10)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN (LSH-bucketed) — rows-only check: the bucketing is
+    sign-of-dot over seeded hyperplanes, which SQL can express but with
+    fp-sign fragility at the oracle boundary; exact-cosine q_cosine_topk
+    above is the oracle-checked twin."""
+    from searchenginejava_spark.operators.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return ann_lsh_topk(emb, qvec, k=10, n_planes=8)
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchenginejava_spark.operators.textstats import token_stats
+
+    return token_stats(_documents(spark, sf_dir))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchenginejava_spark.operators.textstats import quality_score
+
+    return quality_score(_documents(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchenginejava_spark.operators.textstats import lang_id
+
+    return lang_id(_documents(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchenginejava_spark.operators.textstats import fingerprint
+
+    return fingerprint(_documents(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_term_frequencies": q_term_frequencies,
@@ -163,14 +267,224 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dictionary": q_dictionary,
         "q_collection_stats": q_collection_stats,
         "q_bm25_topk": q_bm25_topk,
+        "q_exact_dedup": q_exact_dedup,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_minhash_signatures": q_minhash_signatures,
+        "q_lsh_candidates": q_lsh_candidates,
+        "q_simhash": q_simhash,
+        "q_simhash_neardup": q_simhash_neardup,
+        "q_cosine_topk": q_cosine_topk,
+        "q_ann_lsh_topk": q_ann_lsh_topk,
+        "q_token_stats": q_token_stats,
+        "q_quality_score": q_quality_score,
+        "q_lang_id": q_lang_id,
+        "q_fingerprint": q_fingerprint,
     }
+
+
+# shared SQL CTEs for the dedup/textstats oracles
+_SQL_TOKL = """
+WITH tokl AS (
+  SELECT doc_id, text,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+  FROM documents
+), tok AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS term
+  FROM tokl
+)
+"""
+
+_SQL_SHINGLES = _SQL_TOKL + """
+, sh AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', term, t1, t2) AS shingle
+  FROM (
+    SELECT doc_id, term,
+           lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+           lead(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+    FROM tok
+  ) WHERE t2 IS NOT NULL
+)
+"""
+
+_HASH60_SQL = "CAST(concat('0x', substr(md5({col}), 1, 15)) AS BIGINT)"
+
+
+def _minhash_sig_sql(num_hashes: int) -> str:
+    """sig CTE over sh: doc_id, h0..h{n-1} — same (a·x+b) mod p family as
+    searchenginejava_spark.operators.dedup.minhash_signatures."""
+    from searchenginejava_spark.operators.dedup import (
+        MINHASH_P,
+        MINHASH_X_MOD,
+        minhash_params,
+    )
+
+    x = _HASH60_SQL.format(col="shingle") + f" % {MINHASH_X_MOD}"
+    mins = ", ".join(
+        f"min(({a} * x + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+    return (
+        f", mh AS (SELECT doc_id, {x} AS x FROM sh)"
+        f", sig AS (SELECT doc_id, {mins} FROM mh GROUP BY doc_id)"
+    )
+
+
+def _lsh_banded_sql(num_hashes: int, bands: int) -> str:
+    rows = num_hashes // bands
+    parts = []
+    for bi in range(bands):
+        cols = ", ".join(
+            f"CAST(h{bi * rows + j} AS VARCHAR)" for j in range(rows)
+        )
+        parts.append(
+            f"SELECT doc_id, {bi} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sig"
+        )
+    return ", banded AS (" + " UNION ALL ".join(parts) + ")"
+
+
+_SQL_SIMHASH_CORE = _SQL_TOKL + f"""
+, tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term)
+, th AS (SELECT doc_id, tf, {_HASH60_SQL.format(col="term")} AS th FROM tf)
+, bits AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (th >> bit) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) b
+  GROUP BY doc_id, bit
+), shh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+"""
+
+_LANGS_SQL = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "pour", "dans"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "para", "en"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "ist", "für", "mit", "zu"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "这", "人"],
+}
+
+
+def _lang_id_sql() -> str:
+    hits = ", ".join(
+        "len(list_intersect(list_distinct(l), ["
+        + ", ".join(f"'{w}'" for w in words)
+        + f"])) AS hits_{lg}"
+        for lg, words in _LANGS_SQL.items()
+    )
+    langs = list(_LANGS_SQL)
+    best = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN best > 0 AND hits_{lg} = best THEN '{lg}'" for lg in langs
+    ) + " ELSE 'und' END"
+    return (
+        _SQL_TOKL
+        + f", scored AS (SELECT doc_id, {hits} FROM tokl)"
+        + f", withbest AS (SELECT *, {best} AS best FROM scored)"
+        + f" SELECT doc_id, {pred} AS pred_lang,"
+        + " CAST(best AS BIGINT) AS marker_hits FROM withbest"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
     q_values = ", ".join(
         f"({qid}, '{t}', 1)" for qid, terms in _ORACLE_QUERIES for t in terms
     )
+    alpha = "len(list_filter(l, t -> regexp_matches(t, '^[a-z]+$')))"
     return {
+        "q_exact_dedup": """
+        SELECT sha256(text) AS content_key,
+               min(doc_id) AS keep_id,
+               count(*) AS n_dups
+        FROM documents GROUP BY sha256(text)
+        """,
+        "q_ngram_jaccard": _SQL_SHINGLES
+        + """
+        , sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+        , inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON inter.id_a = sa.doc_id
+        JOIN sizes sb ON inter.id_b = sb.doc_id
+        WHERE inter / (sa.sz + sb.sz - inter) >= 0.4
+        """,
+        "q_minhash_signatures": _SQL_SHINGLES
+        + _minhash_sig_sql(16)
+        + " SELECT * FROM sig",
+        "q_lsh_candidates": _SQL_SHINGLES
+        + _minhash_sig_sql(16)
+        + _lsh_banded_sql(16, 4)
+        + """
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b USING (band, bucket)
+        WHERE a.doc_id < b.doc_id
+        """,
+        "q_simhash": _SQL_SIMHASH_CORE + " SELECT doc_id, simhash FROM shh",
+        "q_simhash_neardup": _SQL_SIMHASH_CORE
+        + """
+        , chunked AS (
+            SELECT doc_id, simhash, ci, (simhash >> (ci * 8)) & 255 AS cv
+            FROM shh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS ci) c
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.simhash AS sh_a, b.simhash AS sh_b
+            FROM chunked a JOIN chunked b USING (ci, cv)
+            WHERE a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+        FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 2
+        """,
+        "q_cosine_topk": """
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        z AS (
+          SELECT e.vec_id,
+                 CAST(unnest(e.embedding) AS DOUBLE) AS x,
+                 CAST(unnest(q.qv) AS DOUBLE) AS y
+          FROM embeddings e CROSS JOIN q
+        ), s AS (
+          SELECT vec_id, sum(x * y) AS dot,
+                 sqrt(sum(x * x)) AS nx, sqrt(sum(y * y)) AS ny
+          FROM z GROUP BY vec_id
+        )
+        SELECT vec_id, round(dot / (nx * ny), 6) AS cosine
+        FROM s ORDER BY dot / (nx * ny) DESC, vec_id ASC LIMIT 10
+        """,
+        "q_token_stats": _SQL_TOKL
+        + """
+        SELECT doc_id,
+               CAST(len(l) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) AS BIGINT)
+                    AS n_regex_tokens,
+               CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct,
+               round(CASE WHEN len(l) = 0 THEN 0.0
+                     ELSE list_reduce(
+                            list_transform(l, t -> CAST(length(t) AS DOUBLE)),
+                            (a, b) -> a + b) / greatest(len(l), 1)
+                     END, 6) AS mean_token_len
+        FROM tokl
+        """,
+        "q_quality_score": _SQL_TOKL
+        + f"""
+        SELECT doc_id,
+               round((CASE WHEN len(l) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+                     + 0.3 * (len(list_distinct(l)) / greatest(len(l), 1))
+                     + 0.3 * ({alpha} / greatest(len(l), 1)), 6) AS quality,
+               round(len(list_distinct(l)) / greatest(len(l), 1), 6) AS diversity,
+               round({alpha} / greatest(len(l), 1), 6) AS alpha_ratio
+        FROM tokl
+        """,
+        "q_lang_id": _lang_id_sql(),
+        "q_fingerprint": _SQL_TOKL
+        + " SELECT doc_id, sha256(array_to_string(l, ' ')) AS fingerprint FROM tokl",
         "q_term_frequencies": _SQL_TF + "SELECT doc_id, term, tf FROM tf",
         "q_doc_stats": _SQL_TF
         + """

@@ -1,0 +1,109 @@
+"""Benchmark harness — prints ONE JSON line (driver contract).
+
+Headline: index-build throughput (files/sec) over the synthetic
+source-code table (the BASELINE.json metric) + documents-corpus build +
+batch BM25 query latency on both scorer paths.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(2 * cpus))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .appName("bench")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from searchenginejava_spark.plans.pipeline import build_index, run_queries
+    from searchenginejava_spark.sources.source import read_documents
+    from searchenginejava_spark.synth.gen_code_table import (
+        gen_code_table,
+        gen_query_set,
+    )
+
+    queries: dict[str, float] = {}
+
+    # --- corpus prep (not timed: generation is test fixture, not engine) ---
+    docs = read_documents(spark, sf_dir)
+    n_docs = docs.count()
+    n_code = 10 * n_docs  # 50k files at sf0.1
+    code = gen_code_table(spark, n_code, num_partitions=2 * cpus)
+    code = code.persist()
+    code.count()
+
+    # --- headline: full index build over the source-code table -------------
+    t0 = time.monotonic()
+    from searchenginejava_spark.sources.source import assign_doc_ids
+
+    code_ids = assign_doc_ids(code)
+    idx_code = build_index(
+        spark, code_ids, text_col="content", mode="full",
+        num_partitions=2 * cpus,
+    )
+    idx_code.postings.persist()
+    n_postings = idx_code.postings.count()
+    idx_code.docs.persist().count()
+    t_build_code = time.monotonic() - t0
+    queries["index_build_code"] = round(t_build_code, 3)
+
+    # --- index build over the generic documents corpus ---------------------
+    t0 = time.monotonic()
+    idx_docs = build_index(
+        spark, docs, text_col="text", mode="full", num_partitions=2 * cpus
+    )
+    idx_docs.postings.persist().count()
+    idx_docs.docs.persist().count()
+    queries["index_build_documents"] = round(time.monotonic() - t0, 3)
+
+    # --- batch BM25: 50 queries, exhaustive vs WAND ------------------------
+    qset = gen_query_set(50)
+    t0 = time.monotonic()
+    run_queries(spark, idx_code, qset, path="exhaustive").collect()
+    queries["bm25_batch50_exhaustive"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    run_queries(spark, idx_code, qset, path="wand").collect()
+    queries["bm25_batch50_wand"] = round(time.monotonic() - t0, 3)
+
+    total = sum(queries.values())
+    out = {
+        "metric": "index_build_plus_query_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "files_per_sec_code_index": round(n_code / t_build_code, 1),
+        "n_code_files": n_code,
+        "n_documents": n_docs,
+        "n_terms": n_postings,
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

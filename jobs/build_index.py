@@ -1,0 +1,65 @@
+"""spark-submit main — resumable index build (EP1).
+
+Usage:
+  spark-submit --py-files searchenginejava_spark.zip jobs/build_index.py \
+      --input /path/to/source_code_parquet --checkpoint /path/to/ckpt \
+      [--format iceberg] [--buckets 64] [--salts 16] [--mode full]
+
+On a real cluster ``--format iceberg --input catalog.db.table`` reads the
+contract's Iceberg table; the sandbox uses the Parquet stand-in
+(BASELINE.json:15; SURVEY.md §7.0). The job is idempotent: re-running
+after any failure resumes from the manifest (BASELINE.json:14).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--salts", type=int, default=16)
+    p.add_argument("--mode", default="full", choices=["full", "simple"])
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("sej-build-index").getOrCreate()
+
+    from searchenginejava_spark.plans.build_resumable import (
+        build_index_resumable,
+    )
+    from searchenginejava_spark.sources.source import read_source_code
+
+    corpus = read_source_code(spark, args.input, fmt=args.format)
+    art = build_index_resumable(
+        spark,
+        corpus,
+        args.checkpoint,
+        mode=args.mode,
+        num_buckets=args.buckets,
+        num_salts=args.salts,
+    )
+    if art is None:
+        print("build interrupted; re-run to resume", file=sys.stderr)
+        return 2
+    print(
+        json.dumps(
+            {
+                "status": "complete",
+                "stats": art.stats,
+                "terms": art.dictionary.count(),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

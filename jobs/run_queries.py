@@ -1,0 +1,61 @@
+"""spark-submit main — batch query run (EP3).
+
+Usage:
+  spark-submit --py-files searchenginejava_spark.zip jobs/run_queries.py \
+      --checkpoint /path/to/ckpt --queries /path/to/queries.tsv \
+      --output /path/to/results [--k 10] [--path wand|exhaustive]
+
+``queries.tsv``: one ``query_id<TAB>text`` per line (the TREC-topics
+equivalent, SURVEY.md §3 EP3). Results land as Parquet
+(query_id, rank, doc_id, score) with (score desc, doc_id asc) ranking.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--queries", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--path", default="exhaustive", choices=["exhaustive", "wand"])
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("sej-run-queries").getOrCreate()
+
+    from searchenginejava_spark.plans.pipeline import IndexArtifacts, run_queries
+    from searchenginejava_spark.sources.checkpoint import Manifest, stage_output
+
+    m = Manifest(args.checkpoint)
+    with open(os.path.join(args.checkpoint, "stats.json")) as f:
+        stats = json.load(f)
+    art = IndexArtifacts(
+        docs=stage_output(m, "docs", spark).drop("bucket"),
+        tf=stage_output(m, "tf", spark).drop("bucket"),
+        dictionary=stage_output(m, "dictionary", spark).drop("bucket"),
+        postings=stage_output(m, "postings", spark).drop("bucket"),
+        stats=stats,
+    )
+    queries = []
+    with open(args.queries) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            qid, text = line.split("\t", 1)
+            queries.append((int(qid), text))
+    res = run_queries(spark, art, queries, k=args.k, path=args.path)
+    res.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"status": "complete", "queries": len(queries)}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

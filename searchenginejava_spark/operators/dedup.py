@@ -1,0 +1,291 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's own pipeline (which never dedups — course corpus is
+unique), these are the dedup primitives a 100 TB corpus build needs. All
+hot paths are native Catalyst (higher-order array functions, hash joins);
+nothing here crosses into Python.
+
+Shared deterministic string→int hash (expressible identically in DuckDB
+for the oracle): H(s) = int(md5(s)[:15], 16) — 60-bit, positive.
+
+Scale notes:
+- exact: groupBy(sha256(text)) — one shuffle of (hash, id), never the text.
+- n-gram Jaccard: exact pairwise — verification tool; at scale use MinHash.
+- MinHash/LSH: signatures are one groupBy over (doc, shingle-hash); band
+  buckets broadcast-join-able; candidate verification touches only
+  colliding pairs. This is the 10^12-scale near-dup path.
+- SimHash: pure per-row map + one self-join on the 16-bit prefix blocks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# moduli chosen so a*x+b < 2^61 — no BIGINT overflow in Spark OR DuckDB
+MINHASH_X_MOD = 1073741789      # prime < 2^30
+MINHASH_P = 2147483647          # 2^31 − 1 (Mersenne prime)
+MINHASH_SEED = 42
+
+
+def str_hash60(col: Column) -> Column:
+    """H(s) = int(md5(s)[:15], 16) — same value as the DuckDB oracle's
+    CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_params(num_hashes: int = 64) -> list[tuple[int, int]]:
+    rng = np.random.default_rng(MINHASH_SEED)
+    return [
+        (int(rng.integers(1, MINHASH_P)), int(rng.integers(0, MINHASH_P)))
+        for _ in range(num_hashes)
+    ]
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_duplicates(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group identical texts by sha256; keep_id = min id per group.
+
+    Only (hash, id) shuffles — the text stays at the scan. Output one row
+    per distinct content with its cardinality (n_dups > 1 → duplicates).
+    """
+    return (
+        df.select(
+            F.sha2(F.col(text_col), 256).alias("content_key"),
+            F.col(id_col),
+        )
+        .groupBy("content_key")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# word n-gram shingles + exact Jaccard
+# --------------------------------------------------------------------------
+
+def shingles(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc — native higher-order fns.
+
+    tokens = lower+space split (oracle-compatible); shingle i =
+    tokens[i..i+n-1] joined by space, for i in [0, len-n].
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit(""))
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingle_df: DataFrame, *, threshold: float = 0.5
+) -> DataFrame:
+    """Exact pairwise Jaccard over distinct shingles; pairs ≥ threshold.
+
+    Self-equi-join on shingle → |A∩B|; set sizes from a per-doc count.
+    O(Σ df(shingle)^2) — the verification/oracle path; MinHash below is
+    the scale path.
+    """
+    sizes = shingle_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingle_df.alias("a")
+    b = shingle_df.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a")
+                   .withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding
+# --------------------------------------------------------------------------
+
+def minhash_signatures(
+    shingle_df: DataFrame, *, num_hashes: int = 64
+) -> DataFrame:
+    """(doc_id, h0..h{H-1}) — min over shingles of (a_i·x + b_i) mod p.
+
+    x = H(shingle) mod MINHASH_X_MOD. One hash-agg shuffle; all arithmetic
+    JVM-native. Columns (not arrays) so the DuckDB oracle is a plain
+    aggregate over the same expressions.
+    """
+    x = (str_hash60(F.col("shingle")) % MINHASH_X_MOD).alias("x")
+    base = shingle_df.select("doc_id", x)
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    ]
+    return base.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, *, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """Band the signature (rows = num_hashes/bands) → bucket join →
+    candidate pairs (id_a < id_b, distinct)."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for bi in range(bands):
+        cols = [F.col(f"h{bi * rows_per_band + j}") for j in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias(
+                    "bucket"
+                ),
+            )
+        )
+    banded = signatures.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash+LSH pipeline: shingle → sign → band → candidates →
+    exact-Jaccard verify (verification join touches only candidates)."""
+    sh = shingles(df, text_col=text_col, id_col=id_col, n=n)
+    sh.persist()
+    sigs = minhash_signatures(sh, num_hashes=num_hashes)
+    cands = lsh_candidate_pairs(sigs, num_hashes=num_hashes, bands=bands)
+    verified = jaccard_pairs(sh, threshold=threshold)
+    return cands.join(verified, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """Per-doc SimHash over tf-weighted token hashes (native, zero UDF).
+
+    bit_j(doc) = 1 iff Σ_tokens tf·(±1 per H(token) bit j) > 0;
+    simhash = Σ 2^j·bit_j. 32 bits keeps every intermediate in BIGINT
+    range for both engines.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit(""))
+    tf = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("th", str_hash60(F.col("term")))
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    per_bit = (
+        tf.select("doc_id", "tf", "th", bit)
+        .withColumn(
+            "contrib",
+            F.when(
+                F.expr("shiftright(th, bit) & 1") == 1,
+                F.col("tf"),
+            ).otherwise(-F.col("tf")),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), bit)"))
+            .otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Block on 8-bit chunks (pigeonhole: distance ≤ 3 over 4 chunks → at
+    least one chunk identical) so the self-join is an equi-join on
+    (chunk_idx, chunk_value), never a cross-join.
+    """
+    sh = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
+    n_chunks = 4
+    width = bits // n_chunks
+    chunk = F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("ci")
+    chunked = sh.select("doc_id", "simhash", chunk).withColumn(
+        "cv",
+        F.expr(f"shiftright(simhash, ci * {width}) & {(1 << width) - 1}"),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    pairs = (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -151,7 +151,11 @@ def spimi_partials(
 def _merge_runs(pdf: pd.DataFrame):
     """Decode a group's runs in min_doc order, concatenate, return arrays.
 
-    Runs are doc-range disjoint by construction; asserts strict ordering.
+    Batch-path runs are doc-range disjoint by construction (range
+    partitioning + contiguous salt blocks) so the concat is already
+    sorted and the sort below is a skipped no-op; streaming partial runs
+    (hash doc_ids across micro-batches) interleave and take the argsort
+    path. Duplicate (term, doc_id) entries are a data error either way.
     """
     import numpy as np
 
@@ -166,7 +170,13 @@ def _merge_runs(pdf: pd.DataFrame):
     doc_ids = np.concatenate(ids_parts)
     tfs = np.concatenate(tf_parts)
     if len(doc_ids) > 1 and not (doc_ids[1:] > doc_ids[:-1]).all():
-        raise AssertionError("posting runs overlap — doc ranges not disjoint")
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids = doc_ids[order]
+        tfs = tfs[order]
+        if not (doc_ids[1:] > doc_ids[:-1]).all():
+            raise AssertionError(
+                "duplicate (term, doc_id) postings across runs"
+            )
     return doc_ids, tfs
 
 

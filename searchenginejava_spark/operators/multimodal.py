@@ -1,0 +1,169 @@
+"""Multimodal column plumbing — opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with
+typed metadata structs. The Spark-side plumbing (schemas, Arrow batch
+shape, mapInPandas signatures, partition sizing) is real and tested; the
+actual codec calls (image decode, resampling, frame extraction) are
+STUBBED — this container ships no PIL/ffmpeg — behind
+``decoder="stub"`` (deterministic fake derived from the bytes) vs
+``decoder="real"`` (raises NotImplementedError at the exact integration
+point a PIL/torchvision/ffmpeg call would occupy).
+
+Scale shape: payloads never shuffle — feature extraction is a narrow
+mapInPandas over the scan; only the (id, features) projection moves on.
+``spark.sql.files.maxPartitionBytes`` + the payload-size column let a real
+deployment pack partitions by decoded-size estimate rather than row count.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),      # image|audio|video
+        StructField("mime", StringType(), True),
+        StructField("n_bytes", LongType(), False),
+        StructField("payload_sha256", StringType(), False),
+    ]
+)
+
+IMAGE_FEATURES = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("embedding", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+def media_metadata(
+    df: DataFrame, *, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Typed metadata from the binary column — fully native (no decode)."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.col("kind"),
+        F.col("mime"),
+        F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+        F.sha2(F.col(payload_col), 256).alias("payload_sha256"),
+    )
+
+
+def extract_image_features(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    embedding_dim: int = 8,
+    decoder: str = "stub",
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    decoder="real" marks where PIL/torchvision decode would run (not
+    shipped in this container → NotImplementedError). decoder="stub"
+    produces a deterministic fake (dims + embedding derived from sha256
+    of the payload) so the distributed plumbing — batch iteration, schema,
+    null payloads, empty partitions — is fully testable.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    out.append((int(mid), None, None, None))
+                    continue
+                if decoder == "real":
+                    raise NotImplementedError(
+                        "image decode requires PIL/torchvision — not shipped "
+                        "in this container; integration point for "
+                        "Image.open(io.BytesIO(payload))"
+                    )
+                digest = hashlib.sha256(bytes(payload)).digest()
+                width = 64 + digest[0]
+                height = 64 + digest[1]
+                emb = (
+                    np.frombuffer(digest[: embedding_dim * 4], dtype=np.uint32)
+                    .astype(np.float64)
+                    / np.float64(2**32)
+                )
+                out.append((int(mid), int(width), int(height), emb.tolist()))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "embedding"]
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        extract, schema=IMAGE_FEATURES
+    )
+
+
+def sample_video_frames(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    every_n: int = 30,
+    decoder: str = "stub",
+) -> DataFrame:
+    """Frame sampling: one output row per sampled frame (UDTF shape).
+
+    Stub emits a deterministic frame count (n_bytes // 1000 capped at 10)
+    with per-frame sha fingerprints; real path is the ffmpeg seek loop.
+    """
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("frame_sha256", StringType(), False),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                if decoder == "real":
+                    raise NotImplementedError(
+                        "video frame extraction requires ffmpeg — stub only"
+                    )
+                n_frames = min(max(len(payload) // 1000, 1), 10)
+                for i in range(n_frames):
+                    h = hashlib.sha256(
+                        bytes(payload) + i.to_bytes(4, "little") + bytes([every_n])
+                    ).hexdigest()
+                    rows.append((int(mid), i * every_n, h))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_sha256"]
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        sample, schema=schema
+    )

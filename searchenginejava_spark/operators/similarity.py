@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (native higher-order
+functions — zip_with/aggregate run JVM-side inside codegen, no UDF).
+The scale path is random-hyperplane LSH bucketing: candidate set shrinks
+to one bucket (≈ N/2^planes docs), then exact cosine within it.
+
+At 100 TB / 10^9 vectors: the brute force is one narrow map + TakeOrdered
+(no shuffle of the vectors themselves beyond the scan); LSH bucket ids are
+computed in the same scan and bucket-partitioned storage turns a query
+into a single-partition lookup. IVF (k-means coarse quantizer) would slot
+in the same way; hyperplane LSH is chosen for determinism (seed=42).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+LSH_SEED = 42
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ — fold runs left-to-right, same order as the DuckDB oracle.
+    Elements cast to double BEFORE multiplying (float32 a·b then widen
+    would diverge from the oracle's double arithmetic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q_norm = float(np.sqrt(np.sum(np.asarray(query_vec, dtype=np.float64) ** 2)))
+    e = F.col(vec_col)
+    cos = dot_col(e, q) / (norm_col(e) * F.lit(q_norm))
+    return (
+        embeddings.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 12) -> list[list[float]]:
+    rng = np.random.default_rng(LSH_SEED)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def lsh_bucket_col(vec_col: Column, planes: list[list[float]]) -> Column:
+    """bucket = Σ_j (dot(v, plane_j) > 0) · 2^j — deterministic, native."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(dot_col(vec_col, p) > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    return bucket
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine restricted to the query's LSH bucket.
+
+    Recall < 1 by design (approximate); determinism comes from the fixed
+    seed. Candidate count ≈ N/2^n_planes — the 100 TB path stores bucket
+    as a partition column so this reads one partition.
+    """
+    planes = hyperplanes(len(query_vec), n_planes)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    q_bucket = 0
+    for j, plane in enumerate(planes):
+        if float(np.dot(qv, np.asarray(plane))) > 0:
+            q_bucket |= 1 << j
+    bucketed = embeddings.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
+    cands = bucketed.filter(F.col("bucket") == q_bucket)
+    return cosine_topk(cands, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def all_pairs_above(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH blocking + exact
+    verify — the embedding-space dedup primitive. Pairs must collide in
+    the LSH bucket (blocking) and pass the exact cosine threshold."""
+    planes_df = embeddings.withColumn(
+        "bucket",
+        lsh_bucket_col(
+            F.col(vec_col), hyperplanes(_dim(embeddings, vec_col), n_planes)
+        ),
+    )
+    a, b = planes_df.alias("a"), planes_df.alias("b")
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (
+                dot_col(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (norm_col(F.col(f"a.{vec_col}")) * norm_col(F.col(f"b.{vec_col}")))
+            ).alias("cosine"),
+        )
+    )
+    return pairs.filter(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def _dim(embeddings: DataFrame, vec_col: str) -> int:
+    return len(embeddings.select(vec_col).first()[0])

@@ -1,0 +1,112 @@
+"""Text analysis operators — language-ID, quality scoring, token counting,
+document fingerprinting. All native Catalyst column expressions (zero
+Python), each with an exact DuckDB-oracle-expressible definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language function-word lists (deterministic heuristic lang-ID;
+# lists mirror the testdata's lang domain en/fr/es/de/zh)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "pour", "dans"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "para", "en"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "ist", "für", "mit", "zu"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "这", "人"],
+}
+
+# BPE-ish word/number/punct segmentation (same regex runs in DuckDB)
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.filter(F.split(F.lower(text_col), " "), lambda x: x != F.lit(""))
+
+
+def token_stats(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace token count, BPE-ish regex token count, distinct tokens,
+    mean token length."""
+    toks = _tokens(F.col(text_col))
+    regex_toks = F.expr(f"regexp_extract_all({text_col}, '{TOKEN_REGEX}', 0)")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(regex_toks).cast("long").alias("n_regex_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+            )
+            / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_token_len"),
+    )
+
+
+def quality_score(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic quality score in [0,1]: length band + lexical diversity +
+    alpha ratio (C4/Gopher-style rule scoring, deterministic)."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks).cast("double")
+    n_alpha = F.size(
+        F.filter(toks, lambda t: t.rlike("^[a-z]+$"))
+    ).cast("double")
+    diversity = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        n, F.lit(1.0)
+    )
+    len_ok = (n >= 10) & (n <= 100000)
+    alpha_ratio = n_alpha / F.greatest(n, F.lit(1.0))
+    score = (
+        F.when(len_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.lit(0.3) * diversity
+        + F.lit(0.3) * alpha_ratio
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(score, 6).alias("quality"),
+        F.round(diversity, 6).alias("diversity"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+    )
+
+
+def lang_id(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Function-word-overlap language ID: argmax over per-language marker
+    hit counts; deterministic tie-break by language code order."""
+    toks = F.array_distinct(_tokens(F.col(text_col)))
+    hit_cols = [
+        F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        ).alias(f"hits_{lang}")
+        for lang, words in LANG_MARKERS.items()
+    ]
+    scored = df.select(F.col(id_col).alias("doc_id"), *hit_cols)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earlier langs win ties → build backwards
+        pred = F.when((best > 0) & (F.col(f"hits_{lg}") == best), F.lit(lg)).otherwise(
+            pred
+        )
+    return scored.select("doc_id", pred.alias("pred_lang"), best.cast("long").alias("marker_hits"))
+
+
+def fingerprint(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Normalized-content fingerprint: sha256 over the lowercase
+    space-normalized token stream — whitespace-insensitive content
+    identity (the rolling-hash fingerprint's exact-SQL twin)."""
+    toks = _tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.concat_ws(" ", toks), 256).alias("fingerprint"),
+    )

@@ -1,0 +1,166 @@
+"""Resumable EP1 — checkpointed index build over the source-code table.
+
+Stage graph (each stage = bucketed Parquet + manifest rows, see
+sources/checkpoint.py):
+
+  scan(bucket=doc)   corpus + doc_id + content_sha256
+  tf(bucket=doc)     tokenize+explode+count — bucket k reads ONLY scan
+                     bucket k (narrow lineage, pruned scan)
+  postings(bucket=term-hash)  salted SPIMI merge — pending term-buckets
+                     filter tf BEFORE the shuffle (only missing terms move)
+  docs(bucket=doc)   per-doc stats joined to identity + sha
+  dictionary(bucket=term-hash)
+
+The sha256 invariant is asserted at every stage that re-materializes
+``content`` (BASELINE.json:15). stats.json is written last; a build is
+complete iff every stage's manifest covers all buckets AND stats.json
+exists.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import BLOCK_SIZE, DEFAULT_SALTS
+from ..operators.index import (
+    build_postings,
+    dictionary as dictionary_op,
+    doc_stats,
+    explode_tokens,
+    term_frequencies,
+)
+from ..sources.checkpoint import (
+    Manifest,
+    assert_sha_invariant,
+    run_bucketed_stage,
+    stage_complete,
+    stage_output,
+)
+from ..sources.source import assign_doc_ids, with_sha256
+from .pipeline import IndexArtifacts, tokenize_corpus
+
+
+def _doc_bucket(num_buckets: int):
+    return F.pmod(F.col("doc_id"), F.lit(num_buckets)).cast("int")
+
+
+def _term_bucket(num_buckets: int):
+    return F.pmod(F.abs(F.hash(F.col("term"))), F.lit(num_buckets)).cast("int")
+
+
+def build_index_resumable(
+    spark: SparkSession,
+    corpus: DataFrame,
+    ckpt_dir: str,
+    *,
+    text_col: str = "content",
+    mode: str = "full",
+    num_buckets: int = 8,
+    num_salts: int = DEFAULT_SALTS,
+    block_size: int = BLOCK_SIZE,
+    max_buckets_per_run: int | None = None,
+) -> IndexArtifacts | None:
+    """Run (or resume) the checkpointed build. Returns artifacts when the
+    build is complete, None when stopped early (max_buckets_per_run)."""
+    m = Manifest(ckpt_dir)
+    limit = {"max_buckets_per_run": max_buckets_per_run}
+
+    # -- stage 1: scan — ids + sha, the lineage root ------------------------
+    if not stage_complete(m, "scan", num_buckets):
+        scan = with_sha256(assign_doc_ids(corpus), text_col).withColumn(
+            "bucket", _doc_bucket(num_buckets)
+        )
+        run_bucketed_stage(m, "scan", scan, "bucket", num_buckets, **limit)
+        if not stage_complete(m, "scan", num_buckets):
+            return None
+    scan_out = stage_output(m, "scan", spark)
+    assert_sha_invariant(scan_out, content_col=text_col)
+
+    # -- stage 2: tf — narrow per-bucket lineage ----------------------------
+    if not stage_complete(m, "tf", num_buckets):
+        pending = sorted(set(range(num_buckets)) - m.completed("tf"))
+        src = scan_out.filter(F.col("bucket").isin(pending))
+        toks = tokenize_corpus(
+            src.select("doc_id", text_col), text_col=text_col, mode=mode
+        )
+        tf = term_frequencies(explode_tokens(toks)).withColumn(
+            "bucket", _doc_bucket(num_buckets)
+        )
+        run_bucketed_stage(m, "tf", tf, "bucket", num_buckets, **limit)
+        if not stage_complete(m, "tf", num_buckets):
+            return None
+    tf_out = stage_output(m, "tf", spark).drop("bucket")
+
+    # -- stage 3: postings — pending term-buckets filter BEFORE the shuffle -
+    if not stage_complete(m, "postings", num_buckets):
+        pending = sorted(set(range(num_buckets)) - m.completed("postings"))
+        tf_sub = tf_out.filter(_term_bucket(num_buckets).isin(pending))
+        postings = build_postings(
+            tf_sub, num_salts=num_salts, block_size=block_size
+        ).withColumn("bucket", _term_bucket(num_buckets))
+        run_bucketed_stage(m, "postings", postings, "bucket", num_buckets, **limit)
+        if not stage_complete(m, "postings", num_buckets):
+            return None
+    postings_out = stage_output(m, "postings", spark).drop("bucket")
+
+    # -- stage 4: docs — stats + identity + sha re-check --------------------
+    if not stage_complete(m, "docs", num_buckets):
+        pending = sorted(set(range(num_buckets)) - m.completed("docs"))
+        ds = doc_stats(tf_out)
+        ident_cols = [
+            c for c in ("repo", "path", "commit", "lang", "content_sha256")
+            if c in scan_out.columns
+        ]
+        docs = (
+            scan_out.filter(F.col("bucket").isin(pending))
+            .select("doc_id", *ident_cols)
+            .join(ds, "doc_id")
+            .withColumn("bucket", _doc_bucket(num_buckets))
+        )
+        run_bucketed_stage(m, "docs", docs, "bucket", num_buckets, **limit)
+        if not stage_complete(m, "docs", num_buckets):
+            return None
+    docs_out = stage_output(m, "docs", spark).drop("bucket")
+
+    # -- stage 5: dictionary + collection stats ----------------------------
+    if not stage_complete(m, "dictionary", num_buckets):
+        pending = sorted(set(range(num_buckets)) - m.completed("dictionary"))
+        dct = dictionary_op(tf_out).withColumn("bucket", _term_bucket(num_buckets))
+        dct = dct.filter(F.col("bucket").isin(pending))
+        run_bucketed_stage(m, "dictionary", dct, "bucket", num_buckets, **limit)
+        if not stage_complete(m, "dictionary", num_buckets):
+            return None
+    dict_out = stage_output(m, "dictionary", spark).drop("bucket")
+
+    stats_path = os.path.join(ckpt_dir, "stats.json")
+    if not os.path.exists(stats_path):
+        row = docs_out.agg(
+            F.count(F.lit(1)).alias("N"),
+            F.avg("doc_len").alias("avgdl"),
+            F.sum("doc_len").alias("total_terms"),
+            F.min("doc_len").alias("dl_min"),
+        ).collect()[0]
+        stats = {
+            "N": int(row["N"]),
+            "avgdl": float(row["avgdl"]),
+            "total_terms": int(row["total_terms"]),
+            "dl_min": float(row["dl_min"]),
+        }
+        tmp = stats_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(stats, f)
+        os.replace(tmp, stats_path)
+    with open(stats_path) as f:
+        stats = json.load(f)
+
+    return IndexArtifacts(
+        docs=docs_out,
+        tf=tf_out,
+        dictionary=dict_out,
+        postings=postings_out,
+        stats=stats,
+    )

@@ -1,0 +1,169 @@
+"""Checkpoint manifests — resumable index build with per-partition lineage.
+
+Contract (BASELINE.json:14): "resumable from checkpoint with per-partition
+lineage + metrics". The reference has nothing like this (single-process
+build, SURVEY.md §2.1); design is manifest-batch, NOT Structured Streaming
+(SURVEY.md §7.4):
+
+- every stage writes Parquet partitioned by a deterministic ``bucket``
+  column (doc_id-hash for doc-keyed stages, term-hash for term-keyed);
+- a JSON manifest records, per completed bucket: input rows, output rows,
+  output bytes, wall ms, and the stage schema fingerprint;
+- resume = set-difference of pending buckets against the manifest (the
+  anti-join of SURVEY.md §2.6) → only missing buckets are recomputed;
+- the per-row sha256 invariant is asserted at every re-materialization of
+  ``content`` (BASELINE.json:15).
+
+At 10^12 files the bucket count grows (10k+ buckets) but the mechanism is
+unchanged — the manifest stays O(buckets), never O(rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class StageRun:
+    stage: str
+    buckets_run: list[int]
+    wall_ms: float
+
+
+class Manifest:
+    """One JSON manifest per checkpoint dir; atomic rewrite on update."""
+
+    def __init__(self, base_dir: str):
+        self.base_dir = base_dir
+        self.path = os.path.join(base_dir, "manifest.json")
+        os.makedirs(base_dir, exist_ok=True)
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                self.state = json.load(f)
+        else:
+            self.state = {"stages": {}}
+
+    def _save(self) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.state, f, indent=1, sort_keys=True)
+        os.replace(tmp, self.path)
+
+    def stage(self, name: str) -> dict:
+        return self.state["stages"].setdefault(
+            name, {"schema": None, "buckets": {}}
+        )
+
+    def completed(self, name: str) -> set[int]:
+        return {int(b) for b in self.stage(name)["buckets"]}
+
+    def record(
+        self, name: str, bucket: int, metrics: dict, schema: str
+    ) -> None:
+        st = self.stage(name)
+        if st["schema"] not in (None, schema):
+            raise RuntimeError(
+                f"schema drift in stage {name}: {st['schema']} != {schema}"
+            )
+        st["schema"] = schema
+        st["buckets"][str(bucket)] = metrics
+        self._save()
+
+    def stage_metrics(self, name: str) -> dict[int, dict]:
+        return {int(b): m for b, m in self.stage(name)["buckets"].items()}
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            total += os.path.getsize(os.path.join(root, fn))
+    return total
+
+
+def run_bucketed_stage(
+    manifest: Manifest,
+    stage: str,
+    df: DataFrame,
+    bucket_col: str,
+    num_buckets: int,
+    *,
+    max_buckets_per_run: int | None = None,
+) -> StageRun:
+    """Compute and persist the pending buckets of a stage.
+
+    ``df`` must already carry ``bucket_col`` ∈ [0, num_buckets). Only
+    buckets missing from the manifest are computed (resume anti-join);
+    ``max_buckets_per_run`` lets tests simulate a crash between buckets.
+    Output lands under ``<base>/<stage>/bucket=<k>/``; metrics (output
+    rows, bytes, wall ms) land in the manifest per bucket.
+    """
+    out_dir = os.path.join(manifest.base_dir, stage)
+    done = manifest.completed(stage)
+    pending = sorted(set(range(num_buckets)) - done)
+    if max_buckets_per_run is not None:
+        pending = pending[:max_buckets_per_run]
+    t0 = time.monotonic()
+    if pending:
+        # crash hygiene: a prior run may have committed task files for a
+        # bucket without reaching the manifest — wipe pending bucket dirs
+        # so append never duplicates rows
+        import shutil
+
+        for b in pending:
+            bdir = os.path.join(out_dir, f"{bucket_col}={b}")
+            if os.path.exists(bdir):
+                shutil.rmtree(bdir)
+        sub = df.filter(F.col(bucket_col).isin([int(b) for b in pending]))
+        (
+            sub.write.mode("append")
+            .partitionBy(bucket_col)
+            .parquet(out_dir)
+        )
+        wall_ms = (time.monotonic() - t0) * 1000.0
+        spark = df.sparkSession
+        written = spark.read.parquet(out_dir).filter(
+            F.col(bucket_col).isin([int(b) for b in pending])
+        )
+        counts = {
+            int(r[bucket_col]): int(r["count"])
+            for r in written.groupBy(bucket_col).count().collect()
+        }
+        schema_fp = df.schema.simpleString()
+        per_bucket_ms = wall_ms / max(len(pending), 1)
+        for b in pending:
+            bdir = os.path.join(out_dir, f"{bucket_col}={b}")
+            manifest.record(
+                stage,
+                b,
+                {
+                    "rows": counts.get(b, 0),
+                    "bytes": _dir_bytes(bdir),
+                    "wall_ms": round(per_bucket_ms, 3),
+                },
+                schema_fp,
+            )
+    return StageRun(stage, [int(b) for b in pending], (time.monotonic() - t0) * 1e3)
+
+
+def stage_output(manifest: Manifest, stage: str, spark) -> DataFrame:
+    return spark.read.parquet(os.path.join(manifest.base_dir, stage))
+
+
+def stage_complete(manifest: Manifest, stage: str, num_buckets: int) -> bool:
+    return manifest.completed(stage) == set(range(num_buckets))
+
+
+def assert_sha_invariant(df: DataFrame, *, content_col: str = "content",
+                         sha_col: str = "content_sha256") -> None:
+    """Per-row invariant (BASELINE.json:15): recompute sha2(content, 256)
+    at this materialization point and fail loudly on any drift."""
+    bad = df.filter(F.sha2(F.col(content_col), 256) != F.col(sha_col)).count()
+    if bad:
+        raise AssertionError(f"sha256 invariant violated for {bad} rows")

@@ -1,0 +1,93 @@
+"""Incremental ingest — Structured Streaming front-end to the index build.
+
+The reference is strictly batch (SURVEY.md §2.8) and the north rule's
+resume story is manifest-batch, NOT streaming (SURVEY.md §7.4). This
+module exists for the *pipeline* use-case the batch engine doesn't cover:
+continuously arriving corpus files → per-micro-batch partial postings
+(SPIMI runs), which the batch salted merge later folds into the index.
+It reuses the exact same tokenizer and partial-run format, so a streaming
+ingest followed by `merge_postings` equals a cold batch build.
+
+Kept deliberately small: file-source → tokenize → explode → windowless
+tf per micro-batch → `foreachBatch` append of partial runs. Watermarked
+windowed term-rate stats are included as the monitoring example.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.index import explode_tokens, spimi_partials, term_frequencies
+from ..plans.pipeline import tokenize_corpus
+from ..schema import SOURCE_CODE
+
+
+def stream_source(
+    spark: SparkSession, path: str, *, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-stream over the contract schema (new parquet files appear →
+    micro-batch). At scale this is the Iceberg/Kafka ingest edge."""
+    return (
+        spark.readStream.schema(SOURCE_CODE)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def start_partial_ingest(
+    stream: DataFrame,
+    out_dir: str,
+    ckpt_dir: str,
+    *,
+    mode: str = "full",
+    num_salts: int = 4,
+):
+    """Write SPIMI partial runs per micro-batch; exactly-once via the
+    streaming checkpoint. The batch merge consumes ``out_dir`` later."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        with_ids = batch_df.withColumn(
+            "doc_id",
+            F.abs(F.hash("repo", "path", "commit")).cast("long") * 1024
+            + F.lit(batch_id % 1024),
+        )
+        toks = tokenize_corpus(
+            with_ids.select("doc_id", "content"), text_col="content", mode=mode
+        )
+        tf = term_frequencies(explode_tokens(toks))
+        partials = spimi_partials(tf, num_partitions=4, num_salts=num_salts)
+        partials.write.mode("append").parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_term_rates(
+    events: DataFrame,
+    *,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window ingest monitoring (docs/sec, terms/sec)
+    over a streaming DataFrame with an event-time ``ts`` column."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window))
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.size(F.split(F.col("content"), " "))).alias("approx_terms"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "docs",
+            "approx_terms",
+        )
+    )

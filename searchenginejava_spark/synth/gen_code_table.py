@@ -1,0 +1,101 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md §B, seed=42).
+
+Matches the contract input table ``(repo, path, commit, lang, content)``
+(BASELINE.json:15). Content is a templated code skeleton per language with
+identifiers drawn Zipf(s=1.1)-style from a 10k-token vocabulary — the Zipf
+head deliberately creates hot terms (df ≈ N) to exercise the salted
+skew-aware merge (SURVEY.md §2.4).
+
+Generation is DISTRIBUTED and partition-independent: each row's content is
+a pure function of its index i (per-row seeded RNG), so the table is
+byte-identical regardless of parallelism — that's what makes the sha256
+golden snapshot and the checkpoint/resume tests meaningful. Generated via
+``spark.range(n).mapInPandas`` (scales to any n; no driver materialize).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schema import SOURCE_CODE
+
+_EXTS = [("py", "python"), ("java", "java"), ("scala", "scala"),
+         ("go", "go"), ("js", "javascript")]
+
+_KEYWORDS = {
+    "python": ["def", "return", "class", "import", "self", "if", "for"],
+    "java": ["public", "class", "void", "return", "static", "int", "new"],
+    "scala": ["def", "val", "object", "case", "match", "extends", "trait"],
+    "go": ["func", "return", "package", "var", "struct", "range", "defer"],
+    "javascript": ["function", "const", "return", "let", "async", "await", "var"],
+}
+
+VOCAB_SIZE = 10_000
+SEED = 42
+
+
+def row_content(i: int) -> tuple[str, str, str, str, str]:
+    """Pure function index → (repo, path, commit, lang, content)."""
+    import numpy as np
+
+    ext, lang = _EXTS[i % len(_EXTS)]
+    repo = f"org{i % 7}/repo{i % 97}"
+    path = f"src/m{i % 13}/f{i}.{ext}"
+    commit = hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()
+    rng = np.random.default_rng(SEED + i)
+    n_tokens = int(rng.integers(50, 200))
+    # Zipf-ranked identifiers: rank r with p ∝ 1/(r+1)^1.1, clipped to vocab
+    ranks = (rng.zipf(1.1, size=n_tokens) - 1) % VOCAB_SIZE
+    kw = _KEYWORDS[lang]
+    parts = [f"{kw[0]} fn_{i % 1000}"]
+    for j, r in enumerate(ranks):
+        if j % 9 == 0:
+            parts.append(kw[int(rng.integers(0, len(kw)))])
+        parts.append(f"id{int(r)}")
+    content = " ".join(parts)
+    return repo, path, commit, lang, content
+
+
+def gen_code_table(spark: SparkSession, n_rows: int, *, num_partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic generation of the contract input table."""
+    base = spark.range(0, n_rows, numPartitions=num_partitions or max(8, n_rows // 50_000))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [row_content(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["repo", "path", "commit", "lang", "content"]
+            )
+
+    return base.mapInPandas(gen, schema=SOURCE_CODE)
+
+
+def gen_query_set(n_queries: int = 50) -> list[tuple[int, str]]:
+    """Frozen seed=42 query-set proxy (SURVEY.md §0 item 5): 1–5 terms
+    mixing Zipf-hot and rare identifiers, plus OOV and keyword-only edge
+    cases."""
+    import numpy as np
+
+    rng = np.random.default_rng(SEED)
+    queries: list[tuple[int, str]] = []
+    for qid in range(n_queries):
+        kind = qid % 10
+        if kind == 8:  # out-of-vocabulary
+            queries.append((qid, f"zzz_oov_{qid} qqq_missing"))
+            continue
+        if kind == 9:  # keyword/stopword-ish only
+            queries.append((qid, "def return the a"))
+            continue
+        n_terms = int(rng.integers(1, 6))
+        terms = []
+        for _ in range(n_terms):
+            if rng.random() < 0.5:  # hot head
+                terms.append(f"id{int(rng.integers(0, 20))}")
+            else:  # long tail
+                terms.append(f"id{int(rng.integers(20, VOCAB_SIZE))}")
+        queries.append((qid, " ".join(terms)))
+    return queries

@@ -1,0 +1,124 @@
+"""Checkpoint/resume (BASELINE.json:14): kill-after-partial-manifest →
+rerun → identical output; per-partition lineage metrics recorded; sha256
+invariant asserted at re-materialization (SURVEY.md §5.1 test_merge.py
+resume case + test_sha.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginejava_spark.plans.build_resumable import build_index_resumable
+from searchenginejava_spark.plans.pipeline import build_index
+from searchenginejava_spark.sources.checkpoint import (
+    Manifest,
+    assert_sha_invariant,
+)
+from searchenginejava_spark.sources.source import assign_doc_ids, with_sha256
+from searchenginejava_spark.synth.gen_code_table import gen_code_table
+
+N_ROWS = 400
+NB = 4
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = gen_code_table(spark, N_ROWS, num_partitions=4)
+    df.persist()
+    df.count()
+    return df
+
+
+def _postings_map(postings):
+    return {
+        r["term"]: (r["df"], r["cf"], bytes(r["postings"]))
+        for r in postings.collect()
+    }
+
+
+def test_resume_identical_to_single_shot(spark, corpus, tmp_path):
+    # single-shot (non-checkpointed) reference build
+    ref_corpus = assign_doc_ids(corpus)
+    ref = build_index(
+        spark, ref_corpus, text_col="content", mode="full",
+        num_partitions=4, num_salts=4,
+    )
+    ref_postings = _postings_map(ref.postings)
+
+    # interrupted build: only 2 buckets per invocation → many "crashes"
+    ck = str(tmp_path / "ck")
+    runs = 0
+    while True:
+        art = build_index_resumable(
+            spark, corpus, ck, num_buckets=NB, num_salts=4,
+            max_buckets_per_run=2,
+        )
+        runs += 1
+        if art is not None:
+            break
+        assert runs < 30, "resume did not converge"
+    assert runs > 1, "test must actually exercise resume"
+
+    got = _postings_map(art.postings)
+    assert got == ref_postings
+    assert art.stats["N"] == ref.stats["N"]
+    assert abs(art.stats["avgdl"] - ref.stats["avgdl"]) < 1e-9
+
+    # rerun on a complete checkpoint: nothing recomputed, same artifacts
+    again = build_index_resumable(spark, corpus, ck, num_buckets=NB)
+    assert _postings_map(again.postings) == ref_postings
+
+
+def test_manifest_lineage_metrics(spark, corpus, tmp_path):
+    ck = str(tmp_path / "ck2")
+    art = build_index_resumable(spark, corpus, ck, num_buckets=NB, num_salts=4)
+    assert art is not None
+    m = Manifest(ck)
+    for stage in ("scan", "tf", "postings", "docs", "dictionary"):
+        metrics = m.stage_metrics(stage)
+        assert set(metrics) == set(range(NB)), stage
+        for b, mt in metrics.items():
+            assert mt["rows"] > 0, (stage, b)
+            assert mt["bytes"] > 0
+            assert mt["wall_ms"] >= 0
+    # scan rows across buckets == corpus size (lineage is complete)
+    assert sum(mt["rows"] for mt in m.stage_metrics("scan").values()) == N_ROWS
+    assert os.path.exists(os.path.join(ck, "stats.json"))
+    with open(os.path.join(ck, "manifest.json")) as f:
+        js = json.load(f)
+    assert js["stages"]["tf"]["schema"].startswith("struct<")
+
+
+def test_sha_invariant_detects_corruption(spark, corpus):
+    good = with_sha256(assign_doc_ids(corpus))
+    assert_sha_invariant(good)  # passes
+    bad = good.withColumn(
+        "content",
+        F.when(F.col("doc_id") == 7, F.lit("tampered")).otherwise(
+            F.col("content")
+        ),
+    )
+    with pytest.raises(AssertionError, match="sha256 invariant"):
+        assert_sha_invariant(bad)
+
+
+def test_synth_determinism_partition_invariance(spark):
+    """Same table regardless of parallelism — required for sha goldens."""
+    a = gen_code_table(spark, 100, num_partitions=1).orderBy("path").collect()
+    b = gen_code_table(spark, 100, num_partitions=7).orderBy("path").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # frozen golden: sha256 of the whole table at n=100 (seed=42)
+    import hashlib
+
+    h = hashlib.sha256()
+    for r in a:
+        h.update(repr(tuple(r)).encode())
+    golden = h.hexdigest()
+    assert golden == GOLDEN_SHA_100, golden
+
+
+# frozen from the first verified generation (seed=42, n=100)
+GOLDEN_SHA_100 = "b05455fdd897bbf92beec275122d151df6cafd0349f87be47ca8437433f30cc1"

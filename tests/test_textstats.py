@@ -1,0 +1,59 @@
+"""Text analysis operators: hand-computed expectations on tiny fixtures."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from searchenginejava_spark.operators import textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again today"),
+        (1, "le chat est dans la maison et le chien est pour dans"),
+        (2, "x"),
+        (3, "aaa aaa aaa aaa"),
+        (4, "12 cats, 34 dogs!"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_stats(docs):
+    rows = {r["doc_id"]: r for r in textstats.token_stats(docs).collect()}
+    assert rows[0]["n_tokens"] == 11
+    assert rows[0]["n_distinct"] == 10          # 'the' twice
+    assert rows[3]["n_tokens"] == 4 and rows[3]["n_distinct"] == 1
+    # "12 cats, 34 dogs!" → [12][cats][,][34][dogs][!] = 6 regex tokens
+    assert rows[4]["n_regex_tokens"] == 6
+    assert rows[2]["mean_token_len"] == 1.0
+
+
+def test_quality_score(docs):
+    rows = {r["doc_id"]: r for r in textstats.quality_score(docs).collect()}
+    assert rows[2]["quality"] == pytest.approx(0.0 + 0.3 * 1.0 + 0.3 * 1.0)
+    assert rows[3]["diversity"] == 0.25
+    assert rows[0]["alpha_ratio"] == 1.0
+    # '12' '34' are digits; 'cats,' 'dogs!' carry punctuation → 0/4
+    assert rows[4]["alpha_ratio"] == 0.0
+    assert rows[0]["quality"] > rows[3]["quality"]
+
+
+def test_lang_id(docs):
+    rows = {r["doc_id"]: r["pred_lang"] for r in textstats.lang_id(docs).collect()}
+    assert rows[0] == "en"
+    assert rows[1] == "fr"
+    assert rows[2] == "und"                       # no markers at all
+
+
+def test_fingerprint_whitespace_insensitive(spark):
+    a = spark.createDataFrame(
+        [(0, "hello   world"), (1, "hello world"), (2, "HELLO WORLD")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprint(a).collect()}
+    assert fps[0] == fps[1] == fps[2]
+    expected = hashlib.sha256(b"hello world").hexdigest()
+    assert fps[0] == expected
