@@ -1,0 +1,108 @@
+"""Scaling-efficiency evidence (north rule: throughput efficiency >= 0.8
+from N to 4N executors; sandbox proxy = local[8] vs local[32] on the same
+input — BASELINE.md).
+
+Each parallelism level runs in a FRESH subprocess/JVM so no JIT/cache
+warmth leaks between levels. The measured job is the full index build
+(tokenize → tf → SPIMI partials → salted merge → postings+docs count)
+over the deterministic synthetic source-code table.
+
+Writes BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, sys, time
+cores = int(sys.argv[1]); n_files = int(sys.argv[2]); out = sys.argv[3]
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master(f"local[{cores}]")
+    .config("spark.sql.shuffle.partitions", str(2 * cores))
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.driver.memory", "16g")
+    .config("spark.ui.enabled", "false").appName(f"scale{cores}").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from searchenginejava_spark.synth.gen_code_table import gen_code_table
+from searchenginejava_spark.sources.source import assign_doc_ids
+from searchenginejava_spark.plans.pipeline import build_index
+corpus = gen_code_table(spark, n_files, num_partitions=2 * cores).persist()
+corpus.count()  # generation not timed
+t0 = time.monotonic()
+idx = build_index(spark, assign_doc_ids(corpus), text_col="content",
+                  mode="full", num_partitions=2 * cores)
+n_terms = idx.postings.count()
+n_docs = idx.docs.count()
+wall = time.monotonic() - t0
+with open(out, "w") as f:
+    json.dump({"cores": cores, "wall_s": wall, "files_per_sec": n_files / wall,
+               "n_terms": n_terms, "n_docs": n_docs}, f)
+spark.stop()
+"""
+
+
+def run_level(cores: int, n_files: int) -> dict:
+    with tempfile.NamedTemporaryFile("r", suffix=".json") as out:
+        subprocess.run(
+            [sys.executable, "-c", CHILD, str(cores), str(n_files), out.name],
+            check=True,
+            cwd=REPO,
+            env={**os.environ, "PYTHONPATH": REPO},
+        )
+        with open(out.name) as f:
+            return json.load(f)
+
+
+def main() -> None:
+    n_files = int(os.environ.get("SCALE_N_FILES", "50000"))
+    lo = run_level(8, n_files)
+    hi = run_level(32, n_files)
+    eff = (hi["files_per_sec"] / lo["files_per_sec"]) / 4.0
+    result = {
+        "n_files": n_files,
+        "local8": lo,
+        "local32": hi,
+        "speedup_8_to_32": round(hi["files_per_sec"] / lo["files_per_sec"], 3),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    md = f"""# BENCH/BASELINE.md — measured baseline + scaling evidence
+
+Contract (BASELINE.json:2,14): index-build throughput in files/sec with
+scaling efficiency >= 0.8 from N to 4N executors. Sandbox proxy for the
+two cluster sizes: the SAME build job (full tokenizer, SPIMI partials,
+salted merge, compressed postings) on the SAME deterministic synthetic
+source-code corpus ({n_files} files, seed=42) at local[8] vs local[32],
+each in a fresh JVM.
+
+| parallelism | wall (s) | files/sec |
+| --- | --- | --- |
+| local[8]  (N)  | {lo['wall_s']:.2f} | {lo['files_per_sec']:.1f} |
+| local[32] (4N) | {hi['wall_s']:.2f} | {hi['files_per_sec']:.1f} |
+
+- speedup 8→32: **{result['speedup_8_to_32']}×**
+- scaling efficiency (speedup/4): **{result['scaling_efficiency']}** (target ≥ 0.8)
+- verdict: **{"PASS" if result['pass'] else "FAIL"}**
+
+Sanity: both levels produced identical index shapes
+(n_terms={lo['n_terms']}, n_docs={lo['n_docs']} at both levels:
+{lo['n_terms'] == hi['n_terms'] and lo['n_docs'] == hi['n_docs']}).
+
+Reproduce: `python BENCH/bench_scaling.py` (env SCALE_N_FILES to resize).
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

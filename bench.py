@@ -58,7 +58,9 @@ def main() -> None:
     t0 = time.monotonic()
     from searchenginejava_spark.sources.source import assign_doc_ids
 
-    code_ids = assign_doc_ids(code)
+    # scalable two-pass id assignment — the 10^12-file path (no global
+    # window); verified id-identical to the window variant in tests
+    code_ids = assign_doc_ids(code, scalable=True)
     idx_code = build_index(
         spark, code_ids, text_col="content", mode="full",
         num_partitions=2 * cpus,

@@ -177,7 +177,11 @@ def make_tokenize_udf(
             else []
         )
 
-    return tokenize_udf
+    # semantically deterministic, but marked nondeterministic so Catalyst's
+    # InferFiltersFromGenerate cannot clone the UDF into a pre-Generate
+    # filter (observed: explode(udf(text)) planned as TWO ArrowEvalPython
+    # passes per row — doubling the dominant tokenize cost)
+    return tokenize_udf.asNondeterministic()
 
 
 def tokens_simple_col(col: Column | str) -> Column:

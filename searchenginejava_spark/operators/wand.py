@@ -148,7 +148,9 @@ def _wand_one_query(
                 np.searchsorted(lag["ids"], pivot_doc, side="left")
             )
             if lag["pos"] >= lag["n"]:
-                live.remove(lag)
+                # identity-based removal: list.remove would == -compare dicts
+                # holding numpy arrays (shape-mismatch ValueError)
+                live = [p for p in live if p is not lag]
 
     ranked = sorted(heap, key=lambda x: (-x[0], -x[1]))
     return [

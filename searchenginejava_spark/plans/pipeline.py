@@ -77,6 +77,11 @@ def build_index(
     block_size: int = BLOCK_SIZE,
 ) -> IndexArtifacts:
     """EP1: build the full index from a corpus with a ``doc_id`` column."""
+    if num_partitions:
+        # doc_id assignment (row_number window) or a narrow upstream can
+        # leave the corpus in ONE partition — which would serialize the
+        # tokenizer UDF onto a single core. Spread by doc_id first.
+        corpus = corpus.repartition(num_partitions, "doc_id")
     tokens = tokenize_corpus(corpus, text_col=text_col, mode=mode)
     tf = term_frequencies(explode_tokens(tokens))
     tf.persist()
@@ -84,9 +89,18 @@ def build_index(
     if identity_cols:
         ds = corpus.select("doc_id", *identity_cols).join(ds, "doc_id")
     dct = dictionary_op(tf)
-    stats = collection_stats(ds)
-    dl_min = ds.agg(F.min("doc_len")).collect()[0][0]
-    stats["dl_min"] = float(dl_min) if dl_min is not None else 1.0
+    row = ds.agg(
+        F.count(F.lit(1)).alias("N"),
+        F.avg("doc_len").alias("avgdl"),
+        F.sum("doc_len").alias("total_terms"),
+        F.min("doc_len").alias("dl_min"),
+    ).collect()[0]
+    stats = {
+        "N": int(row["N"]),
+        "avgdl": float(row["avgdl"]),
+        "total_terms": int(row["total_terms"]),
+        "dl_min": float(row["dl_min"]) if row["dl_min"] is not None else 1.0,
+    }
     postings = (
         build_postings(
             tf,

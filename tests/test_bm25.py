@@ -92,6 +92,63 @@ def test_topk_tiebreak_determinism(spark, index):
     ]
 
 
+def test_wand_stress_zipf_corpus(spark):
+    """WAND == exhaustive on a Zipf-skewed corpus with mixed hot/rare
+    query terms — exercises lagging-pointer advancement and block skips
+    (regression: identity-based pointer removal)."""
+    from searchenginejava_spark.sources.source import assign_doc_ids
+    from searchenginejava_spark.synth.gen_code_table import (
+        gen_code_table,
+        gen_query_set,
+    )
+
+    corpus = assign_doc_ids(gen_code_table(spark, 800, num_partitions=4))
+    idx = build_index(
+        spark, corpus, text_col="content", mode="full", num_partitions=4,
+        num_salts=4,
+    )
+    idx.persist()
+    queries = gen_query_set(20)
+    ex = _as_key(run_queries(spark, idx, queries, path="exhaustive").collect())
+    wd = _as_key(run_queries(spark, idx, queries, path="wand").collect())
+    assert_rank_identical(ex, wd)
+    assert len(ex) > 0
+
+
+def test_golden_topk_rank_identity(spark):
+    """Frozen reference-query-set goldens (SURVEY.md §0 item 5): top-10
+    from the single-partition exhaustive scorer, frozen seed=42. Both the
+    distributed exhaustive scorer AND the WAND path must reproduce them
+    rank-identically with scores at 1e-9 rel-tol — the BASELINE.json:2
+    'BM25 top-10 rank identity on the reference query set' gate."""
+    import json
+    import os
+
+    from searchenginejava_spark.sources.source import assign_doc_ids
+    from searchenginejava_spark.synth.gen_code_table import (
+        gen_code_table,
+        gen_query_set,
+    )
+
+    path = os.path.join(os.path.dirname(__file__), "data", "golden_topk_seed42.json")
+    with open(path) as f:
+        golden = json.load(f)
+    expect = sorted((q, r, d, s) for q, r, d, s in golden["rows"])
+
+    corpus = assign_doc_ids(
+        gen_code_table(spark, golden["n_docs"], num_partitions=4)
+    )
+    idx = build_index(
+        spark, corpus, text_col="content", mode="full", num_partitions=4,
+        num_salts=4,
+    )
+    idx.persist()
+    queries = gen_query_set(golden["n_queries"])
+    for path_name in ("exhaustive", "wand"):
+        got = _as_key(run_queries(spark, idx, queries, path=path_name).collect())
+        assert_rank_identical(got, expect)
+
+
 def test_qtf_weighting(spark, index):
     """Repeated query term doubles its contribution (query 5)."""
     one = run_queries(spark, index, [(0, "batch stream")], path="exhaustive")

@@ -1,0 +1,34 @@
+"""Source ops: deterministic doc_id assignment — the scalable two-pass
+prefix-sum variant must produce the SAME ids as the row_number window
+(SURVEY.md §7.4 doc_id determinism), and sha256 column correctness."""
+
+from __future__ import annotations
+
+import hashlib
+
+from searchenginejava_spark.sources.source import assign_doc_ids, with_sha256
+from searchenginejava_spark.synth.gen_code_table import gen_code_table
+
+
+def test_scalable_doc_ids_match_window(spark):
+    corpus = gen_code_table(spark, 300, num_partitions=5)
+    a = {
+        (r["repo"], r["path"], r["commit"]): r["doc_id"]
+        for r in assign_doc_ids(corpus, scalable=False).collect()
+    }
+    b = {
+        (r["repo"], r["path"], r["commit"]): r["doc_id"]
+        for r in assign_doc_ids(corpus, scalable=True).collect()
+    }
+    assert a == b
+    ids = sorted(a.values())
+    assert ids == list(range(300))  # dense 0..N-1
+
+
+def test_sha256_column(spark):
+    corpus = gen_code_table(spark, 20, num_partitions=2)
+    rows = with_sha256(corpus).collect()
+    for r in rows:
+        assert r["content_sha256"] == hashlib.sha256(
+            r["content"].encode()
+        ).hexdigest()
