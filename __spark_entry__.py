@@ -156,6 +156,78 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_postings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE physical index path under the oracle gate: tf → SPIMI
+    partials → salted two-level merge → delta+varbyte binary postings →
+    decode → exploded (term, doc_id, tf). Equality with the plain tf
+    oracle proves the compression/merge pipeline is lossless."""
+    from searchenginejava_spark.operators.index import (
+        build_postings,
+        decode_postings_df,
+    )
+
+    tf = _tf(spark, sf_dir)
+    postings = build_postings(tf, num_partitions=8, num_salts=4)
+    return decode_postings_df(postings).select(
+        "term",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("tf").cast("long").alias("tf"),
+    )
+
+
+def q_dictionary_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df/cf/max_tf as stamped by the salted merge on the COMPRESSED
+    postings (not the relational dictionary op) — checks the merge's
+    metadata against the oracle's aggregate."""
+    from searchenginejava_spark.operators.index import build_postings
+
+    tf = _tf(spark, sf_dir)
+    postings = build_postings(tf, num_partitions=8, num_salts=4)
+    return postings.select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("cf").cast("long").alias("cf"),
+        F.col("max_tf").cast("long").alias("max_tf"),
+    )
+
+
+def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max WAND pruned top-10 under the oracle gate: must equal the
+    exhaustive SQL ranking exactly (pruning is output-invisible)."""
+    import numpy as np
+
+    from searchenginejava_spark.operators.index import build_postings
+    from searchenginejava_spark.operators.wand import wand_topk
+
+    tf = _tf(spark, sf_dir)
+    tf.persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+    rows = dl.collect()
+    srow = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("doc_len").alias("avgdl"),
+        F.min("doc_len").alias("dl_min"),
+    ).collect()[0]
+    stats = {
+        "N": int(srow["n"]),
+        "avgdl": float(srow["avgdl"]),
+        "dl_min": float(srow["dl_min"]),
+    }
+    doc_lens = np.zeros(max(r["doc_id"] for r in rows) + 1, dtype=np.int64)
+    for r in rows:
+        doc_lens[r["doc_id"]] = r["doc_len"]
+    postings = build_postings(tf, num_partitions=8, num_salts=4)
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    res = wand_topk(spark, qt, postings, doc_lens, stats, k=_TOPK)
+    return res.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(F.col("score"), 6).alias("score"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline ops (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
@@ -216,12 +288,44 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchenginejava_spark.operators.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(
+        _documents(spark, sf_dir),
+        n=3,
+        num_hashes=16,
+        bands=4,
+        threshold=0.4,
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (n_planes=0 → no LSH blocking,
+    oracle-checkable); the LSH-blocked scale path shares the same code."""
+    from searchenginejava_spark.operators.similarity import all_pairs_above
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return all_pairs_above(emb, threshold=0.35, n_planes=0)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchenginejava_spark.operators.similarity import cosine_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
     return cosine_topk(emb, qvec, k=10)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means coarse quantizer, deterministic init) — rows-only
+    check: Lloyd-iteration float accumulation order differs between
+    engines; exact-cosine q_cosine_topk is the oracle-checked twin."""
+    from searchenginejava_spark.operators.similarity import ann_ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return ann_ivf_topk(emb, qvec, k=10, n_centroids=8, n_probe=2)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,14 +371,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dictionary": q_dictionary,
         "q_collection_stats": q_collection_stats,
         "q_bm25_topk": q_bm25_topk,
+        "q_postings_roundtrip": q_postings_roundtrip,
+        "q_dictionary_compressed": q_dictionary_compressed,
+        "q_wand_topk": q_wand_topk,
         "q_exact_dedup": q_exact_dedup,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash_signatures": q_minhash_signatures,
         "q_lsh_candidates": q_lsh_candidates,
         "q_simhash": q_simhash,
         "q_simhash_neardup": q_simhash_neardup,
+        "q_minhash_neardup": q_minhash_neardup,
+        "q_embedding_neardup": q_embedding_neardup,
         "q_cosine_topk": q_cosine_topk,
         "q_ann_lsh_topk": q_ann_lsh_topk,
+        "q_ann_ivf_topk": q_ann_ivf_topk,
         "q_token_stats": q_token_stats,
         "q_quality_score": q_quality_score,
         "q_lang_id": q_lang_id,
@@ -393,7 +503,7 @@ def oracle_sql() -> dict[str, str]:
         f"({qid}, '{t}', 1)" for qid, terms in _ORACLE_QUERIES for t in terms
     )
     alpha = "len(list_filter(l, t -> regexp_matches(t, '^[a-z]+$')))"
-    return {
+    sql = {
         "q_exact_dedup": """
         SELECT sha256(text) AS content_key,
                min(doc_id) AS keep_id,
@@ -426,6 +536,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM banded a JOIN banded b USING (band, bucket)
         WHERE a.doc_id < b.doc_id
+        """,
+        "q_minhash_neardup": _SQL_SHINGLES
+        + _minhash_sig_sql(16)
+        + _lsh_banded_sql(16, 4)
+        + """
+        , cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b USING (band, bucket)
+            WHERE a.doc_id < b.doc_id
+        ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+        , inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT c.id_a, c.id_b,
+               round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM cand c
+        JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+        JOIN sizes sa ON c.id_a = sa.doc_id
+        JOIN sizes sb ON c.id_b = sb.doc_id
+        WHERE inter / (sa.sz + sb.sz - inter) >= 0.4
+        """,
+        "q_embedding_neardup": """
+        WITH p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 CAST(unnest(a.embedding) AS DOUBLE) AS x,
+                 CAST(unnest(b.embedding) AS DOUBLE) AS y
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ), s AS (
+          SELECT id_a, id_b, sum(x * y) AS dot,
+                 sqrt(sum(x * x)) AS nx, sqrt(sum(y * y)) AS ny
+          FROM p GROUP BY id_a, id_b
+        )
+        SELECT id_a, id_b, round(dot / (nx * ny), 6) AS cosine
+        FROM s WHERE dot / (nx * ny) >= 0.35
         """,
         "q_simhash": _SQL_SIMHASH_CORE + " SELECT doc_id, simhash FROM shh",
         "q_simhash_neardup": _SQL_SIMHASH_CORE
@@ -486,6 +633,15 @@ def oracle_sql() -> dict[str, str]:
         "q_fingerprint": _SQL_TOKL
         + " SELECT doc_id, sha256(array_to_string(l, ' ')) AS fingerprint FROM tokl",
         "q_term_frequencies": _SQL_TF + "SELECT doc_id, term, tf FROM tf",
+        "q_postings_roundtrip": _SQL_TF + "SELECT term, doc_id, tf FROM tf",
+        "q_dictionary_compressed": _SQL_TF
+        + """
+        SELECT term,
+               count(*) AS df,
+               CAST(sum(tf) AS BIGINT) AS cf,
+               CAST(max(tf) AS BIGINT) AS max_tf
+        FROM tf GROUP BY term
+        """,
         "q_doc_stats": _SQL_TF
         + """
         SELECT doc_id,
@@ -541,3 +697,6 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY rank <= {_TOPK}
         """,
     }
+    # WAND pruning is output-invisible: same oracle as the exhaustive path
+    sql["q_wand_topk"] = sql["q_bm25_topk"]
+    return sql

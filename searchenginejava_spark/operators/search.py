@@ -85,27 +85,55 @@ def score_exhaustive(
     candidate docs; postings of non-query terms are never read thanks to
     term-partitioned storage + pushdown (SURVEY.md §4.1).
     """
+    import math
+
     qt = F.broadcast(query_terms)
-    # df per query term (tiny after the broadcast semi-join)
-    q_dict = dictionary.join(qt, "term").select(
+    # df per query term (tiny after the broadcast semi-join). Collected to
+    # the driver — O(|query vocab|) rows — so the idf ln() runs in Python:
+    # JVM Math.log and libm log differ in the last ulp for some inputs,
+    # which would break score bit-identity with the WAND path / numpy
+    # oracle. The remaining JVM arithmetic is IEEE-exact mul/div/add.
+    q_rows = dictionary.join(qt, "term").select(
         "query_id", "term", "qtf", "df"
+    ).collect()
+    n_d = float(stats["N"])
+    qw = query_terms.sparkSession.createDataFrame(
+        [
+            (
+                int(r["query_id"]),
+                r["term"],
+                float(r["qtf"])
+                * math.log((n_d - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0),
+            )
+            for r in q_rows
+        ],
+        "query_id int, term string, w double",
     )
-    cand = postings_exploded.join(F.broadcast(q_dict), "term")
+    cand = postings_exploded.join(F.broadcast(qw), "term")
+    # association order matters for bit-identity with the WAND path and
+    # the numpy oracle: both compute ((qtf·idf) · tf·(k1+1)) / (tf + K) —
+    # qtf·(idf·x/norm) differs in the last ulp and can flip doc_id
+    # tie-breaks between equal-profile docs
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("doc_len").cast("double")
+    norm = tf_d + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * dl_d / F.lit(stats["avgdl"])
+    )
     scored = cand.join(docs.select("doc_id", "doc_len"), "doc_id").withColumn(
-        "part_score",
-        F.col("qtf")
-        * bm25_score_col(
-            F.col("tf").cast("double"),
-            F.col("doc_len").cast("double"),
-            F.col("df").cast("double"),
-            stats["N"],
-            stats["avgdl"],
-            k1=k1,
-            b=b,
-        ),
+        "part_score", F.col("w") * (tf_d * F.lit(k1 + 1.0)) / norm
     )
+    # Deterministic summation: fold contributions in term-sorted order
+    # (collect_list → array_sort → aggregate, all native). A plain sum()
+    # adds in partition-arrival order, so two docs with IDENTICAL term
+    # profiles could differ in the last ulp and flip the doc_id tie-break
+    # — the WAND path (which sums in the same term order) and the numpy
+    # oracle would then disagree on tied ranks. Arrays are ≤ |query| long.
     agg = scored.groupBy("query_id", "doc_id").agg(
-        F.sum("part_score").alias("score")
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "part_score"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["part_score"],
+        ).alias("score")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")

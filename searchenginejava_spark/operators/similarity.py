@@ -115,13 +115,20 @@ def all_pairs_above(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH blocking + exact
     verify — the embedding-space dedup primitive. Pairs must collide in
-    the LSH bucket (blocking) and pass the exact cosine threshold."""
-    planes_df = embeddings.withColumn(
-        "bucket",
-        lsh_bucket_col(
-            F.col(vec_col), hyperplanes(_dim(embeddings, vec_col), n_planes)
-        ),
-    )
+    the LSH bucket (blocking) and pass the exact cosine threshold.
+
+    ``n_planes=0`` degenerates to a single bucket → EXACT all-pairs
+    (quadratic; the oracle-checkable small-scale path). With planes the
+    self-join is an equi-join on bucket — the 10^9-vector path."""
+    if n_planes == 0:
+        planes_df = embeddings.withColumn("bucket", F.lit(0))
+    else:
+        planes_df = embeddings.withColumn(
+            "bucket",
+            lsh_bucket_col(
+                F.col(vec_col), hyperplanes(_dim(embeddings, vec_col), n_planes)
+            ),
+        )
     a, b = planes_df.alias("a"), planes_df.alias("b")
     pairs = (
         a.join(b, "bucket")
@@ -142,3 +149,106 @@ def all_pairs_above(
 
 def _dim(embeddings: DataFrame, vec_col: str) -> int:
     return len(embeddings.select(vec_col).first()[0])
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse k-means quantizer + probed exact search
+# --------------------------------------------------------------------------
+
+def _nearest_centroid_col(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """argmin_i ||v − c_i||² as a native expression: array_min over
+    (distance, centroid_id) structs — lexicographic struct ordering gives
+    the argmin, ties to the lower id. Stays inside codegen; with C
+    centroids it is C fused dot-products per row, no UDF, no shuffle."""
+    entries = []
+    for i, c in enumerate(centroids):
+        cc = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(
+                vec_col,
+                cc,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        entries.append(F.struct(d.alias("d"), F.lit(i).alias("cid")))
+    return F.array_min(F.array(*entries))["cid"]
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    *,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means coarse quantizer.
+
+    Init = the ``n_centroids`` lowest-id vectors (seed-free determinism).
+    Each iteration: one narrow map (assignment, native argmin) + one
+    groupBy(centroid) avg — per-iter shuffle is O(C·dim) bytes after
+    map-side partial agg. Centroids live on the driver (C ≤ ~2^16 even at
+    10^9 vectors; re-broadcast per iteration)."""
+    dim = _dim(embeddings, vec_col)
+    init = (
+        embeddings.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in init]
+    pos = F.posexplode(F.col(vec_col))
+    for _ in range(iters):
+        assigned = embeddings.withColumn(
+            "cid", _nearest_centroid_col(F.col(vec_col), centroids)
+        )
+        means = (
+            assigned.select("cid", pos)
+            .groupBy("cid", "pos")
+            .agg(F.avg(F.col("col").cast("double")).alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
+            .collect()
+        )
+        new = list(centroids)
+        for r in means:
+            new[r["cid"]] = [float(pm["m"]) for pm in r["ms"]]
+        centroids = new
+    assert all(len(c) == dim for c in centroids)
+    return centroids
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN: assign query to its ``n_probe`` nearest centroids, exact
+    cosine only within those cells — candidate set ≈ N·n_probe/C. At
+    10^9-vector scale the table is written partitioned by ``cid`` so the
+    probe is a partition-pruned scan of n_probe partitions; training is
+    amortized across queries (pass precomputed ``centroids``)."""
+    if centroids is None:
+        centroids = ivf_train(
+            embeddings,
+            n_centroids=n_centroids,
+            iters=iters,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    qv = np.asarray(query_vec, dtype=np.float64)
+    d2 = [
+        (float(np.sum((qv - np.asarray(c, dtype=np.float64)) ** 2)), i)
+        for i, c in enumerate(centroids)
+    ]
+    probe = sorted(pi for _, pi in sorted(d2)[:n_probe])
+    cands = embeddings.withColumn(
+        "cid", _nearest_centroid_col(F.col(vec_col), centroids)
+    ).filter(F.col("cid").isin(probe))
+    return cosine_topk(cands, query_vec, k=k, id_col=id_col, vec_col=vec_col)

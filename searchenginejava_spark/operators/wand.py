@@ -67,6 +67,7 @@ def _wand_one_query(
         blast = np.asarray(t["block_last_doc"], dtype=np.int64)
         ptrs.append(
             {
+                "term": t["term"],
                 "ids": doc_ids,
                 "tfs": tfs,
                 "pos": 0,
@@ -125,8 +126,10 @@ def _wand_one_query(
             if do_score:
                 dl = float(doc_lens[pivot_doc])
                 Kd = k1 * (1.0 - b + b * dl / avgdl)
+                # term-sorted summation — bit-identical to the exhaustive
+                # scorer's canonical fold (operators/search.py)
                 score = 0.0
-                for p in sorted(involved, key=lambda p: p["w"]):
+                for p in sorted(involved, key=lambda p: p["term"]):
                     tf = float(p["tfs"][p["pos"]])
                     score += p["w"] * (tf * (k1 + 1.0)) / (tf + Kd)
                 if len(heap) < k:

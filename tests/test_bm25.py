@@ -149,6 +149,20 @@ def test_golden_topk_rank_identity(spark):
         assert_rank_identical(got, expect)
 
 
+def test_full_depth_bit_identity(spark, index):
+    """k ≫ candidate set: EVERY candidate ranked, scores bit-identical
+    between exhaustive and WAND (regression: canonical term-sorted
+    summation — a plain sum() flips doc_id tie-breaks between docs with
+    identical term profiles via last-ulp drift)."""
+    big_k = 10**6
+    ex = run_queries(spark, index, QUERIES, k=big_k, path="exhaustive").collect()
+    wd = run_queries(spark, index, QUERIES, k=big_k, path="wand").collect()
+    assert sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in ex
+    ) == sorted((r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in wd)
+    assert len(ex) > 100  # well past top-10: the whole candidate set
+
+
 def test_qtf_weighting(spark, index):
     """Repeated query term doubles its contribution (query 5)."""
     one = run_queries(spark, index, [(0, "batch stream")], path="exhaustive")

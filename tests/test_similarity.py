@@ -84,3 +84,51 @@ def test_all_pairs_above(emb):
     }
     assert pairs[(0, 7)] == 1.0
     assert (0, 9) in pairs               # 0.01 noise → cosine > 0.99
+
+
+def test_all_pairs_exact_matches_numpy(emb):
+    """n_planes=0 → exact quadratic path: every pair ≥ threshold, no more."""
+    df, vecs = emb
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.all_pairs_above(df, threshold=0.9, n_planes=0).collect()
+    }
+    vd = vecs.astype(np.float64)
+    norms = np.linalg.norm(vd, axis=1)
+    cos = (vd @ vd.T) / np.outer(norms, norms)
+    expect = {
+        (i, j): round(float(cos[i, j]), 6)
+        for i in range(N)
+        for j in range(i + 1, N)
+        if cos[i, j] >= 0.9
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 2e-6
+
+
+def test_ivf_topk_recall_and_determinism(emb):
+    df, vecs = emb
+    q = vecs[0].tolist()
+    cents = similarity.ivf_train(df, n_centroids=8, iters=2)
+    assert len(cents) == 8 and all(len(c) == DIM for c in cents)
+    # training is deterministic (fixed init, fixed iteration count)
+    cents2 = similarity.ivf_train(df, n_centroids=8, iters=2)
+    assert cents == cents2
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.ann_ivf_topk(
+            df, q, k=10, n_probe=3, centroids=cents
+        ).collect()
+    ]
+    ids = {a for a, _ in got}
+    # the query's own vector and its colinear twin live in the same cell
+    assert 0 in ids and 7 in ids
+    # probing every cell degenerates to the exact answer
+    full = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.ann_ivf_topk(
+            df, q, k=10, n_probe=8, centroids=cents
+        ).collect()
+    ]
+    assert [a for a, _ in full] == [e[0] for e in _numpy_topk(vecs, q, 10)]
