@@ -364,6 +364,12 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_documents(spark, sf_dir))
 
 
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchenginejava_spark.operators.textstats import rolling_fingerprint
+
+    return rolling_fingerprint(_documents(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_term_frequencies": q_term_frequencies,
@@ -389,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_score": q_quality_score,
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
+        "q_rolling_fingerprint": q_rolling_fingerprint,
     }
 
 
@@ -502,6 +509,8 @@ def oracle_sql() -> dict[str, str]:
     q_values = ", ".join(
         f"({qid}, '{t}', 1)" for qid, terms in _ORACLE_QUERIES for t in terms
     )
+    from searchenginejava_spark.operators.textstats import RK_BASE, RK_MOD
+
     alpha = "len(list_filter(l, t -> regexp_matches(t, '^[a-z]+$')))"
     sql = {
         "q_exact_dedup": """
@@ -632,6 +641,15 @@ def oracle_sql() -> dict[str, str]:
         "q_lang_id": _lang_id_sql(),
         "q_fingerprint": _SQL_TOKL
         + " SELECT doc_id, sha256(array_to_string(l, ' ')) AS fingerprint FROM tokl",
+        "q_rolling_fingerprint": _SQL_TOKL
+        + f"""
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(l, t -> {_HASH60_SQL.format(col="t")})),
+                 (a, b) -> (a * {RK_BASE} + b) % {RK_MOD}) AS rolling_hash
+        FROM tokl
+        """,
         "q_term_frequencies": _SQL_TF + "SELECT doc_id, term, tf FROM tf",
         "q_postings_roundtrip": _SQL_TF + "SELECT term, doc_id, tf FROM tf",
         "q_dictionary_compressed": _SQL_TF

@@ -59,11 +59,13 @@ def main() -> None:
     from searchenginejava_spark.sources.source import assign_doc_ids
 
     # scalable two-pass id assignment — the 10^12-file path (no global
-    # window); verified id-identical to the window variant in tests
-    code_ids = assign_doc_ids(code, scalable=True)
+    # window); verified id-identical to the window variant in tests.
+    # Its output is doc-range partitioned by construction, so the build
+    # skips the doc_id shuffle entirely (assume_partitioned).
+    code_ids = assign_doc_ids(code, scalable=True, num_partitions=2 * cpus)
     idx_code = build_index(
         spark, code_ids, text_col="content", mode="full",
-        num_partitions=2 * cpus,
+        num_partitions=2 * cpus, assume_partitioned=True,
     )
     idx_code.postings.persist()
     n_postings = idx_code.postings.count()

@@ -27,3 +27,8 @@ BLOCK_SIZE: int = 128
 # on a real cluster this is superseded by explicit repartition(P) with
 # P ~ 2-4x total cores (SURVEY.md §4.2).
 DEFAULT_SHUFFLE_PARTITIONS: int = 32
+
+# Data-proportional SPIMI partition sizing: target (doc_id, term, tf) rows
+# per range partition. Partial-run count ≈ partitions × vocab-per-partition,
+# so this — not core count — bounds total merge work (SCALE.md §5).
+SPIMI_ROWS_PER_PARTITION: int = 500_000

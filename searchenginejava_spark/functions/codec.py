@@ -59,6 +59,30 @@ def vb_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def vb_byte_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value — lets callers slice a single shared
+    ``vb_encode`` buffer into per-group spans (varbyte is value-local, so
+    the concatenation of slices is identical to encoding the slices)."""
+    v = np.asarray(values, dtype=np.uint64)
+    nb = np.ones(v.shape, dtype=np.int64)
+    threshold = np.uint64(128)
+    for _ in range(_MAX_BYTES - 1):
+        mask = v >= threshold
+        if not mask.any():
+            break
+        nb += mask
+        if threshold > np.uint64(1) << np.uint64(56):
+            break
+        threshold = threshold * np.uint64(128)
+    return nb
+
+
+def first_varint_nbytes(buf: bytes) -> int:
+    """Byte length of the first varbyte value in ``buf`` (≤ 10 bytes scan)."""
+    arr = np.frombuffer(buf[:_MAX_BYTES], dtype=np.uint8)
+    return int(np.flatnonzero(arr & 0x80)[0]) + 1
+
+
 def vb_decode(buf: bytes) -> np.ndarray:
     """Decode a varbyte stream into a uint64 array (vectorized)."""
     b = np.frombuffer(buf, dtype=np.uint8)

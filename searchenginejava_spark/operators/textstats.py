@@ -110,3 +110,30 @@ def fingerprint(
         F.col(id_col).alias("doc_id"),
         F.sha2(F.concat_ws(" ", toks), 256).alias("fingerprint"),
     )
+
+
+# Rabin–Karp parameters: acc < MOD ≈ 2^31, token hash < 2^60, so
+# acc·BASE + th < 2^63 — every intermediate stays in signed int64 in both
+# Spark and DuckDB.
+RK_BASE = 31
+RK_MOD = 2147483647  # 2^31 − 1 (Mersenne prime)
+
+
+def rolling_fingerprint(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rabin–Karp rolling-hash fingerprint over the token stream:
+    h = fold(tokens, 0, (acc, t) → (acc·BASE + H60(t)) mod MOD) — the
+    order-sensitive streaming twin of ``fingerprint`` (native fold, zero
+    UDF; same polynomial runs in DuckDB via list_reduce)."""
+    from .dedup import str_hash60
+
+    toks = _tokens(F.col(text_col))
+    h = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(RK_BASE) + str_hash60(t)) % F.lit(RK_MOD),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), h.alias("rolling_hash")
+    )

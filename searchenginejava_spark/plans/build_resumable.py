@@ -30,8 +30,7 @@ from ..operators.index import (
     build_postings,
     dictionary as dictionary_op,
     doc_stats,
-    explode_tokens,
-    term_frequencies,
+    tokenize_tf,
 )
 from ..sources.checkpoint import (
     Manifest,
@@ -41,7 +40,7 @@ from ..sources.checkpoint import (
     stage_output,
 )
 from ..sources.source import assign_doc_ids, with_sha256
-from .pipeline import IndexArtifacts, tokenize_corpus
+from .pipeline import IndexArtifacts
 
 
 def _doc_bucket(num_buckets: int):
@@ -84,12 +83,9 @@ def build_index_resumable(
     if not stage_complete(m, "tf", num_buckets):
         pending = sorted(set(range(num_buckets)) - m.completed("tf"))
         src = scan_out.filter(F.col("bucket").isin(pending))
-        toks = tokenize_corpus(
+        tf = tokenize_tf(
             src.select("doc_id", text_col), text_col=text_col, mode=mode
-        )
-        tf = term_frequencies(explode_tokens(toks)).withColumn(
-            "bucket", _doc_bucket(num_buckets)
-        )
+        ).withColumn("bucket", _doc_bucket(num_buckets))
         run_bucketed_stage(m, "tf", tf, "bucket", num_buckets, **limit)
         if not stage_complete(m, "tf", num_buckets):
             return None

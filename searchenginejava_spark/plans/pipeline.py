@@ -19,8 +19,10 @@ from ..operators.index import (
     collection_stats,
     dictionary as dictionary_op,
     doc_stats,
+    doc_stats_local,
     explode_tokens,
     term_frequencies,
+    tokenize_tf,
 )
 from ..operators.search import query_terms_df, score_exhaustive
 from ..operators.wand import wand_topk
@@ -75,17 +77,31 @@ def build_index(
     num_partitions: int | None = None,
     num_salts: int = DEFAULT_SALTS,
     block_size: int = BLOCK_SIZE,
+    assume_partitioned: bool = False,
 ) -> IndexArtifacts:
-    """EP1: build the full index from a corpus with a ``doc_id`` column."""
-    if num_partitions:
-        # doc_id assignment (row_number window) or a narrow upstream can
-        # leave the corpus in ONE partition — which would serialize the
-        # tokenizer UDF onto a single core. Spread by doc_id first.
-        corpus = corpus.repartition(num_partitions, "doc_id")
-    tokens = tokenize_corpus(corpus, text_col=text_col, mode=mode)
-    tf = term_frequencies(explode_tokens(tokens))
+    """EP1: build the full index from a corpus with a ``doc_id`` column.
+
+    ``assume_partitioned=True`` skips the doc_id range shuffle — pass it
+    when the corpus is already partitioned into disjoint contiguous
+    doc_id ranges, e.g. straight from ``assign_doc_ids(scalable=True)``
+    (which sorts by key and assigns ids in partition order, so partition
+    p holds exactly [offset_p, offset_p + count_p)).
+    """
+    if num_partitions and not assume_partitioned:
+        # RANGE-partition by doc_id: (a) spreads the tokenizer off a
+        # single upstream partition, (b) makes every partition a
+        # contiguous, disjoint doc range — so the fused tokenize+count
+        # output needs NO further shuffle before SPIMI encoding (runs are
+        # doc-disjoint by construction) and doc stats are partition-local.
+        # num_partitions should be DATA-proportional (docs/partition), not
+        # core-proportional: partial-run count grows with partitions ×
+        # vocab (see build_postings docstring).
+        corpus = corpus.repartitionByRange(num_partitions, "doc_id")
+    # fused tokenize+count (SPIMI batch stage) — no explode, no tf shuffle
+    tf = tokenize_tf(corpus, text_col=text_col, mode=mode)
     tf.persist()
-    ds = doc_stats(tf)
+    # shuffle-free doc stats: every doc's tf rows live in one partition
+    ds = doc_stats_local(tf)
     if identity_cols:
         ds = corpus.select("doc_id", *identity_cols).join(ds, "doc_id")
     dct = dictionary_op(tf)
@@ -107,6 +123,7 @@ def build_index(
             num_partitions=num_partitions,
             num_salts=num_salts,
             block_size=block_size,
+            assume_partitioned=bool(num_partitions) or assume_partitioned,
         )
         if compress
         else None

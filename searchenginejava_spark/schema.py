@@ -95,15 +95,23 @@ RESULTS = StructType(
     ]
 )
 
-# SPIMI partial runs (level-1 output of the salted merge, SURVEY.md §2.4).
+# SPIMI partial runs (SURVEY.md §2.4). A run is a doc-sorted slice of one
+# term's posting list, already compressed; merges STITCH runs byte-level
+# (rewrite the first gap varint only) so no stage ever decodes a full
+# posting list — the property that makes hot-term merges O(compressed
+# bytes) instead of O(postings × 8B) at 10^12 scale.
 PARTIAL_POSTINGS = StructType(
     [
         StructField("term", StringType(), False),
         StructField("salt", IntegerType(), False),
-        StructField("doc_ids", BinaryType(), False),  # varbyte(delta(doc_ids))
-        StructField("tfs", BinaryType(), False),      # varbyte(tfs)
-        StructField("n", IntegerType(), False),
+        StructField("gap_bytes", BinaryType(), False),  # varbyte(gaps); gap_1 = abs doc_id
+        StructField("tf_bytes", BinaryType(), False),   # varbyte(tfs)
+        StructField("n", LongType(), False),
         StructField("min_doc", LongType(), False),
         StructField("max_doc", LongType(), False),
+        StructField("sum_tf", LongType(), False),
+        StructField("max_tf", IntegerType(), False),
+        StructField("block_max_tf", ArrayType(IntegerType()), False),
+        StructField("block_last_doc", ArrayType(LongType()), False),
     ]
 )

@@ -50,6 +50,7 @@ def assign_doc_ids(
     order_cols: tuple[str, ...] = ("repo", "path", "commit"),
     *,
     scalable: bool = False,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Deterministic dense int64 doc_id from a total order on the keys.
 
@@ -58,12 +59,24 @@ def assign_doc_ids(
     scalable=True:  sort → per-partition prefix-sum offsets (two narrow
     passes; no global window state). Same output ids given the same range
     partitioning — documented for the 10^12 path (SURVEY.md §7.4).
+
+    The scalable path pins an EXPLICIT partition count and persists the
+    row-numbered frame before collecting per-partition counts. Both are
+    load-bearing: with AQE on, a bare ``repartitionByRange`` may pick a
+    DIFFERENT partitioning when the frame is recomputed for a later
+    action, so the pid→offset map from the counts pass would be applied
+    to other partitions' row numbers — overlapping, duplicate doc_ids.
+    (At 10^12 rows the persist becomes a Parquet checkpoint of the sorted
+    run; the mechanism is unchanged.)
     """
     if not scalable:
         w = Window.orderBy(*[F.col(c) for c in order_cols])
         return df.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
 
-    ordered = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    P = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ordered = df.repartitionByRange(P, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
 
     def _with_pid(it):
         import pandas as pd  # noqa: PLC0415 — executor-side import
@@ -83,6 +96,9 @@ def assign_doc_ids(
         + [T.StructField("_pid", T.IntegerType()), T.StructField("_row_in_part", T.LongType())]
     )
     tagged = ordered.mapInPandas(_with_pid, schema=sch)
+    from pyspark import StorageLevel
+
+    tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
     counts = (
         tagged.groupBy("_pid").count().orderBy("_pid").collect()
     )  # tiny: one row per partition

@@ -18,8 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.index import explode_tokens, spimi_partials, term_frequencies
-from ..plans.pipeline import tokenize_corpus
+from ..operators.index import spimi_partials, tokenize_tf
 from ..schema import SOURCE_CODE
 
 
@@ -54,10 +53,9 @@ def start_partial_ingest(
             F.abs(F.hash("repo", "path", "commit")).cast("long") * 1024
             + F.lit(batch_id % 1024),
         )
-        toks = tokenize_corpus(
+        tf = tokenize_tf(
             with_ids.select("doc_id", "content"), text_col="content", mode=mode
         )
-        tf = term_frequencies(explode_tokens(toks))
         partials = spimi_partials(tf, num_partitions=4, num_salts=num_salts)
         partials.write.mode("append").parquet(out_dir)
 

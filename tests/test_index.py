@@ -67,9 +67,33 @@ def test_compressed_postings_roundtrip(index):
     assert tf.exceptAll(dec).count() == 0
 
 
+def _assert_blocks_valid(row):
+    """Block metadata invariants WAND relies on: one entry per block,
+    strictly ascending block_last_doc ending at the list's last doc, and
+    every block_max_tf a true upper bound of its block's tfs. Block
+    BOUNDARIES are partitioning-dependent (stitching keeps per-run blocks
+    instead of decoding+re-blocking — the 10^12-scale memory guard), so
+    tests check validity, not layout equality."""
+    from searchenginejava_spark.functions.codec import decode_postings
+
+    d, t = decode_postings(bytes(row["postings"]))
+    blast = list(row["block_last_doc"])
+    bmax = list(row["block_max_tf"])
+    assert len(blast) == len(bmax) == row["n_blocks"]
+    assert all(b2 > b1 for b1, b2 in zip(blast, blast[1:]))
+    assert blast[-1] == d[-1]
+    bi = 0
+    for doc, tf in zip(d.tolist(), t.tolist()):
+        while doc > blast[bi]:
+            bi += 1
+        assert tf <= bmax[bi], (doc, tf, bi)
+
+
 def test_salted_merge_equals_unsalted(spark, index):
     """salted (S=4, P=8) merge output == single-partition unsalted merge —
-    the core 'salted merge == reference merge' invariant (SURVEY.md §5.1)."""
+    the core 'salted merge == reference merge' invariant (SURVEY.md §5.1).
+    Posting BYTES are canonical across partitionings (value-local varbyte
+    stitching); block layout is validity-checked per _assert_blocks_valid."""
     unsalted = build_postings(index.tf, num_partitions=1, num_salts=1)
     a = {r["term"]: r for r in index.postings.collect()}
     b = {r["term"]: r for r in unsalted.collect()}
@@ -78,8 +102,8 @@ def test_salted_merge_equals_unsalted(spark, index):
         ra, rb = a[term], b[term]
         assert bytes(ra["postings"]) == bytes(rb["postings"]), term
         assert (ra["df"], ra["cf"], ra["max_tf"]) == (rb["df"], rb["cf"], rb["max_tf"])
-        assert ra["block_max_tf"] == rb["block_max_tf"]
-        assert ra["block_last_doc"] == rb["block_last_doc"]
+        _assert_blocks_valid(ra)
+        _assert_blocks_valid(rb)
 
 
 def test_skewed_term_merge(spark):
@@ -99,7 +123,9 @@ def test_skewed_term_merge(spark):
     assert hot["df"] == n
     assert hot["cf"] == sum(1 + i % 7 for i in range(n))
     assert hot["max_tf"] == 7
-    assert hot["n_blocks"] == (n + 127) // 128
+    # ragged per-run blocks: at least ceil(n/128), at most one extra per run
+    assert (n + 127) // 128 <= hot["n_blocks"] <= (n + 127) // 128 + 16
+    _assert_blocks_valid(hot)
     from searchenginejava_spark.functions.codec import decode_postings
 
     d, t = decode_postings(bytes(hot["postings"]))

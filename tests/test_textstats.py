@@ -48,6 +48,34 @@ def test_lang_id(docs):
     assert rows[2] == "und"                       # no markers at all
 
 
+def test_rolling_fingerprint(spark):
+    """Matches an in-process Rabin–Karp oracle; order-sensitive (unlike
+    sha256 of the joined stream, it differs when tokens are permuted)."""
+    a = spark.createDataFrame(
+        [(0, "hello   world"), (1, "world hello"), (2, ""), (3, "hello world")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["rolling_hash"]
+        for r in textstats.rolling_fingerprint(a).collect()
+    }
+
+    def h60(t: str) -> int:
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+
+    def rk(tokens: list[str]) -> int:
+        acc = 0
+        for t in tokens:
+            acc = (acc * textstats.RK_BASE + h60(t)) % textstats.RK_MOD
+        return acc
+
+    assert got[0] == rk(["hello", "world"])
+    assert got[0] == got[3]                     # whitespace-insensitive
+    assert got[1] == rk(["world", "hello"])
+    assert got[1] != got[0]                     # order-sensitive
+    assert got[2] == 0                          # empty doc → zero hash
+
+
 def test_fingerprint_whitespace_insensitive(spark):
     a = spark.createDataFrame(
         [(0, "hello   world"), (1, "hello world"), (2, "HELLO WORLD")],

@@ -1,0 +1,177 @@
+"""Physical-plan audit — evidence that the plans are the ones we want.
+
+Captures ``.explain("formatted")`` for the engine's load-bearing plans and
+checks the properties SCALE.md claims:
+
+- parquet scans prune columns (ReadSchema never includes unused cols);
+- filters reach the scan (PushedFilters non-empty where applicable);
+- the BM25 query side uses broadcast joins (no shuffled join of the tiny
+  query relation);
+- relational stages run inside WholeStageCodegen;
+- shuffle (Exchange) count per plan matches the §4 shuffle budget.
+
+Writes PLANS.md at the repo root and exits non-zero on any violated check.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .appName("explain-audit")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from searchenginejava_spark.operators.index import (
+        build_postings,
+        dictionary,
+        doc_stats,
+        explode_tokens,
+        term_frequencies,
+    )
+    from searchenginejava_spark.plans.pipeline import (
+        build_index,
+        run_queries,
+        tokenize_corpus,
+    )
+    from searchenginejava_spark.sources.source import read_documents
+
+    corpus = read_documents(spark, SF_DIR)
+    tf = term_frequencies(
+        explode_tokens(tokenize_corpus(corpus, text_col="text", mode="full"))
+    )
+
+    sections: list[tuple[str, str, list[tuple[str, bool, str]]]] = []
+
+    # 1. scan + column pruning: tf pipeline must read only doc_id + text
+    p_tf = plan_of(tf)
+    read_schemas = re.findall(r"ReadSchema: (\S+)", p_tf)
+    checks = [
+        (
+            "scan reads only doc_id,text (column pruning)",
+            all(
+                set(re.findall(r"(\w+):", rs)) <= {"doc_id", "text"}
+                for rs in read_schemas
+            )
+            and bool(read_schemas),
+            f"ReadSchema={read_schemas}",
+        ),
+        (
+            "tf agg is partial+final hash agg (SPIMI map-side combine)",
+            p_tf.count("HashAggregate") >= 2,
+            f"HashAggregate x{p_tf.count('HashAggregate')}",
+        ),
+        (
+            "single Exchange for the tf agg (shuffle budget §4: shuffle 1)",
+            p_tf.count("Exchange") == 1,
+            f"Exchange x{p_tf.count('Exchange')}",
+        ),
+        (
+            "whole-stage codegen present",
+            "WholeStageCodegen" in p_tf,
+            "",
+        ),
+    ]
+    sections.append(("tf = tokenize→explode→hash-agg", p_tf, checks))
+
+    # 2. predicate pushdown: a filtered scan must push the predicate
+    filtered = read_documents(spark, SF_DIR).filter(F.col("doc_id") < 100)
+    p_f = plan_of(filtered.select("doc_id"))
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", p_f)
+    checks = [
+        (
+            "doc_id predicate pushed to parquet scan",
+            pushed is not None and "LessThan(doc_id,100)" in pushed.group(1),
+            f"PushedFilters=[{pushed.group(1) if pushed else ''}]",
+        )
+    ]
+    sections.append(("filtered scan (doc_id < 100)", p_f, checks))
+
+    # 3. query path: broadcast joins, no shuffled query relation
+    idx = build_index(
+        spark, corpus, text_col="text", mode="full", num_partitions=8,
+        num_salts=4,
+    )
+    res = run_queries(
+        spark, idx, [(0, "spark merge window"), (1, "hash join")],
+        path="exhaustive",
+    )
+    p_q = plan_of(res)
+    checks = [
+        (
+            "query terms joined via BroadcastHashJoin",
+            "BroadcastHashJoin" in p_q,
+            f"BroadcastHashJoin x{p_q.count('BroadcastHashJoin')}",
+        ),
+        (
+            "no cartesian/nested-loop join in the query plan",
+            "CartesianProduct" not in p_q
+            and "BroadcastNestedLoopJoin" not in p_q,
+            "",
+        ),
+    ]
+    sections.append(("EP3 exhaustive BM25 batch", p_q, checks))
+
+    # 4. postings build: exactly the §4 shuffle budget
+    p_b = plan_of(build_postings(tf, num_partitions=8, num_salts=4))
+    n_ex = p_b.count("Exchange")
+    checks = [
+        (
+            "salted merge shuffle budget: ≤4 Exchanges "
+            "(tf-agg, range-partition, (term,salt), term)",
+            1 <= n_ex <= 4,
+            f"Exchange x{n_ex}",
+        ),
+        (
+            "two grouped-pandas merge levels",
+            p_b.count("FlatMapGroupsInPandas") == 2,
+            f"FlatMapGroupsInPandas x{p_b.count('FlatMapGroupsInPandas')}",
+        ),
+    ]
+    sections.append(("build_postings (SPIMI → salted 2-level merge)", p_b, checks))
+
+    ok = True
+    out = ["# PLANS.md — physical-plan audit (generated by tools/explain_audit.py)", ""]
+    for title, plan, cks in sections:
+        out.append(f"## {title}\n")
+        for name, passed, detail in cks:
+            ok &= passed
+            mark = "PASS" if passed else "FAIL"
+            out.append(f"- **{mark}** {name} {('— ' + detail) if detail else ''}")
+        out.append("\n```\n" + plan.strip() + "\n```\n")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("PLANS.md written;", "ALL CHECKS PASS" if ok else "CHECK FAILURES")
+    spark.stop()
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
