@@ -156,6 +156,21 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic query expansion (reference Searcher's optional semantics
+    mode) — rows-only check: term vectors are sha256-seeded numpy draws
+    (GloVe stand-in; no network in-sandbox), not SQL-expressible."""
+    from searchenginejava_spark.operators.search import expand_query
+
+    tf = _tf(spark, sf_dir)
+    dct = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    return expand_query(qt, dct, n_expansions=2).select(
+        "query_id", "term", F.round("qtf", 6).alias("qtf")
+    )
+
+
 def q_postings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ENTIRE physical index path under the oracle gate: tf → SPIMI
     partials → salted two-level merge → delta+varbyte binary postings →
@@ -380,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_postings_roundtrip": q_postings_roundtrip,
         "q_dictionary_compressed": q_dictionary_compressed,
         "q_wand_topk": q_wand_topk,
+        "q_query_expansion": q_query_expansion,
         "q_exact_dedup": q_exact_dedup,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash_signatures": q_minhash_signatures,

@@ -24,6 +24,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", required=True)
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--path", default="exhaustive", choices=["exhaustive", "wand"])
+    p.add_argument(
+        "--expand", type=int, default=0,
+        help="semantic expansion: N nearest vocabulary terms per query term",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -51,7 +55,9 @@ def main(argv: list[str] | None = None) -> int:
                 continue
             qid, text = line.split("\t", 1)
             queries.append((int(qid), text))
-    res = run_queries(spark, art, queries, k=args.k, path=args.path)
+    res = run_queries(
+        spark, art, queries, k=args.k, path=args.path, expand=args.expand
+    )
     res.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"status": "complete", "queries": len(queries)}))
     return 0

@@ -151,6 +151,102 @@ def score_exhaustive(
     )
 
 
+def term_vectors(
+    terms_df: DataFrame, *, dim: int = 64, term_col: str = "term"
+) -> DataFrame:
+    """(term) → (term, vec array<double>) — deterministic unit vectors.
+
+    Stand-in for the reference's GloVe table ([R:Searcher semantics/model
+    file], SURVEY.md §2.5 'semantic query expansion'): the sandbox has no
+    network to fetch real embeddings, so vectors are sha256-seeded
+    pseudo-embeddings — the DATAFLOW (distributed vector join, cosine
+    top-n per query term) is the real deliverable; swapping in a real
+    vector table is a one-line change. Vectorized: one RNG draw per term
+    batch-side, never per element.
+    """
+    import hashlib
+
+    import numpy as np
+
+    def gen(batches):
+        for pdf in batches:
+            vecs = []
+            for t in pdf[term_col]:
+                seed = int.from_bytes(
+                    hashlib.sha256(str(t).encode()).digest()[:8], "little"
+                )
+                v = np.random.default_rng(seed).standard_normal(dim)
+                vecs.append((v / np.linalg.norm(v)).tolist())
+            yield pd.DataFrame({"term": pdf[term_col], "vec": vecs})
+
+    import pandas as pd
+
+    return terms_df.select(term_col).distinct().mapInPandas(
+        gen, schema="term string, vec array<double>"
+    )
+
+
+def expand_query(
+    query_terms: DataFrame,
+    dictionary: DataFrame,
+    *,
+    n_expansions: int = 2,
+    dim: int = 64,
+    weight: float = 0.5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Semantic query expansion: append each query term's ``n_expansions``
+    nearest dictionary terms (cosine over the term-vector table) with a
+    damped weight — the reference Searcher's optional semantics mode.
+
+    Plan shape: vocabulary term-vectors (distributed) ⋈ broadcast(query
+    term vectors) → native dot product (zip_with/aggregate, vectors are
+    unit-norm so dot == cosine) → per-(query, term) top-n window. Rare
+    noise terms are excluded via ``min_df``. Returns the UNION of the
+    original terms and expansion rows (qtf = weight, never replacing an
+    original term).
+    """
+    from ..operators.similarity import dot_col
+
+    vocab = term_vectors(dictionary.filter(F.col("df") >= min_df), dim=dim)
+    q_vecs = term_vectors(query_terms, dim=dim).withColumnRenamed(
+        "vec", "q_vec"
+    ).withColumnRenamed("term", "q_term")
+    q_side = (
+        query_terms.select("query_id", F.col("term").alias("q_term"), "qtf")
+        .join(q_vecs, "q_term")
+    )
+    scored = vocab.crossJoin(F.broadcast(q_side)).withColumn(
+        "cos", dot_col(F.col("vec"), F.col("q_vec"))
+    )
+    # drop self-matches and the query's own other terms
+    own = query_terms.select(
+        "query_id", F.col("term").alias("term")
+    ).distinct()
+    cand = scored.join(own, ["query_id", "term"], "left_anti")
+    w = Window.partitionBy("query_id", "q_term").orderBy(
+        F.desc("cos"), F.asc("term")
+    )
+    exp = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n_expansions)
+        .select(
+            "query_id",
+            "term",
+            (F.lit(weight) * F.col("qtf")).cast("double").alias("qtf"),
+        )
+    )
+    orig = query_terms.select(
+        "query_id", "term", F.col("qtf").cast("double").alias("qtf")
+    )
+    # a term can be pulled in by several of the query's terms → sum weights
+    return (
+        orig.unionByName(exp)
+        .groupBy("query_id", "term")
+        .agg(F.sum("qtf").alias("qtf"))
+    )
+
+
 def bm25_numpy_oracle(
     query_terms: list[tuple[int, str, int]],
     postings: dict[str, list[tuple[int, int]]],

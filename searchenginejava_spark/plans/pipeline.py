@@ -104,7 +104,6 @@ def build_index(
     ds = doc_stats_local(tf)
     if identity_cols:
         ds = corpus.select("doc_id", *identity_cols).join(ds, "doc_id")
-    dct = dictionary_op(tf)
     row = ds.agg(
         F.count(F.lit(1)).alias("N"),
         F.avg("doc_len").alias("avgdl"),
@@ -128,6 +127,14 @@ def build_index(
         if compress
         else None
     )
+    # dictionary: a free projection of the merged postings (df/cf/max_tf
+    # are stamped by the stitch merge) — re-aggregating tf would shuffle
+    # the build's largest relation a second time. The relational
+    # dictionary_op stays as the oracle-checkable twin (q_dictionary).
+    if postings is not None:
+        dct = postings.select("term", "df", "cf", "max_tf")
+    else:
+        dct = dictionary_op(tf)
     return IndexArtifacts(
         docs=ds, tf=tf, dictionary=dct, postings=postings, stats=stats
     )
@@ -141,10 +148,20 @@ def run_queries(
     k: int = TOP_K,
     path: str = "exhaustive",
     tokenizer=None,
+    expand: int = 0,
 ) -> DataFrame:
-    """EP3: batch query → results(query_id, rank, doc_id, score)."""
+    """EP3: batch query → results(query_id, rank, doc_id, score).
+
+    ``expand > 0`` turns on semantic query expansion (the reference
+    Searcher's optional semantics mode): each query term pulls in its
+    ``expand`` nearest vocabulary terms at damped weight.
+    """
     kwargs = {} if tokenizer is None else {"tokenizer": tokenizer}
     qt = query_terms_df(spark, queries, **kwargs)
+    if expand:
+        from ..operators.search import expand_query
+
+        qt = expand_query(qt, index.dictionary, n_expansions=expand)
     if path == "exhaustive":
         return score_exhaustive(
             qt, index.tf, index.docs, index.dictionary, index.stats, k=k

@@ -163,6 +163,36 @@ def test_full_depth_bit_identity(spark, index):
     assert len(ex) > 100  # well past top-10: the whole candidate set
 
 
+def test_query_expansion(spark, index):
+    """Semantic expansion mechanics: deterministic, adds ≤ n_expansions
+    vocabulary terms per query term at damped weight, never drops or
+    reweights original terms, and changes retrieval only additively."""
+    from searchenginejava_spark.operators.search import expand_query
+
+    qt = query_terms_df(spark, [(0, "spark merge")])
+    exp1 = expand_query(qt, index.dictionary, n_expansions=2, weight=0.5)
+    exp2 = expand_query(qt, index.dictionary, n_expansions=2, weight=0.5)
+    rows1 = {(r["query_id"], r["term"]): r["qtf"] for r in exp1.collect()}
+    rows2 = {(r["query_id"], r["term"]): r["qtf"] for r in exp2.collect()}
+    assert rows1 == rows2                               # deterministic
+    orig = {r["term"]: r["qtf"] for r in qt.collect()}
+    for t, q in orig.items():
+        assert rows1[(0, t)] == float(q)                # originals intact
+    added = {t for (_, t) in rows1} - set(orig)
+    assert 0 < len(added) <= 2 * len(orig)
+    for t in added:
+        # ≤ weight × (number of query terms that could pull it in)
+        assert rows1[(0, t)] <= 0.5 * len(orig) + 1e-12
+    # expanded retrieval returns at least the unexpanded candidates
+    plain = run_queries(spark, index, [(0, "spark merge")], k=10**6)
+    expd = run_queries(
+        spark, index, [(0, "spark merge")], k=10**6, expand=2
+    )
+    assert {r["doc_id"] for r in plain.collect()} <= {
+        r["doc_id"] for r in expd.collect()
+    }
+
+
 def test_qtf_weighting(spark, index):
     """Repeated query term doubles its contribution (query 5)."""
     one = run_queries(spark, index, [(0, "batch stream")], path="exhaustive")
