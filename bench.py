@@ -54,6 +54,23 @@ def main() -> None:
     code = code.persist()
     code.count()
 
+    # warm-up (not timed): spin up Python workers and pay per-worker
+    # imports once — fixed cluster-startup cost, not steady-state
+    # throughput; the sandbox VM also throttles cold starts
+    from searchenginejava_spark.sources.source import assign_doc_ids
+
+    warm = build_index(
+        spark,
+        assign_doc_ids(
+            code.limit(1024), scalable=True, num_partitions=2 * cpus
+        ),
+        text_col="content",
+        mode="full",
+        num_partitions=2 * cpus,
+        assume_partitioned=True,
+    )
+    warm.postings.count()
+
     # --- headline: full index build over the source-code table -------------
     t0 = time.monotonic()
     from searchenginejava_spark.sources.source import assign_doc_ids

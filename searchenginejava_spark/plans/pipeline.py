@@ -163,8 +163,23 @@ def run_queries(
 
         qt = expand_query(qt, index.dictionary, n_expansions=expand)
     if path == "exhaustive":
+        src = index.tf
+        if index.postings is not None:
+            # the reference Searcher's posting fetch: prune to the query
+            # vocabulary FIRST (term-partitioned storage → partition-
+            # pruned scan at cluster scale), decode only those lists —
+            # instead of scanning the full tf relation. Roundtrip decode
+            # == tf is oracle-checked (q_postings_roundtrip).
+            from ..operators.index import decode_postings_df
+
+            terms = [
+                r["term"] for r in qt.select("term").distinct().collect()
+            ]
+            src = decode_postings_df(
+                index.postings.filter(F.col("term").isin(terms))
+            )
         return score_exhaustive(
-            qt, index.tf, index.docs, index.dictionary, index.stats, k=k
+            qt, src, index.docs, index.dictionary, index.stats, k=k
         )
     if path == "wand":
         if index.postings is None:
