@@ -359,6 +359,22 @@ def _stitch_group(rows: list[dict], block_size: int) -> dict:
     }
 
 
+def _final_row(merged: dict, vb_encode, np) -> tuple:
+    """Assemble one POSTINGS row from a stitched group/segment."""
+    return (
+        merged["term"],
+        merged["n"],
+        merged["sum_tf"],
+        merged["max_tf"],
+        len(merged["block_max_tf"]),
+        merged["block_max_tf"],
+        merged["block_last_doc"],
+        vb_encode(np.array([merged["n"]], dtype=np.uint64))
+        + bytes(merged["gap_bytes"])
+        + bytes(merged["tf_bytes"]),
+    )
+
+
 def _stitch_stage(
     runs: DataFrame,
     keys: list[str],
@@ -366,6 +382,7 @@ def _stitch_stage(
     num_partitions: int,
     block_size: int,
     final: bool,
+    segment_max_postings: int | None = None,
 ) -> DataFrame:
     """One merge level: shuffle on ``keys`` → per-PARTITION pandas pass
     (mapInPandas, NOT per-group applyInPandas — per-group pandas calls
@@ -390,24 +407,32 @@ def _stitch_stage(
             recs = pdf.to_dict("records")
             out = []
             for s, e in zip(starts, ends):
+                if final and segment_max_postings:
+                    # SEGMENTED final rows: stitch runs into chunks of at
+                    # most segment_max_postings — one output row per
+                    # chunk. Segments are doc-disjoint slices of the same
+                    # term, so query-time treats each as an independent
+                    # pointer (WAND bounds stay true upper bounds; a doc
+                    # lives in exactly one segment). This caps the bytes
+                    # any single row/task/pointer ever holds — the last
+                    # unbounded-hot-term vector at 10^12 docs.
+                    group = recs[s:e]
+                    chunk: list[dict] = []
+                    n_acc = 0
+                    for r in group:
+                        if chunk and n_acc + r["n"] > segment_max_postings:
+                            m = _stitch_group(chunk, block_size)
+                            out.append(_final_row(m, vb_encode, np))
+                            chunk, n_acc = [], 0
+                        chunk.append(r)
+                        n_acc += r["n"]
+                    if chunk:
+                        m = _stitch_group(chunk, block_size)
+                        out.append(_final_row(m, vb_encode, np))
+                    continue
                 merged = _stitch_group(recs[s:e], block_size)
                 if final:
-                    out.append(
-                        (
-                            merged["term"],
-                            merged["n"],
-                            merged["sum_tf"],
-                            merged["max_tf"],
-                            len(merged["block_max_tf"]),
-                            merged["block_max_tf"],
-                            merged["block_last_doc"],
-                            vb_encode(
-                                np.array([merged["n"]], dtype=np.uint64)
-                            )
-                            + bytes(merged["gap_bytes"])
-                            + bytes(merged["tf_bytes"]),
-                        )
-                    )
+                    out.append(_final_row(merged, vb_encode, np))
                 else:
                     out.append(tuple(merged[c] for c in PARTIAL_POSTINGS.fieldNames()))
             cols = (
@@ -445,6 +470,7 @@ def merge_postings(
     *,
     block_size: int = BLOCK_SIZE,
     num_partitions: int | None = None,
+    segment_max_postings: int | None = None,
 ) -> DataFrame:
     """Two-level salted merge → final ``postings`` dataset.
 
@@ -469,6 +495,7 @@ def merge_postings(
         num_partitions=P,
         block_size=block_size,
         final=True,
+        segment_max_postings=segment_max_postings,
     )
 
 
@@ -510,8 +537,14 @@ def build_postings(
     block_size: int = BLOCK_SIZE,
     spimi_partitions: int | None = None,
     assume_partitioned: bool = False,
+    segment_max_postings: int | None = None,
 ) -> DataFrame:
     """tf(doc_id, term, tf) → compressed postings via the salted merge.
+
+    ``segment_max_postings`` caps postings per OUTPUT ROW: hot terms emit
+    multiple doc-disjoint segment rows instead of one unbounded row (the
+    dictionary then sums df/cf over segments; query paths treat each
+    segment as an independent pointer).
 
     ``spimi_partitions`` (defaults to ``num_partitions``) should be
     DATA-proportional, not core-proportional: every doc-range partition
@@ -530,5 +563,8 @@ def build_postings(
         assume_partitioned=assume_partitioned,
     )
     return merge_postings(
-        partials, block_size=block_size, num_partitions=num_partitions
+        partials,
+        block_size=block_size,
+        num_partitions=num_partitions,
+        segment_max_postings=segment_max_postings,
     )

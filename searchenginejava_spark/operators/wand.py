@@ -57,7 +57,7 @@ def _wand_one_query(
     ptrs = []
     for t in terms:
         doc_ids, tfs = decode_postings(bytes(t["postings"]))
-        dfv = float(t["df"])
+        dfv = float(t.get("term_df") or t["df"])
         idf = math.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0)
         w = float(t["qtf"]) * idf
         mt = float(t["max_tf"])
@@ -180,6 +180,8 @@ def wand_topk(
     n_docs, avgdl = stats["N"], stats["avgdl"]
     dl_min = float(stats.get("dl_min", 1.0))
 
+    from pyspark.sql import Window
+
     q_post = postings.join(F.broadcast(query_terms), "term").select(
         "query_id",
         "term",
@@ -189,6 +191,13 @@ def wand_topk(
         "block_max_tf",
         "block_last_doc",
         "postings",
+    )
+    # segmented postings: a hot term may arrive as several doc-disjoint
+    # rows; idf must use the TERM-level df (sum over segments), while
+    # each segment row stays an independent pointer with its own bounds.
+    # Window over the already-pruned query subset — a handful of rows.
+    q_post = q_post.withColumn(
+        "term_df", F.sum("df").over(Window.partitionBy("query_id", "term"))
     )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:

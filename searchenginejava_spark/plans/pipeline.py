@@ -78,6 +78,7 @@ def build_index(
     num_salts: int = DEFAULT_SALTS,
     block_size: int = BLOCK_SIZE,
     assume_partitioned: bool = False,
+    segment_max_postings: int | None = None,
 ) -> IndexArtifacts:
     """EP1: build the full index from a corpus with a ``doc_id`` column.
 
@@ -123,6 +124,7 @@ def build_index(
             num_salts=num_salts,
             block_size=block_size,
             assume_partitioned=bool(num_partitions) or assume_partitioned,
+            segment_max_postings=segment_max_postings,
         )
         if compress
         else None
@@ -131,7 +133,15 @@ def build_index(
     # are stamped by the stitch merge) — re-aggregating tf would shuffle
     # the build's largest relation a second time. The relational
     # dictionary_op stays as the oracle-checkable twin (q_dictionary).
-    if postings is not None:
+    # With segmented postings a term spans several rows → sum them (the
+    # postings relation is tiny next to tf).
+    if postings is not None and segment_max_postings:
+        dct = postings.groupBy("term").agg(
+            F.sum("df").alias("df"),
+            F.sum("cf").alias("cf"),
+            F.max("max_tf").alias("max_tf"),
+        )
+    elif postings is not None:
         dct = postings.select("term", "df", "cf", "max_tf")
     else:
         dct = dictionary_op(tf)

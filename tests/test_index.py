@@ -131,3 +131,50 @@ def test_skewed_term_merge(spark):
     d, t = decode_postings(bytes(hot["postings"]))
     assert d.tolist() == list(range(n))
     assert t.tolist() == [1 + i % 7 for i in range(n)]
+
+
+def test_segmented_postings(spark):
+    """segment_max_postings caps postings per row: hot terms split into
+    doc-disjoint segments; decode-union == unsegmented; WAND stays
+    rank-identical to exhaustive with term-level idf."""
+    import pandas as pd
+
+    from searchenginejava_spark.plans.pipeline import build_index, run_queries
+    from searchenginejava_spark.sources.source import assign_doc_ids
+    from searchenginejava_spark.synth.gen_code_table import gen_code_table
+
+    corpus = assign_doc_ids(gen_code_table(spark, 600, num_partitions=4))
+    idx = build_index(
+        spark, corpus, text_col="content", mode="full", num_partitions=4,
+        num_salts=2, segment_max_postings=150,
+    )
+    idx.persist()
+    segs = (
+        idx.postings.groupBy("term").count().filter(F.col("count") > 1)
+    )
+    assert segs.count() > 0                       # hot terms actually split
+    assert (
+        idx.postings.filter(F.col("df") > 150 + 150).count() == 0
+    )  # no row exceeds the cap by more than one oversized run
+    # segment doc-ranges are disjoint per term and decode to exactly tf
+    dec = decode_postings_df(idx.postings)
+    tf = idx.tf.select("term", "doc_id", F.col("tf").cast("int").alias("tf"))
+    assert dec.exceptAll(tf).count() == 0
+    assert tf.exceptAll(dec).count() == 0
+    # dictionary sums over segments and still matches the relational agg
+    from searchenginejava_spark.operators.index import dictionary as dict_op
+
+    a = {r["term"]: (r["df"], r["cf"], r["max_tf"]) for r in idx.dictionary.collect()}
+    b = {r["term"]: (r["df"], r["cf"], r["max_tf"]) for r in dict_op(idx.tf).collect()}
+    assert a == b
+    # rank identity across scorer paths on the segmented index
+    queries = [(0, "def return"), (1, "id0 id1 id2"), (2, "id42")]
+    ex = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in run_queries(spark, idx, queries, path="exhaustive").collect()
+    )
+    wd = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in run_queries(spark, idx, queries, path="wand").collect()
+    )
+    assert ex == wd and len(ex) > 0
