@@ -121,8 +121,8 @@ def cpu_ceiling(lo_workers: int, hi_workers: int) -> dict:
 
 
 def main() -> None:
-    n_files = int(os.environ.get("SCALE_N_FILES", "200000"))
-    rounds = int(os.environ.get("SCALE_ROUNDS", "2"))
+    n_files = int(os.environ.get("SCALE_N_FILES", "100000"))
+    rounds = int(os.environ.get("SCALE_ROUNDS", "3"))
     lo_cores, hi_cores = (
         int(x) for x in os.environ.get("SCALE_LEVELS", "2,8").split(",")
     )
