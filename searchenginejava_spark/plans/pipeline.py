@@ -111,10 +111,12 @@ def build_index(
         F.sum("doc_len").alias("total_terms"),
         F.min("doc_len").alias("dl_min"),
     ).collect()[0]
+    # empty corpus (or all-empty docs): aggregates come back NULL — keep
+    # the index well-formed so queries return empty instead of crashing
     stats = {
         "N": int(row["N"]),
-        "avgdl": float(row["avgdl"]),
-        "total_terms": int(row["total_terms"]),
+        "avgdl": float(row["avgdl"]) if row["avgdl"] is not None else 1.0,
+        "total_terms": int(row["total_terms"]) if row["total_terms"] is not None else 0,
         "dl_min": float(row["dl_min"]) if row["dl_min"] is not None else 1.0,
     }
     postings = (

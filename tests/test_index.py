@@ -178,3 +178,22 @@ def test_segmented_postings(spark):
         for r in run_queries(spark, idx, queries, path="wand").collect()
     )
     assert ex == wd and len(ex) > 0
+
+
+def test_empty_corpus_build(spark):
+    """0 docs (and all-empty docs) build a well-formed empty index and
+    queries return empty instead of crashing."""
+    from searchenginejava_spark.plans.pipeline import run_queries
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    idx = build_index(spark, empty, text_col="text", num_partitions=2)
+    assert idx.stats["N"] == 0 and idx.stats["avgdl"] == 1.0
+    assert idx.postings.count() == 0
+    assert run_queries(spark, idx, [(0, "anything")]).count() == 0
+
+    blank = spark.createDataFrame(
+        [(0, ""), (1, "   ")], "doc_id long, text string"
+    )
+    idx2 = build_index(spark, blank, text_col="text", num_partitions=2)
+    assert idx2.postings.count() == 0
+    assert run_queries(spark, idx2, [(0, "anything")]).count() == 0

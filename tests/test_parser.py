@@ -94,3 +94,32 @@ def test_stem_memoization_consistency():
     a = tokenize_text("running runner runs", _memo=memo)
     b = tokenize_text("running runner runs")
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# property-based fuzz (hypothesis): the tokenizer must be total,
+# deterministic, and produce normalized tokens for ARBITRARY input
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=400))
+def test_tokenize_total_and_deterministic(text):
+    out1 = tokenize_text(text)
+    out2 = tokenize_text(text)
+    assert out1 == out2
+    assert isinstance(out1, list)
+    for tok in out1:
+        assert isinstance(tok, str) and tok
+        # normalized: no uppercase ASCII letters survive, ever
+        assert not any("A" <= c <= "Z" for c in tok)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="abcdefghij $%,.-'0123456789 XY", max_size=200))
+def test_tokenize_memo_never_changes_output(text):
+    memo: dict[str, str] = {}
+    assert tokenize_text(text, _memo=memo) == tokenize_text(text)
