@@ -28,6 +28,10 @@ def main(argv: list[str] | None = None) -> int:
         "--expand", type=int, default=0,
         help="semantic expansion: N nearest vocabulary terms per query term",
     )
+    p.add_argument(
+        "--trec", default=None,
+        help="also write a classic TREC run file (text) to this path",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -58,7 +62,12 @@ def main(argv: list[str] | None = None) -> int:
     res = run_queries(
         spark, art, queries, k=args.k, path=args.path, expand=args.expand
     )
+    res.persist()
     res.write.mode("overwrite").parquet(args.output)
+    if args.trec:
+        from searchenginejava_spark.operators.search import to_trec
+
+        to_trec(res).coalesce(1).write.mode("overwrite").text(args.trec)
     print(json.dumps({"status": "complete", "queries": len(queries)}))
     return 0
 

@@ -151,6 +151,24 @@ def score_exhaustive(
     )
 
 
+def to_trec(results: DataFrame, *, run_id: str = "sejspark") -> DataFrame:
+    """results(query_id, rank, doc_id, score) → one-column TREC run lines
+    ``qid iter docno rank sim run_id`` — the reference Model's results-file
+    format ([R:Model.writeResults], SURVEY.md §2.1 'Results sink').
+    Write with ``df.write.text(path)``."""
+    return results.select(
+        F.concat_ws(
+            " ",
+            F.col("query_id").cast("string"),
+            F.lit("Q0"),
+            F.col("doc_id").cast("string"),
+            F.col("rank").cast("string"),
+            F.format_number(F.col("score"), 6),
+            F.lit(run_id),
+        ).alias("value")
+    )
+
+
 def term_vectors(
     terms_df: DataFrame, *, dim: int = 64, term_col: str = "term"
 ) -> DataFrame:

@@ -1,0 +1,76 @@
+"""Index persistence — the reference's posting-file/dictionary sinks
+(SURVEY.md §2.1 [R:Indexer.writePostings, R:Model.loadDictionary]) as
+Parquet datasets laid out for query-time pruning.
+
+Layout decisions (the 100 TB rationale):
+
+- ``postings/`` is written ``repartitionByRange("term")`` +
+  ``sortWithinPartitions("term")``: every Parquet file covers a
+  contiguous term range, so its footer min/max statistics on ``term``
+  let a query's ``term IN (...)`` predicate skip all but a handful of
+  files — the DataFrame-native replacement for the reference's
+  dictionary → file-offset pointers.
+- ``docs/`` is range-partitioned by ``doc_id`` (score-time joins and the
+  WAND norms build read contiguous ranges).
+- ``dictionary/`` is small (one row per term/segment) — plain write.
+- ``stats.json`` holds N/avgdl/total_terms/dl_min.
+
+``load_index`` reconstructs :class:`IndexArtifacts` with ``tf`` bound
+lazily to ``decode_postings_df(postings)`` — the exhaustive scorer never
+reads it anyway when compressed postings exist (it prunes then decodes
+only the query vocabulary).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+
+from ..schema import POSTINGS
+
+
+def save_index(index, path: str, *, term_partitions: int | None = None) -> None:
+    """Persist built IndexArtifacts under ``path`` (overwrite)."""
+    n = term_partitions or index.postings.sparkSession.sparkContext.defaultParallelism
+    (
+        index.postings.repartitionByRange(n, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "postings"))
+    )
+    (
+        index.docs.repartitionByRange(n, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "docs"))
+    )
+    index.dictionary.write.mode("overwrite").parquet(
+        os.path.join(path, "dictionary")
+    )
+    tmp = os.path.join(path, "stats.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(index.stats, f)
+    os.replace(tmp, os.path.join(path, "stats.json"))
+
+
+def load_index(spark: SparkSession, path: str):
+    """Load a saved index; returns IndexArtifacts ready for run_queries."""
+    from ..operators.index import decode_postings_df
+    from ..plans.pipeline import IndexArtifacts
+
+    postings = spark.read.schema(POSTINGS).parquet(
+        os.path.join(path, "postings")
+    )
+    docs = spark.read.parquet(os.path.join(path, "docs"))
+    dictionary = spark.read.parquet(os.path.join(path, "dictionary"))
+    with open(os.path.join(path, "stats.json")) as f:
+        stats = json.load(f)
+    return IndexArtifacts(
+        docs=docs,
+        tf=decode_postings_df(postings),
+        dictionary=dictionary,
+        postings=postings,
+        stats=stats,
+    )

@@ -9,6 +9,8 @@ import hashlib
 from searchenginejava_spark.sources.source import assign_doc_ids, with_sha256
 from searchenginejava_spark.synth.gen_code_table import gen_code_table
 
+from conftest import TESTDATA
+
 
 def test_scalable_doc_ids_match_window(spark):
     corpus = gen_code_table(spark, 300, num_partitions=5)
@@ -32,3 +34,42 @@ def test_sha256_column(spark):
         assert r["content_sha256"] == hashlib.sha256(
             r["content"].encode()
         ).hexdigest()
+
+
+def test_save_load_index_rank_identity(spark, tmp_path):
+    """build → save (term-range-sorted parquet) → load → query: results
+    rank-identical to the in-memory index on BOTH scorer paths; TREC
+    formatting matches the reference's 6-column run lines."""
+    from searchenginejava_spark.operators.search import to_trec
+    from searchenginejava_spark.plans.pipeline import build_index, run_queries
+    from searchenginejava_spark.sources.index_store import load_index, save_index
+    from searchenginejava_spark.sources.source import read_documents
+
+    corpus = read_documents(spark, TESTDATA)
+    idx = build_index(
+        spark, corpus, text_col="text", mode="full", num_partitions=4,
+        num_salts=2,
+    )
+    save_index(idx, str(tmp_path / "idx"), term_partitions=4)
+    loaded = load_index(spark, str(tmp_path / "idx"))
+    assert loaded.stats == idx.stats
+
+    queries = [(0, "spark merge window"), (1, "hash join")]
+    for path_name in ("exhaustive", "wand"):
+        a = sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in run_queries(spark, idx, queries, path=path_name).collect()
+        )
+        b = sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in run_queries(spark, loaded, queries, path=path_name).collect()
+        )
+        assert a == b and len(a) > 0
+
+    res = run_queries(spark, loaded, queries, path="wand")
+    lines = [r["value"] for r in to_trec(res, run_id="test").collect()]
+    assert len(lines) == res.count()
+    for ln in lines:
+        qid, itr, docno, rank, sim, rid = ln.split(" ")
+        assert itr == "Q0" and rid == "test"
+        int(qid), int(docno), int(rank), float(sim)

@@ -195,6 +195,34 @@ def main() -> None:
     ]
     sections.append(("build_postings (fused tf → SPIMI → stitch merge)", p_b, checks))
 
+    # 5. saved index: query-vocabulary predicate reaches the postings scan
+    # (term-range-sorted files → footer min/max skip at cluster scale)
+    import tempfile
+
+    from searchenginejava_spark.sources.index_store import load_index, save_index
+
+    with tempfile.TemporaryDirectory() as td:
+        save_index(idx, td, term_partitions=4)
+        loaded = load_index(spark, td)
+        q = loaded.postings.filter(
+            F.col("term").isin(["spark", "merg", "window"])
+        ).select("term", "df")
+        p_s = plan_of(q)
+        pushed2 = re.search(r"PushedFilters: \[([^\]]*)\]", p_s)
+        checks = [
+            (
+                "query-term IN-predicate pushed to the saved postings scan",
+                pushed2 is not None and "In(term" in pushed2.group(1),
+                f"PushedFilters=[{pushed2.group(1) if pushed2 else ''}]",
+            ),
+            (
+                "scan prunes to term,df only",
+                "ReadSchema: struct<term:string,df:bigint>" in p_s,
+                "",
+            ),
+        ]
+        sections.append(("saved-index postings lookup (index_store)", p_s, checks))
+
     ok = True
     out = ["# PLANS.md — physical-plan audit (generated by tools/explain_audit.py)", ""]
     for title, plan, cks in sections:
