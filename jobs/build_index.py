@@ -26,6 +26,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--salts", type=int, default=16)
     p.add_argument("--mode", default="full", choices=["full", "simple"])
+    p.add_argument(
+        "--publish", default=None,
+        help="on completion, also save the query-optimized index layout "
+             "(term-range-sorted postings) to this path",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -49,6 +54,10 @@ def main(argv: list[str] | None = None) -> int:
     if art is None:
         print("build interrupted; re-run to resume", file=sys.stderr)
         return 2
+    if args.publish:
+        from searchenginejava_spark.sources.index_store import save_index
+
+        save_index(art, args.publish)
     print(
         json.dumps(
             {

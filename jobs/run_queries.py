@@ -19,7 +19,9 @@ import os
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--checkpoint", required=True)
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--checkpoint", help="build checkpoint dir (stage parquet)")
+    g.add_argument("--index", help="published index dir (index_store layout)")
     p.add_argument("--queries", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--k", type=int, default=10)
@@ -39,18 +41,27 @@ def main(argv: list[str] | None = None) -> int:
     spark = SparkSession.builder.appName("sej-run-queries").getOrCreate()
 
     from searchenginejava_spark.plans.pipeline import IndexArtifacts, run_queries
-    from searchenginejava_spark.sources.checkpoint import Manifest, stage_output
 
-    m = Manifest(args.checkpoint)
-    with open(os.path.join(args.checkpoint, "stats.json")) as f:
-        stats = json.load(f)
-    art = IndexArtifacts(
-        docs=stage_output(m, "docs", spark).drop("bucket"),
-        tf=stage_output(m, "tf", spark).drop("bucket"),
-        dictionary=stage_output(m, "dictionary", spark).drop("bucket"),
-        postings=stage_output(m, "postings", spark).drop("bucket"),
-        stats=stats,
-    )
+    if args.index:
+        from searchenginejava_spark.sources.index_store import load_index
+
+        art = load_index(spark, args.index)
+    else:
+        from searchenginejava_spark.sources.checkpoint import (
+            Manifest,
+            stage_output,
+        )
+
+        m = Manifest(args.checkpoint)
+        with open(os.path.join(args.checkpoint, "stats.json")) as f:
+            stats = json.load(f)
+        art = IndexArtifacts(
+            docs=stage_output(m, "docs", spark).drop("bucket"),
+            tf=stage_output(m, "tf", spark).drop("bucket"),
+            dictionary=stage_output(m, "dictionary", spark).drop("bucket"),
+            postings=stage_output(m, "postings", spark).drop("bucket"),
+            stats=stats,
+        )
     queries = []
     with open(args.queries) as f:
         for line in f:
