@@ -355,6 +355,43 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, qvec, k=10, n_planes=8)
 
 
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table: payload = UTF-8 bytes of the document
+    text (opaque binary as far as the operators are concerned)."""
+    return _documents(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over binary payloads — fully native, oracle-exact."""
+    from searchenginejava_spark.operators.multimodal import media_metadata
+
+    return media_metadata(_media(spark, sf_dir))
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads — rows-only:
+    the stub decoder derives dims/embedding from sha256 digests via numpy
+    buffer reinterpretation, not SQL-expressible; the plumbing (schema,
+    batching, null handling) is what's under test."""
+    from searchenginejava_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    return extract_image_features(_media(spark, sf_dir))
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling UDTF shape (one row per sampled frame) — rows-only."""
+    from searchenginejava_spark.operators.multimodal import sample_video_frames
+
+    return sample_video_frames(_media(spark, sf_dir))
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchenginejava_spark.operators.textstats import token_stats
 
@@ -407,6 +444,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": q_cosine_topk,
         "q_ann_lsh_topk": q_ann_lsh_topk,
         "q_ann_ivf_topk": q_ann_ivf_topk,
+        "q_media_metadata": q_media_metadata,
+        "q_image_features": q_image_features,
+        "q_video_frames": q_video_frames,
         "q_token_stats": q_token_stats,
         "q_quality_score": q_quality_score,
         "q_lang_id": q_lang_id,
@@ -653,6 +693,14 @@ def oracle_sql() -> dict[str, str]:
                round(len(list_distinct(l)) / greatest(len(l), 1), 6) AS diversity,
                round({alpha} / greatest(len(l), 1), 6) AS alpha_ratio
         FROM tokl
+        """,
+        "q_media_metadata": """
+        SELECT doc_id AS media_id,
+               'image' AS kind,
+               'application/octet-stream' AS mime,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS payload_sha256
+        FROM documents
         """,
         "q_lang_id": _lang_id_sql(),
         "q_fingerprint": _SQL_TOKL

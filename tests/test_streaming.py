@@ -57,3 +57,49 @@ def test_stream_is_exactly_once_on_restart(spark, tmp_path):
     q2.awaitTermination(120)
     n2 = spark.read.parquet(out_dir).count()
     assert n1 == n2
+
+
+def test_windowed_term_rates(spark, tmp_path):
+    """Watermarked tumbling-window monitoring agg over a file stream ==
+    the same windows computed in batch."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from searchenginejava_spark.streaming.stream_index import (
+        windowed_term_rates,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(seconds=20 * i), f"tok{i % 5} tok{i % 3} x")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, content string")
+    src = str(tmp_path / "ev")
+    df.coalesce(2).write.parquet(src)
+
+    stream = spark.readStream.schema("ts timestamp, content string").parquet(src)
+    out = windowed_term_rates(stream, window="1 minute", watermark="2 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rates")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["window_end"]): (r["docs"], r["approx_terms"])
+        for r in spark.sql("select * from rates").collect()
+    }
+    expect = {
+        (r["w"]["start"], r["w"]["end"]): (r["docs"], r["terms"])
+        for r in df.groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.size(F.split(F.col("content"), " "))).alias("terms"),
+        )
+        .collect()
+    }
+    assert got == expect and len(got) >= 10
