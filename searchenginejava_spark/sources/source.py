@@ -78,29 +78,18 @@ def assign_doc_ids(
         *order_cols
     )
 
-    def _with_pid(it):
-        import pandas as pd  # noqa: PLC0415 — executor-side import
-        from pyspark import TaskContext  # noqa: PLC0415
-
-        pid = TaskContext.get().partitionId()
-        for pdf in it:
-            pdf = pdf.copy()
-            pdf["_pid"] = pid
-            pdf["_row_in_part"] = range(len(pdf))
-            yield pdf
-
-    import pyspark.sql.types as T  # local alias
-
-    sch = T.StructType(
-        ordered.schema.fields
-        + [T.StructField("_pid", T.IntegerType()), T.StructField("_row_in_part", T.LongType())]
-    )
-    tagged = ordered.mapInPandas(_with_pid, schema=sch)
+    # fully NATIVE tagging: monotonically_increasing_id packs
+    # (partitionId << 33) | row-index-within-partition, so both the pid
+    # and the per-partition position come from one JVM-side expression —
+    # the corpus (incl. content) never crosses the Python boundary here.
+    tagged = ordered.withColumn("_mid", F.monotonically_increasing_id())
     from pyspark import StorageLevel
 
     tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+    pid = F.shiftright(F.col("_mid"), 33).cast("int")
+    row_in_part = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
     counts = (
-        tagged.groupBy("_pid").count().orderBy("_pid").collect()
+        tagged.groupBy(pid.alias("_pid")).count().orderBy("_pid").collect()
     )  # tiny: one row per partition
     offsets = {}
     acc = 0
@@ -110,7 +99,6 @@ def assign_doc_ids(
     mapping = F.create_map(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )
-    return (
-        tagged.withColumn("doc_id", (mapping[F.col("_pid")] + F.col("_row_in_part")).cast("long"))
-        .drop("_pid", "_row_in_part")
-    )
+    return tagged.withColumn(
+        "doc_id", (mapping[pid] + row_in_part).cast("long")
+    ).drop("_mid")
