@@ -144,7 +144,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = scored.groupBy("query_id", "doc_id").agg(F.sum("part").alias("s"))
     w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("doc_id"))
-    return (
+    res = (
         agg.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOPK)
         .select(
@@ -154,6 +154,12 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s"), 6).alias("score"),
         )
     )
+    # materialize the (tiny) top-k while tf is cached, then release tf so
+    # the driver session stays memory-flat across the full query battery
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
 
 
 def q_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,16 +214,17 @@ def q_dictionary_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-max WAND pruned top-10 under the oracle gate: must equal the
-    exhaustive SQL ranking exactly (pruning is output-invisible)."""
-    import numpy as np
+    exhaustive SQL ranking exactly (pruning is output-invisible).
 
+    Doc lengths ride INSIDE the postings dataset (the ``norms`` sidecar
+    column stamped by the SPIMI/merge path) — no driver-side O(N) doc-
+    length collect anywhere in this path (tests/test_bm25.py asserts it)."""
     from searchenginejava_spark.operators.index import build_postings
     from searchenginejava_spark.operators.wand import wand_topk
 
     tf = _tf(spark, sf_dir)
     tf.persist()
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
-    rows = dl.collect()
     srow = dl.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("doc_len").alias("avgdl"),
@@ -228,19 +235,19 @@ def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avgdl": float(srow["avgdl"]),
         "dl_min": float(srow["dl_min"]),
     }
-    doc_lens = np.zeros(max(r["doc_id"] for r in rows) + 1, dtype=np.int64)
-    for r in rows:
-        doc_lens[r["doc_id"]] = r["doc_len"]
     postings = build_postings(tf, num_partitions=8, num_salts=4)
     q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
     qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
-    res = wand_topk(spark, qt, postings, doc_lens, stats, k=_TOPK)
-    return res.select(
+    res = wand_topk(spark, qt, postings, stats, k=_TOPK).select(
         F.col("query_id").cast("int").alias("query_id"),
         F.col("rank").cast("int").alias("rank"),
         F.col("doc_id").cast("long").alias("doc_id"),
         F.round(F.col("score"), 6).alias("score"),
     )
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
 
 
 # ---------------------------------------------------------------------------
@@ -315,6 +322,24 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters (connected components, min-id
+    label): the keep/drop decision of a dedup pipeline. Pairs come from
+    the same MinHash+LSH pipeline as q_minhash_neardup; the oracle
+    replays that SQL and closes the transitive component with a
+    recursive CTE."""
+    from searchenginejava_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_near_duplicates,
+    )
+
+    docs = _documents(spark, sf_dir)
+    pairs = minhash_near_duplicates(
+        docs, n=3, num_hashes=16, bands=4, threshold=0.4
+    )
+    return dedup_clusters(pairs, docs)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (n_planes=0 → no LSH blocking,
     oracle-checkable); the LSH-blocked scale path shares the same code."""
@@ -333,21 +358,30 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (k-means coarse quantizer, deterministic init) — rows-only
-    check: Lloyd-iteration float accumulation order differs between
-    engines; exact-cosine q_cosine_topk is the oracle-checked twin."""
+    """IVF ANN under the full oracle gate: deterministic init (the 8
+    lowest-id vectors as centroids, iters=0 so centroid values come
+    straight from the table), native argmin assignment, 2-cell probe,
+    exact cosine re-rank. Every float fold (assignment d², probe d²,
+    cosine) is a LEFT fold — bitwise-identical to the DuckDB oracle's
+    list_reduce, so cell assignment and probe choice can't diverge. The
+    Lloyd-iterated quantizer (iters>0) is recall-gated in
+    tests/test_similarity.py instead (distributed avg() accumulation
+    order is engine-specific)."""
     from searchenginejava_spark.operators.similarity import ann_ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
-    return ann_ivf_topk(emb, qvec, k=10, n_centroids=8, n_probe=2)
+    return ann_ivf_topk(
+        emb, qvec, k=10, n_centroids=8, n_probe=2, iters=0
+    )
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN (LSH-bucketed) — rows-only check: the bucketing is
-    sign-of-dot over seeded hyperplanes, which SQL can express but with
-    fp-sign fragility at the oracle boundary; exact-cosine q_cosine_topk
-    above is the oracle-checked twin."""
+    """Approximate NN (hyperplane-LSH bucketed) under the full oracle
+    gate: the seeded planes are 6-decimal-rounded literals embedded in
+    both engines, and the sign-of-dot bucketing uses the same left fold
+    on both sides (aggregate() vs list_reduce) — bit-identical bucket
+    ids, no fp-sign fragility."""
     from searchenginejava_spark.operators.similarity import ann_lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -374,22 +408,38 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads — rows-only:
-    the stub decoder derives dims/embedding from sha256 digests via numpy
-    buffer reinterpretation, not SQL-expressible; the plumbing (schema,
-    batching, null handling) is what's under test."""
+    """Arrow-batched feature extraction over binary payloads, projected to
+    driver-hashable scalars: the array<double> embedding is posexploded to
+    (dim_idx, emb_u32) rows, where emb_u32 = embedding[i]·2^32 recovers the
+    stub's little-endian uint32 digest words EXACTLY (u32/2^32 is exact in
+    float64, as is the multiplication back) — so the whole row is integer
+    and the DuckDB oracle reproduces it from sha256 hex arithmetic."""
     from searchenginejava_spark.operators.multimodal import (
         extract_image_features,
     )
 
-    return extract_image_features(_media(spark, sf_dir))
+    feats = extract_image_features(_media(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.posexplode("embedding").alias("dim_idx", "value"),
+    ).select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("dim_idx").cast("long").alias("dim_idx"),
+        F.round(F.col("value") * F.lit(2.0 ** 32)).cast("long").alias("emb_u32"),
+    )
 
 
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling UDTF shape (one row per sampled frame) — rows-only."""
+    """Frame-sampling UDTF shape (one row per sampled frame). The stub
+    fingerprint is sha256 over a hex string → fully oracle-checkable.
+    bytes_per_frame=128 so sf-scale docs (48–553 bytes) emit 1–4 frames."""
     from searchenginejava_spark.operators.multimodal import sample_video_frames
 
-    return sample_video_frames(_media(spark, sf_dir))
+    return sample_video_frames(_media(spark, sf_dir), bytes_per_frame=128)
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -440,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": q_simhash,
         "q_simhash_neardup": q_simhash_neardup,
         "q_minhash_neardup": q_minhash_neardup,
+        "q_dedup_clusters": q_dedup_clusters,
         "q_embedding_neardup": q_embedding_neardup,
         "q_cosine_topk": q_cosine_topk,
         "q_ann_lsh_topk": q_ann_lsh_topk,
@@ -502,6 +553,42 @@ def _minhash_sig_sql(num_hashes: int) -> str:
     )
 
 
+def _minhash_pairs_ctes(*, recursive: bool = False) -> str:
+    """Shared CTE chain ending in ``pairs`` — the verified MinHash+LSH
+    near-dup pairs (shingles → signatures → bands → candidates → exact
+    Jaccard ≥ 0.4). ``recursive=True`` upgrades the WITH to
+    WITH RECURSIVE for queries that close the transitive component."""
+    ctes = (
+        _SQL_SHINGLES
+        + _minhash_sig_sql(16)
+        + _lsh_banded_sql(16, 4)
+        + """
+        , cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b USING (band, bucket)
+            WHERE a.doc_id < b.doc_id
+        ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+        , inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ), pairs AS (
+            SELECT c.id_a, c.id_b,
+                   round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM cand c
+            JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+            JOIN sizes sa ON c.id_a = sa.doc_id
+            JOIN sizes sb ON c.id_b = sb.doc_id
+            WHERE inter / (sa.sz + sb.sz - inter) >= 0.4
+        )
+        """
+    )
+    if recursive:
+        ctes = ctes.replace("WITH tokl AS", "WITH RECURSIVE tokl AS", 1)
+    return ctes
+
+
 def _lsh_banded_sql(num_hashes: int, bands: int) -> str:
     rows = num_hashes // bands
     parts = []
@@ -530,6 +617,109 @@ _SQL_SIMHASH_CORE = _SQL_TOKL + f"""
   FROM bits GROUP BY doc_id
 )
 """
+
+# --- vector-fold SQL builders (ANN oracles) -------------------------------
+# All folds are LEFT folds via list_reduce with a prepended 0.0 seed —
+# the exact operation sequence of Spark's F.aggregate(zip_with(...)) in
+# similarity.dot_col/_nearest_centroid_col, so dot products, distances,
+# bucket signs and argmins are BITWISE identical across engines.
+
+def _fold_dot_sql(vec_a: str, vec_b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({vec_a}, {vec_b}),"
+        " z -> z[1]::DOUBLE * z[2]::DOUBLE)), (a, b) -> a + b)"
+    )
+
+
+def _fold_norm_sql(vec: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(0.0, list_transform({vec},"
+        " x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b))"
+    )
+
+
+def _fold_d2_sql(vec_a: str, vec_b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({vec_a}, {vec_b}),"
+        " z -> (z[1]::DOUBLE - z[2]::DOUBLE) * (z[1]::DOUBLE - z[2]::DOUBLE))),"
+        " (a, b) -> a + b)"
+    )
+
+
+def _lsh_bucket_sql(vec: str, planes: list[list[float]]) -> str:
+    """Σ_j (dot(v, plane_j) > 0)·2^j with the planes inlined as literals
+    (6-decimal-rounded → repr() round-trips exactly into both engines)."""
+    terms = []
+    for j, p in enumerate(planes):
+        lit = "CAST([" + ", ".join(repr(float(x)) for x in p) + "] AS DOUBLE[])"
+        dp = _fold_dot_sql(vec, lit)
+        terms.append(f"(CASE WHEN {dp} > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ann_lsh_sql(n_planes: int = 8, k: int = 10, dim: int = 64) -> str:
+    from searchenginejava_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes)
+    cos = (
+        _fold_dot_sql("b.embedding", "q.qv")
+        + " / (" + _fold_norm_sql("b.embedding")
+        + " * " + _fold_norm_sql("q.qv") + ")"
+    )
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    b AS (
+      SELECT vec_id, embedding,
+             {_lsh_bucket_sql("embedding", planes)} AS bucket
+      FROM embeddings
+    ),
+    qb AS (SELECT {_lsh_bucket_sql("qv", planes)} AS qbucket FROM q)
+    SELECT b.vec_id, round({cos}, 6) AS cosine
+    FROM b, qb, q
+    WHERE b.bucket = qb.qbucket
+    ORDER BY {cos} DESC, b.vec_id ASC
+    LIMIT {k}
+    """
+
+
+def _ann_ivf_sql(n_centroids: int = 8, n_probe: int = 2, k: int = 10) -> str:
+    cos = (
+        _fold_dot_sql("cand.embedding", "q.qv")
+        + " / (" + _fold_norm_sql("cand.embedding")
+        + " * " + _fold_norm_sql("q.qv") + ")"
+    )
+    return f"""
+    WITH c0 AS (
+      SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+    ),
+    c AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+      FROM c0
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY {_fold_d2_sql("embedding", "cv")} ASC, cid ASC
+             ) AS rn
+      FROM embeddings CROSS JOIN c
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT cid FROM c CROSS JOIN q
+      ORDER BY {_fold_d2_sql("qv", "cv")} ASC, cid ASC
+      LIMIT {n_probe}
+    ),
+    cand AS (
+      SELECT vec_id, embedding FROM assign
+      WHERE rn = 1 AND cid IN (SELECT cid FROM probe)
+    )
+    SELECT cand.vec_id, round({cos}, 6) AS cosine
+    FROM cand CROSS JOIN q
+    ORDER BY {cos} DESC, cand.vec_id ASC
+    LIMIT {k}
+    """
+
 
 _LANGS_SQL = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"],
@@ -602,28 +792,26 @@ def oracle_sql() -> dict[str, str]:
         FROM banded a JOIN banded b USING (band, bucket)
         WHERE a.doc_id < b.doc_id
         """,
-        "q_minhash_neardup": _SQL_SHINGLES
-        + _minhash_sig_sql(16)
-        + _lsh_banded_sql(16, 4)
+        "q_minhash_neardup": _minhash_pairs_ctes()
+        + " SELECT id_a, id_b, jaccard FROM pairs",
+        # pairs → connected components → (doc_id, cluster_id = component
+        # min id, is_canonical): the recursive CTE propagates every
+        # reachable label along edges; min per node = the component min.
+        "q_dedup_clusters": _minhash_pairs_ctes(recursive=True)
         + """
-        , cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM banded a JOIN banded b USING (band, bucket)
-            WHERE a.doc_id < b.doc_id
-        ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
-        , inter AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-            FROM sh a JOIN sh b USING (shingle)
-            WHERE a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
+        , e AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION
+            SELECT id_b AS u, id_a AS v FROM pairs
+        ), cc AS (
+            SELECT doc_id AS u, doc_id AS label FROM documents
+            UNION
+            SELECT e.u, cc.label FROM e JOIN cc ON e.v = cc.u
         )
-        SELECT c.id_a, c.id_b,
-               round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
-        FROM cand c
-        JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
-        JOIN sizes sa ON c.id_a = sa.doc_id
-        JOIN sizes sb ON c.id_b = sb.doc_id
-        WHERE inter / (sa.sz + sb.sz - inter) >= 0.4
+        SELECT u AS doc_id,
+               min(label) AS cluster_id,
+               (u = min(label)) AS is_canonical
+        FROM cc GROUP BY u
         """,
         "q_embedding_neardup": """
         WITH p AS (
@@ -701,6 +889,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                sha256(text) AS payload_sha256
         FROM documents
+        """,
+        # stub decoder: digest = sha256(payload); width/height = 64 + first
+        # two digest bytes; emb_u32[i] = little-endian uint32 of digest
+        # bytes [4i, 4i+4). payload = UTF-8(text), so sha256(text) in
+        # DuckDB hashes the identical bytes; hex pairs → ints via 0x-cast.
+        "q_image_features": """
+        WITH m AS (SELECT doc_id AS media_id, sha256(text) AS h FROM documents)
+        SELECT media_id,
+               CAST(64 + CAST(concat('0x', substr(h, 1, 2)) AS INT) AS BIGINT) AS width,
+               CAST(64 + CAST(concat('0x', substr(h, 3, 2)) AS INT) AS BIGINT) AS height,
+               CAST(t.i AS BIGINT) AS dim_idx,
+               CAST(concat('0x', substr(h, 8 * t.i + 1, 2)) AS BIGINT)
+             + CAST(concat('0x', substr(h, 8 * t.i + 3, 2)) AS BIGINT) * 256
+             + CAST(concat('0x', substr(h, 8 * t.i + 5, 2)) AS BIGINT) * 65536
+             + CAST(concat('0x', substr(h, 8 * t.i + 7, 2)) AS BIGINT) * 16777216
+               AS emb_u32
+        FROM m, generate_series(0, 7) t(i)
+        """,
+        # stub: n_frames = clamp(n_bytes // 128, 1, 10); fingerprint =
+        # sha256('hex(payload):frame_idx:every_n'). generate_series can't
+        # take a lateral column in DuckDB 1.0 → cross join 0..9 + filter.
+        "q_video_frames": """
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 lower(hex(encode(text))) AS ph,
+                 least(greatest(octet_length(encode(text)) // 128, 1), 10)
+                     AS n_frames
+          FROM documents
+        )
+        SELECT media_id,
+               CAST(t.i * 30 AS INT) AS frame_idx,
+               sha256(concat(ph, ':', t.i * 30, ':', 30)) AS frame_sha256
+        FROM m, generate_series(0, 9) t(i)
+        WHERE t.i < n_frames
         """,
         "q_lang_id": _lang_id_sql(),
         "q_fingerprint": _SQL_TOKL
@@ -781,4 +1003,6 @@ def oracle_sql() -> dict[str, str]:
     }
     # WAND pruning is output-invisible: same oracle as the exhaustive path
     sql["q_wand_topk"] = sql["q_bm25_topk"]
+    sql["q_ann_lsh_topk"] = _ann_lsh_sql(n_planes=8, k=10, dim=64)
+    sql["q_ann_ivf_topk"] = _ann_ivf_sql(n_centroids=8, n_probe=2, k=10)
     return sql

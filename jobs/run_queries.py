@@ -5,9 +5,11 @@ Usage:
       --checkpoint /path/to/ckpt --queries /path/to/queries.tsv \
       --output /path/to/results [--k 10] [--path wand|exhaustive]
 
-``queries.tsv``: one ``query_id<TAB>text`` per line (the TREC-topics
-equivalent, SURVEY.md §3 EP3). Results land as Parquet
-(query_id, rank, doc_id, score) with (score desc, doc_id asc) ranking.
+``--queries queries.tsv``: one ``query_id<TAB>text`` per line; OR
+``--topics topics.txt``: a classic TREC ``<top>/<num>/<title>`` topic
+file (the reference EP3's input format, sources/topics.py). Results land
+as Parquet (query_id, rank, doc_id, score) with (score desc, doc_id asc)
+ranking; ``--trec`` additionally writes the classic run-file format.
 """
 
 from __future__ import annotations
@@ -22,7 +24,13 @@ def main(argv: list[str] | None = None) -> int:
     g = p.add_mutually_exclusive_group(required=True)
     g.add_argument("--checkpoint", help="build checkpoint dir (stage parquet)")
     g.add_argument("--index", help="published index dir (index_store layout)")
-    p.add_argument("--queries", required=True)
+    gq = p.add_mutually_exclusive_group(required=True)
+    gq.add_argument("--queries", help="TSV: query_id<TAB>text per line")
+    gq.add_argument("--topics", help="TREC <top>/<num>/<title> topic file")
+    p.add_argument(
+        "--topic-field", default="title", choices=["title", "desc"],
+        help="which topic block feeds the query text",
+    )
     p.add_argument("--output", required=True)
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--path", default="exhaustive", choices=["exhaustive", "wand"])
@@ -62,14 +70,19 @@ def main(argv: list[str] | None = None) -> int:
             postings=stage_output(m, "postings", spark).drop("bucket"),
             stats=stats,
         )
-    queries = []
-    with open(args.queries) as f:
-        for line in f:
-            line = line.rstrip("\n")
-            if not line:
-                continue
-            qid, text = line.split("\t", 1)
-            queries.append((int(qid), text))
+    if args.topics:
+        from searchenginejava_spark.sources.topics import read_trec_topics
+
+        queries = read_trec_topics(args.topics, field=args.topic_field)
+    else:
+        queries = []
+        with open(args.queries) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                qid, text = line.split("\t", 1)
+                queries.append((int(qid), text))
     res = run_queries(
         spark, art, queries, k=args.k, path=args.path, expand=args.expand
     )

@@ -8,7 +8,14 @@ skew-aware shuffle") as Spark dataflow:
       tf --rangePartition(doc_id)--> mapInPandas(spimi_partials)    [UDF 2]
          --shuffle(term, salt)--> mapInPandas(stitch level 1)       [UDF 3a]
          --shuffle(term)------> mapInPandas(stitch level 2)         [UDF 3b]
-         --> postings(term, df, cf, max_tf, blocks, binary)
+         --> postings(term, df, cf, max_tf, blocks, binary, norms)
+
+The ``norms`` column is the WAND doc-length sidecar: a varbyte stream of
+doc_len per posting, positionally aligned with the list. It is stamped in
+``spimi_partials`` (each doc-range partition is doc-complete, so Σtf per
+doc within the partition is the true doc_len — zero extra shuffle) and
+stitched through both merge levels exactly like the tf stream. Query-time
+pruned scoring therefore needs NO doc-indexed structure at all.
 
 Skew design (the one thing naive Spark gets wrong at 10^12 scale,
 SURVEY.md §7.4): input is range-partitioned by doc_id, so each partition
@@ -246,6 +253,13 @@ def spimi_partials(
         gap_off = np.concatenate(([0], np.cumsum(vb_byte_lengths(gaps))))
         tf_buf = vb_encode(tfs.astype(np.uint64))
         tf_off = np.concatenate(([0], np.cumsum(vb_byte_lengths(tfs))))
+        # per-posting doc_len (the WAND norms stream): the partition is
+        # doc-complete (range-partitioned input), so Σtf per doc within
+        # the partition IS the true doc_len — no shuffle, no docs join
+        uids, inv = np.unique(doc_ids, return_inverse=True)
+        dls = np.bincount(inv, weights=tfs).astype(np.int64)[inv]
+        dl_buf = vb_encode(dls.astype(np.uint64))
+        dl_off = np.concatenate(([0], np.cumsum(vb_byte_lengths(dls))))
         sum_tf = np.add.reduceat(tfs, starts)
         max_tf = np.maximum.reduceat(tfs, starts)
 
@@ -261,6 +275,7 @@ def spimi_partials(
                     salt,
                     gap_buf[gap_off[s] : gap_off[e]],
                     tf_buf[tf_off[s] : tf_off[e]],
+                    dl_buf[dl_off[s] : dl_off[e]],
                     n,
                     int(doc_ids[s]),
                     int(doc_ids[e - 1]),
@@ -315,6 +330,8 @@ def _stitch_group(rows: list[dict], block_size: int) -> dict:
             "salt": rows[0]["salt"],
             "gap_bytes": b"".join(gap_parts),
             "tf_bytes": b"".join(bytes(r["tf_bytes"]) for r in rows),
+            # dl stream is value-local (no deltas) → plain concatenation
+            "dl_bytes": b"".join(bytes(r["dl_bytes"]) for r in rows),
             "n": sum(r["n"] for r in rows),
             "min_doc": rows[0]["min_doc"],
             "max_doc": rows[-1]["max_doc"],
@@ -325,15 +342,17 @@ def _stitch_group(rows: list[dict], block_size: int) -> dict:
         }
 
     # decode-merge fallback (overlapping doc ranges)
-    ids_parts, tf_parts = [], []
+    ids_parts, tf_parts, dl_parts = [], [], []
     for r in rows:
         gaps = vb_decode(bytes(r["gap_bytes"]))
         ids_parts.append(np.cumsum(gaps, dtype=np.uint64).astype(np.int64))
         tf_parts.append(vb_decode(bytes(r["tf_bytes"])).astype(np.int64))
+        dl_parts.append(vb_decode(bytes(r["dl_bytes"])).astype(np.int64))
     doc_ids = np.concatenate(ids_parts)
     tfs = np.concatenate(tf_parts)
+    dls = np.concatenate(dl_parts)
     order = np.argsort(doc_ids, kind="stable")
-    doc_ids, tfs = doc_ids[order], tfs[order]
+    doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
     if len(doc_ids) > 1 and not (doc_ids[1:] > doc_ids[:-1]).all():
         raise AssertionError("duplicate (term, doc_id) postings across runs")
     gaps = np.empty_like(doc_ids)
@@ -347,6 +366,7 @@ def _stitch_group(rows: list[dict], block_size: int) -> dict:
         "salt": rows[0]["salt"],
         "gap_bytes": vb_encode(gaps.astype(np.uint64)),
         "tf_bytes": vb_encode(tfs.astype(np.uint64)),
+        "dl_bytes": vb_encode(dls.astype(np.uint64)),
         "n": n,
         "min_doc": int(doc_ids[0]),
         "max_doc": int(doc_ids[-1]),
@@ -372,6 +392,7 @@ def _final_row(merged: dict, vb_encode, np) -> tuple:
         vb_encode(np.array([merged["n"]], dtype=np.uint64))
         + bytes(merged["gap_bytes"])
         + bytes(merged["tf_bytes"]),
+        bytes(merged["dl_bytes"]),
     )
 
 

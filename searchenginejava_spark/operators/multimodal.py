@@ -125,12 +125,17 @@ def sample_video_frames(
     payload_col: str = "payload",
     id_col: str = "media_id",
     every_n: int = 30,
+    bytes_per_frame: int = 1000,
     decoder: str = "stub",
 ) -> DataFrame:
     """Frame sampling: one output row per sampled frame (UDTF shape).
 
-    Stub emits a deterministic frame count (n_bytes // 1000 capped at 10)
-    with per-frame sha fingerprints; real path is the ffmpeg seek loop.
+    Stub emits a deterministic frame count (n_bytes // bytes_per_frame,
+    clamped to [1, 10]) with per-frame fingerprints
+    ``sha256(hex(payload) ‖ ':' ‖ frame_idx ‖ ':' ‖ every_n)`` — a pure
+    function of (payload, frame position) that the DuckDB oracle can
+    express 1:1 (sha256 over a hex string); real path is the ffmpeg seek
+    loop.
     """
     schema = StructType(
         [
@@ -154,10 +159,11 @@ def sample_video_frames(
                     raise NotImplementedError(
                         "video frame extraction requires ffmpeg — stub only"
                     )
-                n_frames = min(max(len(payload) // 1000, 1), 10)
+                n_frames = min(max(len(payload) // bytes_per_frame, 1), 10)
+                ph = bytes(payload).hex()
                 for i in range(n_frames):
                     h = hashlib.sha256(
-                        bytes(payload) + i.to_bytes(4, "little") + bytes([every_n])
+                        f"{ph}:{i * every_n}:{every_n}".encode()
                     ).hexdigest()
                     rows.append((int(mid), i * every_n, h))
             yield pd.DataFrame(

@@ -75,6 +75,7 @@ def score_exhaustive(
     k: int = TOP_K,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    deterministic: bool = False,
 ) -> DataFrame:
     """Full (non-pruned) BM25 top-k for every query in one Spark job (EP3).
 
@@ -84,6 +85,18 @@ def score_exhaustive(
     At 10^12 scale the only large shuffle is the final per-query agg over
     candidate docs; postings of non-query terms are never read thanks to
     term-partitioned storage + pushdown (SURVEY.md §4.1).
+
+    ``deterministic=True`` sums each doc's contributions in term-sorted
+    order (collect_list → array_sort → fold) so scores are BIT-identical
+    to the WAND path / numpy oracle — two docs with identical term
+    profiles can otherwise drift a last ulp apart under arbitrary-order
+    summation and flip the doc_id tie-break. That fold buffers every
+    contribution through the shuffle (collect_list has no map-side
+    combine), so it is the parity-audit mode; the default plain ``sum``
+    partial-aggregates map-side (shuffle moves per-partition partials,
+    not candidate rows) and is the serving/bench mode — measured ~1.9×
+    on the 50-query sf0.1 batch (70.1s → 36.7s). Rank identity at 1e-9
+    rel-tol holds either way.
     """
     import math
 
@@ -122,19 +135,19 @@ def score_exhaustive(
     scored = cand.join(docs.select("doc_id", "doc_len"), "doc_id").withColumn(
         "part_score", F.col("w") * (tf_d * F.lit(k1 + 1.0)) / norm
     )
-    # Deterministic summation: fold contributions in term-sorted order
-    # (collect_list → array_sort → aggregate, all native). A plain sum()
-    # adds in partition-arrival order, so two docs with IDENTICAL term
-    # profiles could differ in the last ulp and flip the doc_id tie-break
-    # — the WAND path (which sums in the same term order) and the numpy
-    # oracle would then disagree on tied ranks. Arrays are ≤ |query| long.
-    agg = scored.groupBy("query_id", "doc_id").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("term", "part_score"))),
-            F.lit(0.0),
-            lambda acc, s: acc + s["part_score"],
-        ).alias("score")
-    )
+    if deterministic:
+        # term-sorted canonical fold (see docstring) — parity-audit mode
+        agg = scored.groupBy("query_id", "doc_id").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "part_score"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["part_score"],
+            ).alias("score")
+        )
+    else:
+        agg = scored.groupBy("query_id", "doc_id").agg(
+            F.sum("part_score").alias("score")
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")
     )
@@ -163,7 +176,10 @@ def to_trec(results: DataFrame, *, run_id: str = "sejspark") -> DataFrame:
             F.lit("Q0"),
             F.col("doc_id").cast("string"),
             F.col("rank").cast("string"),
-            F.format_number(F.col("score"), 6),
+            # format_string, NOT format_number: the latter inserts comma
+            # grouping separators for scores >= 1000 (long/expanded queries
+            # on large-N collections), which breaks trec_eval's float parse
+            F.format_string("%.6f", F.col("score")),
             F.lit(run_id),
         ).alias("value")
     )

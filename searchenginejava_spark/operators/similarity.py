@@ -52,7 +52,12 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force cosine top-k against a literal query vector."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    q_norm = float(np.sqrt(np.sum(np.asarray(query_vec, dtype=np.float64) ** 2)))
+    # left fold, not np.sum (pairwise): bit-matches norm_col / the DuckDB
+    # oracle's list_reduce so round-boundary cosines can't diverge
+    acc = 0.0
+    for x in query_vec:
+        acc += float(x) * float(x)
+    q_norm = float(np.sqrt(acc))
     e = F.col(vec_col)
     cos = dot_col(e, q) / (norm_col(e) * F.lit(q_norm))
     return (
@@ -95,10 +100,15 @@ def ann_lsh_topk(
     as a partition column so this reads one partition.
     """
     planes = hyperplanes(len(query_vec), n_planes)
-    qv = np.asarray(query_vec, dtype=np.float64)
     q_bucket = 0
     for j, plane in enumerate(planes):
-        if float(np.dot(qv, np.asarray(plane))) > 0:
+        # plain left fold, NOT np.dot: bitwise-matches dot_col's
+        # aggregate() fold (and DuckDB list_reduce), so the query lands
+        # in exactly the bucket the distributed side would compute
+        acc = 0.0
+        for x, y in zip(query_vec, plane):
+            acc += float(x) * float(y)
+        if acc > 0:
             q_bucket |= 1 << j
     bucketed = embeddings.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
     cands = bucketed.filter(F.col("bucket") == q_bucket)
@@ -242,11 +252,15 @@ def ann_ivf_topk(
             id_col=id_col,
             vec_col=vec_col,
         )
-    qv = np.asarray(query_vec, dtype=np.float64)
-    d2 = [
-        (float(np.sum((qv - np.asarray(c, dtype=np.float64)) ** 2)), i)
-        for i, c in enumerate(centroids)
-    ]
+    def _d2(c: list[float]) -> float:
+        # left fold matching _nearest_centroid_col's aggregate() order
+        # (and the DuckDB oracle's list_reduce) bit-for-bit
+        acc = 0.0
+        for x, y in zip(query_vec, c):
+            acc += (float(x) - y) * (float(x) - y)
+        return acc
+
+    d2 = [(_d2(c), i) for i, c in enumerate(centroids)]
     probe = sorted(pi for _, pi in sorted(d2)[:n_probe])
     cands = embeddings.withColumn(
         "cid", _nearest_centroid_col(F.col(vec_col), centroids)

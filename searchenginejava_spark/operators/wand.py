@@ -8,11 +8,14 @@ tests assert top-k equality with scores at 1e-9 rel-tol.
 
 Shape: one ``applyInPandas`` group per query_id (UDF 4 of 4, SURVEY.md
 §2.7). Input rows carry the query's terms joined to their compressed
-posting lists + block-max metadata; doc lengths arrive as a broadcast
-dense int32 array (doc_ids are dense by construction). At 10^12 scale the
-norms array would be a doc-range-partitioned sidecar co-located with
-posting blocks instead of a broadcast — documented trade-off; the
-algorithm is unchanged.
+posting lists + block-max metadata + the ``norms`` sidecar column (the
+varbyte doc_len-per-posting stream stamped by the SPIMI/merge path,
+positionally aligned with the list). Doc lengths therefore travel WITH
+the postings: the scorer reads dl for a candidate directly from the
+pointer it advanced — no doc-indexed lookup, no docs-table join, and no
+O(N) driver collect/broadcast anywhere in this path (at 10^12 docs a
+dense broadcast norms array would be multi-TB on the driver; the sidecar
+costs ~1-2 varbyte bytes per posting instead and shards with the terms).
 
 Pruning structure:
 - WAND pivot selection over term-level upper bounds (ub_t = qtf·idf·
@@ -41,7 +44,6 @@ from ..schema import RESULTS
 def _wand_one_query(
     qid: int,
     terms: list[dict],
-    doc_lens,
     n_docs: int,
     avgdl: float,
     dl_min: float,
@@ -51,12 +53,16 @@ def _wand_one_query(
 ) -> list[tuple[int, int, int, float]]:
     import numpy as np
 
-    from searchenginejava_spark.functions.codec import decode_postings
+    from searchenginejava_spark.functions.codec import (
+        decode_postings,
+        vb_decode,
+    )
 
     K_min = k1 * (1.0 - b + b * dl_min / avgdl)
     ptrs = []
     for t in terms:
         doc_ids, tfs = decode_postings(bytes(t["postings"]))
+        dls = vb_decode(bytes(t["norms"])).astype(np.int64)
         dfv = float(t.get("term_df") or t["df"])
         idf = math.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0)
         w = float(t["qtf"]) * idf
@@ -70,6 +76,7 @@ def _wand_one_query(
                 "term": t["term"],
                 "ids": doc_ids,
                 "tfs": tfs,
+                "dls": dls,
                 "pos": 0,
                 "n": len(doc_ids),
                 "w": w,
@@ -124,7 +131,7 @@ def _wand_one_query(
             else:
                 do_score = True
             if do_score:
-                dl = float(doc_lens[pivot_doc])
+                dl = float(involved[0]["dls"][involved[0]["pos"]])
                 Kd = k1 * (1.0 - b + b * dl / avgdl)
                 # term-sorted summation — bit-identical to the exhaustive
                 # scorer's canonical fold (operators/search.py)
@@ -165,7 +172,6 @@ def wand_topk(
     spark: SparkSession,
     query_terms: DataFrame,
     postings: DataFrame,
-    doc_lens_array,
     stats: dict,
     *,
     k: int = TOP_K,
@@ -174,9 +180,9 @@ def wand_topk(
 ) -> DataFrame:
     """Pruned per-query top-k over the compressed postings dataset.
 
-    ``doc_lens_array``: dense int32 numpy array indexed by doc_id.
+    Doc lengths come from the postings' own ``norms`` sidecar column —
+    ``stats`` only carries the O(1) scalars (N, avgdl, dl_min).
     """
-    bc = spark.sparkContext.broadcast(doc_lens_array)
     n_docs, avgdl = stats["N"], stats["avgdl"]
     dl_min = float(stats.get("dl_min", 1.0))
 
@@ -191,6 +197,7 @@ def wand_topk(
         "block_max_tf",
         "block_last_doc",
         "postings",
+        "norms",
     )
     # segmented postings: a hot term may arrive as several doc-disjoint
     # rows; idf must use the TERM-level df (sum over segments), while
@@ -204,7 +211,7 @@ def wand_topk(
         qid = int(pdf["query_id"].iloc[0])
         terms = pdf.to_dict("records")
         rows = _wand_one_query(
-            qid, terms, bc.value, n_docs, avgdl, dl_min, k, k1, b
+            qid, terms, n_docs, avgdl, dl_min, k, k1, b
         )
         return pd.DataFrame(
             rows, columns=["query_id", "rank", "doc_id", "score"]

@@ -131,6 +131,12 @@ def build_index(
         if compress
         else None
     )
+    if postings is not None:
+        # without this, a fresh index's exhaustive query path re-runs the
+        # whole SPIMI build + merge up to three times per batch (query-
+        # vocab collect, postings decode, dictionary projection all
+        # re-derive it); postings are small next to tf — cache them
+        postings.persist()
     # dictionary: a free projection of the merged postings (df/cf/max_tf
     # are stamped by the stitch merge) — re-aggregating tf would shuffle
     # the build's largest relation a second time. The relational
@@ -161,12 +167,16 @@ def run_queries(
     path: str = "exhaustive",
     tokenizer=None,
     expand: int = 0,
+    deterministic: bool = False,
 ) -> DataFrame:
     """EP3: batch query → results(query_id, rank, doc_id, score).
 
     ``expand > 0`` turns on semantic query expansion (the reference
     Searcher's optional semantics mode): each query term pulls in its
     ``expand`` nearest vocabulary terms at damped weight.
+    ``deterministic=True`` (exhaustive path only) uses the term-sorted
+    canonical summation for bit-identity with the WAND path — the parity
+    audit mode; see score_exhaustive.
     """
     kwargs = {} if tokenizer is None else {"tokenizer": tokenizer}
     qt = query_terms_df(spark, queries, **kwargs)
@@ -191,19 +201,13 @@ def run_queries(
                 index.postings.filter(F.col("term").isin(terms))
             )
         return score_exhaustive(
-            qt, src, index.docs, index.dictionary, index.stats, k=k
+            qt, src, index.docs, index.dictionary, index.stats, k=k,
+            deterministic=deterministic,
         )
     if path == "wand":
         if index.postings is None:
             raise ValueError("wand path needs compressed postings")
-        import numpy as np
-
-        rows = index.docs.select("doc_id", "doc_len").collect()
-        n = max(r["doc_id"] for r in rows) + 1
-        doc_lens = np.zeros(int(n), dtype=np.int32)
-        for r in rows:
-            doc_lens[r["doc_id"]] = r["doc_len"]
-        return wand_topk(
-            spark, qt, index.postings, doc_lens, index.stats, k=k
-        )
+        # doc lengths ride inside the postings' norms sidecar — nothing
+        # doc-proportional is ever collected to the driver on this path
+        return wand_topk(spark, qt, index.postings, index.stats, k=k)
     raise ValueError(f"unknown path: {path}")

@@ -66,6 +66,15 @@ POSTINGS = StructType(
         StructField("block_max_tf", ArrayType(IntegerType()), False),
         StructField("block_last_doc", ArrayType(LongType()), False),
         StructField("postings", BinaryType(), False),
+        # varbyte doc_len-per-posting stream, positionally aligned with the
+        # posting list — the WAND scorer's doc-length "norms sidecar". Doc
+        # lengths travel WITH the postings (term-partitioned), so query-time
+        # scoring needs no doc-indexed lookup structure at all: no O(N)
+        # driver collect/broadcast, no docs-table join in the pruned path.
+        # Costs ~1-2 bytes/posting (duplicating dl per posting), the classic
+        # impact-index trade (cf. Lucene norms, which are per-segment only
+        # because its segments are doc-partitioned; ours are term-partitioned).
+        StructField("norms", BinaryType(), False),
     ]
 )
 
@@ -106,6 +115,7 @@ PARTIAL_POSTINGS = StructType(
         StructField("salt", IntegerType(), False),
         StructField("gap_bytes", BinaryType(), False),  # varbyte(gaps); gap_1 = abs doc_id
         StructField("tf_bytes", BinaryType(), False),   # varbyte(tfs)
+        StructField("dl_bytes", BinaryType(), False),   # varbyte(doc_len per posting)
         StructField("n", LongType(), False),
         StructField("min_doc", LongType(), False),
         StructField("max_doc", LongType(), False),

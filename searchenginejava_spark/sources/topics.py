@@ -1,0 +1,64 @@
+"""TREC topic-file reader — the reference's batch-query entry point.
+
+The reference Model's EP3 ([R:Model.runQueryFile], SURVEY.md §3 EP3) reads
+TREC topic files (``<top>/<num>/<title>`` SGML-ish blocks), runs each
+title as a query, and writes the ``qid iter docno rank sim run_id`` run
+file (our ``operators/search.py::to_trec``). This module closes the loop:
+topic file → ``(query_id, text)`` pairs → ``run_queries``.
+
+Topic files are KB-scale driver-side inputs by definition (like the query
+string itself), so parsing is plain Python — there is nothing to
+distribute; the queries it yields fan out through the batch query job.
+
+Format accepted (tags case-insensitive, whitespace-tolerant)::
+
+    <top>
+    <num> Number: 301
+    <title> International Organized Crime
+    <desc> Description: ...
+    <narr> Narrative: ...
+    </top>
+
+``field="desc"`` selects the description block instead of the title (the
+reference GUI offered both).
+"""
+
+from __future__ import annotations
+
+import re
+
+_TOP_RE = re.compile(r"<top>(.*?)</top>", re.IGNORECASE | re.DOTALL)
+_NUM_RE = re.compile(
+    r"<num>\s*(?:Number:)?\s*(\d+)", re.IGNORECASE
+)
+# a field runs until the next tag or end of block
+_FIELD_RE = {
+    f: re.compile(
+        rf"<{f}>\s*(?:{label}:)?\s*(.*?)(?=<\w+>|\Z)",
+        re.IGNORECASE | re.DOTALL,
+    )
+    for f, label in (("title", "Title"), ("desc", "Description"),
+                     ("narr", "Narrative"))
+}
+
+
+def parse_topics(text: str, *, field: str = "title") -> list[tuple[int, str]]:
+    """Topic-file text → [(query_id, query_text)] in file order."""
+    if field not in _FIELD_RE:
+        raise ValueError(f"unknown topic field: {field}")
+    out: list[tuple[int, str]] = []
+    for block in _TOP_RE.findall(text):
+        m_num = _NUM_RE.search(block)
+        m_field = _FIELD_RE[field].search(block)
+        if not m_num or not m_field:
+            continue
+        q = " ".join(m_field.group(1).split())
+        if q:
+            out.append((int(m_num.group(1)), q))
+    return out
+
+
+def read_trec_topics(path: str, *, field: str = "title") -> list[tuple[int, str]]:
+    """Read one topic file → the query list ``run_queries`` consumes."""
+    with open(path, encoding="utf-8") as f:
+        return parse_topics(f.read(), field=field)

@@ -48,10 +48,16 @@ def start_partial_ingest(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # 64-bit xxhash64, high bit cleared: Spark's 32-bit hash() would
+        # birthday-collide around ~10^5 docs, corrupting merged postings
+        # (two docs sharing a doc_id). 63 usable bits push the 50%
+        # collision point past 10^9 docs per stream; the manifest-batch
+        # build path assigns dense ids instead (sources/source.py).
         with_ids = batch_df.withColumn(
             "doc_id",
-            F.abs(F.hash("repo", "path", "commit")).cast("long") * 1024
-            + F.lit(batch_id % 1024),
+            F.xxhash64("repo", "path", "commit").bitwiseAND(
+                F.lit((1 << 63) - 1)
+            ),
         )
         tf = tokenize_tf(
             with_ids.select("doc_id", "content"), text_col="content", mode=mode

@@ -92,6 +92,35 @@ def test_topk_tiebreak_determinism(spark, index):
     ]
 
 
+def test_wand_no_driver_doc_materialization(spark, index, monkeypatch):
+    """The WAND serving path must never collect anything doc-proportional
+    to the driver (at 10^12 docs a doc_len broadcast would be multi-TB):
+    doc lengths ride in the postings' norms sidecar. Assert ZERO
+    DataFrame.collect / toPandas / broadcast calls inside run_queries on
+    the wand path — the only driver-side data is the query set itself."""
+    from pyspark.sql import DataFrame
+
+    calls = []
+    orig_collect = DataFrame.collect
+    orig_topandas = DataFrame.toPandas
+    monkeypatch.setattr(
+        DataFrame, "collect", lambda self: calls.append("collect") or orig_collect(self)
+    )
+    monkeypatch.setattr(
+        DataFrame, "toPandas", lambda self: calls.append("toPandas") or orig_topandas(self)
+    )
+    sc_broadcast = spark.sparkContext.broadcast
+    monkeypatch.setattr(
+        spark.sparkContext,
+        "broadcast",
+        lambda v: calls.append("broadcast") or sc_broadcast(v),
+    )
+    res = run_queries(spark, index, QUERIES, path="wand")
+    assert calls == []          # plan construction is fully lazy
+    n = res.count()             # execution: still no driver collects
+    assert calls == [] and n > 0
+
+
 def test_wand_stress_zipf_corpus(spark):
     """WAND == exhaustive on a Zipf-skewed corpus with mixed hot/rare
     query terms — exercises lagging-pointer advancement and block skips
@@ -155,7 +184,9 @@ def test_full_depth_bit_identity(spark, index):
     summation — a plain sum() flips doc_id tie-breaks between docs with
     identical term profiles via last-ulp drift)."""
     big_k = 10**6
-    ex = run_queries(spark, index, QUERIES, k=big_k, path="exhaustive").collect()
+    ex = run_queries(
+        spark, index, QUERIES, k=big_k, path="exhaustive", deterministic=True
+    ).collect()
     wd = run_queries(spark, index, QUERIES, k=big_k, path="wand").collect()
     assert sorted(
         (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in ex

@@ -90,3 +90,33 @@ def test_simhash_skew_join_is_equi(spark, corpus):
     plan = dedup.simhash_near_duplicates(corpus)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_clusters_components(spark):
+    """Connected components over near-dup pairs: chain a-b-c collapses to
+    one cluster labeled min id; disjoint pair d-e is its own cluster;
+    untouched docs are canonical singletons."""
+    from pyspark.sql import functions as F
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 6)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup.dedup_clusters(pairs, nodes).collect()
+    }
+    assert got[1] == (1, True) and got[3] == (1, False) and got[5] == (1, False)
+    assert got[2] == (2, True) and got[6] == (2, False)
+    for single in (0, 4, 7):
+        assert got[single] == (single, True)
+    # a long chain still converges (diameter > 2): 10-20-30-40-50
+    chain_nodes = spark.createDataFrame([(i,) for i in range(10, 60, 10)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (40, 50)], "id_a long, id_b long"
+    )
+    cgot = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(chain, chain_nodes).collect()
+    }
+    assert all(v == 10 for v in cgot.values())

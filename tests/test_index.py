@@ -168,10 +168,14 @@ def test_segmented_postings(spark):
     b = {r["term"]: (r["df"], r["cf"], r["max_tf"]) for r in dict_op(idx.tf).collect()}
     assert a == b
     # rank identity across scorer paths on the segmented index
+    # (deterministic=True: this asserts SCORE bit-equality, which needs
+    # the canonical term-sorted summation on the exhaustive side)
     queries = [(0, "def return"), (1, "id0 id1 id2"), (2, "id42")]
     ex = sorted(
         (r["query_id"], r["rank"], r["doc_id"], r["score"])
-        for r in run_queries(spark, idx, queries, path="exhaustive").collect()
+        for r in run_queries(
+            spark, idx, queries, path="exhaustive", deterministic=True
+        ).collect()
     )
     wd = sorted(
         (r["query_id"], r["rank"], r["doc_id"], r["score"])

@@ -76,6 +76,43 @@ def test_ann_lsh_subset_and_self_hit(emb):
     assert len(approx) < N
 
 
+def test_ann_recall_gate(emb):
+    """Quantified recall floor for BOTH approximate paths vs the exact
+    top-k ground truth (recall@10): LSH with few planes and IVF with a
+    trained quantizer must each recover ≥ 0.5 of the true neighbors on
+    this corpus, and recall must be monotone-ish in probe width (IVF
+    probing all cells → recall 1.0). Deterministic: seeded planes,
+    seed-free IVF init."""
+    df, vecs = emb
+    q = vecs[0].tolist()
+    exact = {r["vec_id"] for r in similarity.cosine_topk(df, q, k=10).collect()}
+
+    lsh = {
+        r["vec_id"]
+        for r in similarity.ann_lsh_topk(df, q, k=10, n_planes=4).collect()
+    }
+    lsh_recall = len(lsh & exact) / len(exact)
+    assert lsh_recall >= 0.5, f"LSH recall@10 {lsh_recall}"
+
+    cents = similarity.ivf_train(df, n_centroids=8, iters=2)
+    ivf = {
+        r["vec_id"]
+        for r in similarity.ann_ivf_topk(
+            df, q, k=10, n_probe=3, centroids=cents
+        ).collect()
+    }
+    ivf_recall = len(ivf & exact) / len(exact)
+    assert ivf_recall >= 0.5, f"IVF recall@10 {ivf_recall}"
+
+    full = {
+        r["vec_id"]
+        for r in similarity.ann_ivf_topk(
+            df, q, k=10, n_probe=8, centroids=cents
+        ).collect()
+    }
+    assert full == exact                 # probe-all → exact
+
+
 def test_all_pairs_above(emb):
     df, vecs = emb
     pairs = {

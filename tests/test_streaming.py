@@ -43,6 +43,33 @@ def test_stream_ingest_matches_batch(spark, tmp_path):
     assert got == expect
 
 
+def test_stream_doc_ids_collision_free(spark):
+    """The streaming doc_id is 63-bit xxhash64 over (repo, path, commit).
+    At 2·10^5 keys a 32-bit hash (the old scheme) expects ~5 birthday
+    collisions — which would corrupt merged postings — while 63 bits
+    expect ~2·10^-9. Assert zero collisions at a count where the 32-bit
+    scheme measurably fails."""
+    from pyspark.sql import functions as F
+
+    n = 200_000
+    keys = spark.range(n).select(
+        F.concat(F.lit("repo-"), (F.col("id") % 997).cast("string")).alias("repo"),
+        F.concat(F.lit("src/f"), F.col("id").cast("string"), F.lit(".py")).alias("path"),
+        F.sha2(F.col("id").cast("string"), 256).alias("commit"),
+    )
+    ids = keys.select(
+        F.xxhash64("repo", "path", "commit")
+        .bitwiseAND(F.lit((1 << 63) - 1))
+        .alias("doc_id")
+    )
+    assert ids.distinct().count() == n
+    # the replaced 32-bit scheme demonstrably collides at this scale
+    old = keys.select(
+        (F.abs(F.hash("repo", "path", "commit")).cast("long") * 1024).alias("d")
+    )
+    assert old.distinct().count() < n
+
+
 def test_stream_is_exactly_once_on_restart(spark, tmp_path):
     src_dir = str(tmp_path / "src2")
     out_dir = str(tmp_path / "partials2")

@@ -1,0 +1,84 @@
+"""TREC topic-file parsing (the reference EP3's input format) and the
+round trip topic file → queries → run_queries → TREC run lines."""
+
+from __future__ import annotations
+
+from searchenginejava_spark.sources.topics import parse_topics, read_trec_topics
+
+TOPICS = """
+<top>
+<num> Number: 301
+<title> International Organized Crime
+
+<desc> Description:
+Identify organizations that participate in international criminal
+activity.
+
+<narr> Narrative: ignored here
+</top>
+
+<top>
+<num> Number:  302
+<title>
+Poliomyelitis and Post-Polio
+
+<desc> Description: Is the disease of Poliomyelitis under control?
+</top>
+"""
+
+
+def test_parse_titles():
+    got = parse_topics(TOPICS)
+    assert got == [
+        (301, "International Organized Crime"),
+        (302, "Poliomyelitis and Post-Polio"),
+    ]
+
+
+def test_parse_desc_field():
+    got = parse_topics(TOPICS, field="desc")
+    assert got[0][0] == 301
+    assert got[0][1].startswith("Identify organizations")
+    assert got[1] == (302, "Is the disease of Poliomyelitis under control?")
+
+
+def test_malformed_blocks_skipped():
+    txt = "<top><num> Number: 9 </top><top><title> no num </top>" + TOPICS
+    assert [q for q, _ in parse_topics(txt)] == [301, 302]
+
+
+def test_topic_file_to_trec_run(spark, tmp_path):
+    """EP3 end-to-end: topic file → parse → batch query → TREC run lines
+    with parseable float sim (regression: format_number's comma grouping
+    broke float(sim) for scores >= 1000)."""
+    from pyspark.sql import functions as F
+
+    from searchenginejava_spark.operators.search import to_trec
+    from searchenginejava_spark.plans.pipeline import build_index, run_queries
+    from searchenginejava_spark.sources.source import read_documents
+
+    from conftest import TESTDATA
+
+    tf = tmp_path / "topics.txt"
+    tf.write_text(
+        "<top>\n<num> Number: 1\n<title> spark merge window\n</top>\n"
+        "<top>\n<num> Number: 2\n<title> hash join\n</top>\n"
+    )
+    queries = read_trec_topics(str(tf))
+    assert queries == [(1, "spark merge window"), (2, "hash join")]
+
+    corpus = read_documents(spark, TESTDATA)
+    idx = build_index(
+        spark, corpus, text_col="text", mode="full", num_partitions=4,
+        num_salts=2,
+    )
+    res = run_queries(spark, idx, queries)
+    # inflate one score artificially to cover the >= 1000 formatting path
+    big = res.withColumn("score", F.col("score") + F.lit(1234.5))
+    lines = [r["value"] for r in to_trec(big, run_id="test").collect()]
+    assert lines
+    for ln in lines:
+        qid, it, docno, rank, sim, run = ln.split(" ")
+        assert it == "Q0" and run == "test"
+        float(sim)          # must parse — no comma separators
+        int(qid), int(docno), int(rank)

@@ -223,6 +223,29 @@ def main() -> None:
         ]
         sections.append(("saved-index postings lookup (index_store)", p_s, checks))
 
+    # 6. MinHash near-dup: the exact-Jaccard verify stage must consume
+    # only LSH-candidate docs — the shingle relation is LeftSemi-filtered
+    # on the candidate id set BEFORE the quadratic shingle self-join
+    # (an unblocked verify would defeat the LSH banding at scale).
+    from searchenginejava_spark.operators.dedup import minhash_near_duplicates
+
+    nd = minhash_near_duplicates(
+        corpus, n=3, num_hashes=16, bands=4, threshold=0.4
+    )
+    p_nd = plan_of(nd)
+    n_semi = p_nd.count("LeftSemi")
+    checks = [
+        (
+            "verify stage sees candidate-filtered shingles (LeftSemi join "
+            "upstream of the shingle self-join)",
+            n_semi >= 1,
+            f"LeftSemi x{n_semi}",
+        ),
+    ]
+    sections.append(
+        ("minhash_near_duplicates (LSH-blocked verify)", p_nd, checks)
+    )
+
     ok = True
     out = ["# PLANS.md — physical-plan audit (generated by tools/explain_audit.py)", ""]
     for title, plan, cks in sections:
