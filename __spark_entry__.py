@@ -196,6 +196,44 @@ def q_postings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_postings_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance under the oracle gate: build two
+    disjoint halves of the corpus, fold one into the other via
+    merge_indexes (compressed runs re-enter the stitch, no decode), then
+    decode the merged postings — must equal the plain tf relation, same
+    oracle as q_postings_roundtrip."""
+    from searchenginejava_spark.operators.index import (
+        build_postings,
+        decode_postings_df,
+        postings_to_runs,
+        _stitch_stage,
+    )
+
+    tf = _tf(spark, sf_dir)
+    tf.persist()
+    lo = build_postings(
+        tf.filter(F.col("doc_id") % 2 == 0), num_partitions=4, num_salts=2
+    )
+    hi = build_postings(
+        tf.filter(F.col("doc_id") % 2 == 1), num_partitions=4, num_salts=2
+    )
+    runs = postings_to_runs(lo, salt=0).unionByName(
+        postings_to_runs(hi, salt=1)
+    )
+    merged = _stitch_stage(
+        runs, ["term"], num_partitions=8, block_size=128, final=True
+    )
+    res = decode_postings_df(merged).select(
+        "term",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("tf").cast("long").alias("tf"),
+    )
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
 def q_dictionary_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """df/cf/max_tf as stamped by the salted merge on the COMPRESSED
     postings (not the relational dictionary op) — checks the merge's
@@ -239,6 +277,41 @@ def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
     qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
     res = wand_topk(spark, qt, postings, stats, k=_TOPK).select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(F.col("score"), 6).alias("score"),
+    )
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
+def q_wand_sharded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-range-SHARDED block-max WAND (S tasks per query instead of 1 —
+    the cluster-scale serving layout) under the same exhaustive-SQL
+    oracle: sharding is a pure parallelism transform, output-invisible."""
+    from searchenginejava_spark.operators.index import build_sharded_postings
+    from searchenginejava_spark.operators.wand import wand_topk_sharded
+
+    tf = _tf(spark, sf_dir)
+    tf.persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+    srow = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("doc_len").alias("avgdl"),
+        F.min("doc_len").alias("dl_min"),
+    ).collect()[0]
+    stats = {
+        "N": int(srow["n"]),
+        "avgdl": float(srow["avgdl"]),
+        "dl_min": float(srow["dl_min"]),
+    }
+    sharded = build_sharded_postings(tf, num_shards=4, num_partitions=8)
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    res = wand_topk_sharded(spark, qt, sharded, stats, k=_TOPK).select(
         F.col("query_id").cast("int").alias("query_id"),
         F.col("rank").cast("int").alias("rank"),
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -480,8 +553,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_collection_stats": q_collection_stats,
         "q_bm25_topk": q_bm25_topk,
         "q_postings_roundtrip": q_postings_roundtrip,
+        "q_postings_incremental": q_postings_incremental,
         "q_dictionary_compressed": q_dictionary_compressed,
         "q_wand_topk": q_wand_topk,
+        "q_wand_sharded_topk": q_wand_sharded_topk,
         "q_query_expansion": q_query_expansion,
         "q_exact_dedup": q_exact_dedup,
         "q_ngram_jaccard": q_ngram_jaccard,
@@ -938,6 +1013,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_term_frequencies": _SQL_TF + "SELECT doc_id, term, tf FROM tf",
         "q_postings_roundtrip": _SQL_TF + "SELECT term, doc_id, tf FROM tf",
+        "q_postings_incremental": _SQL_TF + "SELECT term, doc_id, tf FROM tf",
         "q_dictionary_compressed": _SQL_TF
         + """
         SELECT term,
@@ -1003,6 +1079,7 @@ def oracle_sql() -> dict[str, str]:
     }
     # WAND pruning is output-invisible: same oracle as the exhaustive path
     sql["q_wand_topk"] = sql["q_bm25_topk"]
+    sql["q_wand_sharded_topk"] = sql["q_bm25_topk"]
     sql["q_ann_lsh_topk"] = _ann_lsh_sql(n_planes=8, k=10, dim=64)
     sql["q_ann_ivf_topk"] = _ann_ivf_sql(n_centroids=8, n_probe=2, k=10)
     return sql

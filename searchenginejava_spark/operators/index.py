@@ -520,6 +520,110 @@ def merge_postings(
     )
 
 
+def build_sharded_postings(
+    tf: DataFrame,
+    *,
+    num_shards: int = DEFAULT_SALTS,
+    num_partitions: int | None = None,
+    block_size: int = BLOCK_SIZE,
+    spimi_partitions: int | None = None,
+    assume_partitioned: bool = False,
+) -> DataFrame:
+    """Doc-range-SHARDED postings: one compressed run per (term, shard).
+
+    This is the level-1 stitch output kept as the serving layout instead
+    of folding shards together in level 2: ``salt`` doubles as the shard
+    id, and salts map to CONTIGUOUS doc-id ranges (salt = pid·S/P over
+    the range-partitioned input), so every doc lives in exactly one
+    shard. The doc-sharded WAND scorer (operators/wand.py::
+    wand_topk_sharded) scores each (query, shard) group independently —
+    S× the per-query task parallelism of the single-pointer path, which
+    is the difference between 1 task and S tasks per query on a
+    1000-executor cluster — then merges per-shard top-k exactly.
+
+    Requires doc-disjoint input partitions (the range partition inside
+    ``spimi_partials`` guarantees it; with ``assume_partitioned=True``
+    the caller takes on that contract, as everywhere else in the build).
+    Schema = PARTIAL_POSTINGS (gap/tf/dl byte streams + block-max
+    metadata per shard row).
+    """
+    partials = spimi_partials(
+        tf,
+        num_partitions=spimi_partitions or num_partitions,
+        num_salts=num_shards,
+        block_size=block_size,
+        assume_partitioned=assume_partitioned,
+    )
+    P = num_partitions or tf.sparkSession.sparkContext.defaultParallelism
+    return _stitch_stage(
+        partials,
+        ["term", "salt"],
+        num_partitions=P,
+        block_size=block_size,
+        final=False,
+    )
+
+
+def postings_to_runs(postings: DataFrame, *, salt: int = 0) -> DataFrame:
+    """Final POSTINGS rows → PARTIAL_POSTINGS runs WITHOUT decoding.
+
+    The inverse of ``_final_row``, byte-level: the ``postings`` binary is
+    split back into its gap and tf streams by locating varint end bytes
+    (high-bit scan — O(bytes), no value decode); ``min_doc`` is the one
+    varint that must be decoded (the first gap is the absolute first
+    doc_id); ``max_doc`` is the last block's last doc. This is what makes
+    INCREMENTAL index maintenance O(compressed bytes): an existing index
+    re-enters the stitch merge as runs and is concatenated with a new
+    batch's runs byte-level, never decoded (plans/pipeline.py::
+    merge_indexes).
+    """
+
+    def convert(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from searchenginejava_spark.functions.codec import (
+            first_varint_nbytes,
+            vb_decode,
+        )
+
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            rows = []
+            for rec in pdf.to_dict("records"):
+                buf = bytes(rec["postings"])
+                n = int(rec["df"])
+                b = np.frombuffer(buf, dtype=np.uint8)
+                ends = np.flatnonzero(b & 0x80)  # one end byte per varint
+                # varint 0 is the VB(n) header; gaps are varints 1..n
+                gaps_end = int(ends[n]) + 1
+                hdr = int(ends[0]) + 1
+                gap_bytes = buf[hdr:gaps_end]
+                tf_bytes = buf[gaps_end:]
+                min_doc = int(
+                    vb_decode(gap_bytes[: first_varint_nbytes(gap_bytes)])[0]
+                )
+                rows.append(
+                    (
+                        rec["term"],
+                        salt,
+                        gap_bytes,
+                        tf_bytes,
+                        bytes(rec["norms"]),
+                        n,
+                        min_doc,
+                        int(rec["block_last_doc"][-1]),
+                        int(rec["cf"]),
+                        int(rec["max_tf"]),
+                        rec["block_max_tf"],
+                        rec["block_last_doc"],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=PARTIAL_POSTINGS.fieldNames())
+
+    return postings.mapInPandas(convert, schema=PARTIAL_POSTINGS)
+
+
 def decode_postings_df(postings: DataFrame) -> DataFrame:
     """postings(binary) → exploded (term, doc_id, tf) — UDF decode path."""
 

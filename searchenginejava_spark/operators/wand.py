@@ -218,3 +218,85 @@ def wand_topk(
         )
 
     return q_post.groupBy("query_id").applyInPandas(run, schema=RESULTS)
+
+
+def wand_topk_sharded(
+    spark: SparkSession,
+    query_terms: DataFrame,
+    sharded: DataFrame,
+    stats: dict,
+    *,
+    k: int = TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Doc-sharded WAND: pruned top-k over doc-range-sharded postings
+    (operators/index.py::build_sharded_postings, PARTIAL_POSTINGS rows).
+
+    Each (query, shard) group runs the SAME pivot/block-max scorer over
+    its shard's doc range — S tasks per query instead of 1, which is what
+    lets a single query saturate a 1000-executor cluster — then one
+    native window merges per-shard top-k into the global ranking. EXACT:
+    every doc lives in exactly one shard, so the union of per-shard
+    top-k contains the global top-k; per-doc scores are bit-identical to
+    the unsharded scorer (same term-sorted summation over the same
+    (tf, dl) values), so the merged ranking is identical too. idf uses
+    the TERM-level df summed across shards (a window over the pruned
+    query subset — a handful of rows), exactly like posting segments.
+    """
+    from pyspark.sql import Window
+
+    n_docs, avgdl = stats["N"], stats["avgdl"]
+    dl_min = float(stats.get("dl_min", 1.0))
+    q_post = sharded.join(F.broadcast(query_terms), "term").select(
+        "query_id",
+        "term",
+        "qtf",
+        "salt",
+        "n",
+        "max_tf",
+        "block_max_tf",
+        "block_last_doc",
+        "gap_bytes",
+        "tf_bytes",
+        "dl_bytes",
+    )
+    q_post = q_post.withColumn(
+        "term_df", F.sum("n").over(Window.partitionBy("query_id", "term"))
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from searchenginejava_spark.functions.codec import vb_encode
+
+        qid = int(pdf["query_id"].iloc[0])
+        terms = []
+        for rec in pdf.to_dict("records"):
+            # assemble the scorer's posting layout from the shard run's
+            # raw streams (VB(n) header + gaps + tfs; dl stream as norms)
+            rec["postings"] = (
+                vb_encode(np.array([rec["n"]], dtype=np.uint64))
+                + bytes(rec["gap_bytes"])
+                + bytes(rec["tf_bytes"])
+            )
+            rec["norms"] = rec["dl_bytes"]
+            terms.append(rec)
+        rows = _wand_one_query(
+            qid, terms, n_docs, avgdl, dl_min, k, k1, b
+        )
+        return pd.DataFrame(
+            rows, columns=["query_id", "rank", "doc_id", "score"]
+        )
+
+    per_shard = q_post.groupBy("query_id", "salt").applyInPandas(
+        run, schema=RESULTS
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        per_shard.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -158,6 +158,68 @@ def build_index(
     )
 
 
+def merge_indexes(
+    spark: SparkSession,
+    a: IndexArtifacts,
+    b: IndexArtifacts,
+    *,
+    num_partitions: int | None = None,
+    block_size: int = BLOCK_SIZE,
+    segment_max_postings: int | None = None,
+) -> IndexArtifacts:
+    """Incremental index maintenance: fold index ``b`` (e.g. a new corpus
+    batch, or a streaming ingest's merged partials) into index ``a``
+    WITHOUT rebuilding — both re-enter the stitch merge as compressed
+    runs (operators/index.py::postings_to_runs, no decode) and come out
+    as one index, byte-identical to a cold build over the union corpus
+    (tested). Requires DISJOINT doc_id sets (the duplicate-postings
+    assertion in the stitch fallback trips otherwise — same contract as
+    every merge in the build). Cost: O(compressed bytes of both indexes),
+    one shuffle keyed by term.
+    """
+    from ..operators.index import _stitch_stage, postings_to_runs
+
+    if a.postings is None or b.postings is None:
+        raise ValueError("merge_indexes needs compressed postings on both sides")
+    runs = postings_to_runs(a.postings, salt=0).unionByName(
+        postings_to_runs(b.postings, salt=1)
+    )
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    postings = _stitch_stage(
+        runs,
+        ["term"],
+        num_partitions=P,
+        block_size=block_size,
+        final=True,
+        segment_max_postings=segment_max_postings,
+    )
+    postings.persist()
+    if segment_max_postings:
+        dct = postings.groupBy("term").agg(
+            F.sum("df").alias("df"),
+            F.sum("cf").alias("cf"),
+            F.max("max_tf").alias("max_tf"),
+        )
+    else:
+        dct = postings.select("term", "df", "cf", "max_tf")
+    sa, sb = a.stats, b.stats
+    n = sa["N"] + sb["N"]
+    total = sa.get("total_terms", 0) + sb.get("total_terms", 0)
+    stats = {
+        "N": n,
+        "avgdl": (total / n) if n else 1.0,
+        "total_terms": total,
+        "dl_min": min(sa.get("dl_min", 1.0), sb.get("dl_min", 1.0)),
+    }
+    return IndexArtifacts(
+        docs=a.docs.unionByName(b.docs, allowMissingColumns=True),
+        tf=a.tf.unionByName(b.tf),
+        dictionary=dct,
+        postings=postings,
+        stats=stats,
+    )
+
+
 def run_queries(
     spark: SparkSession,
     index: IndexArtifacts,

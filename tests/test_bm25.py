@@ -121,6 +121,32 @@ def test_wand_no_driver_doc_materialization(spark, index, monkeypatch):
     assert calls == [] and n > 0
 
 
+def test_wand_sharded_equals_unsharded(spark, index):
+    """Doc-sharded WAND (S tasks per query) must be bit-identical to the
+    single-group WAND path AND rank-identical to the exhaustive scorer —
+    sharding is a pure parallelism transform."""
+    from searchenginejava_spark.functions.tokenize import tokens_simple_col
+    from searchenginejava_spark.operators.index import (
+        build_sharded_postings,
+    )
+    from searchenginejava_spark.operators.search import query_terms_df
+    from searchenginejava_spark.operators.wand import wand_topk_sharded
+
+    sharded = build_sharded_postings(
+        index.tf, num_shards=4, num_partitions=8
+    )
+    qt = query_terms_df(spark, QUERIES)
+    got = _as_key(
+        wand_topk_sharded(
+            spark, qt, sharded, index.stats, k=10**6
+        ).collect()
+    )
+    wd = _as_key(
+        run_queries(spark, index, QUERIES, k=10**6, path="wand").collect()
+    )
+    assert got == wd and len(got) > 100    # full depth, scores bit-equal
+
+
 def test_wand_stress_zipf_corpus(spark):
     """WAND == exhaustive on a Zipf-skewed corpus with mixed hot/rare
     query terms — exercises lagging-pointer advancement and block skips

@@ -201,3 +201,54 @@ def test_empty_corpus_build(spark):
     idx2 = build_index(spark, blank, text_col="text", num_partitions=2)
     assert idx2.postings.count() == 0
     assert run_queries(spark, idx2, [(0, "anything")]).count() == 0
+
+
+def test_merge_indexes_incremental(spark):
+    """Incremental maintenance: build two disjoint halves, fold one into
+    the other via merge_indexes (no decode, runs re-enter the stitch) —
+    postings/norms BYTES equal the cold build over the union (the
+    gap/tf/dl streams are value-determined, so any partitioning yields
+    identical bytes), dictionary and stats match, and queries are
+    rank-identical on both indexes."""
+    from pyspark.sql import functions as F
+
+    from searchenginejava_spark.plans.pipeline import (
+        build_index,
+        merge_indexes,
+        run_queries,
+    )
+    from searchenginejava_spark.sources.source import read_documents
+
+    corpus = read_documents(spark, TESTDATA)
+    lo = corpus.filter(F.col("doc_id") % 2 == 0)
+    hi = corpus.filter(F.col("doc_id") % 2 == 1)
+    kw = dict(text_col="text", mode="full", num_partitions=4, num_salts=2)
+    idx_lo = build_index(spark, lo, **kw)
+    idx_hi = build_index(spark, hi, **kw)
+    merged = merge_indexes(spark, idx_lo, idx_hi, num_partitions=4)
+    full = build_index(spark, corpus, **kw)
+
+    got = {
+        r["term"]: (r["df"], r["cf"], r["max_tf"], bytes(r["postings"]),
+                    bytes(r["norms"]))
+        for r in merged.postings.collect()
+    }
+    want = {
+        r["term"]: (r["df"], r["cf"], r["max_tf"], bytes(r["postings"]),
+                    bytes(r["norms"]))
+        for r in full.postings.collect()
+    }
+    assert got == want
+    assert merged.stats["N"] == full.stats["N"]
+    assert abs(merged.stats["avgdl"] - full.stats["avgdl"]) < 1e-9
+
+    queries = [(0, "spark merge window"), (1, "hash join")]
+    a = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in run_queries(spark, merged, queries, path="wand").collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in run_queries(spark, full, queries, path="wand").collect()
+    )
+    assert a == b and len(a) > 0
