@@ -124,6 +124,15 @@ def main() -> None:
         query_runs[name] = runs
         queries[name] = min(runs)
 
+    # --- single-query serving latency (WAND, k=10, best of 3) --------------
+    lat_runs = []
+    single = [qset[0]]
+    for _ in range(3):
+        t0 = time.monotonic()
+        run_queries(spark, idx_code, single, path="wand").collect()
+        lat_runs.append(round(time.monotonic() - t0, 3))
+    queries["wand_single_query_latency"] = min(lat_runs)
+
     total = sum(queries.values())
     out = {
         "metric": "index_build_plus_query_wall",

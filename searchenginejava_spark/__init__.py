@@ -7,10 +7,17 @@ NOT a port: the reference is a single-JVM Java pipeline
 this engine re-expresses the same semantics as declarative Spark DataFrame
 plans plus exactly four Arrow-vectorized Python crossings (SURVEY.md §2.7):
 
-1. ``tokenize_udf``   — scalar pandas UDF, string → array<string>
-2. ``spimi_partial``  — mapInPandas per-partition partial postings
-3. ``merge_postings`` — applyInPandas salted, skew-aware merge
+1. ``tokenize_tf``    — mapInPandas fused tokenize + per-doc count (the
+                        SPIMI in-memory batch); ``tokenize_udf`` is the
+                        scalar query-time/oracle twin
+2. ``spimi_partials`` — mapInPandas per-partition compressed partial runs
+                        (incl. the WAND doc-length ``norms`` stream)
+3. ``merge_postings`` — mapInPandas byte-stitching salted two-level merge
 4. ``wand_topk``      — applyInPandas block-max WAND pruned scorer
+                        (``wand_topk_sharded``: same scorer, S doc-range
+                        shards per query for cluster-scale parallelism)
+5. ``postings_to_runs`` — mapInPandas byte-level stream split enabling
+                        incremental index merge (plans.merge_indexes)
 
 Everything else (sha256, tf/df/doc-stats aggregations, BM25 arithmetic,
 joins, top-k windows) is native Catalyst and stays inside whole-stage

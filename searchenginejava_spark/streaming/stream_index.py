@@ -6,7 +6,11 @@ module exists for the *pipeline* use-case the batch engine doesn't cover:
 continuously arriving corpus files → per-micro-batch partial postings
 (SPIMI runs), which the batch salted merge later folds into the index.
 It reuses the exact same tokenizer and partial-run format, so a streaming
-ingest followed by `merge_postings` equals a cold batch build.
+ingest followed by `merge_postings` yields the same dictionary content
+(df/cf per term) as a cold batch build — doc_ids differ (63-bit content
+hash here vs dense assignment there), which `tests/test_streaming.py`
+pins. `plans/pipeline.py::merge_indexes` then folds the merged result
+into a live index without a rebuild.
 
 Kept deliberately small: file-source → tokenize → explode → windowless
 tf per micro-batch → `foreachBatch` append of partial runs. Watermarked
