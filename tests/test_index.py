@@ -252,3 +252,40 @@ def test_merge_indexes_incremental(spark):
         for r in run_queries(spark, full, queries, path="wand").collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_merge_indexes_with_segments(spark):
+    """Incremental merge composes with segmented postings: folding two
+    half-indexes under a segment cap re-segments hot terms; decode still
+    equals the full tf relation and the dictionary sums over segments."""
+    from pyspark.sql import functions as F
+
+    from searchenginejava_spark.plans.pipeline import (
+        build_index,
+        merge_indexes,
+    )
+    from searchenginejava_spark.sources.source import read_documents
+
+    corpus = read_documents(spark, TESTDATA)
+    kw = dict(text_col="text", mode="full", num_partitions=4, num_salts=2)
+    idx_lo = build_index(spark, corpus.filter(F.col("doc_id") < 250), **kw)
+    idx_hi = build_index(spark, corpus.filter(F.col("doc_id") >= 250), **kw)
+    merged = merge_indexes(
+        spark, idx_lo, idx_hi, num_partitions=4, segment_max_postings=120
+    )
+    # hot terms got re-segmented under the cap
+    segs = merged.postings.groupBy("term").count().filter(F.col("count") > 1)
+    assert segs.count() > 0
+    assert merged.postings.filter(F.col("df") > 240).count() == 0
+    dec = decode_postings_df(merged.postings)
+    tf = build_index(spark, corpus, **kw).tf.select(
+        "term", "doc_id", F.col("tf").cast("int").alias("tf")
+    )
+    dec = dec.select("term", "doc_id", F.col("tf").cast("int").alias("tf"))
+    assert dec.exceptAll(tf).count() == 0 and tf.exceptAll(dec).count() == 0
+    # dictionary sums over segments
+    a = {r["term"]: (r["df"], r["cf"]) for r in merged.dictionary.collect()}
+    from searchenginejava_spark.operators.index import dictionary as dict_op
+
+    b = {r["term"]: (r["df"], r["cf"]) for r in dict_op(tf).collect()}
+    assert a == b

@@ -246,6 +246,45 @@ def main() -> None:
         ("minhash_near_duplicates (LSH-blocked verify)", p_nd, checks)
     )
 
+    # 7. doc-sharded WAND: per-(query, shard) applyInPandas groups + one
+    # native window for the global merge — no cartesian joins, and the
+    # query relation stays broadcast
+    from searchenginejava_spark.operators.index import build_sharded_postings
+    from searchenginejava_spark.operators.search import query_terms_df
+    from searchenginejava_spark.operators.wand import wand_topk_sharded
+
+    tf_for_shard = term_frequencies(
+        explode_tokens(tokenize_corpus(corpus, text_col="text", mode="full"))
+    )
+    sharded = build_sharded_postings(tf_for_shard, num_shards=4, num_partitions=8)
+    qt = query_terms_df(spark, [(0, "spark merge window")])
+    p_sw = plan_of(
+        wand_topk_sharded(
+            spark, qt, sharded, {"N": 100, "avgdl": 10.0, "dl_min": 1.0}
+        )
+    )
+    checks = [
+        (
+            "sharded scorer runs as per-(query,shard) FlatMapGroupsInPandas",
+            n_nodes(p_sw, "FlatMapGroupsInPandas") == 1,
+            f"FlatMapGroupsInPandas x{n_nodes(p_sw, 'FlatMapGroupsInPandas')}",
+        ),
+        (
+            "query terms broadcast; no cartesian join in the sharded plan",
+            "BroadcastHashJoin" in p_sw
+            and "CartesianProduct" not in p_sw
+            and "BroadcastNestedLoopJoin" not in p_sw,
+            "",
+        ),
+        (
+            "exactly two native windows (cross-shard term_df sum on the "
+            "pruned query subset + the global per-query top-k merge)",
+            n_nodes(p_sw, "Window") == 2,
+            f"Window x{n_nodes(p_sw, 'Window')}",
+        ),
+    ]
+    sections.append(("doc-sharded WAND (wand_topk_sharded)", p_sw, checks))
+
     ok = True
     out = ["# PLANS.md — physical-plan audit (generated by tools/explain_audit.py)", ""]
     for title, plan, cks in sections:
