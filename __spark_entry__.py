@@ -5,13 +5,15 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
-The oracle-checked queries use the engine's ``simple`` tokenize mode
-(lowercase + single-space split, zero UDF — SURVEY.md §2.2), which is
-exactly expressible in DuckDB as ``string_split(lower(text), ' ')``;
-the ``full`` reference-parity tokenizer (numbers/entities/stopwords/
-Porter) is exercised by ``entry()`` and by tests/test_parser.py —
-it is deliberately NOT oracle-checked because DuckDB cannot express
-the Porter stemmer (driver records the rows-only check for those).
+ALL registered queries are oracle-checked (value-exact). They use the
+engine's ``simple`` tokenize mode (lowercase + single-space split, zero
+UDF — SURVEY.md §2.2), which is exactly expressible in DuckDB as
+``string_split(lower(text), ' ')``; the ``full`` reference-parity
+tokenizer (numbers/entities/stopwords/Porter) is exercised by
+``entry()`` and by tests/test_parser.py — DuckDB cannot express the
+Porter stemmer, so its parity lives in frozen golden vectors instead.
+Float-sensitive queries (ANN, expansion) use identical LEFT-fold
+arithmetic on both engines so even tie-breaks are bit-stable.
 """
 
 from __future__ import annotations
@@ -164,8 +166,10 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic query expansion (reference Searcher's optional semantics
-    mode) — rows-only check: term vectors are sha256-seeded numpy draws
-    (GloVe stand-in; no network in-sandbox), not SQL-expressible."""
+    mode) under the full oracle gate: term vectors are hash-derived
+    unit vectors built with integer arithmetic + the engine's canonical
+    left folds (zero UDF), so DuckDB reproduces vectors, cosines and the
+    top-n expansion choice bit-identically."""
     from searchenginejava_spark.operators.search import expand_query
 
     tf = _tf(spark, sf_dir)
@@ -1082,4 +1086,62 @@ def oracle_sql() -> dict[str, str]:
     sql["q_wand_sharded_topk"] = sql["q_bm25_topk"]
     sql["q_ann_lsh_topk"] = _ann_lsh_sql(n_planes=8, k=10, dim=64)
     sql["q_ann_ivf_topk"] = _ann_ivf_sql(n_centroids=8, n_probe=2, k=10)
+    sql["q_query_expansion"] = _query_expansion_sql(q_values)
     return sql
+
+
+def _query_expansion_sql(
+    q_values: str, *, dim: int = 64, min_df: int = 2, n_exp: int = 2,
+    weight: float = 0.5,
+) -> str:
+    """Mirror of operators/search.py::expand_query over the simple-mode
+    tf: hash-derived unit term vectors (same H60/fold arithmetic as the
+    Spark side, bit-identical), cosine top-n per query term at damped
+    weight, original terms untouched."""
+    h = _HASH60_SQL.format(col="concat(term, ':', i)")
+    raw = (
+        f"list_transform(generate_series(0, {dim - 1}), i -> "
+        f"(({h} % 2000001) - 1000000)::DOUBLE / 1000000.0)"
+    )
+    return f"""
+    {_SQL_TF}
+    , dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+    , vraw AS (SELECT term, {raw} AS raw FROM dict WHERE df >= {min_df})
+    , vvec AS (SELECT term,
+               list_transform(raw, x -> x / {_fold_norm_sql("raw")}) AS vec
+               FROM vraw)
+    , q(query_id, term, qtf) AS (VALUES {q_values})
+    , qraw AS (SELECT term, {raw} AS raw FROM (SELECT DISTINCT term FROM q))
+    , qvec AS (SELECT term AS q_term,
+               list_transform(raw, x -> x / {_fold_norm_sql("raw")}) AS q_vec
+               FROM qraw)
+    , scored AS (
+        SELECT q.query_id, v.term, qv.q_term, q.qtf,
+               {_fold_dot_sql("v.vec", "qv.q_vec")} AS cos
+        FROM q
+        JOIN qvec qv ON q.term = qv.q_term
+        CROSS JOIN vvec v
+    )
+    , cand AS (
+        SELECT s.* FROM scored s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM q
+            WHERE q.query_id = s.query_id AND q.term = s.term
+        )
+    )
+    , expd AS (
+        SELECT query_id, term, {weight} * qtf AS qtf FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id, q_term
+                ORDER BY cos DESC, term ASC
+            ) AS rk
+            FROM cand
+        ) WHERE rk <= {n_exp}
+    )
+    SELECT query_id, term, round(sum(qtf), 6) AS qtf
+    FROM (
+        SELECT query_id, term, CAST(qtf AS DOUBLE) AS qtf FROM q
+        UNION ALL SELECT query_id, term, qtf FROM expd
+    )
+    GROUP BY query_id, term
+    """

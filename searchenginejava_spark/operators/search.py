@@ -188,35 +188,46 @@ def to_trec(results: DataFrame, *, run_id: str = "sejspark") -> DataFrame:
 def term_vectors(
     terms_df: DataFrame, *, dim: int = 64, term_col: str = "term"
 ) -> DataFrame:
-    """(term) → (term, vec array<double>) — deterministic unit vectors.
+    """(term) → (term, vec array<double>) — deterministic unit vectors,
+    100% native Catalyst (zero UDF).
 
     Stand-in for the reference's GloVe table ([R:Searcher semantics/model
     file], SURVEY.md §2.5 'semantic query expansion'): the sandbox has no
-    network to fetch real embeddings, so vectors are sha256-seeded
-    pseudo-embeddings — the DATAFLOW (distributed vector join, cosine
-    top-n per query term) is the real deliverable; swapping in a real
-    vector table is a one-line change. Vectorized: one RNG draw per term
-    batch-side, never per element.
+    network to fetch real embeddings, so component i of a term's raw
+    vector is a hash-derived uniform in [-1, 1]:
+
+        raw[i] = (H60(term ‖ ':' ‖ i) mod 2000001 − 1000000) / 10^6
+
+    normalized to unit length with the engine's canonical LEFT fold
+    (similarity.norm_col) — every step is integer arithmetic + one exact
+    division + IEEE folds, so the DuckDB oracle reproduces the vectors
+    BIT-identically (the md5-based H60 is shared with the dedup
+    operators). Swapping in a real vector table is a one-line change.
     """
-    import hashlib
+    from ..operators.dedup import str_hash60
+    from ..operators.similarity import norm_col
 
-    import numpy as np
-
-    def gen(batches):
-        for pdf in batches:
-            vecs = []
-            for t in pdf[term_col]:
-                seed = int.from_bytes(
-                    hashlib.sha256(str(t).encode()).digest()[:8], "little"
-                )
-                v = np.random.default_rng(seed).standard_normal(dim)
-                vecs.append((v / np.linalg.norm(v)).tolist())
-            yield pd.DataFrame({"term": pdf[term_col], "vec": vecs})
-
-    import pandas as pd
-
-    return terms_df.select(term_col).distinct().mapInPandas(
-        gen, schema="term string, vec array<double>"
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    raw = F.transform(
+        idx,
+        lambda i: (
+            str_hash60(
+                F.concat(F.col(term_col), F.lit(":"), i.cast("string"))
+            )
+            % F.lit(2000001)
+            - F.lit(1000000)
+        ).cast("double")
+        / F.lit(1000000.0),
+    )
+    base = (
+        terms_df.select(term_col)
+        .distinct()
+        .withColumn("raw", raw)
+        .withColumn("nrm", norm_col(F.col("raw")))
+    )
+    return base.select(
+        F.col(term_col).alias("term"),
+        F.transform(F.col("raw"), lambda x: x / F.col("nrm")).alias("vec"),
     )
 
 
