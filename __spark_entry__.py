@@ -519,6 +519,15 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(_media(spark, sf_dir), bytes_per_frame=128)
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline: exact-dedup keep → quality
+    floor → language tag → stats projection, one declarative plan built
+    from already-oracle-checked operators."""
+    from searchenginejava_spark.operators.curation import curate_corpus
+
+    return curate_corpus(_documents(spark, sf_dir), min_quality=0.5)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchenginejava_spark.operators.textstats import token_stats
 
@@ -577,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_metadata": q_media_metadata,
         "q_image_features": q_image_features,
         "q_video_frames": q_video_frames,
+        "q_corpus_curation": q_corpus_curation,
         "q_token_stats": q_token_stats,
         "q_quality_score": q_quality_score,
         "q_lang_id": q_lang_id,
@@ -809,7 +819,10 @@ _LANGS_SQL = {
 }
 
 
-def _lang_id_sql() -> str:
+def _lang_exprs() -> tuple[str, str, str]:
+    """(hits, best, pred) SQL expression strings over a ``tokl``-style
+    relation with token-list column ``l`` — shared by the lang-ID oracle
+    and the composed curation oracle."""
     hits = ", ".join(
         "len(list_intersect(list_distinct(l), ["
         + ", ".join(f"'{w}'" for w in words)
@@ -821,6 +834,11 @@ def _lang_id_sql() -> str:
     pred = "CASE " + " ".join(
         f"WHEN best > 0 AND hits_{lg} = best THEN '{lg}'" for lg in langs
     ) + " ELSE 'und' END"
+    return hits, best, pred
+
+
+def _lang_id_sql() -> str:
+    hits, best, pred = _lang_exprs()
     return (
         _SQL_TOKL
         + f", scored AS (SELECT doc_id, {hits} FROM tokl)"
@@ -1004,6 +1022,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE t.i < n_frames
         """,
         "q_lang_id": _lang_id_sql(),
+        "q_corpus_curation": _curation_sql(alpha),
         "q_fingerprint": _SQL_TOKL
         + " SELECT doc_id, sha256(array_to_string(l, ' ')) AS fingerprint FROM tokl",
         "q_rolling_fingerprint": _SQL_TOKL
@@ -1088,6 +1107,36 @@ def oracle_sql() -> dict[str, str]:
     sql["q_ann_ivf_topk"] = _ann_ivf_sql(n_centroids=8, n_probe=2, k=10)
     sql["q_query_expansion"] = _query_expansion_sql(q_values)
     return sql
+
+
+def _curation_sql(alpha: str, *, min_quality: float = 0.5) -> str:
+    """Mirror of operators/curation.py::curate_corpus: dedup keep set →
+    quality floor on the 6-decimal-rounded score → lang tag → stats."""
+    hits, best, pred = _lang_exprs()
+    return f"""
+    WITH kept AS (
+      SELECT d.* FROM documents d
+      JOIN (SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY sha256(text)) k USING (doc_id)
+    ), tokl AS (
+      SELECT doc_id, text,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+      FROM kept
+    ), q AS (
+      SELECT doc_id,
+             round((CASE WHEN len(l) BETWEEN 10 AND 100000
+                         THEN 0.4 ELSE 0.0 END)
+                   + 0.3 * (len(list_distinct(l)) / greatest(len(l), 1))
+                   + 0.3 * ({alpha} / greatest(len(l), 1)), 6) AS quality,
+             CAST(len(l) AS BIGINT) AS n_tokens
+      FROM tokl
+    ), scored AS (SELECT doc_id, {hits} FROM tokl)
+    , withbest AS (SELECT *, {best} AS best FROM scored)
+    , lng AS (SELECT doc_id, {pred} AS pred_lang FROM withbest)
+    SELECT q.doc_id, lng.pred_lang, q.quality, q.n_tokens
+    FROM q JOIN lng USING (doc_id)
+    WHERE q.quality >= {min_quality}
+    """
 
 
 def _query_expansion_sql(

@@ -1,0 +1,55 @@
+"""Corpus curation — the composed training-data pipeline the individual
+operators exist for: exact dedup (keep = min doc_id per content) →
+quality floor → language tag → per-doc stats projection, all in one
+declarative plan (zero UDF; every stage is an already-oracle-checked
+native operator from dedup.py / textstats.py).
+
+Scale shape: one (sha256, id) shuffle for the keep set, a left-semi join
+back (text never shuffles), then three narrow per-row expression stages
+fused by Catalyst into the same scan. At 100 TB this is a single pass
+over the corpus plus the dedup hash-agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import exact_duplicates
+from .textstats import lang_id, quality_score, token_stats
+
+
+def curate_corpus(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """documents → curated (doc_id, pred_lang, quality, n_tokens).
+
+    Keeps exactly one doc per distinct content (the min id — the same
+    keep rule `dedup_clusters` uses), then drops docs whose heuristic
+    quality score (textstats.quality_score, C4/Gopher-style) is below
+    ``min_quality``. The threshold compares the 6-decimal-rounded score,
+    so the cut is bit-stable across engines.
+    """
+    keep = exact_duplicates(df, text_col=text_col, id_col=id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    kept = df.join(keep, id_col, "left_semi")
+    q = quality_score(kept, text_col=text_col, id_col=id_col).filter(
+        F.col("quality") >= min_quality
+    )
+    lng = lang_id(kept, text_col=text_col, id_col=id_col).select(
+        "doc_id", "pred_lang"
+    )
+    stats = token_stats(kept, text_col=text_col, id_col=id_col).select(
+        "doc_id", "n_tokens"
+    )
+    return (
+        q.select("doc_id", "quality")
+        .join(lng, "doc_id")
+        .join(stats, "doc_id")
+        .select("doc_id", "pred_lang", "quality", "n_tokens")
+    )

@@ -1,0 +1,46 @@
+"""Composed corpus-curation pipeline: exact-dedup keep + quality floor +
+language tag in one declarative plan."""
+
+from __future__ import annotations
+
+from searchenginejava_spark.operators.curation import curate_corpus
+
+GOOD_EN = (
+    "the quick brown fox jumps over the lazy dog and runs far away "
+    "into the green forest with many other animals around it"
+)
+GOOD_FR = (
+    "le chat noir est dans la maison et il regarde par la fenêtre "
+    "pour voir les oiseaux dans le jardin un matin calme"
+)
+JUNK = "x1 9 $$ ## 7q"                      # short + non-alpha → low quality
+
+
+def test_curation_dedup_quality_lang(spark):
+    rows = [
+        (0, GOOD_EN),
+        (1, GOOD_EN),          # exact duplicate of 0 → dropped (keep min id)
+        (2, GOOD_FR),
+        (3, JUNK),             # below the quality floor → dropped
+        (4, GOOD_EN + " extra tail words here"),   # near-dup but distinct
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in curate_corpus(df, min_quality=0.5).collect()}
+    assert set(got) == {0, 2, 4}             # 1 deduped, 3 quality-cut
+    assert got[0]["pred_lang"] == "en"
+    assert got[2]["pred_lang"] == "fr"
+    assert all(r["quality"] >= 0.5 for r in got.values())
+    assert got[0]["n_tokens"] == len(GOOD_EN.split())
+
+
+def test_curation_is_idempotent(spark):
+    rows = [(i, GOOD_EN + f" tail {i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = curate_corpus(df)
+    kept = once.select("doc_id")
+    again = curate_corpus(
+        df.join(kept, "doc_id", "left_semi")
+    )
+    a = sorted(tuple(r) for r in once.collect())
+    b = sorted(tuple(r) for r in again.collect())
+    assert a == b                             # curating curated output is a no-op
