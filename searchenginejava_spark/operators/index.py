@@ -268,7 +268,9 @@ def spimi_partials(
             n = int(e - s)
             nb = (n + block_size - 1) // block_size
             b_ends = np.minimum(s + np.arange(1, nb + 1) * block_size, e)
-            bmax = np.maximum.reduceat(tfs[s:e], np.arange(0, n, block_size))
+            bounds = np.arange(0, n, block_size)
+            bmax = np.maximum.reduceat(tfs[s:e], bounds)
+            bmindl = np.minimum.reduceat(dls[s:e], bounds)
             rows.append(
                 (
                     terms[s],
@@ -283,6 +285,8 @@ def spimi_partials(
                     int(max_tf[gi]),
                     bmax.tolist(),
                     doc_ids[b_ends - 1].tolist(),
+                    bmindl.tolist(),
+                    int(bmindl.min()),
                 )
             )
         yield pd.DataFrame(rows, columns=PARTIAL_POSTINGS.fieldNames())
@@ -322,9 +326,11 @@ def _stitch_group(rows: list[dict], block_size: int) -> dict:
             gap_parts.append(gb[first_varint_nbytes(gb):])
         bmax: list[int] = []
         blast: list[int] = []
+        bmindl: list[int] = []
         for r in rows:
             bmax.extend(r["block_max_tf"])
             blast.extend(r["block_last_doc"])
+            bmindl.extend(r["block_min_dl"])
         return {
             "term": rows[0]["term"],
             "salt": rows[0]["salt"],
@@ -339,6 +345,8 @@ def _stitch_group(rows: list[dict], block_size: int) -> dict:
             "max_tf": max(r["max_tf"] for r in rows),
             "block_max_tf": bmax,
             "block_last_doc": blast,
+            "block_min_dl": bmindl,
+            "min_dl": min(r["min_dl"] for r in rows),
         }
 
     # decode-merge fallback (overlapping doc ranges)
@@ -376,6 +384,10 @@ def _stitch_group(rows: list[dict], block_size: int) -> dict:
             tfs, np.arange(0, n, block_size)
         ).tolist(),
         "block_last_doc": doc_ids[b_ends - 1].tolist(),
+        "block_min_dl": np.minimum.reduceat(
+            dls, np.arange(0, n, block_size)
+        ).tolist(),
+        "min_dl": int(dls.min()),
     }
 
 
@@ -389,6 +401,8 @@ def _final_row(merged: dict, vb_encode, np) -> tuple:
         len(merged["block_max_tf"]),
         merged["block_max_tf"],
         merged["block_last_doc"],
+        merged["block_min_dl"],
+        merged["min_dl"],
         vb_encode(np.array([merged["n"]], dtype=np.uint64))
         + bytes(merged["gap_bytes"])
         + bytes(merged["tf_bytes"]),
@@ -617,6 +631,8 @@ def postings_to_runs(postings: DataFrame, *, salt: int = 0) -> DataFrame:
                         int(rec["max_tf"]),
                         rec["block_max_tf"],
                         rec["block_last_doc"],
+                        rec["block_min_dl"],
+                        int(rec["min_dl"]),
                     )
                 )
             yield pd.DataFrame(rows, columns=PARTIAL_POSTINGS.fieldNames())

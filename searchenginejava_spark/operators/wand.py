@@ -19,13 +19,17 @@ costs ~1-2 varbyte bytes per posting instead and shards with the terms).
 
 Pruning structure:
 - WAND pivot selection over term-level upper bounds (ub_t = qtf·idf·
-  (k1+1)·max_tf / (max_tf + K(dl_min))) — skips docs that cannot enter
-  the current top-k;
-- block-max refinement at scoring time: if the sum of the pivot's
-  per-block upper bounds is below the heap threshold, the exact scoring
-  of that document is skipped entirely.
-Both bounds are true upper bounds (tf-monotone, dl-antitone), so no
-qualifying document is ever skipped → exact top-k.
+  (k1+1)·max_tf / (max_tf + K(min_dl_t))) — skips docs that cannot enter
+  the current top-k; min_dl_t is the pointer's OWN minimum doc length
+  (stamped per run at SPIMI time), far tighter than a global dl_min on
+  corpora whose doc lengths span orders of magnitude;
+- block-max refinement at scoring time: per-block bounds use that
+  block's (max_tf, min_dl) pair — if the sum of the pivot's per-block
+  upper bounds is below the heap threshold, the exact scoring of that
+  document is skipped entirely.
+Both bounds are true upper bounds (BM25 is tf-monotone and dl-antitone,
+so max_tf + min_dl bounds any (tf, dl) in the span), so no qualifying
+document is ever skipped → exact top-k.
 """
 
 from __future__ import annotations
@@ -58,7 +62,6 @@ def _wand_one_query(
         vb_decode,
     )
 
-    K_min = k1 * (1.0 - b + b * dl_min / avgdl)
     ptrs = []
     for t in terms:
         doc_ids, tfs = decode_postings(bytes(t["postings"]))
@@ -67,9 +70,19 @@ def _wand_one_query(
         idf = math.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0)
         w = float(t["qtf"]) * idf
         mt = float(t["max_tf"])
-        ub = w * (mt * (k1 + 1.0)) / (mt + K_min)
+        # pointer-level bound from the run's OWN min doc length (falls
+        # back to the global dl_min for legacy rows without the column)
+        t_min_dl = float(t.get("min_dl") or dl_min)
+        K_t = k1 * (1.0 - b + b * t_min_dl / avgdl)
+        ub = w * (mt * (k1 + 1.0)) / (mt + K_t)
         bmax = np.asarray(t["block_max_tf"], dtype=np.float64)
-        block_ub = w * (bmax * (k1 + 1.0)) / (bmax + K_min)
+        bmindl = (
+            np.asarray(t["block_min_dl"], dtype=np.float64)
+            if t.get("block_min_dl") is not None
+            else np.full(bmax.shape, dl_min)
+        )
+        K_blk = k1 * (1.0 - b + b * bmindl / avgdl)
+        block_ub = w * (bmax * (k1 + 1.0)) / (bmax + K_blk)
         blast = np.asarray(t["block_last_doc"], dtype=np.int64)
         ptrs.append(
             {
@@ -196,6 +209,8 @@ def wand_topk(
         "max_tf",
         "block_max_tf",
         "block_last_doc",
+        "block_min_dl",
+        "min_dl",
         "postings",
         "norms",
     )
@@ -257,6 +272,8 @@ def wand_topk_sharded(
         "max_tf",
         "block_max_tf",
         "block_last_doc",
+        "block_min_dl",
+        "min_dl",
         "gap_bytes",
         "tf_bytes",
         "dl_bytes",

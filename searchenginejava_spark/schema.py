@@ -65,6 +65,11 @@ POSTINGS = StructType(
         StructField("n_blocks", IntegerType(), False),
         StructField("block_max_tf", ArrayType(IntegerType()), False),
         StructField("block_last_doc", ArrayType(LongType()), False),
+        # per-block MIN doc_len + per-row min: tightens WAND's upper
+        # bounds far beyond the global dl_min (BM25 is dl-antitone, so
+        # max_tf + min_dl bounds the block's best possible contribution)
+        StructField("block_min_dl", ArrayType(IntegerType()), False),
+        StructField("min_dl", IntegerType(), False),
         StructField("postings", BinaryType(), False),
         # varbyte doc_len-per-posting stream, positionally aligned with the
         # posting list — the WAND scorer's doc-length "norms sidecar". Doc
@@ -123,5 +128,7 @@ PARTIAL_POSTINGS = StructType(
         StructField("max_tf", IntegerType(), False),
         StructField("block_max_tf", ArrayType(IntegerType()), False),
         StructField("block_last_doc", ArrayType(LongType()), False),
+        StructField("block_min_dl", ArrayType(IntegerType()), False),
+        StructField("min_dl", IntegerType(), False),
     ]
 )
