@@ -77,6 +77,83 @@ def start_partial_ingest(
     )
 
 
+def streaming_exact_dedup(
+    stream: DataFrame,
+    *,
+    content_col: str = "content",
+) -> DataFrame:
+    """Cross-micro-batch EXACT dedup — the streaming twin of
+    operators/dedup.py::exact_duplicates, as a custom stateful operator
+    (``applyInPandasWithState``).
+
+    Groups by sha256(content); per content-key state is a single seen
+    flag in the state store, so a document whose content already arrived
+    in ANY earlier micro-batch is dropped, and within a batch only the
+    (repo, path, commit)-minimal row survives (deterministic under
+    arbitrary arrival order). State is O(distinct contents) × ~1 flag —
+    the streaming analog of the batch job's (hash, id) shuffle; no
+    timeout, because a duplicate is a duplicate forever.
+
+    Returns the deduplicated stream (same columns + ``content_key``);
+    compose with ``start_partial_ingest``'s tokenize→SPIMI stages or any
+    sink.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("content_key", StringType(), False),
+            StructField("repo", StringType(), True),
+            StructField("path", StringType(), True),
+            StructField("commit", StringType(), True),
+            StructField("lang", StringType(), True),
+            StructField(content_col, StringType(), True),
+        ]
+    )
+    state_schema = StructType([StructField("seen", IntegerType(), False)])
+
+    def keep_first(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        first = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["repo", "path", "commit"], kind="stable")
+            cand = pdf.iloc[[0]]
+            if first is None or tuple(
+                cand.iloc[0][["repo", "path", "commit"]]
+            ) < tuple(first.iloc[0][["repo", "path", "commit"]]):
+                first = cand
+        if state.exists or first is None:
+            return  # content already kept in an earlier batch → all dups
+        state.update((1,))
+        # the grouping column content_key is already part of the rows
+        yield first[
+            ["content_key", "repo", "path", "commit", "lang", content_col]
+        ]
+
+    return (
+        stream.withColumn(
+            "content_key", F.sha2(F.col(content_col), 256)
+        )
+        .groupBy("content_key")
+        .applyInPandasWithState(
+            keep_first,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def windowed_term_rates(
     events: DataFrame,
     *,

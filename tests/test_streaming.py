@@ -86,6 +86,56 @@ def test_stream_is_exactly_once_on_restart(spark, tmp_path):
     assert n1 == n2
 
 
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """Stateful streaming dedup: duplicate content arriving in LATER
+    micro-batches is dropped by the state store; within a batch the
+    (repo,path,commit)-minimal row wins; restart keeps state exactly-once."""
+    from pyspark.sql import functions as F
+
+    from searchenginejava_spark.streaming.stream_index import (
+        streaming_exact_dedup,
+    )
+
+    src = str(tmp_path / "dsrc")
+    ckpt = str(tmp_path / "dckpt")
+    # file 1: A twice (within-batch dup) + B;  file 2 (later batch): A again + C
+    batch1 = [
+        ("r1", "b.py", "c1", "py", "content A"),
+        ("r1", "a.py", "c1", "py", "content A"),
+        ("r1", "c.py", "c1", "py", "content B"),
+    ]
+    batch2 = [
+        ("r2", "z.py", "c2", "py", "content A"),
+        ("r2", "d.py", "c2", "py", "content C"),
+    ]
+    cols = "repo string, path string, commit string, lang string, content string"
+    spark.createDataFrame(batch1, cols).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(batch2, cols).coalesce(1).write.mode("append").parquet(src)
+
+    stream = stream_source(spark, src, max_files_per_trigger=1)
+    deduped = streaming_exact_dedup(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dedup_out").collect()
+    by_content = {}
+    for r in rows:
+        by_content.setdefault(r["content"], []).append((r["repo"], r["path"]))
+    # one survivor per distinct content
+    assert sorted(by_content) == ["content A", "content B", "content C"]
+    assert all(len(v) == 1 for v in by_content.values())
+    # within-batch tie for A resolved to the minimal (repo, path, commit);
+    # the later-batch A was dropped by state regardless of batch order
+    assert by_content["content A"][0][0] == "r1"
+    assert by_content["content A"][0][1] == "a.py"
+
+
 def test_windowed_term_rates(spark, tmp_path):
     """Watermarked tumbling-window monitoring agg over a file stream ==
     the same windows computed in batch."""
