@@ -1,0 +1,103 @@
+"""spark-submit main — corpus curation for training-data pipelines.
+
+Usage:
+  spark-submit --py-files searchenginejava_spark.zip jobs/curate.py \
+      --input /path/to/documents_parquet --output /path/to/curated \
+      [--text-col text] [--min-quality 0.5] \
+      [--near-dup] [--jaccard 0.5] [--num-hashes 64] [--bands 16]
+
+Stage 1 (always): exact dedup (keep = min doc_id per content) + quality
+floor + language tag (operators/curation.py — one declarative plan).
+Stage 2 (``--near-dup``): MinHash+LSH near-duplicate pairs over the
+survivors → connected components → keep only cluster-canonical docs
+(operators/dedup.py). Output parquet: the curated metadata joined back
+to the full input rows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--min-quality", type=float, default=0.5)
+    p.add_argument("--near-dup", action="store_true")
+    p.add_argument("--jaccard", type=float, default=0.5)
+    p.add_argument("--num-hashes", type=int, default=64)
+    p.add_argument("--bands", type=int, default=16)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    # AQE coalesces post-shuffle partitions to the data's actual size, so
+    # the same job is right-sized at sf0.001 and at cluster scale; any
+    # spark-submit --conf overrides these defaults.
+    spark = (
+        SparkSession.builder.appName("sej-curate")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .getOrCreate()
+    )
+
+    from searchenginejava_spark.operators.curation import curate_corpus
+    from searchenginejava_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_near_duplicates,
+    )
+
+    docs = spark.read.parquet(args.input)
+    n_in = docs.count()
+    curated = curate_corpus(
+        docs,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        min_quality=args.min_quality,
+    )
+    kept = docs.join(
+        curated.select(F.col("doc_id").alias(args.id_col)),
+        args.id_col,
+        "left_semi",
+    )
+    if args.near_dup:
+        kept.persist()
+        pairs = minhash_near_duplicates(
+            kept,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            num_hashes=args.num_hashes,
+            bands=args.bands,
+            threshold=args.jaccard,
+        )
+        clusters = dedup_clusters(pairs, kept, id_col=args.id_col)
+        kept = kept.join(
+            clusters.filter(F.col("is_canonical")).select(args.id_col),
+            args.id_col,
+            "left_semi",
+        )
+    out = kept.join(
+        curated.withColumnRenamed("doc_id", args.id_col), args.id_col
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    n_out = spark.read.parquet(args.output).count()
+    print(
+        json.dumps(
+            {
+                "status": "complete",
+                "docs_in": n_in,
+                "docs_kept": n_out,
+                "near_dup_stage": bool(args.near_dup),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -33,6 +33,35 @@ def test_curation_dedup_quality_lang(spark):
     assert got[0]["n_tokens"] == len(GOOD_EN.split())
 
 
+def test_curate_job_end_to_end(spark, tmp_path):
+    """jobs/curate.py main(): exact-dedup + quality floor + near-dup
+    clustering, parquet in → parquet out, output rows keep the full
+    input schema plus the curation metadata."""
+    from jobs.curate import main
+
+    rows = [
+        (0, GOOD_EN),
+        (1, GOOD_EN),                              # exact dup of 0
+        (2, GOOD_EN + " with a tiny appended tail"),  # near-dup of 0
+        (3, GOOD_FR),
+        (4, JUNK),                                  # quality-cut
+    ]
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "curated")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    rc = main(
+        ["--input", src, "--output", out, "--near-dup", "--jaccard", "0.4"]
+    )
+    assert rc == 0
+    got = spark.read.parquet(out)
+    kept = sorted(r["doc_id"] for r in got.collect())
+    assert 1 not in kept and 4 not in kept        # dup + junk gone
+    assert 0 in kept and 3 in kept                # canonicals survive
+    assert {"doc_id", "text", "pred_lang", "quality", "n_tokens"} <= set(
+        got.columns
+    )
+
+
 def test_curation_is_idempotent(spark):
     rows = [(i, GOOD_EN + f" tail {i}") for i in range(6)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
