@@ -558,6 +558,56 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_fingerprint(_documents(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# positional index / phrase / proximity
+# ---------------------------------------------------------------------------
+
+_PHRASE = ["table", "hash"]
+_PROX = ("customer", "join", 5)
+
+
+def _pindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchenginejava_spark.operators.positional import positional_index
+
+    return positional_index(_documents(spark, sf_dir), mode="simple")
+
+
+def q_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional postings exploded to (doc_id, term, pos) rows — the
+    driver-hashable projection of the positions arrays (1-based, matching
+    DuckDB generate_subscripts over the filtered token list)."""
+    return (
+        _pindex(spark, sf_dir)
+        .select("doc_id", "term", F.explode("positions").alias("pos"))
+        .select("doc_id", "term", F.col("pos").cast("long").alias("pos"))
+    )
+
+
+def q_positions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta+varbyte position streams: encode → decode → exploded rows;
+    hash-equal to the purely relational token enumeration proves the
+    position codec end-to-end."""
+    from searchenginejava_spark.operators.positional import (
+        decode_positional,
+        encode_positional,
+    )
+
+    return decode_positional(encode_positional(_pindex(spark, sf_dir)))
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchenginejava_spark.operators.positional import phrase_match
+
+    return phrase_match(_pindex(spark, sf_dir), _PHRASE)
+
+
+def q_proximity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchenginejava_spark.operators.positional import proximity_match
+
+    a, b, w = _PROX
+    return proximity_match(_pindex(spark, sf_dir), a, b, window=w)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_term_frequencies": q_term_frequencies,
@@ -592,6 +642,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
         "q_rolling_fingerprint": q_rolling_fingerprint,
+        "q_positional_index": q_positional_index,
+        "q_positions_roundtrip": q_positions_roundtrip,
+        "q_phrase_match": q_phrase_match,
+        "q_proximity_match": q_proximity_match,
     }
 
 
@@ -1100,6 +1154,43 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY rank <= {_TOPK}
         """,
     }
+    # positional index: 1-based positions over the filtered token list —
+    # generate_subscripts in the tok CTE enumerates the same sequence
+    sql["q_positional_index"] = (
+        _SQL_TOKL
+        + " SELECT doc_id, term, CAST(pos AS BIGINT) AS pos FROM tok"
+    )
+    # codec roundtrip decodes back to the identical row set
+    sql["q_positions_roundtrip"] = sql["q_positional_index"]
+    p0, p1 = _PHRASE
+    sql["q_phrase_match"] = (
+        _SQL_TOKL
+        + f"""
+        , p0 AS (SELECT doc_id, pos FROM tok WHERE term = '{p0}')
+        , p1 AS (SELECT doc_id, pos FROM tok WHERE term = '{p1}')
+        SELECT p0.doc_id AS doc_id,
+               count(*) AS phrase_tf,
+               CAST(min(p0.pos) AS BIGINT) AS first_pos
+        FROM p0 JOIN p1 ON p0.doc_id = p1.doc_id AND p1.pos = p0.pos + 1
+        GROUP BY p0.doc_id
+        """
+    )
+    pa, pb, pw = _PROX
+    # min over within-window pairs == min over all pairs whenever at
+    # least one pair is in the window (the global min is then <= w)
+    sql["q_proximity_match"] = (
+        _SQL_TOKL
+        + f"""
+        , pa AS (SELECT doc_id, pos FROM tok WHERE term = '{pa}')
+        , pb AS (SELECT doc_id, pos FROM tok WHERE term = '{pb}')
+        SELECT pa.doc_id AS doc_id,
+               count(*) AS n_pairs,
+               CAST(min(abs(pa.pos - pb.pos)) AS BIGINT) AS min_dist
+        FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+             AND abs(pa.pos - pb.pos) <= {pw} AND pa.pos <> pb.pos
+        GROUP BY pa.doc_id
+        """
+    )
     # WAND pruning is output-invisible: same oracle as the exhaustive path
     sql["q_wand_topk"] = sql["q_bm25_topk"]
     sql["q_wand_sharded_topk"] = sql["q_bm25_topk"]

@@ -1,0 +1,273 @@
+"""Positional index + phrase / proximity queries.
+
+Extends the inverted index (SURVEY.md §2.3-§2.4) with term POSITIONS —
+the classic positional-postings upgrade (Manning et al., IIR §2.4) that
+a user of a reference-class fulltext engine expects for phrase search.
+
+Dataflow (all native Catalyst until the optional compression step):
+
+  tokens --posexplode--> (doc_id, pos, term)
+         --hashAgg-----> pi(doc_id, term, tf, positions sorted-array)
+         --[optional mapInPandas]--> delta+varbyte pos_bytes   [codec]
+
+  phrase_match:  k-1 equi-joins on doc_id, positions intersected with
+                 higher-order functions (filter/array_contains) — the
+                 adjacency check never leaves the JVM.
+  proximity:     one equi-join + a nested aggregate/filter fold.
+
+Scale notes (10^12 docs):
+- ``positional_index`` is one hash agg over the exploded tokens; the
+  positions array per (doc, term) is bounded by doc length, so rows
+  stay small. Persisted positional postings partition by term range
+  (same layout as ``index_store``), so a phrase query's
+  ``term IN (...)`` prunes partitions at the scan.
+- ``phrase_match`` joins only the query terms' posting slices — each a
+  tiny fraction of the index — and the join chain starts from the
+  RAREST term (df computed on the sliced rows only), so every later
+  join sees an already-pruned candidate doc set; with a dictionary at
+  hand the first slice is broadcast-able.
+- Position streams compress with the same delta+varbyte codec as doc
+  gaps (positions within a doc are ascending); encode/decode is
+  vectorized — one ``vb_encode`` per Arrow batch, rows are buffer
+  slices, mirroring ``spimi_partials``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def positional_index(
+    corpus: DataFrame, *, text_col: str = "text", mode: str = "simple"
+) -> DataFrame:
+    """corpus → (doc_id, term, tf, positions array<int>).
+
+    Positions are 1-based indices into the token sequence AFTER
+    tokenization (simple: lower/split/drop-empty — bit-identical to the
+    DuckDB oracle's ``generate_subscripts``; full: the complete Parse +
+    stopword + Porter pipeline, positions indexing the surviving
+    stemmed sequence).
+    """
+    if mode == "simple":
+        from ..functions.tokenize import tokens_simple_col
+
+        toks = corpus.select(
+            "doc_id", tokens_simple_col(text_col).alias("tokens")
+        )
+    else:
+        from ..functions.tokenize import make_tokenize_udf
+
+        toks = corpus.select(
+            "doc_id", make_tokenize_udf()(F.col(text_col)).alias("tokens")
+        )
+    exploded = toks.select(
+        "doc_id", F.posexplode("tokens").alias("pos0", "term")
+    )
+    return exploded.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("int").alias("tf"),
+        F.sort_array(F.collect_list(F.col("pos0") + F.lit(1))).alias(
+            "positions"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# compressed positional postings (delta+varbyte, same codec as doc gaps)
+# --------------------------------------------------------------------------
+
+def encode_positional(pi: DataFrame) -> DataFrame:
+    """(doc_id, term, tf, positions) → (term, doc_id, tf, pos_bytes).
+
+    Delta-encodes each row's ascending positions (first value absolute)
+    and varbyte-packs them. Vectorized like ``spimi_partials``: ONE
+    ``vb_encode`` call per Arrow batch over the flattened deltas; each
+    row's bytes are offsets-slices of the shared buffer.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from searchenginejava_spark.functions.codec import (
+            vb_byte_lengths,
+            vb_encode,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens = pdf["positions"].map(len).to_numpy(dtype="int64")
+            flat = np.concatenate(
+                [np.asarray(p, dtype="int64") for p in pdf["positions"]]
+            ) if lens.sum() else np.empty(0, dtype="int64")
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            deltas = np.empty_like(flat)
+            if len(flat):
+                deltas[1:] = flat[1:] - flat[:-1]
+                deltas[starts[lens > 0]] = flat[starts[lens > 0]]
+            buf = vb_encode(deltas.astype(np.uint64))
+            off = np.concatenate(([0], np.cumsum(vb_byte_lengths(deltas))))
+            row_ends = np.cumsum(lens)
+            yield pd.DataFrame(
+                {
+                    "term": pdf["term"],
+                    "doc_id": pdf["doc_id"],
+                    "tf": pdf["tf"],
+                    "pos_bytes": [
+                        buf[off[s] : off[e]]
+                        for s, e in zip(starts, row_ends)
+                    ],
+                }
+            )
+
+    return pi.mapInPandas(
+        run, schema="term string, doc_id long, tf int, pos_bytes binary"
+    )
+
+
+def decode_positional(enc: DataFrame) -> DataFrame:
+    """(term, doc_id, tf, pos_bytes) → exploded (term, doc_id, pos) rows
+    — the roundtrip proof surface (hash-comparable against the purely
+    relational token enumeration)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from searchenginejava_spark.functions.codec import vb_decode
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            terms: list = []
+            ids: list = []
+            poss: list = []
+            for t, d, b in zip(pdf["term"], pdf["doc_id"], pdf["pos_bytes"]):
+                vals = np.cumsum(vb_decode(bytes(b)).astype(np.int64))
+                terms.extend([t] * len(vals))
+                ids.extend([d] * len(vals))
+                poss.extend(vals.tolist())
+            yield pd.DataFrame({"term": terms, "doc_id": ids, "pos": poss})
+
+    return enc.mapInPandas(run, schema="term string, doc_id long, pos long")
+
+
+# --------------------------------------------------------------------------
+# phrase + proximity queries (pure Catalyst higher-order functions)
+# --------------------------------------------------------------------------
+
+def _slice(pi: DataFrame, term: str, pos_alias: str) -> DataFrame:
+    return pi.filter(F.col("term") == F.lit(term)).select(
+        "doc_id", F.col("positions").alias(pos_alias)
+    )
+
+
+def phrase_match(pi: DataFrame, phrase_terms: list[str]) -> DataFrame:
+    """Docs containing ``phrase_terms`` consecutively → (doc_id,
+    phrase_tf, first_pos). phrase_tf counts every start position
+    (overlapping matches count), first_pos is the 1-based position of
+    the earliest match.
+
+    The candidate set shrinks monotonically: after joining term i, the
+    surviving start-position array keeps only starts whose first i+1
+    words match, and docs with an empty array are dropped before the
+    next join. Join order anchors on the phrase's RAREST term first
+    (df over the k sliced groups only — a tiny agg), so the initial
+    candidate doc set is minimal; adjacency offsets are rebased
+    accordingly. Duplicate terms in the phrase are handled naturally
+    (each offset checks its own slice).
+    """
+    if not phrase_terms:
+        raise ValueError("phrase_terms must be non-empty")
+    k = len(phrase_terms)
+    if k == 1:
+        one = _slice(pi, phrase_terms[0], "ps")
+        return one.select(
+            "doc_id",
+            F.size("ps").cast("long").alias("phrase_tf"),
+            F.element_at("ps", 1).cast("long").alias("first_pos"),
+        )
+
+    # df per distinct query term — ONE action over the term-pruned scan
+    distinct_terms = list(set(phrase_terms))
+    sliced = pi.filter(F.col("term").isin(distinct_terms)).select(
+        "term", "doc_id", "positions"
+    )
+    dfs = {t: 0 for t in distinct_terms}
+    for r in sliced.groupBy("term").count().collect():
+        dfs[r["term"]] = r["count"]
+    slices = {
+        t: sliced.filter(F.col("term") == F.lit(t)).select(
+            "doc_id", "positions"
+        )
+        for t in distinct_terms
+    }
+    anchor_i = min(range(k), key=lambda i: (dfs[phrase_terms[i]], i))
+
+    # candidates start as the anchor term's start positions, rebased so
+    # ``ps`` always holds PHRASE-START positions (pos - anchor offset)
+    cur = slices[phrase_terms[anchor_i]].select(
+        "doc_id",
+        F.expr(f"transform(positions, p -> p - {anchor_i})").alias("ps"),
+    )
+    order = sorted(
+        (i for i in range(k) if i != anchor_i),
+        key=lambda i: (dfs[phrase_terms[i]], i),
+    )
+    for i in order:
+        nxt = slices[phrase_terms[i]].select(
+            "doc_id", F.col("positions").alias("qs")
+        )
+        cur = (
+            cur.join(nxt, "doc_id")
+            .select(
+                "doc_id",
+                F.expr(
+                    f"filter(ps, p -> array_contains(qs, p + {i}))"
+                ).alias("ps"),
+            )
+            .filter(F.size("ps") > 0)
+        )
+    # starts rebased below 1 are impossible matches and are already gone:
+    # a start p < 1 fails the offset-0 adjacency check (positions are
+    # 1-based), and offset 0 is always in the join order unless it IS the
+    # anchor — in which case no rebase happened.
+    return cur.select(
+        "doc_id",
+        F.size("ps").cast("long").alias("phrase_tf"),
+        F.array_min("ps").cast("long").alias("first_pos"),
+    )
+
+
+def proximity_match(
+    pi: DataFrame, term_a: str, term_b: str, *, window: int
+) -> DataFrame:
+    """Docs where ``term_a`` and ``term_b`` co-occur within ``window``
+    token positions (unordered) → (doc_id, n_pairs, min_dist).
+
+    One equi-join on doc_id over the two posting slices; the pair count
+    and minimum distance are nested JVM folds over the two position
+    arrays (O(|pa|·|pb|) per doc — position lists are doc-length
+    bounded, so per-row work is tiny and fully codegen'd).
+    """
+    a = _slice(pi, term_a, "pa")
+    b = _slice(pi, term_b, "pb")
+    joined = a.join(b, "doc_id")
+    n_pairs = F.expr(
+        "aggregate(pa, 0L, (acc, p) -> acc + size(filter(pb, "
+        f"q -> abs(q - p) <= {int(window)} AND q <> p)))"
+    )
+    min_dist = F.expr(
+        "array_min(flatten(transform(pa, p -> "
+        "transform(filter(pb, q -> q <> p), q -> abs(q - p)))))"
+    )
+    return (
+        joined.select(
+            "doc_id",
+            n_pairs.alias("n_pairs"),
+            min_dist.cast("long").alias("min_dist"),
+        )
+        .filter(F.col("n_pairs") > 0)
+    )

@@ -1,0 +1,172 @@
+"""Positional index, phrase match, proximity, position-codec roundtrip."""
+
+from __future__ import annotations
+
+import pytest
+
+from searchenginejava_spark.operators.positional import (
+    decode_positional,
+    encode_positional,
+    phrase_match,
+    positional_index,
+    proximity_match,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the quick brown dog"),
+    (1, "quick brown quick brown quick"),
+    (2, "brown quick"),                      # reversed — no phrase match
+    (3, "the fox"),
+    (4, "a a a a"),                          # duplicate-term phrase fodder
+]
+
+
+@pytest.fixture(scope="module")
+def pi(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = positional_index(df, mode="simple")
+    out.persist().count()
+    yield out
+    out.unpersist()
+
+
+def test_positions_are_1based_sorted(pi):
+    rows = {
+        (r["doc_id"], r["term"]): (r["tf"], r["positions"])
+        for r in pi.collect()
+    }
+    assert rows[(0, "the")] == (2, [1, 7])
+    assert rows[(0, "quick")] == (2, [2, 8])
+    assert rows[(1, "quick")] == (3, [1, 3, 5])
+    assert rows[(2, "brown")] == (1, [1])
+
+
+def test_phrase_match_basic(pi):
+    got = {
+        r["doc_id"]: (r["phrase_tf"], r["first_pos"])
+        for r in phrase_match(pi, ["quick", "brown"]).collect()
+    }
+    # doc 0: starts 2 and 8; doc 1: starts 1 and 3; doc 2: reversed only
+    assert got == {0: (2, 2), 1: (2, 1)}
+
+
+def test_phrase_match_trigram_and_order(pi):
+    got = {
+        r["doc_id"]: r["phrase_tf"]
+        for r in phrase_match(pi, ["the", "quick", "brown"]).collect()
+    }
+    assert got == {0: 2}
+    assert phrase_match(pi, ["brown", "the"]).count() == 0
+
+
+def test_phrase_duplicate_terms_overlapping(pi):
+    # "a a" in "a a a a": overlapping starts 1,2,3
+    got = {
+        r["doc_id"]: (r["phrase_tf"], r["first_pos"])
+        for r in phrase_match(pi, ["a", "a"]).collect()
+    }
+    assert got == {4: (3, 1)}
+
+
+def test_phrase_single_term(pi):
+    got = {
+        r["doc_id"]: (r["phrase_tf"], r["first_pos"])
+        for r in phrase_match(pi, ["fox"]).collect()
+    }
+    assert got == {0: (1, 4), 3: (1, 2)}
+
+
+def test_phrase_oov_term_empty(pi):
+    assert phrase_match(pi, ["quick", "zebra"]).count() == 0
+
+
+def test_proximity_window(pi):
+    # doc 0: the@[1,7], fox@[4] → dists 3 and 3 → both pairs in window 3
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["min_dist"])
+        for r in proximity_match(pi, "the", "fox", window=3).collect()
+    }
+    assert got[0] == (2, 3)
+    assert got[3] == (1, 1)
+    tight = {
+        r["doc_id"]: r["n_pairs"]
+        for r in proximity_match(pi, "the", "fox", window=1).collect()
+    }
+    assert tight == {3: 1}
+
+
+def test_proximity_is_symmetric(pi):
+    a = sorted(
+        tuple(r) for r in proximity_match(pi, "quick", "dog", window=5).collect()
+    )
+    b = sorted(
+        tuple(r) for r in proximity_match(pi, "dog", "quick", window=5).collect()
+    )
+    assert a == b and a  # non-empty
+
+
+def test_position_codec_roundtrip(pi, spark):
+    enc = encode_positional(pi)
+    dec = decode_positional(enc)
+    want = sorted(
+        (r["term"], r["doc_id"], p)
+        for r in pi.collect()
+        for p in r["positions"]
+    )
+    got = sorted((r["term"], r["doc_id"], r["pos"]) for r in dec.collect())
+    assert got == want
+    # compression actually happened: bytes ≤ 2 per position here (values
+    # < 128 encode in 1 byte; deltas keep them small)
+    for r in enc.collect():
+        assert len(r["pos_bytes"]) <= 2 * r["tf"]
+
+
+def test_full_mode_positions_index_stemmed_stream(spark):
+    # full pipeline: stopwords removed, Porter-stemmed; positions index
+    # the SURVIVING token sequence
+    df = spark.createDataFrame(
+        [(0, "the running dogs are running fast")], "doc_id long, text string"
+    )
+    rows = {
+        r["term"]: r["positions"]
+        for r in positional_index(df, mode="full").collect()
+    }
+    assert "the" not in rows and "are" not in rows
+    stem_run = [t for t in rows if t.startswith("run")]
+    assert len(stem_run) == 1
+    assert rows[stem_run[0]] == [1, 3]  # 'running'@1, 'running'@3 post-filter
+
+
+def test_phrase_match_on_testdata_matches_join_oracle(spark):
+    """Cross-check phrase_match against an independent relational plan
+    (positions self-join) on the real test corpus."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pi = positional_index(docs, mode="simple")
+    pi.persist().count()
+    try:
+        got = sorted(
+            (r["doc_id"], r["phrase_tf"], r["first_pos"])
+            for r in phrase_match(pi, ["table", "hash"]).collect()
+        )
+        from pyspark.sql import functions as F2
+
+        a = pi.filter("term = 'table'").select(
+            "doc_id", F2.explode("positions").alias("pa")
+        )
+        b = pi.filter("term = 'hash'").select(
+            "doc_id", F2.explode("positions").alias("pb")
+        )
+        want = sorted(
+            (r["doc_id"], r["phrase_tf"], r["first_pos"])
+            for r in a.join(b, "doc_id")
+            .filter("pb = pa + 1")
+            .groupBy("doc_id")
+            .agg(
+                F2.count("*").cast("long").alias("phrase_tf"),
+                F2.min("pa").cast("long").alias("first_pos"),
+            )
+            .collect()
+        )
+        assert got == want and got
+    finally:
+        pi.unpersist()
