@@ -608,6 +608,68 @@ def q_proximity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proximity_match(_pindex(spark, sf_dir), a, b, window=w)
 
 
+# ---------------------------------------------------------------------------
+# filtered / boolean retrieval + snippets
+# ---------------------------------------------------------------------------
+
+_FILTER_LANG = "en"
+_BOOL = {
+    "must": ["table"],
+    "should": ["customer", "join"],
+    "must_not": ["hash"],
+}
+
+
+def q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered retrieval through the REAL operator path
+    (search.score_exhaustive with doc_filter): rank only lang='en' docs;
+    idf/avgdl stay collection-level, so surviving docs keep their
+    unfiltered scores (Lucene filter-query semantics)."""
+    from searchenginejava_spark.operators.search import score_exhaustive
+
+    tf = _tf(spark, sf_dir)
+    tf.persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+    srow = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    stats = {"N": int(srow["n"]), "avgdl": float(srow["avgdl"])}
+    dct = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    flt = (
+        _documents(spark, sf_dir)
+        .filter(F.col("lang") == _FILTER_LANG)
+        .select("doc_id")
+    )
+    res = score_exhaustive(
+        qt, tf, dl, dct, stats, k=_TOPK, doc_filter=flt
+    ).select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
+def q_boolean_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchenginejava_spark.operators.search import boolean_match
+
+    return boolean_match(
+        _tf(spark, sf_dir),
+        must=_BOOL["must"],
+        should=_BOOL["should"],
+        must_not=_BOOL["must_not"],
+    )
+
+
+def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchenginejava_spark.operators.search import snippets
+
+    return snippets(_documents(spark, sf_dir), _PHRASE, width=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_term_frequencies": q_term_frequencies,
@@ -646,6 +708,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_positions_roundtrip": q_positions_roundtrip,
         "q_phrase_match": q_phrase_match,
         "q_proximity_match": q_proximity_match,
+        "q_bm25_filtered": q_bm25_filtered,
+        "q_boolean_match": q_boolean_match,
+        "q_snippets": q_snippets,
     }
 
 
@@ -1191,6 +1256,79 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY pa.doc_id
         """
     )
+    # filtered retrieval: identical BM25 pipeline, candidates constrained
+    # to the lang slice; stats/df remain collection-level
+    sql["q_bm25_filtered"] = (
+        _SQL_TF
+        + f"""
+        , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+                 FROM tf GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+        dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        flt AS (SELECT doc_id FROM documents WHERE lang = '{_FILTER_LANG}'),
+        q(query_id, term, qtf) AS (VALUES {q_values}),
+        scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 sum(q.qtf
+                     * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                     * (tf.tf * {_K1 + 1.0})
+                     / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+                 ) AS s
+          FROM q
+          JOIN dict USING (term)
+          JOIN tf USING (term)
+          JOIN flt ON tf.doc_id = flt.doc_id
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          GROUP BY q.query_id, tf.doc_id
+        )
+        SELECT CAST(query_id AS INT) AS query_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, doc_id ASC) AS INT) AS rank,
+               doc_id,
+               round(s, 6) AS score
+        FROM scored
+        QUALIFY rank <= {_TOPK}
+        """
+    )
+    bm, bs, bn = (
+        _BOOL["must"][0],
+        ", ".join(f"'{t}'" for t in _BOOL["should"]),
+        ", ".join(f"'{t}'" for t in _BOOL["must_not"]),
+    )
+    sql["q_boolean_match"] = (
+        _SQL_TF
+        + f"""
+        , m AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{bm}')
+        , x AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({bn}))
+        , s AS (SELECT doc_id, count(*) AS c FROM tf
+                WHERE term IN ({bs}) GROUP BY doc_id)
+        SELECT m.doc_id AS doc_id,
+               CAST(COALESCE(s.c, 0) AS BIGINT) AS n_should_hits
+        FROM m LEFT JOIN s USING (doc_id)
+        WHERE m.doc_id NOT IN (SELECT doc_id FROM x)
+        """
+    )
+    sp0, sp1 = _PHRASE
+    sql["q_snippets"] = f"""
+        WITH tokl AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+          FROM documents
+        ), fp AS (
+          SELECT doc_id, l,
+                 least(coalesce(nullif(list_position(l, '{sp0}'), 0), 1000000000),
+                       coalesce(nullif(list_position(l, '{sp1}'), 0), 1000000000))
+                 AS first_pos
+          FROM tokl
+        )
+        SELECT doc_id,
+               CAST(first_pos AS BIGINT) AS first_pos,
+               array_to_string(
+                 l[greatest(first_pos - 2, 1) : first_pos + 2], ' '
+               ) AS snippet
+        FROM fp WHERE first_pos < 1000000000
+        """
     # WAND pruning is output-invisible: same oracle as the exhaustive path
     sql["q_wand_topk"] = sql["q_bm25_topk"]
     sql["q_wand_sharded_topk"] = sql["q_bm25_topk"]

@@ -76,6 +76,7 @@ def score_exhaustive(
     k1: float = BM25_K1,
     b: float = BM25_B,
     deterministic: bool = False,
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Full (non-pruned) BM25 top-k for every query in one Spark job (EP3).
 
@@ -123,6 +124,17 @@ def score_exhaustive(
         "query_id int, term string, w double",
     )
     cand = postings_exploded.join(F.broadcast(qw), "term")
+    if doc_filter is not None:
+        # metadata-filtered retrieval (e.g. lang = 'java'): the filter
+        # constrains CANDIDATES only — idf/avgdl stay collection-level
+        # (the Lucene filter-query convention), so scores of surviving
+        # docs are identical to the unfiltered run. Applied straight
+        # after candidate generation: the semi-join prunes rows before
+        # the docs join / agg / window, and at scale a selective filter
+        # list broadcasts.
+        cand = cand.join(
+            doc_filter.select("doc_id"), "doc_id", "left_semi"
+        )
     # association order matters for bit-identity with the WAND path and
     # the numpy oracle: both compute ((qtf·idf) · tf·(k1+1)) / (tf + K) —
     # qtf·(idf·x/norm) differs in the last ulp and can flip doc_id
@@ -289,6 +301,103 @@ def expand_query(
         orig.unionByName(exp)
         .groupBy("query_id", "term")
         .agg(F.sum("qtf").alias("qtf"))
+    )
+
+
+def boolean_match(
+    tf: DataFrame,
+    *,
+    must: Sequence[str] = (),
+    should: Sequence[str] = (),
+    must_not: Sequence[str] = (),
+) -> DataFrame:
+    """Boolean retrieval over the (doc_id, term, tf) relation →
+    (doc_id, n_should_hits): docs containing ALL ``must`` terms, NONE of
+    ``must_not``, ranked by how many ``should`` terms they contain
+    (then doc_id — deterministic).
+
+    Plan shape: each must-term is a left-semi join (Catalyst + AQE pick
+    broadcast for selective posting slices and reorder cheapest-first);
+    must_not is one anti-join against the union slice; should is one
+    term-pruned agg. Only query-term postings are ever read — at scale
+    the term-partitioned store prunes everything else at the scan.
+    """
+    if not must and not should:
+        raise ValueError("boolean_match needs at least one must/should term")
+    base = tf.select("doc_id").distinct()
+    cur = base
+    for t in must:
+        cur = cur.join(
+            tf.filter(F.col("term") == F.lit(t)).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+    if must_not:
+        cur = cur.join(
+            tf.filter(F.col("term").isin(list(must_not))).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+    if should:
+        hits = (
+            tf.filter(F.col("term").isin(list(should)))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_should_hits"))
+        )
+        cur = cur.join(hits, "doc_id", "left").withColumn(
+            "n_should_hits", F.coalesce("n_should_hits", F.lit(0).cast("long"))
+        )
+        if not must:
+            cur = cur.filter(F.col("n_should_hits") > 0)
+    else:
+        cur = cur.withColumn("n_should_hits", F.lit(0).cast("long"))
+    return cur.select("doc_id", "n_should_hits")
+
+
+_NO_POS = 10**9  # sentinel: term absent
+
+
+def snippets(
+    corpus: DataFrame,
+    terms: Sequence[str],
+    *,
+    text_col: str = "text",
+    width: int = 2,
+) -> DataFrame:
+    """Result-page snippet generation: for every doc containing at least
+    one of ``terms`` (simple tokenization), emit (doc_id, first_pos,
+    snippet) — the ``2·width+1``-token window centred on the EARLIEST
+    occurrence of any query term. 100% native (split / array_position /
+    slice / array_join): snippets for a billion hits are one codegen'd
+    projection, no Python and no second pass over positions storage.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    from ..functions.tokenize import tokens_simple_col
+
+    toks = corpus.select(
+        "doc_id", tokens_simple_col(text_col).alias("l")
+    )
+    pos_cols = [
+        F.coalesce(
+            F.nullif(F.array_position("l", F.lit(t)), F.lit(0)),
+            F.lit(_NO_POS).cast("long"),
+        )
+        for t in terms
+    ]
+    first = pos_cols[0] if len(pos_cols) == 1 else F.least(*pos_cols)
+    start = F.greatest(F.col("first_pos") - F.lit(width), F.lit(1).cast("long"))
+    length = F.col("first_pos") + F.lit(width) - start + F.lit(1)
+    return (
+        toks.withColumn("first_pos", first)
+        .filter(F.col("first_pos") < _NO_POS)
+        .select(
+            "doc_id",
+            F.col("first_pos").cast("long").alias("first_pos"),
+            F.array_join(
+                F.slice("l", start.cast("int"), length.cast("int")), " "
+            ).alias("snippet"),
+        )
     )
 
 

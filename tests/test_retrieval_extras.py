@@ -1,0 +1,112 @@
+"""Filtered BM25, boolean retrieval, snippet generation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginejava_spark.operators.search import (
+    boolean_match,
+    score_exhaustive,
+    snippets,
+)
+
+DOCS = [
+    (0, "spark shuffle join hash join merge"),
+    (1, "spark broadcast join"),
+    (2, "hash partition shuffle"),
+    (3, "sort merge join spark spark"),
+]
+
+
+@pytest.fixture(scope="module")
+def tf(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = (
+        df.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+    out.persist().count()
+    yield out
+    out.unpersist()
+
+
+def test_boolean_must_should_not(tf):
+    got = {
+        r["doc_id"]: r["n_should_hits"]
+        for r in boolean_match(
+            tf, must=["join"], should=["spark", "merge"], must_not=["broadcast"]
+        ).collect()
+    }
+    # doc 1 killed by must_not, doc 2 lacks 'join'
+    assert got == {0: 2, 3: 2}
+
+
+def test_boolean_should_only_requires_a_hit(tf):
+    got = {
+        r["doc_id"]: r["n_should_hits"]
+        for r in boolean_match(tf, should=["hash", "sort"]).collect()
+    }
+    assert got == {0: 1, 2: 1, 3: 1}
+
+
+def test_boolean_empty_query_raises(tf):
+    with pytest.raises(ValueError):
+        boolean_match(tf, must_not=["spark"])
+
+
+def test_filtered_bm25_keeps_unfiltered_scores(spark, tf):
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+    srow = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    stats = {"N": int(srow["n"]), "avgdl": float(srow["avgdl"])}
+    dct = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    qt = spark.createDataFrame(
+        [(1, "join", 1), (1, "spark", 1)], "query_id int, term string, qtf int"
+    )
+    full = {
+        r["doc_id"]: r["score"]
+        for r in score_exhaustive(qt, tf, dl, dct, stats, k=10).collect()
+    }
+    flt = spark.createDataFrame([(0,), (3,)], "doc_id long")
+    filtered = score_exhaustive(
+        qt, tf, dl, dct, stats, k=10, doc_filter=flt
+    ).collect()
+    assert {r["doc_id"] for r in filtered} == {0, 3}
+    for r in filtered:  # collection-level stats → scores unchanged
+        assert r["score"] == pytest.approx(full[r["doc_id"]], rel=1e-12)
+    assert [r["rank"] for r in sorted(filtered, key=lambda r: r["rank"])] == [
+        1,
+        2,
+    ]
+
+
+def test_snippets_window_and_clipping(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "gamma at start"),
+            (2, "ends with gamma"),
+            (3, "no match here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["first_pos"], r["snippet"])
+        for r in snippets(docs, ["gamma"], width=2).collect()
+    }
+    assert got[0] == (3, "alpha beta gamma delta epsilon")
+    assert got[1] == (1, "gamma at start")      # clipped at doc start
+    assert got[2] == (3, "ends with gamma")     # clipped at doc end
+    assert 3 not in got
+
+
+def test_snippets_earliest_of_multiple_terms(spark):
+    docs = spark.createDataFrame(
+        [(0, "x y second z w first q")], "doc_id long, text string"
+    )
+    got = snippets(docs, ["first", "second"], width=1).collect()[0]
+    assert got["first_pos"] == 3
+    assert got["snippet"] == "y second z"
