@@ -601,6 +601,22 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_match(_pindex(spark, sf_dir), _PHRASE)
 
 
+def q_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search served from the COMPRESSED index: positions ride the
+    postings dataset (pos_bytes stamped at SPIMI time, byte-stitched
+    through the salted merge), decode touches only the phrase terms'
+    rows. Must hash-equal the positional-relation phrase oracle."""
+    from searchenginejava_spark.operators.index import build_postings
+    from searchenginejava_spark.operators.positional import (
+        phrase_match_indexed,
+    )
+
+    postings = build_postings(
+        _pindex(spark, sf_dir), num_partitions=8, num_salts=4
+    )
+    return phrase_match_indexed(postings, _PHRASE)
+
+
 def q_proximity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchenginejava_spark.operators.positional import proximity_match
 
@@ -707,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_positional_index": q_positional_index,
         "q_positions_roundtrip": q_positions_roundtrip,
         "q_phrase_match": q_phrase_match,
+        "q_phrase_indexed": q_phrase_indexed,
         "q_proximity_match": q_proximity_match,
         "q_bm25_filtered": q_bm25_filtered,
         "q_boolean_match": q_boolean_match,
@@ -1228,7 +1245,7 @@ def oracle_sql() -> dict[str, str]:
     # codec roundtrip decodes back to the identical row set
     sql["q_positions_roundtrip"] = sql["q_positional_index"]
     p0, p1 = _PHRASE
-    sql["q_phrase_match"] = (
+    sql["q_phrase_match"] = sql["q_phrase_indexed"] = (
         _SQL_TOKL
         + f"""
         , p0 AS (SELECT doc_id, pos FROM tok WHERE term = '{p0}')

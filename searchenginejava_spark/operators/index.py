@@ -240,6 +240,32 @@ def spimi_partials(
         terms = pdf["term"].to_numpy()
         doc_ids = pdf["doc_id"].to_numpy(dtype="int64")
         tfs = pdf["tf"].to_numpy(dtype="int64")
+        has_pos = "positions" in pdf.columns
+        if has_pos:
+            # positional stream: per (term, doc) row, delta-encode the
+            # doc's ascending positions (first absolute — deltas restart
+            # each row, keeping segments value-local so merges can
+            # byte-stitch). ONE vb_encode for the whole partition; row
+            # slices come from element→byte offset tables.
+            plens = pdf["positions"].map(len).to_numpy(dtype="int64")
+            total_p = int(plens.sum())
+            flat = (
+                np.concatenate(
+                    [np.asarray(p, dtype="int64") for p in pdf["positions"]]
+                )
+                if total_p
+                else np.empty(0, dtype="int64")
+            )
+            row_pos_start = np.concatenate(([0], np.cumsum(plens)))
+            pdeltas = np.empty_like(flat)
+            if total_p:
+                pdeltas[1:] = flat[1:] - flat[:-1]
+                nz = row_pos_start[:-1][plens > 0]
+                pdeltas[nz] = flat[nz]
+            pos_buf = vb_encode(pdeltas.astype(np.uint64))
+            pos_elem_off = np.concatenate(
+                ([0], np.cumsum(vb_byte_lengths(pdeltas)))
+            )
         starts = np.flatnonzero(
             np.concatenate(([True], terms[1:] != terms[:-1]))
         )
@@ -287,6 +313,15 @@ def spimi_partials(
                     doc_ids[b_ends - 1].tolist(),
                     bmindl.tolist(),
                     int(bmindl.min()),
+                    (
+                        pos_buf[
+                            pos_elem_off[row_pos_start[s]] : pos_elem_off[
+                                row_pos_start[e]
+                            ]
+                        ]
+                        if has_pos
+                        else None
+                    ),
                 )
             )
         yield pd.DataFrame(rows, columns=PARTIAL_POSTINGS.fieldNames())
@@ -331,6 +366,15 @@ def _stitch_group(rows: list[dict], block_size: int) -> dict:
             bmax.extend(r["block_max_tf"])
             blast.extend(r["block_last_doc"])
             bmindl.extend(r["block_min_dl"])
+        # position segments are value-local per doc (deltas restart each
+        # posting) → plain concatenation, like dl. A merge of positional
+        # and non-positional runs degrades to no positions (documented:
+        # incremental folds must agree on positional mode to keep them).
+        pos_all = (
+            b"".join(bytes(r["pos_bytes"]) for r in rows)
+            if all(r.get("pos_bytes") is not None for r in rows)
+            else None
+        )
         return {
             "term": rows[0]["term"],
             "salt": rows[0]["salt"],
@@ -338,6 +382,7 @@ def _stitch_group(rows: list[dict], block_size: int) -> dict:
             "tf_bytes": b"".join(bytes(r["tf_bytes"]) for r in rows),
             # dl stream is value-local (no deltas) → plain concatenation
             "dl_bytes": b"".join(bytes(r["dl_bytes"]) for r in rows),
+            "pos_bytes": pos_all,
             "n": sum(r["n"] for r in rows),
             "min_doc": rows[0]["min_doc"],
             "max_doc": rows[-1]["max_doc"],
@@ -350,17 +395,30 @@ def _stitch_group(rows: list[dict], block_size: int) -> dict:
         }
 
     # decode-merge fallback (overlapping doc ranges)
+    with_pos = all(r.get("pos_bytes") is not None for r in rows)
     ids_parts, tf_parts, dl_parts = [], [], []
+    pos_segs: list[bytes] = []
     for r in rows:
         gaps = vb_decode(bytes(r["gap_bytes"]))
         ids_parts.append(np.cumsum(gaps, dtype=np.uint64).astype(np.int64))
-        tf_parts.append(vb_decode(bytes(r["tf_bytes"])).astype(np.int64))
+        run_tfs = vb_decode(bytes(r["tf_bytes"])).astype(np.int64)
+        tf_parts.append(run_tfs)
         dl_parts.append(vb_decode(bytes(r["dl_bytes"])).astype(np.int64))
+        if with_pos:
+            # per-doc position segments are self-contained byte runs
+            # (first varint absolute) — REORDERING needs no value decode,
+            # only varint boundaries (high-bit scan)
+            pos_segs.extend(
+                _split_pos_segments(bytes(r["pos_bytes"]), run_tfs)
+            )
     doc_ids = np.concatenate(ids_parts)
     tfs = np.concatenate(tf_parts)
     dls = np.concatenate(dl_parts)
     order = np.argsort(doc_ids, kind="stable")
     doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
+    pos_merged = (
+        b"".join(pos_segs[i] for i in order) if with_pos else None
+    )
     if len(doc_ids) > 1 and not (doc_ids[1:] > doc_ids[:-1]).all():
         raise AssertionError("duplicate (term, doc_id) postings across runs")
     gaps = np.empty_like(doc_ids)
@@ -375,6 +433,7 @@ def _stitch_group(rows: list[dict], block_size: int) -> dict:
         "gap_bytes": vb_encode(gaps.astype(np.uint64)),
         "tf_bytes": vb_encode(tfs.astype(np.uint64)),
         "dl_bytes": vb_encode(dls.astype(np.uint64)),
+        "pos_bytes": pos_merged,
         "n": n,
         "min_doc": int(doc_ids[0]),
         "max_doc": int(doc_ids[-1]),
@@ -391,8 +450,23 @@ def _stitch_group(rows: list[dict], block_size: int) -> dict:
     }
 
 
+def _split_pos_segments(buf: bytes, tfs) -> list[bytes]:
+    """Split a positional stream into its per-doc byte segments using only
+    varint END boundaries (high-bit scan — no value decode). Segment k
+    holds exactly ``tfs[k]`` varints."""
+    import numpy as np
+
+    b = np.frombuffer(buf, dtype=np.uint8)
+    ends = np.flatnonzero(b & 0x80) + 1  # exclusive end byte per varint
+    cum = np.cumsum(np.asarray(tfs, dtype=np.int64))
+    seg_end = ends[cum - 1]
+    seg_start = np.concatenate(([0], seg_end[:-1]))
+    return [buf[s:e] for s, e in zip(seg_start, seg_end)]
+
+
 def _final_row(merged: dict, vb_encode, np) -> tuple:
     """Assemble one POSTINGS row from a stitched group/segment."""
+    pos = merged.get("pos_bytes")
     return (
         merged["term"],
         merged["n"],
@@ -407,6 +481,7 @@ def _final_row(merged: dict, vb_encode, np) -> tuple:
         + bytes(merged["gap_bytes"])
         + bytes(merged["tf_bytes"]),
         bytes(merged["dl_bytes"]),
+        bytes(pos) if pos is not None else None,
     )
 
 
@@ -617,6 +692,7 @@ def postings_to_runs(postings: DataFrame, *, salt: int = 0) -> DataFrame:
                 min_doc = int(
                     vb_decode(gap_bytes[: first_varint_nbytes(gap_bytes)])[0]
                 )
+                pos = rec.get("positions")
                 rows.append(
                     (
                         rec["term"],
@@ -633,6 +709,7 @@ def postings_to_runs(postings: DataFrame, *, salt: int = 0) -> DataFrame:
                         rec["block_last_doc"],
                         rec["block_min_dl"],
                         int(rec["min_dl"]),
+                        bytes(pos) if pos is not None else None,
                     )
                 )
             yield pd.DataFrame(rows, columns=PARTIAL_POSTINGS.fieldNames())
@@ -667,6 +744,61 @@ def decode_postings_df(postings: DataFrame) -> DataFrame:
 
     return postings.select("term", "postings").mapInPandas(
         decode, schema=POSTINGS_EXPLODED
+    )
+
+
+def decode_postings_positions_df(postings: DataFrame) -> DataFrame:
+    """Positional postings → (term, doc_id, tf, positions array<int>).
+
+    Query paths filter to their terms BEFORE calling this (term-pruned
+    scan), so the decode touches only the query vocabulary's rows. The
+    whole row's pos stream is decoded with ONE ``vb_decode`` then split
+    by the tf counts; per-doc absolutes come from a cumsum per segment.
+    """
+
+    def decode(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from searchenginejava_spark.functions.codec import (
+            decode_postings,
+            vb_decode,
+        )
+
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            out_t, out_d, out_tf, out_pos = [], [], [], []
+            for term, buf, pbuf in zip(
+                pdf["term"], pdf["postings"], pdf["positions"]
+            ):
+                if pbuf is None:
+                    raise ValueError(
+                        f"postings for {term!r} carry no positional stream"
+                        " — build the index from a tf relation with a"
+                        " 'positions' column"
+                    )
+                d, t = decode_postings(bytes(buf))
+                deltas = vb_decode(bytes(pbuf)).astype(np.int64)
+                bounds = np.cumsum(t)[:-1]
+                out_t.extend([term] * len(d))
+                out_d.extend(d.tolist())
+                out_tf.extend(t.tolist())
+                out_pos.extend(
+                    np.cumsum(seg).tolist()
+                    for seg in np.split(deltas, bounds)
+                )
+            yield pd.DataFrame(
+                {
+                    "term": out_t,
+                    "doc_id": out_d,
+                    "tf": out_tf,
+                    "positions": out_pos,
+                }
+            )
+
+    return postings.select("term", "postings", "positions").mapInPandas(
+        decode,
+        schema="term string, doc_id long, tf int, positions array<int>",
     )
 
 

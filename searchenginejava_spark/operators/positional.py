@@ -241,6 +241,25 @@ def phrase_match(pi: DataFrame, phrase_terms: list[str]) -> DataFrame:
     )
 
 
+def phrase_match_indexed(
+    postings: DataFrame, phrase_terms: list[str]
+) -> DataFrame:
+    """Phrase search served FROM THE COMPRESSED INDEX: positions ride the
+    postings dataset as the ``positions`` byte stream (stamped at SPIMI
+    time, byte-stitched through both merge levels exactly like tf/norms
+    — operators/index.py), so phrase queries need no side positional
+    store and no corpus re-tokenization. The term-pruned scan reads and
+    decodes ONLY the phrase terms' rows; matching then runs the same
+    native join/HOF plan as ``phrase_match``.
+    """
+    from .index import decode_postings_positions_df
+
+    sliced = postings.filter(
+        F.col("term").isin(list(set(phrase_terms)))
+    )
+    return phrase_match(decode_postings_positions_df(sliced), phrase_terms)
+
+
 def proximity_match(
     pi: DataFrame, term_a: str, term_b: str, *, window: int
 ) -> DataFrame:

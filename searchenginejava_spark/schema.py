@@ -80,6 +80,13 @@ POSTINGS = StructType(
         # impact-index trade (cf. Lucene norms, which are per-segment only
         # because its segments are doc-partitioned; ours are term-partitioned).
         StructField("norms", BinaryType(), False),
+        # OPTIONAL positional stream: per posting, varbyte deltas of the
+        # doc's term positions (first absolute, restart per doc), segments
+        # concatenated in posting order — counts come from the tf stream,
+        # so no extra length metadata. Null when the index was built
+        # without positions; nullable+last so pre-positional saved indexes
+        # load with a null backfill.
+        StructField("positions", BinaryType(), True),
     ]
 )
 
@@ -130,5 +137,8 @@ PARTIAL_POSTINGS = StructType(
         StructField("block_last_doc", ArrayType(LongType()), False),
         StructField("block_min_dl", ArrayType(IntegerType()), False),
         StructField("min_dl", IntegerType(), False),
+        # optional positional stream for the run (see POSTINGS.positions);
+        # value-local per doc segment → merges concatenate byte-level
+        StructField("pos_bytes", BinaryType(), True),
     ]
 )

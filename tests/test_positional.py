@@ -137,6 +137,161 @@ def test_full_mode_positions_index_stemmed_stream(spark):
     assert rows[stem_run[0]] == [1, 3]  # 'running'@1, 'running'@3 post-filter
 
 
+def _pi_tf(spark, docs):
+    """positional tf relation (doc_id, term, tf, positions) for builds."""
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return positional_index(df, mode="simple")
+
+
+def _decoded_rows(postings):
+    from searchenginejava_spark.operators.index import (
+        decode_postings_positions_df,
+    )
+
+    return sorted(
+        (r["term"], r["doc_id"], r["tf"], tuple(r["positions"]))
+        for r in decode_postings_positions_df(postings).collect()
+    )
+
+
+def test_positions_through_salted_merge(spark):
+    """positions survive SPIMI → two-level salted merge bit-exactly."""
+    from searchenginejava_spark.operators.index import build_postings
+
+    docs = [(i, " ".join(["t%d" % (j % 7) for j in range(i % 13 + 1)]))
+            for i in range(40)]
+    tf = _pi_tf(spark, docs)
+    want = sorted(
+        (r["term"], r["doc_id"], r["tf"], tuple(r["positions"]))
+        for r in tf.collect()
+    )
+    postings = build_postings(tf, num_partitions=4, num_salts=3)
+    assert _decoded_rows(postings) == want
+    assert all(r["positions"] is not None for r in postings.collect())
+
+
+def test_positions_salted_equals_unsalted(spark):
+    from searchenginejava_spark.operators.index import build_postings
+
+    docs = [(i, "hot term hot hot filler%d" % i) for i in range(30)]
+    tf = _pi_tf(spark, docs)
+    salted = build_postings(tf, num_partitions=4, num_salts=4)
+    plain = build_postings(tf, num_partitions=1, num_salts=1)
+    a = sorted((r["term"], bytes(r["positions"])) for r in salted.collect())
+    b = sorted((r["term"], bytes(r["positions"])) for r in plain.collect())
+    assert a == b
+
+
+def test_positions_segmented_rows(spark):
+    """segment_max_postings splits hot terms; positions split with them."""
+    from searchenginejava_spark.operators.index import build_postings
+
+    docs = [(i, "hot x%d hot" % i) for i in range(24)]
+    tf = _pi_tf(spark, docs)
+    seg = build_postings(
+        tf, num_partitions=2, num_salts=2, segment_max_postings=10
+    )
+    hot = [r for r in seg.collect() if r["term"] == "hot"]
+    assert len(hot) > 1  # split into doc-disjoint segments
+    got = sorted(
+        (r["doc_id"], tuple(r["positions"]))
+        for r in _explode_decoded(seg.filter("term = 'hot'"))
+    )
+    assert got == [(i, (1, 3)) for i in range(24)]
+
+
+def _explode_decoded(postings):
+    from searchenginejava_spark.operators.index import (
+        decode_postings_positions_df,
+    )
+
+    return decode_postings_positions_df(postings).collect()
+
+
+def test_positions_incremental_merge(spark):
+    """postings_to_runs + the stitch keep positions through an
+    incremental fold of a new batch into an existing index."""
+    from searchenginejava_spark.operators.index import (
+        build_postings,
+        merge_postings,
+        postings_to_runs,
+    )
+
+    old_docs = [(i, "alpha beta alpha") for i in range(10)]
+    new_docs = [(i, "beta alpha beta") for i in range(10, 20)]
+    old_idx = build_postings(_pi_tf(spark, old_docs), num_partitions=2)
+    new_runs = build_postings(_pi_tf(spark, new_docs), num_partitions=2)
+    merged = merge_postings(
+        postings_to_runs(old_idx, salt=0).unionByName(
+            postings_to_runs(new_runs, salt=1)
+        ),
+        num_partitions=2,
+    )
+    cold = build_postings(
+        _pi_tf(spark, old_docs + new_docs), num_partitions=2
+    )
+    a = sorted((r["term"], bytes(r["positions"])) for r in merged.collect())
+    b = sorted((r["term"], bytes(r["positions"])) for r in cold.collect())
+    assert a == b
+
+
+def test_positions_overlapping_runs_fallback(spark):
+    """Interleaved doc ranges (the streaming-ingest shape) hit the
+    decode-merge fallback; position segments reorder byte-level."""
+    from searchenginejava_spark.operators.index import (
+        merge_postings,
+        spimi_partials,
+    )
+
+    evens = [(i, "w fill%d w" % i) for i in range(0, 20, 2)]
+    odds = [(i, "w fill%d w" % i) for i in range(1, 20, 2)]
+    pa = spimi_partials(_pi_tf(spark, evens), num_partitions=1, num_salts=1)
+    pb = spimi_partials(_pi_tf(spark, odds), num_partitions=1, num_salts=1)
+    merged = merge_postings(pa.unionByName(pb), num_partitions=1)
+    got = sorted(
+        (r["doc_id"], tuple(r["positions"]))
+        for r in _explode_decoded(merged.filter("term = 'w'"))
+    )
+    assert got == [(i, (1, 3)) for i in range(20)]
+
+
+def test_phrase_match_indexed_equals_positional(spark):
+    from searchenginejava_spark.operators.index import build_postings
+    from searchenginejava_spark.operators.positional import (
+        phrase_match_indexed,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pi = positional_index(docs, mode="simple")
+    postings = build_postings(pi, num_partitions=4, num_salts=2)
+    a = sorted(
+        tuple(r) for r in phrase_match_indexed(postings, ["table", "hash"]).collect()
+    )
+    b = sorted(
+        tuple(r) for r in phrase_match(pi, ["table", "hash"]).collect()
+    )
+    assert a == b and a
+
+
+def test_non_positional_build_unchanged(spark):
+    """A tf relation WITHOUT positions builds with a null positions
+    column — WAND/BM25 paths and byte streams are unaffected."""
+    from pyspark.sql import functions as F2
+
+    from searchenginejava_spark.operators.index import build_postings
+
+    df = spark.createDataFrame(
+        [(0, "a b a"), (1, "b c")], "doc_id long, text string"
+    )
+    tf = (
+        df.select("doc_id", F2.explode(F2.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F2.count(F2.lit(1)).cast("int").alias("tf"))
+    )
+    rows = build_postings(tf, num_partitions=2).collect()
+    assert rows and all(r["positions"] is None for r in rows)
+
+
 def test_phrase_match_on_testdata_matches_join_oracle(spark):
     """Cross-check phrase_match against an independent relational plan
     (positions self-join) on the real test corpus."""
