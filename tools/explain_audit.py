@@ -285,6 +285,99 @@ def main() -> None:
     ]
     sections.append(("doc-sharded WAND (wand_topk_sharded)", p_sw, checks))
 
+    # 8. indexed phrase search from a SAVED index: the phrase's term
+    # IN-predicate must reach the postings scan (only the phrase terms'
+    # rows are read/decoded), one MapInPandas (the positional decode),
+    # and the join chain stays equi-join (no cartesian)
+    from searchenginejava_spark.operators.positional import (
+        phrase_match_indexed,
+        positional_index,
+    )
+
+    pi_tf = positional_index(corpus, mode="simple")
+    pos_postings = build_postings(pi_tf, num_partitions=4, num_salts=2)
+    with tempfile.TemporaryDirectory() as td2:
+        pos_postings.write.parquet(os.path.join(td2, "p"))
+        saved_pos = spark.read.parquet(os.path.join(td2, "p"))
+        p_ph = plan_of(phrase_match_indexed(saved_pos, ["table", "hash"]))
+        pushed3 = re.findall(r"PushedFilters: \[([^\]]*)\]", p_ph)
+        checks = [
+            (
+                "phrase-term IN-predicate pushed to every postings scan",
+                bool(pushed3) and all("In(term" in p for p in pushed3),
+                f"PushedFilters={pushed3}",
+            ),
+            (
+                "positional decode is MapInPandas (Arrow-batched), no "
+                "per-group pandas",
+                n_nodes(p_ph, "MapInPandas") >= 1
+                and n_nodes(p_ph, "FlatMapGroupsInPandas") == 0,
+                f"MapInPandas x{n_nodes(p_ph, 'MapInPandas')}",
+            ),
+            (
+                "no cartesian join in the phrase join chain",
+                "CartesianProduct" not in p_ph
+                and "BroadcastNestedLoopJoin" not in p_ph,
+                "",
+            ),
+        ]
+        sections.append(
+            ("indexed phrase search (phrase_match_indexed, saved index)", p_ph, checks)
+        )
+
+    # 9. boolean retrieval: semi/anti joins only, no Python anywhere
+    from searchenginejava_spark.operators.search import boolean_match, snippets
+
+    p_bool = plan_of(
+        boolean_match(
+            tf, must=["spark"], should=["merg", "window"], must_not=["hash"]
+        )
+    )
+    checks = [
+        (
+            "must terms via LeftSemi, must_not via LeftAnti",
+            p_bool.count("LeftSemi") >= 1 and p_bool.count("LeftAnti") >= 1,
+            f"LeftSemi x{p_bool.count('LeftSemi')}, LeftAnti x{p_bool.count('LeftAnti')}",
+        ),
+        (
+            "no cartesian join",
+            "CartesianProduct" not in p_bool
+            and "BroadcastNestedLoopJoin" not in p_bool,
+            "",
+        ),
+    ]
+    sections.append(("boolean retrieval (boolean_match)", p_bool, checks))
+
+    # 10. snippets: one codegen'd projection over the corpus scan — zero
+    # Python nodes, scan pruned to doc_id,text
+    p_sn = plan_of(snippets(corpus, ["table", "hash"], width=2))
+    sn_schemas = re.findall(r"ReadSchema: (\S+)", p_sn)
+    checks = [
+        (
+            "zero Python nodes (fully native projection)",
+            all(
+                node not in p_sn
+                for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython")
+            ),
+            "",
+        ),
+        (
+            "scan pruned to doc_id,text",
+            all(
+                set(re.findall(r"(\w+):", rs)) <= {"doc_id", "text"}
+                for rs in sn_schemas
+            )
+            and bool(sn_schemas),
+            f"ReadSchema={sn_schemas}",
+        ),
+        (
+            "whole-stage codegen present",
+            "codegen id" in p_sn,
+            "",
+        ),
+    ]
+    sections.append(("snippet generation (snippets)", p_sn, checks))
+
     ok = True
     out = ["# PLANS.md — physical-plan audit (generated by tools/explain_audit.py)", ""]
     for title, plan, cks in sections:
