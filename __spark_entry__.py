@@ -558,6 +558,32 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_fingerprint(_documents(spark, sf_dir))
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchenginejava_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_documents(spark, sf_dir), n=2)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over deterministically PII-augmented docs (the synthetic
+    corpus carries no PII, so both engines append the same email/URL/
+    phone per doc — masking and counting are then value-checked)."""
+    from searchenginejava_spark.operators.textstats import scrub_pii
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via https://ex.com/a?id="),
+            F.col("doc_id").cast("string"),
+            F.lit(" tel +1234567890"),
+        ).alias("text"),
+    )
+    return scrub_pii(docs)
+
+
 # ---------------------------------------------------------------------------
 # positional index / phrase / proximity
 # ---------------------------------------------------------------------------
@@ -720,6 +746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
         "q_rolling_fingerprint": q_rolling_fingerprint,
+        "q_repetition_stats": q_repetition_stats,
+        "q_pii_scrub": q_pii_scrub,
         "q_positional_index": q_positional_index,
         "q_positions_roundtrip": q_positions_roundtrip,
         "q_phrase_match": q_phrase_match,
@@ -1236,6 +1264,57 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY rank <= {_TOPK}
         """,
     }
+    from searchenginejava_spark.operators.textstats import (
+        PII_EMAIL,
+        PII_PHONE,
+        PII_URL,
+    )
+
+    sql["q_repetition_stats"] = (
+        _SQL_TOKL
+        + """
+        , grams AS (
+          SELECT doc_id,
+                 CASE WHEN len(l) >= 2 THEN
+                   list_transform(generate_series(1, len(l) - 1),
+                                  i -> array_to_string(l[i : i + 1], ' '))
+                 ELSE [] END AS g
+          FROM tokl
+        )
+        SELECT doc_id,
+               CAST(len(g) AS BIGINT) AS n_ngrams,
+               CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+               CASE WHEN len(g) > 0
+                    THEN round(1.0 - len(list_distinct(g)) / CAST(len(g) AS DOUBLE), 6)
+                    ELSE 0.0 END AS dup_frac
+        FROM grams
+        """
+    )
+    sql["q_pii_scrub"] = f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com via https://ex.com/a?id='
+                      || CAST(doc_id AS VARCHAR) || ' tel +1234567890' AS t
+          FROM documents
+        ), s1 AS (
+          SELECT doc_id, t,
+                 len(regexp_extract_all(t, '{PII_URL}')) AS n_urls,
+                 regexp_replace(t, '{PII_URL}', '<URL>', 'g') AS t1
+          FROM aug
+        ), s2 AS (
+          SELECT doc_id, n_urls,
+                 len(regexp_extract_all(t1, '{PII_EMAIL}')) AS n_emails,
+                 regexp_replace(t1, '{PII_EMAIL}', '<EMAIL>', 'g') AS t2
+          FROM s1
+        )
+        SELECT doc_id,
+               regexp_replace(t2, '{PII_PHONE}', '<PHONE>', 'g') AS clean_text,
+               CAST(n_emails AS BIGINT) AS n_emails,
+               CAST(n_urls AS BIGINT) AS n_urls,
+               CAST(len(regexp_extract_all(t2, '{PII_PHONE}')) AS BIGINT) AS n_phones
+        FROM s2
+        """
     # positional index: 1-based positions over the filtered token list —
     # generate_subscripts in the tok CTE enumerates the same sequence
     sql["q_positional_index"] = (

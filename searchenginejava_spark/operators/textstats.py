@@ -137,3 +137,76 @@ def rolling_fingerprint(
     return df.select(
         F.col(id_col).alias("doc_id"), h.alias("rolling_hash")
     )
+
+
+def repetition_stats(
+    df: DataFrame, *, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition filter signal: per doc, the fraction of
+    duplicate word n-grams → (doc_id, n_ngrams, n_distinct, dup_frac).
+
+    Highly repetitive machine-generated text shows dup_frac near 1; the
+    Gopher rules cut e.g. dup-2-gram fraction > 0.2. One codegen'd
+    projection (transform over an index sequence + array_distinct) —
+    zero Python, zero shuffle; the 6-decimal round makes the cut
+    bit-stable across engines.
+    """
+    toks = _tokens(F.col(text_col))
+    k = F.size(toks) - F.lit(n - 1)  # number of n-grams (may be <= 0)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_ngrams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    dup = F.when(
+        n_ngrams > 0,
+        F.round(
+            F.lit(1.0) - n_distinct.cast("double") / n_ngrams.cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_ngrams.cast("long").alias("n_ngrams"),
+        n_distinct.cast("long").alias("n_distinct"),
+        dup.alias("dup_frac"),
+    )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround, explicit character classes.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL = r"https?://[^ ]+"
+PII_PHONE = r"\+[0-9]{7,15}"
+
+
+def scrub_pii(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Training-data PII scrub: mask emails/URLs/phone numbers →
+    (doc_id, clean_text, n_emails, n_urls, n_phones).
+
+    URLs are masked FIRST (emails can appear inside URL userinfo), then
+    emails, then +international phones. Pure regexp_replace /
+    regexp_extract_all column expressions — one codegen'd projection at
+    any corpus scale, and the same RE2-safe patterns run in the DuckDB
+    oracle.
+    """
+    t = F.col(text_col)
+    n_urls = F.size(F.regexp_extract_all(t, F.lit(PII_URL), F.lit(0)))
+    no_url = F.regexp_replace(t, PII_URL, "<URL>")
+    n_emails = F.size(F.regexp_extract_all(no_url, F.lit(PII_EMAIL), F.lit(0)))
+    no_mail = F.regexp_replace(no_url, PII_EMAIL, "<EMAIL>")
+    n_phones = F.size(F.regexp_extract_all(no_mail, F.lit(PII_PHONE), F.lit(0)))
+    clean = F.regexp_replace(no_mail, PII_PHONE, "<PHONE>")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        clean.alias("clean_text"),
+        n_emails.cast("long").alias("n_emails"),
+        n_urls.cast("long").alias("n_urls"),
+        n_phones.cast("long").alias("n_phones"),
+    )

@@ -85,3 +85,54 @@ def test_fingerprint_whitespace_insensitive(spark):
     assert fps[0] == fps[1] == fps[2]
     expected = hashlib.sha256(b"hello world").hexdigest()
     assert fps[0] == expected
+
+
+def test_repetition_stats_dup_fraction(spark):
+    from searchenginejava_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),          # 2-grams: ab ba ab ba ab → 5, 2 distinct
+            (1, "all words differ here"),
+            (2, "x"),                    # fewer tokens than n → 0 n-grams
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_distinct"], r["dup_frac"])
+        for r in repetition_stats(df, n=2).collect()
+    }
+    assert got[0] == (5, 2, 0.6)
+    assert got[1] == (3, 3, 0.0)
+    assert got[2] == (0, 0, 0.0)
+    assert got[3] == (0, 0, 0.0)
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    from searchenginejava_spark.operators.textstats import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at bob.smith+x@corp.example.org today"),
+            (1, "see https://ex.com/a?user=1 and http://b.io/z"),
+            (2, "call +4915112345678 now"),
+            (3, "clean text no pii"),
+            (4, "multi a@b.co c@d.io https://x.y +1234567 end"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["clean_text"],
+            r["n_emails"],
+            r["n_urls"],
+            r["n_phones"],
+        )
+        for r in scrub_pii(df).collect()
+    }
+    assert got[0] == ("mail me at <EMAIL> today", 1, 0, 0)
+    assert got[1] == ("see <URL> and <URL>", 0, 2, 0)
+    assert got[2] == ("call <PHONE> now", 0, 0, 1)
+    assert got[3] == ("clean text no pii", 0, 0, 0)
+    assert got[4] == ("multi <EMAIL> <EMAIL> <URL> <PHONE> end", 2, 1, 1)
