@@ -27,6 +27,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--min-quality", type=float, default=0.5)
+    p.add_argument(
+        "--max-dup-frac",
+        type=float,
+        default=None,
+        help="Gopher repetition cut: drop docs whose duplicate-2-gram "
+        "fraction exceeds this",
+    )
     p.add_argument("--near-dup", action="store_true")
     p.add_argument("--jaccard", type=float, default=0.5)
     p.add_argument("--num-hashes", type=int, default=64)
@@ -59,6 +66,7 @@ def main(argv: list[str] | None = None) -> int:
         text_col=args.text_col,
         id_col=args.id_col,
         min_quality=args.min_quality,
+        max_dup_frac=args.max_dup_frac,
     )
     kept = docs.join(
         curated.select(F.col("doc_id").alias(args.id_col)),

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import exact_duplicates
-from .textstats import lang_id, quality_score, token_stats
+from .textstats import lang_id, quality_score, repetition_stats, token_stats
 
 
 def curate_corpus(
@@ -25,19 +25,31 @@ def curate_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_quality: float = 0.5,
+    max_dup_frac: float | None = None,
+    dup_ngram: int = 2,
 ) -> DataFrame:
     """documents → curated (doc_id, pred_lang, quality, n_tokens).
 
     Keeps exactly one doc per distinct content (the min id — the same
     keep rule `dedup_clusters` uses), then drops docs whose heuristic
     quality score (textstats.quality_score, C4/Gopher-style) is below
-    ``min_quality``. The threshold compares the 6-decimal-rounded score,
-    so the cut is bit-stable across engines.
+    ``min_quality``. ``max_dup_frac`` additionally applies the Gopher
+    repetition cut: docs whose duplicate-``dup_ngram``-gram fraction
+    exceeds it are dropped (another narrow per-row stage Catalyst fuses
+    into the same scan). Thresholds compare 6-decimal-rounded scores,
+    so the cuts are bit-stable across engines.
     """
     keep = exact_duplicates(df, text_col=text_col, id_col=id_col).select(
         F.col("keep_id").alias(id_col)
     )
     kept = df.join(keep, id_col, "left_semi")
+    if max_dup_frac is not None:
+        rep_keep = repetition_stats(
+            kept, n=dup_ngram, text_col=text_col, id_col=id_col
+        ).filter(F.col("dup_frac") <= max_dup_frac).select("doc_id")
+        kept = kept.join(
+            rep_keep.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+        )
     q = quality_score(kept, text_col=text_col, id_col=id_col).filter(
         F.col("quality") >= min_quality
     )

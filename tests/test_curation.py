@@ -62,6 +62,21 @@ def test_curate_job_end_to_end(spark, tmp_path):
     )
 
 
+def test_curation_repetition_cut(spark):
+    """max_dup_frac applies the Gopher repetition filter."""
+    repetitive = "spam ham " * 30 + "spam ham"     # dup 2-gram frac ≈ 1
+    rows = [(0, GOOD_EN), (1, repetitive.strip()), (2, GOOD_FR)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {r["doc_id"] for r in curate_corpus(df, min_quality=0.0).collect()}
+    cut = {
+        r["doc_id"]
+        for r in curate_corpus(
+            df, min_quality=0.0, max_dup_frac=0.2
+        ).collect()
+    }
+    assert 1 in base and cut == base - {1}
+
+
 def test_curation_is_idempotent(spark):
     rows = [(i, GOOD_EN + f" tail {i}") for i in range(6)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
