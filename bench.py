@@ -124,6 +124,36 @@ def main() -> None:
         query_runs[name] = runs
         queries[name] = min(runs)
 
+    # --- positional index build + indexed phrase serving -------------------
+    from searchenginejava_spark.operators.index import build_postings
+    from searchenginejava_spark.operators.positional import (
+        phrase_match_batch,
+        positional_index,
+    )
+
+    t0 = time.monotonic()
+    # the positional tf relation feeds several SPIMI/merge consumers —
+    # persist it so the posexplode+agg runs once (same role the fused
+    # tokenize_tf plays in the non-positional build)
+    pos_tf = positional_index(docs, mode="simple").persist()
+    pos_postings = build_postings(pos_tf, num_partitions=2 * cpus)
+    pos_postings.persist().count()
+    pos_tf.unpersist()
+    queries["index_build_positional_documents"] = round(
+        time.monotonic() - t0, 3
+    )
+    phrases = {
+        "p1": ["table", "hash"], "p2": ["customer", "join"],
+        "p3": ["merge", "group"], "p4": ["slow", "key"],
+        "p5": ["vector", "small"], "p6": ["big", "order"],
+        "p7": ["sort", "a"], "p8": ["filter", "small"],
+        "p9": ["row", "a"], "p10": ["the", "part"],
+    }
+    t0 = time.monotonic()
+    phrase_match_batch(pos_postings, phrases).count()
+    queries["phrase_batch10_indexed"] = round(time.monotonic() - t0, 3)
+    pos_postings.unpersist()
+
     # --- single-query serving latency (WAND, k=10, best of 3) --------------
     lat_runs = []
     single = [qset[0]]

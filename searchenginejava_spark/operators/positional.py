@@ -164,7 +164,12 @@ def _slice(pi: DataFrame, term: str, pos_alias: str) -> DataFrame:
     )
 
 
-def phrase_match(pi: DataFrame, phrase_terms: list[str]) -> DataFrame:
+def phrase_match(
+    pi: DataFrame,
+    phrase_terms: list[str],
+    *,
+    dfs: dict[str, int] | None = None,
+) -> DataFrame:
     """Docs containing ``phrase_terms`` consecutively → (doc_id,
     phrase_tf, first_pos). phrase_tf counts every start position
     (overlapping matches count), first_pos is the 1-based position of
@@ -178,6 +183,10 @@ def phrase_match(pi: DataFrame, phrase_terms: list[str]) -> DataFrame:
     candidate doc set is minimal; adjacency offsets are rebased
     accordingly. Duplicate terms in the phrase are handled naturally
     (each offset checks its own slice).
+
+    ``dfs`` (term → document frequency) lets batch callers skip the
+    per-phrase df action — e.g. from the dictionary, or computed once
+    for a whole phrase workload (``phrase_match_batch``).
     """
     if not phrase_terms:
         raise ValueError("phrase_terms must be non-empty")
@@ -191,13 +200,17 @@ def phrase_match(pi: DataFrame, phrase_terms: list[str]) -> DataFrame:
         )
 
     # df per distinct query term — ONE action over the term-pruned scan
+    # (skipped entirely when the caller already knows the dfs)
     distinct_terms = list(set(phrase_terms))
     sliced = pi.filter(F.col("term").isin(distinct_terms)).select(
         "term", "doc_id", "positions"
     )
-    dfs = {t: 0 for t in distinct_terms}
-    for r in sliced.groupBy("term").count().collect():
-        dfs[r["term"]] = r["count"]
+    if dfs is None:
+        dfs = {t: 0 for t in distinct_terms}
+        for r in sliced.groupBy("term").count().collect():
+            dfs[r["term"]] = r["count"]
+    else:
+        dfs = {t: int(dfs.get(t, 0)) for t in distinct_terms}
     slices = {
         t: sliced.filter(F.col("term") == F.lit(t)).select(
             "doc_id", "positions"
@@ -258,6 +271,50 @@ def phrase_match_indexed(
         F.col("term").isin(list(set(phrase_terms)))
     )
     return phrase_match(decode_postings_positions_df(sliced), phrase_terms)
+
+
+def phrase_match_batch(
+    postings: DataFrame, phrases: dict[str, list[str]]
+) -> DataFrame:
+    """Many phrase queries against the compressed index in ONE plan →
+    (phrase_id, doc_id, phrase_tf, first_pos).
+
+    The EP3 shape for phrase workloads: the index is scanned/decoded
+    once for the UNION of all phrases' terms (term-pruned, like a
+    batch dictionary lookup), dfs for every term come from one agg
+    action over that decoded slice, and the per-phrase join chains are
+    unioned into a single job — k_total joins total instead of
+    (1 df-action + k joins) per phrase. At cluster scale this turns a
+    q-phrase workload from 2q driver-synchronized jobs into 2: the
+    decoded slice is persisted (it is exactly the workload's
+    vocabulary — tiny relative to the index) and every chain reads it.
+    """
+    from .index import decode_postings_positions_df
+
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    all_terms = sorted({t for ts in phrases.values() for t in ts})
+    sliced = postings.filter(F.col("term").isin(all_terms))
+    pi = decode_postings_positions_df(sliced).select(
+        "term", "doc_id", "positions"
+    )
+    pi = pi.persist()
+    try:
+        dfs = {t: 0 for t in all_terms}
+        for r in pi.groupBy("term").count().collect():
+            dfs[r["term"]] = r["count"]
+        parts = []
+        for pid, terms in phrases.items():
+            m = phrase_match(pi, terms, dfs=dfs)
+            parts.append(m.select(F.lit(pid).alias("phrase_id"), "*"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        # materialize while the decoded slice is still cached
+        out = out.localCheckpoint(eager=True)
+    finally:
+        pi.unpersist()
+    return out
 
 
 def proximity_match(

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from searchenginejava_spark.operators.positional import (
     decode_positional,
@@ -271,6 +272,51 @@ def test_phrase_match_indexed_equals_positional(spark):
         tuple(r) for r in phrase_match(pi, ["table", "hash"]).collect()
     )
     assert a == b and a
+
+
+def test_phrase_match_batch_equals_per_phrase(spark):
+    """One-plan batch matcher == per-phrase phrase_match_indexed for
+    every phrase, including a phrase with an OOV term (empty result)
+    and a precomputed-dfs call path."""
+    from searchenginejava_spark.operators.index import build_postings
+    from searchenginejava_spark.operators.positional import (
+        phrase_match_batch,
+        phrase_match_indexed,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pi = positional_index(docs, mode="simple")
+    postings = build_postings(pi, num_partitions=4, num_salts=2)
+    phrases = {
+        "a": ["table", "hash"],
+        "b": ["the", "table"],
+        "c": ["table", "zzz_not_a_term"],
+    }
+    batch = phrase_match_batch(postings, phrases)
+    got = {
+        pid: sorted(
+            (r["doc_id"], r["phrase_tf"], r["first_pos"])
+            for r in batch.filter(F.col("phrase_id") == pid).collect()
+        )
+        for pid in phrases
+    }
+    for pid, terms in phrases.items():
+        want = sorted(
+            (r["doc_id"], r["phrase_tf"], r["first_pos"])
+            for r in phrase_match_indexed(postings, terms).collect()
+        )
+        assert got[pid] == want, pid
+    assert got["a"] and got["c"] == []
+
+    # explicit-dfs path: wrong-but-positive dfs only changes join ORDER,
+    # never the result
+    with_dfs = sorted(
+        (r["doc_id"], r["phrase_tf"], r["first_pos"])
+        for r in phrase_match(
+            pi, ["table", "hash"], dfs={"table": 1, "hash": 10**6}
+        ).collect()
+    )
+    assert with_dfs == got["a"]
 
 
 def test_non_positional_build_unchanged(spark):
