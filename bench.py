@@ -125,20 +125,19 @@ def main() -> None:
         queries[name] = min(runs)
 
     # --- positional index build + indexed phrase serving -------------------
-    from searchenginejava_spark.operators.index import build_postings
-    from searchenginejava_spark.operators.positional import (
-        phrase_match_batch,
-        positional_index,
-    )
+    from searchenginejava_spark.operators.positional import phrase_match_batch
 
     t0 = time.monotonic()
-    # the positional tf relation feeds several SPIMI/merge consumers —
-    # persist it so the posexplode+agg runs once (same role the fused
-    # tokenize_tf plays in the non-positional build)
-    pos_tf = positional_index(docs, mode="simple").persist()
-    pos_postings = build_postings(pos_tf, num_partitions=2 * cpus)
-    pos_postings.persist().count()
-    pos_tf.unpersist()
+    # positional=True swaps in the fused positional_tf — one mapInPandas,
+    # zero shuffle for the token→positions relation (the posexplode/agg
+    # form would shuffle one row per token occurrence)
+    idx_pos = build_index(
+        spark, docs, text_col="text", mode="simple",
+        num_partitions=2 * cpus, positional=True,
+    )
+    pos_postings = idx_pos.postings
+    pos_postings.count()
+    idx_pos.tf.unpersist()
     queries["index_build_positional_documents"] = round(
         time.monotonic() - t0, 3
     )

@@ -153,7 +153,10 @@ def doc_stats_local(tf: DataFrame) -> DataFrame:
             }
         )
 
-    return tf.mapInPandas(
+    # project to the two needed columns BEFORE the crossing: mapInPandas
+    # ships every input column through Arrow, and a positional tf carries
+    # per-row position arrays we'd otherwise serialize for nothing
+    return tf.select("doc_id", "tf").mapInPandas(
         run,
         schema="doc_id long, doc_len int, max_tf int, uniq_terms int",
     )

@@ -75,6 +75,60 @@ def positional_index(
     )
 
 
+def positional_tf(
+    corpus: DataFrame, *, text_col: str = "text", mode: str = "simple"
+) -> DataFrame:
+    """Fused tokenize + positions in ONE ``mapInPandas`` pass — the
+    positional twin of ``tokenize_tf`` (operators/index.py) and the
+    BUILD-path producer of (doc_id, term, tf, positions).
+
+    ``positional_index`` (posexplode → groupBy(doc_id, term) →
+    collect_list) shuffles ONE ROW PER TOKEN OCCURRENCE — the largest
+    shuffle anywhere in the engine at corpus scale (~10^13 rows at
+    100 TB). But positions are doc-LOCAL: a doc's token sequence lives
+    entirely inside its input partition, so the whole relation is
+    computable with zero shuffle. Output rows are value-identical to
+    ``positional_index`` (positions appended in reading order are
+    already ascending); that relational form stays as the
+    oracle-checkable slice, same split as tokenize_tf vs the
+    explode/groupBy tf.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from searchenginejava_spark.functions.tokenize import tokenize_text
+
+        memo: dict[str, str] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids: list[int] = []
+            terms: list[str] = []
+            tfs: list[int] = []
+            poss: list[list[int]] = []
+            for did, txt in zip(pdf["doc_id"], pdf[text_col]):
+                if not isinstance(txt, str):
+                    continue
+                if mode == "full":
+                    toks = tokenize_text(txt, _memo=memo)
+                else:  # simple: identical to tokens_simple_col / the oracle
+                    toks = [t for t in txt.lower().split(" ") if t]
+                by_term: dict[str, list[int]] = {}
+                for i, t in enumerate(toks, 1):
+                    by_term.setdefault(t, []).append(i)
+                for t, ps in by_term.items():
+                    ids.append(did)
+                    terms.append(t)
+                    tfs.append(len(ps))
+                    poss.append(ps)
+            yield pd.DataFrame(
+                {"doc_id": ids, "term": terms, "tf": tfs, "positions": poss}
+            )
+
+    return corpus.select("doc_id", text_col).mapInPandas(
+        run, schema="doc_id long, term string, tf int, positions array<int>"
+    )
+
+
 # --------------------------------------------------------------------------
 # compressed positional postings (delta+varbyte, same codec as doc gaps)
 # --------------------------------------------------------------------------

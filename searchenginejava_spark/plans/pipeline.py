@@ -79,6 +79,7 @@ def build_index(
     block_size: int = BLOCK_SIZE,
     assume_partitioned: bool = False,
     segment_max_postings: int | None = None,
+    positional: bool = False,
 ) -> IndexArtifacts:
     """EP1: build the full index from a corpus with a ``doc_id`` column.
 
@@ -87,6 +88,14 @@ def build_index(
     doc_id ranges, e.g. straight from ``assign_doc_ids(scalable=True)``
     (which sorts by key and assigns ids in partition order, so partition
     p holds exactly [offset_p, offset_p + count_p)).
+
+    ``positional=True`` swaps the fused tokenize+count for its
+    positional twin (``positional_tf`` — still one pass, zero shuffle),
+    so the built postings carry the per-posting position stream and can
+    serve phrase/proximity queries directly (phrase_match_indexed /
+    phrase_match_batch). Everything downstream — doc stats, dictionary,
+    WAND/BM25 — is unchanged (position bytes ride along, never decoded
+    except by phrase paths).
     """
     if num_partitions and not assume_partitioned:
         # RANGE-partition by doc_id: (a) spreads the tokenizer off a
@@ -99,7 +108,12 @@ def build_index(
         # vocab (see build_postings docstring).
         corpus = corpus.repartitionByRange(num_partitions, "doc_id")
     # fused tokenize+count (SPIMI batch stage) — no explode, no tf shuffle
-    tf = tokenize_tf(corpus, text_col=text_col, mode=mode)
+    if positional:
+        from ..operators.positional import positional_tf
+
+        tf = positional_tf(corpus, text_col=text_col, mode=mode)
+    else:
+        tf = tokenize_tf(corpus, text_col=text_col, mode=mode)
     tf.persist()
     # shuffle-free doc stats: every doc's tf rows live in one partition
     ds = doc_stats_local(tf)

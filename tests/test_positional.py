@@ -319,6 +319,62 @@ def test_phrase_match_batch_equals_per_phrase(spark):
     assert with_dfs == got["a"]
 
 
+def test_positional_tf_fused_equals_relational(spark):
+    """Fused zero-shuffle positional_tf == posexplode/agg positional_index,
+    row for row, in both tokenizer modes (incl. stemmed full mode)."""
+    from searchenginejava_spark.operators.positional import positional_tf
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for mode in ("simple", "full"):
+        a = sorted(
+            (r["doc_id"], r["term"], r["tf"], tuple(r["positions"]))
+            for r in positional_tf(docs, mode=mode).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["term"], r["tf"], tuple(r["positions"]))
+            for r in positional_index(docs, mode=mode).collect()
+        )
+        assert a == b and a, mode
+
+
+def test_build_index_positional_serves_phrases(spark):
+    """build_index(positional=True) produces postings whose position
+    stream serves phrase queries — identical matches to the relational
+    positional index — and whose BM25 artifacts equal the non-positional
+    build's."""
+    from searchenginejava_spark.operators.positional import (
+        phrase_match_indexed,
+    )
+    from searchenginejava_spark.plans.pipeline import build_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(
+        spark, docs, text_col="text", mode="simple", num_partitions=4,
+        positional=True,
+    )
+    pi = positional_index(docs, mode="simple")
+    got = sorted(
+        tuple(r)
+        for r in phrase_match_indexed(idx.postings, ["table", "hash"]).collect()
+    )
+    want = sorted(tuple(r) for r in phrase_match(pi, ["table", "hash"]).collect())
+    assert got == want and got
+
+    plain = build_index(
+        spark, docs, text_col="text", mode="simple", num_partitions=4
+    )
+    assert idx.stats == plain.stats
+    a = sorted(
+        (r["term"], r["df"], r["cf"], bytes(r["postings"]))
+        for r in idx.postings.collect()
+    )
+    b = sorted(
+        (r["term"], r["df"], r["cf"], bytes(r["postings"]))
+        for r in plain.postings.collect()
+    )
+    assert a == b
+
+
 def test_non_positional_build_unchanged(spark):
     """A tf relation WITHOUT positions builds with a null positions
     column — WAND/BM25 paths and byte streams are unaffected."""
