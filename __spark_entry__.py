@@ -327,6 +327,87 @@ def q_wand_sharded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone deletion under the oracle gate: delete every doc_id
+    divisible by 37, then WAND top-10 with the tombstone skip. Stale-
+    stats convention (pipeline.delete_docs): N/avgdl/df stay collection-
+    level, so surviving docs keep their undeleted scores — the oracle is
+    the full-stats BM25 SQL with deleted docs excluded from CANDIDATES
+    only."""
+    from searchenginejava_spark.operators.index import build_postings
+    from searchenginejava_spark.operators.wand import wand_topk
+
+    tf = _tf(spark, sf_dir)
+    tf.persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+    srow = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("doc_len").alias("avgdl"),
+        F.min("doc_len").alias("dl_min"),
+    ).collect()[0]
+    stats = {
+        "N": int(srow["n"]),
+        "avgdl": float(srow["avgdl"]),
+        "dl_min": float(srow["dl_min"]),
+    }
+    postings = build_postings(tf, num_partitions=8, num_salts=4)
+    deleted = [
+        r["doc_id"]
+        for r in dl.filter(F.col("doc_id") % 37 == 0).collect()
+    ]
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    res = wand_topk(spark, qt, postings, stats, k=_TOPK, deleted=deleted).select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(F.col("score"), 6).alias("score"),
+    )
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
+def q_compact_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """delete_docs → compact_index end-to-end under the oracle gate:
+    tombstone every doc_id divisible by 37, rewrite the index, decode —
+    must equal the tf relation minus the deleted docs (and df/cf are
+    re-stamped by the rebuild, oracle-checked via the decode)."""
+    from searchenginejava_spark.operators.index import (
+        build_postings,
+        decode_postings_df,
+        doc_stats,
+    )
+    from searchenginejava_spark.plans.pipeline import (
+        IndexArtifacts,
+        compact_index,
+        delete_docs,
+    )
+
+    tf = _tf(spark, sf_dir)
+    tf.persist()
+    ds = doc_stats(tf)
+    postings = build_postings(tf, num_partitions=8, num_salts=4)
+    idx = IndexArtifacts(
+        docs=ds, tf=tf, dictionary=postings.select("term", "df", "cf", "max_tf"),
+        postings=postings, stats={"N": 0, "avgdl": 1.0},
+    )
+    dead = ds.select("doc_id").filter(F.col("doc_id") % 37 == 0)
+    compacted = compact_index(
+        spark, delete_docs(idx, dead), num_partitions=8
+    )
+    out = decode_postings_df(compacted.postings).select(
+        "term",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("tf").cast("long").alias("tf"),
+    )
+    out.persist()
+    out.count()
+    tf.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline ops (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
@@ -723,6 +804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_postings_incremental": q_postings_incremental,
         "q_dictionary_compressed": q_dictionary_compressed,
         "q_wand_topk": q_wand_topk,
+        "q_delete_search": q_delete_search,
+        "q_compact_postings": q_compact_postings,
         "q_wand_sharded_topk": q_wand_sharded_topk,
         "q_query_expansion": q_query_expansion,
         "q_exact_dedup": q_exact_dedup,
@@ -1427,6 +1510,15 @@ def oracle_sql() -> dict[str, str]:
         """
     # WAND pruning is output-invisible: same oracle as the exhaustive path
     sql["q_wand_topk"] = sql["q_bm25_topk"]
+    # stale-stats tombstone search: stats/df over the FULL tf, deleted
+    # docs excluded from candidates only
+    sql["q_delete_search"] = sql["q_bm25_topk"].replace(
+        "GROUP BY q.query_id, tf.doc_id",
+        "WHERE tf.doc_id % 37 <> 0 GROUP BY q.query_id, tf.doc_id",
+    )
+    sql["q_compact_postings"] = (
+        _SQL_TF + "SELECT term, doc_id, tf FROM tf WHERE doc_id % 37 <> 0"
+    )
     sql["q_wand_sharded_topk"] = sql["q_bm25_topk"]
     sql["q_ann_lsh_topk"] = _ann_lsh_sql(n_planes=8, k=10, dim=64)
     sql["q_ann_ivf_topk"] = _ann_ivf_sql(n_centroids=8, n_probe=2, k=10)

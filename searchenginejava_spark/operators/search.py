@@ -77,6 +77,7 @@ def score_exhaustive(
     b: float = BM25_B,
     deterministic: bool = False,
     doc_filter: DataFrame | None = None,
+    doc_exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Full (non-pruned) BM25 top-k for every query in one Spark job (EP3).
 
@@ -134,6 +135,16 @@ def score_exhaustive(
         # list broadcasts.
         cand = cand.join(
             doc_filter.select("doc_id"), "doc_id", "left_semi"
+        )
+    if doc_exclude is not None:
+        # tombstoned docs (pipeline.delete_docs): the anti-join removes
+        # them from the candidate stream BEFORE the agg/top-k window, so
+        # they can't occupy result slots. Stats/df stay collection-level
+        # (stale until compaction — the Lucene live-docs convention),
+        # which keeps this path score-identical to the WAND scorer's
+        # tombstone skip.
+        cand = cand.join(
+            doc_exclude.select("doc_id"), "doc_id", "left_anti"
         )
     # association order matters for bit-identity with the WAND path and
     # the numpy oracle: both compute ((qtf·idf) · tf·(k1+1)) / (tf + K) —

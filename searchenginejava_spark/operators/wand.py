@@ -54,7 +54,13 @@ def _wand_one_query(
     k: int,
     k1: float,
     b: float,
+    deleted=None,
 ) -> list[tuple[int, int, int, float]]:
+    """``deleted``: optional SORTED int64 numpy array of tombstoned
+    doc_ids — candidates in it are never scored (so they can't occupy
+    top-k slots), but their pointers advance normally. Skipping
+    candidates only removes competitors; every bound stays admissible,
+    so the result is the exact top-k over live documents."""
     import numpy as np
 
     from searchenginejava_spark.functions.codec import (
@@ -133,10 +139,17 @@ def _wand_one_query(
                 p for p in live if int(p["ids"][p["pos"]]) == pivot_doc
             ]
             # block-max refinement: skip exact scoring if block ubs can't win
-            if len(heap) == k:
-                bub = 0.0
-                import numpy as np
+            import numpy as np
 
+            if deleted is not None and len(deleted):
+                j = int(np.searchsorted(deleted, pivot_doc))
+                is_deleted = j < len(deleted) and int(deleted[j]) == pivot_doc
+            else:
+                is_deleted = False
+            if is_deleted:
+                do_score = False
+            elif len(heap) == k:
+                bub = 0.0
                 for p in involved:
                     bi = int(np.searchsorted(p["blast"], pivot_doc))
                     bub += float(p["block_ub"][min(bi, len(p["block_ub"]) - 1)])
@@ -190,14 +203,20 @@ def wand_topk(
     k: int = TOP_K,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    deleted=None,
 ) -> DataFrame:
     """Pruned per-query top-k over the compressed postings dataset.
 
     Doc lengths come from the postings' own ``norms`` sidecar column —
     ``stats`` only carries the O(1) scalars (N, avgdl, dl_min).
+
+    ``deleted``: optional sequence of tombstoned doc_ids (see
+    pipeline.delete_docs) — O(|tombstones|) in the task closure, never
+    doc-proportional; compaction bounds it by policy.
     """
     n_docs, avgdl = stats["N"], stats["avgdl"]
     dl_min = float(stats.get("dl_min", 1.0))
+    del_arr = _deleted_array(deleted)
 
     from pyspark.sql import Window
 
@@ -226,13 +245,24 @@ def wand_topk(
         qid = int(pdf["query_id"].iloc[0])
         terms = pdf.to_dict("records")
         rows = _wand_one_query(
-            qid, terms, n_docs, avgdl, dl_min, k, k1, b
+            qid, terms, n_docs, avgdl, dl_min, k, k1, b, deleted=del_arr
         )
         return pd.DataFrame(
             rows, columns=["query_id", "rank", "doc_id", "score"]
         )
 
     return q_post.groupBy("query_id").applyInPandas(run, schema=RESULTS)
+
+
+def _deleted_array(deleted):
+    """Normalize a tombstone id sequence to the scorer's sorted int64
+    array (None stays None — the zero-overhead common case)."""
+    if deleted is None:
+        return None
+    import numpy as np
+
+    arr = np.asarray(sorted(int(d) for d in deleted), dtype=np.int64)
+    return arr if len(arr) else None
 
 
 def wand_topk_sharded(
@@ -244,6 +274,7 @@ def wand_topk_sharded(
     k: int = TOP_K,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    deleted=None,
 ) -> DataFrame:
     """Doc-sharded WAND: pruned top-k over doc-range-sharded postings
     (operators/index.py::build_sharded_postings, PARTIAL_POSTINGS rows).
@@ -263,6 +294,7 @@ def wand_topk_sharded(
 
     n_docs, avgdl = stats["N"], stats["avgdl"]
     dl_min = float(stats.get("dl_min", 1.0))
+    del_arr = _deleted_array(deleted)
     q_post = sharded.join(F.broadcast(query_terms), "term").select(
         "query_id",
         "term",
@@ -300,7 +332,7 @@ def wand_topk_sharded(
             rec["norms"] = rec["dl_bytes"]
             terms.append(rec)
         rows = _wand_one_query(
-            qid, terms, n_docs, avgdl, dl_min, k, k1, b
+            qid, terms, n_docs, avgdl, dl_min, k, k1, b, deleted=del_arr
         )
         return pd.DataFrame(
             rows, columns=["query_id", "rank", "doc_id", "score"]

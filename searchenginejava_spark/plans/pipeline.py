@@ -37,6 +37,9 @@ class IndexArtifacts:
     dictionary: DataFrame    # term, df, cf, max_tf
     postings: DataFrame | None  # compressed (term, df, cf, max_tf, blocks, binary)
     stats: dict = field(default_factory=dict)  # N, avgdl, total_terms, dl_min
+    # tombstoned doc_ids (delete_docs) — postings/stats stay stale until
+    # compact_index; query paths filter these out exactly
+    tombstones: DataFrame | None = None
 
     def persist(self) -> "IndexArtifacts":
         self.docs.persist()
@@ -234,6 +237,96 @@ def merge_indexes(
     )
 
 
+def delete_docs(index: IndexArtifacts, deleted: DataFrame) -> IndexArtifacts:
+    """Tombstone deletion (the Lucene live-docs model): O(1) — no posting
+    is rewritten. ``deleted`` is a (doc_id) DataFrame; the returned index
+    answers every query as if those docs were gone — they can never
+    occupy a top-k slot, a boolean result, or a dedup/curation output —
+    while collection statistics (N, avgdl, df) stay STALE until
+    ``compact_index``, the standard convention (scores of surviving docs
+    are unchanged by a delete; only the competitor set shrinks).
+
+    Scale: tombstones are O(deletes since last compaction), bounded by
+    compaction policy (compact when |tombstones|/N exceeds a few
+    percent). The WAND path ships them as a sorted array in the task
+    closure; the exhaustive path anti-joins — never doc-proportional.
+    """
+    dset = deleted.select("doc_id").distinct()
+    tomb = (
+        dset
+        if index.tombstones is None
+        else index.tombstones.unionByName(dset).distinct()
+    )
+    return IndexArtifacts(
+        docs=index.docs.join(dset, "doc_id", "left_anti"),
+        tf=index.tf.join(dset, "doc_id", "left_anti"),
+        dictionary=index.dictionary,
+        postings=index.postings,
+        stats=index.stats,
+        tombstones=tomb,
+    )
+
+
+def compact_index(
+    spark: SparkSession,
+    index: IndexArtifacts,
+    *,
+    num_partitions: int | None = None,
+    num_salts: int = DEFAULT_SALTS,
+    block_size: int = BLOCK_SIZE,
+    segment_max_postings: int | None = None,
+) -> IndexArtifacts:
+    """Materialize tombstones: rebuild postings WITHOUT the deleted docs
+    and recompute collection stats — the segment-rewrite step every
+    tombstone engine eventually runs. Output postings are byte-identical
+    to a cold build over the surviving corpus (same doc_ids → same gap
+    streams; verified in tests).
+
+    Cost: one pass over the live tf relation (already tombstone-filtered
+    by delete_docs — a narrow anti-join against the small tombstone set)
+    through the standard SPIMI→salted-merge path. Positional indexes
+    compact for free: the tf relation carries the positions column and
+    the build re-stamps the streams.
+    """
+    tf = index.tf
+    postings = build_postings(
+        tf,
+        num_partitions=num_partitions,
+        num_salts=num_salts,
+        block_size=block_size,
+        segment_max_postings=segment_max_postings,
+    )
+    postings.persist()
+    if segment_max_postings:
+        dct = postings.groupBy("term").agg(
+            F.sum("df").alias("df"),
+            F.sum("cf").alias("cf"),
+            F.max("max_tf").alias("max_tf"),
+        )
+    else:
+        dct = postings.select("term", "df", "cf", "max_tf")
+    row = index.docs.agg(
+        F.count(F.lit(1)).alias("N"),
+        F.avg("doc_len").alias("avgdl"),
+        F.sum("doc_len").alias("total_terms"),
+        F.min("doc_len").alias("dl_min"),
+    ).collect()[0]
+    stats = {
+        "N": int(row["N"]),
+        "avgdl": float(row["avgdl"]) if row["avgdl"] is not None else 1.0,
+        "total_terms": int(row["total_terms"]) if row["total_terms"] is not None else 0,
+        "dl_min": float(row["dl_min"]) if row["dl_min"] is not None else 1.0,
+    }
+    return IndexArtifacts(
+        docs=index.docs,
+        tf=tf,
+        dictionary=dct,
+        postings=postings,
+        stats=stats,
+        tombstones=None,
+    )
+
+
 def run_queries(
     spark: SparkSession,
     index: IndexArtifacts,
@@ -279,11 +372,21 @@ def run_queries(
         return score_exhaustive(
             qt, src, index.docs, index.dictionary, index.stats, k=k,
             deterministic=deterministic,
+            doc_exclude=index.tombstones,
         )
     if path == "wand":
         if index.postings is None:
             raise ValueError("wand path needs compressed postings")
         # doc lengths ride inside the postings' norms sidecar — nothing
-        # doc-proportional is ever collected to the driver on this path
-        return wand_topk(spark, qt, index.postings, index.stats, k=k)
+        # doc-proportional is ever collected to the driver on this path.
+        # Tombstones (if any) are the one exception by design: they are
+        # O(deletes since compaction), not O(N) — see delete_docs.
+        deleted = None
+        if index.tombstones is not None:
+            deleted = [
+                r["doc_id"] for r in index.tombstones.select("doc_id").collect()
+            ]
+        return wand_topk(
+            spark, qt, index.postings, index.stats, k=k, deleted=deleted
+        )
     raise ValueError(f"unknown path: {path}")

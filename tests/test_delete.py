@@ -1,0 +1,160 @@
+"""Document deletion: tombstones (delete_docs) + compaction (compact_index).
+
+Key exact property of the tombstone model (stale collection stats, the
+Lucene live-docs convention): a delete never changes a surviving doc's
+score — only the competitor set shrinks. So top-k after deleting docs D
+== the undeleted ranking with D's rows removed and ranks renumbered.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginejava_spark.plans.pipeline import (
+    build_index,
+    compact_index,
+    delete_docs,
+    run_queries,
+)
+
+QUERIES = [(1, "the table hash join"), (2, "customer order key")]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def index(spark, docs):
+    idx = build_index(
+        spark, docs, text_col="text", mode="simple", num_partitions=4
+    )
+    idx.persist()
+    return idx
+
+
+def _rows(df):
+    return [
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in df.orderBy("query_id", "rank").collect()
+    ]
+
+
+def _deleted_df(spark, ids):
+    return spark.createDataFrame([(int(i),) for i in ids], "doc_id long")
+
+
+def test_tombstone_ranking_is_renumbered_suffix(spark, index):
+    """Deleting docs D: new top-k == old top-(k+|D|) minus D, renumbered —
+    bit-exact scores — on BOTH scorer paths."""
+    k = 10
+    base = _rows(run_queries(spark, index, QUERIES, k=k + 3, path="wand"))
+    # delete 3 docs that appear in query 1's top ranks (stress slot refill)
+    dead = [d for (q, r, d, s) in base if q == 1][:3]
+    idx_del = delete_docs(index, _deleted_df(spark, dead))
+
+    expect = {}
+    for q in (1, 2):
+        kept = [(d, s) for (qq, r, d, s) in base if qq == q and d not in dead]
+        expect[q] = [
+            (q, i + 1, d, s) for i, (d, s) in enumerate(kept[:k])
+        ]
+    for path in ("wand", "exhaustive"):
+        got = _rows(run_queries(spark, idx_del, QUERIES, k=k, path=path))
+        for q in (1, 2):
+            assert [t for t in got if t[0] == q] == expect[q], (path, q)
+        assert not {t[2] for t in got} & set(dead)
+
+
+def test_tombstone_sharded_wand(spark, index):
+    from searchenginejava_spark.operators.index import build_sharded_postings
+    from searchenginejava_spark.operators.search import query_terms_df
+    from searchenginejava_spark.operators.wand import (
+        wand_topk,
+        wand_topk_sharded,
+    )
+
+    qt = query_terms_df(spark, QUERIES)
+    base = _rows(wand_topk(spark, qt, index.postings, index.stats, k=8))
+    dead = [d for (q, r, d, s) in base if q == 1][:2]
+    sharded = build_sharded_postings(index.tf, num_shards=3, num_partitions=4)
+    a = _rows(
+        wand_topk_sharded(
+            spark, qt, sharded, index.stats, k=8, deleted=dead
+        )
+    )
+    b = _rows(
+        wand_topk(spark, qt, index.postings, index.stats, k=8, deleted=dead)
+    )
+    assert a == b and a
+    assert not {t[2] for t in a} & set(dead)
+
+
+def test_delete_accumulates_and_dedups(spark, index):
+    idx1 = delete_docs(index, _deleted_df(spark, [1, 2]))
+    idx2 = delete_docs(idx1, _deleted_df(spark, [2, 3]))
+    tomb = sorted(r["doc_id"] for r in idx2.tombstones.collect())
+    assert tomb == [1, 2, 3]
+    assert idx2.docs.filter(F.col("doc_id").isin([1, 2, 3])).count() == 0
+    assert idx2.tf.filter(F.col("doc_id").isin([1, 2, 3])).count() == 0
+
+
+def test_compact_equals_cold_build(spark, docs, index):
+    """Compaction == cold build over the surviving corpus: postings
+    byte-identical, stats equal, tombstones cleared, rankings equal."""
+    dead = [5, 17, 42]
+    idx_del = delete_docs(index, _deleted_df(spark, dead))
+    compacted = compact_index(spark, idx_del, num_partitions=4)
+    cold = build_index(
+        spark,
+        docs.filter(~F.col("doc_id").isin(dead)),
+        text_col="text",
+        mode="simple",
+        num_partitions=4,
+    )
+    assert compacted.tombstones is None
+    assert compacted.stats == cold.stats
+    a = sorted(
+        (r["term"], r["df"], r["cf"], bytes(r["postings"]), bytes(r["norms"]))
+        for r in compacted.postings.collect()
+    )
+    b = sorted(
+        (r["term"], r["df"], r["cf"], bytes(r["postings"]), bytes(r["norms"]))
+        for r in cold.postings.collect()
+    )
+    assert a == b
+    ra = _rows(run_queries(spark, compacted, QUERIES, k=10, path="wand"))
+    rb = _rows(run_queries(spark, cold, QUERIES, k=10, path="wand"))
+    assert ra == rb and ra
+
+
+def test_compact_positional_serves_phrases(spark, docs):
+    """A positional index compacts for free (positions ride the tf
+    relation); phrase matches afterwards exclude the deleted docs and
+    equal the cold positional build's."""
+    from searchenginejava_spark.operators.positional import (
+        phrase_match_indexed,
+    )
+
+    idx = build_index(
+        spark, docs, text_col="text", mode="simple", num_partitions=4,
+        positional=True,
+    )
+    base = phrase_match_indexed(idx.postings, ["table", "hash"]).collect()
+    assert base
+    dead = [base[0]["doc_id"]]
+    compacted = compact_index(
+        spark, delete_docs(idx, _deleted_df(spark, dead)), num_partitions=4
+    )
+    got = sorted(
+        tuple(r)
+        for r in phrase_match_indexed(
+            compacted.postings, ["table", "hash"]
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in base if r["doc_id"] not in dead
+    )
+    assert got == [tuple(w) for w in want]
