@@ -130,6 +130,41 @@ def test_compact_equals_cold_build(spark, docs, index):
     assert ra == rb and ra
 
 
+def test_upsert_delete_then_incremental_merge(spark, docs, index):
+    """Document UPDATE = tombstone the old version + fold the new one in
+    via merge_indexes (no rebuild): querying the upserted index ==
+    querying a cold build over the updated corpus. Note compaction must
+    come FIRST: merge_indexes requires doc-id-disjoint postings, and a
+    tombstoned id still lives in the old postings bytes."""
+    from searchenginejava_spark.plans.pipeline import merge_indexes
+
+    updated = docs.filter(F.col("doc_id") < 5).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" updated revision marker"))
+    )
+    idx_del = delete_docs(
+        index, docs.filter(F.col("doc_id") < 5).select("doc_id")
+    )
+    compacted = compact_index(spark, idx_del, num_partitions=4)
+    idx_new = build_index(
+        spark, updated, text_col="text", mode="simple", num_partitions=4
+    )
+    upserted = merge_indexes(spark, compacted, idx_new, num_partitions=4)
+
+    cold_corpus = docs.filter(F.col("doc_id") >= 5).unionByName(updated)
+    cold = build_index(
+        spark, cold_corpus, text_col="text", mode="simple", num_partitions=4
+    )
+    assert upserted.stats["N"] == cold.stats["N"]
+    a = _rows(run_queries(spark, upserted, QUERIES, k=10, path="wand"))
+    b = _rows(run_queries(spark, cold, QUERIES, k=10, path="wand"))
+    assert a == b and a
+    # the updated text is actually searchable
+    hits = run_queries(
+        spark, upserted, [(9, "updated revision marker")], k=10, path="wand"
+    )
+    assert {r["doc_id"] for r in hits.collect()} == {0, 1, 2, 3, 4}
+
+
 def test_compact_positional_serves_phrases(spark, docs):
     """A positional index compacts for free (positions ride the tf
     relation); phrase matches afterwards exclude the deleted docs and
