@@ -408,6 +408,40 @@ def q_compact_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_structured_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-call search API (pipeline.structured_search) under the
+    oracle gate: free-text BM25 ranking constrained by a required term,
+    an excluded term, and an exact phrase — all as candidate-stream
+    semi/anti-joins (filter-query convention: surviving docs keep
+    collection-level scores)."""
+    from searchenginejava_spark.plans.pipeline import (
+        build_index,
+        structured_search,
+    )
+
+    corpus = _documents(spark, sf_dir)
+    idx = build_index(
+        spark, corpus, text_col="text", mode="simple", num_partitions=8,
+        positional=True,
+    )
+    res = structured_search(
+        spark, idx, "fast table scan hash join",
+        must=["customer"], must_not=["slow"], phrases=[["table", "hash"]],
+        k=_TOPK,
+        tokenizer=lambda t: [x for x in t.lower().split(" ") if x],
+    ).select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(F.col("score"), 6).alias("score"),
+    )
+    res.persist()
+    res.count()
+    idx.tf.unpersist()
+    idx.postings.unpersist()
+    return res
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline ops (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
@@ -806,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wand_topk": q_wand_topk,
         "q_delete_search": q_delete_search,
         "q_compact_postings": q_compact_postings,
+        "q_structured_search": q_structured_search,
         "q_wand_sharded_topk": q_wand_sharded_topk,
         "q_query_expansion": q_query_expansion,
         "q_exact_dedup": q_exact_dedup,
@@ -1519,6 +1554,49 @@ def oracle_sql() -> dict[str, str]:
     sql["q_compact_postings"] = (
         _SQL_TF + "SELECT term, doc_id, tf FROM tf WHERE doc_id % 37 <> 0"
     )
+    sql["q_structured_search"] = (
+        _SQL_TOKL
+        + f"""
+        , tf AS (SELECT doc_id, term, count(*) AS tf
+                 FROM tok GROUP BY doc_id, term)
+        , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+                 FROM tf GROUP BY doc_id)
+        , stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl)
+        , dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        , q(query_id, term, qtf) AS (VALUES
+            (0, 'fast', 1), (0, 'table', 1), (0, 'scan', 1),
+            (0, 'hash', 1), (0, 'join', 1))
+        , p0 AS (SELECT doc_id, pos FROM tok WHERE term = 'table')
+        , p1 AS (SELECT doc_id, pos FROM tok WHERE term = 'hash')
+        , phr AS (SELECT DISTINCT p0.doc_id FROM p0
+                  JOIN p1 ON p0.doc_id = p1.doc_id AND p1.pos = p0.pos + 1)
+        , scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 sum(q.qtf
+                     * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                     * (tf.tf * {_K1 + 1.0})
+                     / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+                 ) AS s
+          FROM q
+          JOIN dict USING (term)
+          JOIN tf USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          WHERE tf.doc_id IN (SELECT doc_id FROM phr)
+            AND tf.doc_id IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'customer')
+            AND tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'slow')
+          GROUP BY q.query_id, tf.doc_id
+        )
+        SELECT CAST(query_id AS INT) AS query_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, doc_id ASC) AS INT) AS rank,
+               doc_id,
+               round(s, 6) AS score
+        FROM scored
+        QUALIFY rank <= {_TOPK}
+        """
+    )
+
     sql["q_wand_sharded_topk"] = sql["q_bm25_topk"]
     sql["q_ann_lsh_topk"] = _ann_lsh_sql(n_planes=8, k=10, dim=64)
     sql["q_ann_ivf_topk"] = _ann_ivf_sql(n_centroids=8, n_probe=2, k=10)

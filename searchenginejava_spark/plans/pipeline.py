@@ -327,6 +327,98 @@ def compact_index(
     )
 
 
+def structured_search(
+    spark: SparkSession,
+    index: IndexArtifacts,
+    query_text: str,
+    *,
+    must: tuple[str, ...] | list[str] = (),
+    must_not: tuple[str, ...] | list[str] = (),
+    phrases: list[list[str]] | tuple = (),
+    doc_filter: DataFrame | None = None,
+    k: int = TOP_K,
+    query_id: int = 0,
+    tokenizer=None,
+    snippet_corpus: DataFrame | None = None,
+    snippet_width: int = 2,
+) -> DataFrame:
+    """The full search-API composition in ONE declarative plan: free-text
+    BM25 ranking constrained by required terms (``must``), excluded
+    terms (``must_not``), exact phrases (``phrases`` — needs a
+    positional index), and a metadata ``doc_filter`` — with optional
+    result snippets (pass the corpus as ``snippet_corpus``).
+
+    Every constraint becomes a doc-set semi/anti-join on the candidate
+    stream BEFORE the score agg and top-k window, so constraints prune
+    work instead of post-filtering results, and surviving docs keep
+    their collection-level BM25 scores (the filter-query convention —
+    same semantics as score_exhaustive's doc_filter). Constraint doc
+    sets are built from term-pruned posting slices only; at scale each
+    is a tiny fraction of the index and broadcasts into the semi-join.
+
+    Returns (query_id, rank, doc_id, score[, first_pos, snippet]).
+    """
+    from ..operators.search import query_terms_df, snippets
+
+    qt = query_terms_df(spark, [(query_id, query_text)], **(
+        {} if tokenizer is None else {"tokenizer": tokenizer}
+    ))
+
+    def _slice_ids(terms: list[str]) -> DataFrame:
+        if index.postings is not None:
+            from ..operators.index import decode_postings_df
+
+            return decode_postings_df(
+                index.postings.filter(F.col("term").isin(terms))
+            ).select("doc_id")
+        return index.tf.filter(F.col("term").isin(terms)).select("doc_id")
+
+    # must: intersect the per-term doc sets (successive semi-joins)
+    include: DataFrame | None = doc_filter
+    for t in must:
+        ids = _slice_ids([t]).distinct()
+        include = ids if include is None else include.join(
+            ids, "doc_id", "left_semi"
+        )
+    # phrases: each phrase's matching docs constrain the candidates
+    for ph in phrases:
+        from ..operators.positional import phrase_match_indexed
+
+        if index.postings is None:
+            raise ValueError("phrase constraints need compressed postings")
+        ids = phrase_match_indexed(index.postings, list(ph)).select("doc_id")
+        include = ids if include is None else include.join(
+            ids, "doc_id", "left_semi"
+        )
+    # must_not ∪ tombstones: one anti-join
+    exclude: DataFrame | None = index.tombstones
+    if must_not:
+        ids = _slice_ids(list(must_not)).distinct()
+        exclude = ids if exclude is None else exclude.select(
+            "doc_id"
+        ).unionByName(ids)
+
+    src = index.tf
+    if index.postings is not None:
+        from ..operators.index import decode_postings_df
+
+        terms = [r["term"] for r in qt.select("term").distinct().collect()]
+        src = decode_postings_df(
+            index.postings.filter(F.col("term").isin(terms))
+        )
+    res = score_exhaustive(
+        qt, src, index.docs, index.dictionary, index.stats, k=k,
+        doc_filter=include, doc_exclude=exclude,
+    )
+    if snippet_corpus is not None:
+        q_terms = [r["term"] for r in qt.select("term").distinct().collect()]
+        snip = snippets(snippet_corpus, q_terms, width=snippet_width)
+        res = res.join(snip, "doc_id", "left").select(
+            "query_id", "rank", "doc_id", "score", "first_pos", "snippet"
+        ).orderBy("query_id", "rank")
+    return res
+
+
 def run_queries(
     spark: SparkSession,
     index: IndexArtifacts,

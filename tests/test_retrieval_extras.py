@@ -110,3 +110,107 @@ def test_snippets_earliest_of_multiple_terms(spark):
     got = snippets(docs, ["first", "second"], width=1).collect()[0]
     assert got["first_pos"] == 3
     assert got["snippet"] == "y second z"
+
+
+# --------------------------------------------------------------------------
+# structured search (the one-call search-API composition)
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ss_index(spark):
+    from searchenginejava_spark.plans.pipeline import build_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(
+        spark, docs, text_col="text", mode="simple", num_partitions=4,
+        positional=True,
+    )
+    idx.persist()
+    return docs, idx
+
+
+def _res(df):
+    return [
+        (r["rank"], r["doc_id"], r["score"])
+        for r in df.orderBy("rank").collect()
+    ]
+
+
+def test_structured_must_is_renumbered_subset(spark, ss_index):
+    """Filter-query convention: a must constraint keeps surviving docs'
+    scores identical — constrained top-k == unconstrained ranking
+    filtered to docs containing the must term, renumbered."""
+    from searchenginejava_spark.plans.pipeline import structured_search
+
+    docs, idx = ss_index
+    q = "the table hash join"
+    base = _res(structured_search(spark, idx, q, k=50))
+    must_docs = {
+        r["doc_id"]
+        for r in idx.tf.filter(F.col("term") == "customer").collect()
+    }
+    got = _res(structured_search(spark, idx, q, must=["customer"], k=10))
+    want = [
+        (i + 1, d, s)
+        for i, (_, d, s) in enumerate(
+            [t for t in base if t[1] in must_docs][:10]
+        )
+    ]
+    assert got == want and got
+
+
+def test_structured_must_not_and_filter(spark, ss_index):
+    from searchenginejava_spark.plans.pipeline import structured_search
+
+    docs, idx = ss_index
+    q = "the table hash join"
+    flt = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    got = structured_search(
+        spark, idx, q, must_not=["customer"], doc_filter=flt, k=10
+    ).collect()
+    bad = {
+        r["doc_id"]
+        for r in idx.tf.filter(F.col("term") == "customer").collect()
+    }
+    assert got
+    for r in got:
+        assert r["doc_id"] % 2 == 0 and r["doc_id"] not in bad
+
+
+def test_structured_phrase_constraint_and_snippets(spark, ss_index):
+    from searchenginejava_spark.operators.positional import (
+        phrase_match_indexed,
+    )
+    from searchenginejava_spark.plans.pipeline import structured_search
+
+    docs, idx = ss_index
+    ph_docs = {
+        r["doc_id"]
+        for r in phrase_match_indexed(idx.postings, ["table", "hash"]).collect()
+    }
+    res = structured_search(
+        spark, idx, "the table hash join", phrases=[["table", "hash"]],
+        k=10, snippet_corpus=docs,
+    ).collect()
+    assert res
+    for r in res:
+        assert r["doc_id"] in ph_docs
+        assert r["snippet"] and any(
+            t in r["snippet"].split() for t in ("the", "table", "hash", "join")
+        )
+
+
+def test_structured_respects_tombstones(spark, ss_index):
+    from searchenginejava_spark.plans.pipeline import (
+        delete_docs,
+        structured_search,
+    )
+
+    docs, idx = ss_index
+    base = _res(structured_search(spark, idx, "the table hash join", k=5))
+    dead = [base[0][1]]
+    idx_del = delete_docs(
+        idx, spark.createDataFrame([(int(dead[0]),)], "doc_id long")
+    )
+    got = _res(structured_search(spark, idx_del, "the table hash join", k=5))
+    assert dead[0] not in {d for (_, d, _) in got} and got
