@@ -32,7 +32,14 @@ from ..schema import POSTINGS
 
 
 def save_index(index, path: str, *, term_partitions: int | None = None) -> None:
-    """Persist built IndexArtifacts under ``path`` (overwrite)."""
+    """Persist built IndexArtifacts under ``path`` (overwrite).
+
+    Tombstones (delete_docs) are persisted as their own tiny dataset so a
+    published-then-reloaded index keeps answering as if the docs were
+    gone; ``stats.json`` records whether the postings carry positions so
+    ``load_index`` can bind the tf relation positions-aware (a compaction
+    of a reloaded positional index must not drop the position streams).
+    """
     n = term_partitions or index.postings.sparkSession.sparkContext.defaultParallelism
     (
         index.postings.repartitionByRange(n, "term")
@@ -49,15 +56,30 @@ def save_index(index, path: str, *, term_partitions: int | None = None) -> None:
     index.dictionary.write.mode("overwrite").parquet(
         os.path.join(path, "dictionary")
     )
+    tombs = getattr(index, "tombstones", None)
+    if tombs is not None:
+        tombs.select("doc_id").write.mode("overwrite").parquet(
+            os.path.join(path, "tombstones")
+        )
+    first = index.postings.select("positions").limit(1).collect()
+    positional = bool(first) and first[0]["positions"] is not None
+    stats = dict(index.stats)
+    stats["_positional"] = positional
+    stats["_has_tombstones"] = tombs is not None
     tmp = os.path.join(path, "stats.json.tmp")
     with open(tmp, "w") as f:
-        json.dump(index.stats, f)
+        json.dump(stats, f)
     os.replace(tmp, os.path.join(path, "stats.json"))
 
 
 def load_index(spark: SparkSession, path: str):
-    """Load a saved index; returns IndexArtifacts ready for run_queries."""
-    from ..operators.index import decode_postings_df
+    """Load a saved index; returns IndexArtifacts ready for run_queries,
+    delete_docs, and compact_index (positions and tombstones survive the
+    round trip)."""
+    from ..operators.index import (
+        decode_postings_df,
+        decode_postings_positions_df,
+    )
     from ..plans.pipeline import IndexArtifacts
 
     postings = spark.read.schema(POSTINGS).parquet(
@@ -67,10 +89,28 @@ def load_index(spark: SparkSession, path: str):
     dictionary = spark.read.parquet(os.path.join(path, "dictionary"))
     with open(os.path.join(path, "stats.json")) as f:
         stats = json.load(f)
+    positional = bool(stats.pop("_positional", False))
+    has_tombs = bool(stats.pop("_has_tombstones", False))
+    tombs = (
+        spark.read.parquet(os.path.join(path, "tombstones"))
+        if has_tombs
+        else None
+    )
+    tf = (
+        decode_postings_positions_df(postings)
+        if positional
+        else decode_postings_df(postings)
+    )
+    if tombs is not None:
+        # keep the delete_docs invariant: tf/docs views never show
+        # tombstoned rows even though the postings bytes still do
+        docs = docs.join(tombs, "doc_id", "left_anti")
+        tf = tf.join(tombs, "doc_id", "left_anti")
     return IndexArtifacts(
         docs=docs,
-        tf=decode_postings_df(postings),
+        tf=tf,
         dictionary=dictionary,
         postings=postings,
         stats=stats,
+        tombstones=tombs,
     )

@@ -73,3 +73,77 @@ def test_save_load_index_rank_identity(spark, tmp_path):
         qid, itr, docno, rank, sim, rid = ln.split(" ")
         assert itr == "Q0" and rid == "test"
         int(qid), int(docno), int(rank), float(sim)
+
+
+def test_save_load_positional_and_tombstones(spark, tmp_path):
+    """Publish/load round trip for the round-2 index features: position
+    streams keep serving phrase queries after reload, tombstones persist
+    (deleted docs stay invisible to queries AND to the tf view), and a
+    compaction of the RELOADED index still carries positions."""
+    from pyspark.sql import functions as F
+
+    from searchenginejava_spark.operators.positional import (
+        phrase_match_indexed,
+    )
+    from searchenginejava_spark.plans.pipeline import (
+        build_index,
+        compact_index,
+        delete_docs,
+        run_queries,
+    )
+    from searchenginejava_spark.sources.index_store import (
+        load_index,
+        save_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(
+        spark, docs, text_col="text", mode="simple", num_partitions=4,
+        positional=True,
+    )
+    base_phrase = sorted(
+        tuple(r)
+        for r in phrase_match_indexed(idx.postings, ["table", "hash"]).collect()
+    )
+    assert base_phrase
+    dead = [base_phrase[0][0]]
+    idx_del = delete_docs(
+        idx, spark.createDataFrame([(int(dead[0]),)], "doc_id long")
+    )
+    save_index(idx_del, str(tmp_path / "pidx"), term_partitions=4)
+    loaded = load_index(spark, str(tmp_path / "pidx"))
+
+    # tombstones survived: queries exclude the deleted doc
+    assert loaded.tombstones is not None
+    q = [(1, "the table hash join")]
+    got = run_queries(spark, loaded, q, k=10, path="wand").collect()
+    assert got and dead[0] not in {r["doc_id"] for r in got}
+    want = [
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in run_queries(spark, idx_del, q, k=10, path="wand").collect()
+    ]
+    assert [
+        (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in got
+    ] == want
+    # tf view hides tombstoned rows
+    assert loaded.tf.filter(F.col("doc_id") == dead[0]).count() == 0
+
+    # phrase serving works from the reloaded postings
+    got_ph = sorted(
+        tuple(r)
+        for r in phrase_match_indexed(
+            loaded.postings, ["table", "hash"]
+        ).collect()
+    )
+    assert got_ph == base_phrase  # postings bytes untouched by tombstones
+
+    # compacting the reloaded index keeps positions AND drops the doc
+    compacted = compact_index(spark, loaded, num_partitions=4)
+    assert compacted.tombstones is None
+    after = sorted(
+        tuple(r)
+        for r in phrase_match_indexed(
+            compacted.postings, ["table", "hash"]
+        ).collect()
+    )
+    assert after == [t for t in base_phrase if t[0] != dead[0]]
