@@ -1,0 +1,132 @@
+"""spark-submit main — index maintenance: delete / compact / merge.
+
+The ops companion to jobs/build_index.py. A published index (index_store
+layout) is the unit of maintenance:
+
+  # tombstone doc_ids listed in a parquet file (column: doc_id)
+  spark-submit jobs/maintain_index.py delete \
+      --index /path/idx --doc-ids /path/deleted.parquet
+
+  # rewrite postings without tombstoned docs, recompute stats
+  spark-submit jobs/maintain_index.py compact \
+      --index /path/idx [--out /path/idx2] [--buckets 64] [--salts 16]
+
+  # fold a second published index in (doc-id-disjoint batches)
+  spark-submit jobs/maintain_index.py merge \
+      --index /path/idx --other /path/idx_new [--out /path/idx2]
+
+``delete`` is O(tombstones) — it only rewrites the tiny tombstone
+dataset and stats.json. ``compact``/``merge`` write a full new layout;
+with ``--out`` they publish next to the old one (atomic cutover by path
+swap is the caller's deploy step), without it they overwrite in place
+AFTER the build succeeded. Compact refuses nothing: compacting an index
+with no tombstones is just a segment rewrite (re-blocks/re-sorts).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("action", choices=["delete", "compact", "merge"])
+    p.add_argument("--index", required=True)
+    p.add_argument("--doc-ids", default=None, help="parquet with doc_id column")
+    p.add_argument("--other", default=None, help="second index path (merge)")
+    p.add_argument("--out", default=None, help="output path (default: in place)")
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--salts", type=int, default=16)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName(
+        f"sej-maintain-{args.action}"
+    ).getOrCreate()
+
+    from searchenginejava_spark.plans.pipeline import (
+        compact_index,
+        delete_docs,
+        merge_indexes,
+    )
+    from searchenginejava_spark.sources.index_store import (
+        load_index,
+        save_index,
+    )
+
+    idx = load_index(spark, args.index)
+    out = args.out or args.index
+
+    if args.action == "delete":
+        if not args.doc_ids:
+            p.error("delete needs --doc-ids")
+        dead = spark.read.parquet(args.doc_ids).select("doc_id")
+        result = delete_docs(idx, dead)
+        if args.out:
+            save_index(result, args.out, term_partitions=args.buckets)
+        else:
+            # in place: only the tombstone dataset + stats change — the
+            # postings/docs/dictionary datasets are untouched on disk
+            import os
+
+            result.tombstones.select("doc_id").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(args.index, "tombstones"))
+            with open(os.path.join(args.index, "stats.json")) as f:
+                stats = json.load(f)
+            stats["_has_tombstones"] = True
+            tmp = os.path.join(args.index, "stats.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(stats, f)
+            os.replace(tmp, os.path.join(args.index, "stats.json"))
+        n = result.tombstones.count()
+        print(json.dumps({"action": "delete", "tombstones": n, "out": out}))
+        return 0
+
+    if args.action == "compact":
+        result = compact_index(
+            spark, idx, num_partitions=args.buckets, num_salts=args.salts
+        )
+    else:  # merge
+        if not args.other:
+            p.error("merge needs --other")
+        other = load_index(spark, args.other)
+        if idx.tombstones is not None or other.tombstones is not None:
+            # merge_indexes requires doc-disjoint POSTINGS; tombstoned ids
+            # still live in the bytes — compact first
+            p.error("merge requires compacted inputs (no tombstones)")
+        result = merge_indexes(spark, idx, other, num_partitions=args.buckets)
+    if out == args.index or (args.other and out == args.other):
+        # in-place rewrite: the result still READS lazily from the input
+        # layout — writing over it mid-read would corrupt the index. Build
+        # into a sibling temp dir, then swap atomically-enough (rename).
+        import os
+        import shutil
+
+        tmp = out.rstrip("/") + ".rewrite-tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        save_index(result, tmp, term_partitions=args.buckets)
+        old = out.rstrip("/") + ".rewrite-old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(out, old)
+        os.rename(tmp, out)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        save_index(result, out, term_partitions=args.buckets)
+    print(
+        json.dumps(
+            {
+                "action": args.action,
+                "n_docs": result.stats.get("N"),
+                "out": out,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,105 @@
+"""End-to-end spark-submit maintenance job (jobs/maintain_index.py):
+delete (in place, O(tombstones)) → compact (--out) → merge."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from jobs.maintain_index import main as maintain
+from searchenginejava_spark.plans.pipeline import build_index, run_queries
+from searchenginejava_spark.sources.index_store import load_index, save_index
+
+Q = [(1, "the table hash join")]
+
+
+def _rows(spark, idx):
+    return [
+        (r["rank"], r["doc_id"], r["score"])
+        for r in run_queries(spark, idx, Q, k=10, path="wand").collect()
+    ]
+
+
+def test_maintain_delete_compact_merge(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lo = docs.filter(F.col("doc_id") < 250)
+    hi = docs.filter(F.col("doc_id") >= 250)
+    idx_path = str(tmp_path / "idx")
+    other_path = str(tmp_path / "idx_hi")
+    save_index(
+        build_index(spark, lo, text_col="text", mode="simple", num_partitions=4),
+        idx_path,
+        term_partitions=4,
+    )
+    save_index(
+        build_index(spark, hi, text_col="text", mode="simple", num_partitions=4),
+        other_path,
+        term_partitions=4,
+    )
+    base = _rows(spark, load_index(spark, idx_path))
+    dead = [base[0][1], base[1][1]]
+    spark.createDataFrame([(int(d),) for d in dead], "doc_id long").write.parquet(
+        str(tmp_path / "dead")
+    )
+
+    # delete in place: only tombstones/ + stats.json change
+    assert (
+        maintain(
+            ["delete", "--index", idx_path, "--doc-ids", str(tmp_path / "dead")]
+        )
+        == 0
+    )
+    assert os.path.isdir(os.path.join(idx_path, "tombstones"))
+    after_del = _rows(spark, load_index(spark, idx_path))
+    assert not {d for (_, d, _) in after_del} & set(dead) and after_del
+    # surviving docs keep their scores (stale-stats tombstone model);
+    # ranks beyond the original top-10 are refilled by new docs, so only
+    # the known prefix is comparable
+    kept = [(d, s) for (_, d, s) in base if d not in dead]
+    assert [(d, s) for (_, d, s) in after_del][: len(kept)] == kept
+
+    # compact to a new path: tombstones materialized, stats recomputed
+    out_path = str(tmp_path / "idx_compact")
+    assert (
+        maintain(
+            ["compact", "--index", idx_path, "--out", out_path, "--buckets", "4"]
+        )
+        == 0
+    )
+    compacted = load_index(spark, out_path)
+    assert compacted.tombstones is None
+    assert compacted.stats["N"] == 250 - len(dead)
+    # scores legitimately change at compaction (stats go fresh: N/avgdl
+    # shrink) — the correctness bar is equality with a cold build over
+    # the surviving docs
+    cold_lo = build_index(
+        spark,
+        lo.filter(~F.col("doc_id").isin([int(d) for d in dead])),
+        text_col="text",
+        mode="simple",
+        num_partitions=4,
+    )
+    assert _rows(spark, compacted) == _rows(spark, cold_lo)
+
+    # merge the compacted halves == cold build over the union-minus-dead
+    merged_path = str(tmp_path / "idx_merged")
+    assert (
+        maintain(
+            [
+                "merge", "--index", out_path, "--other", other_path,
+                "--out", merged_path, "--buckets", "4",
+            ]
+        )
+        == 0
+    )
+    merged = load_index(spark, merged_path)
+    cold = build_index(
+        spark,
+        docs.filter(~F.col("doc_id").isin([int(d) for d in dead])),
+        text_col="text",
+        mode="simple",
+        num_partitions=4,
+    )
+    assert merged.stats["N"] == cold.stats["N"]
+    assert _rows(spark, merged) == _rows(spark, cold)
