@@ -736,6 +736,27 @@ def q_positions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_positional(encode_positional(_pindex(spark, sf_dir)))
 
 
+_BATCH_PHRASES = {"a": ["table", "hash"], "b": ["customer", "join"]}
+
+
+def q_phrase_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-phrase serving (phrase_match_batch): all phrases'
+    join chains in one plan over the compressed positional index —
+    oracle is the union of the per-phrase positions self-joins."""
+    from searchenginejava_spark.operators.index import build_postings
+    from searchenginejava_spark.operators.positional import (
+        phrase_match_batch,
+        positional_tf,
+    )
+
+    postings = build_postings(
+        positional_tf(_documents(spark, sf_dir), mode="simple"),
+        num_partitions=8,
+        num_salts=2,
+    )
+    return phrase_match_batch(postings, _BATCH_PHRASES)
+
+
 def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchenginejava_spark.operators.positional import phrase_match
 
@@ -841,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_delete_search": q_delete_search,
         "q_compact_postings": q_compact_postings,
         "q_structured_search": q_structured_search,
+        "q_phrase_batch": q_phrase_batch,
         "q_wand_sharded_topk": q_wand_sharded_topk,
         "q_query_expansion": q_query_expansion,
         "q_exact_dedup": q_exact_dedup,
@@ -1453,6 +1475,26 @@ def oracle_sql() -> dict[str, str]:
         FROM p0 JOIN p1 ON p0.doc_id = p1.doc_id AND p1.pos = p0.pos + 1
         GROUP BY p0.doc_id
         """
+    )
+    def _phrase_sql(pid, t0, t1):
+        return f"""
+        SELECT '{pid}' AS phrase_id, p0.doc_id AS doc_id,
+               count(*) AS phrase_tf,
+               CAST(min(p0.pos) AS BIGINT) AS first_pos
+        FROM (SELECT doc_id, pos FROM tok WHERE term = '{t0}') p0
+        JOIN (SELECT doc_id, pos FROM tok WHERE term = '{t1}') p1
+          ON p0.doc_id = p1.doc_id AND p1.pos = p0.pos + 1
+        GROUP BY p0.doc_id
+        """
+
+    sql["q_phrase_batch"] = (
+        _SQL_TOKL
+        + " SELECT * FROM ("
+        + " UNION ALL ".join(
+            _phrase_sql(pid, ts[0], ts[1])
+            for pid, ts in _BATCH_PHRASES.items()
+        )
+        + ")"
     )
     pa, pb, pw = _PROX
     # min over within-window pairs == min over all pairs whenever at

@@ -378,6 +378,80 @@ def main() -> None:
     ]
     sections.append(("snippet generation (snippets)", p_sn, checks))
 
+    # 11. structured search: every constraint is a semi/anti-join on the
+    # candidate stream BEFORE the score agg + top-k window — constraints
+    # prune work, they never post-filter ranked results
+    from searchenginejava_spark.plans.pipeline import (
+        build_index,
+        structured_search,
+    )
+
+    idx_ss = build_index(
+        spark, corpus, text_col="text", mode="simple", num_partitions=4,
+        positional=True,
+    )
+    p_ss = plan_of(
+        structured_search(
+            spark, idx_ss, "fast table scan hash join",
+            must=["customer"], must_not=["slow"],
+            phrases=[["table", "hash"]], k=10,
+            tokenizer=lambda t: [x for x in t.lower().split(" ") if x],
+        )
+    )
+    # the last agg/window pair is the score+top-k; all constraint joins
+    # must appear in the details section (ordering is guaranteed by plan
+    # construction: joins are applied to `cand` before groupBy/window)
+    checks = [
+        (
+            "must + phrase constraints via LeftSemi (>=2)",
+            p_ss.count("LeftSemi") >= 2,
+            f"LeftSemi x{p_ss.count('LeftSemi')}",
+        ),
+        (
+            "must_not exclusion via LeftAnti",
+            p_ss.count("LeftAnti") >= 1,
+            f"LeftAnti x{p_ss.count('LeftAnti')}",
+        ),
+        (
+            "top-k window present (rank over score)",
+            "row_number" in p_ss,
+            "",
+        ),
+        (
+            "no cartesian join",
+            "CartesianProduct" not in p_ss
+            and "BroadcastNestedLoopJoin" not in p_ss,
+            "",
+        ),
+    ]
+    sections.append(("structured search (one-call API)", p_ss, checks))
+
+    # 12. tombstoned exhaustive path: the doc_exclude anti-join rides the
+    # candidate stream (before agg/window), same shape as doc_filter
+    from searchenginejava_spark.plans.pipeline import delete_docs, run_queries
+
+    idx_del = delete_docs(
+        idx_ss, spark.createDataFrame([(1,), (2,)], "doc_id long")
+    )
+    p_del = plan_of(
+        run_queries(spark, idx_del, [(0, "table hash")], k=10,
+                    path="exhaustive",
+                    tokenizer=lambda t: [x for x in t.lower().split(" ") if x])
+    )
+    checks = [
+        (
+            "tombstones excluded via LeftAnti on candidates",
+            p_del.count("LeftAnti") >= 1,
+            f"LeftAnti x{p_del.count('LeftAnti')}",
+        ),
+        (
+            "single score agg after exclusion",
+            n_nodes(p_del, "HashAggregate") >= 1,
+            "",
+        ),
+    ]
+    sections.append(("tombstoned retrieval (delete_docs → exhaustive)", p_del, checks))
+
     ok = True
     out = ["# PLANS.md — physical-plan audit (generated by tools/explain_audit.py)", ""]
     for title, plan, cks in sections:
