@@ -848,6 +848,103 @@ def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snippets(_documents(spark, sf_dir), _PHRASE, width=2)
 
 
+# ---------------------------------------------------------------------------
+# multi-term queries: wildcard / autocomplete / fuzzy (operators/termmatch.py)
+# ---------------------------------------------------------------------------
+
+_WILDCARD = "s*"        # matches small scan slow sort stream spark at sf0.01
+_SUGGEST_PREFIX = "s"
+_FUZZY_TERMS = ["tabel", "joinn", "qery", "zzz"]   # typo probes (zzz: no hit)
+_FUZZY_QUERIES = [(0, "mergee windoww"), (1, "scann")]
+
+
+def glob_like_sql(pattern: str) -> str:
+    """Glob → LIKE pattern for the oracle SQL. The oracle LIKE carries no
+    ESCAPE clause, so patterns whose literals need escaping are rejected."""
+    from searchenginejava_spark.operators.termmatch import glob_to_like
+
+    like = glob_to_like(pattern)
+    assert "\\" not in like, "oracle LIKE pattern needs an ESCAPE clause"
+    return like
+
+
+def _fuzzy_q_values() -> str:
+    """_FUZZY_QUERIES → SQL VALUES rows (query_id, q_term, qtf) under the
+    same simple whitespace tokenization the Spark side uses."""
+    return ", ".join(
+        f"({qid}, '{t}', 1)"
+        for qid, text in _FUZZY_QUERIES
+        for t in text.split()
+    )
+
+
+def _bm25_parts(spark: SparkSession, sf_dir: str):
+    """(tf cached, dl, dct, stats) — the shared exhaustive-scorer inputs."""
+    tf = _tf(spark, sf_dir)
+    tf.persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+    srow = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    stats = {"N": int(srow["n"]), "avgdl": float(srow["avgdl"])}
+    dct = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    return tf, dl, dct, stats
+
+
+def q_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Glob-pattern BM25 (Lucene WildcardQuery shape): the pattern expands
+    to the capped dictionary term set (df desc, term asc — deterministic),
+    each matched term scores with qtf=1, standard exhaustive BM25."""
+    from searchenginejava_spark.operators.termmatch import wildcard_search
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    res = wildcard_search(
+        _WILDCARD, tf, dl, dct, stats, k=_TOPK, max_terms=64
+    ).select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
+def q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete: top-k dictionary terms under a prefix, ranked by df
+    (the range-pruned dictionary scan)."""
+    from searchenginejava_spark.operators.termmatch import suggest_terms
+
+    tf = _tf(spark, sf_dir)
+    dct = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    return suggest_terms(dct, _SUGGEST_PREFIX, k=5)
+
+
+def q_fuzzy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell fuzzy dictionary lookup (deletion-neighborhood EQUI-join +
+    exact levenshtein verify) — must equal the oracle's brute-force
+    edit-distance filter exactly."""
+    from searchenginejava_spark.operators.termmatch import fuzzy_terms
+
+    tf = _tf(spark, sf_dir)
+    dct = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    return fuzzy_terms(dct, _FUZZY_TERMS, max_edits=2, max_terms=16)
+
+
+def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant BM25: each query term expands to its fuzzy matches
+    weighted 1/(1+dist), then the standard exhaustive scorer."""
+    from searchenginejava_spark.operators.termmatch import fuzzy_search
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    res = fuzzy_search(
+        _FUZZY_QUERIES, tf, dl, dct, stats, k=_TOPK, max_edits=1,
+        max_terms=16,
+        tokenizer=lambda t: [x for x in t.lower().split(" ") if x],
+    ).select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_term_frequencies": q_term_frequencies,
@@ -896,6 +993,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_filtered": q_bm25_filtered,
         "q_boolean_match": q_boolean_match,
         "q_snippets": q_snippets,
+        "q_wildcard_search": q_wildcard_search,
+        "q_term_suggest": q_term_suggest,
+        "q_fuzzy_terms": q_fuzzy_terms,
+        "q_fuzzy_search": q_fuzzy_search,
     }
 
 
@@ -1381,6 +1482,108 @@ def oracle_sql() -> dict[str, str]:
         stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
         dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
         q(query_id, term, qtf) AS (VALUES {q_values}),
+        scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 sum(q.qtf
+                     * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                     * (tf.tf * {_K1 + 1.0})
+                     / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+                 ) AS s
+          FROM q
+          JOIN dict USING (term)
+          JOIN tf USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          GROUP BY q.query_id, tf.doc_id
+        )
+        SELECT CAST(query_id AS INT) AS query_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, doc_id ASC) AS INT) AS rank,
+               doc_id,
+               round(s, 6) AS score
+        FROM scored
+        QUALIFY rank <= {_TOPK}
+        """,
+        "q_wildcard_search": _SQL_TF
+        + f"""
+        , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+                 FROM tf GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+        dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        q AS (
+          SELECT term, 1 AS qtf FROM dict
+          WHERE term LIKE '{glob_like_sql(_WILDCARD)}'
+          QUALIFY row_number() OVER (ORDER BY df DESC, term ASC) <= 64
+        ),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum(q.qtf
+                     * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                     * (tf.tf * {_K1 + 1.0})
+                     / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+                 ) AS s
+          FROM q
+          JOIN dict USING (term)
+          JOIN tf USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          GROUP BY tf.doc_id
+        )
+        SELECT CAST(0 AS INT) AS query_id,
+               CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INT) AS rank,
+               doc_id,
+               round(s, 6) AS score
+        FROM scored
+        QUALIFY rank <= {_TOPK}
+        """,
+        "q_term_suggest": _SQL_TF
+        + f"""
+        , dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        SELECT CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS INT) AS rank,
+               term, CAST(df AS BIGINT) AS df
+        FROM dict
+        WHERE term LIKE '{_SUGGEST_PREFIX}%'
+        QUALIFY rank <= 5
+        """,
+        "q_fuzzy_terms": _SQL_TF
+        + f"""
+        , dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        q(q_term) AS (VALUES {", ".join(f"('{t}')" for t in _FUZZY_TERMS)}),
+        cand AS (
+          SELECT q.q_term, d.term,
+                 CAST(levenshtein(q.q_term, d.term) AS BIGINT) AS dist,
+                 CAST(d.df AS BIGINT) AS df
+          FROM q CROSS JOIN dict d
+          WHERE levenshtein(q.q_term, d.term) <= 2
+        )
+        SELECT q_term, term, dist, df FROM cand
+        QUALIFY row_number() OVER (
+          PARTITION BY q_term ORDER BY dist ASC, df DESC, term ASC
+        ) <= 16
+        """,
+        "q_fuzzy_search": _SQL_TF
+        + f"""
+        , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+                 FROM tf GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+        dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        qraw(query_id, q_term, qtf) AS (VALUES {_fuzzy_q_values()}),
+        vocab AS (SELECT DISTINCT q_term FROM qraw),
+        fz AS (
+          SELECT v.q_term, d.term,
+                 CAST(levenshtein(v.q_term, d.term) AS BIGINT) AS dist
+          FROM vocab v CROSS JOIN dict d
+          WHERE levenshtein(v.q_term, d.term) <= 1
+          QUALIFY row_number() OVER (
+            PARTITION BY v.q_term ORDER BY dist ASC, d.df DESC, d.term ASC
+          ) <= 16
+        ),
+        q AS (
+          SELECT qraw.query_id, fz.term,
+                 sum(qraw.qtf / (1.0 + fz.dist)) AS qtf
+          FROM qraw JOIN fz USING (q_term)
+          GROUP BY qraw.query_id, fz.term
+        ),
         scored AS (
           SELECT q.query_id, tf.doc_id,
                  sum(q.qtf

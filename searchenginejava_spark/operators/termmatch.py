@@ -1,0 +1,290 @@
+"""Multi-term query operators — wildcard/prefix, fuzzy, autocomplete.
+
+The reference Searcher looks terms up exactly ([R:Searcher], SURVEY.md
+§2.5); every production engine layers multi-term queries on the same
+dictionary (Lucene's MultiTermQuery family: WildcardQuery, FuzzyQuery,
+prefix suggesters). These operators do that Spark-first:
+
+- The dictionary is a range-partitioned Parquet dataset sorted by term
+  (SURVEY.md §2.6), so an ANCHORED prefix pattern becomes a
+  ``term >= p AND term < p̄`` range predicate that Parquet min/max stats
+  prune at the scan — only the matching dictionary partitions are read.
+- Fuzzy matching is an EQUI-join on SymSpell deletion variants
+  ([L:Garbe, SymSpell 2012]): dict terms explode into their ≤d-deletion
+  neighborhood (a per-row narrow op, precomputable as an index-side
+  artifact), query terms bring their own neighborhood, and candidates
+  meet on ``variant`` — never a cross-join with an edit-distance
+  predicate (which at 10^8 dictionary terms would be a de-facto
+  cartesian scan). A final native ``levenshtein`` filter makes the
+  candidate set exact.
+- Expansion caps are deterministic (dist asc, df desc, term asc) — the
+  Lucene rewrite-cap convention, reproducible on any engine.
+
+Everything here is pure Catalyst (zero Python in the dataflow); the
+expanded term sets feed the standard BM25 scorer (search.py) unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# wildcard / prefix
+# ---------------------------------------------------------------------------
+
+
+def glob_to_like(pattern: str) -> str:
+    """Glob pattern (``*`` any run, ``?`` one char) → SQL LIKE pattern,
+    escaping LIKE metacharacters in the literal parts."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def literal_prefix(pattern: str) -> str:
+    """The anchored literal prefix of a glob pattern ('' if it starts
+    with a wildcard) — the partition-pruning handle."""
+    for i, ch in enumerate(pattern):
+        if ch in ("*", "?"):
+            return pattern[:i]
+    return pattern
+
+
+def match_pattern(
+    dictionary: DataFrame,
+    pattern: str,
+    *,
+    max_terms: int = 64,
+    term_col: str = "term",
+) -> DataFrame:
+    """Dictionary terms matching a glob pattern → (term, df), capped at
+    ``max_terms`` by (df desc, term asc) — the deterministic Lucene-style
+    rewrite cap.
+
+    Plan shape: for an anchored pattern the range predicate
+    ``term >= prefix AND term < prefix+1`` reaches the Parquet scan of
+    the term-range-partitioned dictionary (min/max pruning skips every
+    non-overlapping file); the LIKE then filters inside the surviving
+    partitions. Leading-wildcard patterns scan the whole dictionary —
+    same as Lucene without a reversed-term field (documented trade-off).
+    """
+    cond = F.col(term_col).like(glob_to_like(pattern))
+    prefix = literal_prefix(pattern)
+    if prefix:
+        # range-pruning predicate: prefix̄ = prefix with last char +1 is
+        # the tight upper bound for strings starting with `prefix`
+        upper = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        cond = cond & (F.col(term_col) >= prefix) & (F.col(term_col) < upper)
+    w = Window.orderBy(F.desc("df"), F.asc(term_col))
+    return (
+        dictionary.filter(cond)
+        .select(term_col, F.col("df").cast("long").alias("df"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_terms)
+        .drop("rn")
+    )
+
+
+def suggest_terms(
+    dictionary: DataFrame,
+    prefix: str,
+    *,
+    k: int = 10,
+    term_col: str = "term",
+) -> DataFrame:
+    """Autocomplete: top-k dictionary terms under ``prefix`` ranked by
+    collection popularity → (rank, term, df). Same pruned-scan shape as
+    ``match_pattern`` (the window's single ordered partition holds at
+    most the prefix slice, which the cap keeps tiny)."""
+    hits = match_pattern(
+        dictionary, prefix + "*", max_terms=k, term_col=term_col
+    )
+    w = Window.orderBy(F.desc("df"), F.asc(term_col))
+    return hits.select(
+        F.row_number().over(w).cast("int").alias("rank"), term_col, "df"
+    )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy (SymSpell deletion neighborhood)
+# ---------------------------------------------------------------------------
+
+
+def _delete_one_each(s: Column) -> Column:
+    """array of strings, each = ``s`` with one character removed."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+        lambda i: F.concat(
+            F.call_function("substring", s, F.lit(1), i - 1),
+            F.call_function("substring", s, i + 1, F.length(s)),
+        ),
+    )
+
+
+def deletion_variants_col(c: Column, *, max_edits: int = 1) -> Column:
+    """The ≤``max_edits``-deletion neighborhood of ``c`` (term included)
+    as a distinct array — 100% native (transform/flatten/concat)."""
+    out = F.array(c)
+    cur = F.array(c)
+    for _ in range(max_edits):
+        cur = F.array_distinct(F.flatten(F.transform(cur, _delete_one_each)))
+        out = F.array_distinct(F.concat(out, cur))
+    return out
+
+
+def deletion_variants_py(term: str, max_edits: int = 1) -> set[str]:
+    """Python twin of ``deletion_variants_col`` for the (tiny) query side."""
+    out = {term}
+    cur = {term}
+    for _ in range(max_edits):
+        cur = {t[:i] + t[i + 1 :] for t in cur for i in range(len(t))}
+        out |= cur
+    return out
+
+
+def dictionary_variants(
+    dictionary: DataFrame, *, max_edits: int = 1, term_col: str = "term"
+) -> DataFrame:
+    """(variant, term, df) — the dictionary exploded into its deletion
+    neighborhood. ~(1 + len(term)) rows per term at d=1; an index-side
+    artifact in production (build once at publish time, store
+    variant-range-partitioned so the fuzzy equi-join partition-prunes),
+    recomputed inline here since it's one narrow projection."""
+    return dictionary.select(
+        F.explode(
+            deletion_variants_col(F.col(term_col), max_edits=max_edits)
+        ).alias("variant"),
+        F.col(term_col).alias("term"),
+        F.col("df").cast("long").alias("df"),
+    )
+
+
+def fuzzy_terms(
+    dictionary: DataFrame,
+    terms: Sequence[str],
+    *,
+    max_edits: int = 1,
+    max_terms: int = 16,
+) -> DataFrame:
+    """Fuzzy dictionary lookup → (q_term, term, dist, df): all dictionary
+    terms within Levenshtein distance ``max_edits`` of each query term,
+    capped at ``max_terms`` per query term by (dist asc, df desc, term
+    asc).
+
+    SymSpell invariant: dist(a,b) ≤ d ⟹ the ≤d-deletion neighborhoods
+    of a and b intersect — so the variant equi-join finds every true
+    match; the neighborhood also admits some dist>d pairs (one deletion
+    each side at different positions), which the exact ``levenshtein``
+    filter removes. Join sides: dictionary variants are the big relation
+    (hash-partitioned on variant), query variants broadcast.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    spark = dictionary.sparkSession
+    q_rows = sorted(
+        {(t, v) for t in terms for v in deletion_variants_py(t, max_edits)}
+    )
+    qv = spark.createDataFrame(q_rows, "q_term string, variant string")
+    cand = (
+        dictionary_variants(dictionary, max_edits=max_edits)
+        .join(F.broadcast(qv), "variant")
+        .select("q_term", "term", "df")
+        .distinct()
+        .withColumn(
+            "dist", F.levenshtein("q_term", "term").cast("long")
+        )
+        .filter(F.col("dist") <= max_edits)
+    )
+    w = Window.partitionBy("q_term").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_terms)
+        .select("q_term", "term", "dist", "df")
+    )
+
+
+# ---------------------------------------------------------------------------
+# search plans over expanded term sets
+# ---------------------------------------------------------------------------
+
+
+def wildcard_search(
+    pattern: str,
+    postings_exploded: DataFrame,
+    docs: DataFrame,
+    dictionary: DataFrame,
+    stats: dict,
+    *,
+    k: int = 10,
+    max_terms: int = 64,
+    query_id: int = 0,
+) -> DataFrame:
+    """BM25 top-k where the query is a glob pattern: expand to the capped
+    dictionary term set (qtf=1 each — Lucene blended-rewrite shape), then
+    the standard exhaustive scorer. Only the expanded terms' postings are
+    ever read (term-pruned scan, SURVEY.md §4.1)."""
+    from .search import score_exhaustive
+
+    qt = match_pattern(dictionary, pattern, max_terms=max_terms).select(
+        F.lit(query_id).cast("int").alias("query_id"),
+        "term",
+        F.lit(1).cast("int").alias("qtf"),
+    )
+    return score_exhaustive(qt, postings_exploded, docs, dictionary, stats, k=k)
+
+
+def fuzzy_search(
+    queries: Sequence[tuple[int, str]],
+    postings_exploded: DataFrame,
+    docs: DataFrame,
+    dictionary: DataFrame,
+    stats: dict,
+    *,
+    k: int = 10,
+    max_edits: int = 1,
+    max_terms: int = 16,
+    tokenizer=None,
+) -> DataFrame:
+    """BM25 top-k with typo tolerance: each query term expands to its
+    fuzzy dictionary matches weighted ``1/(1+dist)`` (exact match keeps
+    full weight, an edit-1 match half — deterministic, engine-portable),
+    summed when several query terms reach the same dictionary term."""
+    from ..functions.tokenize import tokenize_query
+    from .search import query_terms_df, score_exhaustive
+
+    tok = tokenizer or tokenize_query
+    qt = query_terms_df(
+        postings_exploded.sparkSession, queries, tokenizer=tok
+    )
+    vocab = sorted(
+        {r["term"] for r in qt.select("term").distinct().collect()}
+    )
+    fz = fuzzy_terms(
+        dictionary, vocab, max_edits=max_edits, max_terms=max_terms
+    )
+    expanded = (
+        qt.withColumnRenamed("term", "q_term")
+        .join(fz, "q_term")
+        .groupBy("query_id", "term")
+        .agg(
+            F.sum(
+                F.col("qtf") / (F.lit(1.0) + F.col("dist").cast("double"))
+            ).alias("qtf")
+        )
+    )
+    return score_exhaustive(
+        expanded, postings_exploded, docs, dictionary, stats, k=k
+    )

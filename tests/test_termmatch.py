@@ -1,0 +1,227 @@
+"""Wildcard/prefix expansion, SymSpell fuzzy matching, autocomplete."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginejava_spark.operators.termmatch import (
+    deletion_variants_col,
+    deletion_variants_py,
+    fuzzy_search,
+    fuzzy_terms,
+    glob_to_like,
+    literal_prefix,
+    match_pattern,
+    suggest_terms,
+    wildcard_search,
+)
+
+VOCAB = [
+    # (term, df) — crafted edit-distance neighborhoods
+    ("merge", 30),
+    ("merges", 5),
+    ("merged", 9),
+    ("marge", 2),
+    ("purge", 4),
+    ("map", 40),
+    ("maps", 12),
+    ("mat", 3),
+    ("shuffle", 20),
+    ("100%", 1),
+    ("a_b", 1),
+]
+
+
+@pytest.fixture(scope="module")
+def dct(spark):
+    df = spark.createDataFrame(VOCAB, "term string, df long")
+    df.persist().count()
+    yield df
+    df.unpersist()
+
+
+def test_glob_to_like_escapes_metachars():
+    assert glob_to_like("mer*") == "mer%"
+    assert glob_to_like("m?p") == "m_p"
+    assert glob_to_like("100%") == "100\\%"
+    assert glob_to_like("a_b") == "a\\_b"
+    assert literal_prefix("mer*x?") == "mer"
+    assert literal_prefix("*x") == ""
+    assert literal_prefix("plain") == "plain"
+
+
+def test_match_pattern_prefix_and_infix(dct):
+    got = {r["term"] for r in match_pattern(dct, "mer*").collect()}
+    assert got == {"merge", "merges", "merged"}
+    got = {r["term"] for r in match_pattern(dct, "m*ge").collect()}
+    assert got == {"merge", "marge"}
+    got = {r["term"] for r in match_pattern(dct, "ma?").collect()}
+    assert got == {"map", "mat"}
+    # LIKE metachars in the pattern literal match literally
+    assert {r["term"] for r in match_pattern(dct, "100%").collect()} == {
+        "100%"
+    }
+    assert {r["term"] for r in match_pattern(dct, "a?b").collect()} == {"a_b"}
+
+
+def test_match_pattern_cap_is_deterministic(dct):
+    got = [r["term"] for r in match_pattern(dct, "m*", max_terms=3).collect()]
+    # by df desc, term asc: map(40) > merge(30) > maps(12)
+    assert sorted(got) == sorted(["map", "merge", "maps"])
+
+
+def test_suggest_terms_ranked_by_df(dct):
+    got = [(r["rank"], r["term"]) for r in suggest_terms(dct, "ma", k=3)
+           .orderBy("rank").collect()]
+    assert got == [(1, "map"), (2, "maps"), (3, "mat")]
+
+
+def test_deletion_variants_col_matches_python(spark):
+    terms = ["hello", "ab", "x", "shuffle"]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    rows = df.select(
+        "term", deletion_variants_col(F.col("term"), max_edits=2).alias("v")
+    ).collect()
+    for r in rows:
+        assert set(r["v"]) == deletion_variants_py(r["term"], 2)
+
+
+def test_fuzzy_terms_exact_vs_bruteforce(dct):
+    """The SymSpell equi-join must equal the naive levenshtein filter."""
+    import difflib
+
+    def lev(a: str, b: str) -> int:
+        # classic DP — tiny inputs
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    queries = ["mergee", "mrge", "map", "zzz"]
+    got = {
+        (r["q_term"], r["term"], r["dist"])
+        for r in fuzzy_terms(dct, queries, max_edits=1, max_terms=50).collect()
+    }
+    want = {
+        (q, t, lev(q, t))
+        for q in queries
+        for t, _ in VOCAB
+        if lev(q, t) <= 1
+    }
+    assert got == want
+    assert not any(q == "zzz" for q, _, _ in got)
+
+
+def test_fuzzy_terms_max_edits_2(dct):
+    got = {
+        (r["term"], r["dist"])
+        for r in fuzzy_terms(dct, ["mrge"], max_edits=2, max_terms=50).collect()
+    }
+    # mrge: merge(1), marge(1), purge(2), merges(2), merged(2)
+    assert got == {
+        ("merge", 1),
+        ("marge", 1),
+        ("purge", 2),
+        ("merges", 2),
+        ("merged", 2),
+    }
+
+
+def test_fuzzy_terms_cap_prefers_close_then_popular(dct):
+    got = [
+        r["term"]
+        for r in fuzzy_terms(dct, ["mrge"], max_edits=2, max_terms=2).collect()
+    ]
+    # dist asc first: the two dist-1 hits; df desc breaks ties
+    assert got == ["merge", "marge"]
+
+
+# --------------------------------------------------------------------------
+# search plans over expanded term sets
+# --------------------------------------------------------------------------
+
+DOCS = [
+    (0, "merge sort merge join"),
+    (1, "map reduce shuffle"),
+    (2, "merges merged branches"),
+    (3, "hash join probe"),
+]
+
+
+@pytest.fixture(scope="module")
+def idx_parts(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    tf = (
+        df.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+    tf.persist().count()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+    srow = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    stats = {"N": int(srow["n"]), "avgdl": float(srow["avgdl"])}
+    dct = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    yield tf, dl, dct, stats
+    tf.unpersist()
+
+
+def test_wildcard_search_scores_union_of_expansion(spark, idx_parts):
+    from searchenginejava_spark.operators.search import score_exhaustive
+
+    tf, dl, dct, stats = idx_parts
+    got = wildcard_search("merge*", tf, dl, dct, stats, k=10).collect()
+    # equivalent multi-term query: merge, merges, merged with qtf=1
+    qt = spark.createDataFrame(
+        [(0, t, 1) for t in ("merge", "merges", "merged")],
+        "query_id int, term string, qtf int",
+    )
+    want = score_exhaustive(qt, tf, dl, dct, stats, k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+    assert {r["doc_id"] for r in got} == {0, 2}
+
+
+def test_fuzzy_search_damps_by_distance(spark, idx_parts):
+    from searchenginejava_spark.operators.search import score_exhaustive
+
+    tf, dl, dct, stats = idx_parts
+
+    def tok(s):
+        return s.split()
+
+    got = fuzzy_search(
+        [(0, "shufle")], tf, dl, dct, stats, k=10, tokenizer=tok
+    ).collect()
+    # 'shufle' → shuffle at dist 1 → weight 1/2 of the exact query
+    qt = spark.createDataFrame(
+        [(0, "shuffle", 1)], "query_id int, term string, qtf int"
+    )
+    exact = score_exhaustive(qt, tf, dl, dct, stats, k=10).collect()
+    assert len(got) == len(exact) == 1
+    assert got[0]["doc_id"] == exact[0]["doc_id"] == 1
+    assert got[0]["score"] == pytest.approx(exact[0]["score"] / 2, rel=1e-12)
+
+
+def test_fuzzy_search_merges_weights_for_shared_target(spark, idx_parts):
+    tf, dl, dct, stats = idx_parts
+
+    def tok(s):
+        return s.split()
+
+    # both typo terms reach 'merge' (dist 1 each) → weights sum
+    res = fuzzy_search(
+        [(0, "mergee mrge")], tf, dl, dct, stats, k=10, tokenizer=tok
+    ).collect()
+    assert res and {r["doc_id"] for r in res} >= {0}

@@ -16,7 +16,10 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+_args = sys.argv[1:]
+ONLY = {a for a in _args if a.startswith("q_")}   # optional query-name filter
+_dirs = [a for a in _args if not a.startswith("q_")]
+SF_DIR = _dirs[0] if _dirs else "/root/testdata/sf0.01"
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
@@ -63,6 +66,8 @@ def main() -> int:
     qs, oracles = se.queries(), se.oracle_sql()
     failed = []
     for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
         sdf = fn(spark, SF_DIR)
         srows = sdf.collect()
         scols = sdf.columns
