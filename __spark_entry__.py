@@ -945,6 +945,38 @@ def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+_MLT_DOC = 7
+_MLT_TERMS = 5
+_FACET_MUST = ["customer", "join"]
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this (Lucene MLT shape): the source doc's top tf·idf
+    terms become a BM25 query; the source doc is tombstone-excluded from
+    the results via the scorer's doc_exclude anti-join."""
+    from searchenginejava_spark.operators.search import more_like_this
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    res = more_like_this(
+        _MLT_DOC, tf, dl, dct, stats, max_query_terms=_MLT_TERMS, k=_TOPK
+    ).select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
+def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search: boolean candidates (must=customer AND join) →
+    per-facet top-5 value counts over lang and source, one melt + one
+    hash agg (not one pass per facet)."""
+    from searchenginejava_spark.operators.search import boolean_match, facet_counts
+
+    tf = _tf(spark, sf_dir)
+    cand = boolean_match(tf, must=_FACET_MUST).select("doc_id")
+    return facet_counts(cand, _documents(spark, sf_dir), ["lang", "source"], k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_term_frequencies": q_term_frequencies,
@@ -997,6 +1029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_term_suggest": q_term_suggest,
         "q_fuzzy_terms": q_fuzzy_terms,
         "q_fuzzy_search": q_fuzzy_search,
+        "q_more_like_this": q_more_like_this,
+        "q_facet_counts": q_facet_counts,
     }
 
 
@@ -1605,6 +1639,66 @@ def oracle_sql() -> dict[str, str]:
                round(s, 6) AS score
         FROM scored
         QUALIFY rank <= {_TOPK}
+        """,
+        "q_more_like_this": _SQL_TF
+        + f"""
+        , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+                 FROM tf GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+        dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        src AS (
+          SELECT tf.term, tf.tf, dict.df
+          FROM tf JOIN dict USING (term)
+          WHERE tf.doc_id = {_MLT_DOC}
+        ),
+        q AS (
+          SELECT term, 1 AS qtf FROM src CROSS JOIN stats
+          QUALIFY row_number() OVER (
+            ORDER BY src.tf * ln((stats.n - src.df + 0.5) / (src.df + 0.5) + 1.0) DESC,
+                     term ASC
+          ) <= {_MLT_TERMS}
+        ),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum(q.qtf
+                     * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                     * (tf.tf * {_K1 + 1.0})
+                     / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+                 ) AS s
+          FROM q
+          JOIN dict USING (term)
+          JOIN tf USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          WHERE tf.doc_id <> {_MLT_DOC}
+          GROUP BY tf.doc_id
+        )
+        SELECT CAST(0 AS INT) AS query_id,
+               CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INT) AS rank,
+               doc_id,
+               round(s, 6) AS score
+        FROM scored
+        QUALIFY rank <= {_TOPK}
+        """,
+        "q_facet_counts": _SQL_TF
+        + f"""
+        , cand AS (
+          SELECT doc_id FROM tf WHERE term = '{_FACET_MUST[0]}'
+          INTERSECT
+          SELECT doc_id FROM tf WHERE term = '{_FACET_MUST[1]}'
+        ),
+        melted AS (
+          SELECT 'lang' AS facet, lang AS value
+          FROM documents JOIN cand USING (doc_id)
+          UNION ALL
+          SELECT 'source' AS facet, source AS value
+          FROM documents JOIN cand USING (doc_id)
+        )
+        SELECT facet, value, CAST(count(*) AS BIGINT) AS n_docs
+        FROM melted GROUP BY facet, value
+        QUALIFY row_number() OVER (
+          PARTITION BY facet ORDER BY count(*) DESC, value ASC
+        ) <= 5
         """,
     }
     from searchenginejava_spark.operators.textstats import (

@@ -412,6 +412,104 @@ def snippets(
     )
 
 
+def more_like_this(
+    doc_id: int,
+    tf: DataFrame,
+    docs: DataFrame,
+    dictionary: DataFrame,
+    stats: dict,
+    *,
+    max_query_terms: int = 8,
+    k: int = TOP_K,
+    min_df: int = 1,
+) -> DataFrame:
+    """\"More like this\" (Lucene MoreLikeThisQuery shape): turn the source
+    doc's ``max_query_terms`` most characteristic terms — ranked by
+    tf·idf, ties by term asc — into a query, score the collection with
+    standard BM25, exclude the source doc, return top-k.
+
+    The term selection collects ONE doc's vocabulary to the driver
+    (bounded by doc length — never data-proportional) and computes the
+    tf·idf weights with libm ``math.log``: selection order is then
+    engine-portable (JVM ``Math.log`` differs from libm in the last ulp
+    for some inputs, which could flip near-tied selections at the
+    ``max_query_terms`` boundary). The scoring itself is the standard
+    exhaustive plan — only the selected terms' postings are read.
+    """
+    import math
+
+    src = (
+        tf.filter(F.col("doc_id") == doc_id)
+        .join(dictionary.filter(F.col("df") >= min_df), "term")
+        .select("term", "tf", "df")
+        .collect()
+    )
+    n_d = float(stats["N"])
+    weighted = sorted(
+        (
+            (
+                -r["tf"]
+                * math.log((n_d - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0),
+                r["term"],
+            )
+            for r in src
+        ),
+    )[:max_query_terms]
+    spark = tf.sparkSession
+    qt = spark.createDataFrame(
+        [(0, t, 1) for _, t in weighted] or [(0, "", 1)],
+        "query_id int, term string, qtf int",
+    )
+    excl = spark.createDataFrame([(int(doc_id),)], "doc_id long")
+    return score_exhaustive(
+        qt, tf, docs, dictionary, stats, k=k, doc_exclude=excl
+    )
+
+
+def facet_counts(
+    candidates: DataFrame,
+    meta: DataFrame,
+    facets: Sequence[str],
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Faceted search: per-facet top-k value counts over a candidate doc
+    set → (facet, value, n_docs), ranked (n_docs desc, value asc).
+
+    One pass: semi-join candidates into the metadata table (text never
+    moves), melt the facet columns into (facet, value) structs with a
+    native explode — NOT one groupBy per facet — then a single hash agg
+    and a per-facet top-k window over the (tiny) distinct-value space.
+    At scale this is one shuffle keyed (facet, value) with map-side
+    partial counts; candidate semi-joins broadcast when selective.
+    """
+    if not facets:
+        raise ValueError("facets must be non-empty")
+    base = meta.join(candidates.select("doc_id"), "doc_id", "left_semi")
+    melted = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("facet"),
+                        F.col(f).cast("string").alias("value"),
+                    )
+                    for f in facets
+                ]
+            )
+        ).alias("fv")
+    ).select("fv.facet", "fv.value")
+    counts = melted.groupBy("facet", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy("facet").orderBy(F.desc("n_docs"), F.asc("value"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def bm25_numpy_oracle(
     query_terms: list[tuple[int, str, int]],
     postings: dict[str, list[tuple[int, int]]],

@@ -112,6 +112,98 @@ def test_snippets_earliest_of_multiple_terms(spark):
     assert got["snippet"] == "y second z"
 
 
+def _parts(tf):
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+    srow = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    stats = {"N": int(srow["n"]), "avgdl": float(srow["avgdl"])}
+    dct = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    return dl, dct, stats
+
+
+def test_more_like_this_excludes_source_and_matches_manual_query(spark, tf):
+    import math
+
+    from searchenginejava_spark.operators.search import more_like_this
+
+    dl, dct, stats = _parts(tf)
+    res = more_like_this(
+        0, tf, dl, dct, stats, max_query_terms=2, k=10
+    ).collect()
+    assert res and all(r["doc_id"] != 0 for r in res)
+    # doc 0 terms: join(tf2,df3) shuffle(1,2) hash(1,2) spark(1,3) merge(1,2)
+    # tf*idf ranks 'join' first; among tf=1 terms df=2 beats df=3, term asc
+    # breaks the tie → selection = [join, hash]
+    n = stats["N"]
+
+    def idf(df_):
+        return math.log((n - df_ + 0.5) / (df_ + 0.5) + 1.0)
+
+    w = {"join": 2 * idf(3), "shuffle": idf(2), "hash": idf(2),
+         "spark": idf(3), "merge": idf(2)}
+    want = [t for t, _ in sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))][:2]
+    assert want == ["join", "hash"]
+    from searchenginejava_spark.operators.search import score_exhaustive
+
+    qt = spark.createDataFrame(
+        [(0, t, 1) for t in want], "query_id int, term string, qtf int"
+    )
+    excl = spark.createDataFrame([(0,)], "doc_id long")
+    manual = score_exhaustive(
+        qt, tf, dl, dct, stats, k=10, doc_exclude=excl
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in res] == [
+        (r["doc_id"], r["score"]) for r in manual
+    ]
+
+
+def test_more_like_this_empty_doc_vocabulary(spark, tf):
+    from searchenginejava_spark.operators.search import more_like_this
+
+    dl, dct, stats = _parts(tf)
+    assert (
+        more_like_this(999, tf, dl, dct, stats, k=5).count() == 0
+    )  # unknown doc → empty query → no results, not an error
+
+
+def test_facet_counts_melt_and_topk(spark):
+    from searchenginejava_spark.operators.search import facet_counts
+
+    meta = spark.createDataFrame(
+        [
+            (0, "en", "web"),
+            (1, "en", "book"),
+            (2, "fr", "web"),
+            (3, "en", "web"),
+        ],
+        "doc_id long, lang string, source string",
+    )
+    cand = spark.createDataFrame([(0,), (1,), (2,)], "doc_id long")
+    got = {
+        (r["facet"], r["value"]): r["n_docs"]
+        for r in facet_counts(cand, meta, ["lang", "source"], k=10).collect()
+    }
+    assert got == {
+        ("lang", "en"): 2,
+        ("lang", "fr"): 1,
+        ("source", "web"): 2,
+        ("source", "book"): 1,
+    }
+    top1 = facet_counts(cand, meta, ["lang", "source"], k=1).collect()
+    assert {(r["facet"], r["value"]) for r in top1} == {
+        ("lang", "en"),
+        ("source", "web"),
+    }
+
+
+def test_facet_counts_requires_facets(spark, tf):
+    from searchenginejava_spark.operators.search import facet_counts
+
+    with pytest.raises(ValueError):
+        facet_counts(tf.select("doc_id"), tf, [])
+
+
 # --------------------------------------------------------------------------
 # structured search (the one-call search-API composition)
 # --------------------------------------------------------------------------
