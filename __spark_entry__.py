@@ -643,6 +643,28 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(_documents(spark, sf_dir), min_quality=0.5)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3-style n-gram overlap): a
+    deterministic synthetic eval set (every 40th doc contributes tokens
+    3..7 as one eval item) is shingled and broadcast-joined against the
+    corpus shingles; output = contaminated docs with shared-n-gram and
+    bench-item counts."""
+    from searchenginejava_spark.functions.tokenize import tokens_simple_col
+    from searchenginejava_spark.operators.curation import contamination_hits
+
+    docs = _documents(spark, sf_dir)
+    toks = tokens_simple_col("text")
+    bench = (
+        docs.filter(F.col("doc_id") % 40 == 3)
+        .filter(F.size(toks) >= 7)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.array_join(F.slice(toks, 3, 5), " ").alias("text"),
+        )
+    )
+    return contamination_hits(docs, bench, n=3)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchenginejava_spark.operators.textstats import token_stats
 
@@ -1031,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_search": q_fuzzy_search,
         "q_more_like_this": q_more_like_this,
         "q_facet_counts": q_facet_counts,
+        "q_decontaminate": q_decontaminate,
     }
 
 
@@ -1699,6 +1722,34 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY row_number() OVER (
           PARTITION BY facet ORDER BY count(*) DESC, value ASC
         ) <= 5
+        """,
+        "q_decontaminate": _SQL_TOKL
+        + """
+        , doc_sh AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     generate_series(1, len(l) - 2),
+                     i -> array_to_string(l[i : i + 2], ' ')
+                   )) AS shingle
+            FROM tokl
+          )
+        ),
+        bench_sh AS (
+          SELECT DISTINCT bench_id, shingle FROM (
+            SELECT doc_id AS bench_id,
+                   unnest(list_transform(
+                     generate_series(1, 3),
+                     i -> array_to_string(l[i + 2 : i + 4], ' ')
+                   )) AS shingle
+            FROM tokl WHERE doc_id % 40 = 3 AND len(l) >= 7
+          )
+        )
+        SELECT d.doc_id,
+               CAST(count(DISTINCT d.shingle) AS BIGINT) AS n_shared_ngrams,
+               CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_items
+        FROM doc_sh d JOIN bench_sh b USING (shingle)
+        GROUP BY d.doc_id
         """,
     }
     from searchenginejava_spark.operators.textstats import (

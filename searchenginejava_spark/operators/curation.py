@@ -19,6 +19,51 @@ from .dedup import exact_duplicates
 from .textstats import lang_id, quality_score, repetition_stats, token_stats
 
 
+def contamination_hits(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM n-gram-overlap rule):
+    flag every corpus doc sharing at least one word ``n``-gram with any
+    benchmark/eval item → (doc_id, n_shared_ngrams, n_bench_items).
+
+    Shape: distinct n-gram shingles on both sides (the same native
+    shingle op the dedup family uses), then an equi-join on the shingle
+    string. The benchmark side is eval-set sized — thousands of items,
+    MBs of shingles — so Spark broadcasts it and the corpus side never
+    shuffles; the only exchange is the per-doc count agg over HITS
+    (contaminated docs only, a vanishing fraction of the corpus).
+    Docs with no overlap are absent — callers anti-join to drop
+    contaminated docs (see ``curate_corpus(benchmark=...)``).
+    """
+    from .dedup import shingles
+
+    doc_sh = shingles(documents, text_col=text_col, id_col=id_col, n=n)
+    bench_sh = shingles(
+        benchmark.select(
+            F.col(bench_id_col).alias("bench_id"),
+            F.col(bench_text_col).alias("text"),
+        ),
+        text_col="text",
+        id_col="bench_id",
+        n=n,
+    ).withColumnRenamed("doc_id", "bench_id")
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").cast("long").alias("n_shared_ngrams"),
+            F.countDistinct("bench_id").cast("long").alias("n_bench_items"),
+        )
+    )
+
+
 def curate_corpus(
     df: DataFrame,
     *,
@@ -27,6 +72,8 @@ def curate_corpus(
     min_quality: float = 0.5,
     max_dup_frac: float | None = None,
     dup_ngram: int = 2,
+    benchmark: DataFrame | None = None,
+    contamination_ngram: int = 8,
 ) -> DataFrame:
     """documents → curated (doc_id, pred_lang, quality, n_tokens).
 
@@ -43,6 +90,14 @@ def curate_corpus(
         F.col("keep_id").alias(id_col)
     )
     kept = df.join(keep, id_col, "left_semi")
+    if benchmark is not None:
+        # eval-set decontamination: drop every doc sharing an n-gram with
+        # the benchmark (anti-join against the broadcast-joined hit set)
+        bad = contamination_hits(
+            kept, benchmark, n=contamination_ngram,
+            text_col=text_col, id_col=id_col,
+        ).select(F.col("doc_id").alias(id_col))
+        kept = kept.join(bad, id_col, "left_anti")
     if max_dup_frac is not None:
         rep_keep = repetition_stats(
             kept, n=dup_ngram, text_col=text_col, id_col=id_col

@@ -88,3 +88,58 @@ def test_curation_is_idempotent(spark):
     a = sorted(tuple(r) for r in once.collect())
     b = sorted(tuple(r) for r in again.collect())
     assert a == b                             # curating curated output is a no-op
+
+
+def test_contamination_hits_ngram_overlap(spark):
+    from searchenginejava_spark.operators.curation import contamination_hits
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "one two three four five six seven"),
+            (2, "unrelated words entirely different content here"),
+            (3, "prefix alpha beta gamma delta suffix"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta"),       # hits docs 0 and 3
+            (101, "three four five"),              # hits doc 1
+        ],
+        "bench_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shared_ngrams"], r["n_bench_items"])
+        for r in contamination_hits(docs, bench, n=3).collect()
+    }
+    # bench 100 has 3-grams: {alpha beta gamma, beta gamma delta}
+    assert got[0] == (2, 1)
+    assert got[3] == (2, 1)
+    assert got[1] == (1, 1)
+    assert 2 not in got
+
+
+def test_curate_corpus_decontaminates(spark):
+    from searchenginejava_spark.operators.curation import curate_corpus
+
+    rows = [
+        (0, GOOD_EN),
+        (1, GOOD_FR),
+        (2, "the quick brown fox jumps over the lazy dog again and again "
+            "plus enough filler words to pass the quality floor easily"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(0, "quick brown fox jumps over the lazy dog")],
+        "bench_id long, text string",
+    )
+    base = {r["doc_id"] for r in curate_corpus(df, min_quality=0.3).collect()}
+    assert base == {0, 1, 2}
+    got = {
+        r["doc_id"]
+        for r in curate_corpus(
+            df, min_quality=0.3, benchmark=bench, contamination_ngram=8
+        ).collect()
+    }
+    assert got == {1}  # docs 0 and 2 share the 8-gram with the eval item
