@@ -970,6 +970,35 @@ def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MLT_DOC = 7
 _MLT_TERMS = 5
 _FACET_MUST = ["customer", "join"]
+_BM25F_BOOSTS = {"title": 3.0, "body": 1.0}
+
+
+def q_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F fielded ranking (title = first 3 tokens as a virtual field,
+    boost 3; body = full text): field evidence folds into t̃f BEFORE
+    saturation, document-level idf — the Robertson/Zaragoza/Taylor
+    simplified BM25F, exact vs the oracle's SQL restatement."""
+    from searchenginejava_spark.functions.tokenize import tokens_simple_col
+    from searchenginejava_spark.operators.fielded import (
+        bm25f_stats,
+        bm25f_topk,
+        fielded_tf,
+    )
+
+    docs = _documents(spark, sf_dir)
+    title = F.array_join(F.slice(tokens_simple_col("text"), 1, 3), " ")
+    ftf = fielded_tf(docs, {"title": title, "body": F.col("text")})
+    ftf.persist()
+    s = bm25f_stats(ftf)
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    res = bm25f_topk(qt, ftf, s, boosts=_BM25F_BOOSTS, k=_TOPK).select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+    res.persist()
+    res.count()
+    ftf.unpersist()
+    return res
 
 
 def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1054,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_more_like_this": q_more_like_this,
         "q_facet_counts": q_facet_counts,
         "q_decontaminate": q_decontaminate,
+        "q_bm25f": q_bm25f,
     }
 
 
@@ -1750,6 +1780,58 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_items
         FROM doc_sh d JOIN bench_sh b USING (shingle)
         GROUP BY d.doc_id
+        """,
+        "q_bm25f": _SQL_TOKL
+        + f"""
+        , btf AS (
+          SELECT doc_id, 'body' AS field, term, count(*) AS tf
+          FROM tok GROUP BY doc_id, term
+        ),
+        ttf AS (
+          SELECT doc_id, 'title' AS field, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(l[1:3]) AS term FROM tokl)
+          GROUP BY doc_id, term
+        ),
+        ftf AS (SELECT * FROM btf UNION ALL SELECT * FROM ttf),
+        dlf AS (
+          SELECT doc_id, field, CAST(sum(tf) AS DOUBLE) AS dl
+          FROM ftf GROUP BY doc_id, field
+        ),
+        avgf AS (SELECT field, avg(dl) AS avgdl FROM dlf GROUP BY field),
+        nstats AS (SELECT count(DISTINCT doc_id) AS n FROM ftf),
+        q(query_id, term, qtf) AS (VALUES {q_values}),
+        dfq AS (
+          SELECT ftf.term, count(DISTINCT ftf.doc_id) AS df
+          FROM ftf JOIN (SELECT DISTINCT term FROM q) v ON ftf.term = v.term
+          GROUP BY ftf.term
+        ),
+        tilde AS (
+          SELECT q.query_id, ftf.doc_id, ftf.term, q.qtf, dfq.df,
+                 sum((CASE WHEN ftf.field = 'title'
+                           THEN {_BM25F_BOOSTS["title"]}
+                           ELSE {_BM25F_BOOSTS["body"]} END) * ftf.tf
+                     / (1.0 - {_B} + {_B} * dlf.dl / avgf.avgdl)) AS tf_tilde
+          FROM q
+          JOIN dfq ON q.term = dfq.term
+          JOIN ftf ON ftf.term = q.term
+          JOIN dlf ON ftf.doc_id = dlf.doc_id AND ftf.field = dlf.field
+          JOIN avgf ON ftf.field = avgf.field
+          GROUP BY q.query_id, ftf.doc_id, ftf.term, q.qtf, dfq.df
+        ),
+        scored AS (
+          SELECT query_id, doc_id,
+                 sum(qtf * ln((nstats.n - df + 0.5) / (df + 0.5) + 1.0)
+                     * tf_tilde / ({_K1} + tf_tilde)) AS s
+          FROM tilde CROSS JOIN nstats
+          GROUP BY query_id, doc_id
+        )
+        SELECT CAST(query_id AS INT) AS query_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, doc_id ASC) AS INT) AS rank,
+               doc_id,
+               round(s, 6) AS score
+        FROM scored
+        QUALIFY rank <= {_TOPK}
         """,
     }
     from searchenginejava_spark.operators.textstats import (

@@ -1,0 +1,196 @@
+"""Multi-field (fielded) retrieval — BM25F.
+
+The reference ranks one text stream per document ([R:Ranker], SURVEY.md
+§2.5); real collections are fielded (title/body, path/content for code)
+and the standard fielded ranker is BM25F ([L:Robertson, Zaragoza &
+Taylor, CIKM 2004] — the simplified variant):
+
+    t̃f(t,d)   = Σ_f boost_f · tf_f(t,d) / B_f(d)
+    B_f(d)    = 1 − b_f + b_f · dl_f(d) / avgdl_f
+    score(q,d)= Σ_t qtf_t · idf(t) · t̃f / (k1 + t̃f)
+
+with document-level idf (df = docs containing t in ANY field) — field
+evidence combines BEFORE saturation, which is what distinguishes BM25F
+from naively summing per-field BM25 scores (that would double-saturate).
+
+Spark shape: the fielded tf relation (doc_id, field, term, tf) is the
+single source of truth; per-(doc,field) lengths and per-field avgdl are
+hash aggs over it; scoring joins the (broadcast) query vocabulary into
+the tf relation so only query-term rows ever leave the scan, then two
+hash aggs (term-level field fold → doc-level score) and a top-k window —
+the exact plan family as the single-field exhaustive scorer.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import BM25_B, BM25_K1, TOP_K
+from ..functions.tokenize import tokens_simple_col
+
+
+def fielded_tf(
+    corpus: DataFrame,
+    fields: Mapping[str, Column | str],
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """corpus → (doc_id, field, term, tf) for every named field.
+
+    ``fields`` maps field name → text column (name or Column — pass a
+    derived Column for virtual fields, e.g. a title slice). Melt is one
+    native explode of per-field structs; tokenization is the zero-UDF
+    simple path (swap a tokenizer UDF column in for full parity mode).
+    One hash agg keyed (doc_id, field, term) — no extra shuffle over the
+    single-field build.
+    """
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    melted = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("field"),
+                        (
+                            F.col(c) if isinstance(c, str) else c
+                        ).alias("ftext"),
+                    )
+                    for name, c in fields.items()
+                ]
+            )
+        ).alias("fv"),
+    ).select("doc_id", "fv.field", "fv.ftext")
+    return (
+        melted.select(
+            "doc_id",
+            "field",
+            F.explode(tokens_simple_col("ftext")).alias("term"),
+        )
+        .groupBy("doc_id", "field", "term")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+
+
+def bm25f_stats(ftf: DataFrame) -> dict:
+    """{"N": docs, "avgdl": {field: avg length}} over the fielded tf.
+    avgdl_f averages over docs that HAVE the field (absent fields simply
+    contribute no posting rows — deterministic and engine-portable)."""
+    n = ftf.select("doc_id").distinct().count()
+    rows = (
+        ftf.groupBy("doc_id", "field")
+        .agg(F.sum("tf").alias("dl"))
+        .groupBy("field")
+        .agg(F.avg("dl").alias("avgdl"))
+        .collect()
+    )
+    return {"N": n, "avgdl": {r["field"]: float(r["avgdl"]) for r in rows}}
+
+
+def bm25f_topk(
+    query_terms: DataFrame,
+    ftf: DataFrame,
+    stats: dict,
+    *,
+    boosts: Mapping[str, float],
+    k: int = TOP_K,
+    k1: float = BM25_K1,
+    b: float | Mapping[str, float] = BM25_B,
+) -> DataFrame:
+    """BM25F top-k for every query in one job → (query_id, rank, doc_id,
+    score), tie-break (score desc, doc_id asc).
+
+    idf weights are computed driver-side over the query vocabulary only
+    (libm ``math.log`` — same engine-portability rationale as
+    search.score_exhaustive) and broadcast back; everything else is
+    native Catalyst.
+    """
+    import math
+
+    b_of = (lambda f: float(b[f])) if isinstance(b, Mapping) else (
+        lambda f: float(b)
+    )
+    n_d = float(stats["N"])
+    # document-level df over the query vocabulary only
+    vocab = query_terms.select("term").distinct()
+    df_rows = (
+        ftf.join(F.broadcast(vocab), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .collect()
+    )
+    idf = {
+        r["term"]: math.log(
+            (n_d - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0
+        )
+        for r in df_rows
+    }
+    spark = ftf.sparkSession
+    qw_rows = [
+        (int(r["query_id"]), r["term"], float(r["qtf"]) * idf[r["term"]])
+        for r in query_terms.collect()
+        if r["term"] in idf
+    ]
+    if not qw_rows:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
+    qw = spark.createDataFrame(qw_rows, "query_id int, term string, w double")
+
+    dl_f = ftf.groupBy("doc_id", "field").agg(
+        F.sum("tf").cast("double").alias("dl")
+    )
+    # per-field constants as literal maps — plain codegen'd lookups
+    avg_map = F.create_map(
+        *[
+            x
+            for f_name in boosts
+            for x in (F.lit(f_name), F.lit(float(stats["avgdl"][f_name])))
+        ]
+    )
+    boost_map = F.create_map(
+        *[x for f in boosts for x in (F.lit(f), F.lit(float(boosts[f])))]
+    )
+    b_map = F.create_map(
+        *[x for f in boosts for x in (F.lit(f), F.lit(b_of(f)))]
+    )
+    cand = (
+        ftf.join(F.broadcast(qw), "term")
+        .join(dl_f, ["doc_id", "field"])
+        .withColumn(
+            "fpart",
+            boost_map[F.col("field")]
+            * F.col("tf").cast("double")
+            / (
+                F.lit(1.0)
+                - b_map[F.col("field")]
+                + b_map[F.col("field")] * F.col("dl") / avg_map[F.col("field")]
+            ),
+        )
+    )
+    tilde = cand.groupBy("query_id", "doc_id", "term", "w").agg(
+        F.sum("fpart").alias("tilde")
+    )
+    agg = (
+        tilde.withColumn(
+            "part", F.col("w") * F.col("tilde") / (F.lit(k1) + F.col("tilde"))
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("part").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("int"),
+            F.col("rank").cast("int"),
+            F.col("doc_id").cast("long"),
+            F.col("score").cast("double"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,131 @@
+"""BM25F fielded retrieval."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginejava_spark.config import BM25_B, BM25_K1
+from searchenginejava_spark.operators.fielded import (
+    bm25f_stats,
+    bm25f_topk,
+    fielded_tf,
+)
+
+DOCS = [
+    (0, "merge join", "spark shuffle join hash join merge"),
+    (1, "broadcast", "spark broadcast join"),
+    (2, "partition", "hash partition shuffle"),
+    (3, "sort merge", "sort merge join spark spark"),
+]
+
+
+@pytest.fixture(scope="module")
+def ftf(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, title string, body string")
+    out = fielded_tf(df, {"title": "title", "body": "body"})
+    out.persist().count()
+    yield out
+    out.unpersist()
+
+
+def test_fielded_tf_melts_both_fields(ftf):
+    rows = {
+        (r["doc_id"], r["field"], r["term"]): r["tf"] for r in ftf.collect()
+    }
+    assert rows[(0, "title", "merge")] == 1
+    assert rows[(0, "body", "join")] == 2
+    assert rows[(3, "body", "spark")] == 2
+    assert (1, "title", "join") not in rows
+
+
+def test_bm25f_stats_per_field_avgdl(ftf):
+    s = bm25f_stats(ftf)
+    assert s["N"] == 4
+    assert s["avgdl"]["title"] == pytest.approx((2 + 1 + 1 + 2) / 4)
+    assert s["avgdl"]["body"] == pytest.approx((6 + 3 + 3 + 5) / 4)
+
+
+def test_bm25f_hand_computed(spark, ftf):
+    """One query term, hand-evaluated simplified-BM25F formula."""
+    s = bm25f_stats(ftf)
+    qt = spark.createDataFrame(
+        [(0, "merge", 1)], "query_id int, term string, qtf int"
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25f_topk(
+            qt, ftf, s, boosts={"title": 3.0, "body": 1.0}, k=10
+        ).collect()
+    }
+    # df('merge') = 2 (docs 0 and 3, any field)
+    idf = math.log((4 - 2 + 0.5) / (2 + 0.5) + 1.0)
+
+    def bf(dl, avg):
+        return 1.0 - BM25_B + BM25_B * dl / avg
+
+    for doc, t_dl, b_dl, t_tf, b_tf in ((0, 2, 6, 1, 1), (3, 2, 5, 1, 1)):
+        tilde = 3.0 * t_tf / bf(t_dl, s["avgdl"]["title"]) + 1.0 * b_tf / bf(
+            b_dl, s["avgdl"]["body"]
+        )
+        assert got[doc] == pytest.approx(
+            idf * tilde / (BM25_K1 + tilde), rel=1e-12
+        )
+    assert set(got) == {0, 3}
+
+
+def test_bm25f_single_field_matches_bm25_ranking(spark, ftf):
+    """With one field and boost 1, BM25F's per-term contribution is the
+    standard BM25 contribution divided by (k1+1) — same ranking, scores
+    scaled; checks the field fold degenerates correctly."""
+    from searchenginejava_spark.operators.search import score_exhaustive
+
+    body = ftf.filter(F.col("field") == "body")
+    s = bm25f_stats(body)
+    qt = spark.createDataFrame(
+        [(0, "spark", 1), (0, "join", 1)], "query_id int, term string, qtf int"
+    )
+    got = bm25f_topk(qt, body, s, boosts={"body": 1.0}, k=10).collect()
+
+    tf = body.select("doc_id", "term", "tf")
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+    dct = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    stats = {"N": s["N"], "avgdl": s["avgdl"]["body"]}
+    want = score_exhaustive(qt, tf, dl, dct, stats, k=10).collect()
+    assert [(r["doc_id"]) for r in got] == [(r["doc_id"]) for r in want]
+    for g, w in zip(got, want):
+        assert g["score"] * (BM25_K1 + 1.0) == pytest.approx(
+            w["score"], rel=1e-9
+        )
+
+
+def test_bm25f_title_boost_promotes_title_hits(spark, ftf):
+    s = bm25f_stats(ftf)
+    qt = spark.createDataFrame(
+        [(0, "broadcast", 1)], "query_id int, term string, qtf int"
+    )
+    flat = bm25f_topk(
+        qt, ftf, s, boosts={"title": 1.0, "body": 1.0}, k=10
+    ).collect()
+    boosted = bm25f_topk(
+        qt, ftf, s, boosts={"title": 10.0, "body": 1.0}, k=10
+    ).collect()
+    # doc 1 has 'broadcast' in BOTH fields; boost must raise its score
+    assert boosted[0]["doc_id"] == 1
+    assert boosted[0]["score"] > flat[0]["score"]
+
+
+def test_bm25f_oov_query_returns_empty(spark, ftf):
+    s = bm25f_stats(ftf)
+    qt = spark.createDataFrame(
+        [(0, "zzz", 1)], "query_id int, term string, qtf int"
+    )
+    assert bm25f_topk(qt, ftf, s, boosts={"title": 1.0, "body": 1.0}).count() == 0
+
+
+def test_fielded_tf_requires_fields(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        fielded_tf(df, {})
