@@ -695,6 +695,23 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_fingerprint(_documents(spark, sf_dir))
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-bigram collocation strength (lift = PMI before the ln —
+    pure rational double arithmetic, engine-portable): one bigram hash
+    agg + broadcast unigram joins."""
+    from searchenginejava_spark.operators.textstats import collocations
+
+    return collocations(_documents(spark, sf_dir), min_count=3)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training vocab table: top-20 terms by cf with exact
+    cumulative corpus coverage."""
+    from searchenginejava_spark.operators.textstats import vocab_coverage
+
+    return vocab_coverage(_documents(spark, sf_dir), k=20)
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchenginejava_spark.operators.textstats import repetition_stats
 
@@ -1084,6 +1101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_facet_counts": q_facet_counts,
         "q_decontaminate": q_decontaminate,
         "q_bm25f": q_bm25f,
+        "q_collocations": q_collocations,
+        "q_vocab_coverage": q_vocab_coverage,
     }
 
 
@@ -1832,6 +1851,42 @@ def oracle_sql() -> dict[str, str]:
                round(s, 6) AS score
         FROM scored
         QUALIFY rank <= {_TOPK}
+        """,
+        "q_collocations": _SQL_TOKL
+        + """
+        , big AS (
+          SELECT t1.term AS w1, t2.term AS w2, count(*) AS pair_count
+          FROM tok t1 JOIN tok t2
+            ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+          GROUP BY t1.term, t2.term
+          HAVING count(*) >= 3
+        ),
+        uni AS (SELECT term AS w, count(*) AS c FROM tok GROUP BY term),
+        tot AS (
+          SELECT CAST(sum(len(l)) AS DOUBLE) AS t_tokens,
+                 CAST(sum(greatest(len(l) - 1, 0)) AS DOUBLE) AS t_pairs
+          FROM tokl
+        )
+        SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count,
+               round((pair_count / tot.t_pairs)
+                     / ((u1.c / tot.t_tokens) * (u2.c / tot.t_tokens)),
+                     6) AS lift
+        FROM big
+        JOIN uni u1 ON big.w1 = u1.w
+        JOIN uni u2 ON big.w2 = u2.w
+        CROSS JOIN tot
+        """,
+        "q_vocab_coverage": _SQL_TOKL
+        + """
+        , uni AS (SELECT term, count(*) AS cf FROM tok GROUP BY term),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tok)
+        SELECT CAST(row_number() OVER (ORDER BY cf DESC, term ASC) AS INT) AS rank,
+               term, CAST(cf AS BIGINT) AS cf,
+               round(CAST(sum(cf) OVER (ORDER BY cf DESC, term ASC
+                                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                     / tot.t, 6) AS cum_share
+        FROM uni CROSS JOIN tot
+        QUALIFY rank <= 20
         """,
     }
     from searchenginejava_spark.operators.textstats import (

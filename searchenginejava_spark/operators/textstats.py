@@ -5,7 +5,7 @@ Python), each with an exact DuckDB-oracle-expressible definition.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language function-word lists (deterministic heuristic lang-ID;
@@ -209,4 +209,114 @@ def scrub_pii(
         n_emails.cast("long").alias("n_emails"),
         n_urls.cast("long").alias("n_urls"),
         n_phones.cast("long").alias("n_phones"),
+    )
+
+
+def collocations(
+    df: DataFrame,
+    *,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus collocations: adjacent-bigram association strength →
+    (w1, w2, pair_count, lift), lift = P(w1w2) / (P(w1)·P(w2)) —
+    PMI = ln(lift), a monotone transform; the ln is deliberately NOT
+    applied so every emitted value is pure rational double arithmetic
+    (IEEE mul/div — bit-equal on any engine; a JVM-vs-libm ``ln`` could
+    wobble the last ulp under the oracle's rounding).
+
+    Shape: bigrams come from a native zip_with over adjacent token
+    slices (doc-local, no position shuffle), then ONE hash agg per
+    relation (bigram counts, unigram counts) and two broadcast joins of
+    the unigram side; ``min_count`` prunes the long tail before the
+    joins. At 100 TB the bigram agg is the only big shuffle — the same
+    key-skew profile as term counting, handled by the same partial aggs.
+    """
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    m = F.greatest(n - 1, F.lit(0))   # 0- and 1-token docs: no bigrams
+    pairs = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = df.select(
+        F.sum(n).cast("double").alias("t_tokens"),
+        F.sum(F.greatest(n - 1, F.lit(0))).cast("double").alias("t_pairs"),
+    )
+    lift = (
+        (F.col("pair_count") / F.col("t_pairs"))
+        / (
+            (F.col("c1") / F.col("t_tokens"))
+            * (F.col("c2") / F.col("t_tokens"))
+        )
+    )
+    return (
+        big.join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.round(lift, 6).alias("lift"),
+        )
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    *,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-training vocabulary table: top-k terms by collection
+    frequency with cumulative corpus coverage → (rank, term, cf,
+    cum_share). cum_share is an exact-integer cumulative sum divided by
+    the exact total (one IEEE division — engine-portable), so "what
+    vocab size covers 95% of tokens" reads straight off the table.
+
+    One hash agg + a single-partition top-k window over the (tiny)
+    capped result; ordering (cf desc, term asc) is total and
+    deterministic.
+    """
+    toks = _tokens(F.col(text_col))
+    uni = (
+        df.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    )
+    total = df.select(F.sum(F.size(toks)).cast("long").alias("t")).collect()[
+        0
+    ]["t"]
+    w = Window.orderBy(F.desc("cf"), F.asc("term"))
+    cum = Window.orderBy(F.desc("cf"), F.asc("term")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        uni.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("cum_cf", F.sum("cf").over(cum))
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            "cf",
+            F.round(
+                F.col("cum_cf").cast("double") / F.lit(float(total or 1)), 6
+            ).alias("cum_share"),
+        )
     )

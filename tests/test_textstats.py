@@ -136,3 +136,65 @@ def test_scrub_pii_masks_and_counts(spark):
     assert got[2] == ("call <PHONE> now", 0, 0, 1)
     assert got[3] == ("clean text no pii", 0, 0, 0)
     assert got[4] == ("multi <EMAIL> <EMAIL> <URL> <PHONE> end", 2, 1, 1)
+
+
+def test_collocations_hand_computed(spark):
+    from searchenginejava_spark.operators.textstats import collocations
+
+    rows = [
+        (0, "new york new york city"),
+        (1, "new york is big"),
+        (2, "one token"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["w1"], r["w2"]): (r["pair_count"], r["lift"])
+        for r in collocations(df, min_count=2).collect()
+    }
+    # tokens: doc0 [new york new york city] doc1 [new york is big] doc2 [one token]
+    # T = 5+4+2 = 11; pairs totals = 4+3+1 = 8
+    # c(new york)=3, c(new)=3, c(york)=3
+    lift = (3 / 8) / ((3 / 11) * (3 / 11))
+    assert set(got) == {("new", "york")}
+    assert got[("new", "york")][0] == 3
+    assert got[("new", "york")][1] == pytest.approx(round(lift, 6), abs=1e-9)
+
+
+def test_collocations_min_count_prunes(spark):
+    from searchenginejava_spark.operators.textstats import collocations
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "c d")], "doc_id long, text string"
+    )
+    got = {(r["w1"], r["w2"]) for r in collocations(df, min_count=1).collect()}
+    assert ("c", "d") in got and ("a", "b") in got
+    got2 = {(r["w1"], r["w2"]) for r in collocations(df, min_count=2).collect()}
+    assert got2 == {("a", "b")}
+
+
+def test_vocab_coverage_cumulative(spark):
+    from searchenginejava_spark.operators.textstats import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(0, "a a a b b c")], "doc_id long, text string"
+    )
+    got = [
+        (r["rank"], r["term"], r["cf"], r["cum_share"])
+        for r in vocab_coverage(df, k=10).orderBy("rank").collect()
+    ]
+    assert got == [
+        (1, "a", 3, 0.5),
+        (2, "b", 2, pytest.approx(5 / 6, abs=1e-6)),
+        (3, "c", 1, 1.0),
+    ]
+
+
+def test_vocab_coverage_cap_and_ties(spark):
+    from searchenginejava_spark.operators.textstats import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(0, "x y x y z")], "doc_id long, text string"
+    )
+    got = [r["term"] for r in vocab_coverage(df, k=2).orderBy("rank").collect()]
+    assert got == ["x", "y"]  # tie on cf broken by term asc

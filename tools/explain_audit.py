@@ -452,6 +452,166 @@ def main() -> None:
     ]
     sections.append(("tombstoned retrieval (delete_docs → exhaustive)", p_del, checks))
 
+    # 13. fuzzy matching: SymSpell variant EQUI-join (broadcast of the tiny
+    # query neighborhood), never a cartesian edit-distance scan
+    import tempfile
+
+    from searchenginejava_spark.operators.termmatch import (
+        fuzzy_terms,
+        match_pattern,
+    )
+
+    dct_tm = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    p_fz = plan_of(fuzzy_terms(dct_tm, ["tabel", "joinn"], max_edits=1))
+    checks = [
+        (
+            "variant equi-join is a broadcast hash join",
+            n_nodes(p_fz, "BroadcastHashJoin") >= 1,
+            f"BroadcastHashJoin x{n_nodes(p_fz, 'BroadcastHashJoin')}",
+        ),
+        (
+            "no cartesian/nested-loop join (the scale point of SymSpell)",
+            "CartesianProduct" not in p_fz
+            and "BroadcastNestedLoopJoin" not in p_fz,
+            "",
+        ),
+        (
+            "exact levenshtein verify present",
+            "levenshtein" in p_fz,
+            "",
+        ),
+    ]
+    sections.append(("fuzzy term matching (SymSpell variant equi-join)", p_fz, checks))
+
+    # 13b. wildcard expansion over a SAVED dictionary: the anchored-prefix
+    # range predicate must reach the parquet scan (partition pruning)
+    with tempfile.TemporaryDirectory() as td:
+        dpath = os.path.join(td, "dictionary")
+        dct_tm.write.mode("overwrite").parquet(dpath)
+        saved_dct = spark.read.parquet(dpath)
+        p_wc = plan_of(match_pattern(saved_dct, "cus*", max_terms=16))
+        pushed_wc = re.findall(r"PushedFilters: \[([^\]]*)\]", p_wc)
+        checks = [
+            (
+                "prefix range predicate pushed to the dictionary scan "
+                "(GreaterThanOrEqual + LessThan on term)",
+                any(
+                    "GreaterThanOrEqual(term" in p and "LessThan(term" in p
+                    for p in pushed_wc
+                ),
+                f"PushedFilters={pushed_wc}",
+            ),
+        ]
+        sections.append(
+            ("wildcard expansion (anchored prefix, saved dictionary)", p_wc, checks)
+        )
+
+    # 14. faceted search: ONE melt (Generate) + ONE count-agg shuffle —
+    # not one groupBy pass per facet
+    from searchenginejava_spark.operators.search import facet_counts
+
+    # range() carries a size estimate (createDataFrame's ExistingRDD does
+    # not, which would force SMJ with AQE off regardless of actual size)
+    cand_fc = spark.range(50).select(F.col("id").alias("doc_id"))
+    p_fc = plan_of(
+        facet_counts(cand_fc, corpus, ["lang", "source"], k=5)
+    )
+    checks = [
+        (
+            "single melt explode (Generate x1)",
+            n_nodes(p_fc, "Generate") == 1,
+            f"Generate x{n_nodes(p_fc, 'Generate')}",
+        ),
+        (
+            "one shuffle for the (facet,value) count agg",
+            n_nodes(p_fc, "Exchange") <= 2,  # agg + top-k window partition
+            f"Exchange x{n_nodes(p_fc, 'Exchange')}",
+        ),
+        (
+            "candidate semi-join broadcasts",
+            n_nodes(p_fc, "BroadcastHashJoin") >= 1,
+            f"BroadcastHashJoin x{n_nodes(p_fc, 'BroadcastHashJoin')}",
+        ),
+    ]
+    sections.append(("faceted search (melt + single count agg)", p_fc, checks))
+
+    # 15. decontamination: the benchmark shingle side broadcasts — the
+    # corpus side never shuffles its shingles
+    from searchenginejava_spark.operators.curation import contamination_hits
+
+    bench_df = corpus.limit(5).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    p_dc = plan_of(contamination_hits(corpus, bench_df, n=3))
+    checks = [
+        (
+            "benchmark shingles broadcast (corpus side stays in place)",
+            n_nodes(p_dc, "BroadcastHashJoin") >= 1,
+            f"BroadcastHashJoin x{n_nodes(p_dc, 'BroadcastHashJoin')}",
+        ),
+        (
+            "no cartesian join",
+            "CartesianProduct" not in p_dc
+            and "BroadcastNestedLoopJoin" not in p_dc,
+            "",
+        ),
+    ]
+    sections.append(("benchmark decontamination (broadcast shingle join)", p_dc, checks))
+
+    # 16. BM25F: query weights broadcast; two agg levels (field fold →
+    # doc score), top-k window; no cartesian
+    from searchenginejava_spark.operators.fielded import (
+        bm25f_stats,
+        bm25f_topk,
+        fielded_tf,
+    )
+    from searchenginejava_spark.functions.tokenize import tokens_simple_col
+
+    ftf_au = fielded_tf(
+        corpus,
+        {
+            "title": F.array_join(
+                F.slice(tokens_simple_col("text"), 1, 3), " "
+            ),
+            "body": F.col("text"),
+        },
+    )
+    st_au = bm25f_stats(ftf_au)
+    qt_au = spark.createDataFrame(
+        [(0, "customer", 1), (0, "table", 1)],
+        "query_id int, term string, qtf int",
+    )
+    p_bf = plan_of(
+        bm25f_topk(qt_au, ftf_au, st_au, boosts={"title": 3.0, "body": 1.0})
+    )
+    checks = [
+        (
+            "query-weight join broadcasts",
+            n_nodes(p_bf, "BroadcastHashJoin") >= 1,
+            f"BroadcastHashJoin x{n_nodes(p_bf, 'BroadcastHashJoin')}",
+        ),
+        (
+            "two-level agg (field fold then doc score): >=4 HashAggregate "
+            "(partial+final each)",
+            n_nodes(p_bf, "HashAggregate") >= 4,
+            f"HashAggregate x{n_nodes(p_bf, 'HashAggregate')}",
+        ),
+        (
+            "top-k window present",
+            "row_number" in p_bf,
+            "",
+        ),
+        (
+            "no cartesian join",
+            "CartesianProduct" not in p_bf
+            and "BroadcastNestedLoopJoin" not in p_bf,
+            "",
+        ),
+    ]
+    sections.append(("BM25F fielded ranking", p_bf, checks))
+
     ok = True
     out = ["# PLANS.md — physical-plan audit (generated by tools/explain_audit.py)", ""]
     for title, plan, cks in sections:
