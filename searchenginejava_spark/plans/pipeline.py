@@ -341,6 +341,10 @@ def structured_search(
     tokenizer=None,
     snippet_corpus: DataFrame | None = None,
     snippet_width: int = 2,
+    wildcards: tuple[str, ...] | list[str] = (),
+    fuzzy: bool = False,
+    fuzzy_max_edits: int = 1,
+    expansion_max_terms: int = 16,
 ) -> DataFrame:
     """The full search-API composition in ONE declarative plan: free-text
     BM25 ranking constrained by required terms (``must``), excluded
@@ -356,13 +360,62 @@ def structured_search(
     sets are built from term-pruned posting slices only; at scale each
     is a tiny fraction of the index and broadcasts into the semi-join.
 
-    Returns (query_id, rank, doc_id, score[, first_pos, snippet]).
+    ``wildcards`` adds glob patterns that expand to their (capped)
+    dictionary term sets at qtf=1 per match; ``fuzzy=True`` expands each
+    free-text term to its edit-distance-``fuzzy_max_edits`` dictionary
+    neighbors weighted 1/(1+dist) (operators/termmatch.py — expansion
+    happens BEFORE the posting slice, so only expanded-term postings are
+    read). Returns (query_id, rank, doc_id, score[, first_pos, snippet]).
     """
     from ..operators.search import query_terms_df, snippets
 
     qt = query_terms_df(spark, [(query_id, query_text)], **(
         {} if tokenizer is None else {"tokenizer": tokenizer}
     ))
+    if fuzzy or wildcards:
+        from ..operators.termmatch import fuzzy_terms, match_pattern
+
+        parts = []
+        if fuzzy:
+            vocab = sorted(
+                {r["term"] for r in qt.select("term").distinct().collect()}
+            )
+            fz = fuzzy_terms(
+                index.dictionary, vocab, max_edits=fuzzy_max_edits,
+                max_terms=expansion_max_terms,
+            )
+            parts.append(
+                qt.withColumnRenamed("term", "q_term")
+                .join(fz, "q_term")
+                .select(
+                    "query_id",
+                    "term",
+                    (
+                        F.col("qtf")
+                        / (F.lit(1.0) + F.col("dist").cast("double"))
+                    ).alias("qtf"),
+                )
+            )
+        else:
+            parts.append(
+                qt.select(
+                    "query_id", "term", F.col("qtf").cast("double").alias("qtf")
+                )
+            )
+        for pat in wildcards:
+            parts.append(
+                match_pattern(
+                    index.dictionary, pat, max_terms=expansion_max_terms
+                ).select(
+                    F.lit(query_id).cast("int").alias("query_id"),
+                    "term",
+                    F.lit(1.0).alias("qtf"),
+                )
+            )
+        qt = parts[0]
+        for p in parts[1:]:
+            qt = qt.unionByName(p)
+        qt = qt.groupBy("query_id", "term").agg(F.sum("qtf").alias("qtf"))
 
     def _slice_ids(terms: list[str]) -> DataFrame:
         if index.postings is not None:

@@ -292,6 +292,45 @@ def test_structured_phrase_constraint_and_snippets(spark, ss_index):
         )
 
 
+def test_structured_wildcard_expansion(spark, ss_index):
+    """wildcards= expands to the capped dictionary set at qtf=1 — must
+    equal the explicit multi-term query over the same terms."""
+    from searchenginejava_spark.operators.termmatch import match_pattern
+    from searchenginejava_spark.plans.pipeline import structured_search
+
+    docs, idx = ss_index
+    terms = sorted(
+        r["term"] for r in match_pattern(idx.dictionary, "s*").collect()
+    )
+    assert len(terms) >= 2
+    tok = lambda t: [x for x in t.lower().split(" ") if x]  # noqa: E731
+    got = _res(
+        structured_search(spark, idx, "", wildcards=["s*"], k=10,
+                          tokenizer=tok)
+    )
+    want = _res(
+        structured_search(spark, idx, " ".join(terms), k=10, tokenizer=tok)
+    )
+    assert got == want and got
+
+
+def test_structured_fuzzy_damped_expansion(spark, ss_index):
+    """fuzzy=True routes typos through the dictionary: a single dist-1
+    typo ranks identically to the exact query with scores halved."""
+    from searchenginejava_spark.plans.pipeline import structured_search
+
+    docs, idx = ss_index
+    tok = lambda t: [x for x in t.lower().split(" ") if x]  # noqa: E731
+    base = _res(structured_search(spark, idx, "customer", k=10, tokenizer=tok))
+    got = _res(
+        structured_search(spark, idx, "custome", fuzzy=True, k=10,
+                          tokenizer=tok)
+    )
+    assert [d for (_, d, _) in got] == [d for (_, d, _) in base] and got
+    for (_, _, sg), (_, _, sb) in zip(got, base):
+        assert sg == pytest.approx(sb / 2, rel=1e-12)
+
+
 def test_structured_respects_tombstones(spark, ss_index):
     from searchenginejava_spark.plans.pipeline import (
         delete_docs,
