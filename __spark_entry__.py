@@ -695,6 +695,39 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_fingerprint(_documents(spark, sf_dir))
 
 
+_SUBSTRING = "customer join"
+_REGEX = "slow.*table"
+
+
+def q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring search (sub-token — the word index can't serve
+    it) through the character-trigram index: candidates = docs holding
+    ALL needle trigrams (posting intersection, no text read), then a
+    contains() verify over candidates only."""
+    from searchenginejava_spark.operators.trigram import (
+        build_trigram_index,
+        substring_search,
+    )
+
+    docs = _documents(spark, sf_dir)
+    tri = build_trigram_index(docs)
+    return substring_search(docs, tri, _SUBSTRING)
+
+
+def q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-Search-style regex: required literal runs extracted from the
+    pattern prune candidates via the trigram index; rlike verifies only
+    the survivors. Result must equal the oracle's full regexp scan."""
+    from searchenginejava_spark.operators.trigram import (
+        build_trigram_index,
+        regex_search,
+    )
+
+    docs = _documents(spark, sf_dir)
+    tri = build_trigram_index(docs)
+    return regex_search(docs, tri, _REGEX)
+
+
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-bigram collocation strength (lift = PMI before the ln —
     pure rational double arithmetic, engine-portable): one bigram hash
@@ -1103,6 +1136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25f": q_bm25f,
         "q_collocations": q_collocations,
         "q_vocab_coverage": q_vocab_coverage,
+        "q_substring_search": q_substring_search,
+        "q_regex_search": q_regex_search,
     }
 
 
@@ -1887,6 +1922,14 @@ def oracle_sql() -> dict[str, str]:
                      / tot.t, 6) AS cum_share
         FROM uni CROSS JOIN tot
         QUALIFY rank <= 20
+        """,
+        "q_substring_search": f"""
+        SELECT doc_id FROM documents
+        WHERE contains(text, '{_SUBSTRING}')
+        """,
+        "q_regex_search": f"""
+        SELECT doc_id FROM documents
+        WHERE regexp_matches(text, '{_REGEX}')
         """,
     }
     from searchenginejava_spark.operators.textstats import (

@@ -1,0 +1,201 @@
+"""Character-trigram index — substring and regex search over the corpus.
+
+The reference tokenizes into words, so sub-token queries (``ashTab`` in
+``HashTable``, a regex over identifiers) can't use its word index. The
+standard fix is the character-trigram posting index of Google Code
+Search ([L:R. Cox, "Regular Expression Matching with a Trigram Index",
+2012, public essay + codesearch tool]): index every character 3-gram,
+turn a query into a REQUIRED-trigram set, intersect those postings to a
+candidate doc set, and verify only the candidates against the raw text.
+
+Spark shape: the trigram relation (gram, doc_id) builds with one native
+transform/explode + hash distinct (same shuffle profile as the word
+index; store gram-range-partitioned so query grams partition-prune the
+scan). Queries are two-phase: an equi-join/agg candidate phase that
+never touches ``text``, then a contains/rlike verify joined back to the
+corpus — the corpus scan is semi-join-pruned to candidates, which is
+the entire point at 100 TB (the verify touches a vanishing fraction).
+Case-SENSITIVE by design (code search); case-fold upstream if wanted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def build_trigram_index(
+    corpus: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """corpus → distinct (gram, doc_id) character-trigram postings.
+
+    Native: transform over a 1..len-2 sequence → array_distinct →
+    explode. Docs shorter than 3 chars emit no grams (they can still be
+    found by the <3-char fallback scan in ``substring_search``).
+    """
+    t = F.col(text_col)
+    # the length==3 filter also voids the <3-char-doc edge (Spark's
+    # sequence(1, 0) DESCENDS, which would emit truncated grams)
+    grams = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length(t) - 2, F.lit(1))
+                ),
+                lambda i: F.call_function("substring", t, i, F.lit(3)),
+            ),
+            lambda g: F.length(g) == 3,
+        )
+    )
+    return corpus.select(
+        F.explode(grams).alias("gram"), F.col(id_col).alias("doc_id")
+    )
+
+
+def _query_grams(s: str) -> list[str]:
+    return sorted({s[i : i + 3] for i in range(len(s) - 2)})
+
+
+def trigram_candidates(trigrams: DataFrame, needle: str) -> DataFrame:
+    """doc_ids containing ALL trigrams of ``needle`` (superset of true
+    matches): one IN-filtered posting scan + count agg — no text read."""
+    grams = _query_grams(needle)
+    if not grams:
+        raise ValueError("needle shorter than 3 chars has no trigrams")
+    return (
+        trigrams.filter(F.col("gram").isin(grams))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") == len(grams))
+        .select("doc_id")
+    )
+
+
+def substring_search(
+    corpus: DataFrame,
+    trigrams: DataFrame | None,
+    needle: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring search → (doc_id): trigram-pruned when the needle
+    has ≥1 trigram and an index is supplied, full filter scan otherwise
+    (needles of 1-2 chars — documented fallback, same result)."""
+    if needle == "":
+        raise ValueError("needle must be non-empty")
+    contains = F.contains(F.col(text_col), F.lit(needle))
+    base = corpus
+    if trigrams is not None and len(needle) >= 3:
+        cand = trigram_candidates(trigrams, needle).withColumnRenamed(
+            "doc_id", id_col
+        )
+        base = corpus.join(cand, id_col, "left_semi")
+    return base.filter(contains).select(F.col(id_col).alias("doc_id"))
+
+
+# --- conservative required-literal extraction from a regex ---------------
+
+_META = set(".^$*+?()[]{}|\\")
+
+
+def required_literals(pattern: str) -> list[str]:
+    """Literal runs that EVERY match of ``pattern`` must contain —
+    conservative (may return fewer/shorter runs, never wrong ones).
+
+    Rules (the safe subset of Cox's query analysis): alternation or any
+    group ⇒ bail to [] (a trailing ``(...)?`` would otherwise promote
+    optional literals to required); character classes ``[...]`` are
+    skipped as a single non-literal atom; ``?``/``*``/``{`` make the
+    PREVIOUS atom optional, so the run ends one char early; any other
+    metacharacter or escape just ends the current run. Runs shorter
+    than 3 chars can't prune a trigram index and are dropped.
+    """
+    if "|" in pattern or "(" in pattern or ")" in pattern:
+        return []
+    runs: list[str] = []
+    cur: list[str] = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            # escaped char: \. is a literal dot, but \w/\d/... are
+            # classes — only pass through known literal escapes
+            if i + 1 < len(pattern) and pattern[i + 1] in _META:
+                cur.append(pattern[i + 1])
+                i += 2
+                continue
+            if cur:
+                runs.append("".join(cur))
+                cur = []
+            i += 2
+            continue
+        if ch == "[":
+            # character class = one opaque atom: end the run, skip to
+            # the closing ] ( [^]...] / []...] forms: first char free )
+            if cur:
+                runs.append("".join(cur))
+                cur = []
+            i += 1
+            if i < len(pattern) and pattern[i] == "^":
+                i += 1
+            if i < len(pattern) and pattern[i] == "]":
+                i += 1
+            while i < len(pattern) and pattern[i] != "]":
+                i += 2 if pattern[i] == "\\" else 1
+            i += 1
+            continue
+        if ch in ("?", "*", "{"):
+            if cur:
+                cur.pop()          # previous char became optional
+                if cur:
+                    runs.append("".join(cur))
+                cur = []
+            if ch == "{":          # skip the {m,n} body
+                while i < len(pattern) and pattern[i] != "}":
+                    i += 1
+            i += 1
+            continue
+        if ch == "+":
+            # X+ requires at least one X: the run stays intact
+            if cur:
+                runs.append("".join(cur))
+                cur = []
+            i += 1
+            continue
+        if ch in _META:
+            if cur:
+                runs.append("".join(cur))
+                cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    if cur:
+        runs.append("".join(cur))
+    return [r for r in runs if len(r) >= 3]
+
+
+def regex_search(
+    corpus: DataFrame,
+    trigrams: DataFrame | None,
+    pattern: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Regex search → (doc_id), Code-Search style: prune candidates by
+    the regex's required literal runs (every run's trigrams must all be
+    present), then verify only candidates with a native ``rlike``. With
+    no extractable run (or no index) it degrades to a verified full
+    scan — same results, no pruning."""
+    base = corpus
+    if trigrams is not None:
+        for run in required_literals(pattern):
+            cand = trigram_candidates(trigrams, run).withColumnRenamed(
+                "doc_id", id_col
+            )
+            base = base.join(cand, id_col, "left_semi")
+    return base.filter(F.col(text_col).rlike(pattern)).select(
+        F.col(id_col).alias("doc_id")
+    )

@@ -1,0 +1,121 @@
+"""Character-trigram index: substring search, required-literal
+extraction, trigram-pruned regex search."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginejava_spark.operators.trigram import (
+    build_trigram_index,
+    regex_search,
+    required_literals,
+    substring_search,
+    trigram_candidates,
+)
+
+TESTDATA = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = spark.read.parquet(f"{TESTDATA}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    df.persist().count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def tri(corpus):
+    t = build_trigram_index(corpus)
+    t.persist().count()
+    yield t
+    t.unpersist()
+
+
+def test_trigram_extraction(spark):
+    df = spark.createDataFrame(
+        [(0, "abcd"), (1, "ab"), (2, "aaaa")], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["gram"])
+        for r in build_trigram_index(df).collect()
+    }
+    # doc 1 (<3 chars) emits nothing; doc 2's duplicate gram deduped
+    assert got == {(0, "abc"), (0, "bcd"), (2, "aaa")}
+
+
+def test_substring_search_equals_scan(corpus, tri):
+    for needle in ("customer", "hash join", "tab", "the slow"):
+        pruned = {
+            r["doc_id"]
+            for r in substring_search(corpus, tri, needle).collect()
+        }
+        scan = {
+            r["doc_id"]
+            for r in corpus.filter(
+                F.contains("text", F.lit(needle))
+            ).collect()
+        }
+        assert pruned == scan, needle
+    assert {
+        r["doc_id"] for r in substring_search(corpus, tri, "zzzqqq").collect()
+    } == set()
+
+
+def test_substring_candidates_are_superset(corpus, tri):
+    needle = "customer"
+    cand = {r["doc_id"] for r in trigram_candidates(tri, needle).collect()}
+    true = {
+        r["doc_id"]
+        for r in corpus.filter(F.contains("text", F.lit(needle))).collect()
+    }
+    assert true <= cand
+
+
+def test_substring_short_needle_fallback(corpus, tri):
+    got = {r["doc_id"] for r in substring_search(corpus, tri, "th").collect()}
+    scan = {
+        r["doc_id"]
+        for r in corpus.filter(F.contains("text", F.lit("th"))).collect()
+    }
+    assert got == scan
+    with pytest.raises(ValueError):
+        substring_search(corpus, tri, "")
+
+
+def test_required_literals():
+    assert required_literals("HashTable") == ["HashTable"]
+    assert required_literals("Hash.*Table") == ["Hash", "Table"]
+    assert required_literals("abc?def") == ["def"]     # 'ab' too short
+    assert required_literals("abcd?efgh") == ["abc", "efgh"]
+    assert required_literals("abc+def") == ["abc", "def"]
+    assert required_literals("cust[a-z]mer") == ["cust", "mer"]
+    assert required_literals("[abc]xyz") == ["xyz"]
+    assert required_literals("a|bcd") == []            # alternation bails
+    assert required_literals("(abc)?xyz") == []        # groups bail
+    assert required_literals("abc{0,2}xyz") == ["xyz"]  # 'ab' too short
+    assert required_literals("abcd{0,2}wxyz") == ["abc", "wxyz"]
+    assert required_literals(r"foo\.bar") == ["foo.bar"]
+    assert required_literals(r"foo\wbar") == ["foo", "bar"]
+    assert required_literals("^customer table") == ["customer table"]
+
+
+def test_regex_search_equals_scan(corpus, tri):
+    for pat in (
+        "cust[a-z]+r",
+        "hash (join|scan)",       # groups+alternation: full-scan path
+        "slow.*table",
+        "^the",
+        "custome?r join",
+    ):
+        pruned = {
+            r["doc_id"] for r in regex_search(corpus, tri, pat).collect()
+        }
+        scan = {
+            r["doc_id"]
+            for r in regex_search(corpus, None, pat).collect()
+        }
+        assert pruned == scan, pat

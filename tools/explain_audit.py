@@ -612,6 +612,42 @@ def main() -> None:
     ]
     sections.append(("BM25F fielded ranking", p_bf, checks))
 
+    # 17. trigram substring search over a SAVED trigram index: the
+    # candidate phase scans ONLY (gram, doc_id) with the needle's grams
+    # pushed as an In filter; the text verify is semi-join-pruned
+    from searchenginejava_spark.operators.trigram import (
+        build_trigram_index,
+        substring_search,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        tpath = os.path.join(td, "trigrams")
+        build_trigram_index(corpus).write.mode("overwrite").parquet(tpath)
+        tri_saved = spark.read.parquet(tpath)
+        p_tri = plan_of(substring_search(corpus, tri_saved, "customer"))
+        pushed_tri = re.findall(r"PushedFilters: \[([^\]]*)\]", p_tri)
+        checks = [
+            (
+                "needle trigrams pushed to the gram scan (In(gram,...))",
+                any("In(gram" in p for p in pushed_tri),
+                f"PushedFilters={pushed_tri}",
+            ),
+            (
+                "verify is candidate-pruned (LeftSemi before contains)",
+                "LeftSemi" in p_tri,
+                "",
+            ),
+            (
+                "no cartesian join",
+                "CartesianProduct" not in p_tri
+                and "BroadcastNestedLoopJoin" not in p_tri,
+                "",
+            ),
+        ]
+        sections.append(
+            ("trigram substring search (saved index)", p_tri, checks)
+        )
+
     ok = True
     out = ["# PLANS.md — physical-plan audit (generated by tools/explain_audit.py)", ""]
     for title, plan, cks in sections:
