@@ -699,6 +699,29 @@ _SUBSTRING = "customer join"
 _REGEX = "slow.*table"
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval: RRF fusion (1/(60+rank), the
+    Cormack/Clarke/Büttcher constant) of the BM25 exhaustive top-10 and
+    the exact cosine top-10 — rank-only fusion, no score calibration,
+    every fused value exact rational double arithmetic."""
+    from searchenginejava_spark.operators.fusion import hybrid_search
+    from searchenginejava_spark.operators.search import score_exhaustive
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    qid, terms = _ORACLE_QUERIES[0]
+    qt = spark.createDataFrame(
+        [(qid, t, 1) for t in terms], "query_id int, term string, qtf int"
+    )
+    lex = score_exhaustive(qt, tf, dl, dct, stats, k=_TOPK)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    res = hybrid_search(lex, emb, qvec, query_id=qid, k=_TOPK)
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
 def q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring search (sub-token — the word index can't serve
     it) through the character-trigram index: candidates = docs holding
@@ -1138,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab_coverage": q_vocab_coverage,
         "q_substring_search": q_substring_search,
         "q_regex_search": q_regex_search,
+        "q_hybrid_search": q_hybrid_search,
     }
 
 
@@ -1930,6 +1954,70 @@ def oracle_sql() -> dict[str, str]:
         "q_regex_search": f"""
         SELECT doc_id FROM documents
         WHERE regexp_matches(text, '{_REGEX}')
+        """,
+        "q_hybrid_search": _SQL_TF
+        + f"""
+        , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+                 FROM tf GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+        dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        q(term, qtf) AS (VALUES {", ".join(f"('{t}', 1)" for t in _ORACLE_QUERIES[0][1])}),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum(q.qtf
+                     * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                     * (tf.tf * {_K1 + 1.0})
+                     / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+                 ) AS s
+          FROM q
+          JOIN dict USING (term)
+          JOIN tf USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          GROUP BY tf.doc_id
+        ),
+        lrank AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+          FROM scored
+          QUALIFY rank <= {_TOPK}
+        ),
+        qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+        z AS (
+          SELECT e.vec_id,
+                 CAST(unnest(e.embedding) AS DOUBLE) AS x,
+                 CAST(unnest(qv.v) AS DOUBLE) AS y
+          FROM embeddings e CROSS JOIN qv
+        ),
+        sagg AS (
+          SELECT vec_id, sum(x * y) AS dot,
+                 sqrt(sum(x * x)) AS nx, sqrt(sum(y * y)) AS ny
+          FROM z GROUP BY vec_id
+        ),
+        vtop AS (
+          SELECT vec_id, round(dot / (nx * ny), 6) AS cosine
+          FROM sagg ORDER BY dot / (nx * ny) DESC, vec_id ASC LIMIT {_TOPK}
+        ),
+        vrank AS (
+          SELECT vec_id,
+                 row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+          FROM vtop
+        ),
+        parts AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, 1.0 / (60 + rank) AS part
+          FROM lrank
+          UNION ALL
+          SELECT CAST(vec_id AS BIGINT), 1.0 / (60 + rank) FROM vrank
+        ),
+        agg AS (
+          SELECT doc_id, sum(part) AS rrf_score FROM parts GROUP BY doc_id
+        )
+        SELECT CAST(0 AS INT) AS query_id,
+               CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rank,
+               doc_id,
+               CAST(rrf_score AS DOUBLE) AS rrf_score
+        FROM agg
+        QUALIFY rank <= {_TOPK}
         """,
     }
     from searchenginejava_spark.operators.textstats import (

@@ -1,0 +1,110 @@
+"""Rank fusion — hybrid lexical + vector retrieval.
+
+The reference ranks with BM25 only ([R:Ranker]); modern engines serve
+hybrid queries by fusing a lexical ranking with a vector-similarity
+ranking. The fusion operator here is Reciprocal Rank Fusion
+([L:Cormack, Clarke & Büttcher, SIGIR 2009]):
+
+    RRF(d) = Σ_r 1 / (k0 + rank_r(d))      over the input rankings r
+
+RRF is the production default (Elasticsearch/OpenSearch hybrid search)
+because it needs no score calibration between systems — only ranks —
+and ranks are integers, so the fused score is a sum of exact rational
+doubles: bit-identical on any engine (no ln/exp anywhere).
+
+Spark shape: each input ranking is already a tiny top-k relation
+(query_id, doc_id, rank); fusion is a unionByName + one hash agg + the
+standard top-k window. At scale the inputs are the outputs of WAND /
+ANN — both already k rows per query — so fusion cost is negligible; the
+operator never touches postings or vectors.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import TOP_K
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    *,
+    k0: int = 60,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Fuse ranked lists (query_id, doc_id, rank) → (query_id, rank,
+    doc_id, rrf_score). A doc absent from one ranking simply contributes
+    no term for it (the standard RRF convention). Ties break by doc_id.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    parts = [
+        r.select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (
+                F.lit(1.0) / (F.lit(float(k0)) + F.col("rank").cast("double"))
+            ).alias("part"),
+        )
+        for r in rankings
+    ]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    agg = allp.groupBy("query_id", "doc_id").agg(
+        F.sum("part").alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            F.col("rrf_score").cast("double").alias("rrf_score"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def hybrid_search(
+    bm25_results: DataFrame,
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    query_id: int = 0,
+    k: int = TOP_K,
+    k0: int = 60,
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval: RRF-fuse a BM25 top-k (any
+    scorer path — exhaustive, WAND, structured) with the exact cosine
+    top-k for ``query_vec`` over a doc-aligned embedding table. The
+    vector leg reuses similarity.cosine_topk (swap in ann_lsh_topk /
+    ann_ivf_topk at scale — same (rank, id) shape)."""
+    from .similarity import cosine_topk
+
+    # cosine_topk emits (id, cosine rounded 6) ordered; the rank is
+    # derived from the ROUNDED values (ties by id) so it is identical on
+    # any engine computing the same rounded cosines
+    wv = Window.orderBy(F.desc("cosine"), F.asc(vec_id_col))
+    vec = (
+        cosine_topk(
+            embeddings, query_vec, k=k, id_col=vec_id_col, vec_col=vec_col
+        )
+        .withColumn("rank", F.row_number().over(wv))
+        .select(
+            F.lit(query_id).cast("int").alias("query_id"),
+            F.col(vec_id_col).cast("long").alias("doc_id"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+    lex = bm25_results.select("query_id", "doc_id", "rank")
+    return rrf_fuse([lex, vec], k0=k0, k=k)

@@ -1,0 +1,85 @@
+"""Reciprocal Rank Fusion + hybrid lexical/vector retrieval."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginejava_spark.operators.fusion import hybrid_search, rrf_fuse
+
+
+def test_rrf_hand_computed(spark):
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id int, doc_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2), (0, 10, 3)],
+        "query_id int, doc_id long, rank int",
+    )
+    got = [
+        (r["rank"], r["doc_id"], r["rrf_score"])
+        for r in rrf_fuse([a, b], k0=60, k=10).collect()
+    ]
+    s10 = 1 / 61 + 1 / 63
+    s11 = 1 / 62 + 1 / 61
+    s12 = 1 / 63
+    s13 = 1 / 62
+    # s11 > s10 > s13 > s12
+    assert [d for _, d, _ in got] == [11, 10, 13, 12]
+    assert got[0][2] == pytest.approx(s11, rel=1e-15)
+    assert got[1][2] == pytest.approx(s10, rel=1e-15)
+    assert got[2][2] == pytest.approx(s13, rel=1e-15)
+    assert got[3][2] == pytest.approx(s12, rel=1e-15)
+    assert [r for r, _, _ in got] == [1, 2, 3, 4]
+
+
+def test_rrf_multi_query_and_ties(spark):
+    a = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1)], "query_id int, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(0, 3, 1), (1, 4, 1)], "query_id int, doc_id long, rank int"
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["doc_id"]
+        for r in rrf_fuse([a, b], k0=60, k=10).collect()
+    }
+    # equal scores → tie broken by doc_id asc, per query
+    assert got == {(0, 1): 1, (0, 2): 3, (1, 1): 2, (1, 2): 4}
+
+
+def test_rrf_requires_input(spark):
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_hybrid_search_composes_legs(spark):
+    """hybrid == rrf_fuse(lexical leg, rank-annotated cosine leg)."""
+    from searchenginejava_spark.operators.similarity import cosine_topk
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    lex = spark.createDataFrame(
+        [(0, 0, 1), (0, 5, 2), (0, 7, 3)],
+        "query_id int, doc_id long, rank int",
+    )
+    got = hybrid_search(lex, emb, qvec, k=10).collect()
+
+    wv = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    vec = (
+        cosine_topk(emb, qvec, k=10)
+        .withColumn("rank", F.row_number().over(wv))
+        .select(
+            F.lit(0).alias("query_id"),
+            F.col("vec_id").cast("long").alias("doc_id"),
+            "rank",
+        )
+    )
+    want = rrf_fuse([lex, vec], k=10).collect()
+    assert [
+        (r["rank"], r["doc_id"], r["rrf_score"]) for r in got
+    ] == [(r["rank"], r["doc_id"], r["rrf_score"]) for r in want]
+    assert got  # vec_id 0 is in both legs → top by construction
+    assert got[0]["doc_id"] == 0
