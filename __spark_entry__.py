@@ -893,6 +893,20 @@ _BOOL = {
 }
 
 
+_SPAN_TERMS = ["the", "hash", "join"]
+_SPAN_SLOP = 8
+
+
+def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered span-near (Lucene SpanNearQuery): greedy-earliest chain
+    over the query terms' position arrays, min span per doc, slop
+    cut — the ordered middle ground between exact phrase and unordered
+    proximity."""
+    from searchenginejava_spark.operators.positional import span_near
+
+    return span_near(_pindex(spark, sf_dir), _SPAN_TERMS, slop=_SPAN_SLOP)
+
+
 def q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered retrieval through the REAL operator path
     (search.score_exhaustive with doc_filter): rank only lang='en' docs;
@@ -951,6 +965,32 @@ _WILDCARD = "s*"        # matches small scan slow sort stream spark at sf0.01
 _SUGGEST_PREFIX = "s"
 _FUZZY_TERMS = ["tabel", "joinn", "qery", "zzz"]   # typo probes (zzz: no hit)
 _FUZZY_QUERIES = [(0, "mergee windoww"), (1, "scann")]
+
+
+def _span_sql(terms: list[str], slop: int) -> str:
+    """DuckDB restatement of span_near's greedy-earliest ordered chain."""
+    k = len(terms)
+    chain = "p"
+    for i in range(2, k + 1):
+        chain = f"list_min(list_filter(t{i}.ps, q{i} -> q{i} > ({chain})))"
+    joins = " ".join(
+        f"JOIN pl t{i} ON t{i}.doc_id = t1.doc_id AND t{i}.term = '{terms[i - 1]}'"
+        for i in range(2, k + 1)
+    )
+    return _SQL_TOKL + f"""
+    , pl AS (
+      SELECT doc_id, term, list(pos ORDER BY pos) AS ps
+      FROM tok GROUP BY doc_id, term
+    )
+    SELECT doc_id, min_span FROM (
+      SELECT t1.doc_id,
+             CAST(list_min(list_filter(
+               list_transform(t1.ps, p -> ({chain}) - p - {k - 1}),
+               s -> s IS NOT NULL)) AS BIGINT) AS min_span
+      FROM pl t1 {joins}
+      WHERE t1.term = '{terms[0]}'
+    ) WHERE min_span <= {slop}
+    """
 
 
 def glob_like_sql(pattern: str) -> str:
@@ -1162,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_substring_search": q_substring_search,
         "q_regex_search": q_regex_search,
         "q_hybrid_search": q_hybrid_search,
+        "q_span_near": q_span_near,
     }
 
 
@@ -2019,6 +2060,7 @@ def oracle_sql() -> dict[str, str]:
         FROM agg
         QUALIFY rank <= {_TOPK}
         """,
+        "q_span_near": _span_sql(_SPAN_TERMS, _SPAN_SLOP),
     }
     from searchenginejava_spark.operators.textstats import (
         PII_EMAIL,

@@ -401,3 +401,42 @@ def proximity_match(
         )
         .filter(F.col("n_pairs") > 0)
     )
+
+
+def span_near(
+    pi: DataFrame, terms: list[str], *, slop: int = 0
+) -> DataFrame:
+    """Ordered span-near (Lucene SpanNearQuery, in_order=true): docs
+    where ``terms`` occur in order with total extra gap ≤ ``slop`` →
+    (doc_id, min_span); min_span = (p_k − p_1 − (k−1)) minimized over
+    all ordered occurrences — 0 means an exact consecutive phrase.
+
+    Matching is the greedy-earliest chain: for each start position of
+    term 1, each later term takes its SMALLEST position after the
+    previous term's — for a fixed start this minimizes the end, hence
+    the span, so the doc-level minimum is exact. The chain is a nested
+    native fold over the k position arrays (NULL propagates through
+    empty tails and drops the start); the dataflow is the same k−1
+    doc_id equi-joins over term-pruned posting slices as phrase_match.
+    ``slop=0`` ≡ the phrase semantics (tested); ``proximity_match``
+    remains the unordered 2-term variant.
+    """
+    if len(terms) < 2:
+        raise ValueError("span_near needs at least 2 terms")
+    joined = _slice(pi, terms[0], "p1")
+    for i, t in enumerate(terms[1:], start=2):
+        joined = joined.join(_slice(pi, t, f"p{i}"), "doc_id")
+    # greedy chain: next_i = min{q ∈ p_i : q > prev}
+    chain = "p"
+    for i in range(2, len(terms) + 1):
+        chain = f"array_min(filter(p{i}, q -> q > ({chain})))"
+    k = len(terms)
+    spans = (
+        f"filter(transform(p1, p -> ({chain}) - p - {k - 1}), "
+        "s -> s IS NOT NULL)"
+    )
+    min_span = F.expr(f"array_min({spans})")
+    return (
+        joined.select("doc_id", min_span.cast("long").alias("min_span"))
+        .filter(F.col("min_span") <= slop)
+    )

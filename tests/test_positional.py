@@ -427,3 +427,73 @@ def test_phrase_match_on_testdata_matches_join_oracle(spark):
         assert got == want and got
     finally:
         pi.unpersist()
+
+
+# --------------------------------------------------------------------------
+# ordered span-near
+# --------------------------------------------------------------------------
+
+SPAN_DOCS = [
+    (0, "a x b y c"),        # ordered, span (5-1-2)=2
+    (1, "a b c"),            # exact phrase → span 0
+    (2, "c b a"),            # wrong order → no match
+    (3, "a b x x x c"),      # span 3
+    (4, "b c a a b c"),      # best chain a@4 b@5 c@6 → span 0
+    (5, "a c"),              # missing b → no match
+]
+
+
+@pytest.fixture(scope="module")
+def span_pi(spark):
+    from searchenginejava_spark.operators.positional import positional_index
+
+    docs = spark.createDataFrame(SPAN_DOCS, "doc_id long, text string")
+    pi = positional_index(docs, mode="simple")
+    pi.persist().count()
+    yield pi
+    pi.unpersist()
+
+
+def test_span_near_greedy_min_span(span_pi):
+    from searchenginejava_spark.operators.positional import span_near
+
+    got = {
+        r["doc_id"]: r["min_span"]
+        for r in span_near(span_pi, ["a", "b", "c"], slop=10).collect()
+    }
+    assert got == {0: 2, 1: 0, 3: 3, 4: 0}
+
+
+def test_span_near_slop_zero_equals_phrase(span_pi):
+    from searchenginejava_spark.operators.positional import (
+        phrase_match,
+        span_near,
+    )
+
+    sp = {
+        r["doc_id"]
+        for r in span_near(span_pi, ["a", "b", "c"], slop=0).collect()
+    }
+    ph = {
+        r["doc_id"]
+        for r in phrase_match(span_pi, ["a", "b", "c"]).collect()
+    }
+    assert sp == ph == {1, 4}
+
+
+def test_span_near_two_terms_ordered_only(span_pi):
+    from searchenginejava_spark.operators.positional import span_near
+
+    got = {
+        r["doc_id"]: r["min_span"]
+        for r in span_near(span_pi, ["c", "a"], slop=1).collect()
+    }
+    # only doc 2 ("c b a": span 1) and doc 4 ("b c a": c@2,a@3 span 0)
+    assert got == {2: 1, 4: 0}
+
+
+def test_span_near_requires_two_terms(span_pi):
+    from searchenginejava_spark.operators.positional import span_near
+
+    with pytest.raises(ValueError):
+        span_near(span_pi, ["a"], slop=1)
