@@ -1086,6 +1086,42 @@ _FACET_MUST = ["customer", "join"]
 _BM25F_BOOSTS = {"title": 3.0, "body": 1.0}
 
 
+def _synthetic_qrels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic graded qrels over (query, doc): rel 2 when
+    (doc_id+query_id)%17==0, rel 1 when %5==0 — same derivation in SQL."""
+    docs = _documents(spark, sf_dir).select("doc_id")
+    qids = spark.createDataFrame(
+        [(qid,) for qid, _ in _ORACLE_QUERIES], "query_id int"
+    )
+    key = F.col("doc_id") + F.col("query_id")
+    return qids.crossJoin(docs).withColumn(
+        "rel",
+        F.when(key % 17 == 0, F.lit(2))
+        .when(key % 5 == 0, F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+
+
+def q_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trec_eval-style ranking evaluation (P@10, MRR, AP, nDCG@10) of the
+    BM25 batch against deterministic synthetic qrels — the in-engine
+    replacement for the reference's external trec_eval step."""
+    from searchenginejava_spark.operators.evaluation import ir_metrics
+    from searchenginejava_spark.operators.search import score_exhaustive
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    res = score_exhaustive(qt, tf, dl, dct, stats, k=_TOPK).select(
+        "query_id", "rank", "doc_id"
+    )
+    out = ir_metrics(res, _synthetic_qrels(spark, sf_dir), k=_TOPK)
+    out.persist()
+    out.count()
+    tf.unpersist()
+    return out
+
+
 def q_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25F fielded ranking (title = first 3 tokens as a virtual field,
     boost 3; body = full text): field evidence folds into t̃f BEFORE
@@ -1203,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_regex_search": q_regex_search,
         "q_hybrid_search": q_hybrid_search,
         "q_span_near": q_span_near,
+        "q_ir_metrics": q_ir_metrics,
     }
 
 
@@ -2061,6 +2098,90 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY rank <= {_TOPK}
         """,
         "q_span_near": _span_sql(_SPAN_TERMS, _SPAN_SLOP),
+        "q_ir_metrics": _SQL_TF
+        + f"""
+        , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+                 FROM tf GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+        dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        q(query_id, term, qtf) AS (VALUES {q_values}),
+        scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 sum(q.qtf
+                     * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                     * (tf.tf * {_K1 + 1.0})
+                     / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+                 ) AS s
+          FROM q
+          JOIN dict USING (term)
+          JOIN tf USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          GROUP BY q.query_id, tf.doc_id
+        ),
+        res AS (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY s DESC, doc_id ASC) AS rank
+          FROM scored
+          QUALIFY rank <= {_TOPK}
+        ),
+        qrels AS (
+          SELECT qq.query_id, d.doc_id,
+                 CASE WHEN (d.doc_id + qq.query_id) % 17 = 0 THEN 2
+                      WHEN (d.doc_id + qq.query_id) % 5 = 0 THEN 1
+                      ELSE 0 END AS rel
+          FROM (SELECT DISTINCT query_id FROM q) qq
+          CROSS JOIN documents d
+        ),
+        qr AS (SELECT * FROM qrels WHERE rel > 0),
+        ideal AS (
+          SELECT query_id,
+                 sum((pow(2.0, rel) - 1.0) / log2(irank + 1.0)) AS idcg
+          FROM (
+            SELECT query_id, rel,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rel DESC, doc_id ASC) AS irank
+            FROM qr
+          ) WHERE irank <= {_TOPK}
+          GROUP BY query_id
+        ),
+        totals AS (
+          SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+          FROM qr GROUP BY query_id
+        ),
+        j AS (
+          SELECT res.query_id, res.rank,
+                 coalesce(qr.rel, 0) AS rel,
+                 sum(CASE WHEN coalesce(qr.rel, 0) > 0 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY res.query_id ORDER BY res.rank) AS cum_rel
+          FROM res
+          LEFT JOIN qr ON res.query_id = qr.query_id
+                      AND res.doc_id = qr.doc_id
+        ),
+        per_q AS (
+          SELECT query_id,
+                 CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rel_ret,
+                 sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) / {float(_TOPK)}
+                   AS p_at_k,
+                 max(CASE WHEN rel > 0 THEN 1.0 / rank END) AS mrr,
+                 sum(CASE WHEN rel > 0
+                          THEN CAST(cum_rel AS DOUBLE) / rank END) AS ap_num,
+                 sum((pow(2.0, rel) - 1.0) / log2(rank + 1.0)) AS dcg
+          FROM j GROUP BY query_id
+        )
+        SELECT CAST(per_q.query_id AS INT) AS query_id,
+               totals.n_rel,
+               per_q.n_rel_ret,
+               round(p_at_k, 6) AS p_at_k,
+               round(coalesce(mrr, 0.0), 6) AS mrr,
+               round(coalesce(ap_num, 0.0) / totals.n_rel, 6) AS ap,
+               round(dcg / ideal.idcg, 6) AS ndcg
+        FROM per_q
+        JOIN totals USING (query_id)
+        JOIN ideal USING (query_id)
+        """,
     }
     from searchenginejava_spark.operators.textstats import (
         PII_EMAIL,

@@ -1,0 +1,108 @@
+"""Ranking evaluation — the trec_eval slice an IR engine ships with.
+
+The reference's results were graded externally with trec_eval on TREC
+qrels ([R] course workflow; SURVEY.md §5.1). This module computes the
+standard graded/binary metrics in-engine, per query, over the same
+(query_id, rank, doc_id) results relation the scorers emit:
+
+    P@k    precision at cutoff
+    MRR    1 / rank of the first relevant hit
+    AP     Σ_{rel hits} precision@hit_rank / R   (MAP = mean over queries)
+    nDCG@k DCG/IDCG,  DCG = Σ (2^rel − 1) / log2(rank + 1)
+           ([L:Järvelin & Kekäläinen, TOIS 2002])
+
+Shape: results ⋈ qrels on (query_id, doc_id) — both sides are k-row /
+qrel-sized relations, vanishing next to the index — then per-query
+window cumulatives and one agg. Everything is native; log2 only enters
+nDCG (6-decimal-rounded like every float the oracle checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ir_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """results(query_id, rank, doc_id) × qrels(query_id, doc_id, rel)
+    → (query_id, n_rel, n_rel_ret, p_at_k, mrr, ap, ndcg) per query.
+
+    Conventions (trec_eval's): AP divides by R (ALL relevant for the
+    query, retrieved or not); queries with R = 0 are dropped; rel > 0
+    means relevant for the binary metrics; nDCG uses the graded rel and
+    the ideal ranking truncated at ``k``.
+    """
+    res = results.filter(F.col("rank") <= k).select(
+        "query_id", "rank", "doc_id"
+    )
+    qr = qrels.filter(F.col("rel") > 0).select(
+        "query_id", "doc_id", F.col("rel").cast("int").alias("rel")
+    )
+    # R and IDCG per query from qrels alone
+    wi = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("doc_id")
+    )
+    ideal = (
+        qr.withColumn("irank", F.row_number().over(wi))
+        .filter(F.col("irank") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0))
+                / F.log2(F.col("irank") + F.lit(1.0))
+            ).alias("idcg")
+        )
+    )
+    totals = qr.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    j = res.join(qr, ["query_id", "doc_id"], "left").withColumn(
+        "rel", F.coalesce("rel", F.lit(0))
+    )
+    wq = Window.partitionBy("query_id").orderBy("rank")
+    j = j.withColumn(
+        "cum_rel",
+        F.sum((F.col("rel") > 0).cast("int")).over(wq),
+    )
+    per_q = j.groupBy("query_id").agg(
+        F.sum((F.col("rel") > 0).cast("int")).cast("long").alias("n_rel_ret"),
+        (F.sum((F.col("rel") > 0).cast("int")) / F.lit(float(k))).alias(
+            "p_at_k"
+        ),
+        F.max(
+            F.when(
+                F.col("rel") > 0, F.lit(1.0) / F.col("rank").cast("double")
+            )
+        ).alias("mrr"),
+        F.sum(
+            F.when(
+                F.col("rel") > 0,
+                F.col("cum_rel").cast("double")
+                / F.col("rank").cast("double"),
+            )
+        ).alias("ap_num"),
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0))
+            / F.log2(F.col("rank") + F.lit(1.0))
+        ).alias("dcg"),
+    )
+    return (
+        per_q.join(totals, "query_id")
+        .join(ideal, "query_id")
+        .select(
+            F.col("query_id").cast("int"),
+            "n_rel",
+            "n_rel_ret",
+            F.round("p_at_k", 6).alias("p_at_k"),
+            F.round(F.coalesce("mrr", F.lit(0.0)), 6).alias("mrr"),
+            F.round(
+                F.coalesce("ap_num", F.lit(0.0)) / F.col("n_rel"), 6
+            ).alias("ap"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        )
+    )

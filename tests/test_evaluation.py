@@ -1,0 +1,61 @@
+"""IR evaluation metrics (P@k, MRR, AP, nDCG)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from searchenginejava_spark.operators.evaluation import ir_metrics
+
+
+def test_ir_metrics_hand_computed(spark):
+    results = spark.createDataFrame(
+        [(0, r, 10 + r - 1) for r in range(1, 6)],
+        "query_id int, rank int, doc_id long",
+    )
+    qrels = spark.createDataFrame(
+        [(0, 10, 2), (0, 12, 1), (0, 99, 1), (0, 55, 0)],
+        "query_id int, doc_id long, rel int",
+    )
+    r = ir_metrics(results, qrels, k=5).collect()
+    assert len(r) == 1
+    m = r[0]
+    assert m["n_rel"] == 3 and m["n_rel_ret"] == 2
+    assert m["p_at_k"] == pytest.approx(2 / 5)
+    assert m["mrr"] == pytest.approx(1.0)
+    assert m["ap"] == pytest.approx(round((1.0 + 2 / 3) / 3, 6), abs=1e-9)
+    dcg = 3.0 / 1.0 + 1.0 / math.log2(4.0)
+    idcg = 3.0 / 1.0 + 1.0 / math.log2(3.0) + 1.0 / math.log2(4.0)
+    assert m["ndcg"] == pytest.approx(round(dcg / idcg, 6), abs=1e-9)
+
+
+def test_ir_metrics_no_relevant_retrieved_and_missing_query(spark):
+    results = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (1, 1, 3)],
+        "query_id int, rank int, doc_id long",
+    )
+    qrels = spark.createDataFrame(
+        [(0, 50, 1), (2, 1, 1)], "query_id int, doc_id long, rel int"
+    )
+    got = {r["query_id"]: r for r in ir_metrics(results, qrels, k=5).collect()}
+    # query 1 has no qrels → dropped; query 2 retrieved nothing → dropped
+    # (no results rows); query 0 retrieved no relevant → zeros
+    assert set(got) == {0}
+    m = got[0]
+    assert m["n_rel_ret"] == 0
+    assert m["p_at_k"] == 0.0 and m["mrr"] == 0.0 and m["ap"] == 0.0
+    assert m["ndcg"] == 0.0
+
+
+def test_ir_metrics_perfect_ranking(spark):
+    results = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2)], "query_id int, rank int, doc_id long"
+    )
+    qrels = spark.createDataFrame(
+        [(0, 1, 2), (0, 2, 1)], "query_id int, doc_id long, rel int"
+    )
+    m = ir_metrics(results, qrels, k=10).collect()[0]
+    assert m["ap"] == pytest.approx(1.0)
+    assert m["ndcg"] == pytest.approx(1.0)
+    assert m["mrr"] == pytest.approx(1.0)
