@@ -32,7 +32,7 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("action", choices=["delete", "compact", "merge"])
+    p.add_argument("action", choices=["delete", "compact", "merge", "stats"])
     p.add_argument("--index", required=True)
     p.add_argument("--doc-ids", default=None, help="parquet with doc_id column")
     p.add_argument("--other", default=None, help="second index path (merge)")
@@ -59,6 +59,12 @@ def main(argv: list[str] | None = None) -> int:
 
     idx = load_index(spark, args.index)
     out = args.out or args.index
+
+    if args.action == "stats":
+        from searchenginejava_spark.plans.pipeline import index_stats
+
+        print(json.dumps(index_stats(idx), sort_keys=True))
+        return 0
 
     if args.action == "delete":
         if not args.doc_ids:

@@ -267,6 +267,54 @@ def delete_docs(index: IndexArtifacts, deleted: DataFrame) -> IndexArtifacts:
     )
 
 
+def index_stats(index: IndexArtifacts) -> dict:
+    """Maintenance report over a (built or loaded) index — the ops-side
+    "how big / how hot / how stale" answer in one dict:
+
+    collection stats (N/avgdl/total_terms), dictionary size, posting
+    entries (Σdf) and segment rows, hottest term df, compressed byte
+    totals per stream (postings/norms/positions — whichever exist),
+    tombstone count (compaction-pressure signal), positional flag.
+
+    Cost: two metadata-sized aggs (dictionary + postings projections) and
+    a tombstone count — never touches docs/text.
+    """
+    out = {k: v for k, v in index.stats.items() if not k.startswith("_")}
+    drow = index.dictionary.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("df").alias("entries"),
+        F.max("df").alias("max_df"),
+    ).collect()[0]
+    out["n_terms"] = int(drow["n_terms"])
+    out["n_posting_entries"] = int(drow["entries"] or 0)
+    out["max_df"] = int(drow["max_df"] or 0)
+    out["positional"] = False
+    if index.postings is not None:
+        cols = index.postings.columns
+        aggs = [
+            F.count(F.lit(1)).alias("segment_rows"),
+            F.sum(F.octet_length("postings")).alias("postings_bytes"),
+        ]
+        if "norms" in cols:
+            aggs.append(F.sum(F.octet_length("norms")).alias("norms_bytes"))
+        if "positions" in cols:
+            aggs.append(
+                F.sum(F.octet_length("positions")).alias("positions_bytes")
+            )
+        prow = index.postings.agg(*aggs).collect()[0]
+        out["segment_rows"] = int(prow["segment_rows"])
+        out["postings_bytes"] = int(prow["postings_bytes"] or 0)
+        if "norms" in cols:
+            out["norms_bytes"] = int(prow["norms_bytes"] or 0)
+        if "positions" in cols:
+            out["positions_bytes"] = int(prow["positions_bytes"] or 0)
+            out["positional"] = True
+    out["n_tombstones"] = (
+        0 if index.tombstones is None else int(index.tombstones.count())
+    )
+    return out
+
+
 def compact_index(
     spark: SparkSession,
     index: IndexArtifacts,

@@ -103,3 +103,40 @@ def test_maintain_delete_compact_merge(spark, tmp_path):
     )
     assert merged.stats["N"] == cold.stats["N"]
     assert _rows(spark, merged) == _rows(spark, cold)
+
+
+def test_maintain_stats_action(spark, tmp_path, capsys):
+    import json
+
+    from searchenginejava_spark.plans.pipeline import (
+        delete_docs,
+        index_stats,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(
+        spark, docs, text_col="text", mode="simple", num_partitions=4,
+        positional=True,
+    )
+    st = index_stats(idx)
+    n_terms = idx.dictionary.count()
+    assert st["n_terms"] == n_terms
+    assert st["n_posting_entries"] == idx.tf.count()   # Σdf == tf rows
+    assert st["positional"] is True
+    assert st["postings_bytes"] > 0 and st["positions_bytes"] > 0
+    assert st["n_tombstones"] == 0
+    assert st["N"] == docs.count()
+
+    # tombstones show up as compaction pressure
+    idx_del = delete_docs(
+        idx, spark.createDataFrame([(1,), (2,)], "doc_id long")
+    )
+    assert index_stats(idx_del)["n_tombstones"] == 2
+
+    # CLI round trip over a published index
+    idx_path = str(tmp_path / "idx_stats")
+    save_index(idx, idx_path, term_partitions=4)
+    assert maintain(["stats", "--index", idx_path]) == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    rep = json.loads(out)
+    assert rep["n_terms"] == n_terms and rep["positional"] is True
