@@ -896,6 +896,27 @@ _BOOL = {
 _SPAN_TERMS = ["the", "hash", "join"]
 _SPAN_SLOP = 8
 
+# stored percolator queries: (query_id, must, must_not)
+_PERC = [
+    (0, ["customer", "join"], []),
+    (1, ["table"], ["slow"]),
+    (2, ["hash", "merge", "window"], []),
+    (3, ["zzz"], []),
+]
+
+
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse search (Elasticsearch percolator): every corpus doc is
+    matched against the STORED boolean queries via the inverted
+    query-term relation — docs only ever meet queries they share a term
+    with."""
+    from searchenginejava_spark.operators.search import percolate
+
+    queries = spark.createDataFrame(
+        _PERC, "query_id int, must array<string>, must_not array<string>"
+    )
+    return percolate(queries, _tf(spark, sf_dir))
+
 
 def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered span-near (Lucene SpanNearQuery): greedy-earliest chain
@@ -965,6 +986,14 @@ _WILDCARD = "s*"        # matches small scan slow sort stream spark at sf0.01
 _SUGGEST_PREFIX = "s"
 _FUZZY_TERMS = ["tabel", "joinn", "qery", "zzz"]   # typo probes (zzz: no hit)
 _FUZZY_QUERIES = [(0, "mergee windoww"), (1, "scann")]
+
+
+def _perc_values() -> str:
+    rows = []
+    for qid, must, must_not in _PERC:
+        rows += [f"({qid}, '{t}', 'm')" for t in must]
+        rows += [f"({qid}, '{t}', 'n')" for t in must_not]
+    return ", ".join(rows)
 
 
 def _span_sql(terms: list[str], slop: int) -> str:
@@ -1240,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hybrid_search": q_hybrid_search,
         "q_span_near": q_span_near,
         "q_ir_metrics": q_ir_metrics,
+        "q_percolate": q_percolate,
     }
 
 
@@ -2181,6 +2211,35 @@ def oracle_sql() -> dict[str, str]:
         FROM per_q
         JOIN totals USING (query_id)
         JOIN ideal USING (query_id)
+        """,
+        "q_percolate": _SQL_TF
+        + f"""
+        , sq(query_id, term, kind) AS (VALUES {_perc_values()}),
+        need AS (
+          SELECT query_id, count(DISTINCT term) AS n_must
+          FROM sq WHERE kind = 'm' GROUP BY query_id
+        ),
+        hits AS (
+          SELECT sq.query_id, tf.doc_id,
+                 count(DISTINCT tf.term) AS n_hit
+          FROM tf JOIN sq ON tf.term = sq.term AND sq.kind = 'm'
+          GROUP BY sq.query_id, tf.doc_id
+        ),
+        cand AS (
+          SELECT hits.query_id, hits.doc_id
+          FROM hits JOIN need USING (query_id)
+          WHERE n_hit = n_must
+        ),
+        bad AS (
+          SELECT DISTINCT sq.query_id, tf.doc_id
+          FROM tf JOIN sq ON tf.term = sq.term AND sq.kind = 'n'
+        )
+        SELECT CAST(cand.query_id AS INT) AS query_id, cand.doc_id
+        FROM cand
+        WHERE NOT EXISTS (
+          SELECT 1 FROM bad
+          WHERE bad.query_id = cand.query_id AND bad.doc_id = cand.doc_id
+        )
         """,
     }
     from searchenginejava_spark.operators.textstats import (

@@ -510,6 +510,49 @@ def facet_counts(
     )
 
 
+def percolate(
+    stored_queries: DataFrame,
+    tf: DataFrame,
+) -> DataFrame:
+    """Reverse search (the Elasticsearch percolator): match DOCS against
+    STORED boolean queries → (query_id, doc_id) for every doc satisfying
+    a query's must/must_not lists.
+
+    ``stored_queries``: (query_id, must array<string>,
+    must_not array<string>) — must non-empty per query.
+
+    Shape: the stored queries explode into a (term → query) inverted
+    relation, so a doc is only ever tested against queries it SHARES A
+    TERM with (the percolator's point — never docs × queries):
+    tf ⋈ query-terms → per-(query, doc) distinct-matched count ==
+    |must| → candidates; one anti-join removes docs hitting any
+    must_not term. All equi-joins; the query relation broadcasts when
+    small, and both sides scale as hash joins when it isn't.
+    """
+    qm = stored_queries.select(
+        "query_id", F.explode("must").alias("term")
+    ).distinct()
+    need = qm.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_must")
+    )
+    hits = (
+        tf.join(qm, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count_distinct("term").alias("n_hit"))
+        .join(need, "query_id")
+        .filter(F.col("n_hit") == F.col("n_must"))
+        .select("query_id", "doc_id")
+    )
+    qn = stored_queries.select(
+        "query_id", F.explode("must_not").alias("term")
+    ).distinct()
+    bad = tf.join(qn, "term").select("query_id", "doc_id").distinct()
+    return hits.join(bad, ["query_id", "doc_id"], "left_anti").select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
+
+
 def bm25_numpy_oracle(
     query_terms: list[tuple[int, str, int]],
     postings: dict[str, list[tuple[int, int]]],

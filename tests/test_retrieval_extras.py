@@ -204,6 +204,39 @@ def test_facet_counts_requires_facets(spark, tf):
         facet_counts(tf.select("doc_id"), tf, [])
 
 
+def test_percolate_must_and_must_not(spark, tf):
+    from searchenginejava_spark.operators.search import percolate
+
+    queries = spark.createDataFrame(
+        [
+            (0, ["join", "spark"], []),          # docs 0,1,3
+            (1, ["join"], ["broadcast"]),        # 0,1,3 minus 1 → 0,3
+            (2, ["shuffle", "hash"], []),        # 0,2
+            (3, ["zzz"], []),                    # nothing
+        ],
+        "query_id int, must array<string>, must_not array<string>",
+    )
+    got = {
+        (r["query_id"], r["doc_id"]) for r in percolate(queries, tf).collect()
+    }
+    assert got == {
+        (0, 0), (0, 1), (0, 3),
+        (1, 0), (1, 3),
+        (2, 0), (2, 2),
+    }
+
+
+def test_percolate_duplicate_must_terms_count_once(spark, tf):
+    from searchenginejava_spark.operators.search import percolate
+
+    queries = spark.createDataFrame(
+        [(0, ["join", "join"], [])],
+        "query_id int, must array<string>, must_not array<string>",
+    )
+    got = {r["doc_id"] for r in percolate(queries, tf).collect()}
+    assert got == {0, 1, 3}
+
+
 # --------------------------------------------------------------------------
 # structured search (the one-call search-API composition)
 # --------------------------------------------------------------------------
