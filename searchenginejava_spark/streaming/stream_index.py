@@ -176,3 +176,35 @@ def windowed_term_rates(
             "approx_terms",
         )
     )
+
+
+def streaming_percolate(
+    stream: DataFrame,
+    stored_queries: DataFrame,
+    *,
+    text_col: str = "content",
+) -> DataFrame:
+    """Alert-on-ingest (streaming percolator): match every arriving doc
+    against the STORED boolean queries → one output row per (doc, query)
+    hit, appended per micro-batch.
+
+    Stateless → plain append mode, no watermark, exactly-once from the
+    sink checkpoint. The stored-query table is alert-rule-sized, so it
+    broadcasts into a stream-static join and each doc row is checked
+    with native array folds (must ⊆ tokens, must_not ∩ tokens = ∅) —
+    per-row cost O(|queries|·|must|), zero shuffle on the stream side.
+    (For query sets too big to broadcast, run the batch inverted
+    ``operators.search.percolate`` inside foreachBatch instead — same
+    semantics, term-sharing join.)
+    """
+    from ..functions.tokenize import tokens_simple_col
+
+    docs = stream.withColumn("_tokens", tokens_simple_col(text_col))
+    q = F.broadcast(
+        stored_queries.select("query_id", "must", "must_not")
+    )
+    joined = docs.crossJoin(q).filter(
+        F.forall("must", lambda t: F.array_contains("_tokens", t))
+        & ~F.exists("must_not", lambda t: F.array_contains("_tokens", t))
+    )
+    return joined.drop("_tokens")

@@ -180,3 +180,68 @@ def test_windowed_term_rates(spark, tmp_path):
         .collect()
     }
     assert got == expect and len(got) >= 10
+
+
+def test_streaming_percolate_matches_batch(spark, tmp_path):
+    """Stream-static percolation: per-micro-batch alert rows equal the
+    batch inverted percolate over the same corpus."""
+    from pyspark.sql import functions as F
+
+    from searchenginejava_spark.operators.search import percolate
+    from searchenginejava_spark.streaming.stream_index import (
+        stream_source,
+        streaming_percolate,
+    )
+
+    src = str(tmp_path / "psrc")
+    ckpt = str(tmp_path / "pckpt")
+    cols = "repo string, path string, commit string, lang string, content string"
+    b1 = [
+        ("r", "a.py", "c", "py", "spark join merge"),
+        ("r", "b.py", "c", "py", "hash partition"),
+    ]
+    b2 = [("r", "c.py", "c", "py", "spark broadcast join")]
+    spark.createDataFrame(b1, cols).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, cols).coalesce(1).write.mode("append").parquet(src)
+
+    queries = spark.createDataFrame(
+        [
+            (0, ["spark", "join"], []),
+            (1, ["join"], ["broadcast"]),
+            (2, ["zzz"], []),
+        ],
+        "query_id int, must array<string>, must_not array<string>",
+    )
+    out = streaming_percolate(stream_source(spark, src, max_files_per_trigger=1), queries)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("perc_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["query_id"], r["path"])
+        for r in spark.sql("select * from perc_out").collect()
+    }
+    assert got == {(0, "a.py"), (0, "c.py"), (1, "a.py")}
+
+    # equivalence with the batch inverted percolate
+    corpus = spark.createDataFrame(b1 + b2, cols).withColumn(
+        "doc_id", F.xxhash64("repo", "path", "commit")
+    )
+    tf = (
+        corpus.select(
+            "doc_id", F.explode(F.split("content", " ")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+    path_of = {r["doc_id"]: r["path"] for r in corpus.collect()}
+    want = {
+        (r["query_id"], path_of[r["doc_id"]])
+        for r in percolate(queries, tf).collect()
+    }
+    assert got == want
