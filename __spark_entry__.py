@@ -581,6 +581,24 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, qvec, k=10, n_planes=8)
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou/Douze/Schmid ADC) under the full
+    oracle gate: deterministic codebooks (sub-vectors of the 16
+    lowest-id vectors, iters=0 — the Lloyd-trained path is recall-gated
+    in pytest), left-fold subspace distances everywhere, ADC = left fold
+    over the m codes — bit-identical on both engines."""
+    from searchenginejava_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_codebooks(emb, m=8, k_centroids=16, iters=0)
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return pq_topk(pq_encode(emb, cb), cb, qvec, k=10)
+
+
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic media table: payload = UTF-8 bytes of the document
     text (opaque binary as far as the operators are concerned)."""
@@ -1270,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_near": q_span_near,
         "q_ir_metrics": q_ir_metrics,
         "q_percolate": q_percolate,
+        "q_pq_topk": q_pq_topk,
     }
 
 
@@ -1446,6 +1465,51 @@ def _ann_lsh_sql(n_planes: int = 8, k: int = 10, dim: int = 64) -> str:
     WHERE b.bucket = qb.qbucket
     ORDER BY {cos} DESC, b.vec_id ASC
     LIMIT {k}
+    """
+
+
+def _pq_sql(m: int = 8, kc: int = 16, k: int = 10, dim: int = 64) -> str:
+    """PQ/ADC oracle: codebooks = sub-vectors of the kc lowest-id
+    vectors; codes and the query distance table via the same left-fold
+    d² as the Spark side; ADC = left fold over codes in subspace order
+    (list(... ORDER BY m) + list_reduce ≡ F.aggregate over sequence)."""
+    d0 = dim // m
+    e_sub = f"e.embedding[ms.m * {d0} + 1 : ms.m * {d0} + {d0}]"
+    c_sub = f"cb.cv[ms.m * {d0} + 1 : ms.m * {d0} + {d0}]"
+    q_sub = f"q.qv[ms.m * {d0} + 1 : ms.m * {d0} + {d0}]"
+    return f"""
+    WITH cb0 AS (
+      SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {kc}
+    ),
+    cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+      FROM cb0
+    ),
+    ms AS (SELECT unnest(generate_series(0, {m - 1})) AS m),
+    codes AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT e.vec_id, ms.m, cb.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id, ms.m
+                 ORDER BY {_fold_d2_sql(e_sub, c_sub)} ASC, cb.cid ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN ms CROSS JOIN cb
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qd AS (
+      SELECT ms.m, cb.cid, {_fold_d2_sql(q_sub, c_sub)} AS d
+      FROM q CROSS JOIN ms CROSS JOIN cb
+    ),
+    adc AS (
+      SELECT c.vec_id,
+             list_reduce(list_prepend(0.0, list(qd.d ORDER BY c.m)),
+                         (a, b) -> a + b) AS adc
+      FROM codes c JOIN qd ON c.m = qd.m AND c.cid = qd.cid
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, round(adc, 6) AS adc
+    FROM adc ORDER BY adc ASC, vec_id ASC LIMIT {k}
     """
 
 
@@ -2480,6 +2544,7 @@ def oracle_sql() -> dict[str, str]:
     sql["q_wand_sharded_topk"] = sql["q_bm25_topk"]
     sql["q_ann_lsh_topk"] = _ann_lsh_sql(n_planes=8, k=10, dim=64)
     sql["q_ann_ivf_topk"] = _ann_ivf_sql(n_centroids=8, n_probe=2, k=10)
+    sql["q_pq_topk"] = _pq_sql(m=8, kc=16, k=10, dim=64)
     sql["q_query_expansion"] = _query_expansion_sql(q_values)
     return sql
 

@@ -169,3 +169,106 @@ def test_ivf_topk_recall_and_determinism(emb):
         ).collect()
     ]
     assert [a for a, _ in full] == [e[0] for e in _numpy_topk(vecs, q, 10)]
+
+
+# --------------------------------------------------------------------------
+# product quantization
+# --------------------------------------------------------------------------
+
+def test_pq_encode_base_vectors_code_to_themselves(spark):
+    from searchenginejava_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = pq_codebooks(emb, m=8, k_centroids=16, iters=0)
+    codes = {
+        r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, cb).collect()
+    }
+    # base vector 0's subvectors ARE centroid 0 in every subspace
+    assert codes[0] == [0] * 8
+    assert all(len(c) == 8 for c in codes.values())
+    assert all(0 <= x < 16 for c in codes.values() for x in c)
+
+
+def test_pq_adc_matches_numpy(spark):
+    import numpy as np
+
+    from searchenginejava_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = pq_codebooks(emb, m=8, k_centroids=16, iters=0)
+    codes_df = pq_encode(emb, cb)
+    q = [float(x) for x in emb.filter("vec_id = 3").first()["embedding"]]
+    got = {r["vec_id"]: r["adc"] for r in pq_topk(codes_df, cb, q, k=25).collect()}
+
+    codes = {r["vec_id"]: list(r["codes"]) for r in codes_df.collect()}
+    table = {}
+    for mi in range(8):
+        qs = q[mi * 8 : (mi + 1) * 8]
+        for ci, c in enumerate(cb[mi]):
+            acc = 0.0
+            for x, y in zip(qs, c):
+                acc += (x - y) * (x - y)
+            table[(mi, ci)] = acc
+    want = {}
+    for vid, cs in codes.items():
+        acc = 0.0
+        for mi, ci in enumerate(cs):
+            acc += table[(mi, ci)]
+        want[vid] = acc
+    ranked = sorted(want.items(), key=lambda t: (t[1], t[0]))[:25]
+    assert set(got) == {v for v, _ in ranked}
+    for vid, adc in ranked:
+        assert got[vid] == round(adc, 6)
+
+
+def test_pq_recall_gate(spark):
+    import numpy as np
+
+    from searchenginejava_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.collect()
+    V = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in rows}
+    q = V[0]
+    exact = [
+        i
+        for i, _ in sorted(
+            ((i, float(((v - q) ** 2).sum())) for i, v in V.items()),
+            key=lambda t: (t[1], t[0]),
+        )[:20]
+    ]
+    cb = pq_codebooks(emb, m=8, k_centroids=16, iters=0)
+    got = [
+        r["vec_id"]
+        for r in pq_topk(pq_encode(emb, cb), cb, [float(x) for x in q], k=20)
+        .collect()
+    ]
+    recall = len(set(got) & set(exact)) / 20
+    # synthetic embeddings are near-random (no cluster structure), so the
+    # floor is modest; measured 0.30-0.35 across iters/queries here
+    assert recall >= 0.15
+    assert got[0] == 0  # the query vector itself always ranks first
+
+
+def test_pq_codebooks_shape_and_lloyd(spark):
+    from searchenginejava_spark.operators.similarity import pq_codebooks
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = pq_codebooks(emb, m=4, k_centroids=8, iters=1)
+    assert len(cb) == 4 and all(len(b) == 8 for b in cb)
+    assert all(len(c) == 16 for b in cb for c in b)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        pq_codebooks(emb, m=7)
