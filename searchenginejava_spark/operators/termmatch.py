@@ -221,6 +221,56 @@ def fuzzy_terms(
 # ---------------------------------------------------------------------------
 
 
+def suggest_correction(
+    dictionary: DataFrame,
+    query_text: str,
+    *,
+    max_edits: int = 2,
+    min_df: int = 1,
+    tokenizer=None,
+) -> tuple[str, bool]:
+    """Did-you-mean: rewrite each query term that is NOT in the
+    dictionary to its best fuzzy match (dist asc, df desc, term asc —
+    the deterministic spellcheck convention); in-vocabulary terms are
+    never touched. Returns (corrected_query, changed).
+
+    One fuzzy_terms call for the OOV terms only (the equi-join SymSpell
+    path); terms with no match within ``max_edits`` stay as typed.
+    Driver-side strings — queries are tiny by definition.
+    """
+    toks = (tokenizer or (lambda t: [x for x in t.lower().split() if x]))(
+        query_text
+    )
+    if not toks:
+        return query_text, False
+    vocab = {
+        r["term"]
+        for r in dictionary.join(
+            F.broadcast(
+                dictionary.sparkSession.createDataFrame(
+                    [(t,) for t in set(toks)], "term string"
+                )
+            ),
+            "term",
+            "left_semi",
+        ).collect()
+    }
+    oov = sorted({t for t in toks if t not in vocab})
+    if not oov:
+        return query_text, False
+    best: dict[str, str] = {}
+    fz = fuzzy_terms(
+        dictionary.filter(F.col("df") >= min_df),
+        oov,
+        max_edits=max_edits,
+        max_terms=1,
+    )
+    for r in fz.collect():
+        best[r["q_term"]] = r["term"]
+    out = [best.get(t, t) if t in best or t in oov else t for t in toks]
+    return " ".join(out), any(t in best for t in toks)
+
+
 def wildcard_search(
     pattern: str,
     postings_exploded: DataFrame,

@@ -225,3 +225,21 @@ def test_fuzzy_search_merges_weights_for_shared_target(spark, idx_parts):
         [(0, "mergee mrge")], tf, dl, dct, stats, k=10, tokenizer=tok
     ).collect()
     assert res and {r["doc_id"] for r in res} >= {0}
+
+
+def test_suggest_correction(dct):
+    from searchenginejava_spark.operators.termmatch import suggest_correction
+
+    # 'mrge' OOV → merge (dist 1 beats dist-2 candidates);
+    # 'map' in-vocabulary → untouched
+    got, changed = suggest_correction(dct, "map mrge")
+    assert got == "map merge" and changed
+    # nothing OOV → unchanged
+    got, changed = suggest_correction(dct, "map merge")
+    assert got == "map merge" and not changed
+    # hopeless OOV stays as typed
+    got, changed = suggest_correction(dct, "zzzzzzz map")
+    assert got == "zzzzzzz map" and not changed
+    # empty query
+    got, changed = suggest_correction(dct, "  ")
+    assert got == "  " and not changed
