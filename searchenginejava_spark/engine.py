@@ -1,0 +1,199 @@
+"""SearchEngine — the Model-facade over the whole engine.
+
+The reference exposes everything through one Model class
+([R:Model.buildIndex / Model.search / Model.runQueryFile], SURVEY.md §3);
+this is its PySpark twin, so a user of the reference can drive every
+capability — classic and new — from one object:
+
+    eng = SearchEngine.build(spark, corpus)           # EP1
+    eng.search("hash join", k=10)                     # EP2 (WAND)
+    eng.run_topic_file("topics.txt")                  # EP3 (TREC)
+    eng.phrase(["hash", "table"]); eng.near(["a","b"], slop=3)
+    eng.boolean(must=[...], must_not=[...])
+    eng.structured("q", must=[...], phrases=[...], fuzzy=True)
+    eng.suggest("cus"); eng.correct("tabel join")
+    eng.more_like(doc_id); eng.facets(cand, ["lang"])
+    eng.delete(ids); eng.compact(); eng.stats()
+    eng.save(path);  SearchEngine.load(spark, path)
+
+Every method delegates to the oracle-checked operators — the facade
+adds no dataflow of its own, only the reference-shaped surface.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import TOP_K
+from .plans.pipeline import (
+    IndexArtifacts,
+    build_index,
+    compact_index,
+    delete_docs,
+    index_stats,
+    merge_indexes,
+    run_queries,
+    structured_search,
+)
+
+
+class SearchEngine:
+    def __init__(
+        self, spark: SparkSession, index: IndexArtifacts, *, mode: str = "full"
+    ):
+        self.spark = spark
+        self.index = index
+        self.mode = mode
+        # query-time tokenizer matches the index build mode — the
+        # reference's index/query consistency invariant ([R:Searcher])
+        if mode == "simple":
+            self._tok = lambda t: [x for x in t.lower().split(" ") if x]
+        else:
+            from .functions.tokenize import tokenize_query
+
+            self._tok = tokenize_query
+
+    # -- lifecycle (EP1 / persistence) -----------------------------------
+
+    @classmethod
+    def build(
+        cls, spark: SparkSession, corpus: DataFrame, *,
+        text_col: str = "text", mode: str = "full", **kwargs
+    ) -> "SearchEngine":
+        idx = build_index(
+            spark, corpus, text_col=text_col, mode=mode, **kwargs
+        )
+        return cls(spark, idx, mode=mode)
+
+    @classmethod
+    def load(
+        cls, spark: SparkSession, path: str, *, mode: str = "full"
+    ) -> "SearchEngine":
+        from .sources.index_store import load_index
+
+        return cls(spark, load_index(spark, path), mode=mode)
+
+    def save(self, path: str, **kwargs) -> "SearchEngine":
+        from .sources.index_store import save_index
+
+        save_index(self.index, path, **kwargs)
+        return self
+
+    # -- retrieval (EP2 / EP3) -------------------------------------------
+
+    def search(
+        self, text: str, *, k: int = TOP_K, path: str = "wand", expand: int = 0
+    ) -> DataFrame:
+        return run_queries(
+            self.spark, self.index, [(0, text)], k=k, path=path,
+            tokenizer=self._tok, expand=expand,
+        )
+
+    def search_batch(
+        self, queries: list[tuple[int, str]], *, k: int = TOP_K,
+        path: str = "wand", expand: int = 0,
+    ) -> DataFrame:
+        return run_queries(
+            self.spark, self.index, queries, k=k, path=path,
+            tokenizer=self._tok, expand=expand,
+        )
+
+    def run_topic_file(
+        self, path: str, *, k: int = TOP_K, run_path: str = "wand"
+    ) -> DataFrame:
+        """EP3: TREC <top>/<num>/<title> topics → ranked results."""
+        from .sources.topics import read_trec_topics
+
+        return self.search_batch(
+            read_trec_topics(path), k=k, path=run_path
+        )
+
+    def structured(self, text: str, **kwargs) -> DataFrame:
+        kwargs.setdefault("tokenizer", self._tok)
+        return structured_search(self.spark, self.index, text, **kwargs)
+
+    def hybrid(
+        self, text: str, embeddings: DataFrame, query_vec: list[float],
+        *, k: int = TOP_K,
+    ) -> DataFrame:
+        from .operators.fusion import hybrid_search
+
+        lex = self.search(text, k=k, path="exhaustive")
+        return hybrid_search(lex, embeddings, query_vec, k=k)
+
+    # -- term-level / positional queries ---------------------------------
+
+    def boolean(self, **kwargs) -> DataFrame:
+        from .operators.search import boolean_match
+
+        return boolean_match(self.index.tf, **kwargs)
+
+    def phrase(self, terms: Sequence[str]) -> DataFrame:
+        from .operators.positional import phrase_match_indexed
+
+        if self.index.postings is None:
+            raise ValueError("phrase queries need compressed postings")
+        return phrase_match_indexed(self.index.postings, list(terms))
+
+    def near(self, terms: Sequence[str], *, slop: int = 0) -> DataFrame:
+        from .operators.index import decode_postings_positions_df
+        from .operators.positional import span_near
+
+        if self.index.postings is None:
+            raise ValueError("span queries need compressed postings")
+        pi = decode_postings_positions_df(
+            self.index.postings.filter(F.col("term").isin(list(terms)))
+        )
+        return span_near(pi, list(terms), slop=slop)
+
+    def suggest(self, prefix: str, *, k: int = 10) -> DataFrame:
+        from .operators.termmatch import suggest_terms
+
+        return suggest_terms(self.index.dictionary, prefix, k=k)
+
+    def correct(self, text: str, **kwargs) -> tuple[str, bool]:
+        from .operators.termmatch import suggest_correction
+
+        kwargs.setdefault("tokenizer", self._tok)
+        return suggest_correction(self.index.dictionary, text, **kwargs)
+
+    def more_like(self, doc_id: int, **kwargs) -> DataFrame:
+        from .operators.search import more_like_this
+
+        return more_like_this(
+            doc_id, self.index.tf, self.index.docs, self.index.dictionary,
+            self.index.stats, **kwargs,
+        )
+
+    def facets(
+        self, candidates: DataFrame, meta: DataFrame,
+        facet_cols: Sequence[str], *, k: int = 10,
+    ) -> DataFrame:
+        from .operators.search import facet_counts
+
+        return facet_counts(candidates, meta, facet_cols, k=k)
+
+    # -- maintenance ------------------------------------------------------
+
+    def delete(self, doc_ids: Sequence[int]) -> "SearchEngine":
+        dead = self.spark.createDataFrame(
+            [(int(d),) for d in doc_ids], "doc_id long"
+        )
+        self.index = delete_docs(self.index, dead)
+        return self
+
+    def compact(self, **kwargs) -> "SearchEngine":
+        self.index = compact_index(self.spark, self.index, **kwargs)
+        return self
+
+    def merge(self, other: "SearchEngine", **kwargs) -> "SearchEngine":
+        self.index = merge_indexes(
+            self.spark, self.index, other.index, **kwargs
+        )
+        return self
+
+    def stats(self) -> dict:
+        return index_stats(self.index)

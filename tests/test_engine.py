@@ -1,0 +1,84 @@
+"""SearchEngine facade — the Model-shaped one-object API, end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginejava_spark.engine import SearchEngine
+
+TESTDATA = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    e = SearchEngine.build(
+        spark, docs, text_col="text", mode="simple", num_partitions=4,
+        positional=True,
+    )
+    e.index.persist()
+    return e
+
+
+def test_engine_search_paths_agree(eng):
+    wand = [(r["rank"], r["doc_id"]) for r in eng.search("table hash join").collect()]
+    exh = [
+        (r["rank"], r["doc_id"])
+        for r in eng.search("table hash join", path="exhaustive").collect()
+    ]
+    assert wand == exh and wand
+
+
+def test_engine_phrase_near_boolean(eng):
+    ph = {r["doc_id"] for r in eng.phrase(["table", "hash"]).collect()}
+    near0 = {r["doc_id"] for r in eng.near(["table", "hash"], slop=0).collect()}
+    assert ph == near0 and ph
+    near5 = {r["doc_id"] for r in eng.near(["table", "hash"], slop=5).collect()}
+    assert ph <= near5
+    bl = {
+        r["doc_id"]
+        for r in eng.boolean(must=["table", "hash"]).collect()
+    }
+    assert ph <= bl
+
+
+def test_engine_suggest_and_correct(eng):
+    sug = [r["term"] for r in eng.suggest("s", k=5).collect()]
+    assert sug and all(t.startswith("s") for t in sug)
+    fixed, changed = eng.correct("tabel join")
+    assert changed and fixed == "table join"
+
+
+def test_engine_structured_and_mlt(eng):
+    res = eng.structured("the table hash join", must=["customer"], k=5)
+    rows = res.collect()
+    assert rows
+    must_docs = {
+        r["doc_id"]
+        for r in eng.index.tf.filter(F.col("term") == "customer").collect()
+    }
+    assert {r["doc_id"] for r in rows} <= must_docs
+    mlt = eng.more_like(int(rows[0]["doc_id"]), k=5).collect()
+    assert mlt and all(r["doc_id"] != rows[0]["doc_id"] for r in mlt)
+
+
+def test_engine_delete_stats_roundtrip(spark, eng, tmp_path):
+    base = eng.search("table hash join", k=5).collect()
+    victim = int(base[0]["doc_id"])
+
+    # save → load → identical ranking
+    path = str(tmp_path / "engidx")
+    eng.save(path, term_partitions=4)
+    loaded = SearchEngine.load(spark, path, mode="simple")
+    got = loaded.search("table hash join", k=5).collect()
+    assert [(r["rank"], r["doc_id"]) for r in got] == [
+        (r["rank"], r["doc_id"]) for r in base
+    ]
+
+    # delete shifts the victim out; stats see the tombstone
+    loaded.delete([victim])
+    after = loaded.search("table hash join", k=5).collect()
+    assert victim not in {r["doc_id"] for r in after}
+    st = loaded.stats()
+    assert st["n_tombstones"] == 1 and st["n_terms"] > 0
