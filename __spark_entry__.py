@@ -683,6 +683,33 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_hits(docs, bench, n=3)
 
 
+_MIX = {"src3": 1.0, "src7": 0.5, "src11": 0.25}
+_CHUNK = (16, 4)  # max_tokens, overlap
+
+
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling (training-data domain weights):
+    membership = H60(doc_id:salt) < frac·2^60 — reproducible on any
+    engine, per-group independent; sources outside the mixture drop."""
+    from searchenginejava_spark.operators.curation import sample_mixture
+
+    return sample_mixture(
+        _documents(spark, sf_dir), _MIX, group_col="source"
+    ).select("doc_id", "source")
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (RAG/pretraining): ≤max_tokens windows
+    with overlap tokens of left context, one transform+explode."""
+    from searchenginejava_spark.operators.curation import chunk_documents
+
+    return chunk_documents(
+        _documents(spark, sf_dir),
+        max_tokens=_CHUNK[0],
+        overlap=_CHUNK[1],
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchenginejava_spark.operators.textstats import token_stats
 
@@ -1289,6 +1316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ir_metrics": q_ir_metrics,
         "q_percolate": q_percolate,
         "q_pq_topk": q_pq_topk,
+        "q_sample_mixture": q_sample_mixture,
+        "q_chunk_documents": q_chunk_documents,
     }
 
 
@@ -2192,6 +2221,38 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY rank <= {_TOPK}
         """,
         "q_span_near": _span_sql(_SPAN_TERMS, _SPAN_SLOP),
+        "q_sample_mixture": f"""
+        SELECT doc_id, source FROM documents
+        WHERE CAST({_HASH60_SQL.format(col="CAST(doc_id AS VARCHAR) || ':mix'")} AS DOUBLE)
+              < (CASE {"".join(f"WHEN source = '{g}' THEN {f} " for g, f in _MIX.items())}
+                 ELSE 0.0 END) * {float(1 << 60)!r}
+        """,
+        "q_chunk_documents": _SQL_TOKL
+        + f"""
+        , par AS (
+          SELECT doc_id, l,
+                 greatest(CAST(ceil((len(l) - {_CHUNK[1]})
+                               / CAST({_CHUNK[0] - _CHUNK[1]} AS DOUBLE)) AS INT),
+                          1) AS n_chunks
+          FROM tokl
+        ),
+        ch AS (
+          SELECT doc_id,
+                 unnest(generate_series(0, n_chunks - 1)) AS chunk_idx,
+                 l
+          FROM par
+        ),
+        sl AS (
+          SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                 l[chunk_idx * {_CHUNK[0] - _CHUNK[1]} + 1
+                   : chunk_idx * {_CHUNK[0] - _CHUNK[1]} + {_CHUNK[0]}] AS ctoks
+          FROM ch
+        )
+        SELECT doc_id, chunk_idx,
+               CAST(len(ctoks) AS BIGINT) AS n_tokens,
+               array_to_string(ctoks, ' ') AS chunk_text
+        FROM sl WHERE len(ctoks) > 0
+        """,
         "q_ir_metrics": _SQL_TF
         + f"""
         , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len

@@ -64,6 +64,94 @@ def contamination_hits(
     )
 
 
+def sample_mixture(
+    df: DataFrame,
+    fractions: dict[str, float],
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-group subsampling — the training-data MIXTURE
+    step (hit target domain weights, e.g. {web: 0.5, code: 1.0}).
+
+    Membership is a pure function of (id, salt): keep a row iff
+    H60(id ‖ ':' ‖ salt) < fraction · 2^60, with the same md5-based
+    H60 the dedup family uses — so the sample is reproducible across
+    runs, engines and cluster sizes (no RNG, no sort, no global state),
+    and changing one group's fraction never reshuffles another group's
+    membership. Narrow per-row filter; zero shuffle.
+
+    Groups absent from ``fractions`` get ``default_fraction`` (0 =
+    drop — an explicit mixture is usually exhaustive).
+    """
+    from .dedup import str_hash60
+
+    for g, f in fractions.items():
+        if not (0.0 <= f <= 1.0):
+            raise ValueError(f"fraction for {g!r} out of [0,1]: {f}")
+    frac = F.lit(float(default_fraction))
+    for g, f in fractions.items():
+        frac = F.when(F.col(group_col) == g, F.lit(float(f))).otherwise(frac)
+    h = str_hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    )
+    return df.filter(h.cast("double") < frac * F.lit(float(1 << 60)))
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    max_tokens: int = 512,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking — split every doc into ≤``max_tokens``
+    token windows with ``overlap`` tokens of left context →
+    (doc_id, chunk_idx, n_tokens, chunk_text).
+
+    Chunk i starts at token i·(max_tokens − overlap) (0-based idx), so
+    consecutive chunks share ``overlap`` tokens — the standard RAG/
+    pretraining chunking rule. One native transform over the token
+    array + explode; no shuffle, text leaves the row only as its own
+    chunks. Token = simple whitespace token (swap the tokenizer column
+    for BPE-budget chunking).
+    """
+    if max_tokens <= overlap:
+        raise ValueError("max_tokens must exceed overlap")
+    from ..functions.tokenize import tokens_simple_col
+
+    step = max_tokens - overlap
+    toks = tokens_simple_col(text_col)
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(step)).cast("int"),
+        F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.slice(toks, i * step + 1, max_tokens).alias("ctoks"),
+        ),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(chunks).alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.size("c.ctoks").cast("long").alias("n_tokens"),
+            F.array_join("c.ctoks", " ").alias("chunk_text"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
 def curate_corpus(
     df: DataFrame,
     *,

@@ -143,3 +143,67 @@ def test_curate_corpus_decontaminates(spark):
         ).collect()
     }
     assert got == {1}  # docs 0 and 2 share the 8-gram with the eval item
+
+
+def test_sample_mixture_deterministic_and_grouped(spark):
+    from searchenginejava_spark.operators.curation import sample_mixture
+
+    rows = [(i, "web" if i % 2 == 0 else "code", f"doc {i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    frac = {"web": 0.5, "code": 1.0}
+    a = {r["doc_id"] for r in sample_mixture(df, frac).collect()}
+    b = {r["doc_id"] for r in sample_mixture(df, frac).collect()}
+    assert a == b                                     # reproducible
+    code_ids = {i for i in range(400) if i % 2 == 1}
+    assert code_ids <= a                              # fraction 1.0 keeps all
+    web_kept = len(a - code_ids)
+    assert 60 <= web_kept <= 140                      # ~0.5 of 200
+    # changing one group's fraction never reshuffles another group's picks
+    c = {
+        r["doc_id"]
+        for r in sample_mixture(df, {"web": 0.5, "code": 0.25}).collect()
+    }
+    assert (c - code_ids) == (a - code_ids)
+    # absent group defaults to drop
+    d = sample_mixture(df, {"web": 0.5}).collect()
+    assert all(r["source"] == "web" for r in d)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sample_mixture(df, {"web": 1.5})
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from searchenginejava_spark.operators.curation import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (0, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+            (1, "a b"),
+            (2, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, max_tokens=4, overlap=0).collect()
+    }
+    assert got[(0, 0)] == (4, "t0 t1 t2 t3")
+    assert got[(0, 1)] == (4, "t4 t5 t6 t7")
+    assert got[(0, 2)] == (2, "t8 t9")
+    assert got[(1, 0)] == (2, "a b")
+    assert not any(d == 2 for d, _ in got)            # empty doc → no chunks
+
+    ov = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_text"]
+        for r in chunk_documents(df, max_tokens=4, overlap=2).collect()
+    }
+    assert ov[(0, 0)] == "t0 t1 t2 t3"
+    assert ov[(0, 1)] == "t2 t3 t4 t5"
+    assert ov[(0, 3)] == "t6 t7 t8 t9"
+    assert (0, 4) not in ov                           # fully covered
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        chunk_documents(df, max_tokens=2, overlap=2)
