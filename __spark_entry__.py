@@ -1224,6 +1224,29 @@ def q_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep pagination (Elasticsearch search_after): page 2 fetched via
+    the (score, doc_id) cursor of page 1's last hit must equal ranks
+    k+1..2k of the full ranking, renumbered — the oracle computes the
+    slice directly."""
+    from searchenginejava_spark.operators.search import score_exhaustive
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    qid, terms = _ORACLE_QUERIES[0]
+    qt = spark.createDataFrame(
+        [(qid, t, 1) for t in terms], "query_id int, term string, qtf int"
+    )
+    page1 = score_exhaustive(qt, tf, dl, dct, stats, k=_TOPK).collect()
+    cur = (float(page1[-1]["score"]), int(page1[-1]["doc_id"]))
+    res = score_exhaustive(
+        qt, tf, dl, dct, stats, k=_TOPK, search_after=cur
+    ).select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
 def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """More-like-this (Lucene MLT shape): the source doc's top tf·idf
     terms become a BM25 query; the source doc is tombstone-excluded from
@@ -1318,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_topk": q_pq_topk,
         "q_sample_mixture": q_sample_mixture,
         "q_chunk_documents": q_chunk_documents,
+        "q_search_after": q_search_after,
     }
 
 
@@ -2221,6 +2245,39 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY rank <= {_TOPK}
         """,
         "q_span_near": _span_sql(_SPAN_TERMS, _SPAN_SLOP),
+        "q_search_after": _SQL_TF
+        + f"""
+        , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+                 FROM tf GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+        dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        q(term, qtf) AS (VALUES {", ".join(f"('{t}', 1)" for t in _ORACLE_QUERIES[0][1])}),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum(q.qtf
+                     * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                     * (tf.tf * {_K1 + 1.0})
+                     / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+                 ) AS s
+          FROM q
+          JOIN dict USING (term)
+          JOIN tf USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          GROUP BY tf.doc_id
+        ),
+        ranked AS (
+          SELECT doc_id, s,
+                 row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rk
+          FROM scored
+        )
+        SELECT CAST({_ORACLE_QUERIES[0][0]} AS INT) AS query_id,
+               CAST(rk - {_TOPK} AS INT) AS rank,
+               doc_id,
+               round(s, 6) AS score
+        FROM ranked
+        WHERE rk > {_TOPK} AND rk <= {2 * _TOPK}
+        """,
         "q_sample_mixture": f"""
         SELECT doc_id, source FROM documents
         WHERE CAST({_HASH60_SQL.format(col="CAST(doc_id AS VARCHAR) || ':mix'")} AS DOUBLE)

@@ -78,8 +78,17 @@ def score_exhaustive(
     deterministic: bool = False,
     doc_filter: DataFrame | None = None,
     doc_exclude: DataFrame | None = None,
+    search_after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Full (non-pruned) BM25 top-k for every query in one Spark job (EP3).
+
+    ``search_after=(score, doc_id)`` is the deep-pagination cursor (the
+    Elasticsearch search_after convention): return the next k results
+    STRICTLY after that position in the total (score desc, doc_id asc)
+    order — the filter prunes before the window, so page depth never
+    grows the ranked set (no from+size deep-paging cost). Cursor values
+    must come from a previous page of the same engine (bit-identical
+    scores make the equality tie-break exact).
 
     Plan shape: dictionary ⋈ broadcast(query_terms) (semi-join prunes the
     dictionary to the query vocabulary) → postings ⋈ broadcast(matched
@@ -170,6 +179,15 @@ def score_exhaustive(
     else:
         agg = scored.groupBy("query_id", "doc_id").agg(
             F.sum("part_score").alias("score")
+        )
+    if search_after is not None:
+        s_cur, d_cur = float(search_after[0]), int(search_after[1])
+        agg = agg.filter(
+            (F.col("score") < F.lit(s_cur))
+            | (
+                (F.col("score") == F.lit(s_cur))
+                & (F.col("doc_id") > F.lit(d_cur))
+            )
         )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")

@@ -378,3 +378,27 @@ def test_structured_respects_tombstones(spark, ss_index):
     )
     got = _res(structured_search(spark, idx_del, "the table hash join", k=5))
     assert dead[0] not in {d for (_, d, _) in got} and got
+
+
+def test_search_after_pagination(spark, tf):
+    """Cursor paging: page2 via search_after == ranks k+1..2k of the
+    full ranking, renumbered — including score-tie boundaries."""
+    from searchenginejava_spark.operators.search import score_exhaustive
+
+    dl, dct, stats = _parts(tf)
+    qt = spark.createDataFrame(
+        [(0, "join", 1), (0, "spark", 1)], "query_id int, term string, qtf int"
+    )
+    full = score_exhaustive(qt, tf, dl, dct, stats, k=100).collect()
+    assert len(full) >= 3
+    k = 2
+    page1 = score_exhaustive(qt, tf, dl, dct, stats, k=k).collect()
+    cur = (page1[-1]["score"], page1[-1]["doc_id"])
+    page2 = score_exhaustive(
+        qt, tf, dl, dct, stats, k=k, search_after=cur
+    ).collect()
+    want = full[k : 2 * k]
+    assert [(r["doc_id"], r["score"]) for r in page2] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+    assert [r["rank"] for r in page2] == list(range(1, len(want) + 1))
