@@ -6,12 +6,18 @@ Usage:
       [--text-col text] [--min-quality 0.5] \
       [--near-dup] [--jaccard 0.5] [--num-hashes 64] [--bands 16]
 
-Stage 1 (always): exact dedup (keep = min doc_id per content) + quality
-floor + language tag (operators/curation.py — one declarative plan).
+Stage 1 (always): exact dedup (keep = min doc_id per content) +
+optional eval-set decontamination (``--benchmark`` parquet with
+bench_id/text) + optional Gopher repetition cut + quality floor +
+language tag (operators/curation.py — one declarative plan).
 Stage 2 (``--near-dup``): MinHash+LSH near-duplicate pairs over the
-survivors → connected components → keep only cluster-canonical docs
-(operators/dedup.py). Output parquet: the curated metadata joined back
-to the full input rows.
+survivors → connected components → keep only cluster-canonical docs.
+Stage 3 (``--mixture``): deterministic per-source sampling to target
+domain weights (JSON, e.g. '{"src0": 0.5, "src1": 1.0}').
+Stage 4 (``--chunk-tokens``): emit ≤N-token context windows (with
+``--chunk-overlap`` tokens of left context) instead of whole docs.
+Output parquet: the curated metadata joined back to the full input
+rows (or to chunk rows when chunking).
 """
 
 from __future__ import annotations
@@ -38,6 +44,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--jaccard", type=float, default=0.5)
     p.add_argument("--num-hashes", type=int, default=64)
     p.add_argument("--bands", type=int, default=16)
+    p.add_argument(
+        "--benchmark", default=None,
+        help="eval-set parquet (bench_id, text): drop docs sharing an "
+        "n-gram with it",
+    )
+    p.add_argument("--contamination-ngram", type=int, default=8)
+    p.add_argument(
+        "--mixture", default=None,
+        help='JSON {source: fraction} deterministic sampling weights',
+    )
+    p.add_argument("--mixture-col", default="source")
+    p.add_argument("--chunk-tokens", type=int, default=None)
+    p.add_argument("--chunk-overlap", type=int, default=0)
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -61,12 +80,17 @@ def main(argv: list[str] | None = None) -> int:
 
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
+    bench = (
+        spark.read.parquet(args.benchmark) if args.benchmark else None
+    )
     curated = curate_corpus(
         docs,
         text_col=args.text_col,
         id_col=args.id_col,
         min_quality=args.min_quality,
         max_dup_frac=args.max_dup_frac,
+        benchmark=bench,
+        contamination_ngram=args.contamination_ngram,
     )
     kept = docs.join(
         curated.select(F.col("doc_id").alias(args.id_col)),
@@ -89,9 +113,34 @@ def main(argv: list[str] | None = None) -> int:
             args.id_col,
             "left_semi",
         )
+    if args.mixture:
+        from searchenginejava_spark.operators.curation import sample_mixture
+
+        kept = sample_mixture(
+            kept,
+            json.loads(args.mixture),
+            group_col=args.mixture_col,
+            id_col=args.id_col,
+        )
     out = kept.join(
         curated.withColumnRenamed("doc_id", args.id_col), args.id_col
     )
+    if args.chunk_tokens:
+        from searchenginejava_spark.operators.curation import chunk_documents
+
+        chunks = chunk_documents(
+            kept,
+            max_tokens=args.chunk_tokens,
+            overlap=args.chunk_overlap,
+            text_col=args.text_col,
+            id_col=args.id_col,
+        ).withColumnRenamed("doc_id", args.id_col)
+        out = chunks.join(
+            # per-doc token count renamed: the chunk rows carry their own
+            curated.withColumnRenamed("doc_id", args.id_col)
+            .withColumnRenamed("n_tokens", "doc_n_tokens"),
+            args.id_col,
+        )
     out.write.mode("overwrite").parquet(args.output)
     n_out = spark.read.parquet(args.output).count()
     print(

@@ -207,3 +207,45 @@ def test_chunk_documents_windows_and_overlap(spark):
 
     with _pt.raises(ValueError):
         chunk_documents(df, max_tokens=2, overlap=2)
+
+
+def test_curate_job_full_pipeline(spark, tmp_path):
+    """jobs/curate.py with decontamination + mixture + chunking stages."""
+    import json as _json
+
+    from jobs.curate import main
+
+    rows = [
+        (i, "web" if i % 2 == 0 else "code",
+         f"unique document number {i} with plenty of ordinary filler "
+         f"words to stay above the quality floor for testing purposes")
+        for i in range(40)
+    ]
+    # doc 40 duplicates doc 0's text exactly → deduped
+    rows.append((40, "web", rows[0][2]))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    src = str(tmp_path / "cin")
+    df.write.parquet(src)
+    bench = spark.createDataFrame(
+        [(0, "unique document number 7 with plenty of ordinary filler words")],
+        "bench_id long, text string",
+    )
+    bpath = str(tmp_path / "bench")
+    bench.write.parquet(bpath)
+    out = str(tmp_path / "cout")
+    rc = main([
+        "--input", src, "--output", out, "--min-quality", "0.2",
+        "--benchmark", bpath, "--contamination-ngram", "8",
+        "--mixture", _json.dumps({"web": 1.0, "code": 1.0}),
+        "--chunk-tokens", "8", "--chunk-overlap", "2",
+    ])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    ids = {r["doc_id"] for r in got.select("doc_id").distinct().collect()}
+    assert 40 not in ids          # exact dup dropped
+    assert 7 not in ids           # contaminated by the benchmark 8-gram
+    assert 0 in ids and 1 in ids
+    # chunk schema present and within budget
+    row = got.filter("doc_id = 0").orderBy("chunk_idx").collect()
+    assert row[0]["chunk_idx"] == 0 and row[0]["n_tokens"] <= 8
+    assert "quality" in got.columns and "pred_lang" in got.columns
