@@ -1247,6 +1247,26 @@ def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_explain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score explanation (Lucene explain API): the per-(query, doc, term)
+    BM25 breakdown whose part_scores sum exactly to the served scores."""
+    from searchenginejava_spark.operators.search import explain_score
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    res = explain_score(qt, tf, dl, dct, stats).select(
+        "query_id", "doc_id", "term", "qtf", "tf", "df", "doc_len",
+        F.round("idf", 6).alias("idf"),
+        F.round("norm", 6).alias("norm"),
+        F.round("part_score", 6).alias("part_score"),
+    )
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
 def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """More-like-this (Lucene MLT shape): the source doc's top tf·idf
     terms become a BM25 query; the source doc is tombstone-excluded from
@@ -1342,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sample_mixture": q_sample_mixture,
         "q_chunk_documents": q_chunk_documents,
         "q_search_after": q_search_after,
+        "q_explain_score": q_explain_score,
     }
 
 
@@ -2245,6 +2266,32 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY rank <= {_TOPK}
         """,
         "q_span_near": _span_sql(_SPAN_TERMS, _SPAN_SLOP),
+        "q_explain_score": _SQL_TF
+        + f"""
+        , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+                 FROM tf GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+        dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        q(query_id, term, qtf) AS (VALUES {q_values})
+        SELECT CAST(q.query_id AS INT) AS query_id,
+               tf.doc_id,
+               tf.term,
+               CAST(q.qtf AS INT) AS qtf,
+               CAST(tf.tf AS INT) AS tf,
+               CAST(dict.df AS BIGINT) AS df,
+               dl.doc_len,
+               round(ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0), 6) AS idf,
+               round(tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl), 6) AS norm,
+               round((q.qtf * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0))
+                     * (tf.tf * {_K1 + 1.0})
+                     / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl)),
+                     6) AS part_score
+        FROM q
+        JOIN dict USING (term)
+        JOIN tf USING (term)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        """,
         "q_search_after": _SQL_TF
         + f"""
         , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len

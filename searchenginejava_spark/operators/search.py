@@ -528,6 +528,73 @@ def facet_counts(
     )
 
 
+def explain_score(
+    query_terms: DataFrame,
+    postings_exploded: DataFrame,
+    docs: DataFrame,
+    dictionary: DataFrame,
+    stats: dict,
+    *,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Score explanation (the Lucene explain API): the per-(query, doc,
+    term) BM25 breakdown → (query_id, doc_id, term, qtf, tf, df,
+    doc_len, idf, norm, part_score), where score(q,d) = Σ part_score.
+
+    Same candidate plan as the exhaustive scorer (term-pruned posting
+    join) with the aggregation REMOVED — this is the debugging/tuning
+    view, not a serving path. idf uses the identical driver-side libm
+    computation, so explain rows sum exactly to the served scores.
+    """
+    import math
+
+    qt = F.broadcast(query_terms)
+    q_rows = dictionary.join(qt, "term").select(
+        "query_id", "term", "qtf", "df"
+    ).collect()
+    n_d = float(stats["N"])
+    spark = query_terms.sparkSession
+    qw = spark.createDataFrame(
+        [
+            (
+                int(r["query_id"]),
+                r["term"],
+                int(r["qtf"]),
+                int(r["df"]),
+                math.log((n_d - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0),
+            )
+            for r in q_rows
+        ],
+        "query_id int, term string, qtf int, df long, idf double",
+    )
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("doc_len").cast("double")
+    norm = tf_d + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * dl_d / F.lit(stats["avgdl"])
+    )
+    return (
+        postings_exploded.join(F.broadcast(qw), "term")
+        .join(docs.select("doc_id", "doc_len"), "doc_id")
+        .select(
+            F.col("query_id").cast("int"),
+            F.col("doc_id").cast("long"),
+            "term",
+            F.col("qtf").cast("int"),
+            F.col("tf").cast("int"),
+            F.col("df").cast("long"),
+            F.col("doc_len").cast("long"),
+            F.col("idf").cast("double"),
+            norm.cast("double").alias("norm"),
+            (
+                (F.col("qtf").cast("double") * F.col("idf"))
+                * (tf_d * F.lit(k1 + 1.0))
+                / norm
+            ).alias("part_score"),
+        )
+    )
+
+
 def percolate(
     stored_queries: DataFrame,
     tf: DataFrame,

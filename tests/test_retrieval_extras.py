@@ -402,3 +402,32 @@ def test_search_after_pagination(spark, tf):
         (r["doc_id"], r["score"]) for r in want
     ]
     assert [r["rank"] for r in page2] == list(range(1, len(want) + 1))
+
+
+def test_explain_score_sums_to_served_score(spark, tf):
+    from searchenginejava_spark.operators.search import (
+        explain_score,
+        score_exhaustive,
+    )
+
+    dl, dct, stats = _parts(tf)
+    qt = spark.createDataFrame(
+        [(0, "join", 1), (0, "spark", 2)], "query_id int, term string, qtf int"
+    )
+    served = {
+        r["doc_id"]: r["score"]
+        for r in score_exhaustive(qt, tf, dl, dct, stats, k=10).collect()
+    }
+    rows = explain_score(qt, tf, dl, dct, stats).collect()
+    from collections import defaultdict
+
+    acc = defaultdict(float)
+    for r in rows:
+        acc[r["doc_id"]] += r["part_score"]
+        assert r["norm"] > 0 and r["df"] >= 1 and r["idf"] > 0
+    assert set(acc) == set(served)
+    for d, s in served.items():
+        assert acc[d] == pytest.approx(s, rel=1e-12)
+    # qtf carries through (spark weighted 2x)
+    sp = [r for r in rows if r["term"] == "spark"]
+    assert sp and all(r["qtf"] == 2 for r in sp)
