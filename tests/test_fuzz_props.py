@@ -1,0 +1,119 @@
+"""Hypothesis property fuzz for the pure-Python algorithmic cores:
+required-literal extraction soundness and SymSpell completeness.
+No SparkSession — these run in milliseconds per example."""
+
+from __future__ import annotations
+
+import random
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from searchenginejava_spark.operators.termmatch import deletion_variants_py
+from searchenginejava_spark.operators.trigram import required_literals
+
+# --- required_literals soundness ------------------------------------------
+
+_LITERAL = st.text(alphabet="abcxyz", min_size=1, max_size=6)
+
+
+@given(_LITERAL.filter(lambda s: len(s) >= 3))
+def test_plain_literal_is_its_own_requirement(s):
+    assert required_literals(s) == [s]
+
+
+@st.composite
+def _patterns(draw):
+    """Random patterns from the supported grammar: literals, ., [..],
+    \\w, ?, *, +, {m,n} — the pieces required_literals claims to parse."""
+    n = draw(st.integers(1, 5))
+    parts = []
+    for _ in range(n):
+        kind = draw(st.sampled_from(["lit", "dot", "class", "esc"]))
+        if kind == "lit":
+            parts.append(draw(_LITERAL))
+        elif kind == "dot":
+            parts.append(".")
+        elif kind == "class":
+            parts.append("[" + draw(st.text("abcxyz", min_size=1, max_size=3)) + "]")
+        else:
+            parts.append(draw(st.sampled_from([r"\w", r"\d", r"\."])))
+        if draw(st.booleans()):
+            parts.append(draw(st.sampled_from(["?", "*", "+", "{0,2}", "{1,3}"])))
+    return "".join(parts)
+
+
+@settings(max_examples=300)
+@given(_patterns(), st.data())
+def test_required_literals_are_sound(pattern, data):
+    """THE safety property: any string the regex matches must contain
+    every extracted required literal — an unsound literal would make
+    trigram pruning drop true matches."""
+    try:
+        rx = re.compile(pattern)
+    except re.error:
+        return
+    req = required_literals(pattern)
+    # try random strings; also strings derived from the pattern's literal
+    # chars (more likely to match)
+    for _ in range(20):
+        s = "".join(
+            data.draw(st.sampled_from("abcxyz019 ."))
+            for _ in range(data.draw(st.integers(0, 18)))
+        )
+        if rx.search(s):
+            for lit in req:
+                assert lit in s, (pattern, s, req)
+
+
+@settings(max_examples=200)
+@given(_LITERAL, _LITERAL)
+def test_required_literals_dotstar_join(a, b):
+    req = required_literals(a + ".*" + b)
+    want = [x for x in (a, b) if len(x) >= 3]
+    assert req == want
+
+
+# --- SymSpell completeness -------------------------------------------------
+
+def _random_edits(word: str, d: int, rng: random.Random) -> str:
+    out = word
+    for _ in range(d):
+        op = rng.choice(["del", "ins", "sub"]) if out else "ins"
+        i = rng.randrange(len(out) + 1)
+        ch = rng.choice("abcdefgh")
+        if op == "del" and out:
+            i = rng.randrange(len(out))
+            out = out[:i] + out[i + 1 :]
+        elif op == "ins":
+            out = out[:i] + ch + out[i:]
+        elif out:
+            i = rng.randrange(len(out))
+            out = out[:i] + ch + out[i + 1 :]
+    return out
+
+
+@settings(max_examples=300)
+@given(
+    st.text("abcdefgh", min_size=1, max_size=10),
+    st.integers(1, 2),
+    st.integers(0, 10**6),
+)
+def test_symspell_neighborhoods_intersect(word, d, seed):
+    """dist(a,b) ≤ d ⟹ the ≤d-deletion neighborhoods share a variant —
+    the invariant that makes fuzzy_terms' equi-join complete."""
+    rng = random.Random(seed)
+    other = _random_edits(word, d, rng)
+    assert deletion_variants_py(word, d) & deletion_variants_py(other, d), (
+        word,
+        other,
+        d,
+    )
+
+
+@given(st.text("abcdefgh", min_size=0, max_size=8), st.integers(1, 2))
+def test_deletion_variants_lengths(word, d):
+    vs = deletion_variants_py(word, d)
+    assert word in vs
+    assert all(len(word) - d <= len(v) <= len(word) for v in vs)
