@@ -62,9 +62,15 @@ def build_index_resumable(
     num_salts: int = DEFAULT_SALTS,
     block_size: int = BLOCK_SIZE,
     max_buckets_per_run: int | None = None,
+    positional: bool = False,
 ) -> IndexArtifacts | None:
     """Run (or resume) the checkpointed build. Returns artifacts when the
-    build is complete, None when stopped early (max_buckets_per_run)."""
+    build is complete, None when stopped early (max_buckets_per_run).
+
+    ``positional=True`` swaps the tf stage for the fused positional_tf —
+    the positions arrays checkpoint inside the bucketed tf parquet and
+    the postings stage stamps the compressed position stream exactly as
+    the one-shot build does (build_postings keys off the tf columns)."""
     m = Manifest(ckpt_dir)
     limit = {"max_buckets_per_run": max_buckets_per_run}
 
@@ -83,9 +89,17 @@ def build_index_resumable(
     if not stage_complete(m, "tf", num_buckets):
         pending = sorted(set(range(num_buckets)) - m.completed("tf"))
         src = scan_out.filter(F.col("bucket").isin(pending))
-        tf = tokenize_tf(
-            src.select("doc_id", text_col), text_col=text_col, mode=mode
-        ).withColumn("bucket", _doc_bucket(num_buckets))
+        if positional:
+            from ..operators.positional import positional_tf
+
+            tf = positional_tf(
+                src.select("doc_id", text_col), text_col=text_col, mode=mode
+            )
+        else:
+            tf = tokenize_tf(
+                src.select("doc_id", text_col), text_col=text_col, mode=mode
+            )
+        tf = tf.withColumn("bucket", _doc_bucket(num_buckets))
         run_bucketed_stage(m, "tf", tf, "bucket", num_buckets, **limit)
         if not stage_complete(m, "tf", num_buckets):
             return None

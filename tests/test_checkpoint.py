@@ -122,3 +122,45 @@ def test_synth_determinism_partition_invariance(spark):
 
 # frozen from the first verified generation (seed=42, n=100)
 GOLDEN_SHA_100 = "b05455fdd897bbf92beec275122d151df6cafd0349f87be47ca8437433f30cc1"
+
+
+def test_resume_positional_matches_single_shot(spark, corpus, tmp_path):
+    """Positional resumable build: interrupted runs converge to postings
+    byte-identical (incl. the positions stream) to the one-shot
+    positional build."""
+    ref = build_index(
+        spark, assign_doc_ids(corpus), text_col="content", mode="full",
+        num_partitions=4, num_salts=4, positional=True,
+    )
+    ref_map = {
+        r["term"]: (r["df"], bytes(r["postings"]), bytes(r["positions"]))
+        for r in ref.postings.collect()
+    }
+    ck = str(tmp_path / "ckpos")
+    runs = 0
+    while True:
+        art = build_index_resumable(
+            spark, corpus, ck, num_buckets=NB, num_salts=4,
+            max_buckets_per_run=2, positional=True,
+        )
+        runs += 1
+        if art is not None:
+            break
+        assert runs < 30
+    assert runs > 1
+    got = {
+        r["term"]: (r["df"], bytes(r["postings"]), bytes(r["positions"]))
+        for r in art.postings.collect()
+    }
+    assert got == ref_map
+
+    # the checkpointed positional index serves phrase queries
+    from searchenginejava_spark.operators.positional import (
+        phrase_match_indexed,
+    )
+
+    any_phrase = phrase_match_indexed(art.postings, ["the", "int"])
+    ref_phrase = phrase_match_indexed(ref.postings, ["the", "int"])
+    assert sorted(r["doc_id"] for r in any_phrase.collect()) == sorted(
+        r["doc_id"] for r in ref_phrase.collect()
+    )
