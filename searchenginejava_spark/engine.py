@@ -176,6 +176,38 @@ class SearchEngine:
 
         return facet_counts(candidates, meta, facet_cols, k=k)
 
+    def explain(self, text: str, *, query_id: int = 0) -> DataFrame:
+        """Per-(doc, term) BM25 breakdown for a query (Lucene explain)."""
+        from .operators.search import explain_score, query_terms_df
+
+        qt = query_terms_df(
+            self.spark, [(query_id, text)], tokenizer=self._tok
+        )
+        src = self.index.tf
+        return explain_score(
+            qt, src, self.index.docs, self.index.dictionary, self.index.stats
+        )
+
+    def search_page(
+        self, text: str, *, k: int = TOP_K,
+        after: tuple[float, int] | None = None,
+    ) -> DataFrame:
+        """Cursor pagination: pass the previous page's last (score,
+        doc_id) as ``after`` to get the next k (exhaustive path)."""
+        from .operators.search import query_terms_df, score_exhaustive
+
+        qt = query_terms_df(self.spark, [(0, text)], tokenizer=self._tok)
+        return score_exhaustive(
+            qt, self.index.tf, self.index.docs, self.index.dictionary,
+            self.index.stats, k=k, search_after=after,
+            doc_exclude=self.index.tombstones,
+        )
+
+    def percolate(self, stored_queries: DataFrame) -> DataFrame:
+        from .operators.search import percolate
+
+        return percolate(stored_queries, self.index.tf)
+
     # -- maintenance ------------------------------------------------------
 
     def delete(self, doc_ids: Sequence[int]) -> "SearchEngine":

@@ -82,3 +82,38 @@ def test_engine_delete_stats_roundtrip(spark, eng, tmp_path):
     assert victim not in {r["doc_id"] for r in after}
     st = loaded.stats()
     assert st["n_tombstones"] == 1 and st["n_terms"] > 0
+
+
+def test_engine_explain_page_percolate(spark, eng):
+    # explain sums to the served exhaustive score
+    served = {
+        r["doc_id"]: r["score"]
+        for r in eng.search("table hash", path="exhaustive", k=50).collect()
+    }
+    from collections import defaultdict
+
+    acc = defaultdict(float)
+    for r in eng.explain("table hash").collect():
+        acc[r["doc_id"]] += r["part_score"]
+    for d, s in served.items():
+        assert acc[d] == pytest.approx(s, rel=1e-12)
+
+    # pagination: page2 == full ranking slice
+    full = eng.search_page("table hash", k=100).collect()
+    p1 = eng.search_page("table hash", k=3).collect()
+    p2 = eng.search_page(
+        "table hash", k=3, after=(p1[-1]["score"], p1[-1]["doc_id"])
+    ).collect()
+    assert [(r["doc_id"]) for r in p2] == [r["doc_id"] for r in full[3:6]]
+
+    # percolation against stored queries
+    q = spark.createDataFrame(
+        [(0, ["customer"], [])],
+        "query_id int, must array<string>, must_not array<string>",
+    )
+    hits = {r["doc_id"] for r in eng.percolate(q).collect()}
+    want = {
+        r["doc_id"]
+        for r in eng.index.tf.filter(F.col("term") == "customer").collect()
+    }
+    assert hits == want and hits
