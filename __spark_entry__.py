@@ -710,6 +710,31 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation pipeline with every stage on: exact-dedup
+    keep → benchmark decontamination (same synthetic eval set as
+    q_decontaminate) → Gopher repetition cut → quality floor → lang tag
+    → stats. All stages are conjunctive per-doc filters, so the oracle
+    restates them as one WHERE chain."""
+    from searchenginejava_spark.functions.tokenize import tokens_simple_col
+    from searchenginejava_spark.operators.curation import curate_corpus
+
+    docs = _documents(spark, sf_dir)
+    toks = tokens_simple_col("text")
+    bench = (
+        docs.filter(F.col("doc_id") % 40 == 3)
+        .filter(F.size(toks) >= 7)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.array_join(F.slice(toks, 3, 5), " ").alias("text"),
+        )
+    )
+    return curate_corpus(
+        docs, min_quality=0.5, max_dup_frac=0.9, dup_ngram=2,
+        benchmark=bench, contamination_ngram=3,
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchenginejava_spark.operators.textstats import token_stats
 
@@ -1363,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_documents": q_chunk_documents,
         "q_search_after": q_search_after,
         "q_explain_score": q_explain_score,
+        "q_curation_full": q_curation_full,
     }
 
 
@@ -1839,6 +1865,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_lang_id": _lang_id_sql(),
         "q_corpus_curation": _curation_sql(alpha),
+        "q_curation_full": _curation_full_sql(alpha),
         "q_fingerprint": _SQL_TOKL
         + " SELECT doc_id, sha256(array_to_string(l, ' ')) AS fingerprint FROM tokl",
         "q_rolling_fingerprint": _SQL_TOKL
@@ -2741,6 +2768,78 @@ def _curation_sql(alpha: str, *, min_quality: float = 0.5) -> str:
     SELECT q.doc_id, lng.pred_lang, q.quality, q.n_tokens
     FROM q JOIN lng USING (doc_id)
     WHERE q.quality >= {min_quality}
+    """
+
+
+def _curation_full_sql(
+    alpha: str, *, min_quality: float = 0.5, max_dup_frac: float = 0.9
+) -> str:
+    """Mirror of curate_corpus with every stage on: dedup keep ∧ NOT
+    contaminated (n=3 shingles vs the q_decontaminate eval set) ∧
+    dup_frac ≤ cut ∧ quality floor — all conjunctive per-doc filters."""
+    hits, best, pred = _lang_exprs()
+    return f"""
+    WITH alltokl AS (
+      SELECT doc_id, text,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+      FROM documents
+    ),
+    bench_sh AS (
+      SELECT DISTINCT shingle FROM (
+        SELECT unnest(list_transform(generate_series(1, 3),
+                 i -> array_to_string(l[i + 2 : i + 4], ' '))) AS shingle
+        FROM alltokl WHERE doc_id % 40 = 3 AND len(l) >= 7
+      )
+    ),
+    kept0 AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN (SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY sha256(text)) k USING (doc_id)
+    ),
+    tokl AS (
+      SELECT doc_id, text,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+      FROM kept0
+    ),
+    contaminated AS (
+      SELECT DISTINCT t.doc_id FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(l) - 2),
+                 i -> array_to_string(l[i : i + 2], ' '))) AS shingle
+        FROM tokl
+      ) t JOIN bench_sh USING (shingle)
+    ),
+    rep AS (
+      SELECT doc_id,
+             CASE WHEN len(g) > 0
+                  THEN round(1.0 - len(list_distinct(g))
+                             / CAST(len(g) AS DOUBLE), 6)
+                  ELSE 0.0 END AS dup_frac
+      FROM (
+        SELECT doc_id,
+               CASE WHEN len(l) >= 2 THEN
+                 list_transform(generate_series(1, len(l) - 1),
+                                i -> array_to_string(l[i : i + 1], ' '))
+               ELSE [] END AS g
+        FROM tokl
+      )
+    ),
+    q AS (
+      SELECT doc_id,
+             round((CASE WHEN len(l) BETWEEN 10 AND 100000
+                         THEN 0.4 ELSE 0.0 END)
+                   + 0.3 * (len(list_distinct(l)) / greatest(len(l), 1))
+                   + 0.3 * ({alpha} / greatest(len(l), 1)), 6) AS quality,
+             CAST(len(l) AS BIGINT) AS n_tokens
+      FROM tokl
+    ), scored AS (SELECT doc_id, {hits} FROM tokl)
+    , withbest AS (SELECT *, {best} AS best FROM scored)
+    , lng AS (SELECT doc_id, {pred} AS pred_lang FROM withbest)
+    SELECT q.doc_id, lng.pred_lang, q.quality, q.n_tokens
+    FROM q JOIN lng USING (doc_id)
+    WHERE q.quality >= {min_quality}
+      AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      AND q.doc_id IN (SELECT doc_id FROM rep WHERE dup_frac <= {max_dup_frac})
     """
 
 

@@ -72,13 +72,13 @@ def main() -> None:
     warm.postings.count()
 
     # --- headline: full index build over the source-code table -------------
-    # best of 2 repeats: the sandbox VM's deliverable CPU drifts 2-4x
+    # best of 3 repeats: the sandbox VM's deliverable CPU drifts 2-4x
     # minute-to-minute on identical work (measured; BENCH/BASELINE.md) and
     # only ever under-delivers, so min wall is the least-biased estimate.
-    # Both repeats are reported for auditability.
+    # All repeats are reported for auditability.
     build_runs = []
     idx_code = None
-    for _ in range(2):
+    for _ in range(3):
         if idx_code is not None:
             idx_code.tf.unpersist()
             idx_code.postings.unpersist()
@@ -109,8 +109,14 @@ def main() -> None:
     queries["index_build_documents"] = round(time.monotonic() - t0, 3)
 
     # --- batch BM25: 50 queries, exhaustive vs WAND (best of 2 each — the
-    # VM noise that motivates the build repeats applies equally here) ------
+    # VM noise that motivates the build repeats applies equally here).
+    # One untimed warm pass per path first: the first query after a heavy
+    # build consistently pays a ~45s one-off (GC/page-cache churn from the
+    # build, not query work — the same plan immediately re-runs in ~6s),
+    # which would otherwise land in whichever timed rep goes first.
     qset = gen_query_set(50)
+    run_queries(spark, idx_code, qset[:5], path="exhaustive").collect()
+    run_queries(spark, idx_code, qset[:5], path="wand").collect()
     query_runs: dict[str, list[float]] = {}
     for name, kwargs in (
         ("bm25_batch50_exhaustive", {"path": "exhaustive"}),
@@ -148,9 +154,15 @@ def main() -> None:
         "p7": ["sort", "a"], "p8": ["filter", "small"],
         "p9": ["row", "a"], "p10": ["the", "part"],
     }
-    t0 = time.monotonic()
-    phrase_match_batch(pos_postings, phrases).count()
-    queries["phrase_batch10_indexed"] = round(time.monotonic() - t0, 3)
+    # best of 2 (same VM-drift rationale as above; run 1 additionally
+    # pays the one-off decode warm of the workload vocabulary)
+    ph_runs = []
+    for _ in range(2):
+        t0 = time.monotonic()
+        phrase_match_batch(pos_postings, phrases).count()
+        ph_runs.append(round(time.monotonic() - t0, 3))
+    queries["phrase_batch10_indexed"] = min(ph_runs)
+    query_runs["phrase_batch10_indexed"] = ph_runs
     pos_postings.unpersist()
 
     # --- single-query serving latency (WAND, k=10, best of 3) --------------
