@@ -838,6 +838,15 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(_documents(spark, sf_dir), k=20)
 
 
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality signal (CCNet's perplexity bucket with the
+    corpus's own unigram model): per-doc average negative
+    log-likelihood."""
+    from searchenginejava_spark.operators.textstats import unigram_nll
+
+    return unigram_nll(_documents(spark, sf_dir))
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchenginejava_spark.operators.textstats import repetition_stats
 
@@ -1389,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_search_after": q_search_after,
         "q_explain_score": q_explain_score,
         "q_curation_full": q_curation_full,
+        "q_unigram_nll": q_unigram_nll,
     }
 
 
@@ -2351,6 +2361,16 @@ def oracle_sql() -> dict[str, str]:
                round(s, 6) AS score
         FROM ranked
         WHERE rk > {_TOPK} AND rk <= {2 * _TOPK}
+        """,
+        "q_unigram_nll": _SQL_TF
+        + """
+        , uni AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf
+                  FROM tf GROUP BY term),
+        tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS t FROM uni)
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+               round(sum(tf * ln(tot.t / cf)) / sum(tf), 6) AS avg_nll
+        FROM tf JOIN uni USING (term) CROSS JOIN tot
+        GROUP BY doc_id
         """,
         "q_sample_mixture": f"""
         SELECT doc_id, source FROM documents

@@ -320,3 +320,44 @@ def vocab_coverage(
             ).alias("cum_share"),
         )
     )
+
+
+def unigram_nll(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Language-model quality signal (the CCNet idea with the corpus's
+    own unigram LM standing in for the external KenLM): per-doc average
+    negative log-likelihood under p(t) = cf(t)/T →
+    (doc_id, n_tokens, avg_nll). Low avg_nll ≈ stereotypical text, high
+    ≈ rare-token soup — the standard perplexity-bucket curation signal.
+
+    avg_nll(d) = Σ_t tf(t,d) · ln(T / cf(t)) / |d|
+
+    Shape: one corpus-level unigram agg (the dictionary's cf column, in
+    essence), broadcast-joined into the per-doc tf relation, one
+    per-doc agg. Every token is in-vocabulary by construction
+    (probabilities come from the same corpus), so no smoothing term.
+    """
+    toks = _tokens(F.col(text_col))
+    tf = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    uni = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
+    total = float(
+        uni.agg(F.sum("cf").alias("t")).collect()[0]["t"] or 1
+    )
+    nll = F.col("tf").cast("double") * F.log(
+        F.lit(total) / F.col("cf").cast("double")
+    )
+    return (
+        tf.join(F.broadcast(uni), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                (F.sum(nll) / F.sum("tf").cast("double")), 6
+            ).alias("avg_nll"),
+        )
+    )

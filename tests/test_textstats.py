@@ -198,3 +198,24 @@ def test_vocab_coverage_cap_and_ties(spark):
     )
     got = [r["term"] for r in vocab_coverage(df, k=2).orderBy("rank").collect()]
     assert got == ["x", "y"]  # tie on cf broken by term asc
+
+
+def test_unigram_nll_hand_computed(spark):
+    import math
+
+    from searchenginejava_spark.operators.textstats import unigram_nll
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_nll"])
+        for r in unigram_nll(df).collect()
+    }
+    # T=5, cf: a=2 b=2 c=1
+    nll0 = (2 * math.log(5 / 2) + 1 * math.log(5 / 2)) / 3
+    nll1 = (math.log(5 / 2) + math.log(5 / 1)) / 2
+    assert got[0] == (3, pytest.approx(round(nll0, 6), abs=1e-9))
+    assert got[1] == (2, pytest.approx(round(nll1, 6), abs=1e-9))
+    # the rare-token doc reads as higher-surprise text
+    assert got[1][1] > got[0][1]
