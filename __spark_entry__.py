@@ -838,6 +838,16 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(_documents(spark, sf_dir), k=20)
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) local fingerprints: min k-gram hash per sliding
+    window — the local-overlap/plagiarism primitive."""
+    from searchenginejava_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    return winnow_fingerprints(_documents(spark, sf_dir), k=3, w=4)
+
+
 def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality signal (CCNet's perplexity bucket with the
     corpus's own unigram model): per-doc average negative
@@ -1399,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_explain_score": q_explain_score,
         "q_curation_full": q_curation_full,
         "q_unigram_nll": q_unigram_nll,
+        "q_winnow_fingerprints": q_winnow_fingerprints,
     }
 
 
@@ -2361,6 +2372,29 @@ def oracle_sql() -> dict[str, str]:
                round(s, 6) AS score
         FROM ranked
         WHERE rk > {_TOPK} AND rk <= {2 * _TOPK}
+        """,
+        "q_winnow_fingerprints": _SQL_TOKL
+        + f"""
+        , kg AS (
+          SELECT doc_id,
+                 CASE WHEN len(l) >= 3 THEN
+                   list_transform(generate_series(1, len(l) - 2),
+                     i -> {_HASH60_SQL.format(col="array_to_string(l[i : i + 2], ' ')")})
+                 ELSE [] END AS hashes
+          FROM tokl
+        ),
+        fps AS (
+          SELECT doc_id,
+                 CASE WHEN len(hashes) >= 4 THEN
+                        list_distinct(list_transform(
+                          generate_series(1, len(hashes) - 3),
+                          j -> list_min(hashes[j : j + 3])))
+                      WHEN len(hashes) >= 1 THEN [list_min(hashes)]
+                      ELSE [] END AS fp_list
+          FROM kg
+        )
+        SELECT DISTINCT doc_id, CAST(unnest(fp_list) AS BIGINT) AS fp
+        FROM fps
         """,
         "q_unigram_nll": _SQL_TF
         + """

@@ -361,3 +361,57 @@ def unigram_nll(
             ).alias("avg_nll"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    *,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprints ([L:Schleimer, Wilkerson & Aiken, SIGMOD
+    2003] — the MOSS algorithm): hash every word k-gram, slide a window
+    of ``w`` consecutive hashes, keep each window's minimum → the
+    guaranteed-coverage local fingerprint set (any shared run of
+    w+k−1 tokens between two docs shares a fingerprint). Output:
+    distinct (doc_id, fp) rows — join on fp for local-overlap
+    candidates, the plagiarism/near-copy detection primitive that
+    MinHash (global similarity) does not provide.
+
+    All native: k-gram hashes via the shared md5-based H60 (one
+    transform), window minima via transform+array_min over slices,
+    distinct per doc before the explode — per-row work is O(tokens·w)
+    inside codegen, no shuffle until the final distinct.
+    """
+    from .dedup import str_hash60
+
+    toks = _tokens(F.col(text_col))
+    m = F.size(toks) - F.lit(k - 1)           # number of k-grams
+    hashes = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            lambda i: str_hash60(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    nw = F.size(hashes) - F.lit(w - 1)        # number of windows
+    fps = F.when(
+        nw >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(nw, F.lit(1))),
+                lambda j: F.array_min(F.slice(hashes, j, w)),
+            )
+        ),
+    ).otherwise(
+        # short docs (fewer than w k-grams but at least one): keep the
+        # global min so every non-trivial doc has >= 1 fingerprint
+        F.when(
+            F.size(hashes) >= 1, F.array(F.array_min(hashes))
+        ).otherwise(F.array().cast("array<long>"))
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(fps).alias("fp")
+    ).distinct()

@@ -219,3 +219,43 @@ def test_unigram_nll_hand_computed(spark):
     assert got[1] == (2, pytest.approx(round(nll1, 6), abs=1e-9))
     # the rare-token doc reads as higher-surprise text
     assert got[1][1] > got[0][1]
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing's coverage guarantee: two docs sharing a run of
+    w+k-1 = 6 tokens share at least one fingerprint; disjoint docs
+    share none."""
+    from searchenginejava_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"        # 6 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, f"intro words {shared} closing remarks"),
+            (1, f"{shared} entirely different tail text"),
+            (2, "nothing in common with the others at all"),
+            (3, "tiny doc"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {}
+    for r in winnow_fingerprints(docs, k=3, w=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[0] & fps[1]                  # shared 6-token run
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+    assert 3 not in fps or fps[3]           # <k tokens → no k-grams
+    assert 4 not in fps
+
+
+def test_winnow_short_doc_keeps_global_min(spark):
+    from searchenginejava_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d")], "doc_id long, text string"   # 2 k-grams < w
+    )
+    got = winnow_fingerprints(docs, k=3, w=4).collect()
+    assert len(got) == 1
