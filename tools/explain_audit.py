@@ -648,6 +648,90 @@ def main() -> None:
             ("trigram substring search (saved index)", p_tri, checks)
         )
 
+    # 18. span-near: k−1 term-pruned equi-joins, no cartesian, the greedy
+    # chain is a per-row projection (no extra agg/shuffle beyond joins)
+    from searchenginejava_spark.operators.positional import (
+        positional_index,
+        span_near,
+    )
+
+    pi_au = positional_index(corpus, mode="simple")
+    p_sp = plan_of(span_near(pi_au, ["the", "hash", "join"], slop=8))
+    checks = [
+        (
+            "no cartesian join in the ordered chain",
+            "CartesianProduct" not in p_sp
+            and "BroadcastNestedLoopJoin" not in p_sp,
+            "",
+        ),
+        (
+            "chain is joins + projection (no aggregation stage)",
+            n_nodes(p_sp, "HashAggregate") <= 6,  # pi build aggs only
+            f"HashAggregate x{n_nodes(p_sp, 'HashAggregate')}",
+        ),
+    ]
+    sections.append(("ordered span-near (greedy chain)", p_sp, checks))
+
+    # 19. percolator: stored queries invert and broadcast; candidate agg
+    # has map-side partials; no docs × queries nested loop
+    from searchenginejava_spark.operators.search import percolate
+
+    sq_au = spark.createDataFrame(
+        [(0, ["customer", "join"], ["slow"]), (1, ["table"], [])],
+        "query_id int, must array<string>, must_not array<string>",
+    )
+    p_pc = plan_of(percolate(sq_au, tf))
+    checks = [
+        (
+            "no cartesian/nested-loop (docs never meet unrelated queries)",
+            "CartesianProduct" not in p_pc
+            and "BroadcastNestedLoopJoin" not in p_pc,
+            "",
+        ),
+        (
+            "per-(query,doc) match agg partial+final",
+            n_nodes(p_pc, "HashAggregate") >= 2,
+            f"HashAggregate x{n_nodes(p_pc, 'HashAggregate')}",
+        ),
+        (
+            "must_not exclusion via LeftAnti",
+            "LeftAnti" in p_pc,
+            "",
+        ),
+    ]
+    sections.append(("percolator (inverted stored queries)", p_pc, checks))
+
+    # 20. PQ/ADC search: encode+ADC is pure projection; top-k via
+    # TakeOrdered (no full sort); zero Python
+    from searchenginejava_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb_au = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cb_au = pq_codebooks(emb_au, m=8, k_centroids=8, iters=0)
+    qv_au = [float(x) for x in emb_au.filter("vec_id = 0").first()["embedding"]]
+    p_pq = plan_of(pq_topk(pq_encode(emb_au, cb_au), cb_au, qv_au, k=10))
+    checks = [
+        (
+            "ADC top-k runs as TakeOrderedAndProject (no global sort)",
+            "TakeOrderedAndProject" in p_pq,
+            "",
+        ),
+        (
+            "no Python crossing (fully native encode + table lookup)",
+            "ArrowEvalPython" not in p_pq and "MapInPandas" not in p_pq,
+            "",
+        ),
+        (
+            "no shuffle at all (encode/ADC are narrow)",
+            n_nodes(p_pq, "Exchange") == 0,
+            f"Exchange x{n_nodes(p_pq, 'Exchange')}",
+        ),
+    ]
+    sections.append(("PQ/ADC vector search", p_pq, checks))
+
     ok = True
     out = ["# PLANS.md — physical-plan audit (generated by tools/explain_audit.py)", ""]
     for title, plan, cks in sections:
