@@ -838,6 +838,41 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(_documents(spark, sf_dir), k=20)
 
 
+_RERANK_DEPTH = 100
+_RERANK_W = 1.0
+
+
+def q_proximity_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieve-then-rerank: BM25 top-100 + sloppy-phrase
+    bonus weight/(1+min_span) for ordered ["table","hash"] occurrences,
+    re-ranked to top-10 — the Lucene sloppy-PhraseQuery idea in the
+    modern rerank shape."""
+    from searchenginejava_spark.plans.pipeline import (
+        build_index,
+        rerank_proximity,
+    )
+
+    corpus = _documents(spark, sf_dir)
+    idx = build_index(
+        spark, corpus, text_col="text", mode="simple", num_partitions=8,
+        positional=True,
+    )
+    qid, terms = _ORACLE_QUERIES[0]
+    res = rerank_proximity(
+        spark, idx, " ".join(terms), _PHRASE,
+        depth=_RERANK_DEPTH, k=_TOPK, weight=_RERANK_W, query_id=qid,
+        tokenizer=lambda t: [x for x in t.lower().split(" ") if x],
+    ).select(
+        "query_id", "rank", "doc_id",
+        F.round("final_score", 6).alias("final_score"),
+    )
+    res.persist()
+    res.count()
+    idx.tf.unpersist()
+    idx.postings.unpersist()
+    return res
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) local fingerprints: min k-gram hash per sliding
     window — the local-overlap/plagiarism primitive."""
@@ -1410,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curation_full": q_curation_full,
         "q_unigram_nll": q_unigram_nll,
         "q_winnow_fingerprints": q_winnow_fingerprints,
+        "q_proximity_rerank": q_proximity_rerank,
     }
 
 
@@ -2372,6 +2408,63 @@ def oracle_sql() -> dict[str, str]:
                round(s, 6) AS score
         FROM ranked
         WHERE rk > {_TOPK} AND rk <= {2 * _TOPK}
+        """,
+        "q_proximity_rerank": _SQL_TOKL
+        + f"""
+        , tf AS (SELECT doc_id, term, count(*) AS tf
+                 FROM tok GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+               FROM tf GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+        dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        q(term, qtf) AS (VALUES {", ".join(f"('{t}', 1)" for t in _ORACLE_QUERIES[0][1])}),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum(q.qtf
+                     * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                     * (tf.tf * {_K1 + 1.0})
+                     / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+                 ) AS s
+          FROM q
+          JOIN dict USING (term)
+          JOIN tf USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          GROUP BY tf.doc_id
+        ),
+        base AS (
+          SELECT doc_id, s,
+                 row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rk
+          FROM scored
+          QUALIFY rk <= {_RERANK_DEPTH}
+        ),
+        pl AS (
+          SELECT doc_id, term, list(pos ORDER BY pos) AS ps
+          FROM tok GROUP BY doc_id, term
+        ),
+        spans AS (
+          SELECT t1.doc_id,
+                 CAST(list_min(list_filter(
+                   list_transform(t1.ps,
+                     p -> list_min(list_filter(t2.ps, q2 -> q2 > p)) - p - 1),
+                   x -> x IS NOT NULL)) AS BIGINT) AS min_span
+          FROM pl t1
+          JOIN pl t2 ON t2.doc_id = t1.doc_id AND t2.term = '{_PHRASE[1]}'
+          WHERE t1.term = '{_PHRASE[0]}'
+        ),
+        boosted AS (
+          SELECT base.doc_id,
+                 base.s + (CASE WHEN spans.min_span IS NOT NULL
+                                THEN {_RERANK_W} / (1.0 + spans.min_span)
+                                ELSE 0.0 END) AS fs
+          FROM base LEFT JOIN spans USING (doc_id)
+        )
+        SELECT CAST({_ORACLE_QUERIES[0][0]} AS INT) AS query_id,
+               CAST(row_number() OVER (ORDER BY fs DESC, doc_id ASC) AS INT) AS rank,
+               doc_id,
+               round(fs, 6) AS final_score
+        FROM boosted
+        QUALIFY rank <= {_TOPK}
         """,
         "q_winnow_fingerprints": _SQL_TOKL
         + f"""

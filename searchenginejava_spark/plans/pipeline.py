@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import BLOCK_SIZE, DEFAULT_SALTS, TOP_K
@@ -264,6 +264,70 @@ def delete_docs(index: IndexArtifacts, deleted: DataFrame) -> IndexArtifacts:
         postings=index.postings,
         stats=index.stats,
         tombstones=tomb,
+    )
+
+
+def rerank_proximity(
+    spark: SparkSession,
+    index: IndexArtifacts,
+    query_text: str,
+    phrase: list[str],
+    *,
+    depth: int = 100,
+    k: int = TOP_K,
+    weight: float = 1.0,
+    query_id: int = 0,
+    tokenizer=None,
+    path: str = "exhaustive",
+) -> DataFrame:
+    """Two-stage retrieve-then-rerank with a proximity (sloppy-phrase)
+    bonus — the Lucene sloppy-PhraseQuery ranking idea in the modern
+    rerank shape: stage 1 retrieves the BM25 top-``depth`` (WAND or
+    exhaustive — pruning still applies), stage 2 adds
+    ``weight / (1 + min_span)`` for docs where ``phrase`` occurs in
+    order (span_near over the positional postings: min_span 0 = exact
+    phrase → full bonus, looser spans decay), then re-ranks to top-k.
+
+    Rerank cost is O(depth) per query + the phrase terms' position
+    slices — independent of corpus size; docs without the phrase keep
+    their bare BM25 score (bonus 0), so the bonus only ever promotes.
+    Requires a positional index (build_index(positional=True)).
+    """
+    from ..operators.index import decode_postings_positions_df
+    from ..operators.positional import span_near
+
+    if index.postings is None or "positions" not in index.postings.columns:
+        raise ValueError("rerank_proximity needs a positional index")
+    base = run_queries(
+        spark, index, [(query_id, query_text)], k=depth, path=path,
+        **({} if tokenizer is None else {"tokenizer": tokenizer}),
+    )
+    pi = decode_postings_positions_df(
+        index.postings.filter(F.col("term").isin(list(phrase)))
+    )
+    spans = span_near(pi, list(phrase), slop=10**9).select(
+        "doc_id", "min_span"
+    )
+    bonus = F.when(
+        F.col("min_span").isNotNull(),
+        F.lit(float(weight))
+        / (F.lit(1.0) + F.col("min_span").cast("double")),
+    ).otherwise(F.lit(0.0))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("final_score"), F.asc("doc_id")
+    )
+    return (
+        base.join(spans, "doc_id", "left")
+        .withColumn("final_score", F.col("score") + bonus)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("int"),
+            F.col("rank").cast("int"),
+            F.col("doc_id").cast("long"),
+            F.col("final_score").cast("double"),
+        )
+        .orderBy("query_id", "rank")
     )
 
 

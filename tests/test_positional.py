@@ -497,3 +497,57 @@ def test_span_near_requires_two_terms(span_pi):
 
     with pytest.raises(ValueError):
         span_near(span_pi, ["a"], slop=1)
+
+
+def test_rerank_proximity_promotes_phrase_docs(spark):
+    from searchenginejava_spark.plans.pipeline import (
+        build_index,
+        rerank_proximity,
+        run_queries,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(
+        spark, docs, text_col="text", mode="simple", num_partitions=4,
+        positional=True,
+    )
+    idx.persist()
+    tok = lambda t: [x for x in t.lower().split(" ") if x]  # noqa: E731
+    base = run_queries(
+        spark, idx, [(0, "the table hash join")], k=100, tokenizer=tok
+    ).collect()
+    base_scores = {r["doc_id"]: r["score"] for r in base}
+
+    from searchenginejava_spark.operators.positional import (
+        phrase_match_indexed,
+    )
+
+    ph_docs = {
+        r["doc_id"]
+        for r in phrase_match_indexed(idx.postings, ["table", "hash"]).collect()
+    }
+    got = rerank_proximity(
+        spark, idx, "the table hash join", ["table", "hash"],
+        depth=100, k=20, weight=5.0, tokenizer=tok,
+    ).collect()
+    assert got
+    for r in got:
+        b = base_scores[r["doc_id"]]
+        if r["doc_id"] in ph_docs:
+            assert r["final_score"] > b          # exact phrase: +5/(1+0)
+        else:
+            # bonus only for ordered co-occurrence; never a penalty
+            assert r["final_score"] >= b
+    # with a big weight, phrase docs dominate the head of the ranking
+    head = [r["doc_id"] for r in got[:3]]
+    assert any(d in ph_docs for d in head)
+
+    # weight 0 degenerates to the bare BM25 ranking
+    flat = rerank_proximity(
+        spark, idx, "the table hash join", ["table", "hash"],
+        depth=100, k=20, weight=0.0, tokenizer=tok,
+    ).collect()
+    want = [(r["rank"], r["doc_id"]) for r in base[:20]]
+    assert [(r["rank"], r["doc_id"]) for r in flat] == want
+    idx.tf.unpersist()
+    idx.postings.unpersist()
