@@ -1216,6 +1216,20 @@ def q_fuzzy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_terms(dct, _FUZZY_TERMS, max_edits=2, max_terms=16)
 
 
+_RELATED_SEEDS = ["customer", "window"]
+
+
+def q_related_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-searches suggestions: top co-occurring terms per seed by
+    doc-level lift (PMI's monotone ln-free twin), seed-pruned join —
+    never all-pairs."""
+    from searchenginejava_spark.operators.termmatch import related_terms
+
+    return related_terms(
+        _tf(spark, sf_dir), _RELATED_SEEDS, k=5, min_cooc=5
+    )
+
+
 def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo-tolerant BM25: each query term expands to its fuzzy matches
     weighted 1/(1+dist), then the standard exhaustive scorer."""
@@ -1446,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unigram_nll": q_unigram_nll,
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_proximity_rerank": q_proximity_rerank,
+        "q_related_terms": q_related_terms,
     }
 
 
@@ -2408,6 +2423,36 @@ def oracle_sql() -> dict[str, str]:
                round(s, 6) AS score
         FROM ranked
         WHERE rk > {_TOPK} AND rk <= {2 * _TOPK}
+        """,
+        "q_related_terms": _SQL_TOKL
+        + f"""
+        , dt AS (SELECT DISTINCT doc_id, term FROM tok),
+        nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM dt),
+        dfs AS (SELECT term, count(*) AS df_t FROM dt GROUP BY term),
+        sd AS (
+          SELECT term AS seed, doc_id FROM dt
+          WHERE term IN ({", ".join(f"'{s}'" for s in _RELATED_SEEDS)})
+        ),
+        cooc AS (
+          SELECT sd.seed, dt.term, count(*) AS n_cooc
+          FROM dt JOIN sd USING (doc_id)
+          WHERE dt.term <> sd.seed
+          GROUP BY sd.seed, dt.term
+          HAVING count(*) >= 5
+        )
+        SELECT seed, term, n_cooc, lift FROM (
+          SELECT cooc.seed, cooc.term,
+                 CAST(cooc.n_cooc AS BIGINT) AS n_cooc,
+                 round((cooc.n_cooc / nd.n)
+                       / ((sdf.df_t / nd.n) * (dfs.df_t / nd.n)), 6) AS lift
+          FROM cooc
+          JOIN dfs ON dfs.term = cooc.term
+          JOIN dfs sdf ON sdf.term = cooc.seed
+          CROSS JOIN nd
+        )
+        QUALIFY row_number() OVER (
+          PARTITION BY seed ORDER BY lift DESC, n_cooc DESC, term ASC
+        ) <= 5
         """,
         "q_proximity_rerank": _SQL_TOKL
         + f"""

@@ -221,6 +221,66 @@ def fuzzy_terms(
 # ---------------------------------------------------------------------------
 
 
+def related_terms(
+    tf: DataFrame,
+    seeds: Sequence[str],
+    *,
+    k: int = 10,
+    min_cooc: int = 2,
+) -> DataFrame:
+    """Related-searches suggestions: for each seed term, the top-k terms
+    by document-co-occurrence lift → (seed, term, n_cooc, lift), lift =
+    P(seed ∧ t) / (P(seed)·P(t)) over the doc space (PMI = ln(lift),
+    monotone — kept ln-free like collocations for engine portability).
+    Ranked (lift desc, n_cooc desc, term asc); self pairs excluded.
+
+    Shape: one semi-pruned doc-set join — the seed side is |seeds| tiny
+    posting slices (broadcast), the other side the distinct (doc, term)
+    relation — then a (seed, term) count agg against broadcast df
+    counts. Never all-pairs: only terms sharing a doc with a seed ever
+    appear.
+    """
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    docs_terms = tf.select("doc_id", "term").distinct()
+    n_docs = docs_terms.select("doc_id").distinct().count()
+    seed_docs = (
+        docs_terms.filter(F.col("term").isin(list(seeds)))
+        .select(F.col("term").alias("seed"), "doc_id")
+    )
+    cooc = (
+        docs_terms.join(F.broadcast(seed_docs), "doc_id")
+        .filter(F.col("term") != F.col("seed"))
+        .groupBy("seed", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cooc"))
+        .filter(F.col("n_cooc") >= min_cooc)
+    )
+    dfs = docs_terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_t")
+    )
+    seed_dfs = dfs.select(
+        F.col("term").alias("seed"), F.col("df_t").alias("df_s")
+    )
+    lift = (
+        (F.col("n_cooc") / F.lit(float(n_docs)))
+        / (
+            (F.col("df_s") / F.lit(float(n_docs)))
+            * (F.col("df_t") / F.lit(float(n_docs)))
+        )
+    )
+    w = Window.partitionBy("seed").orderBy(
+        F.desc("lift"), F.desc("n_cooc"), F.asc("term")
+    )
+    return (
+        cooc.join(F.broadcast(dfs), "term")
+        .join(F.broadcast(seed_dfs), "seed")
+        .withColumn("lift", F.round(lift, 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("seed", "term", "n_cooc", "lift")
+    )
+
+
 def suggest_correction(
     dictionary: DataFrame,
     query_text: str,

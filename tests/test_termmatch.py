@@ -243,3 +243,38 @@ def test_suggest_correction(dct):
     # empty query
     got, changed = suggest_correction(dct, "  ")
     assert got == "  " and not changed
+
+
+def test_related_terms_lift(spark):
+    from searchenginejava_spark.operators.termmatch import related_terms
+
+    docs = [
+        (0, "apple pie crust"),
+        (1, "apple pie sugar"),
+        (2, "apple tree leaf"),
+        (3, "car engine oil"),
+        (4, "pie sugar"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    tf = (
+        df.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+    got = {
+        (r["seed"], r["term"]): (r["n_cooc"], r["lift"])
+        for r in related_terms(tf, ["apple"], k=10, min_cooc=2).collect()
+    }
+    # N=5, df(apple)=3, df(pie)=3, cooc(apple,pie)=2
+    lift_pie = (2 / 5) / ((3 / 5) * (3 / 5))
+    assert got[("apple", "pie")] == (2, round(lift_pie, 6))
+    assert ("apple", "car") not in got            # no co-occurrence
+    assert ("apple", "apple") not in got          # self excluded
+    assert ("apple", "crust") not in got          # below min_cooc
+
+
+def test_related_terms_requires_seeds(spark, dct):
+    from searchenginejava_spark.operators.termmatch import related_terms
+
+    with pytest.raises(ValueError):
+        related_terms(dct, [])
