@@ -208,6 +208,29 @@ class SearchEngine:
 
         return percolate(stored_queries, self.index.tf)
 
+    def wildcard(self, pattern: str, *, k: int = TOP_K, **kwargs) -> DataFrame:
+        from .operators.termmatch import wildcard_search
+
+        return wildcard_search(
+            pattern, self.index.tf, self.index.docs, self.index.dictionary,
+            self.index.stats, k=k, **kwargs,
+        )
+
+    def related(self, seeds: Sequence[str], **kwargs) -> DataFrame:
+        from .operators.termmatch import related_terms
+
+        return related_terms(self.index.tf, list(seeds), **kwargs)
+
+    def rerank(
+        self, text: str, phrase: Sequence[str], **kwargs
+    ) -> DataFrame:
+        from .plans.pipeline import rerank_proximity
+
+        kwargs.setdefault("tokenizer", self._tok)
+        return rerank_proximity(
+            self.spark, self.index, text, list(phrase), **kwargs
+        )
+
     # -- maintenance ------------------------------------------------------
 
     def delete(self, doc_ids: Sequence[int]) -> "SearchEngine":

@@ -117,3 +117,13 @@ def test_engine_explain_page_percolate(spark, eng):
         for r in eng.index.tf.filter(F.col("term") == "customer").collect()
     }
     assert hits == want and hits
+
+
+def test_engine_wildcard_related_rerank(spark, eng):
+    wc = eng.wildcard("cust*", k=5).collect()
+    assert wc and all(r["rank"] >= 1 for r in wc)
+    rel = eng.related(["customer"], k=3, min_cooc=2).collect()
+    assert rel and all(r["seed"] == "customer" for r in rel)
+    rr = eng.rerank("the table hash join", ["table", "hash"], k=5,
+                    weight=2.0).collect()
+    assert rr and rr[0]["rank"] == 1
