@@ -1,0 +1,133 @@
+"""Empty/OOV edges across the second-wave query surface: every operator
+must degrade to an empty (or unboosted) result, never throw."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [(0, "alpha beta gamma"), (1, "beta delta")]
+
+
+@pytest.fixture(scope="module")
+def parts(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    tf = (
+        df.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+    tf.persist().count()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+    srow = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    stats = {"N": int(srow["n"]), "avgdl": float(srow["avgdl"])}
+    dct = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    yield df, tf, dl, dct, stats
+    tf.unpersist()
+
+
+def test_wildcard_no_match_is_empty(parts):
+    from searchenginejava_spark.operators.termmatch import (
+        match_pattern,
+        wildcard_search,
+    )
+
+    df, tf, dl, dct, stats = parts
+    assert match_pattern(dct, "zzz*").count() == 0
+    assert wildcard_search("zzz*", tf, dl, dct, stats).count() == 0
+
+
+def test_fuzzy_no_match_is_empty(parts):
+    from searchenginejava_spark.operators.termmatch import (
+        fuzzy_search,
+        fuzzy_terms,
+    )
+
+    df, tf, dl, dct, stats = parts
+    assert fuzzy_terms(dct, ["qqqqqqq"], max_edits=1).count() == 0
+    assert (
+        fuzzy_search(
+            [(0, "qqqqqqq")], tf, dl, dct, stats, tokenizer=str.split
+        ).count()
+        == 0
+    )
+
+
+def test_facets_empty_candidates(spark, parts):
+    from searchenginejava_spark.operators.search import facet_counts
+
+    df, *_ = parts
+    meta = df.withColumn("lang", F.lit("en"))
+    empty = spark.createDataFrame([], "doc_id long")
+    assert facet_counts(empty, meta, ["lang"]).count() == 0
+
+
+def test_percolate_no_shared_terms(spark, parts):
+    from searchenginejava_spark.operators.search import percolate
+
+    _, tf, *_ = parts
+    q = spark.createDataFrame(
+        [(0, ["zzz"], [])],
+        "query_id int, must array<string>, must_not array<string>",
+    )
+    assert percolate(q, tf).count() == 0
+
+
+def test_span_and_phrase_oov(spark):
+    from searchenginejava_spark.operators.positional import (
+        phrase_match,
+        positional_index,
+        span_near,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    pi = positional_index(df, mode="simple")
+    assert span_near(pi, ["alpha", "zzz"], slop=5).count() == 0
+    assert phrase_match(pi, ["zzz", "alpha"]).count() == 0
+
+
+def test_trigram_empty_corpus(spark):
+    from searchenginejava_spark.operators.trigram import (
+        build_trigram_index,
+        substring_search,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    tri = build_trigram_index(empty)
+    assert tri.count() == 0
+    assert substring_search(empty, tri, "abc").count() == 0
+
+
+def test_rrf_single_ranking_and_empty(spark):
+    from searchenginejava_spark.operators.fusion import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 1, 1)], "query_id int, doc_id long, rank int"
+    )
+    one = rrf_fuse([a]).collect()
+    assert len(one) == 1 and one[0]["rrf_score"] == pytest.approx(1 / 61)
+    empty = spark.createDataFrame([], "query_id int, doc_id long, rank int")
+    assert rrf_fuse([empty]).count() == 0
+
+
+def test_more_like_this_min_df_filters_all(spark, parts):
+    from searchenginejava_spark.operators.search import more_like_this
+
+    df, tf, dl, dct, stats = parts
+    # min_df above every term's df → empty query → empty result
+    assert (
+        more_like_this(0, tf, dl, dct, stats, min_df=99).count() == 0
+    )
+
+
+def test_collocations_and_vocab_on_empty(spark):
+    from searchenginejava_spark.operators.textstats import (
+        collocations,
+        vocab_coverage,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert collocations(empty, min_count=1).count() == 0
+    assert vocab_coverage(empty, k=5).count() == 0
