@@ -1,0 +1,78 @@
+"""spark-submit main — one-call structured search over a published index.
+
+Usage:
+  spark-submit --py-files searchenginejava_spark.zip jobs/search.py \
+      --index /path/idx --query "hash join" --output /path/out \
+      [--must customer] [--must-not slow] [--phrase "hash table"] \
+      [--wildcard 'cust*'] [--fuzzy] [--k 10] \
+      [--snippets /path/corpus_parquet] [--mode full|simple] [--json]
+
+Every constraint flag maps 1:1 onto plans.pipeline.structured_search
+(candidate-stream semi/anti-joins, filter-query score semantics);
+``--json`` prints the result rows as one JSON line each to stdout in
+addition to the Parquet output — the ops-friendly smoke path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--index", required=True)
+    p.add_argument("--query", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--must", action="append", default=[])
+    p.add_argument("--must-not", action="append", default=[])
+    p.add_argument(
+        "--phrase", action="append", default=[],
+        help="space-separated exact phrase (repeatable); needs a "
+        "positional index",
+    )
+    p.add_argument("--wildcard", action="append", default=[])
+    p.add_argument("--fuzzy", action="store_true")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--snippets", default=None, help="corpus parquet for snippets")
+    p.add_argument("--mode", default="full", choices=["full", "simple"])
+    p.add_argument("--json", action="store_true")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("sej-search")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+
+    from searchenginejava_spark.engine import SearchEngine
+
+    eng = SearchEngine.load(spark, args.index, mode=args.mode)
+    snip = spark.read.parquet(args.snippets) if args.snippets else None
+    res = eng.structured(
+        args.query,
+        must=args.must,
+        must_not=args.must_not,
+        phrases=[ph.split() for ph in args.phrase],
+        wildcards=args.wildcard,
+        fuzzy=args.fuzzy,
+        k=args.k,
+        snippet_corpus=snip,
+    )
+    res.write.mode("overwrite").parquet(args.output)
+    rows = spark.read.parquet(args.output).orderBy("rank").collect()
+    if args.json:
+        for r in rows:
+            print(json.dumps(r.asDict()))
+    print(
+        json.dumps(
+            {"status": "complete", "n_results": len(rows), "out": args.output}
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

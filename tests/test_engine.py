@@ -127,3 +127,37 @@ def test_engine_wildcard_related_rerank(spark, eng):
     rr = eng.rerank("the table hash join", ["table", "hash"], k=5,
                     weight=2.0).collect()
     assert rr and rr[0]["rank"] == 1
+
+
+def test_search_job_cli(spark, eng, tmp_path, capsys):
+    """jobs/search.py end-to-end over a published index."""
+    import json as _json
+
+    from jobs.search import main
+
+    idx_path = str(tmp_path / "cliidx")
+    eng.save(idx_path, term_partitions=4)
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cpath = str(tmp_path / "clicorpus")
+    corpus.write.parquet(cpath)
+    out = str(tmp_path / "cliout")
+    rc = main([
+        "--index", idx_path, "--query", "the table hash join",
+        "--must", "customer", "--phrase", "table hash",
+        "--snippets", cpath, "--mode", "simple", "--k", "5",
+        "--output", out, "--json",
+    ])
+    assert rc == 0
+    lines = [
+        _json.loads(x)
+        for x in capsys.readouterr().out.strip().splitlines()
+        if x.startswith("{")
+    ]
+    assert lines[-1]["status"] == "complete" and lines[-1]["n_results"] > 0
+    res = spark.read.parquet(out).orderBy("rank").collect()
+    must_docs = {
+        r["doc_id"]
+        for r in eng.index.tf.filter(F.col("term") == "customer").collect()
+    }
+    assert res and all(r["doc_id"] in must_docs for r in res)
+    assert all(r["snippet"] for r in res)
