@@ -873,6 +873,14 @@ def q_proximity_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc boilerplate n-grams (C4-style shared-text cut signal):
+    per-doc fraction of distinct trigrams shared by ≥5 docs."""
+    from searchenginejava_spark.operators.textstats import boilerplate_stats
+
+    return boilerplate_stats(_documents(spark, sf_dir), n=3, min_docs=5)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) local fingerprints: min k-gram hash per sliding
     window — the local-overlap/plagiarism primitive."""
@@ -1461,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_proximity_rerank": q_proximity_rerank,
         "q_related_terms": q_related_terms,
+        "q_boilerplate_stats": q_boilerplate_stats,
     }
 
 
@@ -2423,6 +2432,22 @@ def oracle_sql() -> dict[str, str]:
                round(s, 6) AS score
         FROM ranked
         WHERE rk > {_TOPK} AND rk <= {2 * _TOPK}
+        """,
+        "q_boilerplate_stats": _SQL_SHINGLES
+        + """
+        , hot AS (
+          SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 5
+        ),
+        marked AS (
+          SELECT sh.doc_id, sh.shingle,
+                 CASE WHEN hot.shingle IS NOT NULL THEN 1 ELSE 0 END AS is_hot
+          FROM sh LEFT JOIN hot USING (shingle)
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(is_hot) AS BIGINT) AS n_boiler,
+               round(sum(is_hot) / CAST(count(*) AS DOUBLE), 6) AS boiler_frac
+        FROM marked GROUP BY doc_id
         """,
         "q_related_terms": _SQL_TOKL
         + f"""

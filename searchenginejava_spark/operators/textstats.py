@@ -415,3 +415,57 @@ def winnow_fingerprints(
     return df.select(
         F.col(id_col).alias("doc_id"), F.explode(fps).alias("fp")
     ).distinct()
+
+
+def boilerplate_stats(
+    df: DataFrame,
+    *,
+    n: int = 3,
+    min_docs: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate signal (the corpus-level complement of
+    the within-doc Gopher repetition cut): an n-gram appearing in ≥
+    ``min_docs`` DISTINCT docs is boilerplate (headers, footers,
+    license blurbs, generated scaffolding); per doc report →
+    (doc_id, n_grams, n_boiler, boiler_frac) where boiler_frac is the
+    fraction of the doc's distinct n-grams that are boilerplate — the
+    C4-style "remove docs that are mostly shared text" cut signal.
+
+    Shape: one distinct-shingle relation (same native op as the dedup
+    family), ONE (shingle → doc count) hash agg, a semi-annotated join
+    back, one per-doc agg. The hot-shingle set is small (boilerplate is
+    by definition the head of the df distribution) and broadcasts.
+    """
+    from .dedup import shingles
+
+    sh = shingles(df, text_col=text_col, id_col=id_col, n=n)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("shingle")
+    )
+    marked = sh.join(
+        F.broadcast(hot.withColumn("is_hot", F.lit(1))), "shingle", "left"
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.coalesce("is_hot", F.lit(0))).cast("long").alias(
+                "n_boiler"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            F.round(
+                F.col("n_boiler").cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("boiler_frac"),
+        )
+    )

@@ -259,3 +259,26 @@ def test_winnow_short_doc_keeps_global_min(spark):
     )
     got = winnow_fingerprints(docs, k=3, w=4).collect()
     assert len(got) == 1
+
+
+def test_boilerplate_stats(spark):
+    from searchenginejava_spark.operators.textstats import boilerplate_stats
+
+    footer = "generated by tool v1"
+    docs = [
+        (0, f"alpha beta gamma {footer}"),
+        (1, f"delta epsilon zeta {footer}"),
+        (2, f"eta theta iota {footer}"),
+        (3, "kappa lambda mu nu xi"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_boiler"], r["boiler_frac"])
+        for r in boilerplate_stats(df, n=3, min_docs=3).collect()
+    }
+    # footer contributes 2 shared trigrams ('generated by tool',
+    # 'by tool v1') to docs 0-2; doc 3 shares nothing
+    for d in (0, 1, 2):
+        assert got[d][0] == 5 and got[d][1] == 2
+        assert got[d][2] == pytest.approx(0.4)
+    assert got[3] == (3, 0, 0.0)
