@@ -32,7 +32,9 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("action", choices=["delete", "compact", "merge", "stats"])
+    p.add_argument(
+        "action", choices=["delete", "compact", "merge", "stats", "check"]
+    )
     p.add_argument("--index", required=True)
     p.add_argument("--doc-ids", default=None, help="parquet with doc_id column")
     p.add_argument("--other", default=None, help="second index path (merge)")
@@ -65,6 +67,15 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(index_stats(idx), sort_keys=True))
         return 0
+
+    if args.action == "check":
+        # CheckIndex: full decode + metadata recompute; non-zero exit on
+        # any mismatch so deploy scripts can gate cutover on it
+        from searchenginejava_spark.plans.pipeline import check_index
+
+        rep = check_index(idx)
+        print(json.dumps(rep, sort_keys=True))
+        return 0 if rep["n_mismatches"] == 0 else 2
 
     if args.action == "delete":
         if not args.doc_ids:

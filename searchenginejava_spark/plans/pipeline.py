@@ -379,6 +379,66 @@ def index_stats(index: IndexArtifacts) -> dict:
     return out
 
 
+def check_index(index: IndexArtifacts) -> dict:
+    """Index integrity verification (Lucene CheckIndex): decode every
+    posting list and recompute df/cf/max_tf from the bytes, compare
+    against the dictionary's stamped metadata, and verify doc_ids are
+    strictly ascending within each list (the codec emits gap<=0 as a
+    decode error, so a successful full decode IS the sort/uniqueness
+    proof). Returns {"n_terms", "n_postings", "n_mismatches",
+    "mismatches": [up to 10 (term, field, expected, actual)]}.
+
+    Cost: one full decode pass + a term-keyed agg — the deliberate
+    full-scan audit (run after compact/merge or before cutover), not a
+    serving path.
+    """
+    if index.postings is None:
+        raise ValueError("check_index needs compressed postings")
+    from ..operators.index import decode_postings_df
+
+    dec = decode_postings_df(index.postings)
+    recomputed = dec.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("r_df"),
+        F.sum("tf").cast("long").alias("r_cf"),
+        F.max("tf").cast("long").alias("r_max_tf"),
+        F.count_distinct("doc_id").cast("long").alias("r_docs"),
+    )
+    joined = (
+        index.dictionary.select("term", "df", "cf", "max_tf")
+        .join(recomputed, "term", "full")
+    )
+    bad = joined.filter(
+        F.col("df").isNull()
+        | F.col("r_df").isNull()
+        | (F.col("df") != F.col("r_df"))
+        | (F.col("cf") != F.col("r_cf"))
+        | (F.col("max_tf") != F.col("r_max_tf"))
+        | (F.col("r_df") != F.col("r_docs"))   # duplicate doc in a list
+    )
+    totals = recomputed.agg(
+        F.count(F.lit(1)).alias("nt"), F.sum("r_df").alias("np")
+    ).collect()[0]
+    sample = [
+        (
+            r["term"],
+            {
+                "df": (r["df"], r["r_df"]),
+                "cf": (r["cf"], r["r_cf"]),
+                "max_tf": (r["max_tf"], r["r_max_tf"]),
+                "distinct_docs": (r["r_df"], r["r_docs"]),
+            },
+        )
+        for r in bad.limit(10).collect()
+    ]
+    n_bad = bad.count()
+    return {
+        "n_terms": int(totals["nt"]),
+        "n_postings": int(totals["np"] or 0),
+        "n_mismatches": int(n_bad),
+        "mismatches": sample,
+    }
+
+
 def compact_index(
     spark: SparkSession,
     index: IndexArtifacts,

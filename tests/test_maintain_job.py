@@ -140,3 +140,31 @@ def test_maintain_stats_action(spark, tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     rep = json.loads(out)
     assert rep["n_terms"] == n_terms and rep["positional"] is True
+
+
+def test_check_index_clean_and_corrupted(spark):
+    from pyspark.sql import functions as F
+
+    from searchenginejava_spark.plans.pipeline import check_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(
+        spark, docs, text_col="text", mode="simple", num_partitions=4
+    )
+    rep = check_index(idx)
+    assert rep["n_mismatches"] == 0 and rep["mismatches"] == []
+    assert rep["n_terms"] > 0 and rep["n_postings"] == idx.tf.count()
+
+    # corrupt the dictionary metadata for one term → flagged
+    from dataclasses import replace
+
+    bad_dct = idx.dictionary.withColumn(
+        "df",
+        F.when(F.col("term") == "customer", F.col("df") + 1).otherwise(
+            F.col("df")
+        ),
+    )
+    idx_bad = replace(idx, dictionary=bad_dct)
+    rep2 = check_index(idx_bad)
+    assert rep2["n_mismatches"] == 1
+    assert rep2["mismatches"][0][0] == "customer"
