@@ -162,6 +162,10 @@ def curate_corpus(
     dup_ngram: int = 2,
     benchmark: DataFrame | None = None,
     contamination_ngram: int = 8,
+    max_avg_nll: float | None = None,
+    max_boiler_frac: float | None = None,
+    boiler_ngram: int = 3,
+    boiler_min_docs: int = 5,
 ) -> DataFrame:
     """documents → curated (doc_id, pred_lang, quality, n_tokens).
 
@@ -171,8 +175,12 @@ def curate_corpus(
     ``min_quality``. ``max_dup_frac`` additionally applies the Gopher
     repetition cut: docs whose duplicate-``dup_ngram``-gram fraction
     exceeds it are dropped (another narrow per-row stage Catalyst fuses
-    into the same scan). Thresholds compare 6-decimal-rounded scores,
-    so the cuts are bit-stable across engines.
+    into the same scan). ``max_avg_nll`` applies the unigram-LM
+    perplexity-proxy cut (textstats.unigram_nll — the LM trains on the
+    KEPT set, so the signal is corpus-relative), and
+    ``max_boiler_frac`` the cross-doc boilerplate cut
+    (textstats.boilerplate_stats). Thresholds compare 6-decimal-rounded
+    scores, so the cuts are bit-stable across engines.
     """
     keep = exact_duplicates(df, text_col=text_col, id_col=id_col).select(
         F.col("keep_id").alias(id_col)
@@ -192,6 +200,25 @@ def curate_corpus(
         ).filter(F.col("dup_frac") <= max_dup_frac).select("doc_id")
         kept = kept.join(
             rep_keep.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+        )
+    if max_avg_nll is not None:
+        from .textstats import unigram_nll
+
+        nll_keep = unigram_nll(kept, text_col=text_col, id_col=id_col).filter(
+            F.col("avg_nll") <= max_avg_nll
+        ).select("doc_id")
+        kept = kept.join(
+            nll_keep.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+        )
+    if max_boiler_frac is not None:
+        from .textstats import boilerplate_stats
+
+        bl_keep = boilerplate_stats(
+            kept, n=boiler_ngram, min_docs=boiler_min_docs,
+            text_col=text_col, id_col=id_col,
+        ).filter(F.col("boiler_frac") <= max_boiler_frac).select("doc_id")
+        kept = kept.join(
+            bl_keep.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
         )
     q = quality_score(kept, text_col=text_col, id_col=id_col).filter(
         F.col("quality") >= min_quality

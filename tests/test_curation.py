@@ -249,3 +249,35 @@ def test_curate_job_full_pipeline(spark, tmp_path):
     row = got.filter("doc_id = 0").orderBy("chunk_idx").collect()
     assert row[0]["chunk_idx"] == 0 and row[0]["n_tokens"] <= 8
     assert "quality" in got.columns and "pred_lang" in got.columns
+
+
+def test_curation_nll_and_boilerplate_cuts(spark):
+    from searchenginejava_spark.operators.curation import curate_corpus
+
+    import random
+
+    footer = "shared footer text block here"
+    rng = random.Random(7)
+    words = [f"w{j}" for j in range(200)]
+    rows = [
+        (i, " ".join(rng.sample(words, 14)) + f" {footer}")
+        for i in range(8)
+    ]
+    # doc 8: mostly-boilerplate doc (footer dominates)
+    rows.append((8, f"{footer} {footer}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {r["doc_id"] for r in curate_corpus(df, min_quality=0.2).collect()}
+    assert base == set(range(9))
+    cut = {
+        r["doc_id"]
+        for r in curate_corpus(
+            df, min_quality=0.2, max_boiler_frac=0.5,
+            boiler_ngram=3, boiler_min_docs=5,
+        ).collect()
+    }
+    assert 8 not in cut and set(range(8)) <= cut
+
+    # NLL cut: an extreme threshold drops everything, a loose one nothing
+    loose = curate_corpus(df, min_quality=0.2, max_avg_nll=99.0).count()
+    tight = curate_corpus(df, min_quality=0.2, max_avg_nll=0.0).count()
+    assert loose == 9 and tight == 0
