@@ -873,6 +873,30 @@ def q_proximity_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_index_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary drift between two index builds (doc_id < 300 vs the
+    full corpus): added/removed/changed/same per term — the
+    before/after-rebuild validation relation."""
+    from searchenginejava_spark.plans.pipeline import build_index, diff_indexes
+
+    docs = _documents(spark, sf_dir)
+    a = build_index(
+        spark, docs.filter(F.col("doc_id") < 300), text_col="text",
+        mode="simple", num_partitions=8,
+    )
+    b = build_index(
+        spark, docs, text_col="text", mode="simple", num_partitions=8
+    )
+    res = diff_indexes(a, b)
+    res.persist()
+    res.count()
+    for idx in (a, b):
+        idx.tf.unpersist()
+        if idx.postings is not None:
+            idx.postings.unpersist()
+    return res
+
+
 def q_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-doc boilerplate n-grams (C4-style shared-text cut signal):
     per-doc fraction of distinct trigrams shared by ≥5 docs."""
@@ -1470,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_proximity_rerank": q_proximity_rerank,
         "q_related_terms": q_related_terms,
         "q_boilerplate_stats": q_boilerplate_stats,
+        "q_index_diff": q_index_diff,
     }
 
 
@@ -2432,6 +2457,27 @@ def oracle_sql() -> dict[str, str]:
                round(s, 6) AS score
         FROM ranked
         WHERE rk > {_TOPK} AND rk <= {2 * _TOPK}
+        """,
+        "q_index_diff": _SQL_TF
+        + """
+        , da AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df_a,
+                 CAST(sum(tf) AS BIGINT) AS cf_a
+          FROM tf WHERE doc_id < 300 GROUP BY term
+        ),
+        db AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df_b,
+                 CAST(sum(tf) AS BIGINT) AS cf_b
+          FROM tf GROUP BY term
+        )
+        SELECT coalesce(da.term, db.term) AS term,
+               CASE WHEN da.df_a IS NULL THEN 'added'
+                    WHEN db.df_b IS NULL THEN 'removed'
+                    WHEN da.df_a <> db.df_b OR da.cf_a <> db.cf_b
+                         THEN 'changed'
+                    ELSE 'same' END AS status,
+               da.df_a, db.df_b, da.cf_a, db.cf_b
+        FROM da FULL JOIN db ON da.term = db.term
         """,
         "q_boilerplate_stats": _SQL_SHINGLES
         + """

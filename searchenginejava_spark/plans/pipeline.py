@@ -379,6 +379,38 @@ def index_stats(index: IndexArtifacts) -> dict:
     return out
 
 
+def diff_indexes(a: IndexArtifacts, b: IndexArtifacts) -> DataFrame:
+    """Index drift report (the ops companion to check_index for
+    before/after-rebuild validation): full-outer join of the two
+    dictionaries → (term, status, df_a, df_b, cf_a, cf_b) where status ∈
+    added | removed | changed | same — "did the rebuild change what I
+    think it changed" in one relation, metadata-sized (never touches
+    postings bytes).
+    """
+    da = a.dictionary.select(
+        "term",
+        F.col("df").cast("long").alias("df_a"),
+        F.col("cf").cast("long").alias("cf_a"),
+    )
+    db = b.dictionary.select(
+        "term",
+        F.col("df").cast("long").alias("df_b"),
+        F.col("cf").cast("long").alias("cf_b"),
+    )
+    j = da.join(db, "term", "full")
+    status = (
+        F.when(F.col("df_a").isNull(), F.lit("added"))
+        .when(F.col("df_b").isNull(), F.lit("removed"))
+        .when(
+            (F.col("df_a") != F.col("df_b"))
+            | (F.col("cf_a") != F.col("cf_b")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("same"))
+    )
+    return j.select("term", status.alias("status"), "df_a", "df_b", "cf_a", "cf_b")
+
+
 def check_index(index: IndexArtifacts) -> dict:
     """Index integrity verification (Lucene CheckIndex): decode every
     posting list and recompute df/cf/max_tf from the bytes, compare

@@ -168,3 +168,33 @@ def test_check_index_clean_and_corrupted(spark):
     rep2 = check_index(idx_bad)
     assert rep2["n_mismatches"] == 1
     assert rep2["mismatches"][0][0] == "customer"
+
+
+def test_diff_indexes(spark):
+    from searchenginejava_spark.plans.pipeline import diff_indexes
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = build_index(
+        spark, docs.filter(F.col("doc_id") < 300), text_col="text",
+        mode="simple", num_partitions=4,
+    )
+    b = build_index(
+        spark, docs.filter(F.col("doc_id") < 400), text_col="text",
+        mode="simple", num_partitions=4,
+    )
+    d = {r["term"]: r for r in diff_indexes(a, b).collect()}
+    # identical halves → everything same
+    same = {r["term"] for r in diff_indexes(a, a).collect()}
+    assert all(
+        r["status"] == "same" for r in diff_indexes(a, a).collect()
+    ) and same
+    # growing the corpus: common vocab changed (or same for rare terms),
+    # df_b >= df_a wherever both exist
+    assert any(r["status"] == "changed" for r in d.values())
+    for r in d.values():
+        if r["status"] in ("changed", "same"):
+            assert r["df_b"] >= r["df_a"]
+        elif r["status"] == "removed":
+            assert r["df_b"] is None
+        else:
+            assert r["df_a"] is None
