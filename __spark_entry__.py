@@ -1392,6 +1392,32 @@ def q_explain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+_SYNONYMS = [("merge", "join"), ("window", "frame"), ("spark", "flame")]
+_SYN_W = 0.5
+
+
+def q_synonym_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thesaurus-expanded BM25: query terms pull in synonyms at damped
+    weight (query-side expansion — no index rebuild when the thesaurus
+    changes), summed where reached twice, standard exhaustive scorer."""
+    from searchenginejava_spark.operators.search import (
+        score_exhaustive,
+        synonym_expand,
+    )
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    syn = spark.createDataFrame(_SYNONYMS, "term string, synonym string")
+    res = score_exhaustive(
+        synonym_expand(qt, syn, weight=_SYN_W), tf, dl, dct, stats, k=_TOPK
+    ).select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
 def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """More-like-this (Lucene MLT shape): the source doc's top tf·idf
     terms become a BM25 query; the source doc is tombstone-excluded from
@@ -1495,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_related_terms": q_related_terms,
         "q_boilerplate_stats": q_boilerplate_stats,
         "q_index_diff": q_index_diff,
+        "q_synonym_search": q_synonym_search,
     }
 
 
@@ -2457,6 +2484,45 @@ def oracle_sql() -> dict[str, str]:
                round(s, 6) AS score
         FROM ranked
         WHERE rk > {_TOPK} AND rk <= {2 * _TOPK}
+        """,
+        "q_synonym_search": _SQL_TF
+        + f"""
+        , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+                 FROM tf GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+        dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        qraw(query_id, term, qtf) AS (VALUES {q_values}),
+        syn(term, synonym) AS (VALUES {", ".join(f"('{a}', '{b}')" for a, b in _SYNONYMS)}),
+        q AS (
+          SELECT query_id, term, sum(qtf) AS qtf FROM (
+            SELECT query_id, term, CAST(qtf AS DOUBLE) AS qtf FROM qraw
+            UNION ALL
+            SELECT qraw.query_id, syn.synonym AS term,
+                   {_SYN_W} * qraw.qtf AS qtf
+            FROM qraw JOIN syn USING (term)
+          ) GROUP BY query_id, term
+        ),
+        scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 sum(q.qtf
+                     * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                     * (tf.tf * {_K1 + 1.0})
+                     / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+                 ) AS s
+          FROM q
+          JOIN dict USING (term)
+          JOIN tf USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          GROUP BY q.query_id, tf.doc_id
+        )
+        SELECT CAST(query_id AS INT) AS query_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, doc_id ASC) AS INT) AS rank,
+               doc_id,
+               round(s, 6) AS score
+        FROM scored
+        QUALIFY rank <= {_TOPK}
         """,
         "q_index_diff": _SQL_TF
         + """

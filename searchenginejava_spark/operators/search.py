@@ -333,6 +333,51 @@ def expand_query(
     )
 
 
+def synonym_expand(
+    query_terms: DataFrame,
+    synonyms: DataFrame,
+    *,
+    weight: float = 0.8,
+) -> DataFrame:
+    """Thesaurus query expansion (the Elasticsearch synonym-filter idea,
+    applied query-side so the index never rebuilds when the thesaurus
+    changes): each query term pulls in its synonyms at ``weight``·qtf;
+    originals keep full weight; a term reached both ways sums.
+
+    ``synonyms``: a (term, synonym) relation — direction matters (add
+    both rows for symmetric pairs). Plan: one broadcast join of the
+    (tiny) query against the synonym table keyed on term — at scale the
+    thesaurus is dictionary-sized and the JOIN side is the query, so
+    broadcast the query side into a term-pruned thesaurus scan.
+    Output (query_id, term, qtf double) drops straight into
+    score_exhaustive / bm25f_topk.
+    """
+    orig = query_terms.select(
+        "query_id", "term", F.col("qtf").cast("double").alias("qtf")
+    )
+    syn = (
+        query_terms.withColumnRenamed("term", "src")
+        .join(
+            F.broadcast(
+                synonyms.select(
+                    F.col("term").alias("src"), "synonym"
+                )
+            ),
+            "src",
+        )
+        .select(
+            "query_id",
+            F.col("synonym").alias("term"),
+            (F.lit(float(weight)) * F.col("qtf").cast("double")).alias("qtf"),
+        )
+    )
+    return (
+        orig.unionByName(syn)
+        .groupBy("query_id", "term")
+        .agg(F.sum("qtf").alias("qtf"))
+    )
+
+
 def boolean_match(
     tf: DataFrame,
     *,

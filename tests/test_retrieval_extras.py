@@ -431,3 +431,40 @@ def test_explain_score_sums_to_served_score(spark, tf):
     # qtf carries through (spark weighted 2x)
     sp = [r for r in rows if r["term"] == "spark"]
     assert sp and all(r["qtf"] == 2 for r in sp)
+
+
+def test_synonym_expand_weights_and_union(spark, tf):
+    from searchenginejava_spark.operators.search import (
+        score_exhaustive,
+        synonym_expand,
+    )
+
+    qt = spark.createDataFrame(
+        [(0, "join", 2)], "query_id int, term string, qtf int"
+    )
+    syn = spark.createDataFrame(
+        [("join", "merge"), ("join", "shuffle"), ("other", "x")],
+        "term string, synonym string",
+    )
+    exp = {
+        r["term"]: r["qtf"]
+        for r in synonym_expand(qt, syn, weight=0.5).collect()
+    }
+    assert exp == {"join": 2.0, "merge": 1.0, "shuffle": 1.0}
+
+    # a term reached as both original and synonym sums its weights
+    qt2 = spark.createDataFrame(
+        [(0, "join", 1), (0, "merge", 1)], "query_id int, term string, qtf int"
+    )
+    exp2 = {
+        r["term"]: r["qtf"]
+        for r in synonym_expand(qt2, syn, weight=0.5).collect()
+    }
+    assert exp2["merge"] == pytest.approx(1.5)
+
+    # expanded terms flow into the standard scorer
+    dl, dct, stats = _parts(tf)
+    res = score_exhaustive(
+        synonym_expand(qt, syn, weight=0.5), tf, dl, dct, stats, k=10
+    ).collect()
+    assert res
