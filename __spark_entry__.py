@@ -1392,6 +1392,22 @@ def q_explain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+_TV_DOCS = [3, 7]
+
+
+def q_doc_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc term vectors (Lucene TermVectors): tf/df/tf·idf for the
+    requested docs' vocabularies."""
+    from searchenginejava_spark.operators.search import doc_term_vector
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    res = doc_term_vector(_TV_DOCS, tf, dct, stats)
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
 _SYNONYMS = [("merge", "join"), ("window", "frame"), ("spark", "flame")]
 _SYN_W = 0.5
 
@@ -1522,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_boilerplate_stats": q_boilerplate_stats,
         "q_index_diff": q_index_diff,
         "q_synonym_search": q_synonym_search,
+        "q_doc_term_vectors": q_doc_term_vectors,
     }
 
 
@@ -2484,6 +2501,19 @@ def oracle_sql() -> dict[str, str]:
                round(s, 6) AS score
         FROM ranked
         WHERE rk > {_TOPK} AND rk <= {2 * _TOPK}
+        """,
+        "q_doc_term_vectors": _SQL_TF
+        + f"""
+        , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+                 FROM tf GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n FROM dl),
+        dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        SELECT tf.doc_id, tf.term, CAST(tf.tf AS INT) AS tf,
+               CAST(dict.df AS BIGINT) AS df,
+               round(tf.tf * ln((stats.n - dict.df + 0.5)
+                                / (dict.df + 0.5) + 1.0), 6) AS tfidf
+        FROM tf JOIN dict USING (term) CROSS JOIN stats
+        WHERE tf.doc_id IN ({", ".join(str(d) for d in _TV_DOCS)})
         """,
         "q_synonym_search": _SQL_TF
         + f"""

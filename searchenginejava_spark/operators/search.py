@@ -333,6 +333,53 @@ def expand_query(
     )
 
 
+def doc_term_vector(
+    doc_ids: Sequence[int],
+    tf: DataFrame,
+    dictionary: DataFrame,
+    stats: dict,
+) -> DataFrame:
+    """Per-document term vectors (the Lucene TermVectors API): for each
+    requested doc, its terms with tf, df and tf·idf weight →
+    (doc_id, term, tf, df, round(tfidf, 6)) — the raw material for
+    MLT-style analysis, doc summarization, and debugging "why does this
+    doc rank".
+
+    idf is the engine's BM25 idf (driver-side libm ln, same
+    engine-portability rationale as score_exhaustive); the doc_id
+    filter prunes the tf relation before anything else runs.
+    """
+    import math
+
+    if not doc_ids:
+        raise ValueError("doc_ids must be non-empty")
+    n_d = float(stats["N"])
+    rows = (
+        tf.filter(F.col("doc_id").isin([int(d) for d in doc_ids]))
+        .join(dictionary.select("term", "df"), "term")
+        .select("doc_id", "term", "tf", "df")
+        .collect()
+    )
+    spark = tf.sparkSession
+    out = [
+        (
+            int(r["doc_id"]),
+            r["term"],
+            int(r["tf"]),
+            int(r["df"]),
+            round(
+                r["tf"]
+                * math.log((n_d - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0),
+                6,
+            ),
+        )
+        for r in rows
+    ]
+    return spark.createDataFrame(
+        out, "doc_id long, term string, tf int, df long, tfidf double"
+    )
+
+
 def synonym_expand(
     query_terms: DataFrame,
     synonyms: DataFrame,

@@ -468,3 +468,22 @@ def test_synonym_expand_weights_and_union(spark, tf):
         synonym_expand(qt, syn, weight=0.5), tf, dl, dct, stats, k=10
     ).collect()
     assert res
+
+
+def test_doc_term_vector(spark, tf):
+    import math
+
+    from searchenginejava_spark.operators.search import doc_term_vector
+
+    dl, dct, stats = _parts(tf)
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"], r["tfidf"])
+        for r in doc_term_vector([0, 2], tf, dct, stats).collect()
+    }
+    assert {d for d, _ in got} == {0, 2}
+    n = stats["N"]
+    t, d, w = got[(0, "join")]
+    assert (t, d) == (2, 3)
+    assert w == round(2 * math.log((n - 3 + 0.5) / 3.5 + 1.0), 6)
+    with pytest.raises(ValueError):
+        doc_term_vector([], tf, dct, stats)
