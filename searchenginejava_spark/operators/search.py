@@ -484,6 +484,7 @@ def snippets(
     *,
     text_col: str = "text",
     width: int = 2,
+    highlight: bool = False,
 ) -> DataFrame:
     """Result-page snippet generation: for every doc containing at least
     one of ``terms`` (simple tokenization), emit (doc_id, first_pos,
@@ -509,15 +510,25 @@ def snippets(
     first = pos_cols[0] if len(pos_cols) == 1 else F.least(*pos_cols)
     start = F.greatest(F.col("first_pos") - F.lit(width), F.lit(1).cast("long"))
     length = F.col("first_pos") + F.lit(width) - start + F.lit(1)
+    window = F.slice("l", start.cast("int"), length.cast("int"))
+    if highlight:
+        # mark query terms inside the window — still one codegen'd
+        # projection (transform + when), no second pass over the text
+        term_arr = F.array(*[F.lit(t) for t in terms])
+        window = F.transform(
+            window,
+            lambda t: F.when(
+                F.array_contains(term_arr, t),
+                F.concat(F.lit("<em>"), t, F.lit("</em>")),
+            ).otherwise(t),
+        )
     return (
         toks.withColumn("first_pos", first)
         .filter(F.col("first_pos") < _NO_POS)
         .select(
             "doc_id",
             F.col("first_pos").cast("long").alias("first_pos"),
-            F.array_join(
-                F.slice("l", start.cast("int"), length.cast("int")), " "
-            ).alias("snippet"),
+            F.array_join(window, " ").alias("snippet"),
         )
     )
 

@@ -487,3 +487,16 @@ def test_doc_term_vector(spark, tf):
     assert w == round(2 * math.log((n - 3 + 0.5) / 3.5 + 1.0), 6)
     with pytest.raises(ValueError):
         doc_term_vector([], tf, dct, stats)
+
+
+def test_snippets_highlighting(spark):
+    from searchenginejava_spark.operators.search import snippets
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma beta delta")], "doc_id long, text string"
+    )
+    got = snippets(docs, ["beta", "delta"], width=2, highlight=True).collect()
+    assert got[0]["snippet"] == "alpha <em>beta</em> gamma <em>beta</em>"
+    # highlight off → unchanged behavior
+    plain = snippets(docs, ["beta", "delta"], width=2).collect()
+    assert plain[0]["snippet"] == "alpha beta gamma beta"
