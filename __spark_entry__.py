@@ -1392,6 +1392,23 @@ def q_explain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_classic_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene ClassicSimilarity TF-IDF top-k — the second standard
+    ranking model alongside BM25, same plan family."""
+    from searchenginejava_spark.operators.search import classic_tfidf_topk
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    res = classic_tfidf_topk(qt, tf, dl, dct, stats, k=_TOPK).select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
 _TV_DOCS = [3, 7]
 
 
@@ -1539,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_index_diff": q_index_diff,
         "q_synonym_search": q_synonym_search,
         "q_doc_term_vectors": q_doc_term_vectors,
+        "q_classic_tfidf": q_classic_tfidf,
     }
 
 
@@ -2501,6 +2519,32 @@ def oracle_sql() -> dict[str, str]:
                round(s, 6) AS score
         FROM ranked
         WHERE rk > {_TOPK} AND rk <= {2 * _TOPK}
+        """,
+        "q_classic_tfidf": _SQL_TF
+        + f"""
+        , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+                 FROM tf GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n FROM dl),
+        dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        q(query_id, term, qtf) AS (VALUES {q_values}),
+        scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 sum((q.qtf * pow(1.0 + ln(stats.n / (dict.df + 1.0)), 2))
+                     * sqrt(tf.tf) / sqrt(dl.doc_len)) AS s
+          FROM q
+          JOIN dict USING (term)
+          JOIN tf USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          GROUP BY q.query_id, tf.doc_id
+        )
+        SELECT CAST(query_id AS INT) AS query_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, doc_id ASC) AS INT) AS rank,
+               doc_id,
+               round(s, 6) AS score
+        FROM scored
+        QUALIFY rank <= {_TOPK}
         """,
         "q_doc_term_vectors": _SQL_TF
         + f"""

@@ -333,6 +333,75 @@ def expand_query(
     )
 
 
+def classic_tfidf_topk(
+    query_terms: DataFrame,
+    postings_exploded: DataFrame,
+    docs: DataFrame,
+    dictionary: DataFrame,
+    stats: dict,
+    *,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Lucene ClassicSimilarity (pre-BM25 TF-IDF) as a second ranking
+    model — the reference family's other standard scorer:
+
+        score(q,d) = Σ_t qtf · idf(t)² · √tf(t,d) · 1/√dl(d)
+        idf(t)     = 1 + ln(N / (df + 1))
+
+    (queryNorm is constant per query → rank-invariant → omitted.)
+    Identical plan family to score_exhaustive — broadcast query weights
+    (idf² computed driver-side with libm), term-pruned candidate join,
+    hash agg, top-k window — so every physical property (pruning,
+    partial aggs, broadcasts) carries over unchanged.
+    """
+    import math
+
+    qt = F.broadcast(query_terms)
+    q_rows = dictionary.join(qt, "term").select(
+        "query_id", "term", "qtf", "df"
+    ).collect()
+    n_d = float(stats["N"])
+    spark = query_terms.sparkSession
+    qw = spark.createDataFrame(
+        [
+            (
+                int(r["query_id"]),
+                r["term"],
+                float(r["qtf"])
+                * (1.0 + math.log(n_d / (r["df"] + 1.0))) ** 2,
+            )
+            for r in q_rows
+        ],
+        "query_id int, term string, w double",
+    )
+    part = (
+        F.col("w")
+        * F.sqrt(F.col("tf").cast("double"))
+        / F.sqrt(F.col("doc_len").cast("double"))
+    )
+    agg = (
+        postings_exploded.join(F.broadcast(qw), "term")
+        .join(docs.select("doc_id", "doc_len"), "doc_id")
+        .withColumn("part", part)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("part").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("int"),
+            F.col("rank").cast("int"),
+            F.col("doc_id").cast("long"),
+            F.col("score").cast("double"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def doc_term_vector(
     doc_ids: Sequence[int],
     tf: DataFrame,

@@ -500,3 +500,26 @@ def test_snippets_highlighting(spark):
     # highlight off → unchanged behavior
     plain = snippets(docs, ["beta", "delta"], width=2).collect()
     assert plain[0]["snippet"] == "alpha beta gamma beta"
+
+
+def test_classic_tfidf_hand_computed(spark, tf):
+    import math
+
+    from searchenginejava_spark.operators.search import classic_tfidf_topk
+
+    dl, dct, stats = _parts(tf)
+    qt = spark.createDataFrame(
+        [(0, "join", 1)], "query_id int, term string, qtf int"
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in classic_tfidf_topk(qt, tf, dl, dct, stats, k=10).collect()
+    }
+    n = stats["N"]
+    dls = {r["doc_id"]: r["doc_len"] for r in dl.collect()}
+    idf = 1.0 + math.log(n / (3 + 1.0))
+    # doc 0: tf(join)=2 dl=6; doc 1: tf=1 dl=3; doc 3: tf=1 dl=5
+    for d, t in ((0, 2), (1, 1), (3, 1)):
+        want = idf * idf * math.sqrt(t) / math.sqrt(dls[d])
+        assert got[d] == pytest.approx(want, rel=1e-9)
+    assert 2 not in got
