@@ -208,6 +208,23 @@ class SearchEngine:
 
         return percolate(stored_queries, self.index.tf)
 
+    def search_classic(self, text: str, *, k: int = TOP_K) -> DataFrame:
+        """Rank with Lucene ClassicSimilarity TF-IDF instead of BM25."""
+        from .operators.search import classic_tfidf_topk, query_terms_df
+
+        qt = query_terms_df(self.spark, [(0, text)], tokenizer=self._tok)
+        return classic_tfidf_topk(
+            qt, self.index.tf, self.index.docs, self.index.dictionary,
+            self.index.stats, k=k,
+        )
+
+    def term_vectors(self, doc_ids: Sequence[int]) -> DataFrame:
+        from .operators.search import doc_term_vector
+
+        return doc_term_vector(
+            doc_ids, self.index.tf, self.index.dictionary, self.index.stats
+        )
+
     def wildcard(self, pattern: str, *, k: int = TOP_K, **kwargs) -> DataFrame:
         from .operators.termmatch import wildcard_search
 

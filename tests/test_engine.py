@@ -161,3 +161,17 @@ def test_search_job_cli(spark, eng, tmp_path, capsys):
     }
     assert res and all(r["doc_id"] in must_docs for r in res)
     assert all(r["snippet"] for r in res)
+
+
+def test_engine_classic_and_term_vectors(spark, eng):
+    classic = eng.search_classic("table hash join", k=5).collect()
+    bm25 = eng.search("table hash join", k=5, path="exhaustive").collect()
+    assert classic and bm25
+    # different model, same candidate universe
+    assert {r["doc_id"] for r in classic} <= {
+        r["doc_id"]
+        for r in eng.search("table hash join", k=1000,
+                            path="exhaustive").collect()
+    }
+    tv = eng.term_vectors([int(bm25[0]["doc_id"])]).collect()
+    assert tv and all(r["tfidf"] > 0 for r in tv)
