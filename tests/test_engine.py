@@ -175,3 +175,11 @@ def test_engine_classic_and_term_vectors(spark, eng):
     }
     tv = eng.term_vectors([int(bm25[0]["doc_id"])]).collect()
     assert tv and all(r["tfidf"] > 0 for r in tv)
+
+
+def test_engine_hybrid(spark, eng):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    res = eng.hybrid("table hash join", emb, qvec, k=5).collect()
+    assert res and [r["rank"] for r in res] == list(range(1, len(res) + 1))
+    assert all(r["rrf_score"] > 0 for r in res)
