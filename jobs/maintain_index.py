@@ -111,10 +111,9 @@ def main(argv: list[str] | None = None) -> int:
         if not args.other:
             p.error("merge needs --other")
         other = load_index(spark, args.other)
-        if idx.tombstones is not None or other.tombstones is not None:
-            # merge_indexes requires doc-disjoint POSTINGS; tombstoned ids
-            # still live in the bytes — compact first
-            p.error("merge requires compacted inputs (no tombstones)")
+        # tombstones on either side survive the merge (merge_indexes
+        # unions them); doc_id sets must still be disjoint, tombstoned
+        # ids included, since their bytes remain in the postings
         result = merge_indexes(spark, idx, other, num_partitions=args.buckets)
     if out == args.index or (args.other and out == args.other):
         # in-place rewrite: the result still READS lazily from the input

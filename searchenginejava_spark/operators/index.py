@@ -774,18 +774,20 @@ def decode_postings_positions_df(postings: DataFrame) -> DataFrame:
             for term, buf, pbuf in zip(
                 pdf["term"], pdf["postings"], pdf["positions"]
             ):
-                if pbuf is None:
-                    raise ValueError(
-                        f"postings for {term!r} carry no positional stream"
-                        " — build the index from a tf relation with a"
-                        " 'positions' column"
-                    )
                 d, t = decode_postings(bytes(buf))
-                deltas = vb_decode(bytes(pbuf)).astype(np.int64)
-                bounds = np.cumsum(t)[:-1]
                 out_t.extend([term] * len(d))
                 out_d.extend(d.tolist())
                 out_tf.extend(t.tolist())
+                if pbuf is None:
+                    # merging positional with non-positional runs degrades
+                    # only the affected terms' streams to null — serve
+                    # those rows with empty position arrays (phrase paths
+                    # simply never match on them) instead of failing the
+                    # whole index at query time
+                    out_pos.extend([] for _ in range(len(d)))
+                    continue
+                deltas = vb_decode(bytes(pbuf)).astype(np.int64)
+                bounds = np.cumsum(t)[:-1]
                 out_pos.extend(
                     np.cumsum(seg).tolist()
                     for seg in np.split(deltas, bounds)

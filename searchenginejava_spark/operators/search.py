@@ -111,6 +111,15 @@ def score_exhaustive(
     """
     import math
 
+    if search_after is not None:
+        # the cursor filter compares scores with exact float equality
+        # against a value computed by a PREVIOUS job; the plain-sum path
+        # aggregates in partition-arrival order, so a doc's score can
+        # drift a last ulp between the page-1 and page-2 jobs and skip
+        # or duplicate a doc at the page boundary. Pagination therefore
+        # always uses the canonical term-sorted fold — bit-identical
+        # across jobs by construction.
+        deterministic = True
     qt = F.broadcast(query_terms)
     # df per query term (tiny after the broadcast semi-join). Collected to
     # the driver — O(|query vocab|) rows — so the idf ln() runs in Python:

@@ -193,6 +193,12 @@ def merge_indexes(
     assertion in the stitch fallback trips otherwise — same contract as
     every merge in the build). Cost: O(compressed bytes of both indexes),
     one shuffle keyed by term.
+
+    Tombstones survive the merge: the stitched postings still carry the
+    tombstoned docs' bytes (this merge never decodes), so the union of
+    both sides' tombstone sets rides into the result — delete_docs's
+    "never serve a deleted doc" guarantee holds across merge without
+    forcing a compaction first.
     """
     from ..operators.index import _stitch_stage, postings_to_runs
 
@@ -228,12 +234,19 @@ def merge_indexes(
         "total_terms": total,
         "dl_min": min(sa.get("dl_min", 1.0), sb.get("dl_min", 1.0)),
     }
+    if a.tombstones is not None and b.tombstones is not None:
+        tombs = a.tombstones.unionByName(b.tombstones).distinct()
+    else:
+        tombs = a.tombstones if a.tombstones is not None else b.tombstones
     return IndexArtifacts(
         docs=a.docs.unionByName(b.docs, allowMissingColumns=True),
-        tf=a.tf.unionByName(b.tf),
+        # allowMissingColumns: a positional side's tf carries a
+        # 'positions' column the other side lacks (mixed merge)
+        tf=a.tf.unionByName(b.tf, allowMissingColumns=True),
         dictionary=dct,
         postings=postings,
         stats=stats,
+        tombstones=tombs,
     )
 
 
@@ -365,6 +378,9 @@ def index_stats(index: IndexArtifacts) -> dict:
             aggs.append(
                 F.sum(F.octet_length("positions")).alias("positions_bytes")
             )
+            # POSTINGS always declares the nullable column; positional
+            # means some row actually carries a stream (count skips nulls)
+            aggs.append(F.count("positions").alias("positional_rows"))
         prow = index.postings.agg(*aggs).collect()[0]
         out["segment_rows"] = int(prow["segment_rows"])
         out["postings_bytes"] = int(prow["postings_bytes"] or 0)
@@ -372,7 +388,8 @@ def index_stats(index: IndexArtifacts) -> dict:
             out["norms_bytes"] = int(prow["norms_bytes"] or 0)
         if "positions" in cols:
             out["positions_bytes"] = int(prow["positions_bytes"] or 0)
-            out["positional"] = True
+            out["positional_rows"] = int(prow["positional_rows"] or 0)
+            out["positional"] = out["positional_rows"] > 0
     out["n_tombstones"] = (
         0 if index.tombstones is None else int(index.tombstones.count())
     )

@@ -26,7 +26,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 from ..schema import POSTINGS
 
@@ -61,8 +61,16 @@ def save_index(index, path: str, *, term_partitions: int | None = None) -> None:
         tombs.select("doc_id").write.mode("overwrite").parquet(
             os.path.join(path, "tombstones")
         )
-    first = index.postings.select("positions").limit(1).collect()
-    positional = bool(first) and first[0]["positions"] is not None
+    # data-driven, not schema-driven (POSTINGS always declares the
+    # nullable column) and not first-row-driven (merging positional with
+    # non-positional runs degrades only affected terms to null, so one
+    # sampled row proves nothing). "Any row carries a stream" → load
+    # through the positions decoder, which emits empty arrays for the
+    # degraded terms. Null-presence agg only — no position bytes read.
+    row = index.postings.agg(
+        F.max(F.col("positions").isNotNull()).alias("any_pos")
+    ).collect()[0]
+    positional = bool(row["any_pos"])
     stats = dict(index.stats)
     stats["_positional"] = positional
     stats["_has_tombstones"] = tombs is not None

@@ -165,6 +165,49 @@ def test_upsert_delete_then_incremental_merge(spark, docs, index):
     assert {r["doc_id"] for r in hits.collect()} == {0, 1, 2, 3, 4}
 
 
+def test_merge_preserves_tombstones(spark, docs, index):
+    """merge_indexes on UNCOMPACTED inputs: the stitched postings still
+    carry the tombstoned docs' bytes, so both sides' tombstone sets must
+    ride into the result (union) and the default WAND path must keep
+    honoring them — the delete_docs guarantee survives a merge without a
+    forced compaction."""
+    from searchenginejava_spark.plans.pipeline import merge_indexes
+
+    new_docs = docs.filter(F.col("doc_id") < 80).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    idx_new = build_index(
+        spark, new_docs, text_col="text", mode="simple", num_partitions=4
+    )
+    # reference ranking: merge WITHOUT deletes (stats are identical either
+    # way — delete_docs keeps stats stale — so the tombstoned merge must
+    # equal this ranking minus the dead docs, renumbered, bit-exact)
+    base_full = merge_indexes(spark, index, idx_new, num_partitions=4)
+    base = _rows(run_queries(spark, base_full, QUERIES, k=13, path="wand"))
+    dead_a = [d for (q, r, d, s) in base if q == 1 and d < 100000][:2]
+    dead_b = [d for (q, r, d, s) in base if q == 1 and d >= 100000][:1]
+    assert dead_a and dead_b, "need victims on both sides of the merge"
+    merged = merge_indexes(
+        spark,
+        delete_docs(index, _deleted_df(spark, dead_a)),
+        delete_docs(idx_new, _deleted_df(spark, dead_b)),
+        num_partitions=4,
+    )
+    dead = set(dead_a) | set(dead_b)
+    assert merged.tombstones is not None
+    assert {r["doc_id"] for r in merged.tombstones.collect()} == dead
+    for path in ("wand", "exhaustive"):
+        got = _rows(run_queries(spark, merged, QUERIES, k=10, path=path))
+        assert got and not {t[2] for t in got} & dead
+        for q in (1, 2):
+            kept = [
+                (d, s) for (qq, r, d, s) in base if qq == q and d not in dead
+            ]
+            assert [t for t in got if t[0] == q] == [
+                (q, i + 1, d, s) for i, (d, s) in enumerate(kept[:10])
+            ], (path, q)
+
+
 def test_compact_positional_serves_phrases(spark, docs):
     """A positional index compacts for free (positions ride the tf
     relation); phrase matches afterwards exclude the deleted docs and

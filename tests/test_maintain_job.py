@@ -142,6 +142,70 @@ def test_maintain_stats_action(spark, tmp_path, capsys):
     assert rep["n_terms"] == n_terms and rep["positional"] is True
 
 
+def test_save_load_mixed_positional(spark, tmp_path):
+    """Merging a positional with a non-positional index degrades only the
+    terms touched by the non-positional side to null streams. Such a MIXED
+    index must (a) report positional=True from DATA (any row carries a
+    stream), not from one sampled row / schema presence, (b) survive
+    save→load with the positions-aware decoder emitting empty arrays for
+    the degraded terms instead of raising at query time, and (c) keep
+    serving BM25."""
+    from searchenginejava_spark.plans.pipeline import (
+        index_stats,
+        merge_indexes,
+    )
+
+    lo = spark.createDataFrame(
+        [(0, "alpha beta alpha gamma"), (1, "beta gamma omega")],
+        "doc_id long, text string",
+    )
+    hi = spark.createDataFrame(
+        [(10, "delta epsilon omega"), (11, "epsilon zeta")],
+        "doc_id long, text string",
+    )
+    idx_lo = build_index(
+        spark, lo, text_col="text", mode="simple", num_partitions=4,
+        positional=True,
+    )
+    idx_hi = build_index(
+        spark, hi, text_col="text", mode="simple", num_partitions=4
+    )
+    merged = merge_indexes(spark, idx_lo, idx_hi, num_partitions=4)
+    st = index_stats(merged)
+    assert st["positional"] is True
+    assert 0 < st["positional_rows"] < st["segment_rows"]
+
+    p = str(tmp_path / "mixed")
+    save_index(merged, p, term_partitions=4)
+    idx = load_index(spark, p)
+    hi_terms = {r["term"] for r in idx_hi.dictionary.select("term").collect()}
+    rows = idx.tf.collect()  # full decode must not raise
+    assert rows
+    saw_degraded = saw_positional = False
+    for r in rows:
+        if r["term"] in hi_terms:
+            assert r["positions"] == [], r["term"]
+            saw_degraded = True
+        else:
+            assert len(r["positions"]) == r["tf"], r["term"]
+            saw_positional = True
+    assert saw_degraded and saw_positional
+    got = run_queries(
+        spark, idx, [(1, "alpha omega")], k=5, path="wand"
+    ).collect()
+    assert {r["doc_id"] for r in got} == {0, 1, 10}
+
+    # a pure NON-positional index round-trips with positional=False even
+    # though the schema always declares the column
+    p2 = str(tmp_path / "plain")
+    save_index(idx_hi, p2, term_partitions=4)
+    import json as _json
+
+    with open(p2 + "/stats.json") as f:
+        assert _json.load(f)["_positional"] is False
+    assert index_stats(idx_hi)["positional"] is False
+
+
 def test_check_index_clean_and_corrupted(spark):
     from pyspark.sql import functions as F
 

@@ -404,6 +404,34 @@ def test_search_after_pagination(spark, tf):
     assert [r["rank"] for r in page2] == list(range(1, len(want) + 1))
 
 
+def test_search_after_forces_deterministic_fold(spark, tf):
+    """The cursor filter compares scores with exact float equality against
+    a value from a PREVIOUS job, so search_after must score with the
+    canonical term-sorted fold regardless of the caller's flag — page rows
+    are bit-equal to the deterministic full ranking's (a plain-sum page
+    could drift a last ulp between jobs and skip/dup at the boundary)."""
+    from searchenginejava_spark.operators.search import score_exhaustive
+
+    dl, dct, stats = _parts(tf)
+    qt = spark.createDataFrame(
+        [(0, "join", 1), (0, "spark", 1)], "query_id int, term string, qtf int"
+    )
+    full = score_exhaustive(
+        qt, tf, dl, dct, stats, k=100, deterministic=True
+    ).collect()
+    k = 2
+    page1 = score_exhaustive(
+        qt, tf, dl, dct, stats, k=k, deterministic=True
+    ).collect()
+    cur = (page1[-1]["score"], page1[-1]["doc_id"])
+    page2 = score_exhaustive(
+        qt, tf, dl, dct, stats, k=k, deterministic=False, search_after=cur
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in page2] == [
+        (r["doc_id"], r["score"]) for r in full[k : 2 * k]
+    ]
+
+
 def test_explain_score_sums_to_served_score(spark, tf):
     from searchenginejava_spark.operators.search import (
         explain_score,
