@@ -281,6 +281,50 @@ def term_vectors(
     )
 
 
+def embedded_term_vectors(
+    terms_df: DataFrame,
+    embeddings: DataFrame,
+    *,
+    term_col: str = "term",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_vectors: int | None = None,
+) -> DataFrame:
+    """(term) → (term, vec) by LOOKUP in a real embedding table — the
+    production shape for semantic expansion (the reference Searcher's
+    GloVe file is exactly such a table, SURVEY.md §2.5). Mechanics are a
+    plain equi-join: key the term, join the vector, unit-normalize with
+    the engine's canonical left fold.
+
+    The sandbox has no learned term→row mapping, so the key is the
+    deterministic stand-in ``row = H60(term) mod n_vectors`` — swap in a
+    real (term, vec_id) mapping table and everything downstream is
+    unchanged. ``n_vectors`` defaults to a count() of the table (one
+    O(1)-row action at plan-build time; pass it to stay fully lazy).
+    """
+    from ..operators.dedup import str_hash60
+    from ..operators.similarity import norm_col
+
+    n = int(n_vectors) if n_vectors is not None else embeddings.count()
+    keyed = (
+        terms_df.select(term_col)
+        .distinct()
+        .withColumn("__vid", F.pmod(str_hash60(F.col(term_col)), F.lit(n)))
+    )
+    joined = keyed.join(
+        embeddings.select(
+            F.col(id_col).alias("__vid"), F.col(vec_col).alias("__raw")
+        ),
+        "__vid",
+    ).withColumn("__nrm", norm_col(F.col("__raw")))
+    return joined.select(
+        F.col(term_col).alias("term"),
+        F.transform(
+            F.col("__raw"), lambda x: x.cast("double") / F.col("__nrm")
+        ).alias("vec"),
+    )
+
+
 def expand_query(
     query_terms: DataFrame,
     dictionary: DataFrame,
@@ -289,29 +333,87 @@ def expand_query(
     dim: int = 64,
     weight: float = 0.5,
     min_df: int = 2,
+    method: str = "lsh",
+    n_planes: int = 6,
+    n_probe: int = 2,
+    vectors: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic query expansion: append each query term's ``n_expansions``
     nearest dictionary terms (cosine over the term-vector table) with a
     damped weight — the reference Searcher's optional semantics mode.
 
-    Plan shape: vocabulary term-vectors (distributed) ⋈ broadcast(query
-    term vectors) → native dot product (zip_with/aggregate, vectors are
-    unit-norm so dot == cosine) → per-(query, term) top-n window. Rare
-    noise terms are excluded via ``min_df``. Returns the UNION of the
-    original terms and expansion rows (qtf = weight, never replacing an
-    original term).
-    """
-    from ..operators.similarity import dot_col
+    ``method="lsh"`` (default, the serving path): vocabulary vectors are
+    bucketed by random-hyperplane LSH and the query side probes
+    ``n_probe`` buckets (own bucket + smallest-margin bit flips, the
+    multi-probe order of ann_lsh_topk), so each query term scores
+    ≈ n_probe·|vocab|/2^n_planes candidates via a bucket EQUI-join —
+    never the whole dictionary. At a 10^9-term vocabulary with
+    bucket-partitioned storage this reads n_probe partitions per term;
+    the top-n window shuffles only the surviving candidates.
 
-    vocab = term_vectors(dictionary.filter(F.col("df") >= min_df), dim=dim)
-    q_vecs = term_vectors(query_terms, dim=dim).withColumnRenamed(
-        "vec", "q_vec"
-    ).withColumnRenamed("term", "q_term")
+    ``method="exact"``: the full scan — distributed vocabulary vectors ⋈
+    broadcast(query vectors) (a broadcast nested loop, no shuffle
+    explosion) → native dot → per-(query, term) top-n window. Touches
+    data proportional to the dictionary, so it is the ORACLE/parity mode
+    (recall: LSH expansion rows ⊆ exact candidate ranking by
+    construction), not the serving default.
+
+    ``vectors``: optional (term, vec) table of REAL embeddings (see
+    embedded_term_vectors) replacing the hash-derived stand-in vectors on
+    both sides; terms absent from the table simply don't expand (original
+    query terms always pass through). Vectors must be unit-norm (dot ==
+    cosine), as both suppliers guarantee.
+
+    Rare noise terms are excluded via ``min_df``. Returns the UNION of
+    the original terms and expansion rows (qtf = weight, never replacing
+    an original term); a term pulled in by several query terms sums its
+    weights.
+    """
+    from ..operators.similarity import (
+        dot_col,
+        hyperplanes,
+        lsh_bucket_col,
+        lsh_probes_col,
+    )
+
+    eligible = dictionary.filter(F.col("df") >= min_df)
+    if vectors is not None:
+        vocab = vectors.join(eligible.select("term"), "term")
+        q_vecs = vectors.join(
+            query_terms.select("term").distinct(), "term"
+        )
+        if method == "lsh":
+            # planes need the table's dim — one 1-row action, lsh only
+            dim = len(vectors.select("vec").first()[0])
+    else:
+        vocab = term_vectors(eligible, dim=dim)
+        q_vecs = term_vectors(query_terms, dim=dim)
+    q_vecs = q_vecs.withColumnRenamed("vec", "q_vec").withColumnRenamed(
+        "term", "q_term"
+    )
     q_side = (
         query_terms.select("query_id", F.col("term").alias("q_term"), "qtf")
         .join(q_vecs, "q_term")
     )
-    scored = vocab.crossJoin(F.broadcast(q_side)).withColumn(
+    if method == "exact":
+        scored = vocab.crossJoin(F.broadcast(q_side))
+    elif method == "lsh":
+        planes = hyperplanes(dim, n_planes)
+        vocab = vocab.withColumn(
+            "bucket", lsh_bucket_col(F.col("vec"), planes)
+        )
+        q_side = q_side.withColumn(
+            "bucket",
+            F.explode(
+                F.array_distinct(
+                    lsh_probes_col(F.col("q_vec"), planes, n_probe)
+                )
+            ),
+        )
+        scored = vocab.join(F.broadcast(q_side), "bucket")
+    else:
+        raise ValueError(f"unknown expansion method: {method}")
+    scored = scored.withColumn(
         "cos", dot_col(F.col("vec"), F.col("q_vec"))
     )
     # drop self-matches and the query's own other terms

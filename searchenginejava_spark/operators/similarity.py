@@ -84,6 +84,47 @@ def lsh_bucket_col(vec_col: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def lsh_probes_col(
+    vec_col: Column, planes: list[list[float]], n_probe: int = 1
+) -> Column:
+    """Multi-probe bucket list for a DISTRIBUTED query side, 100% native
+    (array<long>, no UDF): element 0 is the row's own LSH bucket (same
+    arithmetic as ``lsh_bucket_col``), elements 1..n_probe-1 flip the bit
+    of the hyperplane the vector sits closest to, in (|margin| asc,
+    plane asc) order — the same probe sequence ``ann_lsh_topk`` computes
+    driver-side for a literal query vector ([L:Lv et al., VLDB 2007]).
+    Used by batch consumers (e.g. semantic query expansion) where the
+    query vectors are themselves a DataFrame column."""
+    dots = [
+        dot_col(vec_col, F.array(*[F.lit(float(x)) for x in p]))
+        for p in planes
+    ]
+    bucket = F.lit(0).cast("long")
+    for j, d in enumerate(dots):
+        bucket = bucket + F.when(d > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    if n_probe <= 1:
+        return F.array(bucket)
+    margins = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(d).alias("m"),
+                    F.lit(j).alias("j"),
+                    F.lit(1 << j).cast("long").alias("bit"),
+                )
+                for j, d in enumerate(dots)
+            ]
+        )
+    )
+    flips = F.slice(margins, 1, n_probe - 1)
+    return F.concat(
+        F.array(bucket),
+        F.transform(flips, lambda s: bucket.bitwiseXOR(s["bit"])),
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],

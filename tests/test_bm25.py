@@ -227,8 +227,12 @@ def test_query_expansion(spark, index):
     from searchenginejava_spark.operators.search import expand_query
 
     qt = query_terms_df(spark, [(0, "spark merge")])
-    exp1 = expand_query(qt, index.dictionary, n_expansions=2, weight=0.5)
-    exp2 = expand_query(qt, index.dictionary, n_expansions=2, weight=0.5)
+    exp1 = expand_query(
+        qt, index.dictionary, n_expansions=2, weight=0.5, method="exact"
+    )
+    exp2 = expand_query(
+        qt, index.dictionary, n_expansions=2, weight=0.5, method="exact"
+    )
     rows1 = {(r["query_id"], r["term"]): r["qtf"] for r in exp1.collect()}
     rows2 = {(r["query_id"], r["term"]): r["qtf"] for r in exp2.collect()}
     assert rows1 == rows2                               # deterministic
@@ -248,6 +252,81 @@ def test_query_expansion(spark, index):
     assert {r["doc_id"] for r in plain.collect()} <= {
         r["doc_id"] for r in expd.collect()
     }
+
+
+def test_expansion_lsh_vs_exact(spark, index):
+    """The LSH-routed expansion (the serving default — bucket equi-join,
+    never a full-vocabulary scan) must agree with the exact crossJoin
+    path: recall of the exact expansion set is non-decreasing in n_probe
+    and reaches 1.0 when every bucket is probed. Multi-probe flips ONE
+    bit per extra probe, so full coverage is only reachable at
+    n_planes=1, n_probe=2 (00→{00,01}; with 2 planes the double-flip
+    bucket stays unprobed by design) — there the candidate set is
+    identical, so the top-n choice (same cosine, same tie-break) is
+    identical row-for-row."""
+    from searchenginejava_spark.operators.search import expand_query
+
+    qt = query_terms_df(spark, [(0, "spark merge"), (1, "stream batch")])
+    kw = dict(n_expansions=2, weight=0.5)
+    exact = {
+        (r["query_id"], r["term"], round(r["qtf"], 9))
+        for r in expand_query(
+            qt, index.dictionary, method="exact", **kw
+        ).collect()
+    }
+    def recall(n_planes: int, n_probe: int) -> float:
+        got = {
+            (r["query_id"], r["term"], round(r["qtf"], 9))
+            for r in expand_query(
+                qt,
+                index.dictionary,
+                method="lsh",
+                n_planes=n_planes,
+                n_probe=n_probe,
+                **kw,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    recalls = [recall(2, p) for p in (1, 2, 3)]
+    assert recalls == sorted(recalls), recalls      # monotone in n_probe
+    assert recall(1, 2) == 1.0                      # full probe == exact
+
+
+def test_expansion_embedded_vectors(spark, index):
+    """Real-vector-table mode: expansion over a (term, vec) embedding
+    table (embedded_term_vectors joins a vec_id-keyed table) keeps every
+    original term, adds ≤ n_expansions terms per query term, and is
+    deterministic. Terms missing from the table pass through unexpanded."""
+    from searchenginejava_spark.operators.search import (
+        embedded_term_vectors,
+        expand_query,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(16)],
+        "vec_id long, embedding array<float>",
+    )
+    vecs = embedded_term_vectors(
+        index.dictionary, emb, n_vectors=16
+    )
+    # unit-norm check (dot == cosine precondition)
+    from pyspark.sql import functions as F
+
+    from searchenginejava_spark.operators.similarity import norm_col
+
+    nrms = vecs.select(norm_col(F.col("vec")).alias("n")).collect()
+    assert all(abs(r["n"] - 1.0) < 1e-12 for r in nrms)
+    qt = query_terms_df(spark, [(0, "spark merge")])
+    rows = {
+        (r["term"],): r["qtf"]
+        for r in expand_query(
+            qt, index.dictionary, method="exact", vectors=vecs
+        ).collect()
+    }
+    for r in qt.collect():
+        assert rows[(r["term"],)] == float(r["qtf"])
+    assert len(rows) > qt.count()   # something was added
 
 
 def test_qtf_weighting(spark, index):

@@ -732,6 +732,60 @@ def main() -> None:
     ]
     sections.append(("PQ/ADC vector search", p_pq, checks))
 
+    # 21. semantic expansion: the SERVING path (method='lsh') must join
+    # vocabulary candidates on the LSH bucket — an equi-join, pruned to
+    # ≈ n_probe/2^planes of the vocabulary — never scan the whole
+    # dictionary per query term (VERDICT r02's one `weak` plan). The
+    # exact crossJoin survives only as the oracle/parity mode.
+    from searchenginejava_spark.operators.search import expand_query
+
+    qt_xp = spark.createDataFrame(
+        [(0, "spark", 1), (0, "merge", 1)], "query_id int, term string, qtf int"
+    )
+    # dictionary via the zero-UDF simple tokenize path, so the audit sees
+    # the expansion operator's own crossings (the full tokenizer's Arrow
+    # batch stage is audited in section 1, not here)
+    from searchenginejava_spark.functions.tokenize import tokens_simple_col
+
+    tf_xp = term_frequencies(
+        explode_tokens(
+            corpus.select(
+                "doc_id", tokens_simple_col("text").alias("tokens")
+            )
+        )
+    )
+    dct_xp = tf_xp.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    p_xl = plan_of(expand_query(qt_xp, dct_xp, method="lsh", n_probe=2))
+    p_xe = plan_of(expand_query(qt_xp, dct_xp, method="exact"))
+    checks = [
+        (
+            "lsh expansion: vocabulary joined via bucket EQUI-join "
+            "(no nested-loop over the dictionary)",
+            "BroadcastNestedLoopJoin" not in p_xl
+            and "CartesianProduct" not in p_xl
+            and (
+                "BroadcastHashJoin" in p_xl or "SortMergeJoin" in p_xl
+            ),
+            "",
+        ),
+        (
+            "lsh expansion: fully native (zero Python crossings)",
+            "ArrowEvalPython" not in p_xl and "MapInPandas" not in p_xl,
+            "",
+        ),
+        (
+            "exact mode (the ORACLE path) is the nested-loop scan — "
+            "present there, absent from serving",
+            "BroadcastNestedLoopJoin" in p_xe or "CartesianProduct" in p_xe,
+            "",
+        ),
+    ]
+    sections.append(
+        ("semantic expansion: LSH bucket-pruned serving plan", p_xl, checks)
+    )
+
     ok = True
     out = ["# PLANS.md — physical-plan audit (generated by tools/explain_audit.py)", ""]
     for title, plan, cks in sections:
