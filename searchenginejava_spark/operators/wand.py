@@ -204,15 +204,24 @@ def wand_topk(
     k1: float = BM25_K1,
     b: float = BM25_B,
     deleted=None,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """Pruned per-query top-k over the compressed postings dataset.
 
     Doc lengths come from the postings' own ``norms`` sidecar column —
     ``stats`` only carries the O(1) scalars (N, avgdl, dl_min).
 
-    ``deleted``: optional sequence of tombstoned doc_ids (see
-    pipeline.delete_docs) — O(|tombstones|) in the task closure, never
-    doc-proportional; compaction bounds it by policy.
+    Tombstones (pipeline.delete_docs) enter one of two ways:
+    - ``tombstones``: a (doc_id) DataFrame — the engine path. It is
+      sort-aggregated DISTRIBUTED-side into one array row and
+      broadcast-joined into the query groups: the ids never touch the
+      driver (no collect, no task-closure capture). Each query group
+      reads the array once. O(|tombstones|) per group by necessity (a
+      single-pointer scorer walks the whole doc space); the doc-SHARDED
+      scorer (wand_topk_sharded) bounds it per shard instead — that is
+      the 100 TB serving layout.
+    - ``deleted``: a driver-side id sequence (tests/tools convenience).
+    Compaction bounds both by policy (|tombstones|/N threshold).
     """
     n_docs, avgdl = stats["N"], stats["avgdl"]
     dl_min = float(stats.get("dl_min", 1.0))
@@ -240,12 +249,30 @@ def wand_topk(
     q_post = q_post.withColumn(
         "term_df", F.sum("df").over(Window.partitionBy("query_id", "term"))
     )
+    has_tomb_col = False
+    if tombstones is not None:
+        dead_df = tombstones.agg(
+            F.sort_array(
+                F.collect_list(F.col("doc_id").cast("long"))
+            ).alias("__dead")
+        )
+        q_post = q_post.crossJoin(F.broadcast(dead_df))
+        has_tomb_col = True
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        dead = del_arr
+        if has_tomb_col:
+            arr = pdf["__dead"].iloc[0]
+            pdf = pdf.drop(columns="__dead")
+            if arr is not None and len(arr):
+                a = np.asarray(arr, dtype=np.int64)
+                dead = a if dead is None else np.union1d(dead, a)
         qid = int(pdf["query_id"].iloc[0])
         terms = pdf.to_dict("records")
         rows = _wand_one_query(
-            qid, terms, n_docs, avgdl, dl_min, k, k1, b, deleted=del_arr
+            qid, terms, n_docs, avgdl, dl_min, k, k1, b, deleted=dead
         )
         return pd.DataFrame(
             rows, columns=["query_id", "rank", "doc_id", "score"]
@@ -275,6 +302,7 @@ def wand_topk_sharded(
     k1: float = BM25_K1,
     b: float = BM25_B,
     deleted=None,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """Doc-sharded WAND: pruned top-k over doc-range-sharded postings
     (operators/index.py::build_sharded_postings, PARTIAL_POSTINGS rows).
@@ -289,6 +317,16 @@ def wand_topk_sharded(
     (tf, dl) values), so the merged ranking is identical too. idf uses
     the TERM-level df summed across shards (a window over the pruned
     query subset — a handful of rows), exactly like posting segments.
+
+    ``tombstones`` (DataFrame of doc_id) ride the shard layout: shards
+    are CONTIGUOUS doc ranges, so each tombstone is range-joined to its
+    shard's [min_doc, max_doc] envelope (an S-row broadcast — S =
+    num_shards, O(1) per cluster) and aggregated into a per-shard sorted
+    array. Each (query, shard) task then carries only ITS shard's dead
+    ids — O(deletes-in-shard), never the full set, never the driver.
+    This ENFORCES the compaction bound that the closure-captured form
+    only assumed. ``deleted`` (driver-side sequence) remains for
+    tests/tools convenience.
     """
     from pyspark.sql import Window
 
@@ -313,12 +351,38 @@ def wand_topk_sharded(
     q_post = q_post.withColumn(
         "term_df", F.sum("n").over(Window.partitionBy("query_id", "term"))
     )
+    has_tomb_col = False
+    if tombstones is not None:
+        envelopes = sharded.groupBy("salt").agg(
+            F.min("min_doc").alias("__lo"), F.max("max_doc").alias("__hi")
+        )
+        dead_by_salt = (
+            tombstones.select(F.col("doc_id").cast("long").alias("doc_id"))
+            .join(
+                F.broadcast(envelopes),
+                (F.col("doc_id") >= F.col("__lo"))
+                & (F.col("doc_id") <= F.col("__hi")),
+            )
+            .groupBy("salt")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("__dead"))
+        )
+        q_post = q_post.join(dead_by_salt, "salt", "left")
+        has_tomb_col = True
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         from searchenginejava_spark.functions.codec import vb_encode
 
+        dead = del_arr
+        if has_tomb_col:
+            arr = pdf["__dead"].iloc[0]
+            pdf = pdf.drop(columns="__dead")
+            if isinstance(arr, float):  # NaN: shard with no tombstones
+                arr = None
+            if arr is not None and len(arr):
+                a = np.asarray(arr, dtype=np.int64)
+                dead = a if dead is None else np.union1d(dead, a)
         qid = int(pdf["query_id"].iloc[0])
         terms = []
         for rec in pdf.to_dict("records"):
@@ -332,7 +396,7 @@ def wand_topk_sharded(
             rec["norms"] = rec["dl_bytes"]
             terms.append(rec)
         rows = _wand_one_query(
-            qid, terms, n_docs, avgdl, dl_min, k, k1, b, deleted=del_arr
+            qid, terms, n_docs, avgdl, dl_min, k, k1, b, deleted=dead
         )
         return pd.DataFrame(
             rows, columns=["query_id", "rank", "doc_id", "score"]

