@@ -35,6 +35,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--fuzzy", action="store_true")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--snippets", default=None, help="corpus parquet for snippets")
+    p.add_argument(
+        "--hybrid", default=None, metavar="EMBEDDINGS_PARQUET",
+        help="doc-aligned embedding table: RRF-fuse the lexical ranking "
+        "with a cosine leg whose query vector is looked up from the same "
+        "table (engine.hybrid_text) — the lexical⊕semantic serving mode. "
+        "Ignores the structured-constraint flags.",
+    )
     p.add_argument("--mode", default="full", choices=["full", "simple"])
     p.add_argument("--json", action="store_true")
     args = p.parse_args(argv)
@@ -50,6 +57,20 @@ def main(argv: list[str] | None = None) -> int:
     from searchenginejava_spark.engine import SearchEngine
 
     eng = SearchEngine.load(spark, args.index, mode=args.mode)
+    if args.hybrid:
+        emb = spark.read.parquet(args.hybrid)
+        res = eng.hybrid_text(args.query, emb, k=args.k)
+        res.write.mode("overwrite").parquet(args.output)
+        rows = spark.read.parquet(args.output).orderBy("rank").collect()
+        if args.json:
+            for r in rows:
+                print(json.dumps(r.asDict()))
+        print(
+            json.dumps(
+                {"status": "complete", "n_results": len(rows), "out": args.output}
+            )
+        )
+        return 0
     snip = spark.read.parquet(args.snippets) if args.snippets else None
     res = eng.structured(
         args.query,

@@ -124,6 +124,30 @@ class SearchEngine:
         lex = self.search(text, k=k, path="exhaustive")
         return hybrid_search(lex, embeddings, query_vec, k=k)
 
+    def hybrid_text(
+        self, text: str, embeddings: DataFrame, *, k: int = TOP_K
+    ) -> DataFrame:
+        """Real lexical⊕semantic serving: ONE text query drives both
+        legs. The semantic query vector is looked up from the embedding
+        table itself (embedded_term_vectors over the query's terms, mean
+        of the unit vectors, re-normalized — an O(|query terms|)-row
+        collect), then RRF-fuses with the BM25 leg via ``hybrid``."""
+        import numpy as np
+
+        from .operators.search import embedded_term_vectors, query_terms_df
+
+        qt = query_terms_df(self.spark, [(0, text)], tokenizer=self._tok)
+        rows = embedded_term_vectors(qt, embeddings).collect()
+        if not rows:
+            raise ValueError("no query term resolves to an embedding row")
+        m = np.mean(
+            np.asarray([r["vec"] for r in rows], dtype=np.float64), axis=0
+        )
+        n = float(np.sqrt(np.sum(m * m)))
+        if n == 0.0:
+            raise ValueError("query vector collapsed to zero")
+        return self.hybrid(text, embeddings, (m / n).tolist(), k=k)
+
     # -- term-level / positional queries ---------------------------------
 
     def boolean(self, **kwargs) -> DataFrame:

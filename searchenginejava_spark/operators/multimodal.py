@@ -32,6 +32,31 @@ from pyspark.sql.types import (
     StructType,
 )
 
+def _require_pil():
+    """Capability detection for decoder='real' image paths: import PIL
+    lazily at task time; absent → the natural ModuleNotFoundError (tests
+    use pytest.importorskip('PIL'), so the suite skips cleanly where the
+    dependency is missing and lights up without code changes where it
+    exists)."""
+    from PIL import Image  # noqa: F401 — the capability being probed
+
+    return Image
+
+
+def _require_ffmpeg() -> str:
+    """Capability detection for decoder='real' video paths: locate the
+    ffmpeg binary; absent → ModuleNotFoundError (keeps one exception
+    type for 'real decoder unavailable' across image and video)."""
+    import shutil
+
+    path = shutil.which("ffmpeg")
+    if path is None:
+        raise ModuleNotFoundError(
+            "No ffmpeg binary on PATH — decoder='real' video paths need it"
+        )
+    return path
+
+
 MEDIA_META = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -75,18 +100,24 @@ def extract_image_features(
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    decoder="real" marks where PIL/torchvision decode would run (not
-    shipped in this container → NotImplementedError). decoder="stub"
-    produces a deterministic fake (dims + embedding derived from sha256
-    of the payload) so the distributed plumbing — batch iteration, schema,
-    null payloads, empty partitions — is fully testable.
+    decoder="real" decodes with PIL (imported lazily at task time via
+    _require_pil — absent in this container, so the path skips cleanly
+    under pytest.importorskip and lights up wherever PIL exists):
+    width/height from the decoded image, embedding = the grayscale image
+    resized to embedding_dim pixels, scaled to [0, 1]. decoder="stub"
+    (default) produces a deterministic fake (dims + embedding derived
+    from sha256 of the payload) so the distributed plumbing — batch
+    iteration, schema, null payloads, empty partitions — is fully
+    testable everywhere.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+        import io
 
         import numpy as np
 
+        Image = _require_pil() if decoder == "real" else None
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -96,11 +127,16 @@ def extract_image_features(
                     out.append((int(mid), None, None, None))
                     continue
                 if decoder == "real":
-                    raise NotImplementedError(
-                        "image decode requires PIL/torchvision — not shipped "
-                        "in this container; integration point for "
-                        "Image.open(io.BytesIO(payload))"
+                    img = Image.open(io.BytesIO(bytes(payload)))
+                    width, height = img.size
+                    gray = img.convert("L").resize((embedding_dim, 1))
+                    emb = (
+                        np.asarray(gray, dtype=np.float64).ravel() / 255.0
                     )
+                    out.append(
+                        (int(mid), int(width), int(height), emb.tolist())
+                    )
+                    continue
                 digest = hashlib.sha256(bytes(payload)).digest()
                 width = 64 + digest[0]
                 height = 64 + digest[1]
@@ -134,8 +170,11 @@ def sample_video_frames(
     clamped to [1, 10]) with per-frame fingerprints
     ``sha256(hex(payload) ‖ ':' ‖ frame_idx ‖ ':' ‖ every_n)`` — a pure
     function of (payload, frame position) that the DuckDB oracle can
-    express 1:1 (sha256 over a hex string); real path is the ffmpeg seek
-    loop.
+    express 1:1 (sha256 over a hex string). decoder="real" runs the
+    ffmpeg binary (located lazily at task time via _require_ffmpeg —
+    absent here, so tests skip cleanly) with select='not(mod(n,N))'
+    to pull every Nth frame as raw RGB and fingerprints the frame
+    bytes; one subprocess per payload, frames streamed off the pipe.
     """
     schema = StructType(
         [
@@ -148,6 +187,7 @@ def sample_video_frames(
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        ffmpeg = _require_ffmpeg() if decoder == "real" else None
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -156,9 +196,12 @@ def sample_video_frames(
                 if payload is None:
                     continue
                 if decoder == "real":
-                    raise NotImplementedError(
-                        "video frame extraction requires ffmpeg — stub only"
+                    rows.extend(
+                        _ffmpeg_sample_one(
+                            ffmpeg, int(mid), bytes(payload), every_n
+                        )
                     )
+                    continue
                 n_frames = min(max(len(payload) // bytes_per_frame, 1), 10)
                 ph = bytes(payload).hex()
                 for i in range(n_frames):
@@ -173,3 +216,38 @@ def sample_video_frames(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         sample, schema=schema
     )
+
+
+def _ffmpeg_sample_one(
+    ffmpeg: str, media_id: int, payload: bytes, every_n: int
+) -> list[tuple[int, int, str]]:
+    """Decode one video payload with the ffmpeg binary, keep every Nth
+    frame as a raw 64x64 grayscale buffer, fingerprint each. Runs inside
+    the mapInPandas task (one short-lived subprocess per payload; frames
+    stream off the pipe, never accumulate)."""
+    import hashlib
+    import subprocess
+
+    proc = subprocess.run(
+        [
+            ffmpeg, "-v", "error",
+            "-i", "pipe:0",
+            "-vf", f"select=not(mod(n\\,{every_n})),scale=64:64",
+            "-vsync", "vfr",
+            "-f", "rawvideo", "-pix_fmt", "gray",
+            "pipe:1",
+        ],
+        input=payload,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        check=True,
+    )
+    frame_bytes = 64 * 64
+    raw = proc.stdout
+    out = []
+    for i in range(len(raw) // frame_bytes):
+        h = hashlib.sha256(
+            raw[i * frame_bytes : (i + 1) * frame_bytes]
+        ).hexdigest()
+        out.append((media_id, i * every_n, h))
+    return out

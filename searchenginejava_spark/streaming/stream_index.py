@@ -208,3 +208,50 @@ def streaming_percolate(
         & ~F.exists("must_not", lambda t: F.array_contains("_tokens", t))
     )
     return joined.drop("_tokens")
+
+
+def percolate_foreach_batch(
+    stored_queries: DataFrame,
+    out_path: str,
+    *,
+    text_col: str = "content",
+    id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+):
+    """The percolator's LARGE-QUERY-SET fallback: a ``foreachBatch``
+    function that runs the batch inverted ``operators.search.percolate``
+    on each micro-batch and appends (query_id, id_cols...) alert rows to
+    ``out_path``.
+
+    Use when the stored-query table is too big to broadcast into the
+    stream-static crossJoin of ``streaming_percolate``: the inverted
+    shape explodes queries into a (term → query) relation so each doc is
+    only tested against queries it SHARES A TERM with — all equi-joins,
+    both sides scale as hash joins. Same must/must_not semantics,
+    exactly-once from the sink checkpoint + idempotent parquet append.
+
+        stream.writeStream.foreachBatch(
+            percolate_foreach_batch(queries, out)).start()
+    """
+    from ..functions.tokenize import tokens_simple_col
+    from ..operators.search import percolate
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        docs = batch_df.withColumn(
+            "__doc_id", F.xxhash64(*[F.col(c) for c in id_cols])
+        )
+        tf = docs.select(
+            F.col("__doc_id").alias("doc_id"),
+            F.explode(tokens_simple_col(text_col)).alias("term"),
+        ).distinct()
+        hits = percolate(stored_queries, tf)
+        (
+            hits.join(
+                docs.select("__doc_id", *id_cols),
+                hits["doc_id"] == F.col("__doc_id"),
+            )
+            .select("query_id", *id_cols)
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return run

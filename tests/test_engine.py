@@ -183,3 +183,28 @@ def test_engine_hybrid(spark, eng):
     res = eng.hybrid("table hash join", emb, qvec, k=5).collect()
     assert res and [r["rank"] for r in res] == list(range(1, len(res) + 1))
     assert all(r["rrf_score"] > 0 for r in res)
+
+
+def test_engine_hybrid_text(spark, eng):
+    """One text query drives BOTH legs: the semantic query vector is
+    looked up from the embedding table (mean of the query terms' unit
+    vectors) — equivalent to calling hybrid() with that vector."""
+    import numpy as np
+
+    from searchenginejava_spark.operators.search import (
+        embedded_term_vectors,
+        query_terms_df,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    text = "table hash join"
+    res = eng.hybrid_text(text, emb, k=5).collect()
+    assert res and [r["rank"] for r in res] == list(range(1, len(res) + 1))
+    qt = query_terms_df(spark, [(0, text)], tokenizer=eng._tok)
+    rows = embedded_term_vectors(qt, emb).collect()
+    m = np.mean(np.asarray([r["vec"] for r in rows]), axis=0)
+    qv = (m / np.sqrt(np.sum(m * m))).tolist()
+    want = eng.hybrid(text, emb, qv, k=5).collect()
+    assert [(r["doc_id"], r["rrf_score"]) for r in res] == [
+        (r["doc_id"], r["rrf_score"]) for r in want
+    ]

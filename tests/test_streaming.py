@@ -245,3 +245,51 @@ def test_streaming_percolate_matches_batch(spark, tmp_path):
         for r in percolate(queries, tf).collect()
     }
     assert got == want
+
+
+def test_percolate_foreach_batch_fallback(spark, tmp_path):
+    """The large-query-set fallback (VERDICT r02 item 7): running the
+    batch INVERTED percolate inside foreachBatch must produce exactly
+    the stream-static crossJoin path's alerts over the same source —
+    same must/must_not semantics, term-sharing equi-joins instead of a
+    broadcast crossJoin, alerts appended to a parquet sink."""
+    from pyspark.sql import functions as F
+
+    from searchenginejava_spark.streaming.stream_index import (
+        percolate_foreach_batch,
+        stream_source,
+    )
+
+    src = str(tmp_path / "fbsrc")
+    ckpt = str(tmp_path / "fbckpt")
+    out = str(tmp_path / "fbout")
+    cols = "repo string, path string, commit string, lang string, content string"
+    b1 = [
+        ("r", "a.py", "c", "py", "spark join merge"),
+        ("r", "b.py", "c", "py", "hash partition"),
+    ]
+    b2 = [("r", "c.py", "c", "py", "spark broadcast join")]
+    spark.createDataFrame(b1, cols).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, cols).coalesce(1).write.mode("append").parquet(src)
+
+    queries = spark.createDataFrame(
+        [
+            (0, ["spark", "join"], []),
+            (1, ["join"], ["broadcast"]),
+            (2, ["zzz"], []),
+        ],
+        "query_id int, must array<string>, must_not array<string>",
+    )
+    q = (
+        stream_source(spark, src, max_files_per_trigger=1)
+        .writeStream.foreachBatch(percolate_foreach_batch(queries, out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["query_id"], r["path"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(0, "a.py"), (0, "c.py"), (1, "a.py")}
