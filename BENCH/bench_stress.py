@@ -1,0 +1,132 @@
+"""One-shot sf1.0-scale stress run (VERDICT r02 item 6).
+
+500,000 synthetic source files — 10x the per-round bench corpus —
+through the full build (fused tokenize+tf, SPIMI partials, salted
+two-level merge with hot-term segmentation, delta+varbyte postings),
+then batch BM25 on both the single-pointer WAND path and the
+doc-SHARDED WAND path over freshly built sharded postings.
+
+Purpose: evidence that the partition strategy holds at 10x the bench
+scale — files/s within ~2x of the sf0.1 bench number (VM drift
+allowing) and zero task retries/OOM (run with stderr captured and grep
+for 'Lost task|FetchFailed|OutOfMemory' — the runner records that).
+
+Writes BENCH/STRESS.json; bench.py copies the summary into its JSON
+line (so BENCH_r{N}.json carries it) without re-running the stress.
+
+Env: STRESS_N_FILES (default 500000), SPARK_GRAFT_CPUS (default 32).
+Run: python BENCH/bench_stress.py 2> /tmp/stress_stderr.log
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    n_files = int(os.environ.get("STRESS_N_FILES", "500000"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(2 * cpus))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .appName("bench-stress-sf1")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")  # surfaces task retries/OOM
+
+    from searchenginejava_spark.operators.index import build_sharded_postings
+    from searchenginejava_spark.operators.search import query_terms_df
+    from searchenginejava_spark.operators.wand import (
+        wand_topk,
+        wand_topk_sharded,
+    )
+    from searchenginejava_spark.plans.pipeline import build_index
+    from searchenginejava_spark.sources.source import assign_doc_ids
+    from searchenginejava_spark.synth.gen_code_table import (
+        gen_code_table,
+        gen_query_set,
+    )
+
+    # corpus prep (untimed: fixture generation, not engine work)
+    code = gen_code_table(spark, n_files, num_partitions=2 * cpus).persist()
+    code.count()
+
+    # untimed warm build: Python-worker spin-up + per-worker imports
+    warm = build_index(
+        spark,
+        assign_doc_ids(
+            code.limit(1024), scalable=True, num_partitions=2 * cpus
+        ),
+        text_col="content",
+        mode="full",
+        num_partitions=2 * cpus,
+        assume_partitioned=True,
+    )
+    warm.postings.count()
+
+    t0 = time.monotonic()
+    ids = assign_doc_ids(code, scalable=True, num_partitions=2 * cpus)
+    idx = build_index(
+        spark, ids, text_col="content", mode="full",
+        num_partitions=2 * cpus, assume_partitioned=True,
+    )
+    n_terms = idx.postings.count()
+    idx.docs.persist().count()
+    t_build = round(time.monotonic() - t0, 3)
+
+    qset = gen_query_set(50)
+    qt = query_terms_df(spark, qset)
+
+    # batch WAND (single pointer per (query, term))
+    wand_topk(spark, qt, idx.postings, idx.stats, k=10).collect()  # warm
+    t0 = time.monotonic()
+    n_w = len(wand_topk(spark, qt, idx.postings, idx.stats, k=10).collect())
+    t_wand = round(time.monotonic() - t0, 3)
+
+    # doc-sharded WAND over freshly stitched sharded postings
+    t0 = time.monotonic()
+    sharded = build_sharded_postings(
+        idx.tf, num_shards=8, num_partitions=2 * cpus
+    ).persist()
+    sharded.count()
+    t_shard_build = round(time.monotonic() - t0, 3)
+    wand_topk_sharded(spark, qt, sharded, idx.stats, k=10).collect()  # warm
+    t0 = time.monotonic()
+    n_s = len(
+        wand_topk_sharded(spark, qt, sharded, idx.stats, k=10).collect()
+    )
+    t_wand_sharded = round(time.monotonic() - t0, 3)
+
+    out = {
+        "n_files": n_files,
+        "cpus": cpus,
+        "build_sec": t_build,
+        "files_per_sec": round(n_files / t_build, 1),
+        "n_terms": n_terms,
+        "wand_batch50_sec": t_wand,
+        "sharded_postings_build_sec": t_shard_build,
+        "wand_sharded_batch50_sec": t_wand_sharded,
+        "results_rows": {"wand": n_w, "sharded": n_s},
+        "rank_identical_paths": n_w == n_s,
+    }
+    with open(os.path.join(REPO, "BENCH", "STRESS.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

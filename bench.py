@@ -189,6 +189,15 @@ def main() -> None:
         "n_terms": n_postings,
         "cpus": cpus,
     }
+    # one-shot sf1.0-scale stress evidence (BENCH/bench_stress.py writes
+    # BENCH/STRESS.json; copied here — NOT re-run — so the per-round
+    # bench record carries the 10x-scale numbers next to the sf0.1 ones)
+    stress_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "STRESS.json"
+    )
+    if os.path.exists(stress_path):
+        with open(stress_path) as f:
+            out["stress_sf1"] = json.load(f)
     spark.stop()
     print(json.dumps(out))
 
