@@ -1456,6 +1456,54 @@ def q_classic_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_lm_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood ranking with Dirichlet smoothing (Zhai & Lafferty
+    SIGIR'01; Lucene LMDirichletSimilarity) — the THIRD standard ranking
+    model, same plan family as the BM25/TF-IDF scorers (driver-side
+    constants, broadcast query weights, per-row ln inside codegen,
+    hash agg + top-k window)."""
+    from searchenginejava_spark.operators.search import lm_dirichlet_topk
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    dct_cf = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    stats = dict(stats)
+    stats["total_terms"] = int(
+        dl.agg(F.sum("doc_len").alias("t")).collect()[0]["t"]
+    )
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    res = lm_dirichlet_topk(qt, tf, dl, dct_cf, stats, k=_TOPK).select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
+def q_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance feedback (Lavrenko & Croft SIGIR'01; the
+    Anserini convention): BM25 top-10 feedback docs → relevance-model
+    term weights → truncate+renormalize → interpolate with the original
+    query. Every weight is rational arithmetic over bit-stable
+    deterministic-fold scores, so DuckDB reproduces the expansion."""
+    from searchenginejava_spark.operators.search import rm3_expand
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    res = rm3_expand(
+        qt, tf, dl, dct, stats, fb_docs=10, fb_terms=10, alpha=0.5
+    ).select("query_id", "term", F.round("qtf", 6).alias("qtf"))
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
 _TV_DOCS = [3, 7]
 
 
@@ -1556,13 +1604,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round --
         "q_expansion_ann": q_expansion_ann,
         "q_expansion_embedded": q_expansion_embedded,
-        # -- family representatives (r02-green, one per family) --
-        "q_exact_dedup": q_exact_dedup,
+        "q_lm_dirichlet": q_lm_dirichlet,
+        "q_rm3_expansion": q_rm3_expansion,
+        # -- family representatives (r02-green, one per family; exact
+        # dedup and indexed phrases stay covered in-window by
+        # minhash_neardup/dedup_clusters and phrase_batch/span_near) --
         "q_minhash_neardup": q_minhash_neardup,
         "q_dedup_clusters": q_dedup_clusters,
         "q_ann_lsh_topk": q_ann_lsh_topk,
         "q_image_features": q_image_features,
-        "q_phrase_indexed": q_phrase_indexed,
         # -- no driver row yet (past r02's 50-row window) --
         "q_more_like_this": q_more_like_this,
         "q_facet_counts": q_facet_counts,
@@ -1592,6 +1642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_term_vectors": q_doc_term_vectors,
         "q_classic_tfidf": q_classic_tfidf,
         # ---- 50-query window boundary (driver-green in r02 below) ----
+        "q_exact_dedup": q_exact_dedup,
+        "q_phrase_indexed": q_phrase_indexed,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash_signatures": q_minhash_signatures,
         "q_lsh_candidates": q_lsh_candidates,
@@ -2173,6 +2225,104 @@ def oracle_sql() -> dict[str, str]:
                round(s, 6) AS score
         FROM scored
         QUALIFY rank <= {_TOPK}
+        """,
+        # Dirichlet-smoothed query likelihood (Zhai-Lafferty / Lucene
+        # LMDirichletSimilarity): per-term denominator (mu*cf)/total with
+        # the SAME association order as the Spark driver-side constant
+        "q_lm_dirichlet": _SQL_TF
+        + f"""
+        , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+                 FROM tf GROUP BY doc_id),
+        tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM tf),
+        dict AS (SELECT term, count(*) AS df, sum(tf) AS cf
+                 FROM tf GROUP BY term),
+        q(query_id, term, qtf) AS (VALUES {q_values}),
+        qlen AS (SELECT query_id, CAST(sum(qtf) AS DOUBLE) AS qlen
+                 FROM q GROUP BY query_id),
+        parts AS (
+          SELECT q.query_id, tf.doc_id,
+                 sum(q.qtf * ln(1.0 + tf.tf
+                                / ((2000.0 * dict.cf) / tot.total))) AS p
+          FROM q
+          JOIN dict USING (term)
+          JOIN tf USING (term)
+          CROSS JOIN tot
+          GROUP BY q.query_id, tf.doc_id
+        ),
+        scored AS (
+          SELECT p.query_id, p.doc_id,
+                 p.p + qlen.qlen * ln(2000.0 / (dl.doc_len + 2000.0)) AS s
+          FROM parts p
+          JOIN dl ON p.doc_id = dl.doc_id
+          JOIN qlen ON p.query_id = qlen.query_id
+        )
+        SELECT CAST(query_id AS INT) AS query_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, doc_id ASC) AS INT) AS rank,
+               doc_id,
+               round(s, 6) AS score
+        FROM scored
+        QUALIFY rank <= {_TOPK}
+        """,
+        # RM3 pseudo-relevance feedback (Lavrenko-Croft / Anserini):
+        # BM25 top-10 -> P(t|R) = sum (tf/dl)*sd -> truncate+renorm ->
+        # alpha-interpolate with the normalized original query
+        "q_rm3_expansion": _SQL_TF
+        + f"""
+        , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+                 FROM tf GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+        dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        q(query_id, term, qtf) AS (VALUES {q_values}),
+        scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 sum(q.qtf
+                     * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                     * (tf.tf * {_K1 + 1.0})
+                     / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+                 ) AS s
+          FROM q
+          JOIN dict USING (term)
+          JOIN tf USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          GROUP BY q.query_id, tf.doc_id
+        ),
+        fb AS (
+          SELECT query_id, doc_id, s FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY s DESC, doc_id ASC) AS rk
+            FROM scored
+          ) WHERE rk <= 10
+        ),
+        ssum AS (SELECT query_id, sum(s) AS ssum FROM fb GROUP BY query_id),
+        fbw AS (SELECT fb.query_id, fb.doc_id, fb.s / ssum.ssum AS sd
+                FROM fb JOIN ssum USING (query_id)),
+        rm1 AS (
+          SELECT fbw.query_id, tf.term,
+                 sum(tf.tf / CAST(dl.doc_len AS DOUBLE) * fbw.sd) AS w
+          FROM fbw
+          JOIN tf USING (doc_id)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          GROUP BY fbw.query_id, tf.term
+        ),
+        top AS (
+          SELECT query_id, term, w FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY w DESC, term ASC) AS rk
+            FROM rm1
+          ) WHERE rk <= 10
+        ),
+        tsum AS (SELECT query_id, sum(w) AS tsum FROM top GROUP BY query_id),
+        expd AS (SELECT top.query_id, top.term, 0.5 * top.w / tsum.tsum AS qtf
+                 FROM top JOIN tsum USING (query_id)),
+        qlen AS (SELECT query_id, CAST(sum(qtf) AS DOUBLE) AS qlen
+                 FROM q GROUP BY query_id),
+        orig AS (SELECT q.query_id, q.term, 0.5 * q.qtf / qlen.qlen AS qtf
+                 FROM q JOIN qlen USING (query_id))
+        SELECT query_id, term, round(sum(qtf), 6) AS qtf
+        FROM (SELECT * FROM orig UNION ALL SELECT * FROM expd)
+        GROUP BY query_id, term
         """,
         "q_wildcard_search": _SQL_TF
         + f"""

@@ -242,6 +242,44 @@ class SearchEngine:
             self.index.stats, k=k,
         )
 
+    def search_lm(
+        self, text: str, *, k: int = TOP_K, mu: float = 2000.0
+    ) -> DataFrame:
+        """Rank with Dirichlet-smoothed query likelihood (the third
+        standard model; Lucene LMDirichletSimilarity)."""
+        from .operators.search import lm_dirichlet_topk, query_terms_df
+
+        qt = query_terms_df(self.spark, [(0, text)], tokenizer=self._tok)
+        return lm_dirichlet_topk(
+            qt, self.index.tf, self.index.docs, self.index.dictionary,
+            self.index.stats, k=k, mu=mu,
+        )
+
+    def search_rm3(
+        self, text: str, *, k: int = TOP_K, fb_docs: int = 10,
+        fb_terms: int = 10, alpha: float = 0.5, path: str = "exhaustive",
+    ) -> DataFrame:
+        """BM25 with RM3 pseudo-relevance feedback: expand from the
+        collection's own top-ranked docs, then rescore the expanded
+        weighted query."""
+        from .operators.search import (
+            query_terms_df,
+            rm3_expand,
+            score_exhaustive,
+        )
+
+        qt = query_terms_df(self.spark, [(0, text)], tokenizer=self._tok)
+        expanded = rm3_expand(
+            qt, self.index.tf, self.index.docs, self.index.dictionary,
+            self.index.stats, fb_docs=fb_docs, fb_terms=fb_terms,
+            alpha=alpha,
+        )
+        return score_exhaustive(
+            expanded, self.index.tf, self.index.docs,
+            self.index.dictionary, self.index.stats, k=k,
+            doc_exclude=self.index.tombstones,
+        )
+
     def term_vectors(self, doc_ids: Sequence[int]) -> DataFrame:
         from .operators.search import doc_term_vector
 

@@ -444,6 +444,86 @@ def expand_query(
     )
 
 
+def rm3_expand(
+    query_terms: DataFrame,
+    postings_exploded: DataFrame,
+    docs: DataFrame,
+    dictionary: DataFrame,
+    stats: dict,
+    *,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """RM3 pseudo-relevance feedback ([L:Lavrenko & Croft, SIGIR 2001];
+    the Anserini/Lucene RM3 convention) — expansion from the COLLECTION's
+    own top-ranked documents rather than a vector table:
+
+    1. initial BM25 top ``fb_docs`` per query (deterministic term-sorted
+       fold — the scores feed the weights, so they must be bit-stable);
+    2. relevance model over the feedback set:
+       P(t|R) ∝ Σ_{d∈FB} (tf_td / dl_d) · s_d with s_d = score_d
+       normalized over the feedback set;
+    3. keep the top ``fb_terms`` terms (weight desc, term asc),
+       re-normalize (the Anserini truncation convention);
+    4. interpolate with the normalized original query:
+       qtf' = α·(qtf/|q|) + (1−α)·P(t|R).
+
+    Returns (query_id, term, qtf) ready for any scorer — original terms
+    always survive via the α side (even OOV ones). Plan shape: one
+    initial top-k job, then the feedback weights (≤ queries·fb_docs
+    rows) BROADCAST into a tf join keyed on doc_id — only the feedback
+    docs' rows leave the scan — followed by two windowed top-n/agg
+    steps over (queries·fb-vocabulary)-sized relations. Every weight is
+    rational arithmetic over bit-stable scores, so the DuckDB oracle
+    reproduces the expansion exactly.
+    """
+    fb = score_exhaustive(
+        query_terms, postings_exploded, docs, dictionary, stats,
+        k=fb_docs, deterministic=True,
+    )
+    ssum = fb.groupBy("query_id").agg(F.sum("score").alias("ssum"))
+    fbw = fb.join(ssum, "query_id").select(
+        "query_id", "doc_id", (F.col("score") / F.col("ssum")).alias("sd")
+    )
+    ft = (
+        postings_exploded.join(F.broadcast(fbw), "doc_id")
+        .join(docs.select("doc_id", "doc_len"), "doc_id")
+        .withColumn(
+            "contrib",
+            F.col("tf").cast("double")
+            / F.col("doc_len").cast("double")
+            * F.col("sd"),
+        )
+    )
+    rm1 = ft.groupBy("query_id", "term").agg(F.sum("contrib").alias("w"))
+    wnd = Window.partitionBy("query_id").orderBy(F.desc("w"), F.asc("term"))
+    top = rm1.withColumn("rk", F.row_number().over(wnd)).filter(
+        F.col("rk") <= fb_terms
+    )
+    tsum = top.groupBy("query_id").agg(F.sum("w").alias("tsum"))
+    exp = top.join(tsum, "query_id").select(
+        "query_id",
+        "term",
+        (F.lit(1.0 - alpha) * F.col("w") / F.col("tsum")).alias("qtf"),
+    )
+    qlen = query_terms.groupBy("query_id").agg(
+        F.sum(F.col("qtf").cast("double")).alias("qlen")
+    )
+    orig = query_terms.join(qlen, "query_id").select(
+        "query_id",
+        "term",
+        (
+            F.lit(alpha) * F.col("qtf").cast("double") / F.col("qlen")
+        ).alias("qtf"),
+    )
+    return (
+        orig.unionByName(exp)
+        .groupBy("query_id", "term")
+        .agg(F.sum("qtf").alias("qtf"))
+    )
+
+
 def classic_tfidf_topk(
     query_terms: DataFrame,
     postings_exploded: DataFrame,
@@ -502,6 +582,106 @@ def classic_tfidf_topk(
     )
     return (
         agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("int"),
+            F.col("rank").cast("int"),
+            F.col("doc_id").cast("long"),
+            F.col("score").cast("double"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def lm_dirichlet_topk(
+    query_terms: DataFrame,
+    postings_exploded: DataFrame,
+    docs: DataFrame,
+    dictionary: DataFrame,
+    stats: dict,
+    *,
+    k: int = TOP_K,
+    mu: float = 2000.0,
+) -> DataFrame:
+    """Query-likelihood ranking with Dirichlet smoothing ([L:Zhai &
+    Lafferty, SIGIR 2001]; Lucene LMDirichletSimilarity) — the THIRD
+    standard ranking model next to BM25 and Classic TF-IDF:
+
+        score(q,d) = Σ_{t∈q∩d} qtf · ln(1 + tf_td / (μ·P(t|C)))
+                     + |q| · ln(μ / (dl_d + μ))
+        P(t|C)     = cf_t / total_terms      |q| = Σ_t qtf
+
+    Candidates = docs sharing ≥1 query term (the standard practical
+    top-k set: docs with no query term score only the doc-length
+    constant, strictly below any candidate for ranking purposes).
+    Plan family identical to score_exhaustive: per-term μ·P(t|C)
+    denominators and |q| computed driver-side (query-vocab-bounded
+    collect), candidate join broadcasts the query weights, the per-row
+    ln runs JVM-side inside codegen (same engine-portability precedent
+    as unigram NLL: both engines' libm agree at the 6-decimal oracle
+    rounding), hash agg + one docs join + top-k window.
+    """
+    qt = F.broadcast(query_terms)
+    q_rows = dictionary.join(qt, "term").select(
+        "query_id", "term", "qtf", "cf"
+    ).collect()
+    total = float(stats["total_terms"])
+    spark = query_terms.sparkSession
+    qw = spark.createDataFrame(
+        [
+            (
+                int(r["query_id"]),
+                r["term"],
+                float(r["qtf"]),
+                # association pinned: (μ · cf) / total — the oracle SQL
+                # computes the identical expression, so the constant is
+                # bit-equal across engines
+                (mu * float(r["cf"])) / total,
+            )
+            for r in q_rows
+        ],
+        "query_id int, term string, qtf double, denom double",
+    )
+    # |q| per query from the FULL query (terms absent from the dictionary
+    # still count toward query length, as in the model)
+    q_len = {
+        int(r["query_id"]): float(r["qlen"])
+        for r in query_terms.groupBy("query_id")
+        .agg(F.sum("qtf").alias("qlen"))
+        .collect()
+    }
+    qlen_df = F.broadcast(
+        spark.createDataFrame(
+            [(qid, ql) for qid, ql in sorted(q_len.items())],
+            "query_id int, qlen double",
+        )
+    )
+    part = F.col("qtf") * F.log(
+        F.lit(1.0) + F.col("tf").cast("double") / F.col("denom")
+    )
+    agg = (
+        postings_exploded.join(F.broadcast(qw), "term")
+        .withColumn("part", part)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("part").alias("ql_part"))
+    )
+    scored = (
+        agg.join(docs.select("doc_id", "doc_len"), "doc_id")
+        .join(qlen_df, "query_id")
+        .withColumn(
+            "score",
+            F.col("ql_part")
+            + F.col("qlen")
+            * F.log(
+                F.lit(mu) / (F.col("doc_len").cast("double") + F.lit(mu))
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             F.col("query_id").cast("int"),

@@ -208,3 +208,15 @@ def test_engine_hybrid_text(spark, eng):
     assert [(r["doc_id"], r["rrf_score"]) for r in res] == [
         (r["doc_id"], r["rrf_score"]) for r in want
     ]
+
+
+def test_engine_lm_and_rm3(spark, eng):
+    """Third ranking model + PRF through the facade: LM Dirichlet ranks
+    (negative log-likelihood scores, ranks contiguous), RM3 returns a
+    ranking whose candidate set includes the plain BM25 one (expansion
+    only adds terms, α keeps the originals)."""
+    lm = eng.search_lm("table hash join", k=5).collect()
+    assert lm and [r["rank"] for r in lm] == list(range(1, len(lm) + 1))
+    plain = eng.search("table hash join", k=10**6, path="exhaustive").collect()
+    rm3 = eng.search_rm3("table hash join", k=10**6, fb_docs=5).collect()
+    assert {r["doc_id"] for r in plain} <= {r["doc_id"] for r in rm3}

@@ -551,3 +551,80 @@ def test_classic_tfidf_hand_computed(spark, tf):
         want = idf * idf * math.sqrt(t) / math.sqrt(dls[d])
         assert got[d] == pytest.approx(want, rel=1e-9)
     assert 2 not in got
+
+
+def test_lm_dirichlet_matches_manual(spark, tf):
+    """Dirichlet-smoothed query likelihood vs a by-hand computation over
+    the 4-doc corpus: score = Σ qtf·ln(1 + tf/(μ·cf/total)) +
+    |q|·ln(μ/(dl+μ)), candidates = docs sharing ≥1 query term."""
+    import math
+
+    from searchenginejava_spark.operators.search import lm_dirichlet_topk
+
+    dl, _, stats = _parts(tf)
+    dct = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    stats = dict(stats)
+    stats["total_terms"] = int(
+        dl.agg(F.sum("doc_len").alias("t")).collect()[0]["t"]
+    )
+    qt = spark.createDataFrame(
+        [(0, "join", 1), (0, "spark", 1)], "query_id int, term string, qtf int"
+    )
+    mu = 2000.0
+    got = {
+        r["doc_id"]: r["score"]
+        for r in lm_dirichlet_topk(qt, tf, dl, dct, stats, mu=mu).collect()
+    }
+    rows = {
+        (r["doc_id"], r["term"]): r["tf"] for r in tf.collect()
+    }
+    cf = {"join": 4, "spark": 4}
+    dls = {0: 6, 1: 3, 2: 3, 3: 5}
+    total = float(stats["total_terms"])
+    assert total == sum(dls.values())
+    for d in (0, 1, 3):  # doc 2 has neither term → not a candidate
+        s = sum(
+            1.0 * math.log(1.0 + rows[(d, t)] / ((mu * cf[t]) / total))
+            for t in ("join", "spark")
+            if (d, t) in rows
+        ) + 2.0 * math.log(mu / (dls[d] + mu))
+        assert got[d] == pytest.approx(s, rel=1e-12), d
+    assert 2 not in got
+    # ranking: all scores negative (short docs), higher = better
+    ranked = sorted(got, key=lambda d: (-got[d], d))
+    res = lm_dirichlet_topk(qt, tf, dl, dct, stats, mu=mu).collect()
+    assert [r["doc_id"] for r in sorted(res, key=lambda r: r["rank"])] == ranked
+
+
+def test_rm3_expand_properties(spark, tf):
+    """RM3: weights form a distribution (Σ qtf == 1 per query), original
+    terms survive with at least their α-share, expansion terms come only
+    from the feedback docs' vocabulary, deterministic across runs."""
+    from searchenginejava_spark.operators.search import (
+        rm3_expand,
+        score_exhaustive,
+    )
+
+    dl, dct, stats = _parts(tf)
+    qt = spark.createDataFrame(
+        [(0, "join", 1), (0, "hash", 1)], "query_id int, term string, qtf int"
+    )
+    kw = dict(fb_docs=2, fb_terms=3, alpha=0.5)
+    r1 = {(r["term"]): r["qtf"] for r in rm3_expand(qt, tf, dl, dct, stats, **kw).collect()}
+    r2 = {(r["term"]): r["qtf"] for r in rm3_expand(qt, tf, dl, dct, stats, **kw).collect()}
+    assert r1 == r2                                     # deterministic
+    assert sum(r1.values()) == pytest.approx(1.0, rel=1e-12)
+    for t in ("join", "hash"):                          # α-share floor
+        assert r1[t] >= 0.5 * 0.5 - 1e-12
+    fb = score_exhaustive(
+        qt, tf, dl, dct, stats, k=2, deterministic=True
+    ).collect()
+    fb_ids = {r["doc_id"] for r in fb}
+    fb_vocab = {
+        r["term"] for r in tf.collect() if r["doc_id"] in fb_ids
+    }
+    assert set(r1) - {"join", "hash"} <= fb_vocab
+    assert len(set(r1) - {"join", "hash"}) > 0          # something added
