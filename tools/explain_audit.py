@@ -786,6 +786,52 @@ def main() -> None:
         ("semantic expansion: LSH bucket-pruned serving plan", p_xl, checks)
     )
 
+    # 22. LM Dirichlet scorer: same physical properties as the BM25
+    # exhaustive path — broadcast query weights (never a shuffled query
+    # relation), partial+final hash agg, per-row ln inside codegen (no
+    # Python crossing anywhere in the scorer)
+    from searchenginejava_spark.operators.search import lm_dirichlet_topk
+
+    dct_cf = tf_xp.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    dl_xp = tf_xp.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("doc_len")
+    )
+    srow = dl_xp.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("doc_len").alias("avgdl"),
+        F.sum("doc_len").alias("t"),
+    ).collect()[0]
+    stats_xp = {
+        "N": int(srow["n"]),
+        "avgdl": float(srow["avgdl"]),
+        "total_terms": int(srow["t"]),
+    }
+    p_lm = plan_of(
+        lm_dirichlet_topk(qt_xp, tf_xp, dl_xp, dct_cf, stats_xp, k=10)
+    )
+    checks = [
+        (
+            "query weights broadcast (BroadcastHashJoin, no shuffled "
+            "query relation)",
+            "BroadcastHashJoin" in p_lm,
+            "",
+        ),
+        (
+            "partial+final hash agg (map-side combine on the candidate agg)",
+            n_nodes(p_lm, "HashAggregate") >= 2,
+            f"HashAggregate x{n_nodes(p_lm, 'HashAggregate')}",
+        ),
+        (
+            "scorer fully native (zero Python crossings; ln runs in codegen)",
+            "ArrowEvalPython" not in p_lm and "MapInPandas" not in p_lm,
+            "",
+        ),
+    ]
+    sections.append(("LM Dirichlet scorer (third ranking model)", p_lm, checks))
+
     ok = True
     out = ["# PLANS.md — physical-plan audit (generated by tools/explain_audit.py)", ""]
     for title, plan, cks in sections:
