@@ -1504,6 +1504,40 @@ def q_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning-to-rank feature extraction (LETOR-style feature logger,
+    the training-data-pipeline surface): per (query, candidate doc) —
+    BM25, Classic TF-IDF, LM Dirichlet, query coverage, Σtf, doc_len —
+    computed in ONE candidate pass / one hash agg."""
+    from searchenginejava_spark.operators.search import ltr_features
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    dct_cf = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    stats = dict(stats)
+    stats["total_terms"] = int(
+        dl.agg(F.sum("doc_len").alias("t")).collect()[0]["t"]
+    )
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    res = ltr_features(qt, tf, dl, dct_cf, stats).select(
+        "query_id",
+        "doc_id",
+        F.round("bm25", 6).alias("bm25"),
+        F.round("tfidf", 6).alias("tfidf"),
+        F.round("lm", 6).alias("lm"),
+        F.round("coverage", 6).alias("coverage"),
+        "tf_sum",
+        "doc_len",
+    )
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
 _TV_DOCS = [3, 7]
 
 
@@ -1606,11 +1640,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_expansion_embedded": q_expansion_embedded,
         "q_lm_dirichlet": q_lm_dirichlet,
         "q_rm3_expansion": q_rm3_expansion,
+        "q_ltr_features": q_ltr_features,
         # -- family representatives (r02-green, one per family; exact
-        # dedup and indexed phrases stay covered in-window by
-        # minhash_neardup/dedup_clusters and phrase_batch/span_near) --
+        # dedup, dedup clusters and indexed phrases stay covered
+        # in-window by q_minhash_neardup and phrase_batch/span_near,
+        # with their own r02 driver rows as standing evidence) --
         "q_minhash_neardup": q_minhash_neardup,
-        "q_dedup_clusters": q_dedup_clusters,
         "q_ann_lsh_topk": q_ann_lsh_topk,
         "q_image_features": q_image_features,
         # -- no driver row yet (past r02's 50-row window) --
@@ -1643,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_classic_tfidf": q_classic_tfidf,
         # ---- 50-query window boundary (driver-green in r02 below) ----
         "q_exact_dedup": q_exact_dedup,
+        "q_dedup_clusters": q_dedup_clusters,
         "q_phrase_indexed": q_phrase_indexed,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash_signatures": q_minhash_signatures,
@@ -2263,6 +2299,53 @@ def oracle_sql() -> dict[str, str]:
                round(s, 6) AS score
         FROM scored
         QUALIFY rank <= {_TOPK}
+        """,
+        # LETOR-style feature logger: every standard lexical feature in
+        # one candidate pass; per-model formulas identical to the
+        # standalone scorer oracles above
+        "q_ltr_features": _SQL_TF
+        + f"""
+        , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+                 FROM tf GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+        tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM tf),
+        dict AS (SELECT term, count(*) AS df, sum(tf) AS cf
+                 FROM tf GROUP BY term),
+        q(query_id, term, qtf) AS (VALUES {q_values}),
+        qmeta AS (SELECT query_id, count(DISTINCT term) AS n_qterms,
+                         CAST(sum(qtf) AS DOUBLE) AS qlen
+                  FROM q GROUP BY query_id),
+        agg AS (
+          SELECT q.query_id, tf.doc_id,
+                 sum(q.qtf
+                     * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                     * (tf.tf * {_K1 + 1.0})
+                     / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+                 ) AS bm25,
+                 sum((q.qtf * pow(1.0 + ln(stats.n / (dict.df + 1.0)), 2))
+                     * sqrt(tf.tf) / sqrt(dl.doc_len)) AS tfidf,
+                 sum(q.qtf * ln(1.0 + tf.tf
+                                / ((2000.0 * dict.cf) / tot.total))) AS lm_part,
+                 count(DISTINCT tf.term) AS n_matched,
+                 CAST(sum(tf.tf) AS BIGINT) AS tf_sum,
+                 CAST(min(dl.doc_len) AS BIGINT) AS doc_len
+          FROM q
+          JOIN dict USING (term)
+          JOIN tf USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          CROSS JOIN tot
+          GROUP BY q.query_id, tf.doc_id
+        )
+        SELECT CAST(a.query_id AS INT) AS query_id, a.doc_id,
+               round(a.bm25, 6) AS bm25,
+               round(a.tfidf, 6) AS tfidf,
+               round(a.lm_part
+                     + qmeta.qlen * ln(2000.0 / (a.doc_len + 2000.0)), 6) AS lm,
+               round(CAST(a.n_matched AS DOUBLE) / qmeta.n_qterms, 6)
+                   AS coverage,
+               a.tf_sum, a.doc_len
+        FROM agg a JOIN qmeta USING (query_id)
         """,
         # RM3 pseudo-relevance feedback (Lavrenko-Croft / Anserini):
         # BM25 top-10 -> P(t|R) = sum (tf/dl)*sd -> truncate+renorm ->

@@ -280,6 +280,17 @@ class SearchEngine:
             doc_exclude=self.index.tombstones,
         )
 
+    def features(self, text: str, *, mu: float = 2000.0) -> DataFrame:
+        """LETOR-style feature matrix for every candidate doc of one
+        query — the LTR training-data logger."""
+        from .operators.search import ltr_features, query_terms_df
+
+        qt = query_terms_df(self.spark, [(0, text)], tokenizer=self._tok)
+        return ltr_features(
+            qt, self.index.tf, self.index.docs, self.index.dictionary,
+            self.index.stats, mu=mu,
+        )
+
     def term_vectors(self, doc_ids: Sequence[int]) -> DataFrame:
         from .operators.search import doc_term_vector
 

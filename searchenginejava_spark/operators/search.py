@@ -693,6 +693,122 @@ def lm_dirichlet_topk(
     )
 
 
+def ltr_features(
+    query_terms: DataFrame,
+    postings_exploded: DataFrame,
+    docs: DataFrame,
+    dictionary: DataFrame,
+    stats: dict,
+    *,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    mu: float = 2000.0,
+) -> DataFrame:
+    """Learning-to-rank feature extraction — the feature logger of a
+    training-data pipeline ([L:LETOR / MSLR feature conventions]): for
+    every (query, candidate doc) pair — candidates = docs sharing ≥1
+    query term, the same set every scorer here uses — emit the standard
+    lexical features in ONE pass:
+
+        bm25       Okapi BM25 (identical formula to score_exhaustive)
+        tfidf      Lucene ClassicSimilarity (classic_tfidf_topk)
+        lm         Dirichlet query likelihood (lm_dirichlet_topk)
+        coverage   matched query terms / |distinct query terms|
+        tf_sum     Σ tf over matched terms
+        doc_len
+
+    Plan shape: the per-term constants of all three models ride ONE
+    broadcast relation, the candidate stream is scanned once (single
+    postings⋈weights join, single docs join), and one hash agg computes
+    every Σ-feature map-side — the whole feature matrix costs the same
+    as one scorer run. Training sets at 10^9 (query, doc) rows come out
+    of one shuffle.
+    """
+    import math
+
+    qt = F.broadcast(query_terms)
+    q_rows = dictionary.join(qt, "term").select(
+        "query_id", "term", "qtf", "df", "cf"
+    ).collect()
+    n_d = float(stats["N"])
+    total = float(stats["total_terms"])
+    spark = query_terms.sparkSession
+    qw = spark.createDataFrame(
+        [
+            (
+                int(r["query_id"]),
+                r["term"],
+                float(r["qtf"])
+                * math.log((n_d - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0),
+                float(r["qtf"])
+                * (1.0 + math.log(n_d / (r["df"] + 1.0))) ** 2,
+                float(r["qtf"]),
+                (mu * float(r["cf"])) / total,
+            )
+            for r in q_rows
+        ],
+        "query_id int, term string, w_bm25 double, w_tfidf double,"
+        " qtf double, denom double",
+    )
+    n_q = {
+        int(r["query_id"]): (int(r["nt"]), float(r["qlen"]))
+        for r in query_terms.groupBy("query_id")
+        .agg(
+            F.count_distinct("term").alias("nt"),
+            F.sum(F.col("qtf").cast("double")).alias("qlen"),
+        )
+        .collect()
+    }
+    qmeta = F.broadcast(
+        spark.createDataFrame(
+            [(qid, nt, ql) for qid, (nt, ql) in sorted(n_q.items())],
+            "query_id int, n_qterms int, qlen double",
+        )
+    )
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("doc_len").cast("double")
+    K = tf_d + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * dl_d / F.lit(stats["avgdl"])
+    )
+    agg = (
+        postings_exploded.join(F.broadcast(qw), "term")
+        .join(docs.select("doc_id", "doc_len"), "doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.col("w_bm25") * (tf_d * F.lit(k1 + 1.0)) / K
+            ).alias("bm25"),
+            F.sum(
+                F.col("w_tfidf") * F.sqrt(tf_d) / F.sqrt(dl_d)
+            ).alias("tfidf"),
+            F.sum(
+                F.col("qtf")
+                * F.log(F.lit(1.0) + tf_d / F.col("denom"))
+            ).alias("lm_part"),
+            F.count_distinct("term").alias("n_matched"),
+            F.sum("tf").cast("long").alias("tf_sum"),
+            F.first("doc_len").alias("doc_len"),
+        )
+    )
+    return agg.join(qmeta, "query_id").select(
+        F.col("query_id").cast("int"),
+        F.col("doc_id").cast("long"),
+        F.col("bm25").cast("double"),
+        F.col("tfidf").cast("double"),
+        (
+            F.col("lm_part")
+            + F.col("qlen")
+            * F.log(F.lit(mu) / (F.col("doc_len").cast("double") + F.lit(mu)))
+        ).alias("lm"),
+        (
+            F.col("n_matched").cast("double")
+            / F.col("n_qterms").cast("double")
+        ).alias("coverage"),
+        F.col("tf_sum"),
+        F.col("doc_len").cast("long"),
+    )
+
+
 def doc_term_vector(
     doc_ids: Sequence[int],
     tf: DataFrame,

@@ -628,3 +628,45 @@ def test_rm3_expand_properties(spark, tf):
     }
     assert set(r1) - {"join", "hash"} <= fb_vocab
     assert len(set(r1) - {"join", "hash"}) > 0          # something added
+
+
+def test_ltr_features_match_standalone_scorers(spark, tf):
+    """The one-pass feature logger must reproduce each standalone
+    scorer's value exactly: bm25 == score_exhaustive, tfidf ==
+    classic_tfidf_topk, lm == lm_dirichlet_topk, coverage/tf_sum by
+    hand — all over the same candidate set."""
+    from searchenginejava_spark.operators.search import (
+        classic_tfidf_topk,
+        lm_dirichlet_topk,
+        ltr_features,
+        score_exhaustive,
+    )
+
+    dl, _, stats = _parts(tf)
+    dct = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    stats = dict(stats)
+    stats["total_terms"] = int(
+        dl.agg(F.sum("doc_len").alias("t")).collect()[0]["t"]
+    )
+    qt = spark.createDataFrame(
+        [(0, "join", 1), (0, "spark", 1)], "query_id int, term string, qtf int"
+    )
+    feats = {r["doc_id"]: r for r in ltr_features(qt, tf, dl, dct, stats).collect()}
+    bm = {r["doc_id"]: r["score"] for r in score_exhaustive(
+        qt, tf, dl, dct, stats, k=100, deterministic=True).collect()}
+    cl = {r["doc_id"]: r["score"] for r in classic_tfidf_topk(
+        qt, tf, dl, dct, stats, k=100).collect()}
+    lm = {r["doc_id"]: r["score"] for r in lm_dirichlet_topk(
+        qt, tf, dl, dct, stats, k=100).collect()}
+    assert set(feats) == set(bm) == set(cl) == set(lm)
+    rows = {(r["doc_id"], r["term"]): r["tf"] for r in tf.collect()}
+    for d, r in feats.items():
+        assert r["bm25"] == pytest.approx(bm[d], rel=1e-12)
+        assert r["tfidf"] == pytest.approx(cl[d], rel=1e-12)
+        assert r["lm"] == pytest.approx(lm[d], rel=1e-12)
+        matched = [t for t in ("join", "spark") if (d, t) in rows]
+        assert r["coverage"] == pytest.approx(len(matched) / 2.0)
+        assert r["tf_sum"] == sum(rows[(d, t)] for t in matched)
