@@ -1538,6 +1538,154 @@ def q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_sdm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential Dependence Model ranking (Metzler & Croft SIGIR'05;
+    Indri/Galago/Anserini SDM): Dirichlet-smoothed unigram + ordered
+    adjacent-bigram + unordered-window features over the positional tf
+    relation — unigram/bigram counts, window folds and the final score
+    all mirrored literally by the oracle."""
+    from searchenginejava_spark.operators.positional import (
+        positional_tf,
+        sdm_topk,
+    )
+    from searchenginejava_spark.sources.source import read_documents
+
+    corpus = read_documents(spark, sf_dir)
+    tf_pos = positional_tf(corpus, text_col="text", mode="simple")
+    tf_pos.persist()
+    dl = tf_pos.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("doc_len")
+    )
+    dct = tf_pos.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    srow = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("doc_len").alias("avgdl"),
+        F.sum("doc_len").alias("t"),
+    ).collect()[0]
+    stats = {
+        "N": int(srow["n"]),
+        "avgdl": float(srow["avgdl"]),
+        "total_terms": int(srow["t"]),
+    }
+    res = sdm_topk(
+        spark, _ORACLE_QUERIES, tf_pos, dl, dct, stats, k=_TOPK
+    ).select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+    res.persist()
+    res.count()
+    tf_pos.unpersist()
+    return res
+
+
+def _sdm_sql(
+    queries: list[tuple[int, list[str]]],
+    *,
+    mu: float = 2000.0,
+    w: int = 8,
+    lambdas: tuple[float, float, float] = (0.85, 0.1, 0.05),
+    k: int = 10,
+) -> str:
+    """Literal mirror of operators/positional.py::sdm_topk: per-doc
+    position lists, fold-based ordered/unordered window counts per
+    query bigram, Dirichlet smoothing with the same association order."""
+    lt, lo, lu = lambdas
+    q_vals = ", ".join(
+        f"({qid}, '{t}', 1)" for qid, ts in queries for t in ts
+    )
+    pair_ctes, pair_sel = [], []
+    for qid, ts in queries:
+        for pid, (a, b) in enumerate(zip(ts, ts[1:])):
+            if a == b:
+                continue
+            name = f"p_{qid}_{pid}"
+            pair_ctes.append(f"""
+    , {name} AS (
+      SELECT A.doc_id,
+        list_reduce(list_prepend(0, list_transform(A.ps,
+            x -> len(list_filter(B.ps, y -> y = x + 1)))),
+          (acc, v) -> acc + v) AS o_cnt,
+        list_reduce(list_prepend(0, list_transform(A.ps,
+            x -> len(list_filter(B.ps,
+                     y -> y >= x - {w} AND y <= x + {w} AND y <> x)))),
+          (acc, v) -> acc + v) AS u_cnt
+      FROM (SELECT doc_id, ps FROM plists WHERE term = '{a}') A
+      JOIN (SELECT doc_id, ps FROM plists WHERE term = '{b}') B
+        USING (doc_id)
+    )""")
+            pair_sel.append(
+                f"SELECT {qid} AS query_id, {pid} AS pid, doc_id,"
+                f" o_cnt, u_cnt FROM {name}"
+            )
+    pairs_union = " UNION ALL ".join(pair_sel)
+    return f"""
+    {_SQL_TOKL}
+    , tf AS (SELECT doc_id, term, count(*) AS tf
+             FROM tok GROUP BY doc_id, term)
+    , plists AS (SELECT doc_id, term, list(pos ORDER BY pos) AS ps
+                 FROM tok GROUP BY doc_id, term)
+    , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+             FROM tf GROUP BY doc_id)
+    , tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tok)
+    , dict AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term)
+    , q(query_id, term, qtf) AS (VALUES {q_vals})
+    , uni AS (
+        SELECT q.query_id, tf.doc_id,
+               sum(q.qtf * ln(1.0 + tf.tf
+                              / (({mu} * dict.cf) / tot.total))) AS uni
+        FROM q JOIN dict USING (term) JOIN tf USING (term) CROSS JOIN tot
+        GROUP BY q.query_id, tf.doc_id)
+    {''.join(pair_ctes)}
+    , pairs AS ({pairs_union})
+    , coll AS (SELECT query_id, pid,
+                      CAST(sum(o_cnt) AS DOUBLE) AS ob,
+                      CAST(sum(u_cnt) AS DOUBLE) AS ub
+               FROM pairs GROUP BY query_id, pid)
+    , pair_parts AS (
+        SELECT p.query_id, p.doc_id,
+               sum(CASE WHEN c.ob > 0 THEN
+                   ln(1.0 + p.o_cnt / (({mu} * c.ob) / tot.total))
+                   ELSE 0.0 END) AS ordp,
+               sum(CASE WHEN c.ub > 0 THEN
+                   ln(1.0 + p.u_cnt / (({mu} * c.ub) / tot.total))
+                   ELSE 0.0 END) AS unordp
+        FROM pairs p
+        JOIN coll c ON p.query_id = c.query_id AND p.pid = c.pid
+        CROSS JOIN tot
+        GROUP BY p.query_id, p.doc_id)
+    , bmeta AS (SELECT query_id,
+                       sum(CASE WHEN ob > 0 THEN 1 ELSE 0 END) AS bo,
+                       sum(CASE WHEN ub > 0 THEN 1 ELSE 0 END) AS bu
+                FROM coll GROUP BY query_id)
+    , qmeta AS (SELECT q.query_id, CAST(sum(q.qtf) AS DOUBLE) AS qlen
+                FROM q JOIN dict ON q.term = dict.term
+                GROUP BY q.query_id)
+    , scored AS (
+        SELECT u.query_id, u.doc_id,
+               {lt} * u.uni
+               + {lo} * COALESCE(pp.ordp, 0.0)
+               + {lu} * COALESCE(pp.unordp, 0.0)
+               + ({lt} * qm.qlen + {lo} * COALESCE(bm.bo, 0)
+                  + {lu} * COALESCE(bm.bu, 0))
+                 * ln({mu} / (dl.doc_len + {mu})) AS s
+        FROM uni u
+        LEFT JOIN pair_parts pp
+          ON u.query_id = pp.query_id AND u.doc_id = pp.doc_id
+        JOIN dl ON u.doc_id = dl.doc_id
+        JOIN qmeta qm ON u.query_id = qm.query_id
+        LEFT JOIN bmeta bm ON u.query_id = bm.query_id
+    )
+    SELECT CAST(query_id AS INT) AS query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY s DESC, doc_id ASC) AS INT) AS rank,
+           doc_id,
+           round(s, 6) AS score
+    FROM scored
+    QUALIFY rank <= {k}
+    """
+
+
 _TV_DOCS = [3, 7]
 
 
@@ -1641,12 +1789,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_dirichlet": q_lm_dirichlet,
         "q_rm3_expansion": q_rm3_expansion,
         "q_ltr_features": q_ltr_features,
+        "q_sdm": q_sdm,
         # -- family representatives (r02-green, one per family; exact
-        # dedup, dedup clusters and indexed phrases stay covered
-        # in-window by q_minhash_neardup and phrase_batch/span_near,
-        # with their own r02 driver rows as standing evidence) --
+        # dedup, dedup clusters, indexed phrases and hyperplane-LSH ANN
+        # stay covered in-window by q_minhash_neardup,
+        # phrase_batch/span_near, q_pq_topk and q_expansion_ann — and
+        # keep their own r02 driver rows as standing evidence) --
         "q_minhash_neardup": q_minhash_neardup,
-        "q_ann_lsh_topk": q_ann_lsh_topk,
         "q_image_features": q_image_features,
         # -- no driver row yet (past r02's 50-row window) --
         "q_more_like_this": q_more_like_this,
@@ -1680,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_dedup": q_exact_dedup,
         "q_dedup_clusters": q_dedup_clusters,
         "q_phrase_indexed": q_phrase_indexed,
+        "q_ann_lsh_topk": q_ann_lsh_topk,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash_signatures": q_minhash_signatures,
         "q_lsh_candidates": q_lsh_candidates,
@@ -3444,6 +3594,7 @@ def oracle_sql() -> dict[str, str]:
         q_values, planes=hyperplanes(64, 3)
     )
     sql["q_expansion_embedded"] = _expansion_embedded_sql(q_values)
+    sql["q_sdm"] = _sdm_sql(_ORACLE_QUERIES, mu=2000.0, w=8, k=_TOPK)
     return sql
 
 

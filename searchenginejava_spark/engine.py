@@ -280,6 +280,24 @@ class SearchEngine:
             doc_exclude=self.index.tombstones,
         )
 
+    def search_sdm(
+        self, text: str, *, k: int = TOP_K, mu: float = 2000.0,
+        window: int = 8,
+        lambdas: tuple[float, float, float] = (0.85, 0.1, 0.05),
+    ) -> DataFrame:
+        """Sequential Dependence Model ranking (Metzler-Croft) — needs a
+        POSITIONAL index (build with positional=True)."""
+        from .operators.positional import sdm_topk
+
+        if "positions" not in self.index.tf.columns:
+            raise ValueError("search_sdm needs a positional index")
+        terms = self._tok(text)
+        return sdm_topk(
+            self.spark, [(0, terms)], self.index.tf, self.index.docs,
+            self.index.dictionary, self.index.stats, k=k, mu=mu,
+            window=window, lambdas=lambdas,
+        )
+
     def features(self, text: str, *, mu: float = 2000.0) -> DataFrame:
         """LETOR-style feature matrix for every candidate doc of one
         query — the LTR training-data logger."""

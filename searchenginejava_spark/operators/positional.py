@@ -37,7 +37,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -447,4 +447,247 @@ def span_near(
     return (
         joined.select("doc_id", min_span.cast("long").alias("min_span"))
         .filter(F.col("min_span") <= slop)
+    )
+
+
+def sdm_topk(
+    spark,
+    queries: list[tuple[int, list[str]]],
+    tf_pos: DataFrame,
+    docs: DataFrame,
+    dictionary: DataFrame,
+    stats: dict,
+    *,
+    k: int = 10,
+    mu: float = 2000.0,
+    window: int = 8,
+    lambdas: tuple[float, float, float] = (0.85, 0.1, 0.05),
+) -> DataFrame:
+    """Sequential Dependence Model ranking ([L:Metzler & Croft, SIGIR
+    2005]; the Indri/Galago/Anserini SDM): Dirichlet-smoothed log
+    likelihood over three feature classes — query TERMS, ORDERED
+    adjacent-bigram windows (exact adjacency, #1(a b)), and UNORDERED
+    windows (both terms within ``window`` positions, #uwN(a b)):
+
+        score = λ_T·f_T + λ_O·f_O + λ_U·f_U, each f Dirichlet-smoothed:
+        f_X(d) = Σ_{x: cf_X(x)>0} ln(1 + n_x(d)/(μ·cf_X(x)/|C|))
+                 + B_X · ln(μ/(dl_d + μ))
+
+    (the standard per-query-constant Σ ln(μ·cf/|C|) term is dropped —
+    rank-invariant; features whose collection frequency is zero are
+    dropped entirely, the Indri convention, so no ln(0)). Bigram
+    collection frequencies come from ONE pass over the two terms'
+    position slices — a term-pruned scan, never the corpus. Candidates =
+    docs matching ≥1 query term.
+
+    Queries are ORDERED term lists (bigram structure needs order), the
+    run_queries input shape. Counts, window folds and the adjacency
+    check are native higher-order array functions over the positional
+    tf relation (doc_id, term, tf, positions); the only driver-side
+    data are the per-term/per-bigram constants (query-bounded, same
+    rationale as the scorers' idf collects).
+    """
+    import math
+
+    lt, lo, lu = (float(x) for x in lambdas)
+    total = float(stats["total_terms"])
+    term_counts: dict[tuple[int, str], int] = {}
+    for qid, ts in queries:
+        for t in ts:
+            term_counts[(qid, t)] = term_counts.get((qid, t), 0) + 1
+    uniq_terms = sorted({t for (_, t) in term_counts})
+    cf = {
+        r["term"]: float(r["cf"])
+        for r in dictionary.filter(F.col("term").isin(uniq_terms))
+        .select("term", "cf")
+        .collect()
+    }
+    qw = spark.createDataFrame(
+        [
+            (qid, t, float(n), (mu * cf[t]) / total)
+            for (qid, t), n in sorted(term_counts.items())
+            if cf.get(t, 0.0) > 0.0
+        ],
+        "query_id int, term string, qtf double, denom double",
+    )
+    qlen_eff = {}
+    for (qid, t), n in term_counts.items():
+        if cf.get(t, 0.0) > 0.0:
+            qlen_eff[qid] = qlen_eff.get(qid, 0.0) + float(n)
+
+    uni = (
+        tf_pos.select("doc_id", "term", "tf")
+        .join(F.broadcast(qw), "term")
+        .withColumn(
+            "part",
+            F.col("qtf")
+            * F.log(
+                F.lit(1.0) + F.col("tf").cast("double") / F.col("denom")
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("part").alias("uni"))
+    )
+
+    pairs = [
+        (qid, i, a, b)
+        for qid, ts in queries
+        for i, (a, b) in enumerate(zip(ts, ts[1:]))
+        if a != b and cf.get(a, 0.0) > 0.0 and cf.get(b, 0.0) > 0.0
+    ]
+    o_const: dict[tuple[int, int], float] = {}
+    u_const: dict[tuple[int, int], float] = {}
+    counts = None
+    if pairs:
+        pairs_df = spark.createDataFrame(
+            pairs, "query_id int, pid int, ta string, tb string"
+        )
+        pos = tf_pos.select("doc_id", "term", "positions")
+        w = int(window)
+        joined = (
+            F.broadcast(pairs_df)
+            .join(
+                pos.select(
+                    "doc_id",
+                    F.col("term").alias("ta"),
+                    F.col("positions").alias("pa"),
+                ),
+                "ta",
+            )
+            .join(
+                pos.select(
+                    "doc_id",
+                    F.col("term").alias("tb"),
+                    F.col("positions").alias("pb"),
+                ),
+                ["tb", "doc_id"],
+            )
+        )
+        o_cnt = F.aggregate(
+            F.col("pa"),
+            F.lit(0),
+            lambda acc, x: acc
+            + F.size(F.filter(F.col("pb"), lambda y: y == x + 1)),
+        )
+        u_cnt = F.aggregate(
+            F.col("pa"),
+            F.lit(0),
+            lambda acc, x: acc
+            + F.size(
+                F.filter(
+                    F.col("pb"),
+                    lambda y: (y >= x - w) & (y <= x + w) & (y != x),
+                )
+            ),
+        )
+        counts = joined.select(
+            "query_id",
+            "pid",
+            "doc_id",
+            o_cnt.alias("o_cnt"),
+            u_cnt.alias("u_cnt"),
+        )
+        counts.persist()
+        coll = {
+            (int(r["query_id"]), int(r["pid"])): (
+                float(r["ob"]),
+                float(r["ub"]),
+            )
+            for r in counts.groupBy("query_id", "pid")
+            .agg(F.sum("o_cnt").alias("ob"), F.sum("u_cnt").alias("ub"))
+            .collect()
+        }
+        for key, (ob, ub) in coll.items():
+            if ob > 0.0:
+                o_const[key] = (mu * ob) / total
+            if ub > 0.0:
+                u_const[key] = (mu * ub) / total
+    b_o = {}
+    b_u = {}
+    for (qid, pid) in o_const:
+        b_o[qid] = b_o.get(qid, 0) + 1
+    for (qid, pid) in u_const:
+        b_u[qid] = b_u.get(qid, 0) + 1
+
+    cand = uni
+    if counts is not None and (o_const or u_const):
+        denoms = spark.createDataFrame(
+            [
+                (qid, pid, o_const.get((qid, pid)), u_const.get((qid, pid)))
+                for (qid, pid) in sorted(
+                    set(o_const) | set(u_const)
+                )
+            ],
+            "query_id int, pid int, od double, ud double",
+        )
+        pair_parts = (
+            counts.join(F.broadcast(denoms), ["query_id", "pid"])
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("od").isNotNull(),
+                        F.log(
+                            F.lit(1.0)
+                            + F.col("o_cnt").cast("double") / F.col("od")
+                        ),
+                    ).otherwise(F.lit(0.0))
+                ).alias("ordp"),
+                F.sum(
+                    F.when(
+                        F.col("ud").isNotNull(),
+                        F.log(
+                            F.lit(1.0)
+                            + F.col("u_cnt").cast("double") / F.col("ud")
+                        ),
+                    ).otherwise(F.lit(0.0))
+                ).alias("unordp"),
+            )
+        )
+        cand = uni.join(pair_parts, ["query_id", "doc_id"], "left")
+    else:
+        cand = uni.withColumn("ordp", F.lit(None).cast("double")).withColumn(
+            "unordp", F.lit(None).cast("double")
+        )
+
+    # per-query background multiplier: λT·|q|_eff + λO·B_o + λU·B_u
+    bg = spark.createDataFrame(
+        [
+            (
+                qid,
+                lt * qlen_eff.get(qid, 0.0)
+                + lo * float(b_o.get(qid, 0))
+                + lu * float(b_u.get(qid, 0)),
+            )
+            for qid, _ in queries
+        ],
+        "query_id int, bgw double",
+    )
+    scored = (
+        cand.join(docs.select("doc_id", "doc_len"), "doc_id")
+        .join(F.broadcast(bg), "query_id")
+        .withColumn(
+            "score",
+            F.lit(lt) * F.col("uni")
+            + F.lit(lo) * F.coalesce(F.col("ordp"), F.lit(0.0))
+            + F.lit(lu) * F.coalesce(F.col("unordp"), F.lit(0.0))
+            + F.col("bgw")
+            * F.log(
+                F.lit(mu) / (F.col("doc_len").cast("double") + F.lit(mu))
+            ),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("int"),
+            F.col("rank").cast("int"),
+            F.col("doc_id").cast("long"),
+            F.col("score").cast("double"),
+        )
+        .orderBy("query_id", "rank")
     )

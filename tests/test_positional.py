@@ -551,3 +551,72 @@ def test_rerank_proximity_promotes_phrase_docs(spark):
     assert [(r["rank"], r["doc_id"]) for r in flat] == want
     idx.tf.unpersist()
     idx.postings.unpersist()
+
+
+def test_sdm_matches_manual(spark):
+    """Sequential Dependence Model vs a by-hand computation over a tiny
+    corpus: unigram Dirichlet part + ordered-adjacency and
+    unordered-window bigram parts + the per-query background term."""
+    import math
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from searchenginejava_spark.operators.positional import (
+        positional_tf,
+        sdm_topk,
+    )
+
+    DOCS = [
+        (0, "spark shuffle join hash join merge"),
+        (1, "spark broadcast join"),
+        (2, "hash partition shuffle"),
+        (3, "sort merge join spark spark"),
+    ]
+    docs_df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    tf_pos = positional_tf(docs_df)
+    dl = tf_pos.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("doc_len")
+    )
+    dct = tf_pos.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    total = 17.0
+    stats = {"N": 4, "avgdl": total / 4, "total_terms": int(total)}
+    mu, w = 2000.0, 8
+    lt, lo, lu = 0.85, 0.1, 0.05
+    got = {
+        r["doc_id"]: r["score"]
+        for r in sdm_topk(
+            spark, [(0, ["hash", "join"])], tf_pos, dl, dct, stats,
+            k=10, mu=mu, window=w, lambdas=(lt, lo, lu),
+        ).collect()
+    }
+    # candidates: every doc with hash or join
+    assert set(got) == {0, 1, 2, 3}
+    tf_rows = {0: {"hash": 1, "join": 2}, 1: {"join": 1},
+               2: {"hash": 1}, 3: {"join": 1}}
+    dls = {0: 6, 1: 3, 2: 3, 3: 5}
+    cf = {"hash": 2, "join": 4}
+    # bigram (hash, join): only doc 0 has both; hash@4, join@{3,5}
+    o_cnt = {0: 1}           # join at 5 == 4+1
+    u_cnt = {0: 2}           # both join positions within +-8 of 4
+    ob, ub = 1.0, 2.0
+    od, ud = (mu * ob) / total, (mu * ub) / total
+    for d in got:
+        uni = sum(
+            math.log(1.0 + t / ((mu * cf[term]) / total))
+            for term, t in tf_rows[d].items()
+        )
+        ordp = math.log(1.0 + o_cnt.get(d, 0) / od) if d in o_cnt else 0.0
+        unordp = math.log(1.0 + u_cnt.get(d, 0) / ud) if d in u_cnt else 0.0
+        # doc 0 is the only doc with a pair row; others get coalesced 0
+        bg = (lt * 2.0 + lo * 1.0 + lu * 1.0) * math.log(
+            mu / (dls[d] + mu)
+        )
+        want = lt * uni + lo * ordp + lu * unordp + bg
+        assert got[d] == _pytest.approx(want, rel=1e-12), d
+    # doc 0 (both terms + adjacency) must rank first
+    ranked = sorted(got, key=lambda d: (-got[d], d))
+    assert ranked[0] == 0
