@@ -1686,6 +1686,72 @@ def _sdm_sql(
     """
 
 
+def q_collapse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapsing (Elasticsearch collapse): best doc per `source`
+    group over the full BM25-scored candidate set, survivors re-ranked,
+    group_size = collapsed-away count."""
+    from searchenginejava_spark.operators.search import (
+        collapse_results,
+        score_exhaustive,
+    )
+    from searchenginejava_spark.sources.source import read_documents
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    scored = score_exhaustive(qt, tf, dl, dct, stats, k=10**6).select(
+        "query_id", "doc_id", "score"
+    )
+    meta = read_documents(spark, sf_dir).select("doc_id", "source")
+    res = collapse_results(scored, meta, "source", k=_TOPK).select(
+        "query_id",
+        "rank",
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        "source",
+        "group_size",
+    )
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
+def q_search_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search aggregations (Elasticsearch aggs): per (query, source,
+    n_chars-histogram-bin) bucket — doc_count + score sum/max over the
+    BM25 candidate set."""
+    from searchenginejava_spark.operators.search import (
+        score_exhaustive,
+        search_aggs,
+    )
+    from searchenginejava_spark.sources.source import read_documents
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    scored = score_exhaustive(qt, tf, dl, dct, stats, k=10**6).select(
+        "query_id", "doc_id", "score"
+    )
+    meta = read_documents(spark, sf_dir).select(
+        "doc_id", "source", "n_chars"
+    )
+    res = search_aggs(
+        scored, meta, "source", histogram_col="n_chars", bin_width=100
+    ).select(
+        "query_id",
+        "source",
+        "bin",
+        "doc_count",
+        F.round("score_sum", 6).alias("score_sum"),
+        F.round("score_max", 6).alias("score_max"),
+    )
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
 _TV_DOCS = [3, 7]
 
 
@@ -1790,13 +1856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rm3_expansion": q_rm3_expansion,
         "q_ltr_features": q_ltr_features,
         "q_sdm": q_sdm,
-        # -- family representatives (r02-green, one per family; exact
-        # dedup, dedup clusters, indexed phrases and hyperplane-LSH ANN
-        # stay covered in-window by q_minhash_neardup,
-        # phrase_batch/span_near, q_pq_topk and q_expansion_ann — and
-        # keep their own r02 driver rows as standing evidence) --
-        "q_minhash_neardup": q_minhash_neardup,
-        "q_image_features": q_image_features,
+        "q_collapse_search": q_collapse_search,
+        "q_search_aggs": q_search_aggs,
         # -- no driver row yet (past r02's 50-row window) --
         "q_more_like_this": q_more_like_this,
         "q_facet_counts": q_facet_counts,
@@ -1825,7 +1886,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_synonym_search": q_synonym_search,
         "q_doc_term_vectors": q_doc_term_vectors,
         "q_classic_tfidf": q_classic_tfidf,
-        # ---- 50-query window boundary (driver-green in r02 below) ----
+        # ---- 50-query window boundary ----------------------------------
+        # Everything below was DRIVER-green in CORRECTNESS_r02 (exact
+        # prefix of r02's registration), so with the r03 window covering
+        # all never-verified + new queries, every registered query has a
+        # driver-green row in r02 or r03; tools/check_oracle.py still
+        # verifies ALL of them locally every round.
+        "q_minhash_neardup": q_minhash_neardup,
+        "q_image_features": q_image_features,
         "q_exact_dedup": q_exact_dedup,
         "q_dedup_clusters": q_dedup_clusters,
         "q_phrase_indexed": q_phrase_indexed,
@@ -2449,6 +2517,77 @@ def oracle_sql() -> dict[str, str]:
                round(s, 6) AS score
         FROM scored
         QUALIFY rank <= {_TOPK}
+        """,
+        # field collapsing: best doc per source group over the FULL
+        # scored set, survivors re-ranked, group_size carried
+        "q_collapse_search": _SQL_TF
+        + f"""
+        , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+                 FROM tf GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+        dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        q(query_id, term, qtf) AS (VALUES {q_values}),
+        scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 sum(q.qtf
+                     * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                     * (tf.tf * {_K1 + 1.0})
+                     / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+                 ) AS s
+          FROM q
+          JOIN dict USING (term)
+          JOIN tf USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          GROUP BY q.query_id, tf.doc_id
+        ),
+        best AS (
+          SELECT s.query_id, s.doc_id, s.s, d.source,
+                 row_number() OVER (PARTITION BY s.query_id, d.source
+                                    ORDER BY s.s DESC, s.doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY s.query_id, d.source)
+                     AS group_size
+          FROM scored s JOIN documents d USING (doc_id)
+        )
+        SELECT CAST(query_id AS INT) AS query_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, doc_id ASC) AS INT) AS rank,
+               doc_id, round(s, 6) AS score, source,
+               CAST(group_size AS BIGINT) AS group_size
+        FROM best
+        WHERE rn = 1
+        QUALIFY rank <= {_TOPK}
+        """,
+        # search aggregations: per (query, source, n_chars-bin) bucket
+        # stats over the full candidate set
+        "q_search_aggs": _SQL_TF
+        + f"""
+        , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+                 FROM tf GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+        dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        q(query_id, term, qtf) AS (VALUES {q_values}),
+        scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 sum(q.qtf
+                     * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                     * (tf.tf * {_K1 + 1.0})
+                     / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+                 ) AS s
+          FROM q
+          JOIN dict USING (term)
+          JOIN tf USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          GROUP BY q.query_id, tf.doc_id
+        )
+        SELECT CAST(s.query_id AS INT) AS query_id, d.source,
+               CAST(floor(d.n_chars / 100.0) * 100 AS BIGINT) AS bin,
+               count(*) AS doc_count,
+               round(sum(s.s), 6) AS score_sum,
+               round(max(s.s), 6) AS score_max
+        FROM scored s JOIN documents d USING (doc_id)
+        GROUP BY s.query_id, d.source, bin
         """,
         # LETOR-style feature logger: every standard lexical feature in
         # one candidate pass; per-model formulas identical to the

@@ -298,6 +298,52 @@ class SearchEngine:
             window=window, lambdas=lambdas,
         )
 
+    def search_collapsed(
+        self, text: str, field: str, *, k: int = TOP_K,
+        doc_meta: DataFrame | None = None,
+    ) -> DataFrame:
+        """Field collapsing (Elasticsearch collapse): best doc per
+        ``field`` group, survivors re-ranked; metadata defaults to the
+        index's own docs table."""
+        from .operators.search import (
+            collapse_results,
+            query_terms_df,
+            score_exhaustive,
+        )
+
+        qt = query_terms_df(self.spark, [(0, text)], tokenizer=self._tok)
+        scored = score_exhaustive(
+            qt, self.index.tf, self.index.docs, self.index.dictionary,
+            self.index.stats, k=10**6, doc_exclude=self.index.tombstones,
+        ).select("query_id", "doc_id", "score")
+        return collapse_results(
+            scored, doc_meta if doc_meta is not None else self.index.docs,
+            field, k=k,
+        )
+
+    def aggregations(
+        self, text: str, group_col: str, *,
+        histogram_col: str | None = None, bin_width: int = 100,
+        doc_meta: DataFrame | None = None,
+    ) -> DataFrame:
+        """Search aggregations (Elasticsearch aggs) over the query's
+        candidate set."""
+        from .operators.search import (
+            query_terms_df,
+            score_exhaustive,
+            search_aggs,
+        )
+
+        qt = query_terms_df(self.spark, [(0, text)], tokenizer=self._tok)
+        scored = score_exhaustive(
+            qt, self.index.tf, self.index.docs, self.index.dictionary,
+            self.index.stats, k=10**6, doc_exclude=self.index.tombstones,
+        ).select("query_id", "doc_id", "score")
+        return search_aggs(
+            scored, doc_meta if doc_meta is not None else self.index.docs,
+            group_col, histogram_col=histogram_col, bin_width=bin_width,
+        )
+
     def features(self, text: str, *, mu: float = 2000.0) -> DataFrame:
         """LETOR-style feature matrix for every candidate doc of one
         query — the LTR training-data logger."""

@@ -809,6 +809,105 @@ def ltr_features(
     )
 
 
+def collapse_results(
+    scored: DataFrame,
+    doc_meta: DataFrame,
+    field: str,
+    *,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Field collapsing (the Elasticsearch ``collapse`` convention):
+    keep only the BEST document per ``field`` group — e.g. one result
+    per source/domain/site — then re-rank the survivors.
+
+    Input is any (query_id, doc_id, score) relation (ranked results or
+    the full scored candidate set — collapse-then-top-k semantics are
+    well-defined over the full set). Emits group_size (the number of
+    collapsed-away candidates per group, the inner-hits count) alongside
+    the survivor. Two windows over per-query data + one metadata join —
+    at scale the doc_meta join is the docs-table equi-join every scorer
+    already pays.
+    """
+    j = scored.join(doc_meta.select("doc_id", field), "doc_id")
+    gw = Window.partitionBy("query_id", field).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    best = (
+        j.withColumn("__rn", F.row_number().over(gw))
+        .withColumn(
+            "group_size",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("query_id", field)
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        best.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("int"),
+            F.col("rank").cast("int"),
+            F.col("doc_id").cast("long"),
+            F.col("score").cast("double"),
+            F.col(field),
+            F.col("group_size").cast("long"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def search_aggs(
+    scored: DataFrame,
+    doc_meta: DataFrame,
+    group_col: str,
+    *,
+    histogram_col: str | None = None,
+    bin_width: int = 100,
+) -> DataFrame:
+    """Search aggregations (the Elasticsearch ``aggs`` convention) over
+    a scored candidate set: per (query, ``group_col`` bucket) —
+    doc_count, score sum/max, and optionally a numeric histogram bucket
+    (``floor(histogram_col / bin_width) · bin_width``) so one call
+    yields the terms-agg and histogram-agg facets a search UI renders
+    next to results. One metadata join + one hash agg (partial+final);
+    buckets are per-query-bounded."""
+    cols = ["doc_id", group_col] + (
+        [histogram_col] if histogram_col else []
+    )
+    j = scored.join(doc_meta.select(*cols), "doc_id")
+    keys = ["query_id", group_col]
+    if histogram_col:
+        j = j.withColumn(
+            "bin",
+            (
+                F.floor(
+                    F.col(histogram_col).cast("double") / F.lit(bin_width)
+                )
+                * F.lit(bin_width)
+            ).cast("long"),
+        )
+        keys.append("bin")
+    return (
+        j.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_count"),
+            F.sum("score").alias("score_sum"),
+            F.max("score").alias("score_max"),
+        )
+        .select(
+            F.col("query_id").cast("int"),
+            *[F.col(c) for c in keys[1:]],
+            "doc_count",
+            F.col("score_sum").cast("double"),
+            F.col("score_max").cast("double"),
+        )
+    )
+
+
 def doc_term_vector(
     doc_ids: Sequence[int],
     tf: DataFrame,

@@ -670,3 +670,78 @@ def test_ltr_features_match_standalone_scorers(spark, tf):
         matched = [t for t in ("join", "spark") if (d, t) in rows]
         assert r["coverage"] == pytest.approx(len(matched) / 2.0)
         assert r["tf_sum"] == sum(rows[(d, t)] for t in matched)
+
+
+def test_collapse_results(spark, tf):
+    """Field collapsing: exactly one survivor per group (the group's
+    best by score desc / doc_id asc), group_size counts the collapsed
+    candidates, survivors re-ranked contiguously."""
+    from searchenginejava_spark.operators.search import (
+        collapse_results,
+        score_exhaustive,
+    )
+
+    dl, dct, stats = _parts(tf)
+    qt = spark.createDataFrame(
+        [(0, "join", 1), (0, "spark", 1)], "query_id int, term string, qtf int"
+    )
+    scored = score_exhaustive(
+        qt, tf, dl, dct, stats, k=100, deterministic=True
+    ).select("query_id", "doc_id", "score")
+    # docs 0,1 → site a; docs 2,3 → site b
+    meta = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "b"), (3, "b")], "doc_id long, site string"
+    )
+    got = collapse_results(scored, meta, "site", k=10).collect()
+    full = {
+        r["doc_id"]: r["score"]
+        for r in scored.collect()
+    }
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    sites = [r["site"] for r in got]
+    assert len(sites) == len(set(sites))            # one per group
+    for r in got:
+        group = [d for d in full if meta_site(d) == r["site"]]
+        best = max(group, key=lambda d: (full[d], -d))
+        assert r["doc_id"] == best
+        assert r["group_size"] == len(group)
+
+
+def meta_site(d):
+    return "a" if d in (0, 1) else "b"
+
+
+def test_search_aggs_buckets(spark, tf):
+    """Aggregation buckets: doc_count and score stats per group match a
+    hand-rolled aggregation over the scored candidates."""
+    from searchenginejava_spark.operators.search import (
+        score_exhaustive,
+        search_aggs,
+    )
+
+    dl, dct, stats = _parts(tf)
+    qt = spark.createDataFrame(
+        [(0, "join", 1)], "query_id int, term string, qtf int"
+    )
+    scored = score_exhaustive(
+        qt, tf, dl, dct, stats, k=100, deterministic=True
+    ).select("query_id", "doc_id", "score")
+    meta = spark.createDataFrame(
+        [(0, "a", 10), (1, "a", 250), (2, "b", 10), (3, "b", 20)],
+        "doc_id long, site string, n long",
+    )
+    got = {
+        (r["site"], r["bin"]): (r["doc_count"], r["score_sum"], r["score_max"])
+        for r in search_aggs(
+            scored, meta, "site", histogram_col="n", bin_width=100
+        ).collect()
+    }
+    full = {r["doc_id"]: r["score"] for r in scored.collect()}
+    # candidates: docs with 'join' = 0,1,3
+    assert set(full) == {0, 1, 3}
+    import pytest as _pytest
+
+    assert got[("a", 0)][0] == 1 and got[("a", 0)][1] == _pytest.approx(full[0])
+    assert got[("a", 200)][0] == 1 and got[("a", 200)][2] == _pytest.approx(full[1])
+    assert got[("b", 0)][0] == 1 and got[("b", 0)][1] == _pytest.approx(full[3])
+    assert len(got) == 3
