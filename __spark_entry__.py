@@ -1752,6 +1752,25 @@ def q_search_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events log (30-min inactivity
+    gap): one shuffle by user, lag + running-sum windows, per-session
+    rollup — integer-microsecond time arithmetic on both engines."""
+    from searchenginejava_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_minutes=30)
+
+
+def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window (60-min) event rollup per event_type — the batch
+    twin of the streaming windowed rates, exact bucket arithmetic."""
+    from searchenginejava_spark.operators.sessions import event_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_rollup(ev, window_minutes=60)
+
+
 _TV_DOCS = [3, 7]
 
 
@@ -1892,6 +1911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all never-verified + new queries, every registered query has a
         # driver-green row in r02 or r03; tools/check_oracle.py still
         # verifies ALL of them locally every round.
+        "q_sessionize": q_sessionize,
+        "q_event_rollup": q_event_rollup,
         "q_minhash_neardup": q_minhash_neardup,
         "q_image_features": q_image_features,
         "q_exact_dedup": q_exact_dedup,
@@ -3734,6 +3755,38 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["q_expansion_embedded"] = _expansion_embedded_sql(q_values)
     sql["q_sdm"] = _sdm_sql(_ORACLE_QUERIES, mu=2000.0, w=8, k=_TOPK)
+    sql["q_sessionize"] = """
+    WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS tus
+               FROM events),
+    flags AS (
+      SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                       OR tus - lag(tus) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS nf
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ),
+    sess AS (
+      SELECT *, sum(nf) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flags
+    )
+    SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+           min(tus) AS session_start_us,
+           max(tus) AS session_end_us,
+           count(*) AS n_events,
+           round(sum(value), 6) AS value_sum
+    FROM sess
+    GROUP BY user_id, sid
+    """
+    sql["q_event_rollup"] = """
+    SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600000000 AS BIGINT)
+               AS window_start_us,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 6) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """
     return sql
 
 

@@ -1,0 +1,105 @@
+"""Search-log analytics over the events table — sessionization + rollups.
+
+A production search engine's OTHER big table is its own query/click log
+(event_id, ts, user_id, event_type, value, props). The two standard
+batch primitives over it:
+
+- ``sessionize``: gap-based user sessions (a new session starts after
+  ``gap_minutes`` of inactivity) — the classic log-analytics windowing.
+  Plan shape: ONE shuffle (hash-partition by user_id), then two
+  window functions over (user, time) inside the same sort — lag for
+  the new-session flag, a running sum for the session id — and one
+  hash agg for the per-session rollup. At 100 TB of logs this is the
+  canonical "shuffle once, window twice" job; skewed users (bots) are
+  bounded because windows stream per partition key without
+  materializing a user's history.
+- ``event_rollup``: tumbling-window counts/sums per event_type — the
+  batch twin of streaming/stream_index.py::windowed_term_rates, with
+  an exact DuckDB oracle (floor-bucketed epoch arithmetic, no
+  session-gap state).
+
+Timestamps are compared in integer MICROSECONDS on both engines —
+exact arithmetic, no float rounding of time, and TIMEZONE-FREE: the
+events ``ts`` column is TIMESTAMP_NTZ, so micros come from
+``timestampdiff(MICROSECOND, epoch, ts)`` (naive-to-naive — Spark's
+unix_micros would force a session-timezone cast) and DuckDB's
+``epoch_us`` on the same naive value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_MICROS = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+)
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """(user_id, session_id, session_start_us, session_end_us, n_events,
+    value_sum) — gap-based sessions; ordering ties break by event_id so
+    the session assignment is deterministic."""
+    gap_us = int(gap_minutes) * 60_000_000
+    tus = F.expr(_MICROS)
+    flagged = events.select(
+        "user_id", "event_id", "value", tus.alias("tus")
+    ).withColumn(
+        "nf",
+        F.when(
+            F.lag("tus").over(
+                Window.partitionBy("user_id").orderBy("tus", "event_id")
+            ).isNull()
+            | (
+                F.col("tus")
+                - F.lag("tus").over(
+                    Window.partitionBy("user_id").orderBy(
+                        "tus", "event_id"
+                    )
+                )
+                > F.lit(gap_us)
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sid = F.sum("nf").over(
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        flagged.withColumn("session_id", sid.cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("tus").alias("session_start_us"),
+            F.max("tus").alias("session_end_us"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+    )
+
+
+def event_rollup(
+    events: DataFrame,
+    *,
+    window_minutes: int = 60,
+) -> DataFrame:
+    """Tumbling-window rollup: (window_start_us, event_type, n_events,
+    value_sum) — exact integer bucket arithmetic."""
+    win_us = int(window_minutes) * 60_000_000
+    bucket = (
+        F.floor(F.expr(_MICROS) / F.lit(win_us)) * F.lit(win_us)
+    ).cast("long")
+    return (
+        events.groupBy(
+            bucket.alias("window_start_us"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+    )

@@ -1,0 +1,79 @@
+"""Search-log analytics: gap sessionization + tumbling rollups."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from searchenginejava_spark.operators.sessions import (
+    event_rollup,
+    sessionize,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double",
+    )
+
+
+def test_sessionize_gap_semantics(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: two sessions (40-min gap between event 2 and 3)
+        (0, t0, 1, "view", 1.0),
+        (1, t0 + 10 * m, 1, "click", 2.0),
+        (2, t0 + 20 * m, 1, "view", 3.0),
+        (3, t0 + 60 * m, 1, "view", 4.0),
+        # user 2: one session, exactly-at-gap boundary stays INSIDE
+        (4, t0, 2, "view", 1.5),
+        (5, t0 + 30 * m, 2, "view", 2.5),
+    ]
+    got = {
+        (r["user_id"], r["session_id"]): r
+        for r in sessionize(_ev(spark, rows), gap_minutes=30).collect()
+    }
+    assert set(got) == {(1, 1), (1, 2), (2, 1)}
+    s11 = got[(1, 1)]
+    assert s11["n_events"] == 3 and s11["value_sum"] == pytest.approx(6.0)
+    assert s11["session_end_us"] - s11["session_start_us"] == 20 * 60_000_000
+    assert got[(1, 2)]["n_events"] == 1
+    assert got[(2, 1)]["n_events"] == 2      # 30-min gap is NOT > gap
+
+
+def test_sessionize_deterministic_ties(spark):
+    """Same-timestamp events order by event_id — session assignment is
+    stable across runs."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0, 7, "view", 1.0) for i in range(5)]
+    a = sessionize(_ev(spark, rows)).collect()
+    b = sessionize(_ev(spark, rows)).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+    assert len(a) == 1 and a[0]["n_events"] == 5
+
+
+def test_event_rollup_buckets(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 30, 0)
+    rows = [
+        (0, t0, 1, "view", 1.0),
+        (1, t0 + dt.timedelta(minutes=25), 2, "view", 2.0),
+        (2, t0 + dt.timedelta(minutes=40), 3, "click", 4.0),
+    ]
+    got = {
+        (r["window_start_us"], r["event_type"]): (
+            r["n_events"],
+            r["value_sum"],
+        )
+        for r in event_rollup(_ev(spark, rows), window_minutes=60).collect()
+    }
+    h = 3_600_000_000
+    epoch_h = (dt.datetime(2024, 1, 1) - dt.datetime(1970, 1, 1)) // dt.timedelta(
+        microseconds=1
+    ) // h
+    b0, b1 = epoch_h * h, (epoch_h + 1) * h
+    assert got[(b0, "view")] == (2, pytest.approx(3.0))
+    assert got[(b1, "click")] == (1, pytest.approx(4.0))
