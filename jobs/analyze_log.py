@@ -1,0 +1,71 @@
+"""spark-submit main — query/click log analytics (sessions + rollups).
+
+Usage:
+  spark-submit --py-files searchenginejava_spark.zip jobs/analyze_log.py \
+      --input /path/to/events_parquet --output /path/out \
+      [--gap-minutes 30] [--window-minutes 60] [--json]
+
+Reads an events table (event_id, ts TIMESTAMP_NTZ, user_id, event_type,
+value, ...), writes two parquet datasets under --output:
+  sessions/  gap-based user sessions (operators/sessions.py::sessionize)
+  rollup/    tumbling-window per-event_type counts + value sums
+and prints a one-line JSON summary (session count, bucket count, the
+p50/p95 session lengths computed from the session table).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--gap-minutes", type=int, default=30)
+    p.add_argument("--window-minutes", type=int, default=60)
+    p.add_argument("--json", action="store_true")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.appName("sej-analyze-log")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+
+    from searchenginejava_spark.operators.sessions import (
+        event_rollup,
+        sessionize,
+    )
+
+    ev = spark.read.parquet(args.input)
+    sess = sessionize(ev, gap_minutes=args.gap_minutes)
+    sess.write.mode("overwrite").parquet(f"{args.output}/sessions")
+    roll = event_rollup(ev, window_minutes=args.window_minutes)
+    roll.write.mode("overwrite").parquet(f"{args.output}/rollup")
+
+    sess_out = spark.read.parquet(f"{args.output}/sessions")
+    dur_s = (
+        (F.col("session_end_us") - F.col("session_start_us")) / 1_000_000.0
+    ).alias("dur")
+    pcts = sess_out.select(dur_s).agg(
+        F.expr("percentile_approx(dur, array(0.5, 0.95), 10000)").alias("p")
+    ).collect()[0]["p"]
+    summary = {
+        "status": "complete",
+        "n_sessions": sess_out.count(),
+        "n_rollup_buckets": spark.read.parquet(f"{args.output}/rollup").count(),
+        "session_dur_p50_s": round(float(pcts[0]), 3),
+        "session_dur_p95_s": round(float(pcts[1]), 3),
+        "out": args.output,
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -131,3 +131,53 @@ def test_collocations_and_vocab_on_empty(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert collocations(empty, min_count=1).count() == 0
     assert vocab_coverage(empty, k=5).count() == 0
+
+
+def test_new_scorers_oov_queries(spark):
+    """LM Dirichlet / LTR / SDM / RM3 on queries whose terms are all out
+    of vocabulary: zero result rows (or original-terms-only for RM3),
+    never an error."""
+    from pyspark.sql import functions as F
+
+    from searchenginejava_spark.operators.positional import (
+        positional_tf,
+        sdm_topk,
+    )
+    from searchenginejava_spark.operators.search import (
+        lm_dirichlet_topk,
+        ltr_features,
+        rm3_expand,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma")], "doc_id long, text string"
+    )
+    tf_pos = positional_tf(docs)
+    tf = tf_pos.select("doc_id", "term", "tf")
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+    dct = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    stats = {"N": 2, "avgdl": 2.0, "total_terms": 4}
+    qt = spark.createDataFrame(
+        [(0, "zzz", 1), (0, "qqq", 1)], "query_id int, term string, qtf int"
+    )
+    assert lm_dirichlet_topk(qt, tf, dl, dct, stats).count() == 0
+    assert ltr_features(qt, tf, dl, dct, stats).count() == 0
+    assert sdm_topk(spark, [(0, ["zzz", "qqq"])], tf_pos, dl, dct, stats).count() == 0
+    # RM3: no feedback docs → expansion falls back to the original terms
+    exp = rm3_expand(qt, tf, dl, dct, stats).collect()
+    assert {r["term"] for r in exp} == {"zzz", "qqq"}
+    # empty collapse/aggs inputs flow through
+    from searchenginejava_spark.operators.search import (
+        collapse_results,
+        search_aggs,
+    )
+
+    empty = spark.createDataFrame(
+        [], "query_id int, doc_id long, score double"
+    )
+    meta = docs.select("doc_id", F.lit("s").alias("site"))
+    assert collapse_results(empty, meta, "site").count() == 0
+    assert search_aggs(empty, meta, "site").count() == 0

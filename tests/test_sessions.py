@@ -77,3 +77,26 @@ def test_event_rollup_buckets(spark):
     b0, b1 = epoch_h * h, (epoch_h + 1) * h
     assert got[(b0, "view")] == (2, pytest.approx(3.0))
     assert got[(b1, "click")] == (1, pytest.approx(4.0))
+
+
+def test_analyze_log_job_cli(spark, tmp_path, capsys):
+    """jobs/analyze_log.py end-to-end over the sf0.001 events table."""
+    import json as _json
+
+    from jobs.analyze_log import main
+
+    out = str(tmp_path / "logout")
+    rc = main([
+        "--input", "/root/testdata/sf0.001/events.parquet",
+        "--output", out, "--gap-minutes", "30",
+    ])
+    assert rc == 0
+    line = [
+        x for x in capsys.readouterr().out.strip().splitlines()
+        if x.startswith("{")
+    ][-1]
+    rep = _json.loads(line)
+    assert rep["status"] == "complete" and rep["n_sessions"] > 0
+    sess = spark.read.parquet(f"{out}/sessions")
+    assert sess.count() == rep["n_sessions"]
+    assert rep["session_dur_p50_s"] >= 0.0

@@ -832,6 +832,27 @@ def main() -> None:
     ]
     sections.append(("LM Dirichlet scorer (third ranking model)", p_lm, checks))
 
+    # 23. log sessionization: the canonical "shuffle once, window twice"
+    # job — exactly ONE Exchange (hash by user_id); lag, running-sum and
+    # the session rollup all ride that single partitioning
+    from searchenginejava_spark.operators.sessions import sessionize
+
+    ev_au = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    p_se = plan_of(sessionize(ev_au, gap_minutes=30))
+    checks = [
+        (
+            "ONE Exchange total (user_id hash) — windows + rollup reuse it",
+            n_nodes(p_se, "Exchange") == 1,
+            f"Exchange x{n_nodes(p_se, 'Exchange')}",
+        ),
+        (
+            "fully native (zero Python crossings)",
+            "ArrowEvalPython" not in p_se and "MapInPandas" not in p_se,
+            "",
+        ),
+    ]
+    sections.append(("log sessionization (events table)", p_se, checks))
+
     ok = True
     out = ["# PLANS.md — physical-plan audit (generated by tools/explain_audit.py)", ""]
     for title, plan, cks in sections:
