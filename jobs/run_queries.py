@@ -39,6 +39,19 @@ def main(argv: list[str] | None = None) -> int:
         help="semantic expansion: N nearest vocabulary terms per query term",
     )
     p.add_argument(
+        "--model", default="bm25",
+        choices=["bm25", "classic", "lm", "sdm"],
+        help="ranking model: Okapi BM25 (default; --path picks the "
+        "scorer), Lucene ClassicSimilarity TF-IDF, Dirichlet-smoothed "
+        "query likelihood, or the Sequential Dependence Model (needs a "
+        "positional index)",
+    )
+    p.add_argument(
+        "--rm3", action="store_true",
+        help="RM3 pseudo-relevance feedback expansion before scoring "
+        "(bm25 model only)",
+    )
+    p.add_argument(
         "--trec", default=None,
         help="also write a classic TREC run file (text) to this path",
     )
@@ -83,9 +96,56 @@ def main(argv: list[str] | None = None) -> int:
                     continue
                 qid, text = line.split("\t", 1)
                 queries.append((int(qid), text))
-    res = run_queries(
-        spark, art, queries, k=args.k, path=args.path, expand=args.expand
-    )
+    if args.model == "bm25" and not args.rm3:
+        res = run_queries(
+            spark, art, queries, k=args.k, path=args.path, expand=args.expand
+        )
+    else:
+        from searchenginejava_spark.operators.search import query_terms_df
+
+        qt = query_terms_df(spark, queries)
+        if args.model == "classic":
+            from searchenginejava_spark.operators.search import (
+                classic_tfidf_topk,
+            )
+
+            res = classic_tfidf_topk(
+                qt, art.tf, art.docs, art.dictionary, art.stats, k=args.k
+            )
+        elif args.model == "lm":
+            from searchenginejava_spark.operators.search import (
+                lm_dirichlet_topk,
+            )
+
+            res = lm_dirichlet_topk(
+                qt, art.tf, art.docs, art.dictionary, art.stats, k=args.k
+            )
+        elif args.model == "sdm":
+            from searchenginejava_spark.functions.tokenize import (
+                tokenize_query,
+            )
+            from searchenginejava_spark.operators.positional import sdm_topk
+
+            if "positions" not in art.tf.columns:
+                p.error("--model sdm needs a positional index")
+            q_lists = [(qid, tokenize_query(text)) for qid, text in queries]
+            res = sdm_topk(
+                spark, q_lists, art.tf, art.docs, art.dictionary,
+                art.stats, k=args.k,
+            )
+        else:  # bm25 + RM3
+            from searchenginejava_spark.operators.search import (
+                rm3_expand,
+                score_exhaustive,
+            )
+
+            expanded = rm3_expand(
+                qt, art.tf, art.docs, art.dictionary, art.stats
+            )
+            res = score_exhaustive(
+                expanded, art.tf, art.docs, art.dictionary, art.stats,
+                k=args.k, doc_exclude=art.tombstones,
+            )
     res.persist()
     res.write.mode("overwrite").parquet(args.output)
     if args.trec:

@@ -262,3 +262,55 @@ def test_diff_indexes(spark):
             assert r["df_b"] is None
         else:
             assert r["df_a"] is None
+
+
+def test_run_queries_job_models(spark, tmp_path, capsys):
+    """jobs/run_queries.py --model classic|lm|sdm and --rm3 over a
+    published positional index: each exits 0, writes a contiguous
+    ranking, and matches the corresponding library operator."""
+    import json as _json
+
+    from jobs.run_queries import main as rq_main
+    from searchenginejava_spark.engine import SearchEngine
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    eng = SearchEngine.build(
+        spark, docs, text_col="text", mode="full", num_partitions=4,
+        positional=True,
+    )
+    idx_path = str(tmp_path / "rqidx")
+    eng.save(idx_path, term_partitions=4)
+    qfile = tmp_path / "q.tsv"
+    qfile.write_text("7\tthe table hash join\n")
+    for model, extra in (
+        ("classic", []),
+        ("lm", []),
+        ("sdm", []),
+        ("bm25", ["--rm3"]),
+    ):
+        out = str(tmp_path / f"rqout_{model}_{'rm3' if extra else 'plain'}")
+        rc = rq_main([
+            "--index", idx_path, "--queries", str(qfile),
+            "--output", out, "--k", "5", "--model", model, *extra,
+        ])
+        assert rc == 0
+        rows = spark.read.parquet(out).orderBy("rank").collect()
+        assert rows and [r["rank"] for r in rows] == list(
+            range(1, len(rows) + 1)
+        ), model
+    rep = _json.loads(
+        [x for x in capsys.readouterr().out.splitlines() if x.startswith("{")][-1]
+    )
+    assert rep["status"] == "complete"
+    # spot-check: the lm job output equals the facade's lm ranking
+    lm_job = spark.read.parquet(
+        str(tmp_path / "rqout_lm_plain")
+    ).orderBy("rank").collect()
+    lm_lib = (
+        SearchEngine.load(spark, idx_path, mode="full")
+        .search_lm("the table hash join", k=5)
+        .collect()
+    )
+    assert [(r["doc_id"], round(r["score"], 9)) for r in lm_job] == [
+        (r["doc_id"], round(r["score"], 9)) for r in lm_lib
+    ]
