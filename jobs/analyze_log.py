@@ -55,6 +55,8 @@ def main(argv: list[str] | None = None) -> int:
     pcts = sess_out.select(dur_s).agg(
         F.expr("percentile_approx(dur, array(0.5, 0.95), 10000)").alias("p")
     ).collect()[0]["p"]
+    if pcts is None:  # zero sessions: percentile over no rows is NULL
+        pcts = [0.0, 0.0]
     summary = {
         "status": "complete",
         "n_sessions": sess_out.count(),

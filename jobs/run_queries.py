@@ -56,6 +56,14 @@ def main(argv: list[str] | None = None) -> int:
         help="also write a classic TREC run file (text) to this path",
     )
     args = p.parse_args(argv)
+    if args.model != "bm25":
+        # fail loudly instead of silently dropping a requested behavior
+        if args.rm3:
+            p.error("--rm3 applies to --model bm25 only")
+        if args.expand:
+            p.error("--expand applies to --model bm25 only")
+        if args.path != "exhaustive":
+            p.error("--path applies to --model bm25 only")
 
     from pyspark.sql import SparkSession
 
@@ -110,7 +118,8 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             res = classic_tfidf_topk(
-                qt, art.tf, art.docs, art.dictionary, art.stats, k=args.k
+                qt, art.tf, art.docs, art.dictionary, art.stats,
+                k=args.k, doc_exclude=art.tombstones,
             )
         elif args.model == "lm":
             from searchenginejava_spark.operators.search import (
@@ -118,7 +127,8 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             res = lm_dirichlet_topk(
-                qt, art.tf, art.docs, art.dictionary, art.stats, k=args.k
+                qt, art.tf, art.docs, art.dictionary, art.stats,
+                k=args.k, doc_exclude=art.tombstones,
             )
         elif args.model == "sdm":
             from searchenginejava_spark.functions.tokenize import (
@@ -131,7 +141,7 @@ def main(argv: list[str] | None = None) -> int:
             q_lists = [(qid, tokenize_query(text)) for qid, text in queries]
             res = sdm_topk(
                 spark, q_lists, art.tf, art.docs, art.dictionary,
-                art.stats, k=args.k,
+                art.stats, k=args.k, doc_exclude=art.tombstones,
             )
         else:  # bm25 + RM3
             from searchenginejava_spark.operators.search import (
@@ -140,7 +150,8 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             expanded = rm3_expand(
-                qt, art.tf, art.docs, art.dictionary, art.stats
+                qt, art.tf, art.docs, art.dictionary, art.stats,
+                doc_exclude=art.tombstones,
             )
             res = score_exhaustive(
                 expanded, art.tf, art.docs, art.dictionary, art.stats,

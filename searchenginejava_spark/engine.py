@@ -217,14 +217,21 @@ class SearchEngine:
         after: tuple[float, int] | None = None,
     ) -> DataFrame:
         """Cursor pagination: pass the previous page's last (score,
-        doc_id) as ``after`` to get the next k (exhaustive path)."""
+        doc_id) as ``after`` to get the next k (exhaustive path).
+
+        EVERY page — including page 1, which mints the first cursor —
+        scores with the deterministic term-sorted fold: the cursor
+        filter compares floats for exact equality across jobs, so a
+        plain-sum page 1 could mint a cursor an ulp away from what the
+        (always-deterministic) page 2 recomputes and skip/duplicate a
+        boundary doc."""
         from .operators.search import query_terms_df, score_exhaustive
 
         qt = query_terms_df(self.spark, [(0, text)], tokenizer=self._tok)
         return score_exhaustive(
             qt, self.index.tf, self.index.docs, self.index.dictionary,
             self.index.stats, k=k, search_after=after,
-            doc_exclude=self.index.tombstones,
+            doc_exclude=self.index.tombstones, deterministic=True,
         )
 
     def percolate(self, stored_queries: DataFrame) -> DataFrame:
@@ -239,7 +246,7 @@ class SearchEngine:
         qt = query_terms_df(self.spark, [(0, text)], tokenizer=self._tok)
         return classic_tfidf_topk(
             qt, self.index.tf, self.index.docs, self.index.dictionary,
-            self.index.stats, k=k,
+            self.index.stats, k=k, doc_exclude=self.index.tombstones,
         )
 
     def search_lm(
@@ -253,6 +260,7 @@ class SearchEngine:
         return lm_dirichlet_topk(
             qt, self.index.tf, self.index.docs, self.index.dictionary,
             self.index.stats, k=k, mu=mu,
+            doc_exclude=self.index.tombstones,
         )
 
     def search_rm3(
@@ -272,7 +280,7 @@ class SearchEngine:
         expanded = rm3_expand(
             qt, self.index.tf, self.index.docs, self.index.dictionary,
             self.index.stats, fb_docs=fb_docs, fb_terms=fb_terms,
-            alpha=alpha,
+            alpha=alpha, doc_exclude=self.index.tombstones,
         )
         return score_exhaustive(
             expanded, self.index.tf, self.index.docs,
@@ -296,6 +304,7 @@ class SearchEngine:
             self.spark, [(0, terms)], self.index.tf, self.index.docs,
             self.index.dictionary, self.index.stats, k=k, mu=mu,
             window=window, lambdas=lambdas,
+            doc_exclude=self.index.tombstones,
         )
 
     def search_collapsed(
@@ -352,7 +361,7 @@ class SearchEngine:
         qt = query_terms_df(self.spark, [(0, text)], tokenizer=self._tok)
         return ltr_features(
             qt, self.index.tf, self.index.docs, self.index.dictionary,
-            self.index.stats, mu=mu,
+            self.index.stats, mu=mu, doc_exclude=self.index.tombstones,
         )
 
     def term_vectors(self, doc_ids: Sequence[int]) -> DataFrame:

@@ -462,6 +462,7 @@ def sdm_topk(
     mu: float = 2000.0,
     window: int = 8,
     lambdas: tuple[float, float, float] = (0.85, 0.1, 0.05),
+    doc_exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Sequential Dependence Model ranking ([L:Metzler & Croft, SIGIR
     2005]; the Indri/Galago/Anserini SDM): Dirichlet-smoothed log
@@ -515,9 +516,18 @@ def sdm_topk(
         if cf.get(t, 0.0) > 0.0:
             qlen_eff[qid] = qlen_eff.get(qid, 0.0) + float(n)
 
+    uni_cand = tf_pos.select("doc_id", "term", "tf").join(
+        F.broadcast(qw), "term"
+    )
+    if doc_exclude is not None:
+        # tombstones pruned from candidates (stale-stats convention);
+        # uni defines the candidate set, so bigram rows for dead docs
+        # can never surface either (pair_parts left-joins onto uni)
+        uni_cand = uni_cand.join(
+            doc_exclude.select("doc_id"), "doc_id", "left_anti"
+        )
     uni = (
-        tf_pos.select("doc_id", "term", "tf")
-        .join(F.broadcast(qw), "term")
+        uni_cand
         .withColumn(
             "part",
             F.col("qtf")
@@ -587,7 +597,10 @@ def sdm_topk(
             o_cnt.alias("o_cnt"),
             u_cnt.alias("u_cnt"),
         )
-        counts.persist()
+        # NOT persisted: the collection-stats collect below recomputes the
+        # term-pruned position join once more in the returned plan, which
+        # is cheaper than leaking a cached relation from a query-time
+        # operator that cannot know when its output is consumed
         coll = {
             (int(r["query_id"]), int(r["pid"])): (
                 float(r["ob"]),

@@ -384,7 +384,13 @@ def expand_query(
         )
         if method == "lsh":
             # planes need the table's dim — one 1-row action, lsh only
-            dim = len(vectors.select("vec").first()[0])
+            first = vectors.select("vec").first()
+            if first is None:
+                # empty vector table: nothing can expand — originals only
+                return query_terms.groupBy("query_id", "term").agg(
+                    F.sum(F.col("qtf").cast("double")).alias("qtf")
+                )
+            dim = len(first[0])
     else:
         vocab = term_vectors(eligible, dim=dim)
         q_vecs = term_vectors(query_terms, dim=dim)
@@ -454,6 +460,7 @@ def rm3_expand(
     fb_docs: int = 10,
     fb_terms: int = 10,
     alpha: float = 0.5,
+    doc_exclude: DataFrame | None = None,
 ) -> DataFrame:
     """RM3 pseudo-relevance feedback ([L:Lavrenko & Croft, SIGIR 2001];
     the Anserini/Lucene RM3 convention) — expansion from the COLLECTION's
@@ -478,9 +485,12 @@ def rm3_expand(
     rational arithmetic over bit-stable scores, so the DuckDB oracle
     reproduces the expansion exactly.
     """
+    # doc_exclude (tombstones) matters twice here: a deleted doc must not
+    # be a FEEDBACK document either, or its vocabulary would keep
+    # steering expansion after deletion
     fb = score_exhaustive(
         query_terms, postings_exploded, docs, dictionary, stats,
-        k=fb_docs, deterministic=True,
+        k=fb_docs, deterministic=True, doc_exclude=doc_exclude,
     )
     ssum = fb.groupBy("query_id").agg(F.sum("score").alias("ssum"))
     fbw = fb.join(ssum, "query_id").select(
@@ -532,6 +542,7 @@ def classic_tfidf_topk(
     stats: dict,
     *,
     k: int = TOP_K,
+    doc_exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Lucene ClassicSimilarity (pre-BM25 TF-IDF) as a second ranking
     model — the reference family's other standard scorer:
@@ -570,9 +581,12 @@ def classic_tfidf_topk(
         * F.sqrt(F.col("tf").cast("double"))
         / F.sqrt(F.col("doc_len").cast("double"))
     )
+    cand = postings_exploded.join(F.broadcast(qw), "term")
+    if doc_exclude is not None:
+        # tombstones pruned from candidates; stats stay collection-level
+        cand = cand.join(doc_exclude.select("doc_id"), "doc_id", "left_anti")
     agg = (
-        postings_exploded.join(F.broadcast(qw), "term")
-        .join(docs.select("doc_id", "doc_len"), "doc_id")
+        cand.join(docs.select("doc_id", "doc_len"), "doc_id")
         .withColumn("part", part)
         .groupBy("query_id", "doc_id")
         .agg(F.sum("part").alias("score"))
@@ -602,6 +616,7 @@ def lm_dirichlet_topk(
     *,
     k: int = TOP_K,
     mu: float = 2000.0,
+    doc_exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Query-likelihood ranking with Dirichlet smoothing ([L:Zhai &
     Lafferty, SIGIR 2001]; Lucene LMDirichletSimilarity) — the THIRD
@@ -659,9 +674,13 @@ def lm_dirichlet_topk(
     part = F.col("qtf") * F.log(
         F.lit(1.0) + F.col("tf").cast("double") / F.col("denom")
     )
+    cand = postings_exploded.join(F.broadcast(qw), "term")
+    if doc_exclude is not None:
+        # tombstones: same stale-stats live-docs convention as
+        # score_exhaustive — candidates pruned, collection stats untouched
+        cand = cand.join(doc_exclude.select("doc_id"), "doc_id", "left_anti")
     agg = (
-        postings_exploded.join(F.broadcast(qw), "term")
-        .withColumn("part", part)
+        cand.withColumn("part", part)
         .groupBy("query_id", "doc_id")
         .agg(F.sum("part").alias("ql_part"))
     )
@@ -703,6 +722,7 @@ def ltr_features(
     k1: float = BM25_K1,
     b: float = BM25_B,
     mu: float = 2000.0,
+    doc_exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Learning-to-rank feature extraction — the feature logger of a
     training-data pipeline ([L:LETOR / MSLR feature conventions]): for
@@ -770,9 +790,12 @@ def ltr_features(
     K = tf_d + F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * dl_d / F.lit(stats["avgdl"])
     )
+    cand = postings_exploded.join(F.broadcast(qw), "term")
+    if doc_exclude is not None:
+        # deleted docs must not become training rows
+        cand = cand.join(doc_exclude.select("doc_id"), "doc_id", "left_anti")
     agg = (
-        postings_exploded.join(F.broadcast(qw), "term")
-        .join(docs.select("doc_id", "doc_len"), "doc_id")
+        cand.join(docs.select("doc_id", "doc_len"), "doc_id")
         .groupBy("query_id", "doc_id")
         .agg(
             F.sum(

@@ -256,7 +256,21 @@ def wand_topk(
                 F.collect_list(F.col("doc_id").cast("long"))
             ).alias("__dead")
         )
-        q_post = q_post.crossJoin(F.broadcast(dead_df))
+        # attach the array to exactly ONE row per query group (first by
+        # term) — a naive crossJoin would duplicate the whole array onto
+        # every (term, segment) row and multiply it through the
+        # shuffle/Arrow boundary
+        q_post = q_post.withColumn(
+            "__first",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("term")
+            )
+            == 1,
+        ).join(
+            F.broadcast(dead_df.withColumn("__first", F.lit(True))),
+            "__first",
+            "left",
+        ).drop("__first")
         has_tomb_col = True
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -264,10 +278,14 @@ def wand_topk(
 
         dead = del_arr
         if has_tomb_col:
-            arr = pdf["__dead"].iloc[0]
+            vals = [
+                a
+                for a in pdf["__dead"]
+                if a is not None and not isinstance(a, float)
+            ]
             pdf = pdf.drop(columns="__dead")
-            if arr is not None and len(arr):
-                a = np.asarray(arr, dtype=np.int64)
+            if vals and len(vals[0]):
+                a = np.asarray(vals[0], dtype=np.int64)
                 dead = a if dead is None else np.union1d(dead, a)
         qid = int(pdf["query_id"].iloc[0])
         terms = pdf.to_dict("records")
@@ -366,7 +384,19 @@ def wand_topk_sharded(
             .groupBy("salt")
             .agg(F.sort_array(F.collect_list("doc_id")).alias("__dead"))
         )
-        q_post = q_post.join(dead_by_salt, "salt", "left")
+        # one carrier row per (query, shard) group — same rationale as
+        # wand_topk: never duplicate the array across (term, segment) rows
+        q_post = q_post.withColumn(
+            "__first",
+            F.row_number().over(
+                Window.partitionBy("query_id", "salt").orderBy("term")
+            )
+            == 1,
+        ).join(
+            dead_by_salt.withColumn("__first", F.lit(True)),
+            ["salt", "__first"],
+            "left",
+        ).drop("__first")
         has_tomb_col = True
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -376,12 +406,14 @@ def wand_topk_sharded(
 
         dead = del_arr
         if has_tomb_col:
-            arr = pdf["__dead"].iloc[0]
+            vals = [
+                a
+                for a in pdf["__dead"]
+                if a is not None and not isinstance(a, float)
+            ]
             pdf = pdf.drop(columns="__dead")
-            if isinstance(arr, float):  # NaN: shard with no tombstones
-                arr = None
-            if arr is not None and len(arr):
-                a = np.asarray(arr, dtype=np.int64)
+            if vals and len(vals[0]):
+                a = np.asarray(vals[0], dtype=np.int64)
                 dead = a if dead is None else np.union1d(dead, a)
         qid = int(pdf["query_id"].iloc[0])
         terms = []

@@ -226,8 +226,11 @@ def percolate_foreach_batch(
     stream-static crossJoin of ``streaming_percolate``: the inverted
     shape explodes queries into a (term → query) relation so each doc is
     only tested against queries it SHARES A TERM with — all equi-joins,
-    both sides scale as hash joins. Same must/must_not semantics,
-    exactly-once from the sink checkpoint + idempotent parquet append.
+    both sides scale as hash joins. Same must/must_not semantics.
+    foreachBatch is AT-LEAST-once, so each micro-batch's alerts land in
+    their own ``batch=<id>`` partition with mode=overwrite — a replayed
+    batch overwrites its own partition instead of appending duplicates,
+    making the sink idempotent end-to-end.
 
         stream.writeStream.foreachBatch(
             percolate_foreach_batch(queries, out)).start()
@@ -250,8 +253,8 @@ def percolate_foreach_batch(
                 hits["doc_id"] == F.col("__doc_id"),
             )
             .select("query_id", *id_cols)
-            .write.mode("append")
-            .parquet(out_path)
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/batch={int(batch_id)}")
         )
 
     return run

@@ -304,3 +304,43 @@ def test_compact_positional_serves_phrases(spark, docs):
         tuple(r) for r in base if r["doc_id"] not in dead
     )
     assert got == [tuple(w) for w in want]
+
+
+def test_all_ranking_models_honor_tombstones(spark, docs):
+    """Every ranking surface — classic TF-IDF, LM Dirichlet, SDM, RM3,
+    LTR features, collapse, aggregations — must exclude tombstoned docs
+    (VERDICT-r03 review finding: the new models initially served them)."""
+    from searchenginejava_spark.engine import SearchEngine
+
+    eng = SearchEngine.build(
+        spark, docs, text_col="text", mode="simple", num_partitions=4,
+        positional=True,
+    )
+    text = "the table hash join"
+    victim = int(eng.search(text, k=1, path="exhaustive").collect()[0]["doc_id"])
+    eng.delete([victim])
+    surfaces = {
+        "classic": lambda: eng.search_classic(text, k=10**6),
+        "lm": lambda: eng.search_lm(text, k=10**6),
+        "sdm": lambda: eng.search_sdm(text, k=10**6),
+        "rm3": lambda: eng.search_rm3(text, k=10**6, fb_docs=5),
+        "features": lambda: eng.features(text),
+        "collapsed": lambda: eng.search_collapsed(
+            text, "source",
+            doc_meta=docs.select("doc_id", "source"),
+        ),
+        "aggs-docids": lambda: None,
+    }
+    for name, fn in surfaces.items():
+        if name == "aggs-docids":
+            continue
+        ids = {r["doc_id"] for r in fn().collect()}
+        assert victim not in ids, name
+        assert ids, name
+    # aggregations: the victim's score must not be counted — total
+    # doc_count over all buckets == live candidate count
+    n_live = eng.features(text).count()
+    aggs = eng.aggregations(
+        text, "source", doc_meta=docs.select("doc_id", "source")
+    ).collect()
+    assert sum(r["doc_count"] for r in aggs) == n_live

@@ -100,3 +100,41 @@ def test_analyze_log_job_cli(spark, tmp_path, capsys):
     sess = spark.read.parquet(f"{out}/sessions")
     assert sess.count() == rep["n_sessions"]
     assert rep["session_dur_p50_s"] >= 0.0
+
+
+def test_analyze_log_empty_events(spark, tmp_path, capsys):
+    """Zero events: job still completes and reports n_sessions=0 (the
+    percentile over no rows is NULL — guarded)."""
+    import json as _json
+
+    from jobs.analyze_log import main
+
+    src = str(tmp_path / "empty_ev")
+    spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double",
+    ).write.parquet(src)
+    out = str(tmp_path / "empty_out")
+    assert main(["--input", src, "--output", out]) == 0
+    rep = _json.loads(
+        [x for x in capsys.readouterr().out.splitlines() if x.startswith("{")][-1]
+    )
+    assert rep["n_sessions"] == 0 and rep["session_dur_p50_s"] == 0.0
+
+
+def test_run_queries_job_rejects_bad_flag_combos(tmp_path):
+    """--rm3/--expand/--path with a non-bm25 model must error loudly,
+    never silently drop the requested behavior."""
+    import pytest as _pytest
+
+    from jobs.run_queries import main
+
+    qfile = tmp_path / "q.tsv"
+    qfile.write_text("0\tx\n")
+    for extra in (["--rm3"], ["--expand", "2"], ["--path", "wand"]):
+        with _pytest.raises(SystemExit):
+            main([
+                "--index", "/nonexistent", "--queries", str(qfile),
+                "--output", str(tmp_path / "o"), "--model", "lm", *extra,
+            ])
