@@ -344,3 +344,21 @@ def test_all_ranking_models_honor_tombstones(spark, docs):
         text, "source", doc_meta=docs.select("doc_id", "source")
     ).collect()
     assert sum(r["doc_count"] for r in aggs) == n_live
+
+
+def test_tombstone_join_is_not_nested_loop(spark, index):
+    """The tombstone array attaches via a broadcast EQUI-join on the
+    one-carrier-row marker — never a cartesian/nested-loop join that
+    would duplicate the array onto every (term, segment) row."""
+    from searchenginejava_spark.operators.search import query_terms_df
+    from searchenginejava_spark.operators.wand import wand_topk
+
+    qt = query_terms_df(spark, QUERIES)
+    dead_df = _deleted_df(spark, [1, 2, 3])
+    plan = (
+        wand_topk(spark, qt, index.postings, index.stats, tombstones=dead_df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
