@@ -1,0 +1,269 @@
+"""MaxScore pruned top-k — the second dynamic-pruning strategy.
+
+The reference Ranker scores exhaustively ([R:Ranker], SURVEY.md §2.5);
+block-max WAND (operators/wand.py) is the contract's pruning path. This
+module adds the OTHER classic document-at-a-time pruning family,
+MaxScore ([L:Turtle & Flood, "Query evaluation: strategies and
+optimizations", IP&M 1995; Mallia et al. ECIR 2021 comparison]), with
+identical inputs and identical output semantics: exact BM25 top-k,
+rank-identical to the exhaustive scorer (scores bit-identical — the
+final fold is the same term-sorted summation).
+
+Why both: WAND sorts pointers by docid each step and pivots; MaxScore
+statically splits terms into ESSENTIAL (high upper bound) and
+NON-ESSENTIAL lists against the current heap threshold. Candidates are
+driven only by the essential lists; non-essential contributions are
+looked up by binary search and early-exited when the partial score plus
+the remaining upper-bound mass cannot reach the threshold. On short
+queries with one dominant term MaxScore typically advances fewer
+pointers than WAND; on balanced mid-df queries WAND's pivot skips more.
+An engine that serves both can pick per query shape — both are pure
+physical strategies, output-invisible, and share the same compressed
+posting dataset, norms sidecar, and tombstone plumbing.
+
+Spark shape: identical to ``wand_topk`` — one ``applyInPandas`` group
+per query_id over the broadcast-pruned (query ⋈ postings) rows; doc
+lengths read from the ``norms`` varbyte sidecar that travels with each
+posting run (no docs-table join, no driver-side norms). At 10^12 docs
+the per-query group holds only that query's posting bytes.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import BM25_B, BM25_K1, TOP_K
+from ..schema import RESULTS
+from .wand import _deleted_array
+
+
+def _maxscore_one_query(
+    qid: int,
+    terms: list[dict],
+    n_docs: int,
+    avgdl: float,
+    dl_min: float,
+    k: int,
+    k1: float,
+    b: float,
+    deleted=None,
+    counters: dict | None = None,
+) -> list[tuple[int, int, int, float]]:
+    """Exact top-k for one query via MaxScore.
+
+    ``counters`` (optional, tests): filled with {"scored": exact-scored
+    candidates, "pruned": candidates dropped by the early-exit bound,
+    "lookups": non-essential binary searches performed}.
+    """
+    from searchenginejava_spark.functions.codec import (
+        decode_postings,
+        vb_decode,
+    )
+
+    ptrs = []
+    for t in terms:
+        doc_ids, tfs = decode_postings(bytes(t["postings"]))
+        dls = vb_decode(bytes(t["norms"])).astype(np.int64)
+        dfv = float(t.get("term_df") or t["df"])
+        idf = math.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0)
+        w = float(t["qtf"]) * idf
+        mt = float(t["max_tf"])
+        t_min_dl = float(t.get("min_dl") or dl_min)
+        K_t = k1 * (1.0 - b + b * t_min_dl / avgdl)
+        ub = w * (mt * (k1 + 1.0)) / (mt + K_t)
+        if len(doc_ids):
+            ptrs.append(
+                {
+                    "term": t["term"],
+                    "ids": doc_ids,
+                    "tfs": tfs,
+                    "dls": dls,
+                    "pos": 0,
+                    "n": len(doc_ids),
+                    "w": w,
+                    "ub": ub,
+                }
+            )
+    if not ptrs:
+        return []
+
+    # MaxScore ordering: ascending upper bound. cum[i] = sum of ub[0..i]
+    # = the largest score any doc matching ONLY lists 0..i can reach.
+    ptrs.sort(key=lambda p: p["ub"])
+    cum = np.cumsum([p["ub"] for p in ptrs])
+    m = len(ptrs)
+
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+    n_scored = n_pruned = n_lookups = 0
+
+    def theta() -> float:
+        return heap[0][0] if len(heap) == k else -1.0
+
+    # ess = first index whose list is essential: lists [ess..m-1] drive
+    # candidate generation. A doc matching none of them scores at most
+    # cum[ess-1], and the boundary keeps STRICT cum < theta, so such a
+    # doc cannot beat the heap floor even on the (score desc, doc_id
+    # asc) tie-break — ties at exactly the bound stay essential.
+    def recompute_ess() -> int:
+        th = theta()
+        e = 0
+        while e < m - 1 and cum[e] < th:
+            e += 1
+        return e
+
+    ess = 0
+    while True:
+        live = [p for p in ptrs[ess:] if p["pos"] < p["n"]]
+        if not live:
+            break
+        cand = min(int(p["ids"][p["pos"]]) for p in live)
+        # gather essential contributions sitting on cand; remember dl
+        dl = None
+        contribs: list[tuple[str, float, float]] = []  # (term, w, tf)
+        for p in live:
+            if int(p["ids"][p["pos"]]) == cand:
+                contribs.append((p["term"], p["w"], float(p["tfs"][p["pos"]])))
+                dl = float(p["dls"][p["pos"]])
+                p["pos"] += 1
+        if deleted is not None and len(deleted):
+            j = int(np.searchsorted(deleted, cand))
+            if j < len(deleted) and int(deleted[j]) == cand:
+                continue
+        Kd = k1 * (1.0 - b + b * dl / avgdl)
+        partial = 0.0
+        for _, w, tf in contribs:
+            partial += w * (tf * (k1 + 1.0)) / (tf + Kd)
+        th = theta()
+        # walk non-essential lists in DESCENDING ub order, early-exit
+        # when partial + remaining-upper-bound mass < theta (strict:
+        # a bound exactly == theta can still win the doc_id tie-break)
+        pruned = False
+        for i in range(ess - 1, -1, -1):
+            if partial + cum[i] < th:
+                pruned = True
+                break
+            p = ptrs[i]
+            # binary-search cand in the non-essential list, advancing
+            # its pointer monotonically (each list is scanned once)
+            pos = int(np.searchsorted(p["ids"], cand, side="left"))
+            n_lookups += 1
+            p["pos"] = max(p["pos"], pos)
+            if pos < p["n"] and int(p["ids"][pos]) == cand:
+                tf = float(p["tfs"][pos])
+                contribs.append((p["term"], p["w"], tf))
+                partial += p["w"] * (tf * (k1 + 1.0)) / (tf + Kd)
+        if pruned:
+            n_pruned += 1
+            continue
+        # survived every list: exact score via the canonical TERM-SORTED
+        # fold — bit-identical to the exhaustive scorer and to WAND
+        score = 0.0
+        for term, w, tf in sorted(contribs):
+            score += w * (tf * (k1 + 1.0)) / (tf + Kd)
+        n_scored += 1
+        if len(heap) < k:
+            heapq.heappush(heap, (score, -cand))
+            if len(heap) == k:
+                ess = recompute_ess()
+        else:
+            s0, negd0 = heap[0]
+            if score > s0 or (score == s0 and cand < -negd0):
+                heapq.heapreplace(heap, (score, -cand))
+                ess = recompute_ess()
+
+    if counters is not None:
+        counters.update(
+            scored=n_scored, pruned=n_pruned, lookups=n_lookups
+        )
+    ranked = sorted(heap, key=lambda x: (-x[0], -x[1]))
+    return [(qid, r + 1, -negd, s) for r, (s, negd) in enumerate(ranked)]
+
+
+def maxscore_topk(
+    spark: SparkSession,
+    query_terms: DataFrame,
+    postings: DataFrame,
+    stats: dict,
+    *,
+    k: int = TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    deleted=None,
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
+    """Per-query MaxScore top-k over the compressed postings dataset.
+
+    Same wrapper contract as ``wand_topk`` (operators/wand.py): doc
+    lengths from the ``norms`` sidecar, stats carries only O(1) scalars,
+    tombstones ride as one distributed-aggregated broadcast array row
+    per query group — never the driver.
+    """
+    n_docs, avgdl = stats["N"], stats["avgdl"]
+    dl_min = float(stats.get("dl_min", 1.0))
+    del_arr = _deleted_array(deleted)
+
+    q_post = postings.join(F.broadcast(query_terms), "term").select(
+        "query_id", "term", "qtf", "df", "max_tf", "min_dl",
+        "postings", "norms",
+    )
+    q_post = q_post.withColumn(
+        "term_df", F.sum("df").over(Window.partitionBy("query_id", "term"))
+    )
+    has_tomb_col = False
+    if tombstones is not None:
+        dead_df = tombstones.agg(
+            F.sort_array(
+                F.collect_list(F.col("doc_id").cast("long"))
+            ).alias("__dead")
+        )
+        q_post = q_post.withColumn(
+            "__first",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("term")
+            )
+            == 1,
+        ).join(
+            F.broadcast(dead_df.withColumn("__first", F.lit(True))),
+            "__first",
+            "left",
+        ).drop("__first")
+        has_tomb_col = True
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        dead = del_arr
+        if has_tomb_col:
+            vals = [
+                a
+                for a in pdf["__dead"]
+                if a is not None and not isinstance(a, float)
+            ]
+            pdf = pdf.drop(columns="__dead")
+            if vals and len(vals[0]):
+                a = np.asarray(vals[0], dtype=np.int64)
+                dead = a if dead is None else np.union1d(dead, a)
+        qid = int(pdf["query_id"].iloc[0])
+        # segmented hot terms arrive as several rows per term; MaxScore
+        # treats each segment as its own pointer (same as WAND) — merge
+        # is unnecessary because segments are doc-disjoint.
+        rows = _maxscore_one_query(
+            qid,
+            pdf.to_dict("records"),
+            n_docs,
+            avgdl,
+            dl_min,
+            k,
+            k1,
+            b,
+            deleted=dead,
+        )
+        return pd.DataFrame(
+            rows, columns=["query_id", "rank", "doc_id", "score"]
+        )
+
+    return q_post.groupBy("query_id").applyInPandas(run, schema=RESULTS)

@@ -751,4 +751,15 @@ def run_queries(
             spark, qt, index.postings, index.stats, k=k,
             tombstones=index.tombstones,
         )
+    if path == "maxscore":
+        if index.postings is None:
+            raise ValueError("maxscore path needs compressed postings")
+        from ..operators.maxscore import maxscore_topk
+
+        # second dynamic-pruning strategy (Turtle-Flood): same inputs,
+        # same norms-sidecar/tombstone plumbing, rank-identical output.
+        return maxscore_topk(
+            spark, qt, index.postings, index.stats, k=k,
+            tombstones=index.tombstones,
+        )
     raise ValueError(f"unknown path: {path}")

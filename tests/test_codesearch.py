@@ -1,0 +1,168 @@
+"""Code-native analysis: identifier subtoken splitting, ctags-style
+symbol extraction, grep-style line matching, symbol-boosted re-rank."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginejava_spark.operators.codesearch import (
+    extract_symbols,
+    grep_lines,
+    split_identifier_col,
+    subtoken_terms,
+    symbol_boosted_search,
+)
+
+
+def _split(spark, s: str) -> list[str]:
+    return (
+        spark.range(1)
+        .select(split_identifier_col(F.lit(s)).alias("t"))
+        .collect()[0]["t"]
+    )
+
+
+@pytest.mark.parametrize(
+    "ident,want",
+    [
+        ("fastScan", ["fast", "scan"]),
+        ("scan_buffer", ["scan", "buffer"]),
+        ("XMLHttpRequest", ["xml", "http", "request"]),
+        ("HashMap", ["hash", "map"]),
+        ("utf8Decode", ["utf8", "decode"]),
+        ("plain", ["plain"]),
+        ("__dunder__name__", ["dunder", "name"]),
+        ("a", ["a"]),
+        ("ALLCAPS", ["allcaps"]),
+        ("parseHTMLPage", ["parse", "html", "page"]),
+    ],
+)
+def test_split_identifier(spark, ident, want):
+    assert _split(spark, ident) == want
+
+
+def test_subtoken_terms_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "fastScan fastScan scan"), (1, "plain")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in subtoken_terms(df).collect()
+    }
+    # fastScan twice → fast:2 scan:2 fastscan:2; bare scan adds 1;
+    # 'plain' never splits → no whole-identifier double count
+    assert got == {
+        (0, "fast"): 2,
+        (0, "scan"): 3,
+        (0, "fastscan"): 2,
+        (1, "plain"): 1,
+    }
+
+
+def test_extract_symbols_kinds(spark):
+    content = (
+        "def top_fn(x):\n"
+        "    return x\n"
+        "class Widget:\n"
+        "    def method_a(self):\n"
+        "        pass\n"
+        "func goFn(y int) {}\n"
+        "function jsFn() {}\n"
+        "trait Ordering {}\n"
+        "object Main {}\n"
+        "not_a def inline mention\n"
+    )
+    df = spark.createDataFrame([(7, content)], "doc_id long, text string")
+    got = {
+        (r["symbol"], r["kind"]) for r in extract_symbols(df).collect()
+    }
+    assert got == {
+        ("top_fn", "function"),
+        ("method_a", "function"),  # indented defs count
+        ("Widget", "class"),
+        ("goFn", "function"),
+        ("jsFn", "function"),
+        ("Ordering", "trait"),
+        ("Main", "object"),
+    }
+
+
+def test_grep_lines_and_candidate_pruning(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "alpha scan\nbeta\ngamma scanner"),
+            (1, "no match here\nnope"),
+            (2, "scan on line one\nand scan again"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["line_no"], r["line"])
+        for r in grep_lines(df, "scan").collect()
+    )
+    assert got == [
+        (0, 1, "alpha scan"),
+        (0, 3, "gamma scanner"),
+        (2, 1, "scan on line one"),
+        (2, 2, "and scan again"),
+    ]
+    cand = spark.createDataFrame([(2,)], "doc_id long")
+    pruned = sorted(
+        (r["doc_id"], r["line_no"])
+        for r in grep_lines(df, "scan", candidates=cand).collect()
+    )
+    assert pruned == [(2, 1), (2, 2)]
+    # regex mode
+    rx = sorted(
+        (r["doc_id"], r["line_no"])
+        for r in grep_lines(df, r"scan(ner)?$", regex=True).collect()
+    )
+    assert rx == [(0, 1), (0, 3)]
+
+
+def test_grep_equals_trigram_pruned_grep(spark):
+    """Trigram-candidate pruning is output-invisible (the 100 TB path)."""
+    from searchenginejava_spark.operators.trigram import (
+        build_trigram_index,
+        trigram_candidates,
+    )
+
+    corpus = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", F.regexp_replace("text", " ", "\n").alias("text"))
+    )
+    corpus.persist().count()
+    tri = build_trigram_index(corpus)
+    full = sorted(
+        (r["doc_id"], r["line_no"])
+        for r in grep_lines(corpus, "scan").collect()
+    )
+    pruned = sorted(
+        (r["doc_id"], r["line_no"])
+        for r in grep_lines(
+            corpus, "scan", candidates=trigram_candidates(tri, "scan")
+        ).collect()
+    )
+    assert full == pruned and len(full) > 0
+    corpus.unpersist()
+
+
+def test_symbol_boosted_search_reranks(spark):
+    results = spark.createDataFrame(
+        [(0, 1, 10, 2.0), (0, 2, 20, 1.5)],
+        "query_id int, rank int, doc_id long, score double",
+    )
+    symbols = spark.createDataFrame(
+        [(20, "fastScan", "function")], "doc_id long, symbol string, kind string"
+    )
+    qt = spark.createDataFrame(
+        [(0, "scan", 1)], "query_id int, term string, qtf int"
+    )
+    got = sorted(
+        (r["rank"], r["doc_id"], r["score"])
+        for r in symbol_boosted_search(results, symbols, qt, boost=1.0).collect()
+    )
+    # doc 20 defines fastScan → subtoken 'scan' matches → 1.5+1.0 beats 2.0
+    assert got == [(1, 20, 2.5), (2, 10, 2.0)]

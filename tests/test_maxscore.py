@@ -1,0 +1,154 @@
+"""MaxScore pruning invariant (SURVEY.md §5.4 applied to the second
+pruning family): MaxScore top-k == exhaustive top-k == WAND top-k,
+scores at 1e-9 rel-tol, ties (score desc, doc_id asc). Plus a unit test
+that the early-exit bound actually prunes, and tombstone equality."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from searchenginejava_spark.operators.maxscore import _maxscore_one_query
+from searchenginejava_spark.plans.pipeline import (
+    build_index,
+    delete_docs,
+    run_queries,
+)
+from searchenginejava_spark.sources.source import read_documents
+
+from conftest import TESTDATA
+
+QUERIES = [
+    (0, "spark merge window"),
+    (1, "fast table scan"),
+    (2, "hash join"),
+    (3, "zzz_out_of_vocabulary"),
+    (4, "the a an and"),
+    (5, "batch batch stream"),
+    (6, "key value store compaction"),
+    (7, "sort order by key"),
+    (8, "scan"),
+    (9, "window dup small part batch"),
+]
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    corpus = read_documents(spark, TESTDATA)
+    idx = build_index(
+        spark, corpus, text_col="text", mode="full", num_partitions=8,
+        num_salts=4,
+    )
+    idx.persist()
+    yield idx
+
+
+def _key(rows):
+    return sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows
+    )
+
+
+def assert_rank_identical(a, b):
+    assert len(a) == len(b)
+    for (qa, ra, da, sa), (qb, rb, db, sb) in zip(a, b):
+        assert (qa, ra, da) == (qb, rb, db)
+        assert math.isclose(sa, sb, rel_tol=1e-9), (qa, ra, sa, sb)
+
+
+def test_maxscore_vs_exhaustive_and_wand(spark, index):
+    ex = _key(run_queries(spark, index, QUERIES, path="exhaustive").collect())
+    ms = _key(run_queries(spark, index, QUERIES, path="maxscore").collect())
+    wd = _key(run_queries(spark, index, QUERIES, path="wand").collect())
+    assert_rank_identical(ex, ms)
+    assert_rank_identical(wd, ms)
+
+
+def test_maxscore_tombstones(spark, index):
+    """Deleted docs never appear, and live ranking equals the exhaustive
+    scorer over the tombstoned index."""
+    victims = [
+        r["doc_id"]
+        for r in run_queries(spark, index, QUERIES[:3], path="maxscore")
+        .select("doc_id")
+        .limit(5)
+        .collect()
+    ]
+    idx2 = delete_docs(
+        index, spark.createDataFrame([(d,) for d in victims], "doc_id long")
+    )
+    ex = _key(run_queries(spark, idx2, QUERIES, path="exhaustive").collect())
+    ms = _key(run_queries(spark, idx2, QUERIES, path="maxscore").collect())
+    assert_rank_identical(ex, ms)
+    got_docs = {d for (_, _, d, _) in ms}
+    assert got_docs.isdisjoint(set(victims))
+
+
+def _row(term, ids, tfs, dls):
+    from searchenginejava_spark.functions.codec import (
+        encode_postings,
+        vb_encode,
+    )
+
+    return {
+        "term": term,
+        "qtf": 1,
+        "df": len(ids),
+        "term_df": len(ids),
+        "max_tf": int(tfs.max()),
+        "min_dl": int(dls.min()),
+        "postings": encode_postings(ids, tfs),
+        "norms": vb_encode(dls),
+    }
+
+
+def test_maxscore_essential_list_skips_candidates():
+    """Skew: one dominant rare term + one huge common list, k=1. Once
+    the rare doc fills the heap the common list turns non-essential, so
+    its remaining ~2000 solo docs are never even GENERATED as
+    candidates — the scored count collapses to the handful seen before
+    the threshold rose."""
+    import numpy as np
+
+    n = 2000
+    terms = [
+        _row("common", np.arange(n, dtype=np.int64),
+             np.ones(n, dtype=np.int64), np.full(n, 100, np.int64)),
+        _row("rare", np.array([7], dtype=np.int64),
+             np.array([50], dtype=np.int64), np.full(1, 100, np.int64)),
+    ]
+    counters: dict = {}
+    out = _maxscore_one_query(
+        0, terms, n_docs=n, avgdl=100.0, dl_min=100.0, k=1,
+        k1=1.2, b=0.75, counters=counters,
+    )
+    assert len(out) == 1 and out[0][2] == 7  # the rare doc wins
+    # docs 0..7 score before the heap fills; everything after is skipped
+    assert counters["scored"] <= 10, counters
+
+
+def test_maxscore_early_exit_prunes():
+    """Essential-driven candidates that cannot reach theta must be
+    dropped by the partial+remaining upper-bound check WITHOUT looking
+    up the non-essential list: driver term has one huge-tf doc first
+    (sets theta), then 99 tf=1 docs whose partial + cum(common) < theta."""
+    import numpy as np
+
+    n = 2000
+    driver_ids = np.arange(100, dtype=np.int64)
+    driver_tfs = np.concatenate(
+        [np.array([50], dtype=np.int64), np.ones(99, dtype=np.int64)]
+    )
+    terms = [
+        _row("common", np.arange(n, dtype=np.int64),
+             np.ones(n, dtype=np.int64), np.full(n, 100, np.int64)),
+        _row("driver", driver_ids, driver_tfs, np.full(100, 100, np.int64)),
+    ]
+    counters: dict = {}
+    out = _maxscore_one_query(
+        0, terms, n_docs=n, avgdl=100.0, dl_min=100.0, k=1,
+        k1=1.2, b=0.75, counters=counters,
+    )
+    assert len(out) == 1 and out[0][2] == 0  # the tf=50 doc wins
+    assert counters["pruned"] >= 90, counters
