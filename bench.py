@@ -117,10 +117,12 @@ def main() -> None:
     qset = gen_query_set(50)
     run_queries(spark, idx_code, qset[:5], path="exhaustive").collect()
     run_queries(spark, idx_code, qset[:5], path="wand").collect()
+    run_queries(spark, idx_code, qset[:5], path="maxscore").collect()
     query_runs: dict[str, list[float]] = {}
     for name, kwargs in (
         ("bm25_batch50_exhaustive", {"path": "exhaustive"}),
         ("bm25_batch50_wand", {"path": "wand"}),
+        ("bm25_batch50_maxscore", {"path": "maxscore"}),
     ):
         runs = []
         for _ in range(2):
@@ -164,6 +166,20 @@ def main() -> None:
     queries["phrase_batch10_indexed"] = min(ph_runs)
     query_runs["phrase_batch10_indexed"] = ph_runs
     pos_postings.unpersist()
+
+    # --- code-analyzer subtoken index over the source-code table -----------
+    # the code-native tf relation (camelCase/snake_case subtoken split,
+    # zero UDF) fed through the same compressed SPIMI/merge path
+    from searchenginejava_spark.operators.codesearch import subtoken_terms
+    from searchenginejava_spark.operators.index import build_postings
+
+    t0 = time.monotonic()
+    sub_tf = subtoken_terms(
+        assign_doc_ids(code, scalable=True, num_partitions=2 * cpus),
+        text_col="content",
+    )
+    build_postings(sub_tf, num_partitions=2 * cpus, num_salts=4).count()
+    queries["index_build_code_subtokens"] = round(time.monotonic() - t0, 3)
 
     # --- single-query serving latency (WAND, k=10, best of 3) --------------
     lat_runs = []
