@@ -2000,6 +2000,73 @@ def q_code_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_pagerank_priors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-analysis doc priors: call sites resolved to definition sites
+    on the case-convention-insensitive subtoken key → distinct doc-edge
+    graph → 3 damped PageRank iterations (mean-1.0 scaling) — the
+    query-independent static-rank signal next to BM25."""
+    from searchenginejava_spark.operators.codesearch import (
+        extract_call_sites,
+        extract_symbols,
+        reference_edges,
+    )
+    from searchenginejava_spark.operators.linkrank import pagerank
+
+    cv = _code_view(spark, sf_dir)
+    cv.persist()
+    edges = reference_edges(
+        extract_call_sites(cv, text_col="code"),
+        extract_symbols(cv, text_col="code"),
+    )
+    res = pagerank(
+        cv.select("doc_id"), edges, n_iter=3, deterministic=True
+    ).select("doc_id", "pagerank")
+    res.persist()
+    res.count()
+    cv.unpersist()
+    return res
+
+
+def q_prior_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static-rank-boosted retrieval: BM25 top-10 re-ranked by the
+    PageRank prior (score · prior, the function_score-multiply
+    convention) — query relevance × query-independent authority."""
+    from searchenginejava_spark.operators.codesearch import (
+        extract_call_sites,
+        extract_symbols,
+        reference_edges,
+    )
+    from searchenginejava_spark.operators.linkrank import (
+        pagerank,
+        prior_boosted_search,
+    )
+    from searchenginejava_spark.operators.search import score_exhaustive
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    base = score_exhaustive(qt, tf, dl, dct, stats, k=_TOPK)
+    cv = _code_view(spark, sf_dir)
+    cv.persist()
+    pri = pagerank(
+        cv.select("doc_id"),
+        reference_edges(
+            extract_call_sites(cv, text_col="code"),
+            extract_symbols(cv, text_col="code"),
+        ),
+        n_iter=3,
+        deterministic=True,
+    )
+    res = prior_boosted_search(base, pri).select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+    res.persist()
+    res.count()
+    tf.unpersist()
+    cv.unpersist()
+    return res
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration ORDER is load-bearing: the driver's CORRECTNESS
     window covered exactly the first 50 registered queries in rounds
@@ -2078,6 +2145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows (q_subtoken_index + q_symbol_extract) over the in-window
         # BM25 scorer, so its family is driver-covered either way.
         "q_code_search": q_code_search,
+        "q_pagerank_priors": q_pagerank_priors,
+        "q_prior_search": q_prior_search,
         "q_postings_incremental": q_postings_incremental,
         "q_dictionary_compressed": q_dictionary_compressed,
         "q_wand_sharded_topk": q_wand_sharded_topk,
@@ -2503,6 +2572,86 @@ def _sql_symbol_union() -> str:
                '{kind}' AS kind
         FROM cv"""
         for kind, pat in SYMBOL_PATTERNS
+    )
+
+
+def _pagerank_ctes(n_iter: int = 3, damping: float = 0.85) -> str:
+    """Unrolled-K PageRank CTE chain over the symbol-reference edges
+    (continues an open WITH that already defined ``cv``): the iteration
+    r_{k+1} = (1-d)/N + d·Σ r_k(u)·(1/outdeg(u)) written as K chained
+    CTEs — same IEEE op sequence as operators/linkrank.py (contribution
+    is r * (1.0/od), base is (1.0-d)/N). Ends with ``pri(doc_id,
+    pagerank)``, the mean-1.0-scaled prior relation."""
+    from searchenginejava_spark.operators.codesearch import CALL_PATTERN
+
+    s = f"""
+    , sym AS ({_sql_symbol_union()})
+    , defs AS (
+      SELECT DISTINCT doc_id AS dst,
+             array_to_string({_sql_subsplit("symbol")}, '_') AS nsym
+      FROM sym
+    )
+    , csites AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(code, '{CALL_PATTERN}', 1)) AS callee
+      FROM cv
+    )
+    , calls AS (
+      SELECT DISTINCT doc_id AS src,
+             array_to_string({_sql_subsplit("callee")}, '_') AS nsym
+      FROM csites
+    )
+    , edges AS (
+      SELECT DISTINCT src, dst FROM calls JOIN defs USING (nsym)
+      WHERE src <> dst
+    )
+    , outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src)
+    , nn AS (SELECT count(*) AS n FROM cv)
+    , r0 AS (SELECT doc_id,
+                    CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS r FROM cv)
+    """
+    # every float op is CAST-forced to DOUBLE and the in-contribution sum
+    # is the src-sorted left fold — bit-identical to pagerank(
+    # deterministic=True), so the output ships UNROUNDED (PageRank's
+    # rational values land on decimal midpoints where round() diverges
+    # between engines even for equal doubles)
+    d = f"CAST({damping} AS DOUBLE)"
+    for k in range(1, n_iter + 1):
+        s += f"""
+    , c{k} AS (
+      SELECT e.dst AS doc_id,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(
+                   list_sort(list({{'s': e.src,
+                     'c': p.r * (CAST(1.0 AS DOUBLE) / od.od)}})),
+                   z -> z.c)),
+               (a, b) -> a + b) AS c
+      FROM edges e
+      JOIN r{k - 1} p ON e.src = p.doc_id
+      JOIN outdeg od ON od.src = e.src
+      GROUP BY e.dst
+    )
+    , r{k} AS (
+      SELECT cv.doc_id,
+             (CAST(1.0 AS DOUBLE) - {d}) / (SELECT n FROM nn)
+             + {d} * coalesce(c{k}.c, CAST(0.0 AS DOUBLE)) AS r
+      FROM cv LEFT JOIN c{k} USING (doc_id)
+    )
+    """
+    s += f"""
+    , pri AS (
+      SELECT doc_id, r * (SELECT n FROM nn) AS pagerank FROM r{n_iter}
+    )
+    """
+    return s
+
+
+def _pagerank_sql(n_iter: int = 3, damping: float = 0.85) -> str:
+    return (
+        _SQL_CODEVIEW
+        + _pagerank_ctes(n_iter, damping)
+        + " SELECT doc_id, pagerank FROM pri"
     )
 
 
@@ -4123,6 +4272,49 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, CAST(line_no AS INT) AS line_no, line
     FROM lines WHERE contains(line, '{_GREP_NEEDLE}')
     """
+    sql["q_pagerank_priors"] = _pagerank_sql(n_iter=3, damping=0.85)
+    sql["q_prior_search"] = (
+        _SQL_TF
+        + _SQL_CODEVIEW.replace("WITH cvtok", ", cvtok", 1)
+        + _pagerank_ctes(n_iter=3, damping=0.85)
+        + f"""
+    , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+             FROM tf GROUP BY doc_id)
+    , stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl)
+    , dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+    , q(query_id, term, qtf) AS (VALUES {q_values})
+    , scored AS (
+      SELECT q.query_id, tf.doc_id,
+             sum(q.qtf
+                 * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                 * (tf.tf * {_K1 + 1.0})
+                 / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+             ) AS s
+      FROM q
+      JOIN dict USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY q.query_id, tf.doc_id
+    )
+    , base AS (
+      SELECT query_id, doc_id, s,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, doc_id ASC) AS r
+      FROM scored QUALIFY r <= {_TOPK}
+    )
+    SELECT CAST(base.query_id AS INT) AS query_id,
+           CAST(row_number() OVER (
+               PARTITION BY base.query_id
+               ORDER BY base.s * coalesce(pri.pagerank,
+                                          CAST(1.0 AS DOUBLE)) DESC,
+                        base.doc_id ASC) AS INT) AS rank,
+           base.doc_id,
+           round(base.s * coalesce(pri.pagerank, CAST(1.0 AS DOUBLE)), 6)
+               AS score
+    FROM base LEFT JOIN pri USING (doc_id)
+    """
+    )
     return sql
 
 

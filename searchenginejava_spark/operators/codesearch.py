@@ -185,6 +185,58 @@ def symbol_boosted_search(
 
 
 # ---------------------------------------------------------------------------
+# call sites + symbol-reference edges (input to link analysis)
+# ---------------------------------------------------------------------------
+
+# identifier (optionally one dotted attribute) immediately before a '(' —
+# the call-site shape shared by the contract languages
+CALL_PATTERN = r"([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)\s*\("
+
+
+def norm_symbol_col(name: Column) -> Column:
+    """Case-convention-insensitive symbol key: subtokens joined by '_'
+    (``keyAgg`` == ``key_agg`` == ``KeyAgg`` == ``value.part`` →
+    ``value_part``) — how real code search resolves references across
+    naming conventions."""
+    return F.array_join(split_identifier_col(name), "_")
+
+
+def extract_call_sites(
+    corpus: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, callee) — every (possibly dotted) identifier applied with
+    ``(``; one native regexp_extract_all pass, no UDF."""
+    return corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(CALL_PATTERN), 1)
+        ).alias("callee"),
+    )
+
+
+def reference_edges(calls: DataFrame, symbols: DataFrame) -> DataFrame:
+    """Distinct (src, dst) doc edges: src calls a symbol dst defines,
+    matched on the normalized subtoken key, self-edges dropped.
+
+    One equi-join on the normalized key — at 10^12 docs both sides are
+    tiny relative to the corpus (call sites and definition sites, not
+    tokens), and the join key is high-cardinality (symbol names), so the
+    shuffle is the natural one. Output is the input to ``pagerank``."""
+    c = calls.select(
+        F.col("doc_id").alias("src"), norm_symbol_col(F.col("callee")).alias("nsym")
+    ).distinct()
+    d = symbols.select(
+        F.col("doc_id").alias("dst"), norm_symbol_col(F.col("symbol")).alias("nsym")
+    ).distinct()
+    return (
+        c.join(d, "nsym")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
 # grep-style line matching
 # ---------------------------------------------------------------------------
 

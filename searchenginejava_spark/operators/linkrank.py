@@ -1,0 +1,155 @@
+"""Link-analysis document priors — PageRank over a doc-reference graph.
+
+The reference ranks by BM25 alone ([R:Ranker], SURVEY.md §2.5); every
+web-scale engine adds a query-independent static rank ([L:Page, Brin,
+Motwani, Winograd, "The PageRank citation ranking", 1999]; Lucene/ES
+expose it as a boost field). For the contract's source-code payload the
+natural graph is the symbol-reference graph (operators/codesearch.py
+``reference_edges``: src calls what dst defines), but ``pagerank`` takes
+any (src, dst) edge relation.
+
+Formulation: the standard damped iteration
+
+    r_{k+1}(v) = (1 - d)/N + d * sum_{u -> v} r_k(u) / outdeg(u)
+
+started from the uniform vector, run a FIXED number of iterations
+(deterministic — the oracle unrolls the same K steps in SQL). Dangling
+docs (outdeg 0) simply leak their damped mass, the convention of the
+original paper's simplified form; normalizing variants rescale but do
+not reorder, and a fixed-K unrolled oracle must match term-for-term.
+
+Spark shape — per iteration: one hash join (edges ⋈ ranks on src, the
+edge side carrying 1/outdeg precomputed ONCE), one map-side-combining
+sum by dst, one left join back to the node set — a constant number of
+shuffles over O(E)+O(N) ROWS OF TWO COLUMNS (the plan audit in PLANS.md
+measures the per-iteration Exchange delta). Ranks are a (doc_id, r)
+relation the size of the corpus's doc COUNT, never its content;
+edges/outdeg are computed once and cached. At 10^12 docs,
+pre-partitioning edges by src and nodes by doc_id makes the recurring
+joins co-located (one-time cost, K reuses); AQE broadcast-converts the
+rank side when it is small. ``checkpoint_every`` truncates the lineage
+chain with an eager localCheckpoint so long runs don't replan a K-deep
+DAG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 3
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    n_iter: int = PAGERANK_ITERS,
+    damping: float = PAGERANK_DAMPING,
+    id_col: str = "doc_id",
+    checkpoint_every: int = 8,
+    deterministic: bool = False,
+) -> DataFrame:
+    """(doc_id, pagerank) — scaled by N so the mean is 1.0 (a drop-in
+    multiplicative/log-additive prior for the scorers).
+
+    ``nodes`` fixes the vertex set (docs with no edges still rank);
+    ``edges`` is distinct (src, dst). N is one bounded count() scalar.
+
+    ``deterministic=True`` folds each node's in-contributions in src
+    order (sort_array + left fold) instead of plain sum — bit-identical
+    across partitionings and vs the unrolled SQL oracle (PageRank's
+    rational arithmetic lands on apparent decimal midpoints where a
+    last-ulp sum-order drift flips a rounding; same parity-audit
+    convention as score_exhaustive's deterministic mode). Default keeps
+    the map-side-combining plain sum — the serving path.
+    """
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            F.col(id_col).alias("doc_id"), F.lit(0.0).alias("pagerank")
+        )
+    base = (1.0 - damping) / n
+
+    # 1/outdeg rides the edge relation — computed once, reused every round
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    ew = edges.join(outdeg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("od")).alias("inv_od")
+    )
+    ew.persist()
+    ew.count()
+
+    ranks = nodes.select(
+        F.col(id_col).alias("doc_id"), (F.lit(1.0) / n).alias("r")
+    )
+    for i in range(n_iter):
+        per_edge = ew.join(ranks, ew["src"] == ranks["doc_id"]).select(
+            "dst", "src", (F.col("r") * F.col("inv_od")).alias("c")
+        )
+        if deterministic:
+            contrib = (
+                per_edge.groupBy("dst")
+                .agg(
+                    F.sort_array(F.collect_list(F.struct("src", "c"))).alias(
+                        "cs"
+                    )
+                )
+                .select(
+                    "dst",
+                    F.aggregate(
+                        "cs", F.lit(0.0), lambda acc, x: acc + x["c"]
+                    ).alias("c"),
+                )
+            )
+        else:
+            contrib = per_edge.groupBy("dst").agg(F.sum("c").alias("c"))
+        ranks = (
+            nodes.select(F.col(id_col).alias("doc_id"))
+            .join(contrib, F.col("doc_id") == F.col("dst"), "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.select("doc_id", (F.col("r") * n).alias("pagerank"))
+    out.persist()
+    out.count()
+    ew.unpersist()
+    return out
+
+
+def prior_boosted_search(
+    results: DataFrame, priors: DataFrame, *, weight: float = 1.0
+) -> DataFrame:
+    """Re-rank BM25 ``results`` (query_id, rank, doc_id, score) by the
+    query-independent static rank: boosted = score · prior^weight (the
+    function_score-multiply convention; weight=1.0 is a plain multiply,
+    bit-exact vs the SQL oracle). Docs without a prior row are neutral
+    (prior 1.0 — the mean under pagerank's scaling).
+
+    The priors relation is O(docs) rows of two columns, equi-joined to
+    the already-top-k results — at serving scale this is a broadcast of
+    the candidate ids against the doc-partitioned prior table, never a
+    full-prior scan."""
+    from pyspark.sql import Window
+
+    prior = F.coalesce(F.col("pagerank"), F.lit(1.0))
+    if weight != 1.0:
+        prior = F.pow(prior, F.lit(weight))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("boosted"), F.asc("doc_id")
+    )
+    return (
+        results.join(priors.select("doc_id", "pagerank"), "doc_id", "left")
+        .withColumn("boosted", F.col("score") * prior)
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "query_id", "rank", "doc_id", F.col("boosted").alias("score")
+        )
+    )

@@ -1,0 +1,152 @@
+"""Link-analysis priors: call-site extraction, symbol-reference edges,
+and fixed-iteration PageRank (hand-computed values, dangling mass,
+deterministic-fold parity with the plain-sum serving path)."""
+
+from __future__ import annotations
+
+import pytest
+
+from searchenginejava_spark.operators.codesearch import (
+    extract_call_sites,
+    extract_symbols,
+    reference_edges,
+)
+from searchenginejava_spark.operators.linkrank import pagerank
+
+
+def _nodes(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(list(pairs), "src long, dst long")
+
+
+def _ranks(df) -> dict[int, float]:
+    return {r["doc_id"]: r["pagerank"] for r in df.collect()}
+
+
+def _hand_pagerank(n_ids, pairs, n_iter, d=0.85):
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    for s, t in pairs:
+        out[s].append(t)
+    n = len(n_ids)
+    r = {v: 1.0 / n for v in n_ids}
+    for _ in range(n_iter):
+        contrib = defaultdict(float)
+        for s, ts in out.items():
+            for t in ts:
+                contrib[t] += r[s] * (1.0 / len(ts))
+        r = {v: (1.0 - d) / n + d * contrib[v] for v in n_ids}
+    return {v: r[v] * n for v in n_ids}
+
+
+def test_pagerank_matches_hand_computation(spark):
+    ids = [0, 1, 2, 3]
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]
+    got = _ranks(pagerank(_nodes(spark, ids), _edges(spark, pairs), n_iter=3))
+    want = _hand_pagerank(ids, pairs, 3)
+    assert set(got) == set(want)
+    for v in ids:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # 2 is the most-referenced doc, 3 is never referenced
+    assert got[2] == max(got.values())
+    assert got[3] == min(got.values())
+
+
+def test_pagerank_dangling_and_isolated_nodes(spark):
+    # 1 is dangling (no out-edges, leaks damped mass); 2 is isolated
+    ids = [0, 1, 2]
+    got = _ranks(pagerank(_nodes(spark, ids), _edges(spark, [(0, 1)]), n_iter=2))
+    want = _hand_pagerank(ids, [(0, 1)], 2)
+    for v in ids:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # isolated and source docs still rank (base mass), referenced doc wins
+    assert got[1] > got[0] == got[2] > 0
+
+
+def test_pagerank_deterministic_fold_equals_plain_sum(spark):
+    ids = list(range(30))
+    pairs = [(i, (i * 7 + 3) % 30) for i in ids] + [
+        (i, (i * 11 + 1) % 30) for i in ids
+    ]
+    pairs = [(s, t) for s, t in pairs if s != t]
+    nodes, edges = _nodes(spark, ids), _edges(spark, pairs)
+    plain = _ranks(pagerank(nodes, edges, n_iter=4))
+    det = _ranks(pagerank(nodes, edges, n_iter=4, deterministic=True))
+    for v in ids:
+        assert plain[v] == pytest.approx(det[v], rel=1e-12)
+
+
+def test_pagerank_empty_graph(spark):
+    # no edges -> every node holds only the base mass (1-d)/N; the damped
+    # share leaks (the simplified-formulation convention the docstring
+    # documents), so the scaled rank is 1-d, not 1.0
+    got = _ranks(pagerank(_nodes(spark, [0, 1]), _edges(spark, []), n_iter=3))
+    assert got == {0: pytest.approx(0.15), 1: pytest.approx(0.15)}
+    assert _ranks(
+        pagerank(_nodes(spark, []), _edges(spark, []), n_iter=3)
+    ) == {}
+
+
+_CODE_DOCS = [
+    # doc 0 defines key_agg (snake) and calls renderPage (camel)
+    (0, "def key_agg(rows):\n    out = renderPage(rows)\n    return out"),
+    # doc 1 defines RenderPage the class — referenced by doc 0's call
+    (1, "class RenderPage:\n    def render_page(self):\n        pass"),
+    # doc 2 calls keyAgg (camel) and util.key_agg (dotted) -> doc 0
+    (2, "x = keyAgg(v)\ny = util.key_agg(v)"),
+    # doc 3 references nothing anyone defines
+    (3, "z = unknown_thing(1)"),
+]
+
+
+def test_reference_edges_cross_convention(spark):
+    cv = spark.createDataFrame(_CODE_DOCS, "doc_id long, text string")
+    calls = extract_call_sites(cv)
+    syms = extract_symbols(cv)
+    edges = {(r["src"], r["dst"]) for r in reference_edges(calls, syms).collect()}
+    # camel call -> snake def, camel call -> class def, dotted call -> def;
+    # doc 0's own key_agg call-shaped define is a self-edge (excluded);
+    # 'util.key_agg' normalizes to util_key_agg -> no match (module-
+    # qualified names only match same-shaped symbols)
+    assert (2, 0) in edges  # keyAgg(v) -> def key_agg
+    assert (0, 1) in edges  # renderPage(rows) -> class RenderPage
+    assert (1, 1) not in edges and (0, 0) not in edges  # no self-edges
+    assert all(s != d for s, d in edges)
+
+
+def test_prior_boosted_search_reorders_and_neutral_default(spark):
+    from searchenginejava_spark.operators.linkrank import prior_boosted_search
+
+    base = spark.createDataFrame(
+        [(0, 1, 10, 2.0), (0, 2, 11, 1.5), (0, 3, 12, 1.0)],
+        "query_id int, rank int, doc_id long, score double",
+    )
+    # doc 12 has a strong prior; 10 has none (neutral 1.0)
+    pri = spark.createDataFrame(
+        [(11, 1.0), (12, 4.0)], "doc_id long, pagerank double"
+    )
+    got = {
+        r["doc_id"]: (r["rank"], r["score"])
+        for r in prior_boosted_search(base, pri).collect()
+    }
+    assert got[12] == (1, pytest.approx(4.0))  # 1.0 * 4.0 wins
+    assert got[10] == (2, pytest.approx(2.0))  # neutral prior keeps score
+    assert got[11] == (3, pytest.approx(1.5))
+    # weight=0 is a no-op re-rank (prior^0 == 1)
+    same = {
+        r["doc_id"]: r["rank"]
+        for r in prior_boosted_search(base, pri, weight=0.0).collect()
+    }
+    assert same == {10: 1, 11: 2, 12: 3}
+
+
+def test_extract_call_sites_dotted(spark):
+    cv = spark.createDataFrame(
+        [(0, "a = mod.fn(x) + plain(y) + no_call")], "doc_id long, text string"
+    )
+    callees = {r["callee"] for r in extract_call_sites(cv).collect()}
+    assert callees == {"mod.fn", "plain"}

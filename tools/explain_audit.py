@@ -853,6 +853,35 @@ def main() -> None:
     ]
     sections.append(("log sessionization (events table)", p_se, checks))
 
+    # 24. PageRank priors: iterative joins over two-column relations —
+    # the per-iteration shuffle count must be CONSTANT (measured as the
+    # Exchange delta between a 1-iteration and a 3-iteration run; join +
+    # agg + node left-join, ≤ 5 with AQE query-stage wrappers), and the
+    # whole loop stays native (zero Python crossings)
+    from searchenginejava_spark.operators.linkrank import pagerank
+
+    nodes_au = spark.range(200).selectExpr("id as doc_id")
+    edges_au = spark.range(600).selectExpr(
+        "id % 200 as src", "(id * 7 + 1) % 200 as dst"
+    ).distinct()
+    p_p1 = plan_of(pagerank(nodes_au, edges_au, n_iter=1))
+    p_p3 = plan_of(pagerank(nodes_au, edges_au, n_iter=3))
+    d_ex = (n_nodes(p_p3, "Exchange") - n_nodes(p_p1, "Exchange")) / 2
+    checks = [
+        (
+            "per-iteration shuffle-Exchange delta ≤ 5 (join + agg + "
+            "node join, AQE stages included)",
+            d_ex <= 5,
+            f"delta {d_ex} per iteration",
+        ),
+        (
+            "fully native loop (zero Python crossings)",
+            "ArrowEvalPython" not in p_p3 and "MapInPandas" not in p_p3,
+            "",
+        ),
+    ]
+    sections.append(("PageRank doc priors (3-iteration loop)", p_p3, checks))
+
     ok = True
     out = ["# PLANS.md — physical-plan audit (generated by tools/explain_audit.py)", ""]
     for title, plan, cks in sections:
