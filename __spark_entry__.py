@@ -1484,6 +1484,33 @@ def q_lm_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_lm_jelinek_mercer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query likelihood with Jelinek-Mercer smoothing (Zhai & Lafferty
+    SIGIR'01; Lucene LMJelinekMercerSimilarity) — the FOURTH classic
+    ranking model; λ=0.5 here so the decimal-literal SQL mirror is
+    bit-equal (1-λ exactly representable)."""
+    from searchenginejava_spark.operators.search import lm_jelinek_mercer_topk
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    dct_cf = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    stats = dict(stats)
+    stats["total_terms"] = int(
+        dl.agg(F.sum("doc_len").alias("t")).collect()[0]["t"]
+    )
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    res = lm_jelinek_mercer_topk(
+        qt, tf, dl, dct_cf, stats, k=_TOPK, lam=0.5
+    ).select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
 def q_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RM3 pseudo-relevance feedback (Lavrenko & Croft SIGIR'01; the
     Anserini convention): BM25 top-10 feedback docs → relevance-model
@@ -2147,6 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_code_search": q_code_search,
         "q_pagerank_priors": q_pagerank_priors,
         "q_prior_search": q_prior_search,
+        "q_lm_jelinek_mercer": q_lm_jelinek_mercer,
         "q_postings_incremental": q_postings_incremental,
         "q_dictionary_compressed": q_dictionary_compressed,
         "q_wand_sharded_topk": q_wand_sharded_topk,
@@ -4271,6 +4299,34 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT doc_id, CAST(line_no AS INT) AS line_no, line
     FROM lines WHERE contains(line, '{_GREP_NEEDLE}')
+    """
+    # JM smoothing: per-term part mirrors lm_jelinek_mercer_topk exactly —
+    # denom = (0.5 * cf) / total driver-side, numerator ((1.0-0.5)*tf)/dl,
+    # both dyadic at λ=0.5 so decimal literals == Python doubles
+    sql["q_lm_jelinek_mercer"] = _SQL_TF + f"""
+    , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+             FROM tf GROUP BY doc_id),
+    tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM tf),
+    dict AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+    q(query_id, term, qtf) AS (VALUES {q_values}),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             sum(q.qtf * ln(1.0 + (((1.0 - 0.5) * tf.tf) / dl.doc_len)
+                                  / ((0.5 * dict.cf) / tot.total))) AS s
+      FROM q
+      JOIN dict USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN tot
+      GROUP BY q.query_id, tf.doc_id
+    )
+    SELECT CAST(query_id AS INT) AS query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY s DESC, doc_id ASC) AS INT) AS rank,
+           doc_id,
+           round(s, 6) AS score
+    FROM scored
+    QUALIFY rank <= {_TOPK}
     """
     sql["q_pagerank_priors"] = _pagerank_sql(n_iter=3, damping=0.85)
     sql["q_prior_search"] = (

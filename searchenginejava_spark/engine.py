@@ -263,6 +263,58 @@ class SearchEngine:
             doc_exclude=self.index.tombstones,
         )
 
+    def search_jm(
+        self, text: str, *, k: int = TOP_K, lam: float = 0.1
+    ) -> DataFrame:
+        """Rank with Jelinek-Mercer-smoothed query likelihood (the
+        fourth classic model; Lucene LMJelinekMercerSimilarity)."""
+        from .operators.search import lm_jelinek_mercer_topk, query_terms_df
+
+        qt = query_terms_df(self.spark, [(0, text)], tokenizer=self._tok)
+        return lm_jelinek_mercer_topk(
+            qt, self.index.tf, self.index.docs, self.index.dictionary,
+            self.index.stats, k=k, lam=lam,
+            doc_exclude=self.index.tombstones,
+        )
+
+    def compute_priors(
+        self, corpus: DataFrame, *, text_col: str = "text",
+        n_iter: int = 3, damping: float = 0.85,
+    ) -> "SearchEngine":
+        """Compute PageRank static-rank priors from the corpus's
+        symbol-reference graph (call sites → definition sites) and keep
+        them for search_ranked(). Needs the raw text (the index does not
+        retain it)."""
+        from .operators.codesearch import (
+            extract_call_sites,
+            extract_symbols,
+            reference_edges,
+        )
+        from .operators.linkrank import pagerank
+
+        edges = reference_edges(
+            extract_call_sites(corpus, text_col=text_col),
+            extract_symbols(corpus, text_col=text_col),
+        )
+        self.priors = pagerank(
+            corpus.select("doc_id"), edges, n_iter=n_iter, damping=damping
+        )
+        return self
+
+    def search_ranked(
+        self, text: str, *, k: int = TOP_K, path: str = "wand",
+        weight: float = 1.0,
+    ) -> DataFrame:
+        """Two-signal ranking: BM25 top-k re-ranked by the PageRank
+        prior (score · prior^weight). Run compute_priors() first."""
+        from .operators.linkrank import prior_boosted_search
+
+        if getattr(self, "priors", None) is None:
+            raise ValueError("search_ranked needs compute_priors() first")
+        return prior_boosted_search(
+            self.search(text, k=k, path=path), self.priors, weight=weight
+        )
+
     def search_rm3(
         self, text: str, *, k: int = TOP_K, fb_docs: int = 10,
         fb_terms: int = 10, alpha: float = 0.5, path: str = "exhaustive",

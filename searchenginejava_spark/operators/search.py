@@ -712,6 +712,88 @@ def lm_dirichlet_topk(
     )
 
 
+def lm_jelinek_mercer_topk(
+    query_terms: DataFrame,
+    postings_exploded: DataFrame,
+    docs: DataFrame,
+    dictionary: DataFrame,
+    stats: dict,
+    *,
+    k: int = TOP_K,
+    lam: float = 0.1,
+    doc_exclude: DataFrame | None = None,
+) -> DataFrame:
+    """Query-likelihood ranking with Jelinek-Mercer smoothing ([L:Zhai &
+    Lafferty, SIGIR 2001]; Lucene LMJelinekMercerSimilarity) — the
+    linear-interpolation sibling of the Dirichlet scorer, completing
+    Lucene's classic similarity set (BM25 / Classic / LMD / LMJM):
+
+        score(q,d) = Σ_{t∈q∩d} qtf · ln(1 + ((1-λ)·tf_td/dl_d) / (λ·P(t|C)))
+        P(t|C)     = cf_t / total_terms
+
+    (the non-matching-term mass is a per-query constant and is dropped,
+    the Lucene convention — rank-invariant). λ defaults to Lucene's 0.1;
+    the oracle row uses λ=0.5 so 1-λ is exactly representable and the
+    decimal-literal SQL mirror is bit-equal. Same plan family as
+    lm_dirichlet_topk: per-term λ·P(t|C) computed driver-side (query-
+    vocab-bounded collect), broadcast weights, per-row ln inside
+    codegen, hash agg + top-k window — the only shape difference is the
+    doc-length join landing BEFORE the aggregation (tf/dl is inside the
+    ln, not a separate additive term).
+    """
+    qt = F.broadcast(query_terms)
+    q_rows = dictionary.join(qt, "term").select(
+        "query_id", "term", "qtf", "cf"
+    ).collect()
+    total = float(stats["total_terms"])
+    spark = query_terms.sparkSession
+    qw = spark.createDataFrame(
+        [
+            (
+                int(r["query_id"]),
+                r["term"],
+                float(r["qtf"]),
+                # association pinned: (λ · cf) / total — mirrored verbatim
+                # by the oracle SQL
+                (lam * float(r["cf"])) / total,
+            )
+            for r in q_rows
+        ],
+        "query_id int, term string, qtf double, denom double",
+    )
+    cand = postings_exploded.join(F.broadcast(qw), "term")
+    if doc_exclude is not None:
+        cand = cand.join(doc_exclude.select("doc_id"), "doc_id", "left_anti")
+    cand = cand.join(docs.select("doc_id", "doc_len"), "doc_id")
+    part = F.col("qtf") * F.log(
+        F.lit(1.0)
+        + (
+            (F.lit(1.0 - lam) * F.col("tf").cast("double"))
+            / F.col("doc_len").cast("double")
+        )
+        / F.col("denom")
+    )
+    scored = (
+        cand.withColumn("part", part)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("part").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("int"),
+            F.col("rank").cast("int"),
+            F.col("doc_id").cast("long"),
+            F.col("score").cast("double"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def ltr_features(
     query_terms: DataFrame,
     postings_exploded: DataFrame,

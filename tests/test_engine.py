@@ -222,6 +222,44 @@ def test_engine_lm_and_rm3(spark, eng):
     assert {r["doc_id"] for r in plain} <= {r["doc_id"] for r in rm3}
 
 
+def test_engine_jm_ranking(spark, eng):
+    """Fourth ranking model through the facade: JM query likelihood
+    returns contiguous ranks, and matches the standalone operator on the
+    same inputs."""
+    from searchenginejava_spark.operators.search import (
+        lm_jelinek_mercer_topk,
+        query_terms_df,
+    )
+
+    jm = eng.search_jm("table hash join", k=5).collect()
+    assert jm and [r["rank"] for r in jm] == list(range(1, len(jm) + 1))
+    qt = query_terms_df(spark, [(0, "table hash join")], tokenizer=eng._tok)
+    ref = lm_jelinek_mercer_topk(
+        qt, eng.index.tf, eng.index.docs, eng.index.dictionary,
+        eng.index.stats, k=5, lam=0.1,
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in jm] == [
+        (r["doc_id"], r["score"]) for r in ref
+    ]
+
+
+def test_engine_priors_and_ranked_search(spark, eng):
+    """compute_priors + search_ranked through the facade: priors cover
+    every doc, search_ranked re-ranks the same candidate set, and a
+    missing-priors call raises."""
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    with pytest.raises(ValueError):
+        eng.search_ranked("table hash join")
+    eng.compute_priors(docs)
+    assert eng.priors.count() == docs.count()
+    base = {r["doc_id"] for r in eng.search("table hash join", k=10).collect()}
+    ranked = eng.search_ranked("table hash join", k=10).collect()
+    assert {r["doc_id"] for r in ranked} == base
+    assert [r["rank"] for r in sorted(ranked, key=lambda r: r["rank"])] == list(
+        range(1, len(ranked) + 1)
+    )
+
+
 def test_engine_sdm(eng):
     """SDM through the facade (positional index): ranks contiguous, and
     an adjacency-rich query prefers the doc containing the exact bigram

@@ -150,3 +150,29 @@ def test_extract_call_sites_dotted(spark):
     )
     callees = {r["callee"] for r in extract_call_sites(cv).collect()}
     assert callees == {"mod.fn", "plain"}
+
+
+def test_analyze_code_job_cli(spark, tmp_path, capsys):
+    """spark-submit surface end-to-end: synthetic code corpus → subtoken
+    tf + symbols + edges + priors + grep parquet, one-line JSON summary."""
+    import json
+
+    from jobs.analyze_code import main
+    from searchenginejava_spark.sources.source import assign_doc_ids
+    from searchenginejava_spark.synth.gen_code_table import gen_code_table
+
+    src = str(tmp_path / "code")
+    out = str(tmp_path / "out")
+    code = assign_doc_ids(
+        gen_code_table(spark, 64, num_partitions=4), num_partitions=4
+    )
+    code.write.parquet(src)
+    assert main(["--input", src, "--output", out, "--grep", "def "]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["status"] == "complete"
+    assert summary["n_docs"] == 64
+    assert summary["n_subtoken_postings"] > 0
+    assert summary["n_symbols"] > 0
+    assert summary["n_grep_lines"] > 0
+    pri = spark.read.parquet(f"{out}/priors")
+    assert pri.count() == 64
