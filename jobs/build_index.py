@@ -25,7 +25,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--salts", type=int, default=16)
-    p.add_argument("--mode", default="full", choices=["full", "simple"])
+    p.add_argument(
+        "--mode", default="full", choices=["full", "simple", "code"]
+    )
     p.add_argument(
         "--publish", default=None,
         help="on completion, also save the query-optimized index layout "

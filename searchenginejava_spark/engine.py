@@ -51,6 +51,10 @@ class SearchEngine:
         # reference's index/query consistency invariant ([R:Searcher])
         if mode == "simple":
             self._tok = lambda t: [x for x in t.lower().split(" ") if x]
+        elif mode == "code":
+            from .functions.tokenize import tokenize_code
+
+            self._tok = tokenize_code
         else:
             from .functions.tokenize import tokenize_query
 

@@ -153,6 +153,42 @@ def tokenize_text(
     return out
 
 
+_CODE_CAMEL1 = re.compile(r"([a-z0-9])([A-Z])")
+_CODE_CAMEL2 = re.compile(r"([A-Z]+)([A-Z][a-z])")
+_CODE_NONALNUM = re.compile(r"[^A-Za-z0-9]+")
+_CODE_WS = re.compile(r"\s+")
+
+
+def tokenize_code(
+    text: str, _memo: dict[str, list[str]] | None = None
+) -> list[str]:
+    """Code-analyzer tokenizer — the Python twin of
+    operators/codesearch.py::split_identifier_col / subtoken_terms
+    (word_delimiter rule set: camel humps, ALLCAPSTail boundaries,
+    punctuation runs; the whole lowercased identifier is kept when it
+    split). Token STREAM order: each identifier's subtokens in place,
+    whole identifier appended right after — so positional/phrase queries
+    over a code index see subtokens adjacent. A pytest asserts count
+    parity with the native-column subtoken_terms."""
+    if not text:
+        return []
+    memo = _memo if _memo is not None else {}
+    out: list[str] = []
+    for ident in _CODE_WS.split(text):
+        if not ident:
+            continue
+        toks = memo.get(ident)
+        if toks is None:
+            s = _CODE_CAMEL1.sub(r"\1 \2", ident)
+            s = _CODE_CAMEL2.sub(r"\1 \2", s)
+            s = _CODE_NONALNUM.sub(" ", s)
+            subs = [t for t in s.strip().lower().split(" ") if t]
+            toks = subs + [ident.lower()] if len(subs) > 1 else subs
+            memo[ident] = toks
+        out.extend(toks)
+    return out
+
+
 def make_tokenize_udf(
     *, stem: bool = True, remove_stopwords: bool = True, entities: bool = True
 ):

@@ -55,6 +55,27 @@ def split_identifier_col(ident: Column) -> Column:
     )
 
 
+def code_tokens_col(text: Column | str) -> Column:
+    """array<string>: the code-analyzer token STREAM for one text —
+    identifiers in reading order, each expanded to its subtokens with
+    the whole lowercased identifier appended when it split (the exact
+    stream functions/tokenize.py::tokenize_code produces, so the native
+    and fused build paths are token-identical)."""
+    t = F.col(text) if isinstance(text, str) else text
+    idents = F.filter(F.split(t, r"\s+"), lambda x: x != F.lit(""))
+    return F.flatten(
+        F.transform(
+            idents,
+            lambda ident: F.when(
+                F.size(split_identifier_col(ident)) > 1,
+                F.concat(
+                    split_identifier_col(ident), F.array(F.lower(ident))
+                ),
+            ).otherwise(split_identifier_col(ident)),
+        )
+    )
+
+
 def subtoken_terms(
     corpus: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -87,9 +87,12 @@ def tokenize_tf(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from collections import Counter
 
-        from searchenginejava_spark.functions.tokenize import tokenize_text
+        from searchenginejava_spark.functions.tokenize import (
+            tokenize_code,
+            tokenize_text,
+        )
 
-        memo: dict[str, str] = {}
+        memo: dict = {}
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -101,6 +104,8 @@ def tokenize_tf(
                     continue
                 if mode == "full":
                     toks = tokenize_text(txt, _memo=memo)
+                elif mode == "code":  # subtoken analyzer (codesearch)
+                    toks = tokenize_code(txt, _memo=memo)
                 else:  # simple: identical to tokens_simple_col / the oracle
                     toks = [t for t in txt.lower().split(" ") if t]
                 for term, c in Counter(toks).items():

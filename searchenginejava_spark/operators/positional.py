@@ -95,9 +95,12 @@ def positional_tf(
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from searchenginejava_spark.functions.tokenize import tokenize_text
+        from searchenginejava_spark.functions.tokenize import (
+            tokenize_code,
+            tokenize_text,
+        )
 
-        memo: dict[str, str] = {}
+        memo: dict = {}
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -110,6 +113,8 @@ def positional_tf(
                     continue
                 if mode == "full":
                     toks = tokenize_text(txt, _memo=memo)
+                elif mode == "code":  # subtoken analyzer (codesearch)
+                    toks = tokenize_code(txt, _memo=memo)
                 else:  # simple: identical to tokens_simple_col / the oracle
                     toks = [t for t in txt.lower().split(" ") if t]
                 by_term: dict[str, list[int]] = {}

@@ -57,13 +57,18 @@ def tokenize_corpus(
     mode: str = "full",
 ) -> DataFrame:
     """corpus → (doc_id, tokens). ``simple`` mode is zero-UDF Catalyst;
-    ``full`` mode is the reference Parse pipeline in one pandas UDF.
+    ``full`` mode is the reference Parse pipeline in one pandas UDF;
+    ``code`` mode is the zero-UDF subtoken analyzer (codesearch).
     The text column is dropped immediately after tokenize so it never
     enters a shuffle (column-pruning discipline, SURVEY.md §4.1)."""
     if mode == "simple":
         toks = tokens_simple_col(text_col)
     elif mode == "full":
         toks = make_tokenize_udf()(F.col(text_col))
+    elif mode == "code":
+        from ..operators.codesearch import code_tokens_col
+
+        toks = code_tokens_col(text_col)
     else:
         raise ValueError(f"unknown tokenize mode: {mode}")
     return corpus.select("doc_id", toks.alias("tokens"))

@@ -15,6 +15,63 @@ from searchenginejava_spark.operators.codesearch import (
 )
 
 
+def test_code_mode_tf_parity_and_engine(spark):
+    """mode='code' end-to-end: the fused tokenize_tf, the native-column
+    tokenize_corpus stream, and the relational subtoken_terms all agree;
+    a code-mode SearchEngine finds camelCase identifiers by subtoken on
+    both serving paths, with positions supporting subtoken phrases."""
+    from searchenginejava_spark.engine import SearchEngine
+    from searchenginejava_spark.operators.codesearch import code_tokens_col
+    from searchenginejava_spark.operators.index import tokenize_tf
+    from searchenginejava_spark.synth.gen_code_table import gen_code_table
+    from searchenginejava_spark.sources.source import assign_doc_ids
+
+    code = assign_doc_ids(gen_code_table(spark, 64, num_partitions=4))
+    fused = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in tokenize_tf(code, text_col="content", mode="code").collect()
+    }
+    native = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in subtoken_terms(code, text_col="content").collect()
+    }
+    assert fused == native and fused
+    # native token STREAM counts match too (same analyzer, array form)
+    stream = (
+        code.select("doc_id", F.explode(code_tokens_col("content")).alias("term"))
+        .groupBy("doc_id", "term")
+        .count()
+    )
+    assert {
+        (r["doc_id"], r["term"]): r["count"] for r in stream.collect()
+    } == native
+
+    eng = SearchEngine.build(
+        spark, code, text_col="content", mode="code", num_partitions=4,
+        positional=True,
+    )
+    # pick a snake_case identifier from the corpus and query ONE subtoken
+    ident_row = (
+        code.select(
+            F.explode(F.split("content", r"\s+")).alias("ident")
+        )
+        .filter(F.col("ident").rlike("^fn_[0-9]+$"))
+        .limit(1)
+        .collect()
+    )
+    assert ident_row, "synthetic corpus should contain fn_N idents"
+    ident = ident_row[0]["ident"]
+    sub = "fn"  # the shared subtoken of every fn_N identifier
+    wand = eng.search(sub, k=10).collect()
+    exh = eng.search(sub, k=10, path="exhaustive").collect()
+    assert [(r["rank"], r["doc_id"]) for r in wand] == [
+        (r["rank"], r["doc_id"]) for r in exh
+    ]
+    assert wand, f"subtoken {sub!r} of {ident!r} should match"
+    # the whole identifier (lowercased) is indexed too
+    assert eng.search(ident.lower(), k=10).collect()
+
+
 def _split(spark, s: str) -> list[str]:
     return (
         spark.range(1)
