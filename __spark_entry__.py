@@ -1511,6 +1511,46 @@ def q_lm_jelinek_mercer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_federated_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated search over two doc-disjoint index halves with GLOBAL
+    term statistics (Elasticsearch dfs_query_then_fetch): must equal the
+    monolithic BM25 SQL ranking exactly — the shard-merge is
+    output-invisible."""
+    from searchenginejava_spark.operators.search import federated_topk
+
+    tf = _tf(spark, sf_dir)
+    tf.persist()
+    parts = []
+    for par in (0, 1):
+        tf_p = tf.filter(F.col("doc_id") % 2 == par)
+        dl_p = tf_p.groupBy("doc_id").agg(
+            F.sum("tf").cast("long").alias("doc_len")
+        )
+        srow = dl_p.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("t")
+        ).collect()[0]
+        dct_p = tf_p.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("df")
+        )
+        parts.append(
+            (
+                tf_p,
+                dl_p,
+                dct_p,
+                {"N": int(srow["n"]), "total_terms": int(srow["t"])},
+            )
+        )
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    res = federated_topk(qt, parts, k=_TOPK).select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
 def q_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RM3 pseudo-relevance feedback (Lavrenko & Croft SIGIR'01; the
     Anserini convention): BM25 top-10 feedback docs → relevance-model
@@ -2175,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank_priors": q_pagerank_priors,
         "q_prior_search": q_prior_search,
         "q_lm_jelinek_mercer": q_lm_jelinek_mercer,
+        "q_federated_search": q_federated_search,
         "q_postings_incremental": q_postings_incremental,
         "q_dictionary_compressed": q_dictionary_compressed,
         "q_wand_sharded_topk": q_wand_sharded_topk,
@@ -4223,6 +4264,8 @@ def oracle_sql() -> dict[str, str]:
     """
     # MaxScore pruning is output-invisible, exactly like WAND
     sql["q_maxscore_topk"] = sql["q_bm25_topk"]
+    # federated dfs_query_then_fetch over disjoint halves == monolithic
+    sql["q_federated_search"] = sql["q_bm25_topk"]
     # code-analyzer subtoken tf: the word_delimiter rule set re-expressed
     # in DuckDB RE2 (replacement backrefs \1\2, 'g' flag == Spark's
     # replace-all default; $1$2 on the Java side)

@@ -319,6 +319,28 @@ class SearchEngine:
             self.search(text, k=k, path=path), self.priors, weight=weight
         )
 
+    def search_federated(
+        self, others: Sequence["SearchEngine"], text: str, *,
+        k: int = TOP_K,
+    ) -> DataFrame:
+        """Query this index together with ``others`` (index generations,
+        per-tenant indexes) under GLOBAL term statistics — Elasticsearch
+        dfs_query_then_fetch. With disjoint doc_ids the result equals
+        the monolithic search over the concatenated corpus."""
+        from .operators.search import federated_topk, query_terms_df
+
+        engines = [self, *others]
+        qt = query_terms_df(self.spark, [(0, text)], tokenizer=self._tok)
+        return federated_topk(
+            qt,
+            [
+                (e.index.tf, e.index.docs, e.index.dictionary, e.index.stats)
+                for e in engines
+            ],
+            k=k,
+            doc_excludes=[e.index.tombstones for e in engines],
+        )
+
     def search_rm3(
         self, text: str, *, k: int = TOP_K, fb_docs: int = 10,
         fb_terms: int = 10, alpha: float = 0.5, path: str = "exhaustive",

@@ -712,6 +712,73 @@ def lm_dirichlet_topk(
     )
 
 
+def federated_topk(
+    query_terms: DataFrame,
+    parts: list[tuple[DataFrame, DataFrame, DataFrame, dict]],
+    *,
+    k: int = TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    doc_excludes: list[DataFrame | None] | None = None,
+) -> DataFrame:
+    """Federated BM25 over multiple indexes — the Elasticsearch
+    ``dfs_query_then_fetch`` semantics: compute GLOBAL term statistics
+    first (df summed across parts, N/avgdl from the union), score each
+    part's candidates with those global constants, then merge the
+    per-part top-k by score (the standard shard-merge argument: every
+    global-top-k doc is in its own part's top-k, so merging per-part
+    top-k is exact).
+
+    ``parts`` is a list of (tf, docs, dictionary, stats) — e.g. index
+    generations that were never physically merged, or per-tenant
+    indexes queried together. With doc_id-disjoint parts the result is
+    EXACTLY the monolithic search over the concatenated corpus (the
+    oracle row q_federated_search checks this value-exactly).
+
+    Scale shape: the global dictionary is query-vocab-bounded (each
+    part's dictionary is broadcast-semi-joined to the query terms before
+    the union), each part scores independently (its own partitioning,
+    pruning, and locality — nothing co-shuffles across parts), and the
+    merge window sees only parts·queries·k rows.
+    """
+    n_total = sum(int(p[3]["N"]) for p in parts)
+    tt_total = sum(int(p[3]["total_terms"]) for p in parts)
+    # global avgdl — same double division as a monolithic avg(doc_len)
+    stats_g = {
+        "N": n_total,
+        "avgdl": (tt_total / n_total) if n_total else 1.0,
+        "total_terms": tt_total,
+    }
+    qt_terms = query_terms.select("term").distinct()
+    gdf = None
+    for tf_p, docs_p, dict_p, _ in parts:
+        d = dict_p.join(F.broadcast(qt_terms), "term").select("term", "df")
+        gdf = d if gdf is None else gdf.unionByName(d)
+    gdict = gdf.groupBy("term").agg(F.sum("df").cast("long").alias("df"))
+    merged = None
+    for i, (tf_p, docs_p, dict_p, _) in enumerate(parts):
+        excl = doc_excludes[i] if doc_excludes else None
+        r = score_exhaustive(
+            query_terms, tf_p, docs_p, gdict, stats_g, k=k, k1=k1, b=b,
+            doc_exclude=excl,
+        ).select("query_id", "doc_id", "score")
+        merged = r if merged is None else merged.unionByName(r)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("int"),
+            F.col("rank").cast("int"),
+            F.col("doc_id").cast("long"),
+            F.col("score").cast("double"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def lm_jelinek_mercer_topk(
     query_terms: DataFrame,
     postings_exploded: DataFrame,

@@ -260,6 +260,31 @@ def test_engine_priors_and_ranked_search(spark, eng):
     )
 
 
+def test_engine_federated_equals_monolithic(spark, eng):
+    """dfs_query_then_fetch exactness: two engines over doc-disjoint
+    halves, queried federated, match the monolithic engine's ranking
+    and scores bit-for-bit (global stats make shard scores comparable)."""
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    halves = [
+        SearchEngine.build(
+            spark, docs.filter(F.col("doc_id") % 2 == p), text_col="text",
+            mode="simple", num_partitions=2,
+        )
+        for p in (0, 1)
+    ]
+    fed = halves[0].search_federated([halves[1]], "table hash join", k=10)
+    mono = eng.search("table hash join", k=10, path="exhaustive")
+    f_rows, m_rows = fed.collect(), mono.collect()
+    assert [(r["rank"], r["doc_id"]) for r in f_rows] == [
+        (r["rank"], r["doc_id"]) for r in m_rows
+    ]
+    # scores agree to float-sum tolerance (the default exhaustive path
+    # aggregates in partition-arrival order; the ORACLE row pins the
+    # rounded values exactly)
+    for fr, mr in zip(f_rows, m_rows):
+        assert fr["score"] == pytest.approx(mr["score"], rel=1e-12)
+
+
 def test_engine_sdm(eng):
     """SDM through the facade (positional index): ranks contiguous, and
     an adjacency-rich query prefers the doc containing the exact bigram
