@@ -1838,6 +1838,19 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_rollup(ev, window_minutes=60)
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over the events log (view → click → purchase,
+    strictly-after semantics): per-step surviving-user counts — the
+    third canonical log-analytics primitive next to sessionize/rollup."""
+    from searchenginejava_spark.operators.sessions import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(ev, _FUNNEL_STEPS)
+
+
 _TV_DOCS = [3, 7]
 
 
@@ -2216,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prior_search": q_prior_search,
         "q_lm_jelinek_mercer": q_lm_jelinek_mercer,
         "q_federated_search": q_federated_search,
+        "q_funnel": q_funnel,
         "q_postings_incremental": q_postings_incremental,
         "q_dictionary_compressed": q_dictionary_compressed,
         "q_wand_sharded_topk": q_wand_sharded_topk,
@@ -4266,6 +4280,32 @@ def oracle_sql() -> dict[str, str]:
     sql["q_maxscore_topk"] = sql["q_bm25_topk"]
     # federated dfs_query_then_fetch over disjoint halves == monolithic
     sql["q_federated_search"] = sql["q_bm25_topk"]
+    # ordered funnel: step i counts events strictly after the user's
+    # first step-(i-1) event (integer-microsecond comparisons)
+    steps = _FUNNEL_STEPS
+    fun = ["WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus"
+           " FROM events)"]
+    for i, s in enumerate(steps):
+        if i == 0:
+            fun.append(
+                f", s1 AS (SELECT user_id, min(tus) AS t FROM e"
+                f" WHERE event_type = '{s}' GROUP BY user_id)"
+            )
+        else:
+            fun.append(
+                f", s{i + 1} AS (SELECT e.user_id, min(e.tus) AS t"
+                f" FROM e JOIN s{i} USING (user_id)"
+                f" WHERE e.event_type = '{s}' AND e.tus > s{i}.t"
+                f" GROUP BY e.user_id)"
+            )
+    fun.append(
+        " UNION ALL ".join(
+            f"SELECT {i + 1} AS step, '{s}' AS event_type,"
+            f" (SELECT count(*) FROM s{i + 1}) AS n_users"
+            for i, s in enumerate(steps)
+        )
+    )
+    sql["q_funnel"] = "\n".join(fun)
     # code-analyzer subtoken tf: the word_delimiter rule set re-expressed
     # in DuckDB RE2 (replacement backrefs \1\2, 'g' flag == Spark's
     # replace-all default; $1$2 on the Java side)

@@ -103,3 +103,47 @@ def event_rollup(
             F.round(F.sum("value"), 6).alias("value_sum"),
         )
     )
+
+
+def funnel(events: DataFrame, steps: list[str]) -> DataFrame:
+    """Ordered funnel: (step, event_type, n_users) — how many users
+    reached step i, where step i counts only events STRICTLY AFTER the
+    user's first qualifying step-(i-1) event (the standard ordered-
+    funnel convention; an equal timestamp does not advance).
+
+    Plan shape: per step one filtered pass over the events relation +
+    one (user) hash agg + an equi-join to the previous step's per-user
+    frontier — K bounded steps, each stage's relation is one row per
+    surviving user (two columns), so the joins broadcast in practice.
+    The step counts are composed LAZILY (one count-agg per stage,
+    unioned) — no driver-side loop over data.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    tus = F.expr(_MICROS)
+    e = events.select(
+        "user_id", "event_type", tus.alias("tus")
+    )
+    cur = (
+        e.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t"))
+    )
+    out = None
+    for i, step in enumerate(steps):
+        if i > 0:
+            prev = cur.select("user_id", F.col("t").alias("t_prev"))
+            cur = (
+                e.filter(F.col("event_type") == step)
+                .join(prev, "user_id")
+                .filter(F.col("tus") > F.col("t_prev"))
+                .groupBy("user_id")
+                .agg(F.min("tus").alias("t"))
+            )
+        row = cur.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(i + 1).alias("step"),
+            F.lit(step).alias("event_type"),
+            F.col("n").cast("long").alias("n_users"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -5,6 +5,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from searchenginejava_spark.operators.sessions import (
     event_rollup,
@@ -138,3 +139,50 @@ def test_run_queries_job_rejects_bad_flag_combos(tmp_path):
                 "--index", "/nonexistent", "--queries", str(qfile),
                 "--output", str(tmp_path / "o"), "--model", "lm", *extra,
             ])
+
+
+def test_funnel_ordering_semantics(spark):
+    """Ordered funnel: completion needs each step strictly AFTER the
+    previous one; out-of-order and equal-timestamp events don't advance."""
+    from searchenginejava_spark.operators.sessions import funnel
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, 1, "2024-01-01 00:00:00", "view"),
+        (2, 1, "2024-01-01 00:01:00", "click"),
+        (3, 1, "2024-01-01 00:02:00", "purchase"),
+        # user 2: click BEFORE view -> stops after view
+        (4, 2, "2024-01-01 00:00:00", "click"),
+        (5, 2, "2024-01-01 00:01:00", "view"),
+        # user 3: click at the SAME instant as view -> strict > fails
+        (6, 3, "2024-01-01 00:00:00", "view"),
+        (7, 3, "2024-01-01 00:00:00", "click"),
+        # user 4: never views
+        (8, 4, "2024-01-01 00:00:00", "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, t, e, 1.0) for i, u, t, e in rows],
+        "event_id long, user_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {
+        r["step"]: (r["event_type"], r["n_users"])
+        for r in funnel(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {
+        1: ("view", 3),      # users 1, 2, 3
+        2: ("click", 1),     # only user 1 clicked after viewing
+        3: ("purchase", 1),  # user 1
+    }
+
+
+def test_funnel_empty_and_single_step(spark):
+    from searchenginejava_spark.operators.sessions import funnel
+
+    ev = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp_ntz, "
+            "event_type string, value double"
+    )
+    got = funnel(ev, ["view"]).collect()
+    assert [(r["step"], r["n_users"]) for r in got] == [(1, 0)]
+    with pytest.raises(ValueError):
+        funnel(ev, [])
