@@ -15,6 +15,43 @@ from searchenginejava_spark.operators.codesearch import (
 )
 
 
+def test_tokenize_code_python_matches_native_column_fuzz(spark):
+    """The Python fused-path tokenizer and the native-column analyzer
+    must produce the IDENTICAL token stream on arbitrary ASCII
+    code-like text (seeded fuzz, one batched DataFrame comparison)."""
+    import random
+
+    from searchenginejava_spark.functions.tokenize import tokenize_code
+    from searchenginejava_spark.operators.codesearch import code_tokens_col
+
+    rng = random.Random(42)
+    pieces = [
+        "fooBar", "XMLHttp", "a_b", "__x__", "C3PO", "x", "HTTPServer2",
+        "(", ")", ".", ",", ":", "=", "->", "#", "'str'", '"d"', "0xFF",
+        "if", "None", "αβ" if False else "ALL_CAPS_9", "mixedUPDown",
+    ]
+    texts = []
+    for _ in range(200):
+        n = rng.randint(0, 12)
+        sep = lambda: rng.choice([" ", "  ", "\n", "\t", " \n "])
+        texts.append(
+            "".join(
+                rng.choice(pieces) + sep() for _ in range(n)
+            )
+        )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    native = {
+        r["doc_id"]: r["toks"]
+        for r in df.select(
+            "doc_id", code_tokens_col("text").alias("toks")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert tokenize_code(t) == native[i], (i, t)
+
+
 def test_code_mode_tf_parity_and_engine(spark):
     """mode='code' end-to-end: the fused tokenize_tf, the native-column
     tokenize_corpus stream, and the relational subtoken_terms all agree;

@@ -8,6 +8,7 @@ floats rounded to 9 significant decimals before hashing).
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -18,7 +19,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _args = sys.argv[1:]
 ONLY = {a for a in _args if a.startswith("q_")}   # optional query-name filter
-_dirs = [a for a in _args if not a.startswith("q_")]
+JSON_OUT = None   # --json PATH: write the per-query driver-format record
+if "--json" in _args:
+    i = _args.index("--json")
+    JSON_OUT = _args[i + 1]
+    _args = _args[:i] + _args[i + 2:]
+_dirs = [a for a in _args if not a.startswith("q_") and a != JSON_OUT]
 SF_DIR = _dirs[0] if _dirs else "/root/testdata/sf0.01"
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -65,14 +71,30 @@ def main() -> int:
 
     qs, oracles = se.queries(), se.oracle_sql()
     failed = []
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
-        sdf = fn(spark, SF_DIR)
-        srows = sdf.collect()
-        scols = sdf.columns
+        try:
+            sdf = fn(spark, SF_DIR)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as exc:  # record the error, keep checking
+            failed.append(name)
+            record[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": str(exc)[:500],
+            }
+            print(f"FAIL {name}: spark error {exc}")
+            continue
         if name not in oracles:
             print(f"{name}: rows-only check — {len(srows)} rows")
+            record[name] = {
+                "rows_match": None, "schema_match": None,
+                "hash_match": None, "spark_rows": len(srows),
+                "oracle_rows": None, "err": None,
+            }
             continue
         orel = con.sql(oracles[name])
         ocols = [d[0] for d in orel.description]
@@ -80,6 +102,14 @@ def main() -> int:
         sc, sr = norm_rows(scols, [tuple(r) for r in srows])
         oc, orr = norm_rows(ocols, orows)
         ok = sc == oc and len(sr) == len(orr) and sr == orr
+        record[name] = {
+            "rows_match": len(sr) == len(orr),
+            "schema_match": sc == oc,
+            "hash_match": ok,
+            "spark_rows": len(sr),
+            "oracle_rows": len(orr),
+            "err": None,
+        }
         status = "OK " if ok else "FAIL"
         print(f"{status} {name}: spark {len(sr)} rows, oracle {len(orr)} rows")
         if not ok:
@@ -92,6 +122,10 @@ def main() -> int:
                         print(f"  first diff:\n   spark  {a}\n   oracle {b}")
                         break
     spark.stop()
+    if JSON_OUT:
+        with open(JSON_OUT, "w") as f:
+            json.dump(record, f, indent=1)
+        print(f"wrote {JSON_OUT} ({len(record)} queries)")
     if failed:
         print("FAILED:", failed)
         return 1
