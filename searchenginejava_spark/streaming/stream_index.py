@@ -178,6 +178,41 @@ def windowed_term_rates(
     )
 
 
+def streaming_sessions(
+    events: DataFrame,
+    *,
+    gap_minutes: int = 30,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Native session-window sessionization over the streaming query log
+    — the Structured Streaming twin of operators/sessions.py::sessionize,
+    built on Spark's ``session_window`` (state-store-backed gap windows
+    that merge as late events arrive, closed by the watermark).
+
+    Convention difference vs the batch op (inherent to session_window):
+    the emitted window END is last_event + gap, where batch sessionize
+    reports the last event time itself; starts and memberships are
+    identical (the pytest pins both). At scale the state is one open
+    window per (user, gap) key and the watermark bounds it — the
+    standard unbounded-log sessionization."""
+    gap = f"{int(gap_minutes)} minutes"
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
 def streaming_percolate(
     stream: DataFrame,
     stored_queries: DataFrame,

@@ -293,3 +293,57 @@ def test_percolate_foreach_batch_fallback(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == {(0, "a.py"), (0, "c.py"), (1, "a.py")}
+
+
+def test_streaming_sessions_match_batch_semantics(spark, tmp_path):
+    """session_window streaming sessionization == the batch gap
+    semantics: same memberships and starts; streaming window end is
+    last_event + gap (the session_window convention)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from searchenginejava_spark.streaming.stream_index import (
+        streaming_sessions,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def t(m):
+        return base + datetime.timedelta(minutes=m)
+
+    rows = [
+        # user 1: two sessions split by a >30min gap
+        (1, t(0), 1.0), (1, t(10), 2.0), (1, t(20), 3.0),
+        (1, t(60), 4.0), (1, t(70), 5.0),
+        # user 2: one long session (gaps exactly 30min chain — session_window
+        # treats an event at start+gap as OUTSIDE, so use 29min steps)
+        (2, t(0), 1.0), (2, t(29), 1.0), (2, t(58), 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    src = str(tmp_path / "sess_ev")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(src)
+    q = (
+        streaming_sessions(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("ssess")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["n_events"], r["value_sum"]
+        )
+        for r in spark.sql("select * from ssess").collect()
+    }
+    gap = datetime.timedelta(minutes=30)
+    assert got == {
+        (1, t(0)): (t(20) + gap, 3, 6.0),
+        (1, t(60)): (t(70) + gap, 2, 9.0),
+        (2, t(0)): (t(58) + gap, 3, 3.0),
+    }
