@@ -168,17 +168,19 @@ def main() -> None:
     pos_postings.unpersist()
 
     # --- code-analyzer subtoken index over the source-code table -----------
-    # the code-native tf relation (camelCase/snake_case subtoken split,
-    # zero UDF) fed through the same compressed SPIMI/merge path
-    from searchenginejava_spark.operators.codesearch import subtoken_terms
-    from searchenginejava_spark.operators.index import build_postings
-
+    # mode="code" = the camelCase/snake_case subtoken analyzer through the
+    # SAME fused tokenize+tf + compressed SPIMI/merge path as the word
+    # index (zero tf shuffle; the relational subtoken_terms explode route
+    # is the oracle slice, not the build path)
     t0 = time.monotonic()
-    sub_tf = subtoken_terms(
+    idx_sub = build_index(
+        spark,
         assign_doc_ids(code, scalable=True, num_partitions=2 * cpus),
-        text_col="content",
+        text_col="content", mode="code", num_partitions=2 * cpus,
+        assume_partitioned=True,
     )
-    build_postings(sub_tf, num_partitions=2 * cpus, num_salts=4).count()
+    idx_sub.postings.count()
+    idx_sub.tf.unpersist()
     queries["index_build_code_subtokens"] = round(time.monotonic() - t0, 3)
 
     # --- single-query serving latency (WAND, k=10, best of 3) --------------
