@@ -2098,11 +2098,11 @@ def q_pagerank_priors(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_call_sites(cv, text_col="code"),
         extract_symbols(cv, text_col="code"),
     )
-    res = pagerank(
-        cv.select("doc_id"), edges, n_iter=3, deterministic=True
-    ).select("doc_id", "pagerank")
+    pri = pagerank(cv.select("doc_id"), edges, n_iter=3, deterministic=True)
+    res = pri.select("doc_id", "pagerank")
     res.persist()
     res.count()
+    pri.unpersist()
     cv.unpersist()
     return res
 
@@ -2142,6 +2142,7 @@ def q_prior_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res.persist()
     res.count()
+    pri.unpersist()
     tf.unpersist()
     cv.unpersist()
     return res

@@ -180,8 +180,10 @@ def main() -> None:
         assume_partitioned=True,
     )
     idx_sub.postings.count()
-    idx_sub.tf.unpersist()
     queries["index_build_code_subtokens"] = round(time.monotonic() - t0, 3)
+    idx_sub.tf.unpersist()
+    idx_sub.postings.unpersist()
+    idx_sub.docs.unpersist()
 
     # --- single-query serving latency (WAND, k=10, best of 3) --------------
     lat_runs = []

@@ -105,6 +105,7 @@ def main(argv: list[str] | None = None) -> int:
         ).count()
     syms.unpersist()
     edges.unpersist()
+    pri.unpersist()
     print(json.dumps(summary))
     return 0
 

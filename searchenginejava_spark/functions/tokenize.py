@@ -156,7 +156,10 @@ def tokenize_text(
 _CODE_CAMEL1 = re.compile(r"([a-z0-9])([A-Z])")
 _CODE_CAMEL2 = re.compile(r"([A-Z]+)([A-Z][a-z])")
 _CODE_NONALNUM = re.compile(r"[^A-Za-z0-9]+")
-_CODE_WS = re.compile(r"\s+")
+# ASCII whitespace ONLY: Java regex \s and DuckDB RE2 \s are ASCII, but
+# Python's \s is Unicode (NBSP etc.) — an explicit class keeps all three
+# analyzer paths token-identical (the parity fuzz includes NBSP)
+_CODE_WS = re.compile(r"[ \t\n\r\f\v]+")
 
 
 def tokenize_code(

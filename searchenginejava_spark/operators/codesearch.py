@@ -63,15 +63,23 @@ def code_tokens_col(text: Column | str) -> Column:
     and fused build paths are token-identical)."""
     t = F.col(text) if isinstance(text, str) else text
     idents = F.filter(F.split(t, r"\s+"), lambda x: x != F.lit(""))
+    # materialize (subs, lower(ident)) per identifier FIRST so the
+    # 3-regexp splitter runs exactly once per identifier (Catalyst does
+    # not CSE across when/otherwise branches inside HOF lambdas)
+    pairs = F.transform(
+        idents,
+        lambda ident: F.struct(
+            split_identifier_col(ident).alias("subs"),
+            F.lower(ident).alias("whole"),
+        ),
+    )
     return F.flatten(
         F.transform(
-            idents,
-            lambda ident: F.when(
-                F.size(split_identifier_col(ident)) > 1,
-                F.concat(
-                    split_identifier_col(ident), F.array(F.lower(ident))
-                ),
-            ).otherwise(split_identifier_col(ident)),
+            pairs,
+            lambda p: F.when(
+                F.size(p["subs"]) > 1,
+                F.concat(p["subs"], F.array(p["whole"])),
+            ).otherwise(p["subs"]),
         )
     )
 

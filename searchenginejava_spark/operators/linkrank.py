@@ -117,6 +117,9 @@ def pagerank(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
+    # materialized so ew can be dropped here; the CALLER owns this cache
+    # (unpersist the returned frame when done — engine.compute_priors
+    # keeps it deliberately as the serving prior)
     out = ranks.select("doc_id", (F.col("r") * n).alias("pagerank"))
     out.persist()
     out.count()
@@ -152,4 +155,5 @@ def prior_boosted_search(
         .select(
             "query_id", "rank", "doc_id", F.col("boosted").alias("score")
         )
+        .orderBy("query_id", "rank")
     )

@@ -741,6 +741,8 @@ def federated_topk(
     pruning, and locality — nothing co-shuffles across parts), and the
     merge window sees only parts·queries·k rows.
     """
+    if not parts:
+        raise ValueError("federated_topk needs at least one part")
     n_total = sum(int(p[3]["N"]) for p in parts)
     tt_total = sum(int(p[3]["total_terms"]) for p in parts)
     # global avgdl — same double division as a monolithic avg(doc_len)

@@ -115,8 +115,10 @@ def funnel(events: DataFrame, steps: list[str]) -> DataFrame:
     one (user) hash agg + an equi-join to the previous step's per-user
     frontier — K bounded steps, each stage's relation is one row per
     surviving user (two columns), so the joins broadcast in practice.
-    The step counts are composed LAZILY (one count-agg per stage,
-    unioned) — no driver-side loop over data.
+    Each frontier is PERSISTED before the next stage builds on it (the
+    union's branches would otherwise re-execute every prefix chain —
+    O(K²) events scans instead of K); the K-row result is materialized
+    eagerly and the frontier caches dropped before returning.
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
@@ -129,6 +131,7 @@ def funnel(events: DataFrame, steps: list[str]) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("tus").alias("t"))
     )
+    frontiers = []
     out = None
     for i, step in enumerate(steps):
         if i > 0:
@@ -140,10 +143,16 @@ def funnel(events: DataFrame, steps: list[str]) -> DataFrame:
                 .groupBy("user_id")
                 .agg(F.min("tus").alias("t"))
             )
+        cur.persist()
+        frontiers.append(cur)
         row = cur.agg(F.count(F.lit(1)).alias("n")).select(
             F.lit(i + 1).alias("step"),
             F.lit(step).alias("event_type"),
             F.col("n").cast("long").alias("n_users"),
         )
         out = row if out is None else out.unionByName(row)
+    out.persist()
+    out.count()
+    for f in frontiers:
+        f.unpersist()
     return out

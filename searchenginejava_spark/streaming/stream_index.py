@@ -182,7 +182,7 @@ def streaming_sessions(
     events: DataFrame,
     *,
     gap_minutes: int = 30,
-    watermark: str = "2 minutes",
+    watermark: str | None = None,
 ) -> DataFrame:
     """Native session-window sessionization over the streaming query log
     — the Structured Streaming twin of operators/sessions.py::sessionize,
@@ -192,10 +192,16 @@ def streaming_sessions(
     Convention difference vs the batch op (inherent to session_window):
     the emitted window END is last_event + gap, where batch sessionize
     reports the last event time itself; starts and memberships are
-    identical (the pytest pins both). At scale the state is one open
-    window per (user, gap) key and the watermark bounds it — the
-    standard unbounded-log sessionization."""
+    identical (the pytest pins both) FOR EVENTS THE WATERMARK ADMITS.
+    ``watermark`` is the lateness tolerance: an event later than it is
+    dropped and that session diverges from batch. It defaults to the
+    session gap itself, so any event that would have extended a session
+    in batch is also admitted here; pass a smaller value only to trade
+    exactness for state size. State is one open window per user,
+    watermark-bounded — the standard unbounded-log sessionization."""
     gap = f"{int(gap_minutes)} minutes"
+    if watermark is None:
+        watermark = gap
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.col("user_id"), F.session_window("ts", gap).alias("w"))

@@ -28,7 +28,10 @@ def test_tokenize_code_python_matches_native_column_fuzz(spark):
     pieces = [
         "fooBar", "XMLHttp", "a_b", "__x__", "C3PO", "x", "HTTPServer2",
         "(", ")", ".", ",", ":", "=", "->", "#", "'str'", '"d"', "0xFF",
-        "if", "None", "αβ" if False else "ALL_CAPS_9", "mixedUPDown",
+        "if", "None", "ALL_CAPS_9", "mixedUPDown",
+        # non-ASCII: NBSP must NOT split (Java/RE2 \s are ASCII; the
+        # Python path pins an explicit ASCII class to match)
+        "foo Bar", "a b",
     ]
     texts = []
     for _ in range(200):

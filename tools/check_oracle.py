@@ -18,13 +18,17 @@ import duckdb
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _args = sys.argv[1:]
-ONLY = {a for a in _args if a.startswith("q_")}   # optional query-name filter
 JSON_OUT = None   # --json PATH: write the per-query driver-format record
 if "--json" in _args:
     i = _args.index("--json")
+    if i + 1 >= len(_args):
+        raise SystemExit("--json needs an output path")
     JSON_OUT = _args[i + 1]
     _args = _args[:i] + _args[i + 2:]
-_dirs = [a for a in _args if not a.startswith("q_") and a != JSON_OUT]
+# the name filter is computed AFTER --json is stripped, so a q_-prefixed
+# output path can never silently filter out every query
+ONLY = {a for a in _args if a.startswith("q_")}   # optional query-name filter
+_dirs = [a for a in _args if not a.startswith("q_")]
 SF_DIR = _dirs[0] if _dirs else "/root/testdata/sf0.01"
 TABLES = (
     "region nation customer supplier part orders lineitem events "
