@@ -579,6 +579,23 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, docs)
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters via alternating large-star/small-star contraction
+    (Kiveris et al. SoCC'14) — the O(log n)-round connected-components
+    twin for adversarial-diameter graphs; identical output contract and
+    oracle as q_dedup_clusters."""
+    from searchenginejava_spark.operators.dedup import (
+        dedup_clusters_star,
+        minhash_near_duplicates,
+    )
+
+    docs = _documents(spark, sf_dir)
+    pairs = minhash_near_duplicates(
+        docs, n=3, num_hashes=16, bands=4, threshold=0.4
+    )
+    return dedup_clusters_star(pairs, docs)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (n_planes=0 → no LSH blocking,
     oracle-checkable); the LSH-blocked scale path shares the same code."""
@@ -2231,6 +2248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_jelinek_mercer": q_lm_jelinek_mercer,
         "q_federated_search": q_federated_search,
         "q_funnel": q_funnel,
+        "q_dedup_clusters_star": q_dedup_clusters_star,
         "q_postings_incremental": q_postings_incremental,
         "q_dictionary_compressed": q_dictionary_compressed,
         "q_wand_sharded_topk": q_wand_sharded_topk,
@@ -4281,6 +4299,8 @@ def oracle_sql() -> dict[str, str]:
     sql["q_maxscore_topk"] = sql["q_bm25_topk"]
     # federated dfs_query_then_fetch over disjoint halves == monolithic
     sql["q_federated_search"] = sql["q_bm25_topk"]
+    # star contraction computes the same components as propagation
+    sql["q_dedup_clusters_star"] = sql["q_dedup_clusters"]
     # ordered funnel: step i counts events strictly after the user's
     # first step-(i-1) event (integer-microsecond comparisons)
     steps = _FUNNEL_STEPS

@@ -283,12 +283,115 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters) — use "
+            "dedup_clusters_star, which contracts in O(log n) rounds"
+        )
     edges.unpersist()
     return labels.select(
         F.col(u).alias(id_col),
         "cluster_id",
         (F.col(u) == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+def dedup_clusters_star(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction ([L:Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+    "Connected Components in MapReduce and Beyond", SoCC 2014]) — the
+    O(log n)-ROUND twin of ``dedup_clusters`` (same output contract:
+    (doc_id, cluster_id=component min, is_canonical)).
+
+    Min-label propagation needs O(diameter) rounds — an adversarial
+    chain of d near-dup pairs needs d rounds. Star contraction halves
+    tree heights every alternation, so chains collapse logarithmically:
+      large-star(u): hook every neighbor v > u onto min(Γ(u) ∪ {u})
+      small-star(u): over the high→low orientation, hook u and its
+                     smaller neighbors onto their minimum
+    Each operation is ONE hash agg (per-node min) + ONE equi-join over
+    the edge relation — identical shuffle profile to a propagation
+    round, just O(log n) of them; one converged-count per round is the
+    only driver traffic.
+    """
+    u, v = "u", "v"
+    edges = (
+        pairs.select(F.col("id_a").alias(u), F.col("id_b").alias(v))
+        .filter(F.col(u) != F.col(v))
+        .distinct()
+        # each round references the previous edge set several times
+        # (symmetrize + join + exceptAll), so the LOGICAL plan doubles
+        # per round without lineage truncation — eager localCheckpoint
+        # keeps every round's plan flat (the iterative-join rule, same
+        # as linkrank.pagerank's checkpoint_every)
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(e.select(F.col(v).alias(u), F.col(u).alias(v)))
+        mins = sym.groupBy(u).agg(F.min(v).alias("mv"))
+        mins = mins.select(u, F.least(F.col(u), F.col("mv")).alias("m"))
+        return (
+            sym.join(mins, u)
+            .filter(F.col(v) > F.col(u))
+            .select(F.col(v).alias(u), F.col("m").alias(v))
+            .filter(F.col(u) != F.col(v))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        hi_lo = e.select(
+            F.greatest(F.col(u), F.col(v)).alias(u),
+            F.least(F.col(u), F.col(v)).alias(v),
+        ).distinct()
+        mins = hi_lo.groupBy(u).agg(F.min(v).alias("m"))
+        hooked = hi_lo.join(mins, u).select(
+            F.col(v).alias(u), F.col("m").alias(v)
+        )
+        self_hook = mins.select(u, F.col("m").alias(v))
+        return (
+            hooked.unionByName(self_hook)
+            .filter(F.col(u) != F.col(v))
+            .distinct()
+        )
+
+    n_cur = edges.count()
+    for _ in range(max_iters):
+        nxt = small_star(large_star(edges)).localCheckpoint(eager=True)
+        n_next = nxt.count()
+        same = (
+            n_next == n_cur
+            and nxt.exceptAll(edges).limit(1).count() == 0
+        )
+        edges = nxt
+        n_cur = n_next
+        if same:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters_star did not converge in {max_iters} rounds"
+        )
+    # converged state is a star: every non-min node has exactly one
+    # neighbor, the component min (min agg below is belt-and-braces)
+    parents = edges.groupBy(u).agg(F.min(v).alias("cluster_id"))
+    out = (
+        nodes.select(F.col(id_col).alias(u))
+        .join(parents, u, "left")
+        .select(
+            F.col(u).alias(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(u)).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )
+    return out
 
 
 # --------------------------------------------------------------------------

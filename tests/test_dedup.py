@@ -120,3 +120,58 @@ def test_dedup_clusters_components(spark):
         for r in dedup.dedup_clusters(chain, chain_nodes).collect()
     }
     assert all(v == 10 for v in cgot.values())
+
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(list(pairs), "id_a long, id_b long")
+
+
+def _nodes_df(spark, n):
+    return spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+
+
+def test_star_contraction_matches_propagation(spark):
+    """large-star/small-star == min-label propagation on a random graph
+    (same (doc_id, cluster_id, is_canonical) output contract)."""
+    import random
+
+    rng = random.Random(7)
+    n = 80
+    pairs = {(min(a, b), max(a, b))
+             for a, b in (sorted(rng.sample(range(n), 2)) for _ in range(60))}
+    pdf, ndf = _pairs_df(spark, pairs), _nodes_df(spark, n)
+    prop = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup.dedup_clusters(pdf, ndf).collect()
+    }
+    star = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup.dedup_clusters_star(pdf, ndf).collect()
+    }
+    assert star == prop and len(star) == n
+
+
+def test_star_contraction_collapses_adversarial_chain(spark):
+    """A 60-edge path needs 60 propagation rounds (propagation with a
+    small max_iters now raises instead of silently mislabeling); star
+    contraction closes it in O(log n) rounds."""
+    chain = [(i, i + 1) for i in range(60)]
+    pdf, ndf = _pairs_df(spark, chain), _nodes_df(spark, 61)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dedup_clusters(pdf, ndf, max_iters=5)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters_star(pdf, ndf, max_iters=12).collect()
+    }
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_star_contraction_empty_and_singletons(spark):
+    ndf = _nodes_df(spark, 4)
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup.dedup_clusters_star(
+            _pairs_df(spark, []), ndf
+        ).collect()
+    }
+    assert got == {i: (i, True) for i in range(4)}
