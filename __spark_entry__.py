@@ -1855,6 +1855,29 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_rollup(ev, window_minutes=60)
 
 
+_QS_QUERY = '"table hash" OR (customer AND NOT slow)'
+
+
+def q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-style query-string language end to end: parse → doc-set
+    algebra (phrase join chain ∪ (semi ∖ anti)) → BM25 over the positive
+    terms with the candidate set as the filter query."""
+    from searchenginejava_spark.operators.positional import positional_index
+    from searchenginejava_spark.operators.querystring import (
+        query_string_search,
+    )
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    pidx = positional_index(_documents(spark, sf_dir), mode="simple")
+    res = query_string_search(
+        _QS_QUERY, tf, dl, dct, stats, k=_TOPK, positional=pidx
+    ).select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
 _FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -2249,6 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_federated_search": q_federated_search,
         "q_funnel": q_funnel,
         "q_dedup_clusters_star": q_dedup_clusters_star,
+        "q_query_string": q_query_string,
         "q_postings_incremental": q_postings_incremental,
         "q_dictionary_compressed": q_dictionary_compressed,
         "q_wand_sharded_topk": q_wand_sharded_topk,
@@ -4301,6 +4325,51 @@ def oracle_sql() -> dict[str, str]:
     sql["q_federated_search"] = sql["q_bm25_topk"]
     # star contraction computes the same components as propagation
     sql["q_dedup_clusters_star"] = sql["q_dedup_clusters"]
+    # query-string language: '"table hash" OR (customer AND NOT slow)' —
+    # phrase adjacency join ∪ (semi ∖ anti), BM25 over the positive terms
+    sql["q_query_string"] = _SQL_TOKL + f"""
+    , tf AS (SELECT doc_id, term, count(*) AS tf
+             FROM tok GROUP BY doc_id, term)
+    , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+             FROM tf GROUP BY doc_id)
+    , stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl)
+    , dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+    , q(query_id, term, qtf) AS (VALUES
+        (0, 'table', 1), (0, 'hash', 1), (0, 'customer', 1))
+    , p0 AS (SELECT doc_id, pos FROM tok WHERE term = 'table')
+    , p1 AS (SELECT doc_id, pos FROM tok WHERE term = 'hash')
+    , phr AS (SELECT DISTINCT p0.doc_id FROM p0
+              JOIN p1 ON p0.doc_id = p1.doc_id AND p1.pos = p0.pos + 1)
+    , cand AS (
+        SELECT doc_id FROM phr
+        UNION
+        SELECT DISTINCT doc_id FROM tf WHERE term = 'customer'
+          AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tf
+                             WHERE term = 'slow')
+    )
+    , scored AS (
+      SELECT q.query_id, tf.doc_id,
+             sum(q.qtf
+                 * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                 * (tf.tf * {_K1 + 1.0})
+                 / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+             ) AS s
+      FROM q
+      JOIN dict USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      WHERE tf.doc_id IN (SELECT doc_id FROM cand)
+      GROUP BY q.query_id, tf.doc_id
+    )
+    SELECT CAST(query_id AS INT) AS query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY s DESC, doc_id ASC) AS INT) AS rank,
+           doc_id,
+           round(s, 6) AS score
+    FROM scored
+    QUALIFY rank <= {_TOPK}
+    """
     # ordered funnel: step i counts events strictly after the user's
     # first step-(i-1) event (integer-microsecond comparisons)
     steps = _FUNNEL_STEPS

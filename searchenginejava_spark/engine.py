@@ -115,6 +115,25 @@ class SearchEngine:
             read_trec_topics(path), k=k, path=run_path
         )
 
+    def query(
+        self, text: str, *, k: int = TOP_K, default_operator: str = "or",
+        max_expansions: int = 16,
+    ) -> DataFrame:
+        """Lucene-style query-string search: phrases, AND/OR/NOT,
+        parentheses, wildcards (``tab*``), fuzzy (``tabel~``)."""
+        from .operators.querystring import query_string_search
+
+        pos = (
+            self.index.tf if "positions" in self.index.tf.columns else None
+        )
+        return query_string_search(
+            text, self.index.tf, self.index.docs, self.index.dictionary,
+            self.index.stats, k=k, default_operator=default_operator,
+            tokenizer=self._tok, positional=pos,
+            max_expansions=max_expansions,
+            doc_exclude=self.index.tombstones,
+        )
+
     def structured(self, text: str, **kwargs) -> DataFrame:
         kwargs.setdefault("tokenizer", self._tok)
         return structured_search(self.spark, self.index, text, **kwargs)

@@ -1,0 +1,365 @@
+"""Lucene-style query-string language — parse + plan over the operators.
+
+The reference Searcher takes free text only ([R:Searcher], SURVEY.md
+§2.5); the standard user-facing surface on top of that is Lucene's
+query-string syntax (Lucene classic QueryParser / Elasticsearch
+``query_string`` — public grammar), which this module implements for
+the subset whose operators exist in-engine:
+
+    hash join                    free text (default operator)
+    "hash join"                  exact phrase (positional index)
+    a AND b, a OR b, NOT a       boolean operators (AND binds tighter)
+    (a OR b) AND c               grouping
+    tab*                         wildcard (dictionary-expanded, capped)
+    tabel~  / tabel~2            fuzzy (SymSpell-expanded, capped)
+
+Out of scope (and rejected loudly, not silently): fields (``title:x``),
+boosts (``^2``), ranges — the engine's data model is single-field.
+
+Execution: the parse tree lowers to DOC-SET algebra over term-pruned
+posting slices — leaves are semi-join/isin slices of the tf relation
+(wildcard/fuzzy leaves expand against the dictionary first, phrases run
+the positional join chain), AND = left-semi chain, OR = union+distinct,
+NOT = anti-join (a pure-negation branch anti-joins the doc universe —
+legal but documented as the expensive shape, same as Lucene's
+MatchAllDocsQuery rewrite). Candidates then rank with the standard BM25
+scorer constrained by ``doc_filter`` (the filter-query convention:
+surviving docs keep collection-level scores), scored on the query's
+POSITIVE leaf terms (negated terms filter, never score). Every
+expansion collect is query-bounded; the corpus is touched only through
+term-pruned slices.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import TOP_K
+
+# ---------------------------------------------------------------------------
+# AST + parser
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Term:
+    text: str
+
+
+@dataclass(frozen=True)
+class Phrase:
+    words: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class Wildcard:
+    pattern: str
+
+
+@dataclass(frozen=True)
+class Fuzzy:
+    text: str
+    max_edits: int = 1
+
+
+@dataclass(frozen=True)
+class Not:
+    child: object
+
+
+@dataclass(frozen=True)
+class Bool:
+    op: str  # "and" | "or"
+    children: tuple = field(default_factory=tuple)
+
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\()
+      | (?P<rparen>\))
+      | (?P<phrase>"[^"]*")
+      | (?P<word>[^\s()"]+)
+    )""",
+    re.VERBOSE,
+)
+
+_REJECT_RE = re.compile(r"(?<!\\):|[\^\[\]{]")
+
+
+def _tokenize(s: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(s):
+        m = _TOKEN_RE.match(s, i)
+        if m is None:
+            if s[i:].strip():
+                raise ValueError(f"cannot tokenize query at: {s[i:]!r}")
+            break
+        i = m.end()
+        if m.group("lparen"):
+            out.append(("(", "("))
+        elif m.group("rparen"):
+            out.append((")", ")"))
+        elif m.group("phrase"):
+            out.append(("phrase", m.group("phrase")[1:-1]))
+        else:
+            out.append(("word", m.group("word")))
+    return out
+
+
+def parse_query(s: str, *, default_operator: str = "or"):
+    """Query string → AST. ``default_operator`` joins adjacent clauses
+    with no explicit operator ("or" — the Lucene default — or "and").
+    Precedence: NOT > AND > OR; parentheses group."""
+    if default_operator not in ("or", "and"):
+        raise ValueError("default_operator must be 'or' or 'and'")
+    if _REJECT_RE.search(s):
+        raise ValueError(
+            "unsupported query-string feature (fields/boosts/ranges): "
+            f"{s!r}"
+        )
+    toks = _tokenize(s)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else (None, None)
+
+    def take():
+        nonlocal pos
+        if pos >= len(toks):
+            raise ValueError("query string ends mid-expression")
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_or():
+        left = parse_and()
+        parts = [left]
+        while True:
+            kind, val = peek()
+            if kind == "word" and val.upper() == "OR":
+                take()
+                parts.append(parse_and())
+            elif (
+                default_operator == "or"
+                and kind in ("word", "phrase", "(")
+                and not (kind == "word" and val.upper() in ("AND", "OR"))
+            ):
+                parts.append(parse_and())
+            else:
+                break
+        return parts[0] if len(parts) == 1 else Bool("or", tuple(parts))
+
+    def parse_and():
+        parts = [parse_unary()]
+        while True:
+            kind, val = peek()
+            if kind == "word" and val.upper() == "AND":
+                take()
+                parts.append(parse_unary())
+            elif (
+                default_operator == "and"
+                and kind in ("word", "phrase", "(")
+                and not (kind == "word" and val.upper() in ("AND", "OR"))
+            ):
+                parts.append(parse_unary())
+            else:
+                break
+        return parts[0] if len(parts) == 1 else Bool("and", tuple(parts))
+
+    def parse_unary():
+        kind, val = peek()
+        if kind == "word" and val.upper() == "NOT":
+            take()
+            return Not(parse_unary())
+        return parse_primary()
+
+    def parse_primary():
+        kind, val = take()
+        if kind == "(":
+            node = parse_or()
+            k2, _ = take() if pos < len(toks) else (None, None)
+            if k2 != ")":
+                raise ValueError("unbalanced parentheses in query string")
+            return node
+        if kind == "phrase":
+            words = tuple(w for w in val.split(" ") if w)
+            if not words:
+                raise ValueError("empty phrase in query string")
+            return Phrase(words)
+        if kind == "word":
+            if val.upper() in ("AND", "OR", "NOT"):
+                raise ValueError(f"dangling operator {val!r}")
+            m = re.fullmatch(r"(.+?)~(\d?)", val)
+            if m:
+                return Fuzzy(m.group(1), int(m.group(2) or "1"))
+            if "*" in val or "?" in val:
+                return Wildcard(val)
+            return Term(val)
+        raise ValueError("empty query string")
+
+    if not toks:
+        raise ValueError("empty query string")
+    node = parse_or()
+    if pos != len(toks):
+        raise ValueError("unbalanced parentheses in query string")
+    return node
+
+
+# ---------------------------------------------------------------------------
+# lowering: AST → candidate doc set + positive scoring terms
+# ---------------------------------------------------------------------------
+
+
+def _norm_words(words, tokenizer) -> list[str]:
+    out = []
+    for w in words:
+        out.extend(tokenizer(w) if tokenizer else [w.lower()])
+    return out
+
+
+def _leaf_terms(node, dictionary, tokenizer, *, max_expansions: int):
+    """Leaf → (concrete index terms, is_phrase). Wildcard/fuzzy leaves
+    expand against the dictionary (query-bounded collect, capped)."""
+    from .termmatch import fuzzy_terms, match_pattern
+
+    if isinstance(node, Term):
+        return _norm_words([node.text], tokenizer), False
+    if isinstance(node, Phrase):
+        return _norm_words(node.words, tokenizer), True
+    if isinstance(node, Wildcard):
+        rows = match_pattern(
+            dictionary, node.pattern.lower(), max_terms=max_expansions
+        ).collect()
+        return [r["term"] for r in rows], False
+    if isinstance(node, Fuzzy):
+        base = _norm_words([node.text], tokenizer)
+        rows = fuzzy_terms(
+            dictionary, base, max_edits=node.max_edits,
+            max_terms=max_expansions,
+        ).collect()
+        return [r["term"] for r in rows], False
+    raise TypeError(f"not a leaf: {node!r}")
+
+
+def _candidates(
+    node, tf, dictionary, universe, tokenizer, positional, max_expansions
+) -> DataFrame:
+    if isinstance(node, (Term, Wildcard, Fuzzy, Phrase)):
+        terms, is_phrase = _leaf_terms(
+            node, dictionary, tokenizer, max_expansions=max_expansions
+        )
+        if not terms:
+            return universe.limit(0)
+        if is_phrase and len(terms) > 1:
+            if positional is None:
+                raise ValueError(
+                    "phrase query needs a positional index "
+                    "(build with positional=True)"
+                )
+            from .positional import phrase_match
+
+            return phrase_match(positional, terms).select("doc_id")
+        if is_phrase or isinstance(node, Term):
+            # a multi-token normalized Term behaves like all-of (the
+            # analyzer split it); single tokens are one posting slice
+            cur = universe
+            for t in terms:
+                cur = cur.join(
+                    tf.filter(F.col("term") == F.lit(t)).select("doc_id"),
+                    "doc_id",
+                    "left_semi",
+                )
+            return cur
+        # expansion leaves: ANY of the expanded terms
+        return (
+            tf.filter(F.col("term").isin(terms)).select("doc_id").distinct()
+        )
+    if isinstance(node, Not):
+        inner = _candidates(
+            node.child, tf, dictionary, universe, tokenizer, positional,
+            max_expansions,
+        )
+        return universe.join(inner, "doc_id", "left_anti")
+    if isinstance(node, Bool):
+        kids = [
+            _candidates(
+                c, tf, dictionary, universe, tokenizer, positional,
+                max_expansions,
+            )
+            for c in node.children
+        ]
+        cur = kids[0]
+        for k in kids[1:]:
+            if node.op == "and":
+                cur = cur.join(k, "doc_id", "left_semi")
+            else:
+                cur = cur.unionByName(k)
+        return cur.distinct() if node.op == "or" else cur
+    raise TypeError(f"unknown node: {node!r}")
+
+
+def positive_terms(node, dictionary, tokenizer, *, max_expansions: int = 16):
+    """Distinct concrete terms under non-negated scope — what BM25
+    scores (negated branches filter, never score)."""
+    if isinstance(node, Not):
+        return []
+    if isinstance(node, Bool):
+        out = []
+        for c in node.children:
+            out.extend(
+                positive_terms(
+                    c, dictionary, tokenizer, max_expansions=max_expansions
+                )
+            )
+        return list(dict.fromkeys(out))
+    terms, _ = _leaf_terms(
+        node, dictionary, tokenizer, max_expansions=max_expansions
+    )
+    return list(dict.fromkeys(terms))
+
+
+def query_string_search(
+    query: str,
+    tf: DataFrame,
+    docs: DataFrame,
+    dictionary: DataFrame,
+    stats: dict,
+    *,
+    k: int = TOP_K,
+    default_operator: str = "or",
+    tokenizer=None,
+    positional: DataFrame | None = None,
+    max_expansions: int = 16,
+    query_id: int = 0,
+    doc_exclude: DataFrame | None = None,
+) -> DataFrame:
+    """Parse ``query`` and run it: candidates from the boolean doc-set
+    algebra, BM25 over the positive terms with candidates as the
+    filter query → (query_id, rank, doc_id, score)."""
+    from .search import score_exhaustive
+
+    node = parse_query(query, default_operator=default_operator)
+    universe = tf.select("doc_id").distinct()
+    cand = _candidates(
+        node, tf, dictionary, universe, tokenizer, positional, max_expansions
+    )
+    pos_terms = positive_terms(
+        node, dictionary, tokenizer, max_expansions=max_expansions
+    )
+    if not pos_terms:
+        raise ValueError(
+            "query has no positive terms to rank by (pure negation)"
+        )
+    spark = tf.sparkSession
+    qt = spark.createDataFrame(
+        [(query_id, t, 1) for t in pos_terms],
+        "query_id int, term string, qtf int",
+    )
+    return score_exhaustive(
+        qt, tf, docs, dictionary, stats, k=k, doc_filter=cand,
+        doc_exclude=doc_exclude,
+    )

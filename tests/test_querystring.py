@@ -1,0 +1,176 @@
+"""Lucene-style query-string language: parser grammar + doc-set algebra
++ end-to-end ranking through the facade."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginejava_spark.operators.querystring import (
+    Bool,
+    Fuzzy,
+    Not,
+    Phrase,
+    Term,
+    Wildcard,
+    parse_query,
+    query_string_search,
+)
+
+TESTDATA = "/root/testdata/sf0.001"
+
+
+# --- parser -----------------------------------------------------------------
+
+
+def test_parser_precedence_and_grouping():
+    # NOT > AND > OR; parens override
+    assert parse_query("a AND b OR c") == Bool(
+        "or", (Bool("and", (Term("a"), Term("b"))), Term("c"))
+    )
+    assert parse_query("a AND (b OR c)") == Bool(
+        "and", (Term("a"), Bool("or", (Term("b"), Term("c"))))
+    )
+    assert parse_query("NOT a AND b") == Bool(
+        "and", (Not(Term("a")), Term("b"))
+    )
+
+
+def test_parser_default_operator():
+    assert parse_query("a b") == Bool("or", (Term("a"), Term("b")))
+    assert parse_query("a b", default_operator="and") == Bool(
+        "and", (Term("a"), Term("b"))
+    )
+
+
+def test_parser_leaves():
+    assert parse_query('"hash join"') == Phrase(("hash", "join"))
+    assert parse_query("tab*") == Wildcard("tab*")
+    assert parse_query("tabel~") == Fuzzy("tabel", 1)
+    assert parse_query("tabel~2") == Fuzzy("tabel", 2)
+
+
+def test_parser_rejects():
+    for bad in (
+        "title:foo",      # fields
+        "foo^2",          # boosts
+        "[a TO b]",       # ranges
+        "a AND",          # dangling operator
+        "(a OR b",        # unbalanced
+        "a)",             # unbalanced
+        "",               # empty
+        '""',             # empty phrase
+    ):
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+
+# --- execution --------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def parts(spark):
+    from searchenginejava_spark.operators.positional import positional_index
+
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    from searchenginejava_spark.functions.tokenize import tokens_simple_col
+    from searchenginejava_spark.operators.index import (
+        explode_tokens,
+        term_frequencies,
+    )
+
+    toks = docs.select("doc_id", tokens_simple_col("text").alias("tokens"))
+    tf = term_frequencies(explode_tokens(toks))
+    tf.persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+    srow = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    stats = {"N": int(srow["n"]), "avgdl": float(srow["avgdl"])}
+    dct = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    pidx = positional_index(docs, mode="simple")
+    return tf, dl, dct, stats, pidx
+
+
+def _docids(res):
+    return {r["doc_id"] for r in res.collect()}
+
+
+def test_boolean_algebra_matches_set_ops(spark, parts):
+    tf, dl, dct, stats, pidx = parts
+    have = lambda t: {
+        r["doc_id"]
+        for r in tf.filter(F.col("term") == t).select("doc_id").collect()
+    }
+    res = query_string_search(
+        "customer AND NOT slow", tf, dl, dct, stats, k=10**6
+    )
+    assert _docids(res) == have("customer") - have("slow")
+    res_or = query_string_search(
+        "customer OR slow", tf, dl, dct, stats, k=10**6
+    )
+    assert _docids(res_or) == have("customer") | have("slow")
+    # implicit operator == OR by default
+    res_imp = query_string_search(
+        "customer slow", tf, dl, dct, stats, k=10**6
+    )
+    assert _docids(res_imp) == _docids(res_or)
+
+
+def test_phrase_and_grouping(spark, parts):
+    tf, dl, dct, stats, pidx = parts
+    from searchenginejava_spark.operators.positional import phrase_match
+
+    want_phrase = {
+        r["doc_id"] for r in phrase_match(pidx, ["table", "hash"]).collect()
+    }
+    res = query_string_search(
+        '"table hash"', tf, dl, dct, stats, k=10**6, positional=pidx
+    )
+    assert _docids(res) == want_phrase and want_phrase
+    # phrase without a positional index is a loud error
+    with pytest.raises(ValueError, match="positional"):
+        query_string_search('"table hash"', tf, dl, dct, stats)
+
+
+def test_wildcard_and_fuzzy_leaves(spark, parts):
+    tf, dl, dct, stats, pidx = parts
+    res = query_string_search("tab*", tf, dl, dct, stats, k=10**6)
+    want = {
+        r["doc_id"]
+        for r in tf.filter(F.col("term").startswith("tab"))
+        .select("doc_id")
+        .collect()
+    }
+    assert _docids(res) == want and want
+    # 'tabel~2' reaches docs containing 'table' (a transposition is
+    # TWO plain-Levenshtein edits — ~1 correctly misses it)
+    res_f = query_string_search("tabel~2", tf, dl, dct, stats, k=10**6)
+    have_table = {
+        r["doc_id"]
+        for r in tf.filter(F.col("term") == "table").select("doc_id").collect()
+    }
+    assert have_table <= _docids(res_f)
+
+
+def test_pure_negation_raises(spark, parts):
+    tf, dl, dct, stats, _ = parts
+    with pytest.raises(ValueError, match="positive"):
+        query_string_search("NOT slow", tf, dl, dct, stats)
+
+
+def test_engine_query_facade(spark):
+    from searchenginejava_spark.engine import SearchEngine
+
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    eng = SearchEngine.build(
+        spark, docs, text_col="text", mode="simple", num_partitions=4,
+        positional=True,
+    )
+    res = eng.query('"table hash" OR (customer AND NOT slow)', k=10)
+    rows = res.collect()
+    assert rows and [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    # ranking == plain BM25 over the positive terms restricted to the
+    # candidate set; spot-check scores are positive and descending
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True) and scores[0] > 0
