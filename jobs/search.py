@@ -42,7 +42,13 @@ def main(argv: list[str] | None = None) -> int:
         "table (engine.hybrid_text) — the lexical⊕semantic serving mode. "
         "Ignores the structured-constraint flags.",
     )
-    p.add_argument("--mode", default="full", choices=["full", "simple"])
+    p.add_argument("--mode", default="full", choices=["full", "simple", "code"])
+    p.add_argument(
+        "--query-string", action="store_true",
+        help="treat --query as the Lucene-style query language "
+        '(phrases, AND/OR/NOT, parens, wildcards, fuzzy ~) instead of '
+        "free text; ignores the structured-constraint flags",
+    )
     p.add_argument("--json", action="store_true")
     args = p.parse_args(argv)
 
@@ -60,6 +66,19 @@ def main(argv: list[str] | None = None) -> int:
     if args.hybrid:
         emb = spark.read.parquet(args.hybrid)
         res = eng.hybrid_text(args.query, emb, k=args.k)
+        res.write.mode("overwrite").parquet(args.output)
+        rows = spark.read.parquet(args.output).orderBy("rank").collect()
+        if args.json:
+            for r in rows:
+                print(json.dumps(r.asDict()))
+        print(
+            json.dumps(
+                {"status": "complete", "n_results": len(rows), "out": args.output}
+            )
+        )
+        return 0
+    if args.query_string:
+        res = eng.query(args.query, k=args.k)
         res.write.mode("overwrite").parquet(args.output)
         rows = spark.read.parquet(args.output).orderBy("rank").collect()
         if args.json:

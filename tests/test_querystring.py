@@ -174,3 +174,35 @@ def test_engine_query_facade(spark):
     # candidate set; spot-check scores are positive and descending
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True) and scores[0] > 0
+
+
+def test_search_job_query_string_flag(spark, tmp_path, capsys):
+    """jobs/search.py --query-string round-trips through a published
+    index and matches the facade ranking."""
+    import json
+
+    from jobs.search import main
+    from searchenginejava_spark.engine import SearchEngine
+
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    eng = SearchEngine.build(
+        spark, docs, text_col="text", mode="simple", num_partitions=4,
+        positional=True,
+    )
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    eng.save(idx)
+    rc = main([
+        "--index", idx, "--query", '"table hash" OR customer',
+        "--output", out, "--mode", "simple", "--query-string", "--json",
+    ])
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    summary = lines[-1]
+    assert summary["status"] == "complete" and summary["n_results"] > 0
+    want = [
+        (r["rank"], r["doc_id"])
+        for r in eng.query('"table hash" OR customer', k=10).collect()
+    ]
+    got = [(r["rank"], r["doc_id"]) for r in lines[:-1]]
+    assert got == want
