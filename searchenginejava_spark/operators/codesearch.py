@@ -305,3 +305,147 @@ def grep_lines(
     return lines.filter(cond).select(
         "doc_id", (F.col("idx") + 1).cast("int").alias("line_no"), "line"
     )
+
+
+# ---------------------------------------------------------------------------
+# code quality metrics (training-data curation for the code payload)
+# ---------------------------------------------------------------------------
+
+# whole-word branch keywords across the contract's language domain —
+# a cyclomatic-complexity proxy (decision points + 1, McCabe 1976)
+BRANCH_REGEX = r"\b(if|for|while|case|catch|switch|match|elif|else)\b"
+
+# the BigCode/StarCoder-style structural cut thresholds (public
+# preprocessing rules: drop files with pathological line shapes or
+# mostly non-alphanumeric content — minified/generated/binary-ish)
+MAX_LINE_LEN = 1000
+AVG_LINE_LEN = 100.0
+MIN_FRAC_ALNUM = 0.25
+MAX_COMMENT_RATIO = 0.8
+
+
+def code_metrics(
+    df: DataFrame, *, text_col: str = "code", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-file structural quality metrics for source code — the code
+    payload's analogue of the prose ``quality_score``/Gopher cuts, after
+    the BigCode/StarCoder data-prep rules (public): line-shape stats,
+    alphanumeric fraction, comment ratio, and a branch-keyword
+    complexity proxy, plus the composite ``keep`` cut.
+
+    Output: (doc_id, n_lines, max_line_len, avg_line_len,
+    comment_lines, comment_ratio, frac_alnum, branch_count, keep).
+
+    Everything is native Column arithmetic over one ``split('\\n')``
+    array — per-row work inside whole-stage codegen, ZERO shuffle and
+    zero Python; at 100 TB this is a single narrow scan whose output
+    (9 scalars/file) is what downstream curation joins against, so the
+    full content never moves again.
+    """
+    code = F.col(text_col)
+    lines = F.split(code, "\n")
+    lens = F.transform(lines, lambda x: F.length(x))
+    n_lines = F.size(lines)
+    tot_len = F.aggregate(
+        lens, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    is_comment = lambda x: (  # noqa: E731 — tiny predicate, used once
+        F.substring(F.ltrim(x), 1, 1) == F.lit("#")
+    ) | (F.substring(F.ltrim(x), 1, 2) == F.lit("//"))
+    n_comment = F.size(F.filter(lines, is_comment))
+    alnum = F.length(F.regexp_replace(code, "[^A-Za-z0-9]", ""))
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.cast("long").alias("n_lines"),
+        F.array_max(lens).cast("long").alias("max_line_len"),
+        F.round(tot_len.cast("double") / n_lines.cast("double"), 6).alias(
+            "avg_line_len"
+        ),
+        n_comment.cast("long").alias("comment_lines"),
+        F.round(
+            n_comment.cast("double") / n_lines.cast("double"), 6
+        ).alias("comment_ratio"),
+        F.round(
+            alnum.cast("double") / F.length(code).cast("double"), 6
+        ).alias("frac_alnum"),
+        F.size(F.regexp_extract_all(code, F.lit(BRANCH_REGEX), 0))
+        .cast("long")
+        .alias("branch_count"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("max_line_len") <= MAX_LINE_LEN)
+        & (F.col("avg_line_len") <= AVG_LINE_LEN)
+        & (F.col("frac_alnum") >= MIN_FRAC_ALNUM)
+        & (F.col("comment_ratio") <= MAX_COMMENT_RATIO),
+    )
+
+
+# ---------------------------------------------------------------------------
+# secret / credential scanning (code-payload curation)
+# ---------------------------------------------------------------------------
+
+# deterministic RE2-safe rules after the public gitleaks/truffleHog rule
+# shapes — ordered; scrubbing applies them in this order
+SECRET_RULES: list[tuple[str, str]] = [
+    ("aws_access_key", r"AKIA[0-9A-Z]{16}"),
+    ("private_key", r"-----BEGIN [A-Z ]*PRIVATE KEY-----"),
+    ("hex_token", r"\b[0-9a-f]{32,}\b"),
+    ("password_assign", r"(?i)(password|passwd|secret)\s*=\s*['\"][^'\"]+['\"]"),
+]
+
+
+def secret_scan(
+    df: DataFrame, *, text_col: str = "code", id_col: str = "doc_id"
+) -> DataFrame:
+    """Credential scan for the code payload → long-format
+    (doc_id, rule, n_hits) with one row per rule that fired. The
+    training-data complement of the prose PII scrub: leaked keys must
+    be found (and usually the whole file dropped) before code reaches
+    a training mix.
+
+    One projection builds an array<struct<rule,n>> of per-rule
+    ``regexp_extract_all`` counts, then a per-row explode + filter —
+    all inside codegen, zero shuffle, and each rule's count is exact
+    (not just a boolean), so downstream policy can distinguish a lone
+    test fixture from a credential dump.
+    """
+    code = F.col(text_col)
+    hits = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.size(F.regexp_extract_all(code, F.lit(rx), 0))
+                .cast("long")
+                .alias("n_hits"),
+            )
+            for name, rx in SECRET_RULES
+        ]
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(hits).alias("h"))
+        .select("doc_id", "h.rule", "h.n_hits")
+        .filter(F.col("n_hits") > 0)
+    )
+
+
+def secret_scrub(
+    df: DataFrame, *, text_col: str = "code", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mask every SECRET_RULES match in place → (doc_id, clean_code,
+    n_secrets). Rules apply in SECRET_RULES order (they are mutually
+    non-overlapping by construction: key prefix, PEM header, lowercase
+    hex run, assignment) so the masking is deterministic. Same
+    single-projection / zero-shuffle shape as ``scrub_pii``.
+    """
+    code = F.col(text_col)
+    total = F.lit(0).cast("long")
+    clean = code
+    for name, rx in SECRET_RULES:
+        total = total + F.size(F.regexp_extract_all(clean, F.lit(rx), 0))
+        clean = F.regexp_replace(clean, rx, f"<SECRET:{name}>")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        clean.alias("clean_code"),
+        total.alias("n_secrets"),
+    )

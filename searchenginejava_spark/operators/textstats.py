@@ -469,3 +469,84 @@ def boilerplate_stats(
             ).alias("boiler_frac"),
         )
     )
+
+
+def clone_pairs(
+    df: DataFrame,
+    *,
+    k: int = 3,
+    w: int = 4,
+    max_fp_df: int = 50,
+    min_shared: int = 2,
+    min_overlap: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MOSS's pairing stage ([L:Schleimer, Wilkerson & Aiken, SIGMOD
+    2003] §5; also CCFinder-style clone detection): turn the per-doc
+    winnowing fingerprint sets into scored CLONE PAIRS —
+    (doc_a, doc_b, n_shared, overlap) where overlap is the Jaccard of
+    the two docs' (rare-)fingerprint sets. This is the cross-document
+    "who copied whom" report that the per-doc fingerprint relation
+    (``winnow_fingerprints``) and global-similarity MinHash do not give:
+    winnowing guarantees any shared run of w+k−1 tokens shares a
+    fingerprint, so local copies surface even when global similarity is
+    low.
+
+    Scale shape (the part that matters at 100 TB): the pairing is an
+    EQUI-join on fingerprint value, never an all-pairs scan — but a
+    boilerplate fingerprint appearing in d docs fans out to d² pair
+    rows, so fingerprints with df > ``max_fp_df`` are dropped BEFORE
+    the self-join (the MOSS move: ignore hashes in too many documents —
+    they are license headers / scaffolding, not copies). That caps
+    per-fingerprint fanout at max_fp_df² and the dropped set is tiny
+    (the head of the fp-df distribution), so it broadcasts. Jaccard is
+    computed over the SAME rare-fingerprint sets the join used, keeping
+    the score consistent with the candidate generation.
+    """
+    fps = winnow_fingerprints(
+        df, k=k, w=w, text_col=text_col, id_col=id_col
+    ).persist()
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") > max_fp_df)
+        .select("fp")
+    )
+    rare = fps.join(F.broadcast(hot), "fp", "left_anti").persist()
+    sizes = rare.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp")
+    )
+    a = rare.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    out = (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("overlap"),
+        )
+        .filter(F.col("overlap") >= min_overlap)
+    )
+    return out

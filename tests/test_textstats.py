@@ -282,3 +282,46 @@ def test_boilerplate_stats(spark):
         assert got[d][0] == 5 and got[d][1] == 2
         assert got[d][2] == pytest.approx(0.4)
     assert got[3] == (3, 0, 0.0)
+
+
+def test_clone_pairs_detects_shared_run(spark):
+    # docs 0 and 1 share a 9-token run (>= w+k-1 = 6, so winnowing
+    # GUARANTEES a shared fingerprint); doc 2 is unrelated.
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota"
+    rows = [
+        (0, shared + " one two three four"),
+        (1, "nine eight " + shared),
+        (2, "completely different words with no overlap at all here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.clone_pairs(
+        df, min_shared=1, min_overlap=0.0
+    ).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (0, 1) in pairs
+    assert all(a < b for a, b in pairs)           # canonical orientation
+    assert not any(2 in p for p in pairs)
+    row = next(r for r in out if (r["doc_a"], r["doc_b"]) == (0, 1))
+    assert row["n_shared"] >= 1
+    assert 0.0 < row["overlap"] <= 1.0
+
+
+def test_clone_pairs_identical_docs_overlap_one(spark):
+    text = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(0, text), (1, text)], "doc_id long, text string"
+    )
+    out = textstats.clone_pairs(df, min_shared=1, min_overlap=0.0).collect()
+    assert len(out) == 1 and out[0]["overlap"] == 1.0
+
+
+def test_clone_pairs_df_cap_drops_boilerplate(spark):
+    # the same 6-token boilerplate run in every doc; with max_fp_df=2
+    # and 4 docs, every shared fingerprint is over the cap -> no pairs
+    boiler = "copyright header license apache version two"
+    rows = [(i, boiler + f" unique{i} tail{i} words{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.clone_pairs(
+        df, max_fp_df=2, min_shared=1, min_overlap=0.0
+    ).collect()
+    assert out == []
