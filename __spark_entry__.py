@@ -2083,6 +2083,39 @@ def q_code_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_impact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact-ordered (quantized score-at-a-time) top-k: document-side
+    BM25 factor quantized to 8 bits at index time (pure rational
+    arithmetic — bit-reproducible grid), served as idf-weighted integer
+    sums with no doc-length join. rho=None so ranking is the quantized
+    ranking exactly; the anytime budget is pytest-gated."""
+    from searchenginejava_spark.operators.impact import (
+        build_impact_index,
+        impact_topk,
+    )
+
+    tf = _tf(spark, sf_dir)
+    tf.persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+    srow = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    stats = {"N": int(srow["n"]), "avgdl": float(srow["avgdl"])}
+    dct = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    impacts, umax = build_impact_index(tf, dl, stats, bits=8)
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    res = impact_topk(
+        qt, impacts, dct, stats, umax, k=_TOPK, bits=8
+    ).select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
 def _secret_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Code view with deterministic secret injections (the synthetic
     corpus carries no credentials, so both engines append the same
@@ -2303,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_clone_pairs": q_clone_pairs,
         "q_code_metrics": q_code_metrics,
         "q_secret_scan": q_secret_scan,
+        "q_impact_topk": q_impact_topk,
         # -- no driver row yet (past r02's 50-row window) --
         "q_more_like_this": q_more_like_this,
         "q_facet_counts": q_facet_counts,
@@ -2323,15 +2357,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_explain_score": q_explain_score,
         "q_curation_full": q_curation_full,
         "q_unigram_nll": q_unigram_nll,
-        "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_proximity_rerank": q_proximity_rerank,
         "q_related_terms": q_related_terms,
         "q_boilerplate_stats": q_boilerplate_stats,
         "q_index_diff": q_index_diff,
+        # ---- 50-query window boundary ----------------------------------
+        # The four wave-8 queries (clone_pairs/code_metrics/secret_scan/
+        # impact_topk) took window slots from queries whose FAMILY stays
+        # in-window: q_winnow_fingerprints is run inside q_clone_pairs;
+        # q_synonym_search's expansion family has q_query_expansion +
+        # q_expansion_ann/_embedded + q_rm3_expansion in-window;
+        # q_doc_term_vectors rides q_more_like_this; q_classic_tfidf's
+        # scorer family has bm25/LMD/SDM/MaxScore/impact in-window.
+        "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_synonym_search": q_synonym_search,
         "q_doc_term_vectors": q_doc_term_vectors,
         "q_classic_tfidf": q_classic_tfidf,
-        # ---- 50-query window boundary ----------------------------------
         # Everything below was DRIVER-green in CORRECTNESS_r02 (exact
         # prefix of r02's registration), so with the r03 window covering
         # all never-verified + new queries, every registered query has a
@@ -4617,6 +4658,51 @@ def oracle_sql() -> dict[str, str]:
                 AND frac_alnum >= 0.25 AND comment_ratio <= 0.8
                 AS INT) AS keep
     FROM m
+    """
+    # impact_topk mirror: the u grid, global umax, floor-quantization
+    # and idf-weighted dequantized sums — expression association copies
+    # operators/impact.py exactly (pure mul/div/add → bit-identical
+    # doubles; ln() only on the query side, libm on both engines)
+    sql["q_impact_topk"] = _SQL_TF + f"""
+    , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+             FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+    dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    uu AS (
+      SELECT tf.term, tf.doc_id,
+             (tf.tf * {_K1 + 1.0})
+             / (tf.tf + {_K1} * (1.0 - {_B}
+                                 + {_B} * dl.doc_len / stats.avgdl)) AS u
+      FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+    ),
+    um AS (SELECT max(u) AS umax FROM uu),
+    imp AS (
+      SELECT term, doc_id,
+             greatest(1, CAST(floor((u * 255.0) / um.umax) AS BIGINT))
+               AS impact
+      FROM uu CROSS JOIN um
+    ),
+    q(query_id, term, qtf) AS (VALUES {q_values}),
+    scored AS (
+      SELECT q.query_id, imp.doc_id,
+             sum(q.qtf
+                 * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                 * ((CAST(imp.impact AS DOUBLE) * um.umax) / 255.0)
+             ) AS s
+      FROM q
+      JOIN dict USING (term)
+      JOIN imp USING (term)
+      CROSS JOIN stats CROSS JOIN um
+      GROUP BY q.query_id, imp.doc_id
+    )
+    SELECT CAST(query_id AS INT) AS query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY s DESC, doc_id ASC) AS INT)
+             AS rank,
+           doc_id,
+           round(s, 6) AS score
+    FROM scored
+    QUALIFY rank <= {_TOPK}
     """
     # secret_scan mirror: the injected-secret view + one UNION ALL arm
     # per SECRET_RULES entry, built from the same rule table the Spark

@@ -1,0 +1,168 @@
+"""Impact-ordered index — quantized score-at-a-time serving.
+
+The third serving family next to document-at-a-time pruning (WAND,
+MaxScore): precompute each posting's BM25 *term-frequency impact* at
+INDEX time, quantize it to ``bits`` (the Anserini/JASS impact-index
+design — [L:Anh & Moffat SIGIR'06 "Pruned query evaluation using
+pre-computed impacts"; Lin & Ma arXiv'21 ACM SIGIR Forum on impact
+indexes]), and serve queries as a sum of small integers scaled by
+query-side idf — no doc-length join at query time (the length norm is
+baked into the stored impact) and a per-term postings budget ``rho``
+gives the JASS-style *anytime* mode: score only each query term's
+top-ρ impacts, trading bounded recall loss for a hard per-term I/O cap.
+
+What is stored vs computed where:
+
+- index time: ``u = tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` — the
+  document-side BM25 factor, PURE rational arithmetic (mul/div/add, no
+  transcendentals), so the quantized value is bit-reproducible across
+  engines; ``impact = max(1, floor(u·(2^bits−1)/umax))`` with ``umax``
+  the global maximum u (one scalar agg). Every posting keeps at least
+  impact 1 so quantization never deletes a posting.
+- query time: ``score(q,d) = Σ_t qtf·idf(t) · (impact·umax/(2^bits−1))``
+  — idf stays exact (computed driver-side over the query vocabulary
+  only, libm ``math.log`` like every other scorer here), the impact
+  dequantizes by a per-index constant. Ranking differs from exact BM25
+  only by the ≤ umax/2^bits quantization error per posting (the
+  documented impact-index tradeoff; the recall gate pins it in tests).
+
+Scale shape: building is one narrow projection over the tf relation the
+SPIMI build already produced (zero extra shuffle — dl joins on the
+already-partitioned tf); serving touches only the query terms' postings
+(broadcast semi-join), needs NO docs-table join at all, and with ``rho``
+set reads at most ρ postings per term regardless of df — the knob that
+makes a hot-term query cost constant instead of df-proportional.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import BM25_B, BM25_K1, TOP_K
+
+
+def build_impact_index(
+    tf: DataFrame,
+    docs: DataFrame,
+    stats: dict,
+    *,
+    bits: int = 8,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> tuple[DataFrame, float]:
+    """(term, doc_id, impact:int) + the dequantization constant umax.
+
+    ``tf``: (doc_id, term, tf); ``docs``: (doc_id, doc_len);
+    ``stats``: {"N", "avgdl"} — the same inputs every scorer here takes.
+
+    The association order of ``u`` matches ``score_exhaustive``'s
+    document-side factor exactly ((tf·(k1+1)) / norm), so the quantized
+    grid is the same grid an exact scorer walks — and every arithmetic
+    step is IEEE mul/div/add, bit-identical in any engine that mirrors
+    the expression (the DuckDB oracle does).
+    """
+    levels = float((1 << bits) - 1)
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("doc_len").cast("double")
+    norm = tf_d + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * dl_d / F.lit(stats["avgdl"])
+    )
+    u_col = (tf_d * F.lit(k1 + 1.0)) / norm
+    with_u = tf.join(docs.select("doc_id", "doc_len"), "doc_id").withColumn(
+        "u", u_col
+    )
+    umax = float(with_u.agg(F.max("u")).collect()[0][0])
+    impacts = with_u.select(
+        "term",
+        "doc_id",
+        F.greatest(
+            F.lit(1),
+            F.floor((F.col("u") * F.lit(levels)) / F.lit(umax)),
+        )
+        .cast("int")
+        .alias("impact"),
+    )
+    return impacts, umax
+
+
+def impact_topk(
+    query_terms: DataFrame,
+    impacts: DataFrame,
+    dictionary: DataFrame,
+    stats: dict,
+    umax: float,
+    *,
+    k: int = TOP_K,
+    bits: int = 8,
+    rho: int | None = None,
+) -> DataFrame:
+    """Score-at-a-time top-k over the impact index.
+
+    ``query_terms``: (query_id, term, qtf); ``dictionary``: (term, df).
+    ``rho``: anytime budget — keep only each query term's top-ρ
+    postings by (impact desc, doc_id asc) before scoring; ``None``
+    scores every posting of every query term (and then ranking is the
+    quantized-BM25 ranking exactly).
+
+    Plan: dictionary ⋈ broadcast(query terms) → driver-side idf over
+    the query vocabulary (libm, O(|query vocab|) rows like every scorer
+    here) → impacts ⋈ broadcast(weights) → [optional per-term top-ρ
+    window] → one hash agg (map-side combining integer-weighted sums)
+    → per-query top-k window. No docs join; the only wide op is the
+    final per-(query, doc) agg.
+    """
+    levels = float((1 << bits) - 1)
+    qt = F.broadcast(query_terms)
+    q_rows = dictionary.join(qt, "term").select(
+        "query_id", "term", "qtf", "df"
+    ).collect()
+    n_d = float(stats["N"])
+    qw = query_terms.sparkSession.createDataFrame(
+        [
+            (
+                int(r["query_id"]),
+                r["term"],
+                float(r["qtf"])
+                * math.log((n_d - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0),
+            )
+            for r in q_rows
+        ],
+        "query_id int, term string, w double",
+    )
+    cand = impacts.join(F.broadcast(qw), "term")
+    if rho is not None:
+        # anytime cut: the impact-ORDERED prefix of each term's list —
+        # ties broken by doc_id so reruns are deterministic. The window
+        # partitions by term over query-term postings only (the
+        # broadcast join above already pruned the rest).
+        tw = Window.partitionBy("term").orderBy(
+            F.desc("impact"), F.asc("doc_id")
+        )
+        cand = cand.withColumn("pos", F.row_number().over(tw)).filter(
+            F.col("pos") <= rho
+        )
+    part = F.col("w") * (
+        (F.col("impact").cast("double") * F.lit(umax)) / F.lit(levels)
+    )
+    agg = (
+        cand.withColumn("part_score", part)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("part_score").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("int"),
+            F.col("rank").cast("int"),
+            F.col("doc_id").cast("long"),
+            F.col("score").cast("double"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,132 @@
+"""Impact-ordered index: quantization bounds, rank fidelity vs exact
+BM25, and the JASS-style anytime budget."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # deterministic word soup with skew: term 'w0' is hot, tail is rare
+    rows = []
+    for i in range(200):
+        words = [f"w{(i * 7 + j * j) % 37}" for j in range(1 + i % 15)]
+        words += ["w0"] * (i % 4)
+        rows.append((i, " ".join(words)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def relations(spark, corpus):
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    tf = (
+        corpus.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    tf.persist().count()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+    srow = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    stats = {"N": int(srow["n"]), "avgdl": float(srow["avgdl"])}
+    dct = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    return tf, dl, dct, stats
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    rows = [(0, "w0", 1), (0, "w5", 1), (1, "w13", 1), (1, "w2", 1)]
+    return spark.createDataFrame(rows, "query_id int, term string, qtf int")
+
+
+def test_impact_bounds_and_max(spark, relations):
+    from searchenginejava_spark.operators.impact import build_impact_index
+
+    tf, dl, dct, stats = relations
+    impacts, umax = build_impact_index(tf, dl, stats, bits=8)
+    agg = impacts.agg(
+        F.min("impact").alias("lo"), F.max("impact").alias("hi")
+    ).collect()[0]
+    assert 1 <= agg["lo"] and agg["hi"] == 255   # argmax posting hits top
+    assert umax > 0.0
+
+
+def test_impact_topk_rank_fidelity_vs_exact(spark, relations, queries):
+    """8-bit quantization: top-10 overlap with exact BM25 >= 0.8 and the
+    top-1 doc identical (quantization error <= umax/255 per posting)."""
+    from searchenginejava_spark.operators.impact import (
+        build_impact_index,
+        impact_topk,
+    )
+    from searchenginejava_spark.operators.search import score_exhaustive
+
+    tf, dl, dct, stats = relations
+    impacts, umax = build_impact_index(tf, dl, stats, bits=8)
+    approx = impact_topk(queries, impacts, dct, stats, umax, k=10).collect()
+    exact = score_exhaustive(queries, tf, dl, dct, stats, k=10).collect()
+    for qid in (0, 1):
+        a = [r["doc_id"] for r in approx if r["query_id"] == qid]
+        e = [r["doc_id"] for r in exact if r["query_id"] == qid]
+        assert len(set(a) & set(e)) / len(e) >= 0.8
+        assert a[0] == e[0]
+
+
+def test_impact_topk_rho_budget(spark, relations, queries):
+    from searchenginejava_spark.operators.impact import (
+        build_impact_index,
+        impact_topk,
+    )
+
+    tf, dl, dct, stats = relations
+    impacts, umax = build_impact_index(tf, dl, stats, bits=8)
+    full = impact_topk(queries, impacts, dct, stats, umax, k=10).collect()
+    # rho >= max df: identical to the unbudgeted run
+    big = impact_topk(
+        queries, impacts, dct, stats, umax, k=10, rho=10**6
+    ).collect()
+    assert sorted(map(tuple, big)) == sorted(map(tuple, full))
+    # recall vs the unbudgeted run is monotone in rho
+    full_ids = {
+        qid: {r["doc_id"] for r in full if r["query_id"] == qid}
+        for qid in (0, 1)
+    }
+
+    def recall(rho):
+        res = impact_topk(
+            queries, impacts, dct, stats, umax, k=10, rho=rho
+        ).collect()
+        tot, hit = 0, 0
+        for qid in (0, 1):
+            got = {r["doc_id"] for r in res if r["query_id"] == qid}
+            hit += len(got & full_ids[qid])
+            tot += len(full_ids[qid])
+        return hit / tot
+
+    # w0 is hot (df ~ 150) so rho=50 may genuinely miss tail docs;
+    # rho=200 >= every df and must be complete
+    r1, r5, r200 = recall(1), recall(5), recall(200)
+    assert r1 <= r5 <= r200 == 1.0
+    # rho=1 really cuts: at most one doc can come from each term's list
+    res1 = impact_topk(
+        queries, impacts, dct, stats, umax, k=10, rho=1
+    ).collect()
+    for qid in (0, 1):
+        assert len([r for r in res1 if r["query_id"] == qid]) <= 2
+
+
+def test_impact_topk_deterministic_rerun(spark, relations, queries):
+    from searchenginejava_spark.operators.impact import (
+        build_impact_index,
+        impact_topk,
+    )
+
+    tf, dl, dct, stats = relations
+    impacts, umax = build_impact_index(tf, dl, stats, bits=8)
+    a = impact_topk(queries, impacts, dct, stats, umax, k=10).collect()
+    b = impact_topk(queries, impacts, dct, stats, umax, k=10).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -882,6 +882,110 @@ def main() -> None:
     ]
     sections.append(("PageRank doc priors (3-iteration loop)", p_p3, checks))
 
+    # 25. impact-ordered serving: NO docs/doc_len join at query time
+    # (the length norm is baked into the stored impact), query side
+    # broadcast, zero Python crossings
+    from searchenginejava_spark.operators.impact import (
+        build_impact_index,
+        impact_topk,
+    )
+
+    dl_au = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("doc_len")
+    )
+    srow_au = dl_au.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    stats_au = {"N": int(srow_au["n"]), "avgdl": float(srow_au["avgdl"])}
+    dct_au = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    impacts_au, umax_au = build_impact_index(tf, dl_au, stats_au, bits=8)
+    # serve from a STORED index (parquet round trip, same as every other
+    # serving audit here) so the plan shows query-time work only — a
+    # .persist() would print the cached build lineage (tokenizer Python
+    # crossing, doc_len join) inside the InMemoryRelation and trip the
+    # checks on work that never re-executes at query time
+    with tempfile.TemporaryDirectory() as td_im:
+        ipath = os.path.join(td_im, "impacts")
+        impacts_au.write.parquet(ipath)
+        dpath_im = os.path.join(td_im, "dict")
+        dct_au.write.parquet(dpath_im)
+        imp_saved = spark.read.parquet(ipath)
+        dct_saved = spark.read.parquet(dpath_im)
+        qt_au = spark.createDataFrame(
+            [(0, "customer", 1), (0, "table", 1)],
+            "query_id int, term string, qtf int",
+        )
+        p_im = plan_of(
+            impact_topk(qt_au, imp_saved, dct_saved, stats_au, umax_au)
+        )
+    checks = [
+        (
+            "query weights broadcast (no shuffled join of the tiny side)",
+            "BroadcastHashJoin" in p_im or "BroadcastExchange" in p_im,
+            "",
+        ),
+        (
+            "zero Python crossings",
+            "ArrowEvalPython" not in p_im and "MapInPandas" not in p_im,
+            "",
+        ),
+        (
+            "no doc-length join at query time (scan count: impacts only)",
+            "doc_len" not in p_im,
+            "",
+        ),
+    ]
+    sections.append(("impact-ordered serving (impact_topk)", p_im, checks))
+
+    # 26. clone pairs: fp self-join is an equi-join (SortMergeJoin or
+    # shuffled hash — NEVER cartesian), the df-cap anti-join broadcasts
+    from searchenginejava_spark.operators.textstats import clone_pairs
+
+    p_cp = plan_of(clone_pairs(corpus, min_shared=1, min_overlap=0.0))
+    checks = [
+        (
+            "no cartesian / nested-loop pairing",
+            "CartesianProduct" not in p_cp,
+            "",
+        ),
+        (
+            "df-cap hot set broadcast into the anti-join",
+            "BroadcastExchange" in p_cp,
+            "",
+        ),
+    ]
+    sections.append(("clone pairs (winnow fp equi-join + df cap)", p_cp, checks))
+
+    # 27. code metrics + secret scan: single zero-shuffle native
+    # projections over the corpus scan
+    from searchenginejava_spark.operators.codesearch import (
+        code_metrics,
+        secret_scan,
+    )
+
+    code_au = corpus.selectExpr("doc_id", "text as code")
+    p_cm = plan_of(code_metrics(code_au))
+    p_sc = plan_of(secret_scan(code_au))
+    checks = [
+        (
+            "code_metrics: zero Exchange, zero Python",
+            n_nodes(p_cm, "Exchange") == 0
+            and "ArrowEvalPython" not in p_cm
+            and "MapInPandas" not in p_cm,
+            f"Exchange x{n_nodes(p_cm, 'Exchange')}",
+        ),
+        (
+            "secret_scan: zero Exchange, zero Python",
+            n_nodes(p_sc, "Exchange") == 0
+            and "ArrowEvalPython" not in p_sc
+            and "MapInPandas" not in p_sc,
+            f"Exchange x{n_nodes(p_sc, 'Exchange')}",
+        ),
+    ]
+    sections.append(("code metrics / secret scan (narrow projections)", p_cm + "\n\n" + p_sc, checks))
+
     ok = True
     out = ["# PLANS.md — physical-plan audit (generated by tools/explain_audit.py)", ""]
     for title, plan, cks in sections:
