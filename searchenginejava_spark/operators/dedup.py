@@ -479,3 +479,39 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# duplicate-aware serving
+# --------------------------------------------------------------------------
+
+def collapse_by_cluster(
+    scored: DataFrame,
+    clusters: DataFrame,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Duplicate-aware result serving: collapse a scored candidate set to
+    ONE result per near-duplicate CLUSTER (mirrors/forks/vendored copies
+    stop crowding the page — Google's "omitted similar results" and the
+    code-search dedup-at-serve convention), then re-rank survivors.
+
+    ``clusters`` is the (doc_id, cluster_id, …) relation from
+    ``dedup_clusters`` / ``dedup_clusters_star`` — cluster_id is the
+    component min, and singletons map to themselves, so every scored doc
+    collapses under a well-defined key. Delegates to the field-collapse
+    operator (search.collapse_results) with the cluster id as the field:
+    the cluster relation is (doc_id, long) rows — at 100 TB it is the
+    same metadata-sized join every scorer already pays for doc lengths,
+    and the collapse windows run over per-query top-depth rows only.
+    Emits group_size = cluster members present in the candidate set (the
+    "N similar results omitted" count).
+    """
+    from .search import collapse_results
+
+    return collapse_results(
+        scored,
+        clusters.select("doc_id", "cluster_id"),
+        "cluster_id",
+        k=k,
+    )

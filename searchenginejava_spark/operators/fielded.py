@@ -91,6 +91,143 @@ def bm25f_stats(ftf: DataFrame) -> dict:
     return {"N": n, "avgdl": {r["field"]: float(r["avgdl"]) for r in rows}}
 
 
+def dismax_topk(
+    query_terms: DataFrame,
+    ftf: DataFrame,
+    stats: dict,
+    *,
+    boosts: Mapping[str, float],
+    tie: float = 0.1,
+    k: int = TOP_K,
+    k1: float = BM25_K1,
+    b: float | Mapping[str, float] = BM25_B,
+) -> DataFrame:
+    """Disjunction-max (DisMax) fielded top-k — the OTHER standard
+    multi-field model next to BM25F (Lucene DisjunctionMaxQuery, the
+    Solr/Elasticsearch ``best_fields`` default):
+
+        part(t,d,f) = boost_f · idf_f(t) · tf·(k1+1)/(tf + k1·B_f(d))
+        dis(t,d)    = max_f part + tie · (Σ_f part − max_f part)
+        score(q,d)  = Σ_t qtf_t · dis(t,d)
+
+    Where BM25F folds field evidence into ONE saturated tf (a doc whose
+    term evidence is split across fields scores as if it were one
+    stream), DisMax takes the BEST field per term and only tie-breaks on
+    the others — the right model when fields are alternative surfaces of
+    the same text (title vs body, path vs content) rather than additive
+    evidence. idf is PER-FIELD here (each field is its own similarity,
+    the Lucene convention), computed driver-side over the query
+    vocabulary only (libm ln, same portability rationale as
+    score_exhaustive) and broadcast back as a (term, field, idf)
+    relation.
+
+    Plan shape is the exhaustive-scorer family: broadcast query join
+    prunes the fielded tf scan to query-term rows, one (q, doc, term)
+    hash agg computes max+sum over the ≤|fields| per-term parts, one
+    (q, doc) hash agg sums terms (partial aggs map-side), top-k window.
+    """
+    import math
+
+    b_of = (lambda f: float(b[f])) if isinstance(b, Mapping) else (
+        lambda f: float(b)
+    )
+    spark = ftf.sparkSession
+    n_f = {
+        (r["field"]): int(r["n"])
+        for r in ftf.groupBy("field")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .collect()
+    }
+    vocab = query_terms.select("term").distinct()
+    df_rows = (
+        ftf.join(F.broadcast(vocab), "term")
+        .groupBy("term", "field")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .collect()
+    )
+    idf_rows = [
+        (
+            r["term"],
+            r["field"],
+            math.log(
+                (n_f[r["field"]] - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0
+            ),
+        )
+        for r in df_rows
+    ]
+    if not idf_rows:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
+    idf = spark.createDataFrame(idf_rows, "term string, field string, fidf double")
+    qw = query_terms.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        "term",
+        F.col("qtf").cast("double").alias("qtf"),
+    )
+
+    dl_f = ftf.groupBy("doc_id", "field").agg(
+        F.sum("tf").cast("double").alias("dl")
+    )
+    avg_map = F.create_map(
+        *[
+            x
+            for f_name in boosts
+            for x in (F.lit(f_name), F.lit(float(stats["avgdl"][f_name])))
+        ]
+    )
+    boost_map = F.create_map(
+        *[x for f in boosts for x in (F.lit(f), F.lit(float(boosts[f])))]
+    )
+    b_map = F.create_map(
+        *[x for f in boosts for x in (F.lit(f), F.lit(b_of(f)))]
+    )
+    tf_d = F.col("tf").cast("double")
+    part = (
+        boost_map[F.col("field")]
+        * F.col("fidf")
+        * (tf_d * F.lit(k1 + 1.0))
+        / (
+            tf_d
+            + F.lit(k1)
+            * (
+                F.lit(1.0)
+                - b_map[F.col("field")]
+                + b_map[F.col("field")] * F.col("dl") / avg_map[F.col("field")]
+            )
+        )
+    )
+    cand = (
+        ftf.join(F.broadcast(qw), "term")
+        .join(F.broadcast(idf), ["term", "field"])
+        .join(dl_f, ["doc_id", "field"])
+        .withColumn("part", part)
+    )
+    dis = cand.groupBy("query_id", "doc_id", "term", "qtf").agg(
+        (
+            F.max("part")
+            + F.lit(float(tie)) * (F.sum("part") - F.max("part"))
+        ).alias("dis")
+    )
+    agg = (
+        dis.withColumn("tpart", F.col("qtf") * F.col("dis"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("tpart").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("int"),
+            F.col("rank").cast("int"),
+            F.col("doc_id").cast("long"),
+            F.col("score").cast("double"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def bm25f_topk(
     query_terms: DataFrame,
     ftf: DataFrame,

@@ -73,6 +73,80 @@ def rrf_fuse(
     )
 
 
+def linear_fuse(
+    rankings: Sequence[DataFrame],
+    *,
+    weights: Sequence[float] | None = None,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Weighted score fusion with per-query min-max normalization — the
+    OTHER standard hybrid combiner next to RRF (the Elasticsearch
+    ``linear`` retriever with the ``minmax`` normalizer; [L:Bruch,
+    Gai & Ingber, TOIS 2023] analyze exactly this convex-combination
+    form). Where RRF discards score magnitudes (rank-only), linear
+    fusion keeps them — a doc that wins its leg by a mile beats one
+    that wins by an inch — at the cost of needing normalization to make
+    the legs comparable:
+
+        norm_r(d)  = (s_r(d) − min_r) / (max_r − min_r)   per query
+                     (1.0 when max_r == min_r — the degenerate one-doc leg)
+        fused(d)   = Σ_r w_r · norm_r(d)
+
+    Inputs are (query_id, doc_id, score) relations — the top-k output of
+    any scorer leg (BM25/WAND, cosine/ANN — k rows per query, so every
+    step below is metadata-sized at any corpus scale). A doc absent from
+    a leg contributes 0 for it. min/max are per (query, leg) aggregates;
+    every arithmetic step is identical double ops on both engines, ties
+    break by doc_id.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if weights is None:
+        weights = [1.0] * len(rankings)
+    if len(weights) != len(rankings):
+        raise ValueError("one weight per ranking")
+    parts = [
+        r.select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("score").cast("double").alias("s"),
+            F.lit(i).alias("leg"),
+            F.lit(float(weights[i])).alias("w"),
+        )
+        for i, r in enumerate(rankings)
+    ]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    ext = allp.groupBy("query_id", "leg").agg(
+        F.min("s").alias("s_min"), F.max("s").alias("s_max")
+    )
+    normed = allp.join(ext, ["query_id", "leg"]).withColumn(
+        "part",
+        F.col("w")
+        * F.when(F.col("s_max") == F.col("s_min"), F.lit(1.0)).otherwise(
+            (F.col("s") - F.col("s_min")) / (F.col("s_max") - F.col("s_min"))
+        ),
+    )
+    agg = normed.groupBy("query_id", "doc_id").agg(
+        F.sum("part").alias("fused_score")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("fused_score"), F.asc("doc_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            F.col("fused_score").cast("double").alias("fused_score"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def hybrid_search(
     bm25_results: DataFrame,
     embeddings: DataFrame,

@@ -105,6 +105,129 @@ def event_rollup(
     )
 
 
+def session_items(
+    events: DataFrame,
+    *,
+    gap_minutes: int = 30,
+    item_col: str | None = None,
+) -> DataFrame:
+    """(user_id, session_id, item) — distinct items per gap-based session,
+    the input relation for session co-occurrence mining. ``item_col``
+    defaults to the integer ``k`` field of the JSON ``props`` column,
+    extracted with a regex (identical semantics on Spark and DuckDB — no
+    JSON-extension dependency in the oracle)."""
+    gap_us = int(gap_minutes) * 60_000_000
+    tus = F.expr(_MICROS)
+    item = (
+        F.col(item_col)
+        if item_col
+        else F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("int")
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    flagged = events.select(
+        "user_id", "event_id", tus.alias("tus"), item.alias("item")
+    ).withColumn(
+        "nf",
+        F.when(
+            F.lag("tus").over(w_ord).isNull()
+            | (F.col("tus") - F.lag("tus").over(w_ord) > F.lit(gap_us)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sid = F.sum("nf").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        flagged.withColumn("session_id", sid.cast("long"))
+        .select("user_id", "session_id", "item")
+        .distinct()
+    )
+
+
+def session_cooccurrence(
+    events: DataFrame,
+    *,
+    gap_minutes: int = 30,
+    min_sessions: int = 2,
+    item_col: str | None = None,
+) -> DataFrame:
+    """Session-level item co-occurrence — "users who touched X in a
+    session also touched Y" (the query-log mining behind related-searches
+    / also-viewed panels; same doc-level-lift shape as
+    termmatch.related_terms but keyed by behavioral sessions instead of
+    documents):
+
+        lift(a,b) = (n_ab · S) / (n_a · n_b)      (ln-free PMI twin)
+
+    over DISTINCT (session, item) memberships. Plan shape: ONE shuffle
+    sessionizes (hash by user_id, the windows stream in its sort), one
+    distinct agg, then a self EQUI-join on the session key — fanout is
+    bounded by items-per-session (sessions are gap-bounded by
+    construction; a bot session contributes quadratically but only
+    within itself, and the ``min_sessions`` prune keeps the long tail
+    out of the result). Never all-pairs across items. Pairs are emitted
+    once with item_a < item_b; every value is exact rational arithmetic
+    rounded at the edge.
+    """
+    si = session_items(
+        events, gap_minutes=gap_minutes, item_col=item_col
+    ).select(
+        "user_id", "session_id", "item"
+    )
+    si = si.persist()
+    total = si.select("user_id", "session_id").distinct().count()
+    per_item = si.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    a = si.select(
+        "user_id", "session_id", F.col("item").alias("item_a")
+    )
+    b_side = si.select(
+        "user_id", "session_id", F.col("item").alias("item_b")
+    )
+    pairs = (
+        a.join(b_side, ["user_id", "session_id"])
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .filter(F.col("n_sessions") >= int(min_sessions))
+    )
+    out = (
+        pairs.join(
+            per_item.select(
+                F.col("item").alias("item_a"),
+                F.col("n_item").alias("n_a"),
+            ),
+            "item_a",
+        )
+        .join(
+            per_item.select(
+                F.col("item").alias("item_b"),
+                F.col("n_item").alias("n_b"),
+            ),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "n_sessions",
+            F.round(
+                F.col("n_sessions").cast("double")
+                * F.lit(float(total))
+                / (
+                    F.col("n_a").cast("double")
+                    * F.col("n_b").cast("double")
+                ),
+                6,
+            ).alias("lift"),
+        )
+    )
+    out = out.persist()
+    out.count()
+    si.unpersist()
+    return out
+
+
 def funnel(events: DataFrame, steps: list[str]) -> DataFrame:
     """Ordered funnel: (step, event_type, n_users) — how many users
     reached step i, where step i counts only events STRICTLY AFTER the

@@ -425,6 +425,87 @@ def pq_encode(
     )
 
 
+def ivfpq_encode(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the IVF-PQ index relation → (vec_id, cid, codes): coarse
+    cell assignment (IVF) + per-subspace PQ codes in ONE codegen'd
+    projection over the vectors. This is the FAISS ``IndexIVFPQ`` layout
+    with ``by_residual=False`` (codes quantize the raw vector, not the
+    cell residual — the variant whose arithmetic is exactly the existing
+    IVF + PQ folds, and a supported FAISS mode): at 10^9+ vectors the
+    output is written ``partitionBy("cid")`` so a probe reads n_probe
+    partitions of m-byte codes and never touches raw vectors."""
+    m = len(codebooks)
+    d0 = len(codebooks[0][0])
+    codes = F.array(
+        *[
+            _nearest_centroid_col(
+                F.slice(F.col(vec_col), mi * d0 + 1, d0), codebooks[mi]
+            )
+            for mi in range(m)
+        ]
+    )
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _nearest_centroid_col(F.col(vec_col), centroids).alias("cid"),
+        codes.alias("codes"),
+    )
+
+
+def ivfpq_topk(
+    index_df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    *,
+    n_probe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """IVF-PQ (ADC) search — the composed scale path: the query picks its
+    ``n_probe`` nearest coarse cells driver-side (C-bounded left folds),
+    the scan prunes to those cells' code partitions, and approximate d²
+    is the PQ distance-table fold over each candidate's m codes. Probed
+    candidates ≈ N·n_probe/C rows of m bytes each — both the IVF read
+    cut and the PQ byte cut apply at once, which is why this composition
+    is the standard billion-scale ANN architecture. Ranking is exact over
+    the ADC values, ties to the lower vec_id."""
+    def _d2(c: list[float]) -> float:
+        return _d2_py([float(x) for x in query_vec], c)
+
+    order = sorted((_d2(c), i) for i, c in enumerate(centroids))
+    probe = sorted(i for _, i in order[:n_probe])
+    m = len(codebooks)
+    kc = len(codebooks[0])
+    d0 = len(codebooks[0][0])
+    table: list[float] = []
+    for mi in range(m):
+        q_sub = [float(x) for x in query_vec[mi * d0 : (mi + 1) * d0]]
+        for c in codebooks[mi]:
+            table.append(_d2_py(q_sub, c))
+    flat = F.array(*[F.lit(v) for v in table])
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, mi: acc
+        + F.element_at(
+            flat, (mi * F.lit(kc) + F.element_at("codes", mi + 1) + 1).cast("int")
+        ),
+    )
+    return (
+        index_df.filter(F.col("cid").isin(probe))
+        .select("vec_id", adc.alias("adc"))
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("adc", 6).alias("adc"))
+    )
+
+
 def pq_topk(
     codes_df: DataFrame,
     codebooks: list[list[list[float]]],

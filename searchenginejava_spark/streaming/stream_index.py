@@ -77,6 +77,98 @@ def start_partial_ingest(
     )
 
 
+def start_incremental_index(
+    stream: DataFrame,
+    index_dir: str,
+    ckpt_dir: str,
+    *,
+    mode: str = "full",
+    num_salts: int = 4,
+    num_partitions: int = 4,
+):
+    """Near-real-time indexing — the full streaming refresh loop (the
+    Lucene "new segment per refresh + background merge" lifecycle, here
+    one foreachBatch step): each micro-batch of arriving files is built
+    into a batch index (the segment) and FOLDED into the published index
+    with the byte-level incremental merge (plans/pipeline.merge_indexes
+    — no decode, no rebuild), then published as a new immutable version
+    directory with an atomically-replaced LATEST pointer (the commit
+    point). Readers load whatever LATEST names (``load_latest_index``)
+    and are never torn: versions are write-once, the pointer flip is
+    os.replace-atomic, and a replayed batch (foreachBatch is
+    at-least-once) simply rewrites ITS OWN version directory and
+    re-points — idempotent end-to-end.
+
+    doc_ids are 63-bit xxhash64 of (repo, path, commit) — the streaming
+    convention (see start_partial_ingest): batches carry disjoint
+    file identities, so the merge's disjoint-doc_id contract holds
+    without cross-batch coordination. Per-batch cost is
+    O(batch) + O(compressed bytes of the live index) for the stitch —
+    the standard NRT trade; when the fold cost dominates, ingest
+    partials instead (start_partial_ingest) and merge on a schedule.
+    """
+    import json as _json
+    import os as _os
+
+    from ..plans.pipeline import build_index, merge_indexes
+    from ..sources.index_store import load_index, save_index
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        with_ids = batch_df.withColumn(
+            "doc_id",
+            F.xxhash64("repo", "path", "commit").bitwiseAND(
+                F.lit((1 << 63) - 1)
+            ),
+        )
+        seg = build_index(
+            spark,
+            with_ids,
+            text_col="content",
+            mode=mode,
+            identity_cols=("repo", "path", "commit"),
+            num_partitions=num_partitions,
+            num_salts=num_salts,
+        )
+        latest = _os.path.join(index_dir, "LATEST")
+        merged = seg
+        if _os.path.exists(latest):
+            with open(latest) as fh:
+                prev = _json.load(fh)["version"]
+            live = load_index(spark, _os.path.join(index_dir, prev))
+            merged = merge_indexes(spark, live, seg)
+        version = f"v{int(batch_id):012d}"
+        save_index(merged, _os.path.join(index_dir, version))
+        tmp = _os.path.join(index_dir, "LATEST.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump({"version": version, "batch_id": int(batch_id)}, fh)
+        _os.replace(tmp, latest)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def load_latest_index(spark: SparkSession, index_dir: str):
+    """Reader side of the NRT loop: resolve the LATEST commit point and
+    load that version (sources/index_store.load_index). Safe to call
+    concurrently with the writer — versions are immutable and the
+    pointer flip is atomic."""
+    import json as _json
+    import os as _os
+
+    from ..sources.index_store import load_index
+
+    with open(_os.path.join(index_dir, "LATEST")) as fh:
+        version = _json.load(fh)["version"]
+    return load_index(spark, _os.path.join(index_dir, version))
+
+
 def streaming_exact_dedup(
     stream: DataFrame,
     *,

@@ -175,3 +175,22 @@ def test_star_contraction_empty_and_singletons(spark):
         ).collect()
     }
     assert got == {i: (i, True) for i in range(4)}
+
+
+def test_collapse_by_cluster_serves_one_per_duplicate_group(spark):
+    """Duplicate-aware serving: one result per near-dup cluster, best
+    doc kept, survivors re-ranked, singleton clusters pass through."""
+    from searchenginejava_spark.operators.dedup import collapse_by_cluster
+
+    scored = spark.createDataFrame(
+        [(0, 0, 9.0), (0, 1, 8.0), (0, 2, 7.0), (0, 3, 6.0), (0, 4, 5.5)],
+        "query_id int, doc_id long, score double",
+    )
+    clusters = spark.createDataFrame(
+        # {0,1} one cluster, {3,4} another, 2 is a singleton
+        [(0, 0, True), (1, 0, False), (2, 2, True), (3, 3, True), (4, 3, False)],
+        "doc_id long, cluster_id long, is_canonical boolean",
+    )
+    rows = collapse_by_cluster(scored, clusters, k=10).collect()
+    got = [(r["rank"], r["doc_id"], r["group_size"]) for r in rows]
+    assert got == [(1, 0, 2), (2, 2, 1), (3, 3, 2)]

@@ -129,3 +129,95 @@ def test_fielded_tf_requires_fields(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         fielded_tf(df, {})
+
+
+# --------------------------------------------------------------------------
+# DisMax (best-field) — the other multi-field model
+# --------------------------------------------------------------------------
+
+def _dismax_by_hand(query_terms, tie, boosts, k1=BM25_K1, b=BM25_B):
+    """Replicate dismax_topk arithmetic over DOCS in pure Python."""
+    tfs: dict[tuple[int, str, str], int] = {}
+    for doc_id, title, body in DOCS:
+        for field, text in (("title", title), ("body", body)):
+            for t in text.split():
+                tfs[(doc_id, field, t)] = tfs.get((doc_id, field, t), 0) + 1
+    dl = {}
+    for (d, f, _t), tf in tfs.items():
+        dl[(d, f)] = dl.get((d, f), 0) + tf
+    avgdl = {
+        f: sum(v for (d, ff), v in dl.items() if ff == f)
+        / len([1 for (d, ff) in dl if ff == f])
+        for f in ("title", "body")
+    }
+    n_f = {f: len({d for (d, ff) in dl if ff == f}) for f in ("title", "body")}
+    scores: dict[int, float] = {}
+    for term, qtf in query_terms:
+        for d in range(len(DOCS)):
+            parts = []
+            for f in ("title", "body"):
+                tf = tfs.get((d, f, term), 0)
+                if tf == 0:
+                    continue
+                df = len({dd for (dd, ff, tt) in tfs if ff == f and tt == term})
+                idf = math.log((n_f[f] - df + 0.5) / (df + 0.5) + 1.0)
+                norm = tf + k1 * (1.0 - b + b * dl[(d, f)] / avgdl[f])
+                parts.append(boosts[f] * idf * tf * (k1 + 1.0) / norm)
+            if parts:
+                dis = max(parts) + tie * (sum(parts) - max(parts))
+                scores[d] = scores.get(d, 0.0) + qtf * dis
+    return scores
+
+
+def test_dismax_hand_computed(spark, ftf):
+    from searchenginejava_spark.operators.fielded import dismax_topk
+
+    boosts = {"title": 2.0, "body": 1.0}
+    stats = bm25f_stats(ftf)
+    qt = spark.createDataFrame(
+        [(0, "merge", 1), (0, "join", 1)],
+        "query_id int, term string, qtf int",
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in dismax_topk(qt, ftf, stats, boosts=boosts, tie=0.3).collect()
+    }
+    want = _dismax_by_hand([("merge", 1), ("join", 1)], 0.3, boosts)
+    assert set(got) == {d for d, s in want.items() if s > 0}
+    for d, s in got.items():
+        assert s == pytest.approx(want[d], rel=1e-9)
+
+
+def test_dismax_tie_zero_is_pure_best_field(spark, ftf):
+    from searchenginejava_spark.operators.fielded import dismax_topk
+
+    boosts = {"title": 1.0, "body": 1.0}
+    stats = bm25f_stats(ftf)
+    qt = spark.createDataFrame(
+        [(0, "merge", 1)], "query_id int, term string, qtf int"
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in dismax_topk(qt, ftf, stats, boosts=boosts, tie=0.0).collect()
+    }
+    want = _dismax_by_hand([("merge", 1)], 0.0, boosts)
+    for d, s in got.items():
+        assert s == pytest.approx(want[d], rel=1e-9)
+    # doc 0 has 'merge' in BOTH fields; tie=0 must keep only the best part
+    full = _dismax_by_hand([("merge", 1)], 1.0, boosts)
+    assert full[0] > want[0]
+
+
+def test_dismax_oov_query_returns_empty(spark, ftf):
+    from searchenginejava_spark.operators.fielded import dismax_topk
+
+    stats = bm25f_stats(ftf)
+    qt = spark.createDataFrame(
+        [(0, "zzz_not_here", 1)], "query_id int, term string, qtf int"
+    )
+    assert (
+        dismax_topk(
+            qt, ftf, stats, boosts={"title": 1.0, "body": 1.0}
+        ).count()
+        == 0
+    )

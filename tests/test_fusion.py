@@ -83,3 +83,60 @@ def test_hybrid_search_composes_legs(spark):
     ] == [(r["rank"], r["doc_id"], r["rrf_score"]) for r in want]
     assert got  # vec_id 0 is in both legs → top by construction
     assert got[0]["doc_id"] == 0
+
+
+# --------------------------------------------------------------------------
+# linear (min-max normalized, weighted) score fusion
+# --------------------------------------------------------------------------
+
+def _rank_rel(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id int, doc_id long, score double"
+    )
+
+
+def test_linear_fuse_hand_computed(spark):
+    from searchenginejava_spark.operators.fusion import linear_fuse
+
+    lex = _rank_rel(spark, [(0, 10, 8.0), (0, 11, 6.0), (0, 12, 2.0)])
+    vec = _rank_rel(spark, [(0, 11, 0.9), (0, 12, 0.5), (0, 13, 0.1)])
+    got = {
+        r["doc_id"]: (r["rank"], r["fused_score"])
+        for r in linear_fuse([lex, vec], weights=[0.7, 0.3]).collect()
+    }
+    # lex minmax: 10→1.0, 11→(6-2)/6=2/3, 12→0.0
+    # vec minmax: 11→1.0, 12→0.5, 13→0.0
+    want = {
+        10: 0.7 * 1.0,
+        11: 0.7 * (4.0 / 6.0) + 0.3 * 1.0,
+        12: 0.3 * 0.5,
+        13: 0.0,
+    }
+    assert set(got) == set(want)
+    for d, (rank, s) in got.items():
+        assert s == pytest.approx(want[d], rel=1e-12)
+    order = [d for d, _ in sorted(got.items(), key=lambda kv: kv[1][0])]
+    assert order == [11, 10, 12, 13]   # 0.7667 > 0.7 > 0.15 > 0
+
+
+def test_linear_fuse_degenerate_leg_normalizes_to_one(spark):
+    from searchenginejava_spark.operators.fusion import linear_fuse
+
+    one = _rank_rel(spark, [(0, 5, 3.25)])          # max == min
+    other = _rank_rel(spark, [(0, 5, 1.0), (0, 6, 0.0)])
+    got = {
+        r["doc_id"]: r["fused_score"]
+        for r in linear_fuse([one, other]).collect()
+    }
+    assert got[5] == pytest.approx(2.0)              # 1.0 + 1.0
+    assert got[6] == pytest.approx(0.0)
+
+
+def test_linear_fuse_weight_validation(spark):
+    from searchenginejava_spark.operators.fusion import linear_fuse
+
+    r = _rank_rel(spark, [(0, 1, 1.0)])
+    with pytest.raises(ValueError):
+        linear_fuse([r, r], weights=[1.0])
+    with pytest.raises(ValueError):
+        linear_fuse([])

@@ -186,3 +186,71 @@ def test_funnel_empty_and_single_step(spark):
     assert [(r["step"], r["n_users"]) for r in got] == [(1, 0)]
     with pytest.raises(ValueError):
         funnel(ev, [])
+
+
+# --------------------------------------------------------------------------
+# session-level item co-occurrence (related searches / also-viewed)
+# --------------------------------------------------------------------------
+
+def _evp(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+
+
+def test_session_cooccurrence_hand_computed(spark):
+    from searchenginejava_spark.operators.sessions import (
+        session_cooccurrence,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1, session 1: items 1, 2 (dup row of item 1 collapses)
+        (0, t0, 1, "view", 0.0, '{"k": 1}'),
+        (1, t0 + 1 * m, 1, "view", 0.0, '{"k": 2}'),
+        (2, t0 + 2 * m, 1, "view", 0.0, '{"k": 1}'),
+        # user 1, session 2 (gap > 30): items 1, 2 again + 3
+        (3, t0 + 60 * m, 1, "view", 0.0, '{"k": 1}'),
+        (4, t0 + 61 * m, 1, "view", 0.0, '{"k": 2}'),
+        (5, t0 + 62 * m, 1, "view", 0.0, '{"k": 3}'),
+        # user 2, one session: items 2, 3
+        (6, t0, 2, "view", 0.0, '{"k": 2}'),
+        (7, t0 + 1 * m, 2, "view", 0.0, '{"k": 3}'),
+    ]
+    got = {
+        (r["item_a"], r["item_b"]): (r["n_sessions"], r["lift"])
+        for r in session_cooccurrence(
+            _evp(spark, rows), gap_minutes=30, min_sessions=2
+        ).collect()
+    }
+    # 3 sessions total; (1,2) in 2 sessions, (2,3) in 2, (1,3) in 1 (pruned)
+    # n_1=2 sessions, n_2=3, n_3=2
+    assert set(got) == {(1, 2), (2, 3)}
+    assert got[(1, 2)][0] == 2 and got[(2, 3)][0] == 2
+    assert got[(1, 2)][1] == pytest.approx(round(2 * 3 / (2 * 3), 6))
+    assert got[(2, 3)][1] == pytest.approx(round(2 * 3 / (3 * 2), 6))
+
+
+def test_session_cooccurrence_pairs_once_and_pruned(spark):
+    from searchenginejava_spark.operators.sessions import (
+        session_cooccurrence,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (0, t0, 1, "view", 0.0, '{"k": 9}'),
+        (1, t0, 1, "view", 0.0, '{"k": 4}'),
+    ]
+    out = session_cooccurrence(
+        _evp(spark, rows), min_sessions=1
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["item_a"], r["item_b"]) == (4, 9)      # emitted once, a < b
+    # same input with min_sessions=2 prunes everything
+    assert (
+        session_cooccurrence(_evp(spark, rows), min_sessions=2).count() == 0
+    )

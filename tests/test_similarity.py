@@ -303,3 +303,57 @@ def test_multiprobe_lsh_recall_monotone(spark):
     # that; monotonicity above is the structural property under test
     assert recalls[-1] >= 0.2
     assert 7 in got  # the query vector itself survives every probe set
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ (composed coarse routing + compressed-code ADC)
+# --------------------------------------------------------------------------
+
+def test_ivfpq_full_probe_equals_pq(emb):
+    """Probing every coarse cell must reduce IVF-PQ to plain PQ/ADC —
+    identical values AND identical order (same folds everywhere)."""
+    df, vecs = emb
+    cb = similarity.pq_codebooks(df, m=4, k_centroids=8, iters=0)
+    cents = similarity.ivf_train(df, n_centroids=4, iters=0)
+    idx = similarity.ivfpq_encode(df, cents, cb)
+    q = [float(x) for x in vecs[3]]
+    got = similarity.ivfpq_topk(idx, cents, cb, q, n_probe=4, k=10).collect()
+    want = similarity.pq_topk(
+        similarity.pq_encode(df, cb), cb, q, k=10
+    ).collect()
+    assert [(r["vec_id"], r["adc"]) for r in got] == [
+        (r["vec_id"], r["adc"]) for r in want
+    ]
+
+
+def test_ivfpq_probe_restricts_candidates(emb):
+    """n_probe=1 results all live in the query's nearest coarse cell."""
+    df, vecs = emb
+    cb = similarity.pq_codebooks(df, m=4, k_centroids=8, iters=0)
+    cents = similarity.ivf_train(df, n_centroids=4, iters=0)
+    idx = similarity.ivfpq_encode(df, cents, cb)
+    idx.persist()
+    q = [float(x) for x in vecs[3]]
+    got = similarity.ivfpq_topk(idx, cents, cb, q, n_probe=1, k=10)
+    cells = {
+        r["cid"]
+        for r in got.join(idx.select("vec_id", "cid"), "vec_id").collect()
+    }
+    assert len(cells) == 1
+    # and it IS the query's own nearest cell (left-fold d², tie low cid)
+    d2 = [
+        similarity._d2_py(q, c) for c in cents
+    ]
+    assert cells == {min(range(len(cents)), key=lambda i: (d2[i], i))}
+    idx.unpersist()
+
+
+def test_ivfpq_deterministic_rerun(emb):
+    df, vecs = emb
+    cb = similarity.pq_codebooks(df, m=4, k_centroids=8, iters=0)
+    cents = similarity.ivf_train(df, n_centroids=4, iters=0)
+    idx = similarity.ivfpq_encode(df, cents, cb)
+    q = [float(x) for x in vecs[0]]
+    a = similarity.ivfpq_topk(idx, cents, cb, q, n_probe=2, k=10).collect()
+    b = similarity.ivfpq_topk(idx, cents, cb, q, n_probe=2, k=10).collect()
+    assert a == b

@@ -347,3 +347,52 @@ def test_streaming_sessions_match_batch_semantics(spark, tmp_path):
         (1, t(60)): (t(70) + gap, 2, 9.0),
         (2, t(0)): (t(58) + gap, 3, 3.0),
     }
+
+
+def test_incremental_index_matches_cold_build(spark, tmp_path):
+    """NRT loop: 3 micro-batches each build a segment index and fold it
+    into the published index via the byte-level incremental merge; the
+    final LATEST version's dictionary (df/cf/max_tf per term) must equal
+    a cold batch build over the whole corpus, and it must serve BM25."""
+    from searchenginejava_spark.plans.pipeline import run_queries
+    from searchenginejava_spark.streaming.stream_index import (
+        load_latest_index,
+        start_incremental_index,
+    )
+
+    src_dir = str(tmp_path / "nrt_src")
+    idx_dir = str(tmp_path / "nrt_idx")
+    ckpt = str(tmp_path / "nrt_ckpt")
+    corpus = gen_code_table(spark, 60, num_partitions=3)
+    corpus.write.parquet(src_dir)
+
+    stream = stream_source(spark, src_dir, max_files_per_trigger=1)
+    q = start_incremental_index(stream, idx_dir, ckpt, num_salts=2)
+    q.awaitTermination(300)
+
+    live = load_latest_index(spark, idx_dir)
+    got = {
+        r["term"]: (r["df"], r["cf"]) for r in live.dictionary.collect()
+    }
+    cold = build_index(
+        spark, assign_doc_ids(corpus), text_col="content",
+        num_partitions=3, num_salts=2,
+    )
+    want = {r["term"]: (r["df"], r["cf"]) for r in cold.dictionary.collect()}
+    assert got == want
+
+    # multiple immutable versions exist and LATEST resolves to the newest
+    import json as _json
+    import os as _os
+
+    versions = sorted(
+        d for d in _os.listdir(idx_dir) if d.startswith("v")
+    )
+    assert len(versions) >= 2          # at least two fold steps happened
+    with open(_os.path.join(idx_dir, "LATEST")) as fh:
+        assert _json.load(fh)["version"] == versions[-1]
+
+    # the published index answers a real query end to end
+    term = max(want, key=lambda t: want[t][0])
+    res = run_queries(spark, live, [(0, term)], k=5, path="wand")
+    assert res.count() > 0
