@@ -596,6 +596,45 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters_star(pairs, docs)
 
 
+def q_collapse_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware serving: collapse the full BM25-scored candidate
+    set to ONE result per near-duplicate cluster (the MinHash+LSH →
+    connected-components clusters of q_dedup_clusters), survivors
+    re-ranked, group_size = cluster members in the candidate set — the
+    "omitted similar results" convention. The oracle replays the
+    recursive-CTE clusters and the BM25 sum, then the same two windows."""
+    from searchenginejava_spark.operators.dedup import (
+        collapse_by_cluster,
+        dedup_clusters,
+        minhash_near_duplicates,
+    )
+    from searchenginejava_spark.operators.search import score_exhaustive
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    scored = score_exhaustive(qt, tf, dl, dct, stats, k=10**6).select(
+        "query_id", "doc_id", "score"
+    )
+    docs = _documents(spark, sf_dir)
+    pairs = minhash_near_duplicates(
+        docs, n=3, num_hashes=16, bands=4, threshold=0.4
+    )
+    clusters = dedup_clusters(pairs, docs)
+    res = collapse_by_cluster(scored, clusters, k=_TOPK).select(
+        "query_id",
+        "rank",
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        "cluster_id",
+        "group_size",
+    )
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (n_planes=0 → no LSH blocking,
     oracle-checkable); the LSH-blocked scale path shares the same code."""
@@ -661,6 +700,29 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = pq_codebooks(emb, m=8, k_centroids=16, iters=0)
     qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
     return pq_topk(pq_encode(emb, cb), cb, qvec, k=10)
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (the FAISS IndexIVFPQ composition, by_residual=False):
+    coarse cells prune the scan to n_probe partitions AND candidates are
+    m-byte PQ codes scored by the ADC distance-table fold — both
+    billion-scale cuts at once. Deterministic init everywhere (iters=0:
+    centroids/codebooks from the lowest-id vectors), every float op a
+    left fold — bit-identical to the oracle's list_reduce replay."""
+    from searchenginejava_spark.operators.similarity import (
+        ivf_train,
+        ivfpq_encode,
+        ivfpq_topk,
+        pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_train(emb, n_centroids=8, iters=0)
+    cb = pq_codebooks(emb, m=8, k_centroids=16, iters=0)
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return ivfpq_topk(
+        ivfpq_encode(emb, cents, cb), cents, cb, qvec, n_probe=2, k=10
+    )
 
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -850,6 +912,44 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
     res = hybrid_search(lex, emb, qvec, query_id=qid, k=_TOPK)
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
+def q_linear_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-preserving hybrid fusion (the ES linear retriever with
+    minmax normalization) of the same two legs as q_hybrid_search —
+    where RRF keeps ranks only, this keeps magnitudes. Both legs enter
+    with 6-decimal-rounded scores (each leg's values already oracle-
+    green via q_bm25_topk / q_cosine_topk), so the min-max arithmetic
+    starts from identical doubles on both engines."""
+    from searchenginejava_spark.operators.fusion import linear_fuse
+    from searchenginejava_spark.operators.search import score_exhaustive
+    from searchenginejava_spark.operators.similarity import cosine_topk
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    qid, terms = _ORACLE_QUERIES[0]
+    qt = spark.createDataFrame(
+        [(qid, t, 1) for t in terms], "query_id int, term string, qtf int"
+    )
+    lex = score_exhaustive(qt, tf, dl, dct, stats, k=_TOPK).select(
+        "query_id", "doc_id", F.round("score", 6).alias("score")
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    vec = cosine_topk(emb, qvec, k=_TOPK).select(
+        F.lit(qid).cast("int").alias("query_id"),
+        F.col("vec_id").cast("long").alias("doc_id"),
+        F.col("cosine").alias("score"),
+    )
+    res = linear_fuse([lex, vec], weights=[0.7, 0.3], k=_TOPK).select(
+        "query_id",
+        "rank",
+        "doc_id",
+        F.round("fused_score", 6).alias("fused_score"),
+    )
     res.persist()
     res.count()
     tf.unpersist()
@@ -1426,6 +1526,35 @@ def q_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunction-max fielded ranking (Lucene DisjunctionMaxQuery, the
+    Solr/ES best_fields default) over the same virtual title/body split
+    as q_bm25f: per-field idf, best field per term + tie-broken rest —
+    the alternative-surfaces model next to BM25F's additive-evidence
+    fold. Same plan family (broadcast query join, two hash aggs)."""
+    from searchenginejava_spark.functions.tokenize import tokens_simple_col
+    from searchenginejava_spark.operators.fielded import (
+        bm25f_stats,
+        dismax_topk,
+        fielded_tf,
+    )
+
+    docs = _documents(spark, sf_dir)
+    title = F.array_join(F.slice(tokens_simple_col("text"), 1, 3), " ")
+    ftf = fielded_tf(docs, {"title": title, "body": F.col("text")})
+    ftf.persist()
+    s = bm25f_stats(ftf)
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    res = dismax_topk(
+        qt, ftf, s, boosts=_BM25F_BOOSTS, tie=0.1, k=_TOPK
+    ).select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+    res.persist()
+    res.count()
+    ftf.unpersist()
+    return res
+
+
 def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deep pagination (Elasticsearch search_after): page 2 fetched via
     the (score, doc_id) cursor of page 1's last hit must equal ranks
@@ -1866,6 +1995,21 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return event_rollup(ev, window_minutes=60)
+
+
+def q_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level item co-occurrence over the events log ("users who
+    touched X in a session also touched Y" — the query-log mining behind
+    related-searches panels): items are the integer ``k`` prop, sessions
+    are the same 30-min-gap windows as q_sessionize, lift is the ln-free
+    PMI over distinct (session, item) memberships. One sessionize
+    shuffle + a session-key equi-join — never all-pairs across items."""
+    from searchenginejava_spark.operators.sessions import (
+        session_cooccurrence,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_cooccurrence(ev, gap_minutes=30, min_sessions=2)
 
 
 _QS_QUERY = '"table hash" OR (customer AND NOT slow)'
@@ -2342,8 +2486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_facet_counts": q_facet_counts,
         "q_decontaminate": q_decontaminate,
         "q_bm25f": q_bm25f,
-        "q_collocations": q_collocations,
-        "q_vocab_coverage": q_vocab_coverage,
+        "q_pagerank_priors": q_pagerank_priors,
+        "q_query_string": q_query_string,
         "q_substring_search": q_substring_search,
         "q_regex_search": q_regex_search,
         "q_hybrid_search": q_hybrid_search,
@@ -2369,6 +2513,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_expansion_ann/_embedded + q_rm3_expansion in-window;
         # q_doc_term_vectors rides q_more_like_this; q_classic_tfidf's
         # scorer family has bm25/LMD/SDM/MaxScore/impact in-window.
+        # q_pagerank_priors / q_query_string (the two families with no
+        # other in-window row) displaced q_collocations/q_vocab_coverage,
+        # whose textstats family keeps q_unigram_nll + q_boilerplate_stats
+        # in-window plus four r02-driver-green rows.
+        # Wave-9 queries (first five below): each family already has an
+        # in-window representative (bm25f, hybrid, sessionize/rollup,
+        # pq + r02-green lsh/ivf, collapse_search + r02-green dedup), so
+        # they queue directly after the boundary.
+        "q_dismax": q_dismax,
+        "q_linear_fuse": q_linear_fuse,
+        "q_session_cooccurrence": q_session_cooccurrence,
+        "q_ivfpq_topk": q_ivfpq_topk,
+        "q_collapse_dedup": q_collapse_dedup,
+        "q_collocations": q_collocations,
+        "q_vocab_coverage": q_vocab_coverage,
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_synonym_search": q_synonym_search,
         "q_doc_term_vectors": q_doc_term_vectors,
@@ -2382,13 +2541,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows (q_subtoken_index + q_symbol_extract) over the in-window
         # BM25 scorer, so its family is driver-covered either way.
         "q_code_search": q_code_search,
-        "q_pagerank_priors": q_pagerank_priors,
         "q_prior_search": q_prior_search,
         "q_lm_jelinek_mercer": q_lm_jelinek_mercer,
         "q_federated_search": q_federated_search,
         "q_funnel": q_funnel,
         "q_dedup_clusters_star": q_dedup_clusters_star,
-        "q_query_string": q_query_string,
         "q_postings_incremental": q_postings_incremental,
         "q_dictionary_compressed": q_dictionary_compressed,
         "q_wand_sharded_topk": q_wand_sharded_topk,
@@ -2746,6 +2903,82 @@ def _ann_ivf_sql(n_centroids: int = 8, n_probe: int = 2, k: int = 10) -> str:
     FROM cand CROSS JOIN q
     ORDER BY {cos} DESC, cand.vec_id ASC
     LIMIT {k}
+    """
+
+
+def _ivfpq_sql(
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    kc: int = 16,
+    k: int = 10,
+    dim: int = 64,
+) -> str:
+    """IVF-PQ oracle = the _ann_ivf_sql coarse assign/probe composed
+    with the _pq_sql codes/ADC (by_residual=False: codes quantize the
+    raw vector, independent of the coarse cell)."""
+    d0 = dim // m
+    e_sub = f"e.embedding[ms.m * {d0} + 1 : ms.m * {d0} + {d0}]"
+    c_sub = f"cb.cv[ms.m * {d0} + 1 : ms.m * {d0} + {d0}]"
+    q_sub = f"q.qv[ms.m * {d0} + 1 : ms.m * {d0} + {d0}]"
+    return f"""
+    WITH c0 AS (
+      SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+    ),
+    c AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+      FROM c0
+    ),
+    assign AS (
+      SELECT vec_id, cid,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY {_fold_d2_sql("embedding", "cv")} ASC, cid ASC
+             ) AS rn
+      FROM embeddings CROSS JOIN c
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT cid FROM c CROSS JOIN q
+      ORDER BY {_fold_d2_sql("qv", "cv")} ASC, cid ASC
+      LIMIT {n_probe}
+    ),
+    cand AS (
+      SELECT vec_id FROM assign
+      WHERE rn = 1 AND cid IN (SELECT cid FROM probe)
+    ),
+    cb0 AS (
+      SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {kc}
+    ),
+    cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+      FROM cb0
+    ),
+    ms AS (SELECT unnest(generate_series(0, {m - 1})) AS m),
+    codes AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT e.vec_id, ms.m, cb.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id, ms.m
+                 ORDER BY {_fold_d2_sql(e_sub, c_sub)} ASC, cb.cid ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN ms CROSS JOIN cb
+        WHERE e.vec_id IN (SELECT vec_id FROM cand)
+      ) WHERE rn = 1
+    ),
+    qd AS (
+      SELECT ms.m, cb.cid, {_fold_d2_sql(q_sub, c_sub)} AS d
+      FROM q CROSS JOIN ms CROSS JOIN cb
+    ),
+    adc AS (
+      SELECT c.vec_id,
+             list_reduce(list_prepend(0.0, list(qd.d ORDER BY c.m)),
+                         (a, b) -> a + b) AS adc
+      FROM codes c JOIN qd ON c.m = qd.m AND c.cid = qd.cid
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, round(adc, 6) AS adc
+    FROM adc ORDER BY adc ASC, vec_id ASC LIMIT {k}
     """
 
 
@@ -4422,6 +4655,232 @@ def oracle_sql() -> dict[str, str]:
     sql["q_ann_lsh_topk"] = _ann_lsh_sql(n_planes=8, k=10, dim=64)
     sql["q_ann_ivf_topk"] = _ann_ivf_sql(n_centroids=8, n_probe=2, k=10)
     sql["q_pq_topk"] = _pq_sql(m=8, kc=16, k=10, dim=64)
+    sql["q_ivfpq_topk"] = _ivfpq_sql(
+        n_centroids=8, n_probe=2, m=8, kc=16, k=10, dim=64
+    )
+
+    # DisMax fielded ranking: per-field idf, best-field part + tie-broken
+    # rest — same virtual title/body split as q_bm25f
+    _DM_T, _DM_B = _BM25F_BOOSTS["title"], _BM25F_BOOSTS["body"]
+    sql["q_dismax"] = _SQL_TOKL + f"""
+    , btf AS (
+      SELECT doc_id, 'body' AS field, term, count(*) AS tf
+      FROM tok GROUP BY doc_id, term
+    ),
+    ttf AS (
+      SELECT doc_id, 'title' AS field, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(l[1:3]) AS term FROM tokl)
+      GROUP BY doc_id, term
+    ),
+    ftf AS (SELECT * FROM btf UNION ALL SELECT * FROM ttf),
+    dlf AS (
+      SELECT doc_id, field, CAST(sum(tf) AS DOUBLE) AS dl
+      FROM ftf GROUP BY doc_id, field
+    ),
+    avgf AS (SELECT field, avg(dl) AS avgdl FROM dlf GROUP BY field),
+    nf AS (SELECT field, count(DISTINCT doc_id) AS n FROM ftf GROUP BY field),
+    q(query_id, term, qtf) AS (VALUES {q_values}),
+    dfq AS (
+      SELECT ftf.term, ftf.field, count(DISTINCT ftf.doc_id) AS df
+      FROM ftf JOIN (SELECT DISTINCT term FROM q) v ON ftf.term = v.term
+      GROUP BY ftf.term, ftf.field
+    ),
+    parts AS (
+      SELECT q.query_id, ftf.doc_id, ftf.term, q.qtf,
+             (CASE WHEN ftf.field = 'title' THEN {_DM_T} ELSE {_DM_B} END)
+             * ln((nf.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+             * (ftf.tf * {_K1 + 1.0})
+             / (ftf.tf + {_K1}
+                * (1.0 - {_B} + {_B} * dlf.dl / avgf.avgdl)) AS part
+      FROM q
+      JOIN ftf ON ftf.term = q.term
+      JOIN dfq ON dfq.term = ftf.term AND dfq.field = ftf.field
+      JOIN nf ON nf.field = ftf.field
+      JOIN dlf ON dlf.doc_id = ftf.doc_id AND dlf.field = ftf.field
+      JOIN avgf ON avgf.field = ftf.field
+    ),
+    dis AS (
+      SELECT query_id, doc_id, term, qtf,
+             max(part) + 0.1 * (sum(part) - max(part)) AS dis
+      FROM parts GROUP BY query_id, doc_id, term, qtf
+    ),
+    scored AS (
+      SELECT query_id, doc_id, sum(qtf * dis) AS s
+      FROM dis GROUP BY query_id, doc_id
+    )
+    SELECT CAST(query_id AS INT) AS query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY s DESC, doc_id ASC) AS INT) AS rank,
+           doc_id,
+           round(s, 6) AS score
+    FROM scored
+    QUALIFY rank <= {_TOPK}
+    """
+
+    # linear (min-max, weighted) fusion of the q_hybrid_search legs —
+    # both legs enter with round-6 scores (identical doubles on both
+    # engines by the q_bm25_topk / q_cosine_topk gates); the vector leg
+    # uses the left-fold cosine so the top-k cut can't diverge either
+    _lf_cos = (
+        _fold_dot_sql("b.embedding", "qv.v")
+        + " / (" + _fold_norm_sql("b.embedding")
+        + " * " + _fold_norm_sql("qv.v") + ")"
+    )
+    sql["q_linear_fuse"] = _SQL_TF + f"""
+    , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+             FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+    dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    q(term, qtf) AS (VALUES {", ".join(f"('{t}', 1)" for t in _ORACLE_QUERIES[0][1])}),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(q.qtf
+                 * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                 * (tf.tf * {_K1 + 1.0})
+                 / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+             ) AS s
+      FROM q
+      JOIN dict USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    lex AS (
+      SELECT doc_id, round(s, 6) AS score,
+             row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+      FROM scored QUALIFY rank <= {_TOPK}
+    ),
+    qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+    vtop AS (
+      SELECT b.vec_id, round({_lf_cos}, 6) AS cosine
+      FROM embeddings b CROSS JOIN qv
+      ORDER BY {_lf_cos} DESC, b.vec_id ASC
+      LIMIT {_TOPK}
+    ),
+    legs AS (
+      SELECT 0 AS leg, 0.7 AS w, CAST(doc_id AS BIGINT) AS doc_id, score
+      FROM lex
+      UNION ALL
+      SELECT 1 AS leg, 0.3 AS w, CAST(vec_id AS BIGINT) AS doc_id, cosine
+      FROM vtop
+    ),
+    ext AS (SELECT leg, min(score) AS s_min, max(score) AS s_max
+            FROM legs GROUP BY leg),
+    normed AS (
+      SELECT l.doc_id,
+             l.w * (CASE WHEN e.s_max = e.s_min THEN 1.0
+                         ELSE (l.score - e.s_min) / (e.s_max - e.s_min)
+                    END) AS part
+      FROM legs l JOIN ext e USING (leg)
+    ),
+    fused AS (SELECT doc_id, sum(part) AS f FROM normed GROUP BY doc_id)
+    SELECT CAST(0 AS INT) AS query_id,
+           CAST(row_number() OVER (ORDER BY f DESC, doc_id ASC) AS INT) AS rank,
+           doc_id,
+           round(f, 6) AS fused_score
+    FROM fused
+    QUALIFY rank <= {_TOPK}
+    """
+
+    # session-level item co-occurrence: same sessionize windows as
+    # q_sessionize, items from the integer "k" prop, ln-free PMI lift
+    sql["q_session_cooccurrence"] = r"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus,
+             TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS item
+      FROM events
+    ),
+    flags AS (
+      SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                       OR tus - lag(tus) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS nf
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ),
+    sess AS (
+      SELECT *, sum(nf) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flags
+    ),
+    si AS (SELECT DISTINCT user_id, sid, item FROM sess),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS s
+            FROM (SELECT DISTINCT user_id, sid FROM si)),
+    per AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+            FROM si GROUP BY item),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(count(*) AS BIGINT) AS n_sessions
+      FROM si a JOIN si b
+        ON a.user_id = b.user_id AND a.sid = b.sid AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING count(*) >= 2
+    )
+    SELECT p.item_a, p.item_b, p.n_sessions,
+           round(CAST(p.n_sessions AS DOUBLE) * tot.s
+                 / (CAST(na.n_item AS DOUBLE) * CAST(nb.n_item AS DOUBLE)),
+                 6) AS lift
+    FROM pairs p
+    JOIN per na ON p.item_a = na.item
+    JOIN per nb ON p.item_b = nb.item
+    CROSS JOIN tot
+    """
+
+    # duplicate-aware serving: recursive-CTE near-dup clusters + the BM25
+    # candidate set, collapsed to the best doc per (query, cluster)
+    sql["q_collapse_dedup"] = _minhash_pairs_ctes(recursive=True) + f"""
+    , e AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ), cc AS (
+        SELECT doc_id AS u, doc_id AS label FROM documents
+        UNION
+        SELECT e.u, cc.label FROM e JOIN cc ON e.v = cc.u
+    ),
+    clusters AS (SELECT u AS doc_id, min(label) AS cluster_id FROM cc GROUP BY u),
+    tfq AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+           FROM tfq GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+    dict AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+    q(query_id, term, qtf) AS (VALUES {q_values}),
+    scored AS (
+      SELECT q.query_id, tfq.doc_id,
+             sum(q.qtf
+                 * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                 * (tfq.tf * {_K1 + 1.0})
+                 / (tfq.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+             ) AS s
+      FROM q
+      JOIN dict USING (term)
+      JOIN tfq USING (term)
+      JOIN dl ON tfq.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY q.query_id, tfq.doc_id
+    ),
+    jc AS (
+      SELECT s.query_id, s.doc_id, s.s, c.cluster_id
+      FROM scored s JOIN clusters c USING (doc_id)
+    ),
+    best AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY query_id, cluster_id
+                                ORDER BY s DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY query_id, cluster_id) AS group_size
+      FROM jc
+    )
+    SELECT CAST(query_id AS INT) AS query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY s DESC, doc_id ASC) AS INT) AS rank,
+           doc_id,
+           round(s, 6) AS score,
+           cluster_id,
+           CAST(group_size AS BIGINT) AS group_size
+    FROM best
+    WHERE rn = 1
+    QUALIFY rank <= {_TOPK}
+    """
     sql["q_query_expansion"] = _query_expansion_sql(q_values)
     from searchenginejava_spark.operators.similarity import hyperplanes
 

@@ -986,6 +986,118 @@ def main() -> None:
     ]
     sections.append(("code metrics / secret scan (narrow projections)", p_cm + "\n\n" + p_sc, checks))
 
+    # 28. wave-9: dismax (query-pruned broadcast joins), session
+    # co-occurrence (ONE user-hash sessionize shuffle, equi-join pairing),
+    # IVF-PQ probe (cid filter pushed into the codes scan)
+    from searchenginejava_spark.operators.fielded import (
+        bm25f_stats,
+        dismax_topk,
+        fielded_tf,
+    )
+
+    ftf_au = fielded_tf(
+        corpus,
+        {
+            "title": F.array_join(F.slice(F.split("text", " "), 1, 3), " "),
+            "body": F.col("text"),
+        },
+    )
+    qt_dm = spark.createDataFrame(
+        [(0, "merge", 1)], "query_id int, term string, qtf int"
+    )
+    p_dm = plan_of(
+        dismax_topk(
+            qt_dm, ftf_au, bm25f_stats(ftf_au), boosts={"title": 2.0, "body": 1.0}
+        )
+    )
+    checks = [
+        (
+            "dismax: query relation broadcast (fielded tf pruned to query terms)",
+            "BroadcastHashJoin" in p_dm,
+            "",
+        ),
+        (
+            "dismax: zero Python crossings (native column arithmetic)",
+            "ArrowEvalPython" not in p_dm and "MapInPandas" not in p_dm,
+            "",
+        ),
+    ]
+    sections.append(("DisMax fielded scorer (best-field model)", p_dm, checks))
+
+    from searchenginejava_spark.operators.sessions import (
+        session_cooccurrence,
+    )
+
+    ev_au = spark.createDataFrame(
+        [(0, None, 1, "view", 0.0, '{"k": 1}')],
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+    p_co = plan_of(
+        session_cooccurrence(ev_au, min_sessions=1)
+    )
+    checks = [
+        (
+            "co-occurrence pairing is an equi-join (never cartesian)",
+            "CartesianProduct" not in p_co,
+            "",
+        ),
+        (
+            "zero Python crossings",
+            "ArrowEvalPython" not in p_co and "MapInPandas" not in p_co,
+            "",
+        ),
+    ]
+    sections.append(
+        ("session co-occurrence (related-searches mining)", p_co, checks)
+    )
+
+    from searchenginejava_spark.operators.similarity import (
+        ivf_train,
+        ivfpq_encode,
+        ivfpq_topk,
+        pq_codebooks,
+    )
+
+    emb_au = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents_au = ivf_train(emb_au, n_centroids=4, iters=0)
+    cb_au = pq_codebooks(emb_au, m=4, k_centroids=4, iters=0)
+    qv_au = [
+        float(x) for x in emb_au.filter("vec_id = 0").first()["embedding"]
+    ]
+    codes_path = os.path.join("/tmp", "audit_ivfpq_codes")
+    ivfpq_encode(emb_au, cents_au, cb_au).write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(codes_path)
+    p_ip = plan_of(
+        ivfpq_topk(
+            spark.read.parquet(codes_path), cents_au, cb_au, qv_au, n_probe=2
+        )
+    )
+    probe_pruned = bool(
+        re.search(r"PartitionFilters: \[[^\]]*cid", p_ip)
+    ) or "cid IN" in p_ip
+    checks = [
+        (
+            "probe prunes the codes scan (cid partition/pushed filter)",
+            probe_pruned,
+            "",
+        ),
+        (
+            "raw vectors never read (ReadSchema = codes only)",
+            "embedding" not in "".join(re.findall(r"ReadSchema: (\S+)", p_ip)),
+            "",
+        ),
+        (
+            "zero Python crossings (ADC is a native fold)",
+            "ArrowEvalPython" not in p_ip and "MapInPandas" not in p_ip,
+            "",
+        ),
+    ]
+    sections.append(
+        ("IVF-PQ serving (partitioned codes, probe-pruned ADC)", p_ip, checks)
+    )
+
     ok = True
     out = ["# PLANS.md — physical-plan audit (generated by tools/explain_audit.py)", ""]
     for title, plan, cks in sections:
