@@ -596,6 +596,53 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters_star(pairs, docs)
 
 
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. ACL'22 ExactSubstr at
+    k-token granularity): window hashes repeated corpus-wide, merged to
+    maximal per-doc spans — window count agg + equi-join + two per-doc
+    windows, mirrored exactly in SQL."""
+    from searchenginejava_spark.operators.dedup import repeated_spans
+
+    return repeated_spans(_documents(spark, sf_dir), k=8)
+
+
+def q_duplication_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-token fraction from the exact-substring spans —
+    the ExactSubstr keep/trim signal; one row per document, zeros for
+    clean docs."""
+    from searchenginejava_spark.operators.dedup import duplication_stats
+
+    return duplication_stats(_documents(spark, sf_dir), k=8)
+
+
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Significant-terms aggregation (ES JLH): terms uncommonly common in
+    the foreground (docs containing the first oracle query's first term)
+    vs the corpus — rational arithmetic, TakeOrdered top-n."""
+    from searchenginejava_spark.operators.search import significant_terms
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    t0 = _ORACLE_QUERIES[0][1][0]
+    fg = tf.filter(F.col("term") == t0).select("doc_id").distinct()
+    res = significant_terms(fg, tf, dct, stats, top_n=20, min_fg_df=2)
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (GPT-style concat-and-chunk): docs placed on the
+    global token stream via a distributed prefix sum, exploded into the
+    context windows they overlap — all integer arithmetic, oracle
+    replays the running sum directly."""
+    from searchenginejava_spark.operators.curation import pack_sequences
+
+    return pack_sequences(
+        _documents(spark, sf_dir), window=256, num_buckets=32
+    )
+
+
 def q_collapse_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-aware serving: collapse the full BM25-scored candidate
     set to ONE result per near-duplicate cluster (the MinHash+LSH →
@@ -2500,7 +2547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_search_after": q_search_after,
         "q_explain_score": q_explain_score,
         "q_curation_full": q_curation_full,
-        "q_unigram_nll": q_unigram_nll,
+        "q_duplication_stats": q_duplication_stats,
         "q_proximity_rerank": q_proximity_rerank,
         "q_related_terms": q_related_terms,
         "q_boilerplate_stats": q_boilerplate_stats,
@@ -2521,7 +2568,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window representative (bm25f, hybrid, sessionize/rollup,
         # pq + r02-green lsh/ivf, collapse_search + r02-green dedup), so
         # they queue directly after the boundary.
+        # Wave-10: q_duplication_stats (exact-substring dedup — a NEW
+        # family with no r02 row) took q_unigram_nll's slot; unigram NLL's
+        # textstats family keeps q_boilerplate_stats in-window plus four
+        # r02-driver-green rows. The other wave-10 queries ride in-window
+        # family reps (spans ride duplication_stats, significant_terms
+        # rides search_aggs, pack_sequences rides sample_mixture/chunk).
         "q_dismax": q_dismax,
+        "q_repeated_spans": q_repeated_spans,
+        "q_significant_terms": q_significant_terms,
+        "q_pack_sequences": q_pack_sequences,
+        "q_unigram_nll": q_unigram_nll,
         "q_linear_fuse": q_linear_fuse,
         "q_session_cooccurrence": q_session_cooccurrence,
         "q_ivfpq_topk": q_ivfpq_topk,
@@ -4824,6 +4881,123 @@ def oracle_sql() -> dict[str, str]:
     JOIN per na ON p.item_a = na.item
     JOIN per nb ON p.item_b = nb.item
     CROSS JOIN tot
+    """
+
+    # exact-substring dedup (k=8): repeated window hashes -> flagged
+    # starts -> island-merged maximal spans; shared CTE chain for the
+    # span and per-doc-stats rows
+    _ES_K = 8
+    _es_ctes = _SQL_TOKL + f"""
+    , starts AS (
+      SELECT doc_id, unnest(generate_series(1, len(l) - {_ES_K - 1})) AS pos, l
+      FROM tokl WHERE len(l) >= {_ES_K}
+    ),
+    w AS (
+      SELECT doc_id, pos,
+             {_HASH60_SQL.format(col=f"array_to_string(l[pos : pos + {_ES_K - 1}], ' ')")} AS wh
+      FROM starts
+    ),
+    dup AS (SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2),
+    fl AS (SELECT doc_id, pos FROM w WHERE wh IN (SELECT wh FROM dup)),
+    isl AS (
+      SELECT *, CASE WHEN lag(pos) OVER win IS NULL
+                       OR pos - lag(pos) OVER win > {_ES_K}
+                     THEN 1 ELSE 0 END AS nf
+      FROM fl
+      WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sp AS (
+      SELECT *, sum(nf) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS span
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+             CAST(max(pos) + {_ES_K - 1} AS INT) AS span_end,
+             CAST(count(*) AS BIGINT) AS n_windows
+      FROM sp GROUP BY doc_id, span
+    )
+    """
+    sql["q_repeated_spans"] = (
+        _es_ctes + " SELECT doc_id, span_start, span_end, n_windows FROM spans"
+    )
+    sql["q_duplication_stats"] = _es_ctes + """
+    , per AS (
+      SELECT doc_id,
+             CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tokens,
+             CAST(count(*) AS BIGINT) AS n_spans
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.l) AS BIGINT) AS n_tokens,
+           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           round(CASE WHEN len(t.l) > 0
+                      THEN CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+                           / CAST(len(t.l) AS DOUBLE)
+                      ELSE 0.0 END, 6) AS dup_frac
+    FROM tokl t LEFT JOIN per p USING (doc_id)
+    """
+
+    # significant terms (JLH) over fg = docs containing the first oracle
+    # query's first term
+    _ST_T0 = _ORACLE_QUERIES[0][1][0]
+    sql["q_significant_terms"] = _SQL_TF + f"""
+    , dl AS (SELECT doc_id FROM tf GROUP BY doc_id),
+    nstats AS (SELECT count(*) AS n FROM dl),
+    fg AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{_ST_T0}'),
+    fgn AS (SELECT CAST(count(*) AS DOUBLE) AS fg_n FROM fg),
+    fdf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS fg_df
+      FROM tf WHERE doc_id IN (SELECT doc_id FROM fg)
+      GROUP BY term HAVING count(*) >= 2
+    ),
+    dict AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             FROM tf GROUP BY term),
+    scored AS (
+      SELECT fdf.term, fdf.fg_df, dict.df,
+             (CAST(fdf.fg_df AS DOUBLE) / fgn.fg_n
+              - CAST(dict.df AS DOUBLE) / nstats.n)
+             * ((CAST(fdf.fg_df AS DOUBLE) / fgn.fg_n)
+                / (CAST(dict.df AS DOUBLE) / nstats.n)) AS jlh
+      FROM fdf JOIN dict USING (term) CROSS JOIN fgn CROSS JOIN nstats
+      WHERE (CAST(fdf.fg_df AS DOUBLE) / fgn.fg_n
+             - CAST(dict.df AS DOUBLE) / nstats.n)
+            * ((CAST(fdf.fg_df AS DOUBLE) / fgn.fg_n)
+               / (CAST(dict.df AS DOUBLE) / nstats.n)) > 0
+    )
+    SELECT CAST(row_number() OVER (ORDER BY jlh DESC, term ASC) AS INT) AS rank,
+           term, fg_df, df AS bg_df, round(jlh, 6) AS score
+    FROM scored
+    QUALIFY rank <= 20
+    """
+
+    # sequence packing: global running token offset (plain SQL window —
+    # the Spark side's bucketed prefix sum computes the same values),
+    # docs exploded into every context window they overlap
+    _PK_W = 256
+    sql["q_pack_sequences"] = _SQL_TOKL + f"""
+    , base AS (
+      SELECT doc_id, CAST(len(l) AS BIGINT) AS n
+      FROM tokl WHERE len(l) > 0
+    ),
+    off AS (
+      SELECT doc_id, n,
+             CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  - n AS BIGINT) AS o
+      FROM base
+    ),
+    ex AS (
+      SELECT doc_id, o, n,
+             unnest(generate_series(o // {_PK_W}, (o + n - 1) // {_PK_W})) AS wid
+      FROM off
+    )
+    SELECT CAST(wid AS BIGINT) AS window_id,
+           doc_id,
+           CAST(o AS BIGINT) AS doc_offset,
+           CAST(least((wid + 1) * {_PK_W}, o + n)
+                - greatest(wid * {_PK_W}, o) AS BIGINT) AS tok_in_window
+    FROM ex
     """
 
     # duplicate-aware serving: recursive-CTE near-dup clusters + the BM25

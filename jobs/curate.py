@@ -57,7 +57,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--mixture-col", default="source")
     p.add_argument("--chunk-tokens", type=int, default=None)
     p.add_argument("--chunk-overlap", type=int, default=0)
+    p.add_argument(
+        "--exact-substr-max-frac", type=float, default=None,
+        help="ExactSubstr cut (Lee et al. 2022): drop docs whose "
+        "duplicated-token fraction (repeated k-token windows corpus-wide) "
+        "exceeds this",
+    )
+    p.add_argument("--exact-substr-k", type=int, default=8)
+    p.add_argument(
+        "--pack-window", type=int, default=None,
+        help="emit the concat-and-chunk window map (window_id, doc_id, "
+        "doc_offset, tok_in_window) over the kept docs instead of doc "
+        "rows; mutually exclusive with --chunk-tokens",
+    )
     args = p.parse_args(argv)
+    if args.pack_window and args.chunk_tokens:
+        p.error("--pack-window and --chunk-tokens are mutually exclusive")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -113,6 +128,22 @@ def main(argv: list[str] | None = None) -> int:
             args.id_col,
             "left_semi",
         )
+    if args.exact_substr_max_frac is not None:
+        from searchenginejava_spark.operators.dedup import duplication_stats
+
+        dstats = duplication_stats(
+            kept,
+            k=args.exact_substr_k,
+            text_col=args.text_col,
+            id_col=args.id_col,
+        )
+        kept = kept.join(
+            dstats.filter(
+                F.col("dup_frac") <= args.exact_substr_max_frac
+            ).select(F.col("doc_id").alias(args.id_col)),
+            args.id_col,
+            "left_semi",
+        )
     if args.mixture:
         from searchenginejava_spark.operators.curation import sample_mixture
 
@@ -140,6 +171,15 @@ def main(argv: list[str] | None = None) -> int:
             curated.withColumnRenamed("doc_id", args.id_col)
             .withColumnRenamed("n_tokens", "doc_n_tokens"),
             args.id_col,
+        )
+    if args.pack_window:
+        from searchenginejava_spark.operators.curation import pack_sequences
+
+        out = pack_sequences(
+            kept,
+            window=args.pack_window,
+            text_col=args.text_col,
+            id_col=args.id_col,
         )
     out.write.mode("overwrite").parquet(args.output)
     n_out = spark.read.parquet(args.output).count()

@@ -140,11 +140,30 @@ class SearchEngine:
 
     def hybrid(
         self, text: str, embeddings: DataFrame, query_vec: list[float],
-        *, k: int = TOP_K,
+        *, k: int = TOP_K, fusion: str = "rrf",
+        weights: Sequence[float] = (0.7, 0.3),
     ) -> DataFrame:
+        """Lexical⊕vector hybrid. ``fusion="rrf"`` (default) rank-fuses;
+        ``fusion="linear"`` keeps score magnitudes via min-max-normalized
+        weighted fusion (both legs rounded to 6 decimals first)."""
         from .operators.fusion import hybrid_search
 
         lex = self.search(text, k=k, path="exhaustive")
+        if fusion == "linear":
+            from .operators.fusion import linear_fuse
+            from .operators.similarity import cosine_topk
+
+            vec = cosine_topk(embeddings, query_vec, k=k).select(
+                F.lit(0).cast("int").alias("query_id"),
+                F.col("vec_id").cast("long").alias("doc_id"),
+                F.col("cosine").alias("score"),
+            )
+            lex_r = lex.select(
+                "query_id", "doc_id", F.round("score", 6).alias("score")
+            )
+            return linear_fuse([lex_r, vec], weights=list(weights), k=k)
+        if fusion != "rrf":
+            raise ValueError(f"unknown fusion mode: {fusion!r}")
         return hybrid_search(lex, embeddings, query_vec, k=k)
 
     def hybrid_text(
@@ -448,6 +467,29 @@ class SearchEngine:
         return search_aggs(
             scored, doc_meta if doc_meta is not None else self.index.docs,
             group_col, histogram_col=histogram_col, bin_width=bin_width,
+        )
+
+    def significant(
+        self, text: str, *, top_n: int = 20, min_fg_df: int = 2
+    ) -> DataFrame:
+        """Significant-terms aggregation (Elasticsearch
+        significant_terms, JLH): terms uncommonly common in this query's
+        candidate set vs the whole index — "what is this result set
+        about"."""
+        from .operators.search import (
+            query_terms_df,
+            score_exhaustive,
+            significant_terms,
+        )
+
+        qt = query_terms_df(self.spark, [(0, text)], tokenizer=self._tok)
+        fg = score_exhaustive(
+            qt, self.index.tf, self.index.docs, self.index.dictionary,
+            self.index.stats, k=10**6, doc_exclude=self.index.tombstones,
+        ).select("doc_id")
+        return significant_terms(
+            fg, self.index.tf, self.index.dictionary, self.index.stats,
+            top_n=top_n, min_fg_df=min_fg_df,
         )
 
     def features(self, text: str, *, mu: float = 2000.0) -> DataFrame:

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .dedup import exact_duplicates
 from .textstats import lang_id, quality_score, repetition_stats, token_stats
@@ -234,4 +235,97 @@ def curate_corpus(
         .join(lng, "doc_id")
         .join(stats, "doc_id")
         .select("doc_id", "pred_lang", "quality", "n_tokens")
+    )
+
+
+def pack_sequences(
+    documents: DataFrame,
+    *,
+    window: int = 256,
+    num_buckets: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing for LLM training (the GPT-style concat-and-chunk
+    convention): documents are concatenated in doc_id order into one
+    virtual token stream, which is cut into fixed-size context windows;
+    a document spans every window its token range overlaps. Output:
+    (window_id, doc_id, doc_offset, tok_in_window) — doc_offset is the
+    doc's global token offset (so a packer can reconstruct exact window
+    contents), tok_in_window the overlap length; Σ tok_in_window per
+    window == ``window`` everywhere except the ragged tail.
+
+    The global running offset is the textbook DISTRIBUTED prefix sum —
+    never a single-partition global window: docs are range-bucketed by
+    id (``num_buckets`` value-range buckets from a 1-row min/max agg),
+    per-bucket token sums (one map-side-combining agg, ``num_buckets``
+    rows) turn into exclusive bucket offsets driver-side, and the
+    within-bucket cumulative sum is a per-bucket window — each sort
+    touches only its bucket. Window membership then explodes each doc
+    into the ≤ ceil(n/window)+1 windows it overlaps. All integer
+    arithmetic; deterministic for a given table.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")
+    )
+    base = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    lo, hi = base.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:
+        return base.sparkSession.createDataFrame(
+            [],
+            "window_id long, doc_id long, doc_offset long, tok_in_window long",
+        )
+    span = int(hi) - int(lo) + 1
+    b = int(min(num_buckets, span))
+    bucket = F.floor(
+        (F.col("doc_id") - F.lit(int(lo))) * F.lit(b) / F.lit(span)
+    ).cast("int")
+    base = base.withColumn("bucket", bucket)
+    sums = {
+        r["bucket"]: int(r["s"])
+        for r in base.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for bi in range(b):
+        offsets[bi] = acc
+        acc += sums.get(bi, 0)
+    off_df = base.sparkSession.createDataFrame(
+        [(bi, offsets[bi]) for bi in range(b)], "bucket int, b_off long"
+    )
+    cum = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    placed = (
+        base.join(F.broadcast(off_df), "bucket")
+        .withColumn(
+            "doc_offset",
+            F.col("b_off") + F.sum("n_tokens").over(cum) - F.col("n_tokens"),
+        )
+    )
+    wlit = F.lit(int(window))
+    wids = F.sequence(
+        F.floor(F.col("doc_offset") / wlit),
+        F.floor((F.col("doc_offset") + F.col("n_tokens") - 1) / wlit),
+    )
+    out = placed.select(
+        "doc_id", "doc_offset", "n_tokens", F.explode(wids).alias("window_id")
+    )
+    w_start = F.col("window_id") * wlit
+    overlap = (
+        F.least(w_start + wlit, F.col("doc_offset") + F.col("n_tokens"))
+        - F.greatest(w_start, F.col("doc_offset"))
+    )
+    return out.select(
+        F.col("window_id").cast("long"),
+        "doc_id",
+        F.col("doc_offset").cast("long"),
+        overlap.cast("long").alias("tok_in_window"),
     )

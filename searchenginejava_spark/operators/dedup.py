@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # moduli chosen so a*x+b < 2^61 — no BIGINT overflow in Spark OR DuckDB
 MINHASH_X_MOD = 1073741789      # prime < 2^30
@@ -514,4 +515,140 @@ def collapse_by_cluster(
         clusters.select("doc_id", "cluster_id"),
         "cluster_id",
         k=k,
+    )
+
+
+# --------------------------------------------------------------------------
+# exact-substring dedup (repeated k-token windows -> merged spans)
+# --------------------------------------------------------------------------
+
+def _window_hashes(
+    df: DataFrame, *, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc_id, pos, wh): H60 of every k-token window (1-based start),
+    one native transform+explode per doc — the token-granular analogue
+    of suffix-array substring hashing, zero Python."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")
+    )
+    starts = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    wh = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("pos"),
+            str_hash60(F.concat_ws(" ", F.slice(toks, i, k))).alias("wh"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(wh).alias("w"))
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh"))
+    )
+
+
+def repeated_spans(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplicate spans at k-token granularity ([L:Lee et
+    al., ACL 2022, "Deduplicating Training Data Makes Language Models
+    Better"] — their ExactSubstr dedup, with the suffix array replaced
+    by the shuffle-friendly equivalent for runs of exactly ≥ k tokens:
+    a window hash repeated anywhere in the corpus marks duplicated
+    text, and any shared run of length L ≥ k is covered by its L−k+1
+    shared windows, which merge back into one maximal span below).
+
+    Pipeline: window hashes (one narrow pass, ~|tokens| rows) → one
+    map-side-combining count per hash → hashes with total occurrences ≥
+    ``min_count`` → equi-join back to (doc, pos) → per-doc island merge
+    (two windows over per-doc rows; starts ≤ k apart overlap or abut,
+    so a break needs pos − lag(pos) > k). Output one row per maximal
+    span: (doc_id, span_start, span_end, n_windows), 1-based inclusive
+    token positions.
+
+    At 100 TB: the hash count and the join are both keyed by wh (uniform
+    md5 domain); ultra-hot boilerplate windows skew the join-back
+    fanout — AQE skew-join splits those, and dropping hashes with
+    count > some cap (the clone_pairs max_fp_df convention) is the
+    policy knob if a corpus is pathological."""
+    w = _window_hashes(df, k=k, text_col=text_col, id_col=id_col)
+    dup = (
+        w.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= int(min_count))
+        .select("wh")
+    )
+    flagged = w.join(dup, "wh").select("doc_id", "pos")
+    ordw = Window.partitionBy("doc_id").orderBy("pos")
+    isl = flagged.withColumn(
+        "nf",
+        F.when(
+            F.lag("pos").over(ordw).isNull()
+            | (F.col("pos") - F.lag("pos").over(ordw) > F.lit(k)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "span",
+        F.sum("nf").over(
+            ordw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        isl.groupBy("doc_id", "span")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("int").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )
+
+
+def duplication_stats(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc duplicated-text fraction from ``repeated_spans`` — the
+    keep/trim signal of the ExactSubstr pipeline: (doc_id, n_tokens,
+    dup_tokens, n_spans, dup_frac). Spans are disjoint by construction
+    (maximal islands), so dup_tokens is a plain span-length sum; docs
+    with no duplicated window report zeros via the left join."""
+    spans = repeated_spans(
+        df, k=k, min_count=min_count, text_col=text_col, id_col=id_col
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(
+            (F.col("span_end") - F.col("span_start") + F.lit(1)).cast("long")
+        ).alias("dup_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_frac"),
     )

@@ -1082,6 +1082,68 @@ def search_aggs(
     )
 
 
+def significant_terms(
+    fg_docs: DataFrame,
+    tf: DataFrame,
+    dictionary: DataFrame,
+    stats: dict,
+    *,
+    top_n: int = 20,
+    min_fg_df: int = 2,
+) -> DataFrame:
+    """Significant-terms aggregation (the Elasticsearch
+    ``significant_terms`` agg with its default JLH heuristic): terms
+    UNUSUALLY frequent in a foreground doc set (a query's result set, a
+    cluster, a time slice) relative to the whole corpus — "what is this
+    result set about", the uncommonly-common signal that a plain terms
+    agg (most frequent overall) cannot surface.
+
+        fg_pct = fg_df / |fg|      bg_pct = df / N
+        jlh    = (fg_pct − bg_pct) · (fg_pct / bg_pct)
+
+    ``fg_docs`` is any (doc_id) relation. Plan: one semi-join prunes the
+    tf relation to foreground rows, one hash agg counts fg_df per term
+    (map-side combine), the dictionary join brings bg df, |fg| rides a
+    1-row agg cross join — no driver action, no full-vocabulary pass:
+    only terms that OCCUR in the foreground are ever scored. Terms with
+    fg_pct ≤ bg_pct (anti-correlated) are dropped, ties break by term.
+    """
+    fg = fg_docs.select("doc_id").distinct()
+    fg_n = fg.agg(F.count(F.lit(1)).cast("double").alias("fg_n"))
+    fg_df = (
+        tf.join(fg, "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("fg_df"))
+        .filter(F.col("fg_df") >= int(min_fg_df))
+    )
+    n_docs = float(stats["N"])
+    fg_pct = F.col("fg_df").cast("double") / F.col("fg_n")
+    bg_pct = F.col("df").cast("double") / F.lit(n_docs)
+    scored = (
+        fg_df.join(dictionary.select("term", "df"), "term")
+        .crossJoin(F.broadcast(fg_n))
+        .withColumn("jlh", (fg_pct - bg_pct) * (fg_pct / bg_pct))
+        .filter(F.col("jlh") > 0)
+    )
+    # top-n via TakeOrdered (distributed per-partition heaps), NOT a
+    # global row_number window — scored is foreground-VOCAB-sized and
+    # must never funnel through one partition; rank is attached to the
+    # top_n survivors only
+    top = scored.orderBy(F.desc("jlh"), F.asc("term")).limit(int(top_n))
+    w = Window.orderBy(F.desc("jlh"), F.asc("term"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            F.col("rank").cast("int"),
+            "term",
+            F.col("fg_df").cast("long"),
+            F.col("df").cast("long").alias("bg_df"),
+            F.round("jlh", 6).alias("score"),
+        )
+        .orderBy("rank")
+    )
+
+
 def doc_term_vector(
     doc_ids: Sequence[int],
     tf: DataFrame,

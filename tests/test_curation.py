@@ -3,6 +3,8 @@ language tag in one declarative plan."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from searchenginejava_spark.operators.curation import curate_corpus
 
 GOOD_EN = (
@@ -281,3 +283,123 @@ def test_curation_nll_and_boilerplate_cuts(spark):
     loose = curate_corpus(df, min_quality=0.2, max_avg_nll=99.0).count()
     tight = curate_corpus(df, min_quality=0.2, max_avg_nll=0.0).count()
     assert loose == 9 and tight == 0
+
+
+# --------------------------------------------------------------------------
+# sequence packing (concat-and-chunk context windows)
+# --------------------------------------------------------------------------
+
+def test_pack_sequences_hand_computed(spark):
+    from searchenginejava_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d"),          # offset 0, 4 toks
+            (1, "e f g"),            # offset 4, 3 toks
+            (2, "h i j k l m"),      # offset 7, 6 toks
+            (3, ""),                 # empty: dropped
+            (4, "n o"),              # offset 13, 2 toks
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["window_id"], r["doc_id"], r["doc_offset"], r["tok_in_window"])
+        for r in pack_sequences(docs, window=5, num_buckets=2).collect()
+    )
+    # stream: doc0 [0,4) doc1 [4,7) doc2 [7,13) doc4 [13,15)
+    # w0 [0,5): doc0 x4, doc1 x1 | w1 [5,10): doc1 x2, doc2 x3
+    # w2 [10,15): doc2 x3, doc4 x2
+    assert got == [
+        (0, 0, 0, 4),
+        (0, 1, 4, 1),
+        (1, 1, 4, 2),
+        (1, 2, 7, 3),
+        (2, 2, 7, 3),
+        (2, 4, 13, 2),
+    ]
+
+
+def test_pack_sequences_window_sums_and_bucket_invariance(spark):
+    """Every window except the ragged tail sums to exactly `window`,
+    and the bucket count must not change the result."""
+    from searchenginejava_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join("w" for _ in range(1 + (i * 7) % 13))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, pack_sequences(docs, window=16, num_buckets=1).collect()))
+    b = sorted(map(tuple, pack_sequences(docs, window=16, num_buckets=8).collect()))
+    c = sorted(map(tuple, pack_sequences(docs, window=16, num_buckets=64).collect()))
+    assert a == b == c
+    per_win = {}
+    for wid, _d, _o, t in a:
+        per_win[wid] = per_win.get(wid, 0) + t
+    last = max(per_win)
+    for wid, s in per_win.items():
+        assert s == 16 or wid == last
+    total = sum(1 + (i * 7) % 13 for i in range(40))
+    assert sum(per_win.values()) == total
+
+
+def test_pack_sequences_empty_input(spark):
+    from searchenginejava_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_sequences(docs, window=8).count() == 0
+
+
+def test_curate_job_exact_substr_and_pack(spark, tmp_path):
+    """--exact-substr-max-frac drops the doc that is mostly duplicated
+    text; --pack-window emits the window map instead of doc rows."""
+    from jobs.curate import main
+
+    shared = " ".join(f"s{i}" for i in range(20))
+    rows = [
+        (0, GOOD_EN + " " + shared),
+        (1, shared),                     # 100% duplicated tokens
+        (2, GOOD_FR),
+    ]
+    src = str(tmp_path / "docs_es")
+    out = str(tmp_path / "curated_es")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    rc = main([
+        "--input", src, "--output", out, "--min-quality", "0.0",
+        "--exact-substr-max-frac", "0.8", "--exact-substr-k", "5",
+    ])
+    assert rc == 0
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    )
+    assert 1 not in kept and 0 in kept and 2 in kept
+
+    out2 = str(tmp_path / "packed")
+    rc = main([
+        "--input", src, "--output", out2, "--min-quality", "0.0",
+        "--pack-window", "16",
+    ])
+    assert rc == 0
+    packed = spark.read.parquet(out2)
+    assert set(packed.columns) == {
+        "window_id", "doc_id", "doc_offset", "tok_in_window"
+    }
+    per_win = {
+        r["window_id"]: r["s"]
+        for r in packed.groupBy("window_id")
+        .agg(F.sum("tok_in_window").alias("s"))
+        .collect()
+    }
+    last = max(per_win)
+    assert all(s == 16 for w, s in per_win.items() if w != last)
+
+
+def test_curate_job_pack_and_chunk_exclusive(spark, tmp_path):
+    import pytest as _pytest
+
+    from jobs.curate import main
+
+    with _pytest.raises(SystemExit):
+        main([
+            "--input", "x", "--output", "y",
+            "--pack-window", "8", "--chunk-tokens", "8",
+        ])

@@ -194,3 +194,94 @@ def test_collapse_by_cluster_serves_one_per_duplicate_group(spark):
     rows = collapse_by_cluster(scored, clusters, k=10).collect()
     got = [(r["rank"], r["doc_id"], r["group_size"]) for r in rows]
     assert got == [(1, 0, 2), (2, 2, 1), (3, 3, 2)]
+
+
+# --------------------------------------------------------------------------
+# exact-substring dedup (repeated k-token windows -> merged spans)
+# --------------------------------------------------------------------------
+
+def test_repeated_spans_hand_computed(spark):
+    """Two docs share an exact 5-token run; with k=3 the shared run's 3
+    windows merge into ONE maximal span covering exactly the run."""
+    from searchenginejava_spark.operators.dedup import repeated_spans
+
+    shared = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (0, f"one two {shared} three four"),
+            (1, f"x {shared} y z"),
+            (2, "totally different text here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+        for r in repeated_spans(docs, k=3).collect()
+    }
+    # doc 0: shared run occupies tokens 3..7 (1-based); 3 windows
+    # doc 1: tokens 2..6
+    assert got == {0: (3, 7, 3), 1: (2, 6, 3)}
+
+
+def test_repeated_spans_within_one_doc(spark):
+    """min_count counts TOTAL occurrences, so a window repeated twice
+    inside the same doc is flagged (the Lee et al. semantics)."""
+    from searchenginejava_spark.operators.dedup import repeated_spans
+
+    docs = spark.createDataFrame(
+        [(0, "p q r s p q r t"), (1, "unrelated words only")],
+        "doc_id long, text string",
+    )
+    got = repeated_spans(docs, k=3).collect()
+    # 'p q r' occurs at positions 1 and 5 of doc 0 -> two spans
+    assert {(r["doc_id"], r["span_start"], r["span_end"]) for r in got} == {
+        (0, 1, 3),
+        (0, 5, 7),
+    }
+
+
+def test_repeated_spans_merges_long_runs(spark):
+    """A shared run of length L >> k yields ONE span of exactly L."""
+    from searchenginejava_spark.operators.dedup import repeated_spans
+
+    run = " ".join(f"t{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(0, f"{run} suffix0"), (1, f"prefix1 {run}")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in repeated_spans(docs, k=4).collect()
+    }
+    assert got == {0: (1, 12), 1: (2, 13)}
+
+
+def test_duplication_stats_fractions(spark):
+    from searchenginejava_spark.operators.dedup import duplication_stats
+
+    shared = "a b c d e"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{shared} unique0 tail0 more0 words0 here0"),   # 10 toks, 5 dup
+            (1, f"{shared}"),                                    # 5 toks, 5 dup
+            (2, "clean doc nothing shared whatsoever"),          # 0 dup
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["n_spans"], r["dup_frac"])
+        for r in duplication_stats(docs, k=3).collect()
+    }
+    assert got[0] == (10, 5, 1, 0.5)
+    assert got[1] == (5, 5, 1, 1.0)
+    assert got[2] == (5, 0, 0, 0.0)
+
+
+def test_repeated_spans_short_docs_no_crash(spark):
+    from searchenginejava_spark.operators.dedup import repeated_spans
+
+    docs = spark.createDataFrame(
+        [(0, "one two"), (1, ""), (2, "one two")],
+        "doc_id long, text string",
+    )
+    assert repeated_spans(docs, k=3).count() == 0

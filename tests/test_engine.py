@@ -291,3 +291,42 @@ def test_engine_sdm(eng):
     over one with only scattered terms when both match all terms."""
     res = eng.search_sdm("table hash", k=10).collect()
     assert res and [r["rank"] for r in res] == list(range(1, len(res) + 1))
+
+
+def test_engine_hybrid_linear_fusion(spark, eng):
+    """fusion='linear' keeps score magnitudes: equals the explicit
+    linear_fuse composition of the two rounded legs."""
+    from pyspark.sql import functions as F
+
+    from searchenginejava_spark.operators.fusion import linear_fuse
+    from searchenginejava_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    text = "table hash join"
+    got = eng.hybrid(text, emb, qvec, k=5, fusion="linear").collect()
+    lex = eng.search(text, k=5, path="exhaustive").select(
+        "query_id", "doc_id", F.round("score", 6).alias("score")
+    )
+    vec = cosine_topk(emb, qvec, k=5).select(
+        F.lit(0).cast("int").alias("query_id"),
+        F.col("vec_id").cast("long").alias("doc_id"),
+        F.col("cosine").alias("score"),
+    )
+    want = linear_fuse([lex, vec], weights=[0.7, 0.3], k=5).collect()
+    assert [(r["rank"], r["doc_id"], r["fused_score"]) for r in got] == [
+        (r["rank"], r["doc_id"], r["fused_score"]) for r in want
+    ]
+    with pytest.raises(ValueError):
+        eng.hybrid(text, emb, qvec, fusion="nope")
+
+
+def test_engine_significant_terms(eng):
+    """Query terms themselves must rank as significant for their own
+    candidate set (they are 100% frequent in the foreground)."""
+    res = eng.significant("table hash join", top_n=10, min_fg_df=2).collect()
+    assert res
+    assert [r["rank"] for r in res] == list(range(1, len(res) + 1))
+    terms = {r["term"] for r in res}
+    assert terms & {"table", "hash", "join"}
+    assert all(r["score"] > 0 for r in res)

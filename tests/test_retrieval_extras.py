@@ -745,3 +745,54 @@ def test_search_aggs_buckets(spark, tf):
     assert got[("a", 200)][0] == 1 and got[("a", 200)][2] == _pytest.approx(full[1])
     assert got[("b", 0)][0] == 1 and got[("b", 0)][1] == _pytest.approx(full[3])
     assert len(got) == 3
+
+
+# --------------------------------------------------------------------------
+# significant terms (uncommonly-common, JLH)
+# --------------------------------------------------------------------------
+
+def test_significant_terms_hand_computed(spark, tf):
+    from searchenginejava_spark.operators.search import significant_terms
+
+    # foreground = docs 0 and 3 (the 'merge' docs)
+    fg = spark.createDataFrame([(0,), (3,)], "doc_id long")
+    dct = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = {"N": 4}
+    got = {
+        r["term"]: (r["rank"], r["fg_df"], r["bg_df"], r["score"])
+        for r in significant_terms(
+            fg, tf, dct, stats, top_n=10, min_fg_df=2
+        ).collect()
+    }
+    # merge: fg 2/2=1.0, bg 2/4=0.5 -> (1.0-0.5)*(1.0/0.5)=1.0
+    # join:  fg 2/2=1.0, bg 3/4=0.75 -> 0.25*(1/0.75)=1/3
+    # spark: fg 2/2=1.0, bg 3/4 -> same as join
+    # shuffle/hash: fg_df 1 < min_fg_df -> dropped
+    assert got["merge"] == (1, 2, 2, 1.0)
+    assert got["join"][1:] == (2, 3, round(1 / 3, 6))
+    assert got["spark"][1:] == (2, 3, round(1 / 3, 6))
+    # tie between join/spark breaks alphabetically
+    assert got["join"][0] == 2 and got["spark"][0] == 3
+    assert "shuffle" not in got and "hash" not in got
+
+
+def test_significant_terms_drops_anticorrelated(spark, tf):
+    """A term MORE common in the background than the foreground must
+    not appear (jlh <= 0)."""
+    from searchenginejava_spark.operators.search import significant_terms
+
+    # fg = all docs -> fg_pct == bg_pct for every term -> empty result
+    fg = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    dct = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    got = significant_terms(fg, tf, dct, {"N": 4}, min_fg_df=1).collect()
+    assert got == []
+
+
+def test_significant_terms_top_n_cut(spark, tf):
+    from searchenginejava_spark.operators.search import significant_terms
+
+    fg = spark.createDataFrame([(0,), (3,)], "doc_id long")
+    dct = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    got = significant_terms(fg, tf, dct, {"N": 4}, top_n=1, min_fg_df=2)
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0]["term"] == "merge"
