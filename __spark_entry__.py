@@ -772,6 +772,45 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (the ES knn `filter`, PRE-filter
+    semantics): exact cosine top-k restricted to docs with even n_chars —
+    the allowed set is semi-joined before the cut, so k survivors are
+    guaranteed."""
+    from searchenginejava_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    allowed = _documents(spark, sf_dir).filter(
+        F.col("n_chars") % 2 == 0
+    ).select(F.col("doc_id").alias("vec_id"))
+    return cosine_topk(emb, qvec, k=10, candidates=allowed)
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification (Carbonell & Goldstein SIGIR'98) of the BM25
+    top-10: greedy λ·rel − (1−λ)·max-cos-to-selected selection, k=5 —
+    the oracle replays the greedy loop as unrolled SQL steps (the
+    PageRank unrolled-K convention); every float op is a left fold."""
+    from searchenginejava_spark.operators.search import score_exhaustive
+    from searchenginejava_spark.operators.similarity import mmr_rerank
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    qid, terms = _ORACLE_QUERIES[0]
+    qt = spark.createDataFrame(
+        [(qid, t, 1) for t in terms], "query_id int, term string, qtf int"
+    )
+    lex = score_exhaustive(qt, tf, dl, dct, stats, k=_TOPK).select(
+        "query_id", "doc_id", F.round("score", 6).alias("score")
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = mmr_rerank(lex, emb, k=5, lam=0.7)
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic media table: payload = UTF-8 bytes of the document
     text (opaque binary as far as the operators are concerned)."""
@@ -1349,6 +1388,19 @@ def q_boolean_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         must=_BOOL["must"],
         should=_BOOL["should"],
         must_not=_BOOL["must_not"],
+    )
+
+
+def q_boolean_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimum_should_match (the ES bool-query knob): docs holding at
+    least 2 of the 3 should terms — the should floor applied without
+    must clauses."""
+    from searchenginejava_spark.operators.search import boolean_match
+
+    return boolean_match(
+        _tf(spark, sf_dir),
+        should=["customer", "join", "table"],
+        minimum_should_match=2,
     )
 
 
@@ -2550,7 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_duplication_stats": q_duplication_stats,
         "q_proximity_rerank": q_proximity_rerank,
         "q_related_terms": q_related_terms,
-        "q_boilerplate_stats": q_boilerplate_stats,
+        "q_mmr_rerank": q_mmr_rerank,
         "q_index_diff": q_index_diff,
         # ---- 50-query window boundary ----------------------------------
         # The four wave-8 queries (clone_pairs/code_metrics/secret_scan/
@@ -2575,7 +2627,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family reps (spans ride duplication_stats, significant_terms
         # rides search_aggs, pack_sequences rides sample_mixture/chunk).
         "q_dismax": q_dismax,
+        # Wave-11: q_mmr_rerank (diversification — a new family) took
+        # q_boilerplate_stats's slot; textstats keeps q_duplication_stats
+        # in-window plus six r02-driver-green rows. filtered-kNN rides the
+        # in-window ANN reps, boolean msm rides the r02-green boolean row.
         "q_repeated_spans": q_repeated_spans,
+        "q_boilerplate_stats": q_boilerplate_stats,
+        "q_filtered_knn": q_filtered_knn,
+        "q_boolean_msm": q_boolean_msm,
         "q_significant_terms": q_significant_terms,
         "q_pack_sequences": q_pack_sequences,
         "q_unigram_nll": q_unigram_nll,
@@ -2961,6 +3020,94 @@ def _ann_ivf_sql(n_centroids: int = 8, n_probe: int = 2, k: int = 10) -> str:
     ORDER BY {cos} DESC, cand.vec_id ASC
     LIMIT {k}
     """
+
+
+def _mmr_sql(
+    q_terms: list[str],
+    *,
+    depth: int = 10,
+    k: int = 5,
+    lam: float = 0.7,
+) -> str:
+    """Unrolled-greedy MMR oracle (the PageRank unrolled-K convention):
+    step i picks argmax λ·rel − (1−λ)·max sim-to-selected over the
+    not-yet-selected candidates; pairwise candidate cosines precomputed
+    once with the canonical left folds."""
+    cos = (
+        _fold_dot_sql("a.embedding", "b.embedding")
+        + " / (" + _fold_norm_sql("a.embedding")
+        + " * " + _fold_norm_sql("b.embedding") + ")"
+    )
+    qv = ", ".join(f"('{t}', 1)" for t in q_terms)
+    head = _SQL_TF + f"""
+    , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+             FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+    dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    q(term, qtf) AS (VALUES {qv}),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(q.qtf
+                 * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                 * (tf.tf * {_K1 + 1.0})
+                 / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+             ) AS s
+      FROM q
+      JOIN dict USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    lex AS (
+      SELECT doc_id, round(s, 6) AS score,
+             row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rnk
+      FROM scored QUALIFY rnk <= {depth}
+    ),
+    cand AS (
+      SELECT l.doc_id, l.score, e.embedding
+      FROM lex l JOIN embeddings e ON e.vec_id = l.doc_id
+    ),
+    ext AS (SELECT min(score) AS s_min, max(score) AS s_max FROM cand),
+    rel AS (
+      SELECT doc_id,
+             CASE WHEN ext.s_max = ext.s_min THEN 1.0
+                  ELSE (score - ext.s_min) / (ext.s_max - ext.s_min)
+             END AS rel,
+             embedding
+      FROM cand CROSS JOIN ext
+    ),
+    sims AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, {cos} AS sim
+      FROM rel a JOIN rel b ON a.doc_id <> b.doc_id
+    ),
+    sel1 AS (
+      SELECT doc_id, {lam} * rel AS mmr
+      FROM rel ORDER BY {lam} * rel DESC, doc_id ASC LIMIT 1
+    ),
+    acc1 AS (SELECT doc_id FROM sel1)"""
+    steps = []
+    for i in range(2, k + 1):
+        mmr_i = (
+            f"{lam} * r.rel - {1.0 - lam} * "
+            f"(SELECT max(s.sim) FROM sims s WHERE s.da = r.doc_id "
+            f"AND s.db IN (SELECT doc_id FROM acc{i - 1}))"
+        )
+        steps.append(f"""
+    , sel{i} AS (
+      SELECT r.doc_id, {mmr_i} AS mmr
+      FROM rel r
+      WHERE r.doc_id NOT IN (SELECT doc_id FROM acc{i - 1})
+      ORDER BY mmr DESC, r.doc_id ASC LIMIT 1
+    ),
+    acc{i} AS (SELECT doc_id FROM acc{i - 1}
+               UNION ALL SELECT doc_id FROM sel{i})""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST(0 AS INT) AS query_id, CAST({i} AS INT) AS rank, "
+        f"doc_id, round(mmr, 6) AS mmr_score FROM sel{i}"
+        for i in range(1, k + 1)
+    )
+    return head + "".join(steps) + f"\n    {union}\n    ORDER BY rank"
 
 
 def _ivfpq_sql(
@@ -4715,6 +4862,32 @@ def oracle_sql() -> dict[str, str]:
     sql["q_ivfpq_topk"] = _ivfpq_sql(
         n_centroids=8, n_probe=2, m=8, kc=16, k=10, dim=64
     )
+    sql["q_mmr_rerank"] = _mmr_sql(
+        _ORACLE_QUERIES[0][1], depth=_TOPK, k=5, lam=0.7
+    )
+
+    # metadata-filtered kNN: pre-filter semi-join, then the canonical
+    # fold cosine over the survivors
+    _fk_cos = (
+        _fold_dot_sql("b.embedding", "q.qv")
+        + " / (" + _fold_norm_sql("b.embedding")
+        + " * " + _fold_norm_sql("q.qv") + ")"
+    )
+    sql["q_filtered_knn"] = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    allowed AS (SELECT doc_id AS vec_id FROM documents WHERE n_chars % 2 = 0)
+    SELECT b.vec_id, round({_fk_cos}, 6) AS cosine
+    FROM embeddings b CROSS JOIN q
+    WHERE b.vec_id IN (SELECT vec_id FROM allowed)
+    ORDER BY {_fk_cos} DESC, b.vec_id ASC
+    LIMIT 10
+    """
+
+    sql["q_boolean_msm"] = _SQL_TF + """
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_should_hits
+    FROM tf WHERE term IN ('customer', 'join', 'table')
+    GROUP BY doc_id HAVING count(*) >= 2
+    """
 
     # DisMax fielded ranking: per-field idf, best-field part + tie-broken
     # rest — same virtual title/body split as q_bm25f

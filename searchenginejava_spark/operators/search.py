@@ -1242,11 +1242,15 @@ def boolean_match(
     must: Sequence[str] = (),
     should: Sequence[str] = (),
     must_not: Sequence[str] = (),
+    minimum_should_match: int = 0,
 ) -> DataFrame:
     """Boolean retrieval over the (doc_id, term, tf) relation →
     (doc_id, n_should_hits): docs containing ALL ``must`` terms, NONE of
     ``must_not``, ranked by how many ``should`` terms they contain
-    (then doc_id — deterministic).
+    (then doc_id — deterministic). ``minimum_should_match`` (the ES
+    knob) requires at least that many DISTINCT should terms even when
+    must clauses are present (the default keeps the classic semantics:
+    should is optional with must, required-one without).
 
     Plan shape: each must-term is a left-semi join (Catalyst + AQE pick
     broadcast for selective posting slices and reorder cheapest-first);
@@ -1279,8 +1283,9 @@ def boolean_match(
         cur = cur.join(hits, "doc_id", "left").withColumn(
             "n_should_hits", F.coalesce("n_should_hits", F.lit(0).cast("long"))
         )
-        if not must:
-            cur = cur.filter(F.col("n_should_hits") > 0)
+        msm = int(minimum_should_match) or (0 if must else 1)
+        if msm:
+            cur = cur.filter(F.col("n_should_hits") >= msm)
     else:
         cur = cur.withColumn("n_should_hits", F.lit(0).cast("long"))
     return cur.select("doc_id", "n_should_hits")

@@ -49,8 +49,15 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact brute-force cosine top-k against a literal query vector."""
+    """Exact brute-force cosine top-k against a literal query vector.
+
+    ``candidates`` (any relation with ``id_col``) applies PRE-filter
+    semantics (the ES `knn` `filter` convention): the allowed set is
+    semi-joined BEFORE the top-k cut, so k survivors are guaranteed —
+    post-filtering a top-k can return fewer than k. The semi-join is the
+    same metadata-sized doc join every scorer pays."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     # left fold, not np.sum (pairwise): bit-matches norm_col / the DuckDB
     # oracle's list_reduce so round-boundary cosines can't diverge
@@ -58,10 +65,15 @@ def cosine_topk(
     for x in query_vec:
         acc += float(x) * float(x)
     q_norm = float(np.sqrt(acc))
+    base = embeddings
+    if candidates is not None:
+        base = embeddings.join(
+            candidates.select(id_col).distinct(), id_col, "left_semi"
+        )
     e = F.col(vec_col)
     cos = dot_col(e, q) / (norm_col(e) * F.lit(q_norm))
     return (
-        embeddings.select(F.col(id_col), cos.alias("cosine"))
+        base.select(F.col(id_col), cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
         .select(id_col, F.round("cosine", 6).alias("cosine"))
@@ -293,12 +305,15 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: assign query to its ``n_probe`` nearest centroids, exact
     cosine only within those cells — candidate set ≈ N·n_probe/C. At
     10^9-vector scale the table is written partitioned by ``cid`` so the
     probe is a partition-pruned scan of n_probe partitions; training is
-    amortized across queries (pass precomputed ``centroids``)."""
+    amortized across queries (pass precomputed ``centroids``).
+    ``candidates`` applies the pre-filter convention (see cosine_topk):
+    the allowed set intersects the probed cells BEFORE the top-k cut."""
     if centroids is None:
         centroids = ivf_train(
             embeddings,
@@ -320,7 +335,10 @@ def ann_ivf_topk(
     cands = embeddings.withColumn(
         "cid", _nearest_centroid_col(F.col(vec_col), centroids)
     ).filter(F.col("cid").isin(probe))
-    return cosine_topk(cands, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+    return cosine_topk(
+        cands, query_vec, k=k, id_col=id_col, vec_col=vec_col,
+        candidates=candidates,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -541,4 +559,133 @@ def pq_topk(
         .orderBy(F.asc("adc"), F.asc("vec_id"))
         .limit(k)
         .select("vec_id", F.round("adc", 6).alias("adc"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MMR result diversification
+# --------------------------------------------------------------------------
+
+def _dot_py(a: list[float], b: list[float]) -> float:
+    """Left-fold dot — bit-matches dot_col's aggregate() and the DuckDB
+    oracle's list_reduce (same rationale as _d2_py)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _cos_py(a: list[float], b: list[float]) -> float:
+    import math
+
+    return _dot_py(a, b) / (
+        math.sqrt(_dot_py(a, a)) * math.sqrt(_dot_py(b, b))
+    )
+
+
+def mmr_rerank(
+    scored: DataFrame,
+    embeddings: DataFrame,
+    *,
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification ([L:Carbonell &
+    Goldstein, SIGIR 1998]) — re-rank a top-depth candidate set so
+    results are relevant AND mutually dissimilar (the near-duplicate /
+    same-subtopic crowding fix at the serving layer):
+
+        pick argmax  λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s)
+        (first pick: λ·rel(d) — the selected set is empty)
+
+    ``scored`` is any (query_id, doc_id, score) TOP-K relation (page-
+    sized per query — never feed a full candidate set: MMR is O(k·depth)
+    sims per query by definition). rel is the per-query min-max
+    normalized score over 6-decimal-rounded inputs (1.0 when max == min)
+    so λ trades comparable [0,1] quantities; similarities are exact
+    cosines over the embedding join.
+
+    Greedy selection is inherently sequential per query, so it runs as
+    ONE Arrow-batched applyInPandas over (query) groups — each group is
+    top-depth rows, the work is k·depth dim-length folds, and queries
+    parallelize across tasks (the standard reranker shape). Every float
+    op is a left fold / plain expression, bit-identical to the oracle's
+    unrolled-greedy SQL replay. Ties break (mmr desc, doc_id asc).
+    """
+    import pandas as pd
+
+    cand = scored.select(
+        F.col("query_id").cast("int"),
+        F.col("doc_id").cast("long"),
+        F.round(F.col("score").cast("double"), 6).alias("score"),
+    ).join(
+        embeddings.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(vec_col).alias("__emb"),
+        ),
+        "doc_id",
+    )
+
+    lam_f = float(lam)
+    k_i = int(k)
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(
+            (
+                (int(d), float(s), [float(x) for x in e])
+                for d, s, e in zip(
+                    pdf["doc_id"], pdf["score"], pdf["__emb"]
+                )
+            ),
+            key=lambda t: t[0],
+        )
+        qid = int(pdf["query_id"].iloc[0])
+        s_min = min(s for _, s, _ in rows)
+        s_max = max(s for _, s, _ in rows)
+        rel = {
+            d: (1.0 if s_max == s_min else (s - s_min) / (s_max - s_min))
+            for d, s, _ in rows
+        }
+        emb = {d: e for d, _, e in rows}
+        selected: list[tuple[int, float]] = []
+        remaining = [d for d, _, _ in rows]
+        while remaining and len(selected) < k_i:
+            best_d, best_m = None, None
+            for d in remaining:
+                if selected:
+                    pen = max(_cos_py(emb[d], emb[s]) for s, _ in selected)
+                    m = lam_f * rel[d] - (1.0 - lam_f) * pen
+                else:
+                    m = lam_f * rel[d]
+                if best_m is None or m > best_m or (m == best_m and d < best_d):
+                    best_d, best_m = d, m
+            selected.append((best_d, best_m))
+            remaining.remove(best_d)
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(selected),
+                "rank": list(range(1, len(selected) + 1)),
+                "doc_id": [d for d, _ in selected],
+                "mmr_score": [m for _, m in selected],
+            }
+        )
+
+    # rounding happens OUTSIDE the UDF with F.round (round-half-up on
+    # both engines) — Python's round() is half-even and would diverge
+    # from the DuckDB oracle at exact boundaries
+    return (
+        cand.groupBy("query_id")
+        .applyInPandas(
+            pick,
+            "query_id int, rank int, doc_id long, mmr_score double",
+        )
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            F.round("mmr_score", 6).alias("mmr_score"),
+        )
+        .orderBy("query_id", "rank")
     )

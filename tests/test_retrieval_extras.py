@@ -796,3 +796,32 @@ def test_significant_terms_top_n_cut(spark, tf):
     got = significant_terms(fg, tf, dct, {"N": 4}, top_n=1, min_fg_df=2)
     rows = got.collect()
     assert len(rows) == 1 and rows[0]["term"] == "merge"
+
+
+def test_boolean_minimum_should_match(tf):
+    from searchenginejava_spark.operators.search import boolean_match
+
+    # should-only, msm=2: doc must hold >= 2 of the should terms
+    got = {
+        r["doc_id"]: r["n_should_hits"]
+        for r in boolean_match(
+            tf, should=["spark", "merge", "broadcast"], minimum_should_match=2
+        ).collect()
+    }
+    # doc0: spark+merge=2; doc1: spark+broadcast=2; doc3: spark+merge=2
+    assert got == {0: 2, 1: 2, 3: 2}
+    # must + msm: the should floor now also applies
+    got2 = {
+        r["doc_id"]
+        for r in boolean_match(
+            tf, must=["join"], should=["spark", "merge"],
+            minimum_should_match=2,
+        ).collect()
+    }
+    assert got2 == {0, 3}
+    # default with must: should stays optional (classic semantics)
+    got3 = {
+        r["doc_id"]
+        for r in boolean_match(tf, must=["join"], should=["merge"]).collect()
+    }
+    assert 1 in got3          # doc1 has join but no merge

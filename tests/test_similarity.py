@@ -357,3 +357,126 @@ def test_ivfpq_deterministic_rerun(emb):
     a = similarity.ivfpq_topk(idx, cents, cb, q, n_probe=2, k=10).collect()
     b = similarity.ivfpq_topk(idx, cents, cb, q, n_probe=2, k=10).collect()
     assert a == b
+
+
+# --------------------------------------------------------------------------
+# filtered kNN (pre-filter semantics) + MMR diversification
+# --------------------------------------------------------------------------
+
+def test_cosine_topk_prefilter_guarantees_k(spark, emb):
+    """Pre-filter: the allowed set is cut BEFORE top-k, so k survivors
+    come back, all from the allowed set, identical to brute force over
+    the filtered table."""
+    df, vecs = emb
+    allowed = spark.createDataFrame(
+        [(i,) for i in range(0, 20, 2)], "vec_id long"
+    )
+    q = [float(x) for x in vecs[3]]
+    got = similarity.cosine_topk(df, q, k=5, candidates=allowed).collect()
+    assert len(got) == 5
+    assert all(r["vec_id"] % 2 == 0 and r["vec_id"] < 20 for r in got)
+    brute = similarity.cosine_topk(
+        df.filter("vec_id % 2 = 0 AND vec_id < 20"), q, k=5
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in brute
+    ]
+
+
+def test_ann_ivf_prefilter_subset(spark, emb):
+    df, vecs = emb
+    allowed = spark.createDataFrame(
+        [(i,) for i in range(0, 20, 2)], "vec_id long"
+    )
+    q = [float(x) for x in vecs[3]]
+    got = similarity.ann_ivf_topk(
+        df, q, k=5, n_centroids=4, n_probe=4, iters=0, candidates=allowed
+    ).collect()
+    # full probe -> equals filtered brute force
+    brute = similarity.cosine_topk(
+        df.filter("vec_id % 2 = 0 AND vec_id < 20"), q, k=5
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in brute
+    ]
+
+
+def _mmr_by_hand(rows, k, lam):
+    """rows: [(doc_id, score, emb)]; replicate mmr_rerank greedily."""
+    s_min = min(s for _, s, _ in rows)
+    s_max = max(s for _, s, _ in rows)
+    rel = {
+        d: 1.0 if s_max == s_min else (s - s_min) / (s_max - s_min)
+        for d, s, _ in rows
+    }
+    emb = {d: e for d, _, e in rows}
+    sel, rem = [], sorted(emb)
+    while rem and len(sel) < k:
+        best = None
+        for d in rem:
+            pen = (
+                max(similarity._cos_py(emb[d], emb[s]) for s, _ in sel)
+                if sel
+                else None
+            )
+            m = lam * rel[d] - (1 - lam) * pen if sel else lam * rel[d]
+            if best is None or m > best[1] or (m == best[1] and d < best[0]):
+                best = (d, m)
+        sel.append(best)
+        rem.remove(best[0])
+    return sel
+
+
+def test_mmr_rerank_hand_computed(spark, emb):
+    df, vecs = emb
+    scored = spark.createDataFrame(
+        [(0, i, 10.0 - i) for i in range(8)],
+        "query_id int, doc_id long, score double",
+    )
+    got = [
+        (r["rank"], r["doc_id"], r["mmr_score"])
+        for r in similarity.mmr_rerank(scored, df, k=4, lam=0.7).collect()
+    ]
+    rows = [(i, 10.0 - i, [float(x) for x in vecs[i]]) for i in range(8)]
+    want = [
+        (j + 1, d, round(m, 6)) for j, (d, m) in enumerate(_mmr_by_hand(rows, 4, 0.7))
+    ]
+    assert got == want
+
+
+def test_mmr_lambda_one_is_pure_relevance(spark, emb):
+    df, _ = emb
+    scored = spark.createDataFrame(
+        [(0, i, float(20 - i)) for i in range(6)],
+        "query_id int, doc_id long, score double",
+    )
+    got = [
+        r["doc_id"]
+        for r in similarity.mmr_rerank(scored, df, k=6, lam=1.0).collect()
+    ]
+    assert got == list(range(6))
+
+
+def test_mmr_defers_duplicate_embedding(spark):
+    """Two docs with IDENTICAL embeddings: after one is picked, the
+    other's penalty is cos=1, so a less-relevant-but-different doc
+    overtakes it."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    v0 = rng.standard_normal(8).round(3).tolist()
+    v2 = rng.standard_normal(8).round(3).tolist()
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    emb_rows = [(0, v0), (1, v0), (2, v2)]
+    df = s.createDataFrame(emb_rows, "vec_id long, embedding array<double>")
+    scored = s.createDataFrame(
+        [(0, 0, 10.0), (0, 1, 9.0), (0, 2, 8.0)],
+        "query_id int, doc_id long, score double",
+    )
+    got = [
+        r["doc_id"]
+        for r in similarity.mmr_rerank(scored, df, k=3, lam=0.5).collect()
+    ]
+    assert got[0] == 0 and got[1] == 2 and got[2] == 1
