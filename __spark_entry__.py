@@ -2536,6 +2536,180 @@ def q_prior_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+# ---------------------------------------------------------------------------
+# Commit-history family (the contract table's (repo, path, commit) axis)
+# ---------------------------------------------------------------------------
+
+
+def _commits_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-commit projection of the documents table in
+    the contract input shape (repo, path, commit_seq, commit, content):
+    doc i gets (i % 3) + 1 revisions, revision j's content is the text
+    plus a ' rev<j>' suffix — mirrored verbatim by _SQL_COMMITS."""
+    d = _documents(spark, sf_dir)
+    j = F.explode(
+        F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+    ).alias("j")
+    path = F.concat(F.lit("src/f"), F.col("doc_id").cast("string"))
+    out = d.select("doc_id", "text", j).select(
+        "doc_id",
+        F.concat(F.lit("org"), (F.col("doc_id") % 7).cast("string")).alias(
+            "repo"
+        ),
+        path.alias("path"),
+        F.col("j").cast("long").alias("commit_seq"),
+        F.md5(
+            F.concat(path, F.lit("@"), F.col("j").cast("string"))
+        ).alias("commit"),
+        F.concat(
+            F.col("text"), F.lit(" rev"), F.col("j").cast("string")
+        ).alias("content"),
+    )
+    return out
+
+
+_SQL_COMMITS = """
+WITH commits AS (
+  SELECT doc_id,
+         'org' || CAST(doc_id % 7 AS VARCHAR) AS repo,
+         'src/f' || CAST(doc_id AS VARCHAR) AS path,
+         CAST(j AS BIGINT) AS commit_seq,
+         md5('src/f' || CAST(doc_id AS VARCHAR) || '@'
+             || CAST(j AS VARCHAR)) AS commit,
+         text || ' rev' || CAST(j AS VARCHAR) AS content
+  FROM documents, unnest(generate_series(0, doc_id % 3)) AS t(j)
+)
+"""
+
+
+def q_head_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-version-per-file selection over the commit log — the corpus
+    a fresh index build tokenizes. One max_by hash aggregation (map-side
+    combining), never a window sort over the version history."""
+    from searchenginejava_spark.operators.vcs import head_snapshot
+
+    h = head_snapshot(_commits_view(spark, sf_dir))
+    return h.select(
+        "repo", "path", "commit", F.sha2(F.col("content"), 256).alias("sha")
+    )
+
+
+def q_commit_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff driving incremental reindex: old = seq-0 snapshot
+    minus the files created later (doc_id % 5 == 0), new = head minus the
+    files deleted at head (doc_id % 7 == 0) → added/modified/deleted
+    work-list (touch-only revisions compare equal by sha and drop)."""
+    from searchenginejava_spark.operators.vcs import commit_delta, snapshot_at, head_snapshot
+    from searchenginejava_spark.sources.source import with_sha256
+
+    commits = _commits_view(spark, sf_dir)
+    old = with_sha256(snapshot_at(commits.filter(F.col("doc_id") % 5 != 0), 0))
+    new = with_sha256(head_snapshot(commits.filter(F.col("doc_id") % 7 != 0)))
+    return commit_delta(old, new)
+
+
+def q_cross_repo_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fork/vendored-file detection: byte-identical content in ≥2 repos
+    (every 13th doc carries the same vendored header so the relation is
+    provably non-empty); one sha-keyed aggregation — content never
+    shuffles, only digests."""
+    from searchenginejava_spark.operators.dedup import cross_source_duplicates
+
+    src = _documents(spark, sf_dir).select(
+        F.concat(F.lit("org"), (F.col("doc_id") % 7).cast("string")).alias(
+            "repo"
+        ),
+        F.when(
+            F.col("doc_id") % 13 == 0, F.lit("vendored common util header")
+        )
+        .otherwise(F.col("text"))
+        .alias("content"),
+    )
+    return cross_source_duplicates(src)
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (mT5 α-sampling) per language:
+    token-share → share^α-normalized target share → per-group sampling
+    factor; one aggregation plus a groups-sized window."""
+    from searchenginejava_spark.operators.curation import mixture_weights
+
+    return mixture_weights(
+        _documents(spark, sf_dir), group_col="lang", alpha=0.5
+    )
+
+
+_COMPLETE_PREFIXES = ["sp", "ta", "jo", "me"]
+
+
+def q_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-as-you-type from the MATERIALIZED completion artifact
+    (edge-ngram top-n per prefix, precomputed at publish time) — serving
+    is a broadcast point equi-join, no dictionary scan per request."""
+    from searchenginejava_spark.operators.termmatch import (
+        complete,
+        completion_index,
+    )
+
+    tf = _tf(spark, sf_dir)
+    dct = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    cidx = completion_index(dct, max_prefix_len=10, top_n=5)
+    return complete(cidx, _COMPLETE_PREFIXES, k=5)
+
+
+def q_passage_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-rollup retrieval (long-document convention): chunk every
+    doc, BM25-score the chunks, roll best-passage evidence up to the
+    parent (score_mode=max) → per-query top-10 docs with the winning
+    chunk index."""
+    from searchenginejava_spark.operators.curation import chunk_documents
+    from searchenginejava_spark.operators.search import (
+        rollup_passages,
+        score_exhaustive,
+    )
+
+    chunks = chunk_documents(
+        _documents(spark, sf_dir), max_tokens=_CHUNK[0], overlap=_CHUNK[1]
+    ).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"),
+        "chunk_text",
+    )
+    ctf = (
+        chunks.select(
+            F.col("chunk_id").alias("doc_id"),
+            F.explode(F.split(F.col("chunk_text"), " ")).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    ctf.persist()
+    dl = ctf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+    srow = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    stats = {"N": int(srow["n"]), "avgdl": float(srow["avgdl"])}
+    dct = ctf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    scored = score_exhaustive(qt, ctf, dl, dct, stats, k=1_000_000).select(
+        "query_id",
+        (F.col("doc_id") / 1000).cast("long").alias("parent_id"),
+        (F.col("doc_id") % 1000).cast("int").alias("chunk_idx"),
+        F.round("score", 6).alias("score"),
+    )
+    res = rollup_passages(
+        scored,
+        parent_col="parent_id",
+        chunk_col="chunk_idx",
+        score_mode="max",
+        k=_TOPK,
+    )
+    res.persist()
+    res.count()
+    ctf.unpersist()
+    return res
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration ORDER is load-bearing: the driver's CORRECTNESS
     window covered exactly the first 50 registered queries in rounds
@@ -2594,8 +2768,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ir_metrics": q_ir_metrics,
         "q_percolate": q_percolate,
         "q_pq_topk": q_pq_topk,
-        "q_sample_mixture": q_sample_mixture,
-        "q_chunk_documents": q_chunk_documents,
+        # Wave-12: the commit-history family (head snapshot / commit
+        # delta — brand-new, no prior row) takes the q_sample_mixture and
+        # q_chunk_documents slots; the curation family keeps
+        # q_decontaminate + q_curation_full (which composes mixture and
+        # chunking) in-window, and both displaced queries stay registered
+        # right after the boundary.
+        "q_head_snapshot": q_head_snapshot,
+        "q_commit_delta": q_commit_delta,
         "q_search_after": q_search_after,
         "q_explain_score": q_explain_score,
         "q_curation_full": q_curation_full,
@@ -2635,6 +2815,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_boilerplate_stats": q_boilerplate_stats,
         "q_filtered_knn": q_filtered_knn,
         "q_boolean_msm": q_boolean_msm,
+        # Wave-12 out-of-window: mixture/chunk displaced by the commit-
+        # history family (their curation family rides q_curation_full
+        # in-window); cross-repo dups rides the r02-green exact-dedup
+        # row; mixture weights rides the in-window curation reps.
+        "q_sample_mixture": q_sample_mixture,
+        "q_chunk_documents": q_chunk_documents,
+        "q_cross_repo_dups": q_cross_repo_dups,
+        "q_mixture_weights": q_mixture_weights,
         "q_significant_terms": q_significant_terms,
         "q_pack_sequences": q_pack_sequences,
         "q_unigram_nll": q_unigram_nll,
@@ -5620,6 +5808,84 @@ def oracle_sql() -> dict[str, str]:
     FROM base LEFT JOIN pri USING (doc_id)
     """
     )
+
+    # ---- commit-history family (wave 12) --------------------------------
+    sql["q_head_snapshot"] = _SQL_COMMITS + """
+    SELECT repo, path, commit, sha256(content) AS sha
+    FROM (SELECT repo, path, commit, content,
+                 row_number() OVER (PARTITION BY repo, path
+                                    ORDER BY commit_seq DESC, commit DESC)
+                     AS rn
+          FROM commits)
+    WHERE rn = 1
+    """
+
+    sql["q_commit_delta"] = _SQL_COMMITS + """
+    , old AS (
+      SELECT repo, path, sha256(content) AS old_sha
+      FROM commits WHERE doc_id % 5 <> 0 AND commit_seq = 0
+    ), new AS (
+      SELECT repo, path, sha256(content) AS new_sha
+      FROM (SELECT repo, path, content,
+                   row_number() OVER (PARTITION BY repo, path
+                                      ORDER BY commit_seq DESC, commit DESC)
+                       AS rn
+            FROM commits WHERE doc_id % 7 <> 0)
+      WHERE rn = 1
+    )
+    SELECT repo, path,
+           CASE WHEN old_sha IS NULL THEN 'added'
+                WHEN new_sha IS NULL THEN 'deleted'
+                ELSE 'modified' END AS change,
+           old_sha, new_sha
+    FROM old FULL OUTER JOIN new USING (repo, path)
+    WHERE old_sha IS NULL OR new_sha IS NULL OR old_sha <> new_sha
+    """
+
+    sql["q_cross_repo_dups"] = """
+    WITH src AS (
+      SELECT 'org' || CAST(doc_id % 7 AS VARCHAR) AS repo,
+             CASE WHEN doc_id % 13 = 0 THEN 'vendored common util header'
+                  ELSE text END AS content
+      FROM documents
+    ), g AS (SELECT sha256(content) AS content_sha256, repo FROM src),
+    files AS (SELECT content_sha256, CAST(count(*) AS BIGINT) AS n_files
+              FROM g GROUP BY content_sha256),
+    srcs AS (
+      SELECT content_sha256, CAST(count(*) AS BIGINT) AS n_sources,
+             string_agg(repo, ',' ORDER BY repo) AS sources
+      FROM (SELECT DISTINCT content_sha256, repo FROM g)
+      GROUP BY content_sha256
+    )
+    SELECT content_sha256, n_sources, n_files, sources
+    FROM srcs JOIN files USING (content_sha256)
+    WHERE n_sources >= 2
+    """
+
+    sql["q_mixture_weights"] = """
+    WITH toks AS (
+      SELECT lang,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS BIGINT) AS n
+      FROM documents
+    ), per AS (
+      SELECT lang AS "group", CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY lang
+    ), sh AS (
+      SELECT "group", n_docs, n_tokens,
+             CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS share
+      FROM per
+    ), tgt AS (
+      SELECT *, pow(share, 0.5) / sum(pow(share, 0.5)) OVER ()
+                    AS target_share
+      FROM sh
+    )
+    SELECT "group", n_docs, n_tokens, round(share, 6) AS share,
+           round(target_share, 6) AS target_share,
+           round(target_share / share, 6) AS weight
+    FROM tgt
+    """
     return sql
 
 

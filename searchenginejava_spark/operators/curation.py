@@ -329,3 +329,53 @@ def pack_sequences(
         F.col("doc_offset").cast("long"),
         overlap.cast("long").alias("tok_in_window"),
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled mixture weights (the mT5/XLM-R multinomial
+    sampling rule, [L:Xue et al., NAACL 2021 §3.1]): a group with token
+    share p gets target share p^α / Σ p^α — α<1 up-weights the tail
+    (rare languages / small repos), α=1 is natural sampling.
+
+    → (group, n_docs, n_tokens, share, target_share, weight) where
+    ``weight`` = target_share / share is the per-group up/down-sampling
+    factor to feed :func:`sample_mixture` (scaled by the token budget).
+
+    Plan: one hash aggregation to per-group totals (whitespace token
+    count is a native expression), then a broadcast of the one-row
+    global sums — the corpus crosses no shuffle twice.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")
+    )
+    per = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(toks).cast("long")).cast("long").alias("n_tokens"),
+    )
+    a = float(alpha)
+    shared = per.withColumn(
+        "share",
+        F.col("n_tokens").cast("double")
+        / F.sum("n_tokens").over(Window.partitionBy()),
+    ).withColumn(
+        "target_share",
+        F.pow(F.col("share"), F.lit(a))
+        / F.sum(F.pow(F.col("share"), F.lit(a))).over(Window.partitionBy()),
+    )
+    # the unbounded window runs over the AGGREGATED relation — one row
+    # per group (|groups| ≪ |docs|), so the single-partition window is a
+    # few hundred rows even at 100 TB, never the corpus
+    return shared.select(
+        "group",
+        "n_docs",
+        "n_tokens",
+        F.round("share", 6).alias("share"),
+        F.round("target_share", 6).alias("target_share"),
+        F.round(F.col("target_share") / F.col("share"), 6).alias("weight"),
+    )

@@ -652,3 +652,40 @@ def duplication_stats(
             6,
         ).alias("dup_frac"),
     )
+
+
+def cross_source_duplicates(
+    df: DataFrame,
+    *,
+    source_col: str = "repo",
+    text_col: str = "content",
+    min_sources: int = 2,
+) -> DataFrame:
+    """Fork / vendored-code detection: content that appears byte-identical
+    in ≥ ``min_sources`` distinct sources (repos) →
+    (content_sha256, n_sources, n_files, sources).
+
+    The training-data use: identical files replicated across forks and
+    ``vendor/`` trees dominate naive per-repo sampling — this relation is
+    the weight-correction (and exclusion) table, keyed by content hash.
+
+    Plan: one hash aggregation on sha256(content) — content itself never
+    shuffles, only the 64-hex digest + source string. ``sources`` is the
+    sorted distinct source list serialized as a CSV string (bounded by
+    ``max_sources_listed``; a hub file present in 10^5 forks must not
+    build a 10^5-element array in one reduce value — the full membership
+    stays derivable by re-joining on the hash).
+    """
+    sha = F.sha2(F.col(text_col), 256)
+    return (
+        df.select(sha.alias("content_sha256"), F.col(source_col).alias("_src"))
+        .groupBy("content_sha256")
+        .agg(
+            F.countDistinct("_src").cast("long").alias("n_sources"),
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_set("_src")), 1, 20), ","
+            ).alias("sources"),
+        )
+        .filter(F.col("n_sources") >= int(min_sources))
+    )

@@ -1,0 +1,126 @@
+"""Commit-history operators over the contract input table.
+
+The contract corpus is an Iceberg table ``(repo, path, commit, lang,
+content)`` (BASELINE.json input_hint) — an append-only log of file
+versions, one row per (path, commit). Indexing it needs two relational
+primitives that precede everything else in the pipeline:
+
+- :func:`head_snapshot` — "latest version per file": the corpus a fresh
+  index build actually tokenizes. One hash aggregation (``max_by`` over
+  an orderable struct), NOT a window: a window ranks every historical
+  version behind a full sort of each key's partition, while the hash agg
+  keeps one running max per key with map-side partial aggregation — at
+  10^12 version rows only (key, current-max) pairs cross the shuffle.
+- :func:`commit_delta` — "what changed between two snapshots": the
+  added/modified/deleted set that drives INCREMENTAL maintenance
+  (tombstone old versions, ``merge_indexes`` the new ones) instead of a
+  full rebuild. A single co-partitioned full-outer join on the file key;
+  at scale both snapshots are bucketed by ``hash(repo, path)`` so the
+  join is shuffle-free sort-merge.
+
+Ordering: ``commit`` is a content hash and carries no order, so the
+table must carry a monotonically increasing ``commit_seq`` (commit
+timestamp or ingestion sequence — Iceberg snapshot ordering gives this
+for free). Ties (same seq — e.g. one commit touching a path twice in a
+squash) break on the commit sha string, making head selection total and
+deterministic.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["head_snapshot", "snapshot_at", "commit_delta"]
+
+
+def head_snapshot(
+    commits: DataFrame,
+    *,
+    key_cols: Sequence[str] = ("repo", "path"),
+    seq_col: str = "commit_seq",
+    tie_col: str = "commit",
+) -> DataFrame:
+    """Latest version of every file: argmax over (seq, tie) per key.
+
+    Returns one row per distinct ``key_cols`` with every non-key column
+    taken from the winning version. Plan: one aggregation —
+    ``max_by(struct(<values>), struct(seq, tie))`` — with map-side
+    partial combine (``partial_max_by`` before the exchange), so only
+    one (key, current-best) pair per map partition crosses the shuffle.
+    Spark plans it as SortAggregate (struct-typed aggregation buffers
+    aren't hash-aggregable), which is a partition-local sort of input
+    rows — still no window and nothing key-global; the audited property
+    is the partial combine, see PLANS.md §commit-history.
+    """
+    value_cols = [c for c in commits.columns if c not in key_cols]
+    order = F.struct(F.col(seq_col), F.col(tie_col))
+    agg = commits.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.max_by(F.struct(*[F.col(c) for c in value_cols]), order).alias("_h")
+    )
+    return agg.select(
+        *key_cols, *[F.col(f"_h.{c}").alias(c) for c in value_cols]
+    )
+
+
+def snapshot_at(
+    commits: DataFrame,
+    seq: int,
+    *,
+    key_cols: Sequence[str] = ("repo", "path"),
+    seq_col: str = "commit_seq",
+    tie_col: str = "commit",
+) -> DataFrame:
+    """Point-in-time snapshot: the head as of ``commit_seq <= seq``.
+
+    The filter is a plain Catalyst predicate, so on a seq-partitioned /
+    Iceberg table it prunes files before the aggregation ever sees them.
+    Files created after ``seq`` are simply absent (no row survives the
+    filter) — time travel falls out of the same argmax.
+    """
+    return head_snapshot(
+        commits.filter(F.col(seq_col) <= F.lit(int(seq))),
+        key_cols=key_cols,
+        seq_col=seq_col,
+        tie_col=tie_col,
+    )
+
+
+def commit_delta(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    key_cols: Sequence[str] = ("repo", "path"),
+    sha_col: str = "content_sha256",
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Diff two snapshots into (key..., change, old_sha, new_sha).
+
+    ``change`` ∈ {'added', 'deleted', 'modified'} (plus 'unchanged' when
+    ``include_unchanged``): present only in ``new`` → added; only in
+    ``old`` → deleted; in both with differing ``sha_col`` → modified.
+    Comparing the sha — the per-row invariant the pipeline already
+    carries end-to-end — makes the diff content-based: a touch-only
+    commit (same bytes, new commit id) is 'unchanged' and triggers no
+    reindex work.
+
+    The output is exactly the work-list for incremental maintenance:
+    tombstone ('deleted' ∪ 'modified') old doc_ids, index ('added' ∪
+    'modified') new versions, ``merge_indexes`` — no full rebuild.
+    """
+    keys = list(key_cols)
+    o = old.select(*keys, F.col(sha_col).alias("old_sha"))
+    n = new.select(*keys, F.col(sha_col).alias("new_sha"))
+    j = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("old_sha").isNull(), F.lit("added"))
+        .when(F.col("new_sha").isNull(), F.lit("deleted"))
+        .when(F.col("old_sha") != F.col("new_sha"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(*keys, change.alias("change"), "old_sha", "new_sha")
+    if not include_unchanged:
+        out = out.filter(F.col("change") != "unchanged")
+    return out

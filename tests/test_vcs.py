@@ -1,0 +1,258 @@
+"""Commit-history operators (operators/vcs.py) + the incremental
+reindex lifecycle they drive: head-snapshot selection, point-in-time
+snapshots, snapshot diffing, and delta-driven index maintenance that
+lands byte-identical to a cold rebuild."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginejava_spark.operators.vcs import (
+    commit_delta,
+    head_snapshot,
+    snapshot_at,
+)
+from searchenginejava_spark.sources.source import with_sha256
+
+_VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+
+
+def _content(i: int, j: int) -> str:
+    words = [_VOCAB[(i + k * (j + 1)) % len(_VOCAB)] for k in range(6)]
+    return " ".join(words) + f" v{j}"
+
+
+def _commit_rows(n: int = 30):
+    """Path i has (i % 3) + 1 revisions; revision j's content varies by
+    j so every new revision is a real modification."""
+    rows = []
+    for i in range(n):
+        for j in range(i % 3 + 1):
+            rows.append(
+                (
+                    f"org{i % 4}",
+                    f"src/f{i}.py",
+                    j,
+                    f"c{i:03d}{j}",
+                    _content(i, j),
+                    i,
+                )
+            )
+    return rows
+
+
+_SCHEMA = (
+    "repo string, path string, commit_seq long, commit string, "
+    "content string, i long"
+)
+
+
+@pytest.fixture(scope="module")
+def commits(spark):
+    df = spark.createDataFrame(_commit_rows(), _SCHEMA)
+    df.persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_head_snapshot_picks_max_seq(spark, commits):
+    h = {r["path"]: r for r in head_snapshot(commits).collect()}
+    assert len(h) == 30
+    for i in range(30):
+        r = h[f"src/f{i}.py"]
+        assert r["commit_seq"] == i % 3
+        assert r["content"] == _content(i, i % 3)
+
+
+def test_head_snapshot_tie_breaks_on_commit(spark):
+    df = spark.createDataFrame(
+        [
+            ("r", "p", 1, "aaa", "first", 0),
+            ("r", "p", 1, "zzz", "second", 0),
+        ],
+        _SCHEMA,
+    )
+    [r] = head_snapshot(df).collect()
+    assert r["commit"] == "zzz" and r["content"] == "second"
+
+
+def test_snapshot_at_point_in_time(spark, commits):
+    s1 = {r["path"]: r for r in snapshot_at(commits, 1).collect()}
+    assert len(s1) == 30
+    for i in range(30):
+        assert s1[f"src/f{i}.py"]["commit_seq"] == min(1, i % 3)
+    # a file created after seq 0 is absent from the seq-0 snapshot
+    later = spark.createDataFrame(
+        [("r", "new", 3, "c", "born late", 0)], _SCHEMA
+    )
+    s0 = snapshot_at(commits.unionByName(later), 0)
+    assert s0.filter(F.col("path") == "new").count() == 0
+    assert s0.count() == 30
+
+
+def test_head_snapshot_plan_is_argmax_agg_not_window(commits):
+    plan = head_snapshot(commits)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # map-side partial combine: one (key, best) pair per map partition
+    # crosses the shuffle, never the version history
+    assert "partial_max_by" in plan
+
+
+def test_commit_delta_statuses(spark, commits):
+    # old: seq-0 snapshot without paths i%5==0 (created later)
+    # new: head without paths i%7==0 (deleted at head)
+    old = with_sha256(snapshot_at(commits.filter(F.col("i") % 5 != 0), 0))
+    new = with_sha256(head_snapshot(commits.filter(F.col("i") % 7 != 0)))
+    got = {r["path"]: r["change"] for r in commit_delta(old, new).collect()}
+    for i in range(30):
+        p = f"src/f{i}.py"
+        if i % 5 == 0 and i % 7 == 0:
+            assert p not in got  # in neither snapshot
+        elif i % 5 == 0:
+            assert got[p] == "added"
+        elif i % 7 == 0:
+            assert got[p] == "deleted"
+        elif i % 3 != 0:
+            assert got[p] == "modified"
+        else:
+            assert p not in got  # single-revision → unchanged, dropped
+
+
+def test_commit_delta_touch_only_is_unchanged(spark):
+    # same content, new commit id → sha equal → unchanged
+    old = with_sha256(
+        spark.createDataFrame([("r", "p", 0, "c0", "same body", 0)], _SCHEMA)
+    )
+    new = with_sha256(
+        spark.createDataFrame([("r", "p", 1, "c1", "same body", 0)], _SCHEMA)
+    )
+    assert commit_delta(old, new).count() == 0
+    [r] = commit_delta(old, new, include_unchanged=True).collect()
+    assert r["change"] == "unchanged"
+
+
+def test_incremental_reindex_matches_cold_build(spark, commits):
+    """The full maintenance loop: index the old snapshot, diff to the new
+    snapshot, tombstone (modified ∪ deleted), build a partial index over
+    (added ∪ modified) new versions, merge, compact — postings, stats and
+    rankings all equal a cold build over the new snapshot."""
+    from searchenginejava_spark.plans.pipeline import (
+        build_index,
+        compact_index,
+        delete_docs,
+        merge_indexes,
+        run_queries,
+    )
+
+    old_snap = with_sha256(
+        snapshot_at(commits.filter(F.col("i") % 5 != 0), 0)
+    )
+    new_snap = with_sha256(head_snapshot(commits.filter(F.col("i") % 7 != 0)))
+    # dense ids for the old corpus; new versions get a disjoint id range
+    old_docs = old_snap.select(
+        (F.col("i") * 10).alias("doc_id"), F.col("content").alias("text"),
+        "path",
+    )
+    delta = commit_delta(old_snap, new_snap)
+    delta.persist()
+    gone = delta.filter(F.col("change").isin("modified", "deleted")).select(
+        "path"
+    )
+    fresh = delta.filter(F.col("change").isin("modified", "added")).select(
+        "path"
+    )
+    new_docs = new_snap.join(fresh, "path", "left_semi").select(
+        (F.col("i") * 10 + 1).alias("doc_id"),
+        F.col("content").alias("text"),
+        "path",
+    )
+
+    idx_old = build_index(
+        spark, old_docs.drop("path"), text_col="text", mode="simple",
+        num_partitions=4,
+    )
+    tombs = old_docs.join(gone, "path", "left_semi").select("doc_id")
+    idx_new = build_index(
+        spark, new_docs.drop("path"), text_col="text", mode="simple",
+        num_partitions=4,
+    )
+    inc = compact_index(
+        spark,
+        merge_indexes(spark, delete_docs(idx_old, tombs), idx_new,
+                      num_partitions=4),
+        num_partitions=4,
+    )
+
+    survivors = old_docs.join(gone, "path", "left_anti")
+    cold_corpus = survivors.unionByName(new_docs).drop("path")
+    cold = build_index(
+        spark, cold_corpus, text_col="text", mode="simple", num_partitions=4
+    )
+
+    assert inc.stats == cold.stats
+    a = sorted(
+        (r["term"], r["df"], r["cf"], bytes(r["postings"]))
+        for r in inc.postings.collect()
+    )
+    b = sorted(
+        (r["term"], r["df"], r["cf"], bytes(r["postings"]))
+        for r in cold.postings.collect()
+    )
+    assert a == b
+    queries = [(0, "alpha beta"), (1, "theta v2"), (2, "gamma")]
+    ra = sorted(map(tuple, run_queries(spark, inc, queries, k=8).collect()))
+    rb = sorted(map(tuple, run_queries(spark, cold, queries, k=8).collect()))
+    assert ra == rb and ra
+    delta.unpersist()
+
+
+def test_cross_source_duplicates(spark):
+    from searchenginejava_spark.operators.dedup import cross_source_duplicates
+
+    df = spark.createDataFrame(
+        [
+            ("r1", "shared util"),
+            ("r2", "shared util"),
+            ("r1", "shared util"),
+            ("r3", "unique file"),
+            ("r2", "pair file"),
+            ("r9", "pair file"),
+        ],
+        "repo string, content string",
+    )
+    got = {
+        r["sources"]: (r["n_sources"], r["n_files"])
+        for r in cross_source_duplicates(df).collect()
+    }
+    assert got == {"r1,r2": (2, 3), "r2,r9": (2, 2)}
+    # min_sources raises the bar
+    assert cross_source_duplicates(df, min_sources=3).count() == 0
+
+
+def test_mixture_weights_alpha_one_is_natural(spark):
+    from searchenginejava_spark.operators.curation import mixture_weights
+
+    df = spark.createDataFrame(
+        [("a", "x " * 30), ("b", "y " * 10)], "source string, text string"
+    )
+    rows = mixture_weights(df, alpha=1.0).collect()
+    assert all(abs(r["weight"] - 1.0) < 1e-9 for r in rows)
+    assert abs(sum(r["target_share"] for r in rows) - 1.0) < 1e-6
+
+
+def test_mixture_weights_alpha_upweights_tail(spark):
+    from searchenginejava_spark.operators.curation import mixture_weights
+
+    df = spark.createDataFrame(
+        [("big", "x " * 90), ("small", "y " * 10)],
+        "source string, text string",
+    )
+    got = {r["group"]: r for r in mixture_weights(df, alpha=0.5).collect()}
+    assert got["small"]["weight"] > 1.0 > got["big"]["weight"]
+    # hand check: shares 0.9/0.1 → sqrt 0.948683/0.316228
+    import math
+
+    s = math.sqrt(0.9) + math.sqrt(0.1)
+    assert got["small"]["target_share"] == round(math.sqrt(0.1) / s, 6)

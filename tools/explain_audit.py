@@ -1098,6 +1098,69 @@ def main() -> None:
         ("IVF-PQ serving (partitioned codes, probe-pruned ADC)", p_ip, checks)
     )
 
+    # commit-history family: head selection must be ONE hash aggregation
+    # (map-side combining max_by), never a window sort over the version
+    # history; the snapshot diff must be one join with no extra exchange
+    # beyond the two key shuffles.
+    from searchenginejava_spark.operators.vcs import (
+        commit_delta,
+        head_snapshot,
+    )
+    from searchenginejava_spark.sources.source import with_sha256
+
+    commits_au = corpus.select(
+        "doc_id",
+        F.concat(F.lit("org"), (F.col("doc_id") % 7).cast("string")).alias(
+            "repo"
+        ),
+        F.concat(F.lit("f"), F.col("doc_id").cast("string")).alias("path"),
+        (F.col("doc_id") % 3).cast("long").alias("commit_seq"),
+        F.md5(F.col("doc_id").cast("string")).alias("commit"),
+        F.col("text").alias("content"),
+    )
+    p_hs = plan_of(head_snapshot(commits_au))
+    p_cd = plan_of(
+        commit_delta(
+            with_sha256(head_snapshot(commits_au)),
+            with_sha256(head_snapshot(commits_au.filter("doc_id % 2 = 0"))),
+        )
+    )
+    checks = [
+        (
+            "head selection is hash agg (max_by), not a window sort",
+            "Window" not in p_hs and "max_by" in p_hs,
+            "",
+        ),
+        (
+            # max_by's struct-typed buffer is not hash-aggregable, so
+            # Spark plans SortAggregate — the partial combine is still
+            # there (partial_max_by before the Exchange), which is the
+            # property that bounds the shuffle to one row per (key,
+            # map-partition).
+            "head agg is partial+final (map-side combine over versions)",
+            "partial_max_by" in p_hs
+            and n_nodes(p_hs, "SortAggregate") + n_nodes(p_hs, "HashAggregate")
+            >= 2,
+            f"SortAggregate x{n_nodes(p_hs, 'SortAggregate')}",
+        ),
+        (
+            "single Exchange for head selection",
+            n_nodes(p_hs, "Exchange") == 1,
+            f"Exchange x{n_nodes(p_hs, 'Exchange')}",
+        ),
+        (
+            "delta is one join, zero Python crossings",
+            n_nodes(p_cd, "SortMergeJoin") + n_nodes(p_cd, "BroadcastHashJoin")
+            == 1
+            and "ArrowEvalPython" not in p_cd
+            and "MapInPandas" not in p_cd,
+            "",
+        ),
+    ]
+    sections.append(
+        ("commit history (head snapshot argmax + snapshot diff)", p_hs + "\n\n" + p_cd, checks)
+    )
+
     ok = True
     out = ["# PLANS.md — physical-plan audit (generated by tools/explain_audit.py)", ""]
     for title, plan, cks in sections:
