@@ -1809,6 +1809,35 @@ def q_federated_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_shard_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard routing (Elasticsearch can_match): which of 4 doc-range
+    shards must each query be fanned out to, decided from shard-level
+    term directories only — the exact decision the Bloom fast path must
+    be a superset of (test_routing.py pins that soundness)."""
+    from searchenginejava_spark.operators.routing import (
+        route_queries,
+        shard_term_directory,
+    )
+
+    tf = _tf(spark, sf_dir)
+    tf.persist()
+    parts = []
+    for par in range(4):
+        tf_p = tf.filter(F.col("doc_id") % 4 == par)
+        dct_p = tf_p.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("df")
+        )
+        parts.append((tf_p, None, dct_p, {}))
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    res = route_queries(qt, shard_term_directory(parts), mode="any")
+    res = res.orderBy("query_id", "shard_id")
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
 def q_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RM3 pseudo-relevance feedback (Lavrenko & Croft SIGIR'01; the
     Anserini convention): BM25 top-10 feedback docs → relevance-model
@@ -2745,7 +2774,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_collapse_search": q_collapse_search,
         "q_search_aggs": q_search_aggs,
         "q_sessionize": q_sessionize,
-        "q_event_rollup": q_event_rollup,
+        # Wave-13: q_shard_routing (shard pruning — a new family) took
+        # q_event_rollup's slot; the log-analytics family keeps
+        # q_sessionize in-window.
+        "q_shard_routing": q_shard_routing,
         "q_maxscore_topk": q_maxscore_topk,
         "q_subtoken_index": q_subtoken_index,
         "q_symbol_extract": q_symbol_extract,
@@ -2806,6 +2838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r02-driver-green rows. The other wave-10 queries ride in-window
         # family reps (spans ride duplication_stats, significant_terms
         # rides search_aggs, pack_sequences rides sample_mixture/chunk).
+        "q_event_rollup": q_event_rollup,
         "q_dismax": q_dismax,
         # Wave-11: q_mmr_rerank (diversification — a new family) took
         # q_boilerplate_stats's slot; textstats keeps q_duplication_stats
@@ -5462,6 +5495,22 @@ def oracle_sql() -> dict[str, str]:
     sql["q_federated_search"] = sql["q_bm25_topk"]
     # star contraction computes the same components as propagation
     sql["q_dedup_clusters_star"] = sql["q_dedup_clusters"]
+    # shard routing (can_match): exact per-(query, shard) presence over
+    # 4 doc-modulo shards — n hit terms + their per-shard df sum
+    sql["q_shard_routing"] = _SQL_TF + f"""
+    , dct AS (SELECT doc_id % 4 AS shard_id, term,
+                     CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY 1, 2),
+    q(query_id, term, qtf) AS (VALUES {q_values}),
+    qd AS (SELECT DISTINCT query_id, term FROM q)
+    SELECT CAST(query_id AS INT) AS query_id,
+           CAST(shard_id AS INT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_terms_present,
+           CAST(sum(df) AS BIGINT) AS sum_df
+    FROM qd JOIN dct USING (term)
+    GROUP BY query_id, shard_id
+    ORDER BY query_id, shard_id
+    """
     # query-string language: '"table hash" OR (customer AND NOT slow)' —
     # phrase adjacency join ∪ (semi ∖ anti), BM25 over the positive terms
     sql["q_query_string"] = _SQL_TOKL + f"""

@@ -1,0 +1,216 @@
+"""Shard routing — query-time shard pruning for federated search.
+
+The Elasticsearch ``can_match`` / Lucene segment-skipping idea: before
+fanning a query out to every shard of a federated index, consult a
+shard-level SUMMARY (orders of magnitude smaller than the postings) and
+skip shards that provably cannot contribute a candidate. At 10^12 files
+an index is served by thousands of doc-range shards; most rare-term
+queries touch a handful of them, so routing turns per-query cost from
+O(shards) scheduled tasks into O(matching shards).
+
+Two summary granularities, both shard-local to build (no cross-shard
+shuffle — each is one agg over that shard's dictionary):
+
+- **exact term directory** — the distinct (shard_id, term) relation of
+  the shards' dictionaries. Size = Σ per-shard vocabulary (term strings
+  dominate); routing is a broadcast semi-join of the query vocabulary
+  against it, giving the EXACT per-(query, shard) hit-term count. This
+  is the oracle-checkable ground truth (``q_shard_routing``).
+- **Bloom bitset** — per shard, an m-bit Bloom filter over h60 term
+  hashes (k probes, deterministic double hashing). Size = shards ·
+  m/8 bytes regardless of vocabulary — thousands of shards fit in one
+  broadcast — at the price of false-positive probes (NEVER false
+  negatives: a pytest pins the superset property). This is what a
+  coordinator node would actually hold resident.
+
+Routing semantics mirror the boolean layer: ``mode="any"`` keeps a
+shard if ≥1 query term is present (OR / BM25 candidates — correct
+pruning for every disjunctive scorer in this repo, whose candidate
+streams are term-driven semi-joins); ``mode="all"`` keeps it only if
+every term is present (conjunctive / phrase pre-filter — a shard
+missing one phrase term cannot serve the phrase).
+
+Federated integration: ``federated_topk`` scores each part with a
+query-term semi-join, so a query routed away from a shard contributes
+zero rows there by construction — pruning is output-invisible
+(``test_routing.py`` pins federated-with-pruning ≡ monolithic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import str_hash60
+
+
+def shard_term_directory(
+    parts: list[tuple[DataFrame, DataFrame, DataFrame, dict]]
+) -> DataFrame:
+    """Exact shard→term directory: (shard_id, term, df) over the parts'
+    dictionaries (the ``federated_topk`` parts shape). Each shard's
+    slice is one projection of its already-built dictionary — building
+    the directory reads no postings and shuffles nothing row-level."""
+    out = None
+    for sid, (_tf, _docs, dct, _stats) in enumerate(parts):
+        d = dct.select(
+            F.lit(sid).cast("int").alias("shard_id"),
+            F.col("term"),
+            F.col("df").cast("long").alias("df"),
+        )
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+def route_queries(
+    query_terms: DataFrame,
+    directory: DataFrame,
+    *,
+    mode: str = "any",
+) -> DataFrame:
+    """Exact routing decision: (query_id, shard_id, n_terms_present,
+    sum_df) for every shard the query must be sent to.
+
+    ``mode="any"``: shards with ≥1 of the query's terms (disjunctive
+    scorers). ``mode="all"``: shards holding EVERY query term
+    (conjunctive/phrase pre-filter).
+
+    Plan shape: the query vocabulary (tiny) broadcasts against the
+    directory; the per-(query, shard) agg touches only matched rows.
+    The directory never broadcasts — at 10^4 shards × 10^7 terms it is
+    a normal relation; the QUERY side is the small side.
+    """
+    if mode not in ("any", "all"):
+        raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
+    qt = query_terms.select("query_id", "term").distinct()
+    n_q = qt.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_query_terms")
+    )
+    hits = (
+        directory.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_present"),
+            F.sum("df").cast("long").alias("sum_df"),
+        )
+    )
+    if mode == "all":
+        hits = hits.join(F.broadcast(n_q), "query_id").filter(
+            F.col("n_terms_present") == F.col("n_query_terms")
+        ).drop("n_query_terms")
+    return hits.select(
+        F.col("query_id").cast("int"),
+        F.col("shard_id").cast("int"),
+        "n_terms_present",
+        "sum_df",
+    )
+
+
+# --- Bloom summaries ----------------------------------------------------
+
+BLOOM_M_BITS = 4096   # bits per shard (512 B) — sandbox-sized default
+BLOOM_K = 4           # probes per term
+
+
+def _bloom_positions(col, m_bits: int, k: int):
+    """k deterministic probe positions via double hashing h1 + i·h2
+    (Kirsch & Mitzenmacher 2006) over the shared h60; h2 forced odd so
+    its orbit covers power-of-two m_bits."""
+    h = str_hash60(col)
+    h1 = h % F.lit(m_bits)
+    h2 = (F.floor(h / F.lit(m_bits)) % F.lit(m_bits)) * 2 + 1
+    return [((h1 + F.lit(i) * h2) % F.lit(m_bits)).cast("int") for i in range(k)]
+
+
+def shard_bloom_summaries(
+    parts: list[tuple[DataFrame, DataFrame, DataFrame, dict]],
+    *,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Per-shard Bloom bitset over term h60 hashes: (shard_id, bits)
+    with ``bits`` an array<long> of m_bits/64 words. Built with one
+    explode→agg per shard over its dictionary (bit_or of single-bit
+    words via bitwise agg on each word slot).
+
+    Size argument: at m_bits=2^17 (16 KiB) and 10^4 shards the whole
+    summary table is 160 MB — one broadcast on a coordinator, while the
+    exact directory at 10^7 terms/shard would be ~TBs of strings."""
+    n_words = m_bits // 64
+    directory = shard_term_directory(parts)
+    pos = _bloom_positions(F.col("term"), m_bits, k)
+    bits = directory.select(
+        "shard_id", F.explode(F.array(*pos)).alias("p")
+    ).select(
+        "shard_id",
+        (F.col("p") / 64).cast("int").alias("word"),
+        # SQL shiftleft accepts a column shift count (the Python
+        # wrapper insists on a literal int)
+        F.expr("shiftleft(1L, p % 64)").alias("bit"),
+    )
+    words = bits.groupBy("shard_id", "word").agg(
+        F.bit_or("bit").alias("w")
+    )
+    # dense word array per shard (missing words = 0)
+    return (
+        words.groupBy("shard_id")
+        .agg(F.map_from_arrays(F.collect_list("word"), F.collect_list("w")).alias("wm"))
+        .select(
+            F.col("shard_id").cast("int"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                # wm is a MAP keyed by word index — element_at takes
+                # the key itself (1-based positions are for arrays)
+                lambda i: F.coalesce(F.element_at(F.col("wm"), i), F.lit(0).cast("long")),
+            ).alias("bits"),
+        )
+    )
+
+
+def route_queries_bloom(
+    query_terms: DataFrame,
+    blooms: DataFrame,
+    *,
+    mode: str = "any",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Bloom routing decision: (query_id, shard_id, n_terms_maybe).
+    Sound for pruning: a Bloom ``maybe`` is a superset of exact
+    presence, so every shard exact routing keeps is kept here too
+    (pinned by ``test_bloom_routing_superset``); false positives only
+    cost a wasted probe, never a lost candidate.
+
+    Plan shape: the query vocabulary with precomputed probe positions
+    broadcasts against the bloom table (shards × m/8 bytes); the
+    membership test is a native array fold — no Python, no shuffle of
+    anything shard-sized."""
+    if mode not in ("any", "all"):
+        raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
+    qt = query_terms.select("query_id", "term").distinct()
+    pos = _bloom_positions(F.col("term"), m_bits, k)
+    qtp = qt.select("query_id", "term", F.array(*pos).alias("probes"))
+    n_q = qtp.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_query_terms")
+    )
+    present = F.forall(
+        F.col("probes"),
+        lambda p: F.getbit(
+            F.element_at(F.col("bits"), (p / 64).cast("int") + 1),
+            (p % 64).cast("int"),
+        )
+        == 1,
+    )
+    hits = (
+        blooms.join(F.broadcast(qtp), present, "inner")
+        .groupBy("query_id", "shard_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_terms_maybe"))
+    )
+    if mode == "all":
+        hits = hits.join(F.broadcast(n_q), "query_id").filter(
+            F.col("n_terms_maybe") == F.col("n_query_terms")
+        ).drop("n_query_terms")
+    return hits.select(
+        F.col("query_id").cast("int"),
+        F.col("shard_id").cast("int"),
+        "n_terms_maybe",
+    )

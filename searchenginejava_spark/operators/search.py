@@ -720,6 +720,7 @@ def federated_topk(
     k1: float = BM25_K1,
     b: float = BM25_B,
     doc_excludes: list[DataFrame | None] | None = None,
+    routing: DataFrame | None = None,
 ) -> DataFrame:
     """Federated BM25 over multiple indexes — the Elasticsearch
     ``dfs_query_then_fetch`` semantics: compute GLOBAL term statistics
@@ -728,6 +729,15 @@ def federated_topk(
     per-part top-k by score (the standard shard-merge argument: every
     global-top-k doc is in its own part's top-k, so merging per-part
     top-k is exact).
+
+    ``routing`` (optional): a (query_id, shard_id) relation from
+    ``operators.routing.route_queries`` (shard_id = position in
+    ``parts``). Each part then scores only the queries routed to it,
+    and a part with NO routed query is skipped outright (no job, no
+    scan). Global statistics still come from ALL parts, so pruning is
+    output-invisible: a pruned (query, shard) pair holds none of the
+    query's terms and could not have produced a candidate anyway
+    (``test_federated_with_routing_is_output_invisible``).
 
     ``parts`` is a list of (tf, docs, dictionary, stats) — e.g. index
     generations that were never physically merged, or per-tenant
@@ -758,13 +768,32 @@ def federated_topk(
         gdf = d if gdf is None else gdf.unionByName(d)
     gdict = gdf.groupBy("term").agg(F.sum("df").cast("long").alias("df"))
     merged = None
+    routed_by_shard: dict[int, list[int]] | None = None
+    if routing is not None:
+        # O(queries × shards) rows — the routing decision itself, not
+        # anything data-sized — so collecting it to plan the fan-out is
+        # the coordinator's job description.
+        routed_by_shard = {}
+        for row in routing.select("query_id", "shard_id").distinct().collect():
+            routed_by_shard.setdefault(int(row["shard_id"]), []).append(
+                int(row["query_id"])
+            )
     for i, (tf_p, docs_p, dict_p, _) in enumerate(parts):
+        qt_i = query_terms
+        if routed_by_shard is not None:
+            qids = routed_by_shard.get(i)
+            if not qids:
+                continue  # no query routed here: skip the shard's job
+            qt_i = query_terms.filter(F.col("query_id").isin(qids))
         excl = doc_excludes[i] if doc_excludes else None
         r = score_exhaustive(
-            query_terms, tf_p, docs_p, gdict, stats_g, k=k, k1=k1, b=b,
+            qt_i, tf_p, docs_p, gdict, stats_g, k=k, k1=k1, b=b,
             doc_exclude=excl,
         ).select("query_id", "doc_id", "score")
         merged = r if merged is None else merged.unionByName(r)
+    if merged is None:
+        schema = "query_id int, rank int, doc_id long, score double"
+        return query_terms.sparkSession.createDataFrame([], schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")
     )

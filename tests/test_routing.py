@@ -1,0 +1,132 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginejava_spark.functions.tokenize import tokens_simple_col
+from searchenginejava_spark.operators.index import (
+    explode_tokens,
+    term_frequencies,
+)
+from searchenginejava_spark.operators.routing import (
+    route_queries,
+    route_queries_bloom,
+    shard_bloom_summaries,
+    shard_term_directory,
+)
+from searchenginejava_spark.operators.search import federated_topk
+
+TESTDATA = "/root/testdata/sf0.001"
+
+
+def _parts(spark, n_shards=4):
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    toks = docs.select("doc_id", tokens_simple_col("text").alias("tokens"))
+    tf = term_frequencies(explode_tokens(toks)).select(
+        "doc_id", "term", F.col("tf").cast("long").alias("tf")
+    )
+    tf.persist().count()
+    parts = []
+    for p in range(n_shards):
+        tf_p = tf.filter(F.col("doc_id") % n_shards == p)
+        dl_p = tf_p.groupBy("doc_id").agg(
+            F.sum("tf").cast("long").alias("doc_len")
+        )
+        srow = dl_p.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("t")
+        ).collect()[0]
+        dct_p = tf_p.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("df")
+        )
+        parts.append(
+            (tf_p, dl_p, dct_p,
+             {"N": int(srow["n"]), "total_terms": int(srow["t"] or 0)})
+        )
+    return tf, parts
+
+
+def _qt(spark):
+    rows = [(0, "table", 1), (0, "hash", 1), (1, "zebra", 1),
+            (2, "merge", 1), (2, "zebra", 1)]
+    return spark.createDataFrame(rows, "query_id int, term string, qtf int")
+
+
+def test_exact_routing_matches_presence(spark):
+    """route_queries(mode='any') keeps exactly the shards whose tf
+    relation contains >=1 query term, with the right hit counts."""
+    tf, parts = _parts(spark)
+    qt = _qt(spark)
+    directory = shard_term_directory(parts)
+    routed = route_queries(qt, directory, mode="any").collect()
+    got = {(r["query_id"], r["shard_id"]): r["n_terms_present"] for r in routed}
+    # independent reference: per-shard presence from the raw tf
+    expect = {}
+    for sid, (tf_p, _, _, _) in enumerate(parts):
+        present = {
+            r["term"]
+            for r in tf_p.select("term").distinct()
+            .join(qt.select("term").distinct(), "term").collect()
+        }
+        for qid, terms in [(0, {"table", "hash"}), (1, {"zebra"}),
+                           (2, {"merge", "zebra"})]:
+            n = len(terms & present)
+            if n:
+                expect[(qid, sid)] = n
+    assert got == expect
+    tf.unpersist()
+
+
+def test_routing_all_mode_subset_of_any(spark):
+    tf, parts = _parts(spark)
+    qt = _qt(spark)
+    directory = shard_term_directory(parts)
+    directory.persist().count()
+    any_r = {(r["query_id"], r["shard_id"])
+             for r in route_queries(qt, directory, mode="any").collect()}
+    all_r = route_queries(qt, directory, mode="all").collect()
+    all_set = {(r["query_id"], r["shard_id"]) for r in all_r}
+    assert all_set <= any_r
+    # mode='all' rows really hold every query term
+    nq = {0: 2, 1: 1, 2: 2}
+    for r in all_r:
+        assert r["n_terms_present"] == nq[r["query_id"]]
+    directory.unpersist()
+    tf.unpersist()
+
+
+def test_bloom_routing_superset(spark):
+    """Soundness: Bloom routing never prunes a shard exact routing
+    keeps (no false negatives), in both modes."""
+    tf, parts = _parts(spark)
+    qt = _qt(spark)
+    directory = shard_term_directory(parts)
+    directory.persist().count()
+    blooms = shard_bloom_summaries(parts)
+    blooms.persist().count()
+    for mode in ("any", "all"):
+        exact = {(r["query_id"], r["shard_id"])
+                 for r in route_queries(qt, directory, mode=mode).collect()}
+        bloom = {(r["query_id"], r["shard_id"])
+                 for r in route_queries_bloom(qt, blooms, mode=mode).collect()}
+        assert exact <= bloom, f"bloom dropped a live shard in mode={mode}"
+    directory.unpersist()
+    blooms.unpersist()
+    tf.unpersist()
+
+
+def test_federated_with_routing_is_output_invisible(spark):
+    """Scoring only the routed shards equals scoring all shards: a
+    pruned shard holds no query term, so its candidate stream is empty
+    by construction."""
+    tf, parts = _parts(spark)
+    qt = _qt(spark)
+    directory = shard_term_directory(parts)
+    routed = route_queries(qt, directory, mode="any")
+    full = federated_topk(qt, parts, k=10).collect()
+    pruned = federated_topk(qt, parts, k=10, routing=routed).collect()
+    assert [(r["query_id"], r["rank"], r["doc_id"]) for r in full] == [
+        (r["query_id"], r["rank"], r["doc_id"]) for r in pruned
+    ]
+    for a, b in zip(full, pruned):
+        assert a["score"] == pytest.approx(b["score"], rel=1e-12)
+    tf.unpersist()

@@ -1161,6 +1161,72 @@ def main() -> None:
         ("commit history (head snapshot argmax + snapshot diff)", p_hs + "\n\n" + p_cd, checks)
     )
 
+    # shard routing: the QUERY vocabulary must be the broadcast side
+    # against the shard directory (the directory is shards x vocab and
+    # must never broadcast); the Bloom membership probe must be fully
+    # native (a getbit array-fold — zero Python crossings).
+    from searchenginejava_spark.operators.routing import (
+        route_queries,
+        route_queries_bloom,
+        shard_bloom_summaries,
+        shard_term_directory,
+    )
+
+    # native-split tf so the audit isolates the ROUTING stages (the
+    # real pipeline's Arrow tokenizer is audited in its own section)
+    tf_rt = (
+        corpus.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    parts_rt = []
+    for pr in range(2):
+        tf_p = tf_rt.filter(F.col("doc_id") % 2 == pr)
+        parts_rt.append(
+            (tf_p, None,
+             tf_p.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df")),
+             {})
+        )
+    qt_rt = spark.createDataFrame(
+        [(0, "table", 1), (1, "hash", 1)], "query_id int, term string, qtf int"
+    )
+    p_rt = plan_of(route_queries(qt_rt, shard_term_directory(parts_rt)))
+    p_bl = plan_of(
+        route_queries_bloom(qt_rt, shard_bloom_summaries(parts_rt))
+    )
+    checks = [
+        (
+            "exact routing joins via broadcast of the query vocabulary",
+            n_nodes(p_rt, "BroadcastHashJoin") >= 1
+            and n_nodes(p_rt, "SortMergeJoin") == 0,
+            f"BroadcastHashJoin x{n_nodes(p_rt, 'BroadcastHashJoin')}",
+        ),
+        (
+            "exact routing plan has no Python crossing",
+            "ArrowEvalPython" not in p_rt and "MapInPandas" not in p_rt
+            and "BatchEvalPython" not in p_rt,
+            "",
+        ),
+        (
+            "bloom probe is native (getbit fold, zero Python crossings)",
+            "ArrowEvalPython" not in p_bl and "MapInPandas" not in p_bl
+            and "BatchEvalPython" not in p_bl,
+            "",
+        ),
+        (
+            "bloom summary bitset built without cartesian joins",
+            n_nodes(p_bl, "CartesianProduct") == 0,
+            "",
+        ),
+    ]
+    sections.append(
+        ("shard routing (can_match pruning: exact directory + Bloom)", p_rt + "\n\n" + p_bl, checks)
+    )
+
     ok = True
     out = ["# PLANS.md — physical-plan audit (generated by tools/explain_audit.py)", ""]
     for title, plan, cks in sections:
