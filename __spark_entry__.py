@@ -1838,6 +1838,27 @@ def q_shard_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_reorder_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-ID reordering for compression (URL-sort/BP family): per-term
+    analytic delta+varbyte size under the current ids vs ids
+    re-assigned by (source, lang) locality — the layout-migration
+    decision relation. The analytic model is pinned byte-identical to
+    the real codec by test_layout.py."""
+    from searchenginejava_spark.operators.layout import (
+        compare_layouts,
+        reorder_map,
+    )
+    from searchenginejava_spark.sources.source import read_documents
+
+    docs = read_documents(spark, sf_dir)
+    tf = _tf(spark, sf_dir)
+    m = reorder_map(docs, ("source", "lang"))
+    res = compare_layouts(tf, m).orderBy("term")
+    res.persist()
+    res.count()
+    return res
+
+
 def q_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RM3 pseudo-relevance feedback (Lavrenko & Croft SIGIR'01; the
     Anserini convention): BM25 top-10 feedback docs → relevance-model
@@ -2807,7 +2828,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # chunking) in-window, and both displaced queries stay registered
         # right after the boundary.
         "q_head_snapshot": q_head_snapshot,
-        "q_commit_delta": q_commit_delta,
+        # Wave-13: q_reorder_compression (index layout — a new family)
+        # took q_commit_delta's slot; the commit-history family keeps
+        # q_head_snapshot in-window.
+        "q_reorder_compression": q_reorder_compression,
         "q_search_after": q_search_after,
         "q_explain_score": q_explain_score,
         "q_curation_full": q_curation_full,
@@ -2839,6 +2863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family reps (spans ride duplication_stats, significant_terms
         # rides search_aggs, pack_sequences rides sample_mixture/chunk).
         "q_event_rollup": q_event_rollup,
+        "q_commit_delta": q_commit_delta,
         "q_dismax": q_dismax,
         # Wave-11: q_mmr_rerank (diversification — a new family) took
         # q_boilerplate_stats's slot; textstats keeps q_duplication_stats
@@ -5495,6 +5520,46 @@ def oracle_sql() -> dict[str, str]:
     sql["q_federated_search"] = sql["q_bm25_topk"]
     # star contraction computes the same components as propagation
     sql["q_dedup_clusters_star"] = sql["q_dedup_clusters"]
+    # index-layout comparison: per-term delta+varbyte size (the codec's
+    # exact VB(df) VB(gaps) VB(tfs) layout) under current vs
+    # (source, lang)-clustered doc ids; vbsz is the integer-threshold
+    # byte-count chain (1 + one byte per crossed 128^k boundary)
+    def _vbsz(col: str) -> str:
+        terms = " + ".join(
+            f"CASE WHEN {col} >= {1 << (7 * k)} THEN 1 ELSE 0 END"
+            for k in range(1, 9)
+        )
+        return f"(1 + {terms})"
+
+    sql["q_reorder_compression"] = _SQL_TF + f"""
+    , m AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY source, lang, doc_id) - 1
+                     AS new_id
+            FROM documents),
+    cur AS (
+      SELECT term,
+             doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term
+                                                 ORDER BY doc_id), 0) AS gap,
+             tf
+      FROM tf),
+    reo AS (
+      SELECT term,
+             new_id - coalesce(lag(new_id) OVER (PARTITION BY term
+                                                 ORDER BY new_id), 0) AS gap,
+             tf
+      FROM tf JOIN m USING (doc_id)),
+    c AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+                 CAST(sum({_vbsz('gap')}) + sum({_vbsz('tf')})
+                      + {_vbsz('count(*)')} AS BIGINT) AS bytes_current
+          FROM cur GROUP BY term),
+    r AS (SELECT term,
+                 CAST(sum({_vbsz('gap')}) + sum({_vbsz('tf')})
+                      + {_vbsz('count(*)')} AS BIGINT) AS bytes_reordered
+          FROM reo GROUP BY term)
+    SELECT term, df, bytes_current, bytes_reordered
+    FROM c JOIN r USING (term)
+    ORDER BY term
+    """
     # shard routing (can_match): exact per-(query, shard) presence over
     # 4 doc-modulo shards — n hit terms + their per-shard df sum
     sql["q_shard_routing"] = _SQL_TF + f"""

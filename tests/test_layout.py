@@ -1,0 +1,113 @@
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from searchenginejava_spark.functions.codec import encode_postings
+from searchenginejava_spark.operators.layout import (
+    compare_layouts,
+    posting_byte_sizes,
+    reorder_map,
+    vb_size,
+)
+
+TESTDATA = "/root/testdata/sf0.001"
+
+
+def _tf(spark):
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def test_vb_size_matches_codec_thresholds(spark):
+    """Analytic byte count equals the codec's encoded length at every
+    7-bit boundary (the exact values floating log rounds wrong)."""
+    vals = [0, 1, 127, 128, 16383, 16384, 2097151, 2097152,
+            (1 << 35) - 1, 1 << 35, (1 << 56) - 1, 1 << 56]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r["v"]: r["n"]
+        for r in df.select("v", vb_size(F.col("v")).alias("n")).collect()
+    }
+    for v in vals:
+        expect = len(encode_postings(np.array([0]), np.array([v]))) - 2
+        # layout VB(1) VB(0) VB(v): subtract the two 1-byte headers
+        assert got[v] == expect, f"v={v}: analytic {got[v]} codec {expect}"
+
+
+def test_analytic_size_matches_codec(spark):
+    """posting_byte_sizes == octet_length(encode_postings) per term on a
+    real tf relation — the analytic model prices the true on-disk
+    layout, so layouts can be compared without building an index."""
+    tf = _tf(spark)
+    analytic = {
+        r["term"]: r["bytes"] for r in posting_byte_sizes(tf).collect()
+    }
+    rows = tf.orderBy("term", "doc_id").collect()
+    per_term: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        per_term.setdefault(r["term"], []).append((r["doc_id"], r["tf"]))
+    for term, posting in per_term.items():
+        ids = np.array([p[0] for p in posting], dtype=np.uint64)
+        tfs = np.array([p[1] for p in posting], dtype=np.uint64)
+        assert analytic[term] == len(encode_postings(ids, tfs)), term
+    assert len(analytic) == len(per_term)
+
+
+def test_reorder_map_is_dense_permutation(spark):
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    m = reorder_map(docs, ("source", "lang")).collect()
+    n = docs.count()
+    assert len(m) == n
+    assert sorted(r["new_id"] for r in m) == list(range(n))
+    assert len({r["doc_id"] for r in m}) == n
+
+
+def test_clustered_layout_compresses_better(spark):
+    """256 vocab-disjoint doc groups interleaved by id: every term's
+    gaps are 256 (2 varbyte bytes) in the interleaved layout but 1
+    (1 byte) once the groups are clustered, so the reordered layout
+    must be strictly smaller — the Silvestri/BP effect at the varbyte
+    7-bit granularity (with <128 groups both gap sizes round to one
+    byte and the effect is invisible)."""
+    rows = [
+        (i, f"w{i % 256:03d}a w{i % 256:03d}b", f"g{i % 256:03d}")
+        for i in range(2560)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    m = reorder_map(docs, ("source",))
+    rep = compare_layouts(tf, m).collect()
+    assert rep, "empty report"
+    tot_cur = sum(r["bytes_current"] for r in rep)
+    tot_reo = sum(r["bytes_reordered"] for r in rep)
+    assert tot_reo < tot_cur, (tot_cur, tot_reo)
+
+
+def test_scalable_reorder_matches_window_path(spark):
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    a = {
+        (r["doc_id"], r["new_id"])
+        for r in reorder_map(docs, ("source", "lang")).collect()
+    }
+    b = {
+        (r["doc_id"], r["new_id"])
+        for r in reorder_map(
+            docs, ("source", "lang"), scalable=True, num_partitions=4
+        ).collect()
+    }
+    assert a == b
