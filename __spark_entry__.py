@@ -1838,6 +1838,37 @@ def q_shard_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_ltr_suffstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ranker training, the sufficient-statistics half: the
+    mean Gram matrix E[x_i x_j] / moment vector E[x_i y] of the LETOR
+    features against the synthetic qrels — the ONE aggregation that
+    reduces any number of training rows to the d² numbers the ridge
+    solve needs. DuckDB recomputes the identical statistics from the
+    same feature SQL."""
+    from searchenginejava_spark.operators.ltr import ltr_suffstats
+    from searchenginejava_spark.operators.search import ltr_features
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    dct_cf = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    stats = dict(stats)
+    stats["total_terms"] = int(
+        dl.agg(F.sum("doc_len").alias("t")).collect()[0]["t"]
+    )
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    feats = ltr_features(qt, tf, dl, dct_cf, stats)
+    res = ltr_suffstats(feats, _synthetic_qrels(spark, sf_dir)).select(
+        "f_i", "f_j", F.round("value", 6).alias("value")
+    ).orderBy("f_i", "f_j")
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
 def q_reorder_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-ID reordering for compression (URL-sort/BP family): per-term
     analytic delta+varbyte size under the current ids vs ids
@@ -2787,10 +2818,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_query_expansion": q_query_expansion,
         # -- new this round --
         "q_expansion_ann": q_expansion_ann,
-        "q_expansion_embedded": q_expansion_embedded,
         "q_lm_dirichlet": q_lm_dirichlet,
         "q_rm3_expansion": q_rm3_expansion,
         "q_ltr_features": q_ltr_features,
+        # Wave-13: ranker TRAINING (sufficient statistics) — rides next
+        # to its feature logger; both in-window.
+        "q_ltr_suffstats": q_ltr_suffstats,
         "q_sdm": q_sdm,
         "q_collapse_search": q_collapse_search,
         "q_search_aggs": q_search_aggs,
@@ -2862,6 +2895,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r02-driver-green rows. The other wave-10 queries ride in-window
         # family reps (spans ride duplication_stats, significant_terms
         # rides search_aggs, pack_sequences rides sample_mixture/chunk).
+        # Wave-13 displacements: q_ltr_suffstats took
+        # q_expansion_embedded's slot (expansion family keeps
+        # q_query_expansion + q_expansion_ann + q_rm3_expansion
+        # in-window).
+        "q_expansion_embedded": q_expansion_embedded,
         "q_event_rollup": q_event_rollup,
         "q_commit_delta": q_commit_delta,
         "q_dismax": q_dismax,
@@ -5520,6 +5558,86 @@ def oracle_sql() -> dict[str, str]:
     sql["q_federated_search"] = sql["q_bm25_topk"]
     # star contraction computes the same components as propagation
     sql["q_dedup_clusters_star"] = sql["q_dedup_clusters"]
+    # LTR sufficient statistics: mean Gram matrix / moment vector of the
+    # LETOR features vs the synthetic qrels — same feature CTEs as
+    # q_ltr_features (unrounded), melted to (f_i, f_j, value) rows
+    _LTR_X = {
+        "__one__": "1.0",
+        "bm25": "bm25",
+        "tfidf": "tfidf",
+        "lm": "lm",
+        "coverage": "coverage",
+        "tf_sum": "tf_sum",
+        "doc_len": "doc_len",
+    }
+    _ltr_names = list(_LTR_X)
+    _ltr_aggs, _ltr_sel = [], []
+    for _i, _a in enumerate(_ltr_names):
+        for _j in range(_i, len(_ltr_names)):
+            _b = _ltr_names[_j]
+            _al = f"v{_i}_{_j}"
+            _ltr_aggs.append(
+                f"round(avg(({_LTR_X[_a]}) * ({_LTR_X[_b]})), 6) AS {_al}"
+            )
+            _ltr_sel.append(
+                f"SELECT '{_a}' AS f_i, '{_b}' AS f_j, {_al} AS value FROM s"
+            )
+        _ltr_aggs.append(f"round(avg(({_LTR_X[_a]}) * y), 6) AS vy{_i}")
+        _ltr_sel.append(f"SELECT '{_a}', '__label__', vy{_i} FROM s")
+    _ltr_aggs.append("round(CAST(count(*) AS DOUBLE), 6) AS vn")
+    _ltr_sel.append("SELECT '__n__', '__n__', vn FROM s")
+    sql["q_ltr_suffstats"] = _SQL_TF + f"""
+    , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+             FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+    tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM tf),
+    dict AS (SELECT term, count(*) AS df, sum(tf) AS cf
+             FROM tf GROUP BY term),
+    q(query_id, term, qtf) AS (VALUES {q_values}),
+    qmeta AS (SELECT query_id, count(DISTINCT term) AS n_qterms,
+                     CAST(sum(qtf) AS DOUBLE) AS qlen
+              FROM q GROUP BY query_id),
+    agg AS (
+      SELECT q.query_id, tf.doc_id,
+             sum(q.qtf
+                 * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                 * (tf.tf * {_K1 + 1.0})
+                 / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+             ) AS bm25,
+             sum((q.qtf * pow(1.0 + ln(stats.n / (dict.df + 1.0)), 2))
+                 * sqrt(tf.tf) / sqrt(dl.doc_len)) AS tfidf,
+             sum(q.qtf * ln(1.0 + tf.tf
+                            / ((2000.0 * dict.cf) / tot.total))) AS lm_part,
+             count(DISTINCT tf.term) AS n_matched,
+             CAST(sum(tf.tf) AS BIGINT) AS tf_sum,
+             CAST(min(dl.doc_len) AS BIGINT) AS doc_len
+      FROM q
+      JOIN dict USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      CROSS JOIN tot
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    feats AS (
+      SELECT a.query_id, a.doc_id, a.bm25, a.tfidf,
+             a.lm_part + qmeta.qlen * ln(2000.0 / (a.doc_len + 2000.0)) AS lm,
+             CAST(a.n_matched AS DOUBLE) / qmeta.n_qterms AS coverage,
+             CAST(a.tf_sum AS DOUBLE) AS tf_sum,
+             CAST(a.doc_len AS DOUBLE) AS doc_len
+      FROM agg a JOIN qmeta USING (query_id)
+    ),
+    lab AS (
+      SELECT f.*,
+             CAST(CASE WHEN (f.doc_id + f.query_id) % 17 = 0 THEN 2
+                       WHEN (f.doc_id + f.query_id) % 5 = 0 THEN 1
+                       ELSE 0 END AS DOUBLE) AS y
+      FROM feats f
+    ),
+    s AS (SELECT {", ".join(_ltr_aggs)} FROM lab)
+    {" UNION ALL ".join(_ltr_sel)}
+    ORDER BY f_i, f_j
+    """
     # index-layout comparison: per-term delta+varbyte size (the codec's
     # exact VB(df) VB(gaps) VB(tfs) layout) under current vs
     # (source, lang)-clustered doc ids; vbsz is the integer-threshold

@@ -1,0 +1,156 @@
+"""Learning-to-rank training — distributed sufficient statistics.
+
+Completes the LETOR story: ``search.ltr_features`` logs the feature
+matrix; this module TRAINS a pointwise linear ranker on it without ever
+materializing the matrix anywhere central. The trick is the classic
+sufficient-statistics reduction: ridge / least squares needs only
+
+    XᵀX  (d×d Gram matrix)   and   Xᵀy  (d-vector)
+
+and both are plain sums over rows — so ONE map-side-combined
+aggregation reduces 10^9 (query, doc) training rows to d(d+1)/2 + d
+numbers, and the solve is an O(d³) driver-side numpy call on a 7×7
+matrix. This is exactly how Spark MLlib's normal-equation solver works
+internally; it is restated here natively so the statistics themselves
+are an oracle-checkable relation (``q_ltr_suffstats``) — DuckDB
+computes the same Gram matrix from the same feature SQL.
+
+Means, not raw sums: entries are E[x_i·x_j] (divide by n), keeping
+magnitudes O(feature²) regardless of corpus size — numerically stable
+to compare at 6 decimals and the solve is unchanged (scale cancels;
+``lam`` is stated per-row).
+
+Pointwise-linear is the honest baseline ranker (LambdaMART etc. need a
+GBM library this container doesn't ship); the FEATURES carry the
+ranking signal and the same statistics pipeline trains any linear
+model family (polynomial/interaction features are just more columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# bias first — every model below includes an intercept
+LTR_FEATURES = ("bm25", "tfidf", "lm", "coverage", "tf_sum", "doc_len")
+
+
+def ltr_suffstats(
+    features: DataFrame,
+    labels: DataFrame,
+    *,
+    feature_cols: tuple[str, ...] = LTR_FEATURES,
+    label_col: str = "rel",
+) -> DataFrame:
+    """(f_i, f_j, value) — the mean Gram matrix E[x_i x_j] over
+    labelled training rows (upper triangle, bias as ``__one__``), the
+    mean moment vector E[x_i·y] as (f_i, ``__label__``), and the row
+    count as (``__n__``, ``__n__``). One inner join (features are
+    candidate-only, the LETOR convention) and one hash aggregation —
+    nothing row-proportional ever leaves the executors."""
+    rows = features.join(
+        labels.select("query_id", "doc_id", F.col(label_col).alias("_y")),
+        ["query_id", "doc_id"],
+    )
+    xs = {"__one__": F.lit(1.0)}
+    for c in feature_cols:
+        xs[c] = F.col(c).cast("double")
+    names = list(xs)
+    aggs = []
+    out_keys = []
+    for i, a in enumerate(names):
+        for b_ in names[i:]:
+            aggs.append(F.avg(xs[a] * xs[b_]).alias(f"xx_{a}__{b_}"))
+            out_keys.append((a, b_, f"xx_{a}__{b_}"))
+        aggs.append(
+            F.avg(xs[a] * F.col("_y").cast("double")).alias(f"xy_{a}")
+        )
+        out_keys.append((a, "__label__", f"xy_{a}"))
+    aggs.append(F.count(F.lit(1)).cast("double").alias("n_rows"))
+    out_keys.append(("__n__", "__n__", "n_rows"))
+    wide = rows.agg(*aggs)
+    # melt the single wide row into the long relation
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("f_i"),
+                F.lit(b_).alias("f_j"),
+                # full doubles: the ill-conditioned solve amplifies
+                # rounding; the ORACLE row rounds at its own select
+                F.col(alias).alias("value"),
+            )
+            for a, b_, alias in out_keys
+        ]
+    )
+    return (
+        wide.select(F.explode(pairs).alias("s"))
+        .select("s.f_i", "s.f_j", "s.value")
+    )
+
+
+def ltr_fit(
+    suffstats_rows: list,
+    *,
+    feature_cols: tuple[str, ...] = LTR_FEATURES,
+    lam: float = 0.0,
+) -> dict[str, float]:
+    """Solve (XᵀX/n + λI)w = Xᵀy/n from the collected statistics
+    relation — O(d³) on the driver, independent of training-set size.
+    ``lam=0`` is plain least squares (pinv for rank safety). Returns
+    {feature: weight} including ``__one__`` (the intercept); the
+    intercept is never regularized."""
+    import numpy as np
+
+    names = ["__one__", *feature_cols]
+    idx = {n: i for i, n in enumerate(names)}
+    d = len(names)
+    xtx = np.zeros((d, d))
+    xty = np.zeros(d)
+    for r in suffstats_rows:
+        fi, fj, v = r["f_i"], r["f_j"], float(r["value"])
+        if fi == "__n__":
+            continue
+        if fj == "__label__":
+            xty[idx[fi]] = v
+        else:
+            xtx[idx[fi], idx[fj]] = v
+            xtx[idx[fj], idx[fi]] = v
+    reg = lam * np.eye(d)
+    reg[0, 0] = 0.0  # free intercept
+    w = np.linalg.pinv(xtx + reg) @ xty
+    return {n: float(w[i]) for n, i in idx.items()}
+
+
+def ltr_score(
+    features: DataFrame,
+    weights: dict[str, float],
+    *,
+    k: int | None = None,
+) -> DataFrame:
+    """Apply a trained linear ranker natively: score = w·x as one
+    column expression over the feature relation (zero Python, zero
+    extra shuffle beyond the optional per-query top-k window)."""
+    from pyspark.sql.window import Window
+
+    expr = F.lit(float(weights.get("__one__", 0.0)))
+    for name, w in weights.items():
+        if name == "__one__":
+            continue
+        expr = expr + F.lit(float(w)) * F.col(name).cast("double")
+    scored = features.select(
+        "query_id", "doc_id", expr.alias("ltr_score")
+    )
+    if k is None:
+        return scored
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("ltr_score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("int"),
+            F.col("rank").cast("int"),
+            F.col("doc_id").cast("long"),
+            F.round("ltr_score", 6).alias("ltr_score"),
+        )
+    )

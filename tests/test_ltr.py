@@ -1,0 +1,146 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginejava_spark.functions.tokenize import tokens_simple_col
+from searchenginejava_spark.operators.index import (
+    explode_tokens,
+    term_frequencies,
+)
+from searchenginejava_spark.operators.ltr import (
+    LTR_FEATURES,
+    ltr_fit,
+    ltr_score,
+    ltr_suffstats,
+)
+from searchenginejava_spark.operators.search import ltr_features
+
+TESTDATA = "/root/testdata/sf0.001"
+
+QUERIES = [(0, ["table", "hash"]), (1, ["merge", "sort"]), (2, ["spark"])]
+
+
+@pytest.fixture(scope="module")
+def feats_and_labels(spark):
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    toks = docs.select("doc_id", tokens_simple_col("text").alias("tokens"))
+    tf = term_frequencies(explode_tokens(toks)).select(
+        "doc_id", "term", F.col("tf").cast("long").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+    dct = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    srow = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("t")
+    ).collect()[0]
+    stats = {
+        "N": int(srow["n"]),
+        "avgdl": srow["t"] / srow["n"],
+        "total_terms": int(srow["t"]),
+    }
+    q_rows = [(qid, t, 1) for qid, terms in QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    feats = ltr_features(qt, tf, dl, dct, stats)
+    feats.persist().count()
+    key = F.col("doc_id") + F.col("query_id")
+    labels = feats.select("query_id", "doc_id").withColumn(
+        "rel",
+        F.when(key % 17 == 0, F.lit(2))
+        .when(key % 5 == 0, F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    yield feats, labels
+    feats.unpersist()
+
+
+def _numpy_xy(feats, labels):
+    rows = (
+        feats.join(labels, ["query_id", "doc_id"])
+        .orderBy("query_id", "doc_id")
+        .collect()
+    )
+    X = np.array(
+        [[1.0] + [float(r[c]) for c in LTR_FEATURES] for r in rows]
+    )
+    y = np.array([float(r["rel"]) for r in rows])
+    return X, y
+
+
+def test_suffstats_match_numpy(spark, feats_and_labels):
+    feats, labels = feats_and_labels
+    ss = ltr_suffstats(feats, labels).collect()
+    X, y = _numpy_xy(feats, labels)
+    n = len(y)
+    names = ["__one__", *LTR_FEATURES]
+    got = {(r["f_i"], r["f_j"]): r["value"] for r in ss}
+    assert got[("__n__", "__n__")] == n
+    for i, a in enumerate(names):
+        for j, b in enumerate(names[i:], start=i):
+            expect = float(X[:, i] @ X[:, j]) / n
+            assert got[(a, b)] == pytest.approx(expect, rel=1e-5, abs=1e-5)
+        expect = float(X[:, i] @ y) / n
+        assert got[(a, "__label__")] == pytest.approx(expect, rel=1e-5, abs=1e-5)
+
+
+def test_fit_equals_direct_least_squares(spark, feats_and_labels):
+    """Prediction-space equality: with correlated lexical features XᵀX
+    is ill-conditioned, so individual weights are not identifiable —
+    but the fitted values Xw are, and must match a direct numpy solve."""
+    feats, labels = feats_and_labels
+    w = ltr_fit(ltr_suffstats(feats, labels).collect(), lam=0.0)
+    X, y = _numpy_xy(feats, labels)
+    w_direct = np.linalg.pinv(X.T @ X / len(y)) @ (X.T @ y / len(y))
+    wv = np.array([w["__one__"]] + [w[c] for c in LTR_FEATURES])
+    pred_ss, pred_np = X @ wv, X @ w_direct
+    assert float(np.max(np.abs(pred_ss - pred_np))) < 1e-4
+    assert float(np.mean((pred_ss - y) ** 2)) == pytest.approx(
+        float(np.mean((pred_np - y) ** 2)), rel=1e-6, abs=1e-9
+    )
+
+
+def test_full_model_beats_bias_only_on_training_mse(spark, feats_and_labels):
+    """OLS nesting guarantee: the full linear model's training MSE can
+    never exceed the intercept-only model's (variance of y)."""
+    feats, labels = feats_and_labels
+    ss = ltr_suffstats(feats, labels).collect()
+    w_full = ltr_fit(ss, lam=0.0)
+    y_mean = next(
+        r["value"] for r in ss if r["f_i"] == "__one__" and r["f_j"] == "__label__"
+    )
+    X, y = _numpy_xy(feats, labels)
+    wv = np.array([w_full["__one__"]] + [w_full[c] for c in LTR_FEATURES])
+    mse_full = float(np.mean((X @ wv - y) ** 2))
+    mse_bias = float(np.mean((y_mean - y) ** 2))
+    assert mse_full <= mse_bias + 1e-9
+
+
+def test_native_scoring_matches_numpy_dot(spark, feats_and_labels):
+    feats, labels = feats_and_labels
+    w = ltr_fit(ltr_suffstats(feats, labels).collect(), lam=0.01)
+    scored = {
+        (r["query_id"], r["doc_id"]): r["ltr_score"]
+        for r in ltr_score(feats, w).collect()
+    }
+    rows = feats.collect()
+    for r in rows:
+        expect = w["__one__"] + sum(
+            w[c] * float(r[c]) for c in LTR_FEATURES
+        )
+        assert scored[(r["query_id"], r["doc_id"])] == pytest.approx(
+            expect, rel=1e-9, abs=1e-9
+        )
+
+
+def test_topk_scoring_contiguous_ranks(spark, feats_and_labels):
+    feats, labels = feats_and_labels
+    w = ltr_fit(ltr_suffstats(feats, labels).collect(), lam=0.01)
+    top = ltr_score(feats, w, k=5).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in top:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert ranks == list(range(1, len(ranks) + 1)), q
