@@ -1187,6 +1187,15 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_nll(_documents(spark, sf_dir))
 
 
+def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality (Jelinek-Mercer, λ=0.9): the
+    fluency axis one order above q_unigram_nll — repeated phrases score
+    low, token-soup of common unigrams scores high."""
+    from searchenginejava_spark.operators.textstats import bigram_nll
+
+    return bigram_nll(_documents(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchenginejava_spark.operators.textstats import repetition_stats
 
@@ -2922,6 +2931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_significant_terms": q_significant_terms,
         "q_pack_sequences": q_pack_sequences,
         "q_unigram_nll": q_unigram_nll,
+        "q_bigram_nll": q_bigram_nll,
         "q_linear_fuse": q_linear_fuse,
         "q_session_cooccurrence": q_session_cooccurrence,
         "q_ivfpq_topk": q_ivfpq_topk,
@@ -5558,6 +5568,47 @@ def oracle_sql() -> dict[str, str]:
     sql["q_federated_search"] = sql["q_bm25_topk"]
     # star contraction computes the same components as propagation
     sql["q_dedup_clusters_star"] = sql["q_dedup_clusters"]
+    # interpolated bigram LM (Jelinek-Mercer λ=0.9) trained on the
+    # corpus itself: p(cur|prev) = λ·cf2/cf1(prev) + (1−λ)·cf1(cur)/T;
+    # first token scored by the unigram model
+    _BLAM = 0.9
+    sql["q_bigram_nll"] = _SQL_TOKL + f"""
+    , occ AS (
+      SELECT doc_id, pos, term AS cur,
+             lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM tok),
+    ntok AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+             FROM tok GROUP BY doc_id),
+    cf1 AS (SELECT term AS w, CAST(count(*) AS BIGINT) AS cf1
+            FROM tok GROUP BY term),
+    tot AS (SELECT CAST(sum(cf1) AS DOUBLE) AS t FROM cf1),
+    bi AS (SELECT doc_id, prev, cur, count(*) AS c
+           FROM occ WHERE prev IS NOT NULL GROUP BY 1, 2, 3),
+    cf2 AS (SELECT prev, cur, CAST(sum(c) AS BIGINT) AS cf2
+            FROM bi GROUP BY prev, cur),
+    s_bi AS (
+      SELECT bi.doc_id,
+             -sum(bi.c * ln({_BLAM!r} * (CAST(cf2.cf2 AS DOUBLE) / p.cf1)
+                            + {(1.0 - _BLAM)!r} * (CAST(q.cf1 AS DOUBLE) / tot.t)))
+               AS s_bi
+      FROM bi
+      JOIN cf2 USING (prev, cur)
+      JOIN cf1 p ON bi.prev = p.w
+      JOIN cf1 q ON bi.cur = q.w
+      CROSS JOIN tot
+      GROUP BY bi.doc_id),
+    s_first AS (
+      SELECT occ.doc_id, -ln(CAST(q.cf1 AS DOUBLE) / tot.t) AS s_first
+      FROM occ JOIN cf1 q ON occ.cur = q.w CROSS JOIN tot
+      WHERE occ.pos = 1)
+    SELECT n.doc_id, n.n_tokens,
+           round((s_first.s_first + coalesce(s_bi.s_bi, 0.0)) / n.n_tokens, 6)
+             AS avg_nll
+    FROM ntok n
+    JOIN s_first USING (doc_id)
+    LEFT JOIN s_bi USING (doc_id)
+    ORDER BY doc_id
+    """
     # LTR sufficient statistics: mean Gram matrix / moment vector of the
     # LETOR features vs the synthetic qrels — same feature CTEs as
     # q_ltr_features (unrounded), melted to (f_i, f_j, value) rows

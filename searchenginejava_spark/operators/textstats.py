@@ -363,6 +363,108 @@ def unigram_nll(
     )
 
 
+def bigram_nll(
+    df: DataFrame,
+    *,
+    lam: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated bigram-LM quality — the KenLM/CCNet perplexity
+    bucket one order up from ``unigram_nll``: per-doc average negative
+    log-likelihood under a Jelinek-Mercer bigram model trained on the
+    corpus itself →
+
+        p(t_i | t_{i-1}) = λ·cf₂(t_{i-1},t_i)/cf₁(t_{i-1})
+                           + (1−λ)·cf₁(t_i)/T          (i ≥ 2)
+        p(t_1) = cf₁(t_1)/T
+        avg_nll(d) = −Σ ln p / |d|
+
+    A repeated-phrase doc scores LOW (its bigrams are corpus-frequent),
+    token-soup scores HIGH even when each unigram is common — the
+    fluency axis unigram NLL cannot see.
+
+    Shape: bigram occurrences come from the same doc-local zip_with as
+    ``collocations``, aggregated per (doc, prev, cur) first so join
+    traffic is distinct-pairs-per-doc; the model tables (cf₂, cf₁) are
+    hash aggs on slim keys; then three equi-joins and one per-doc agg.
+    At 100 TB the cf₂ agg is the one big shuffle — same skew profile
+    as term counting, same partial-agg mitigation. Interpolation keeps
+    every probability positive (no OOV case: the model is the corpus's
+    own), so the ln never sees zero.
+    """
+    toks = _tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("l")).filter(
+        F.size("l") > 0
+    )
+    n_tok = base.select("doc_id", F.size("l").alias("n_tokens"))
+    m = F.greatest(F.size("l") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(F.col("l"), 1, m),
+        F.slice(F.col("l"), 2, m),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    bi_doc = (
+        base.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", "p.prev", "p.cur")
+        .groupBy("doc_id", "prev", "cur")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    uni_doc_first = base.select(
+        "doc_id", F.element_at("l", 1).alias("cur")
+    )
+    cf2 = bi_doc.groupBy("prev", "cur").agg(
+        F.sum("c").cast("long").alias("cf2")
+    )
+    cf1 = (
+        base.select(F.explode("l").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf1"))
+    )
+    total = float(
+        cf1.agg(F.sum("cf1").alias("t")).collect()[0]["t"] or 1
+    )
+    p_interp = F.lit(lam) * (
+        F.col("cf2").cast("double") / F.col("cf1_prev").cast("double")
+    ) + F.lit(1.0 - lam) * (
+        F.col("cf1_cur").cast("double") / F.lit(total)
+    )
+    bi_nll = (
+        bi_doc.join(cf2, ["prev", "cur"])
+        .join(
+            cf1.select(F.col("w").alias("prev"), F.col("cf1").alias("cf1_prev")),
+            "prev",
+        )
+        .join(
+            cf1.select(F.col("w").alias("cur"), F.col("cf1").alias("cf1_cur")),
+            "cur",
+        )
+        .groupBy("doc_id")
+        .agg(
+            (-F.sum(F.col("c").cast("double") * F.log(p_interp))).alias("s_bi")
+        )
+    )
+    first_nll = uni_doc_first.join(
+        cf1.select(F.col("w").alias("cur"), "cf1"), "cur"
+    ).select(
+        "doc_id",
+        (-F.log(F.col("cf1").cast("double") / F.lit(total))).alias("s_first"),
+    )
+    return (
+        n_tok.join(first_nll, "doc_id")
+        .join(bi_nll, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long"),
+            F.round(
+                (F.col("s_first") + F.coalesce(F.col("s_bi"), F.lit(0.0)))
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     *,

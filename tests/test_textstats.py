@@ -325,3 +325,45 @@ def test_clone_pairs_df_cap_drops_boilerplate(spark):
         df, max_fp_df=2, min_shared=1, min_overlap=0.0
     ).collect()
     assert out == []
+
+
+def test_bigram_nll_hand_computed(spark):
+    """One doc 'a b a b': hand-checked JM bigram NLL at lam=0.5.
+    cf1: a=2, b=2, T=4. cf2: (a,b)=2, (b,a)=1.
+    p(a)=0.5; p(b|a)=.5*(2/2)+.5*(2/4)=0.75 (x2); p(a|b)=.5*(1/2)+.5*.5=0.5.
+    nll = -(ln .5 + 2 ln .75 + ln .5)/4."""
+    import math
+
+    df = spark.createDataFrame([(0, "a b a b")], "doc_id long, text string")
+    out = textstats.bigram_nll(df, lam=0.5).collect()
+    assert len(out) == 1 and out[0]["n_tokens"] == 4
+    expect = -(math.log(0.5) * 2 + 2 * math.log(0.75)) / 4
+    assert abs(out[0]["avg_nll"] - round(expect, 6)) < 1e-9
+
+
+def test_bigram_nll_flags_token_soup(spark):
+    """Docs sharing one unigram distribution: the one with corpus-rare
+    bigram order scores HIGHER than the stereotyped phrasing unigram
+    NLL calls identical — the fluency axis."""
+    fluent = "the quick fox jumps " * 5
+    soup = "the the quick quick fox fox jumps jumps " * 2 + "the quick fox jumps "
+    rows = [(i, fluent.strip()) for i in range(9)] + [(9, soup.strip())]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["avg_nll"] for r in textstats.bigram_nll(df).collect()}
+    uni = {r["doc_id"]: r["avg_nll"] for r in textstats.unigram_nll(df).collect()}
+    assert out[9] > out[0], out
+    # same per-token unigram mix -> unigram NLL barely separates them
+    assert (out[9] - out[0]) > 3 * abs(uni[9] - uni[0])
+
+
+def test_bigram_nll_single_token_doc(spark):
+    """A 1-token doc has no bigrams: scored by the unigram term only."""
+    import math
+
+    df = spark.createDataFrame(
+        [(0, "a"), (1, "a b")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in textstats.bigram_nll(df, lam=0.5).collect()}
+    assert out[0]["n_tokens"] == 1
+    # cf1: a=2, b=1, T=3; p(a)=2/3
+    assert abs(out[0]["avg_nll"] - round(-math.log(2 / 3), 6)) < 1e-9
