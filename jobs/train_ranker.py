@@ -1,0 +1,162 @@
+"""spark-submit main — train + apply the pointwise linear ranker.
+
+Usage:
+  spark-submit --py-files searchenginejava_spark.zip jobs/train_ranker.py \
+      (--checkpoint DIR | --index DIR) \
+      (--queries q.tsv | --topics topics.txt) --qrels qrels.txt \
+      --output OUT [--lam 0.01] [--k 10] [--trec OUT/run.txt] [--json]
+
+Pipeline: one LETOR feature pass over the whole query batch
+(operators/search.py::ltr_features) → sufficient-statistics aggregation
++ O(d³) driver ridge solve (operators/ltr.py) → native re-scoring →
+per-query top-k. Writes:
+  weights.json   {feature: weight} incl. the __one__ intercept
+  run/           parquet (query_id, rank, doc_id, ltr_score)
+and prints a one-line JSON summary with nDCG@k for the BM25 baseline vs
+the trained ranker on the SAME judgments (in-sample — this job is the
+training half; hold out queries upstream for honest evaluation).
+
+qrels: TREC format ``qid iter docid rel`` (iter ignored).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--checkpoint", help="build checkpoint dir (stage parquet)")
+    g.add_argument("--index", help="published index dir (index_store layout)")
+    gq = p.add_mutually_exclusive_group(required=True)
+    gq.add_argument("--queries", help="TSV: query_id<TAB>text per line")
+    gq.add_argument("--topics", help="TREC <top>/<num>/<title> topic file")
+    p.add_argument("--qrels", required=True, help="TREC qrels: qid iter docid rel")
+    p.add_argument("--output", required=True)
+    p.add_argument("--lam", type=float, default=0.01)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--trec", help="also write a TREC run file here")
+    p.add_argument("--json", action="store_true")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("sej-train-ranker")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+
+    from searchenginejava_spark.plans.pipeline import IndexArtifacts
+
+    if args.index:
+        from searchenginejava_spark.sources.index_store import load_index
+
+        art = load_index(spark, args.index)
+    else:
+        from searchenginejava_spark.sources.checkpoint import (
+            Manifest,
+            stage_output,
+        )
+
+        m = Manifest(args.checkpoint)
+        with open(os.path.join(args.checkpoint, "stats.json")) as f:
+            stats = json.load(f)
+        art = IndexArtifacts(
+            docs=stage_output(m, "docs", spark).drop("bucket"),
+            tf=stage_output(m, "tf", spark).drop("bucket"),
+            dictionary=stage_output(m, "dictionary", spark).drop("bucket"),
+            postings=stage_output(m, "postings", spark).drop("bucket"),
+            stats=stats,
+        )
+
+    if args.topics:
+        from searchenginejava_spark.sources.topics import read_trec_topics
+
+        queries = read_trec_topics(args.topics)
+    else:
+        queries = []
+        with open(args.queries) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                qid, text = line.split("\t", 1)
+                queries.append((int(qid), text))
+
+    qrel_rows = []
+    with open(args.qrels) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 4:
+                continue
+            qrel_rows.append((int(parts[0]), int(parts[2]), int(parts[3])))
+    qrels = spark.createDataFrame(
+        qrel_rows, "query_id int, doc_id long, rel int"
+    )
+
+    from searchenginejava_spark.operators.evaluation import ir_metrics
+    from searchenginejava_spark.operators.ltr import (
+        ltr_fit,
+        ltr_score,
+        ltr_suffstats,
+    )
+    from searchenginejava_spark.operators.search import (
+        ltr_features,
+        query_terms_df,
+        score_exhaustive,
+    )
+
+    qt = query_terms_df(spark, queries)
+    feats = ltr_features(
+        qt, art.tf, art.docs, art.dictionary, art.stats,
+        doc_exclude=art.tombstones,
+    )
+    feats.persist().count()
+    weights = ltr_fit(ltr_suffstats(feats, qrels).collect(), lam=args.lam)
+
+    run = ltr_score(feats, weights, k=args.k)
+    run.persist()
+    os.makedirs(args.output, exist_ok=True)
+    with open(os.path.join(args.output, "weights.json"), "w") as f:
+        json.dump(weights, f, indent=1, sort_keys=True)
+    run.write.mode("overwrite").parquet(os.path.join(args.output, "run"))
+    if args.trec:
+        rows = run.orderBy("query_id", "rank").collect()
+        with open(args.trec, "w") as f:
+            for r in rows:
+                f.write(
+                    f"{r['query_id']} Q0 {r['doc_id']} {r['rank']} "
+                    f"{r['ltr_score']:.6f} ltr\n"
+                )
+
+    def _mean_ndcg(res) -> float:
+        mrows = ir_metrics(
+            res.select("query_id", "rank", "doc_id"), qrels, k=args.k
+        ).collect()
+        vals = [r["ndcg"] for r in mrows]
+        return sum(vals) / len(vals) if vals else 0.0
+
+    base = score_exhaustive(
+        qt, art.tf, art.docs, art.dictionary, art.stats,
+        k=args.k, doc_exclude=art.tombstones,
+    )
+    summary = {
+        "n_queries": len(queries),
+        "n_judged": len(qrel_rows),
+        "lam": args.lam,
+        "ndcg_bm25": round(_mean_ndcg(base), 6),
+        "ndcg_ltr": round(_mean_ndcg(run), 6),
+        "weights": {k_: round(v, 6) for k_, v in sorted(weights.items())},
+    }
+    print(json.dumps(summary))
+    feats.unpersist()
+    run.unpersist()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

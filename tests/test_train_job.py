@@ -1,0 +1,86 @@
+"""End-to-end spark-submit ranker training job (jobs/train_ranker.py):
+index → features → suffstats fit → weights.json + reranked run."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from jobs.train_ranker import main as train
+from searchenginejava_spark.plans.pipeline import build_index
+from searchenginejava_spark.sources.index_store import save_index
+
+
+def test_train_ranker_end_to_end(spark, tmp_path, capsys):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx_path = str(tmp_path / "idx")
+    save_index(
+        build_index(spark, docs, text_col="text", mode="simple",
+                    num_partitions=4),
+        idx_path,
+        term_partitions=4,
+    )
+    qfile = tmp_path / "q.tsv"
+    qfile.write_text("0\ttable hash join\n1\tmerge sort\n")
+    # deterministic judgments: same derivation as the oracle qrels
+    qrels = tmp_path / "qrels.txt"
+    with open(qrels, "w") as f:
+        for qid in (0, 1):
+            for d in range(500):
+                rel = 2 if (d + qid) % 17 == 0 else (1 if (d + qid) % 5 == 0 else 0)
+                f.write(f"{qid} 0 {d} {rel}\n")
+    out = tmp_path / "out"
+    trec = tmp_path / "run.txt"
+    rc = train([
+        "--index", idx_path, "--queries", str(qfile),
+        "--qrels", str(qrels), "--output", str(out),
+        "--trec", str(trec), "--k", "10",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    with open(out / "weights.json") as f:
+        w = json.load(f)
+    assert "__one__" in w and "bm25" in w and len(w) == 7
+    run = spark.read.parquet(str(out / "run"))
+    rows = run.collect()
+    assert rows and {r["query_id"] for r in rows} == {0, 1}
+    for r in rows:
+        assert 1 <= r["rank"] <= 10
+    # TREC run file round-trips the parquet rows
+    lines = trec.read_text().strip().splitlines()
+    assert len(lines) == len(rows)
+    assert all(ln.split()[1] == "Q0" and ln.split()[-1] == "ltr" for ln in lines)
+    assert summary["n_queries"] == 2 and 0.0 <= summary["ndcg_ltr"] <= 1.0
+
+
+def test_train_ranker_deterministic_weights(spark, tmp_path, capsys):
+    """Same index + judgments twice → identical weights (the suffstats
+    path has a bounded float-sum wobble; weights must agree to 1e-6
+    after the solve — pinned so regressions in determinism surface)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx_path = str(tmp_path / "idx")
+    save_index(
+        build_index(spark, docs, text_col="text", mode="simple",
+                    num_partitions=4),
+        idx_path,
+        term_partitions=4,
+    )
+    qfile = tmp_path / "q.tsv"
+    qfile.write_text("0\ttable hash join\n")
+    qrels = tmp_path / "qrels.txt"
+    with open(qrels, "w") as f:
+        for d in range(500):
+            f.write(f"0 0 {d} {2 if d % 17 == 0 else 0}\n")
+    ws = []
+    for i in range(2):
+        out = tmp_path / f"out{i}"
+        rc = train([
+            "--index", idx_path, "--queries", str(qfile),
+            "--qrels", str(qrels), "--output", str(out), "--lam", "0.1",
+        ])
+        assert rc == 0
+        capsys.readouterr()
+        with open(out / "weights.json") as f:
+            ws.append(json.load(f))
+    for k in ws[0]:
+        assert abs(ws[0][k] - ws[1][k]) < 1e-6, k
