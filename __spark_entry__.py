@@ -1878,6 +1878,33 @@ def q_ltr_suffstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_query_difficulty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-performance prediction: pre-retrieval (avg/max idf,
+    simplified clarity) + post-retrieval (NQC, WIG, score gap) over the
+    BM25 top-10 — the router's signal for spending more on hard
+    queries."""
+    from searchenginejava_spark.operators.evaluation import query_difficulty
+    from searchenginejava_spark.operators.search import score_exhaustive
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    dct_cf = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    stats = dict(stats)
+    stats["total_terms"] = int(
+        dl.agg(F.sum("doc_len").alias("t")).collect()[0]["t"]
+    )
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    res = score_exhaustive(qt, tf, dl, dct, stats, k=_TOPK)
+    out = query_difficulty(qt, dct_cf, stats, res, k=_TOPK)
+    out.persist()
+    out.count()
+    tf.unpersist()
+    return out
+
+
 def q_reorder_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-ID reordering for compression (URL-sort/BP family): per-term
     analytic delta+varbyte size under the current ids vs ids
@@ -2828,7 +2855,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round --
         "q_expansion_ann": q_expansion_ann,
         "q_lm_dirichlet": q_lm_dirichlet,
-        "q_rm3_expansion": q_rm3_expansion,
+        # Wave-13: q_query_difficulty (QPP — a new family) took
+        # q_rm3_expansion's slot; the expansion family keeps
+        # q_query_expansion + q_expansion_ann in-window.
+        "q_query_difficulty": q_query_difficulty,
         "q_ltr_features": q_ltr_features,
         # Wave-13: ranker TRAINING (sufficient statistics) — rides next
         # to its feature logger; both in-window.
@@ -2909,6 +2939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_query_expansion + q_expansion_ann + q_rm3_expansion
         # in-window).
         "q_expansion_embedded": q_expansion_embedded,
+        "q_rm3_expansion": q_rm3_expansion,
         "q_event_rollup": q_event_rollup,
         "q_commit_delta": q_commit_delta,
         "q_dismax": q_dismax,
@@ -5568,6 +5599,67 @@ def oracle_sql() -> dict[str, str]:
     sql["q_federated_search"] = sql["q_bm25_topk"]
     # star contraction computes the same components as propagation
     sql["q_dedup_clusters_star"] = sql["q_dedup_clusters"]
+    # query-performance prediction: pre-retrieval idf/clarity from the
+    # dictionary, post-retrieval NQC/WIG from the BM25 top-k scores
+    sql["q_query_difficulty"] = _SQL_TF + f"""
+    , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+             FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl,
+                     CAST(sum(doc_len) AS DOUBLE) AS total
+              FROM dl),
+    dict AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+             FROM tf GROUP BY term),
+    q(query_id, term, qtf) AS (VALUES {q_values}),
+    qd AS (SELECT DISTINCT query_id, term FROM q),
+    jd AS (SELECT qd.query_id, qd.term, dict.df, dict.cf,
+                  ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0) AS idf
+           FROM qd JOIN dict USING (term) CROSS JOIN stats),
+    pre AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms,
+                   round(avg(idf), 6) AS avg_idf,
+                   round(max(idf), 6) AS max_idf
+            FROM jd GROUP BY query_id),
+    scs AS (SELECT jd.query_id,
+                   round(sum(ln(stats.total / jd.cf)) / count(*)
+                         - ln(CAST(count(*) AS DOUBLE)), 6) AS scs
+            FROM jd CROSS JOIN stats GROUP BY jd.query_id),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             sum(q.qtf
+                 * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                 * (tf.tf * {_K1 + 1.0})
+                 / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+             ) AS s
+      FROM q
+      JOIN dict USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    topk AS (
+      SELECT query_id, s,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, doc_id ASC) AS rank
+      FROM scored QUALIFY rank <= {_TOPK}
+    ),
+    post AS (
+      SELECT query_id,
+             round(max(s), 6) AS s1,
+             round(min(s), 6) AS sk,
+             round(CASE WHEN avg(s) <> 0.0
+                        THEN sqrt(var_pop(s)) / avg(s) END, 6) AS nqc,
+             round(CASE WHEN avg(s) <> 0.0
+                        THEN (max(s) - avg(s)) / avg(s) END, 6) AS wig
+      FROM topk GROUP BY query_id
+    )
+    SELECT CAST(p.query_id AS INT) AS query_id, p.n_terms,
+           p.avg_idf, p.max_idf, scs.scs, post.s1, post.sk,
+           post.nqc, post.wig
+    FROM pre p
+    JOIN scs USING (query_id)
+    LEFT JOIN post USING (query_id)
+    ORDER BY query_id
+    """
     # interpolated bigram LM (Jelinek-Mercer λ=0.9) trained on the
     # corpus itself: p(cur|prev) = λ·cf2/cf1(prev) + (1−λ)·cf1(cur)/T;
     # first token scored by the unigram model

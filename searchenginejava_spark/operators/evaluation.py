@@ -106,3 +106,93 @@ def ir_metrics(
             F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
         )
     )
+
+
+def query_difficulty(
+    query_terms: DataFrame,
+    dictionary: DataFrame,
+    stats: dict,
+    results: DataFrame | None = None,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Query-performance prediction (QPP) — the standard predictors a
+    serving tier uses to route hard queries (bigger k, expansion, a
+    rerank pass) before or right after retrieval:
+
+    pre-retrieval ([L:He & Ounis, SIGIR 2004 poster taxonomy]):
+        n_terms   distinct query terms in the dictionary
+        avg_idf   mean BM25-style idf of the query terms
+        max_idf   idf of the rarest term (specificity ceiling)
+        scs       simplified clarity score Σ (1/|q|)·ln((1/|q|)/P(t|C)),
+                  P(t|C) = cf/total_terms (Kullback-Leibler of the
+                  uniform query LM from the collection LM)
+
+    post-retrieval over the top-k scores (when ``results`` with a
+    ``score`` column is given; [L:Shtok et al., NQC, TOIS 2012] /
+    [L:Zhou & Croft, WIG, SIGIR 2007] — both in the mean-normalized
+    convention):
+        s1, sk     best / k-th score
+        nqc        stddev_pop(top-k scores) / mean(top-k scores)
+        wig        (s1 − mean) / mean  (score gap of the winner)
+
+    OOV-only queries keep a row (n_terms=0, null predictors) so routing
+    sees them. Shape: query vocabulary broadcast-joined to the
+    dictionary (pre) and one k-row agg per query (post) — nothing
+    corpus-proportional.
+    """
+    import math
+
+    n_docs = float(stats["N"])
+    total = float(stats["total_terms"])
+    qt = query_terms.select("query_id", "term").distinct()
+    q_all = qt.select("query_id").distinct()
+    joined = dictionary.join(F.broadcast(qt), "term").select(
+        "query_id", "term", "df", "cf"
+    )
+    idf = F.log(
+        (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    pre = joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(F.avg(idf), 6).alias("avg_idf"),
+        F.round(F.max(idf), 6).alias("max_idf"),
+    )
+    # scs needs |q| (matched terms) inside the per-term sum: compute the
+    # per-term part Σ ln(1/P(t|C)) then finish with n: (1/n)Σln + ln(1/n)
+    scs_parts = joined.groupBy("query_id").agg(
+        F.sum(F.log(F.lit(total) / F.col("cf").cast("double"))).alias("s"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    ).select(
+        "query_id",
+        F.round(
+            F.col("s") / F.col("n") - F.log(F.col("n")), 6
+        ).alias("scs"),
+    )
+    out = (
+        q_all.join(pre, "query_id", "left")
+        .join(scs_parts, "query_id", "left")
+        .withColumn("n_terms", F.coalesce("n_terms", F.lit(0).cast("long")))
+    )
+    if results is None:
+        return out.orderBy("query_id")
+    top = results.filter(F.col("rank") <= k)
+    post = top.groupBy("query_id").agg(
+        F.round(F.max("score"), 6).alias("s1"),
+        F.round(F.min("score"), 6).alias("sk"),
+        F.round(
+            F.when(
+                F.avg("score") != 0.0,
+                F.sqrt(F.var_pop("score")) / F.avg("score"),
+            ),
+            6,
+        ).alias("nqc"),
+        F.round(
+            F.when(
+                F.avg("score") != 0.0,
+                (F.max("score") - F.avg("score")) / F.avg("score"),
+            ),
+            6,
+        ).alias("wig"),
+    )
+    return out.join(post, "query_id", "left").orderBy("query_id")

@@ -59,3 +59,56 @@ def test_ir_metrics_perfect_ranking(spark):
     assert m["ap"] == pytest.approx(1.0)
     assert m["ndcg"] == pytest.approx(1.0)
     assert m["mrr"] == pytest.approx(1.0)
+
+
+def test_query_difficulty_pre_retrieval(spark):
+    """Hand-checked predictors: rarer terms -> higher idf; the OOV-only
+    query keeps a row with n_terms=0 so routing still sees it."""
+    from searchenginejava_spark.operators.evaluation import query_difficulty
+
+    dct = spark.createDataFrame(
+        [("common", 90, 200), ("rare", 2, 3)],
+        "term string, df long, cf long",
+    )
+    qt = spark.createDataFrame(
+        [(0, "common", 1), (1, "rare", 1), (2, "oov", 1),
+         (3, "common", 1), (3, "rare", 1)],
+        "query_id int, term string, qtf int",
+    )
+    stats = {"N": 100, "avgdl": 10.0, "total_terms": 1000}
+    out = {r["query_id"]: r for r in query_difficulty(qt, dct, stats).collect()}
+    idf = lambda df: math.log((100 - df + 0.5) / (df + 0.5) + 1.0)
+    assert out[0]["avg_idf"] == pytest.approx(round(idf(90), 6))
+    assert out[1]["avg_idf"] == pytest.approx(round(idf(2), 6))
+    assert out[1]["avg_idf"] > out[0]["avg_idf"]
+    assert out[2]["n_terms"] == 0 and out[2]["avg_idf"] is None
+    assert out[3]["max_idf"] == pytest.approx(round(idf(2), 6))
+    # scs: (1/n) sum ln(T/cf) - ln(n)
+    expect = (math.log(1000 / 200) + math.log(1000 / 3)) / 2 - math.log(2)
+    assert out[3]["scs"] == pytest.approx(round(expect, 6))
+
+
+def test_query_difficulty_post_retrieval(spark):
+    """NQC separates a flat top-k (easy-looking, low variance) from a
+    one-clear-winner top-k; WIG is the winner's mean-relative gap."""
+    from searchenginejava_spark.operators.evaluation import query_difficulty
+
+    dct = spark.createDataFrame([("t", 5, 9)], "term string, df long, cf long")
+    qt = spark.createDataFrame(
+        [(0, "t", 1), (1, "t", 1)], "query_id int, term string, qtf int"
+    )
+    stats = {"N": 100, "avgdl": 10.0, "total_terms": 1000}
+    res = spark.createDataFrame(
+        [(0, 1, 10, 5.0), (0, 2, 11, 5.0), (0, 3, 12, 5.0),
+         (1, 1, 10, 9.0), (1, 2, 11, 3.0), (1, 3, 12, 3.0)],
+        "query_id int, rank int, doc_id long, score double",
+    )
+    out = {
+        r["query_id"]: r
+        for r in query_difficulty(qt, dct, stats, res, k=10).collect()
+    }
+    assert out[0]["nqc"] == pytest.approx(0.0)
+    assert out[0]["wig"] == pytest.approx(0.0)
+    assert out[1]["nqc"] > 0.5
+    assert out[1]["wig"] == pytest.approx(round((9 - 5) / 5, 6))
+    assert out[1]["s1"] == 9.0 and out[1]["sk"] == 3.0
