@@ -1878,6 +1878,55 @@ def q_ltr_suffstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_cached_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-query result cache: the workload is every oracle query
+    TWICE (ids 100+ carry the same term sets in another order), the
+    cache is built once from the base ids, and the whole workload is
+    served from cache hits — value-exactly equal to live scoring of
+    all six ids, which is what the oracle computes."""
+    from searchenginejava_spark.operators.caching import (
+        build_result_cache,
+        head_queries,
+        query_keys,
+        serve_with_cache,
+    )
+    from searchenginejava_spark.operators.search import score_exhaustive
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    base = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    dup = [
+        (100 + qid, t, 1)
+        for qid, terms in _ORACLE_QUERIES
+        for t in reversed(terms)
+    ]
+    qt = spark.createDataFrame(
+        base + dup, "query_id int, term string, qtf int"
+    )
+
+    def scorer(q: DataFrame) -> DataFrame:
+        return score_exhaustive(
+            q, tf, dl, dct, stats, k=_TOPK, deterministic=True
+        )
+
+    head = head_queries(query_keys(qt).select("qkey"), n=8)
+    cache = build_result_cache(
+        qt.filter(F.col("query_id") < 100), head, scorer
+    )
+    cache.persist()
+    cache.count()
+    res = serve_with_cache(qt, cache, scorer).select(
+        "query_id",
+        "rank",
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    ).orderBy("query_id", "rank")
+    res.persist()
+    res.count()
+    cache.unpersist()
+    tf.unpersist()
+    return res
+
+
 def q_query_difficulty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-performance prediction: pre-retrieval (avg/max idf,
     simplified clarity) + post-retrieval (NQC, WIG, score gap) over the
@@ -2874,7 +2923,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_maxscore_topk": q_maxscore_topk,
         "q_subtoken_index": q_subtoken_index,
         "q_symbol_extract": q_symbol_extract,
-        "q_grep_lines": q_grep_lines,
+        # Wave-13: q_cached_serving (result cache — a new family) took
+        # q_grep_lines's slot; grep rides the in-window trigram reps
+        # (q_substring_search, q_regex_search) + code reps.
+        "q_cached_serving": q_cached_serving,
         "q_clone_pairs": q_clone_pairs,
         "q_code_metrics": q_code_metrics,
         "q_secret_scan": q_secret_scan,
@@ -2940,6 +2992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window).
         "q_expansion_embedded": q_expansion_embedded,
         "q_rm3_expansion": q_rm3_expansion,
+        "q_grep_lines": q_grep_lines,
         "q_event_rollup": q_event_rollup,
         "q_commit_delta": q_commit_delta,
         "q_dismax": q_dismax,
@@ -5599,6 +5652,43 @@ def oracle_sql() -> dict[str, str]:
     sql["q_federated_search"] = sql["q_bm25_topk"]
     # star contraction computes the same components as propagation
     sql["q_dedup_clusters_star"] = sql["q_dedup_clusters"]
+    # head-query cache: serving every workload id (base + reordered
+    # duplicates at id+100) from the materialized cache equals live
+    # BM25 over all ids — the oracle scores all of them directly
+    _q_vals_cache = q_values + ", " + ", ".join(
+        f"({100 + qid}, '{t}', 1)"
+        for qid, terms in _ORACLE_QUERIES
+        for t in terms
+    )
+    sql["q_cached_serving"] = _SQL_TF + f"""
+    , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+             FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+    dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    q(query_id, term, qtf) AS (VALUES {_q_vals_cache}),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             sum(q.qtf
+                 * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                 * (tf.tf * {_K1 + 1.0})
+                 / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+             ) AS s
+      FROM q
+      JOIN dict USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY q.query_id, tf.doc_id
+    )
+    SELECT CAST(query_id AS INT) AS query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY s DESC, doc_id ASC) AS INT) AS rank,
+           doc_id,
+           round(s, 6) AS score
+    FROM scored
+    QUALIFY rank <= {_TOPK}
+    ORDER BY query_id, rank
+    """
     # query-performance prediction: pre-retrieval idf/clarity from the
     # dictionary, post-retrieval NQC/WIG from the BM25 top-k scores
     sql["q_query_difficulty"] = _SQL_TF + f"""

@@ -1,0 +1,126 @@
+"""Result caching — head-query materialization for the serving tier.
+
+Search traffic is Zipf-distributed: a tiny set of head queries absorbs
+a huge share of the load (the reason every production engine fronts its
+shards with a results cache — Elasticsearch's request cache, the
+classic two-level caches of [L:Baeza-Yates et al., SIGIR 2007]). On a
+cluster, re-running BM25 for the same hot query thousands of times a
+day is pure waste: the top-k relation is small, deterministic given the
+index generation, and joinable.
+
+This module makes the cache a RELATION, not a service:
+
+- ``query_keys`` — order-insensitive canonical key over the analyzed
+  (term, qtf) rows, so "hash join" and "join hash" share one cache
+  entry while "join join hash" (qtf=2 on join) gets its own — the
+  scorers weight by qtf, so the key must carry it to stay
+  output-exact.
+- ``head_queries(workload, n)`` — the materialization CANDIDATES: top-n
+  canonical keys of a query log by frequency (deterministic
+  tie-break). One hash agg over the log.
+- ``build_result_cache`` — run the batch scorer ONCE per head key and
+  keep (qkey, rank, doc_id, score) — n·k rows at rest; refreshed per
+  index generation (the generation id should partition the cache path;
+  ``q_index_diff``/merge tooling tells you when).
+- ``serve_with_cache`` — split a workload on cache membership: hits are
+  ONE broadcast join against the cache relation (no postings touched),
+  misses run the live scorer; union is the response. Cache-hit serving
+  is output-invisible (``q_cached_serving`` pins cached ≡ live
+  value-exactly, because the cache was built by the same scorer on the
+  same index).
+
+Scale shape: the cache is (head n)·k rows — broadcastable at n=10^5,
+k=10 — while hits skip the postings scan entirely; the workload split
+is a broadcast semi-join on the key. Nothing here shuffles anything
+index-sized.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def query_keys(query_terms: DataFrame) -> DataFrame:
+    """(query_id, qkey) from the (query_id, term, qtf) relation:
+    sorted ``term:qtf`` pairs joined by spaces — order-insensitive,
+    qtf-sensitive (one tiny agg; the query side is small by
+    definition)."""
+    pair = F.concat_ws(":", F.col("term"), F.col("qtf").cast("string"))
+    return query_terms.groupBy("query_id").agg(
+        F.array_join(F.array_sort(F.collect_list(pair)), " ").alias("qkey")
+    )
+
+
+def head_queries(
+    workload_keys: DataFrame, *, n: int = 1000
+) -> DataFrame:
+    """Top-n canonical keys by frequency over a workload's (qkey) rows
+    → (qkey, freq). Deterministic tie-break on the key itself."""
+    from pyspark.sql.window import Window
+
+    counts = workload_keys.groupBy("qkey").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("qkey"))
+    return (
+        counts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= n)
+        .drop("r")
+    )
+
+
+def build_result_cache(
+    query_terms: DataFrame,
+    head: DataFrame,
+    scorer: Callable[[DataFrame], DataFrame],
+) -> DataFrame:
+    """Materialize (qkey, rank, doc_id, score) for the head keys: ONE
+    representative query_id per key runs through ``scorer`` (the batch
+    scorer of your choice — WAND, MaxScore, exhaustive; they are
+    rank-identical), and the result is re-keyed by qkey."""
+    keys = query_keys(query_terms)
+    reps = (
+        keys.join(F.broadcast(head.select("qkey")), "qkey")
+        .groupBy("qkey")
+        .agg(F.min("query_id").alias("query_id"))
+    )
+    rep_qt = query_terms.join(
+        F.broadcast(reps.select("query_id")), "query_id"
+    )
+    res = scorer(rep_qt)
+    return (
+        res.join(F.broadcast(reps), "query_id")
+        .select("qkey", "rank", "doc_id", "score")
+    )
+
+
+def serve_with_cache(
+    query_terms: DataFrame,
+    cache: DataFrame,
+    scorer: Callable[[DataFrame], DataFrame],
+) -> DataFrame:
+    """Serve a workload with the cache: hit queries resolve by ONE
+    broadcast join (no postings access), misses run the live scorer;
+    returns the standard (query_id, rank, doc_id, score). The hit path
+    is value-exact vs live because the cache rows were produced by the
+    same deterministic scorer over the same index."""
+    keys = query_keys(query_terms)
+    cached_keys = cache.select("qkey").distinct()
+    hits = keys.join(F.broadcast(cached_keys), "qkey")
+    misses = keys.join(F.broadcast(cached_keys), "qkey", "left_anti")
+    served_hits = hits.join(cache, "qkey").select(
+        "query_id", "rank", "doc_id", "score"
+    )
+    # the workload split is query-batch-sized; checking it on the driver
+    # before planning the live path keeps an all-hit batch from touching
+    # the index at all
+    miss_ids = [r["query_id"] for r in misses.select("query_id").collect()]
+    if not miss_ids:
+        return served_hits
+    miss_qt = query_terms.filter(F.col("query_id").isin(miss_ids))
+    served_misses = scorer(miss_qt).select(
+        "query_id", "rank", "doc_id", "score"
+    )
+    return served_hits.unionByName(served_misses)

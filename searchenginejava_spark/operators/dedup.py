@@ -271,8 +271,15 @@ def dedup_clusters(
             labels.unionByName(neighbor)
             .groupBy(u)
             .agg(F.min("cluster_id").alias("cluster_id"))
+            # eager localCheckpoint, not persist: persist caches DATA
+            # but leaves the logical plan referencing every prior
+            # round, so plan depth grows linearly and deep-tree string
+            # generation can overflow the driver's JVM stack (observed
+            # intermittently under full-suite load). Checkpoint keeps
+            # each round's plan flat — the iterative-join rule used by
+            # dedup_clusters_star and linkrank.pagerank.
+            .localCheckpoint(eager=True)
         )
-        new_labels.persist()
         changed = (
             new_labels.join(
                 labels.withColumnRenamed("cluster_id", "old"), u

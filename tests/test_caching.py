@@ -1,0 +1,122 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginejava_spark.functions.tokenize import tokens_simple_col
+from searchenginejava_spark.operators.caching import (
+    build_result_cache,
+    head_queries,
+    query_keys,
+    serve_with_cache,
+)
+from searchenginejava_spark.operators.index import (
+    explode_tokens,
+    term_frequencies,
+)
+from searchenginejava_spark.operators.search import score_exhaustive
+
+TESTDATA = "/root/testdata/sf0.001"
+
+
+def _parts(spark):
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    toks = docs.select("doc_id", tokens_simple_col("text").alias("tokens"))
+    tf = term_frequencies(explode_tokens(toks)).select(
+        "doc_id", "term", F.col("tf").cast("long").alias("tf")
+    )
+    tf.persist().count()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+    dct = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    srow = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("a")
+    ).collect()[0]
+    stats = {"N": int(srow["n"]), "avgdl": float(srow["a"])}
+    return tf, dl, dct, stats
+
+
+def test_query_keys_order_insensitive_qtf_sensitive(spark):
+    qt = spark.createDataFrame(
+        [(0, "hash", 1), (0, "join", 1),
+         (1, "join", 1), (1, "hash", 1),
+         (2, "join", 2), (2, "hash", 1)],
+        "query_id int, term string, qtf int",
+    )
+    keys = {r["query_id"]: r["qkey"] for r in query_keys(qt).collect()}
+    assert keys[0] == keys[1] == "hash:1 join:1"
+    assert keys[2] == "hash:1 join:2" and keys[2] != keys[0]
+
+
+def test_head_queries_topn_deterministic(spark):
+    wl = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 3 + [("d",)],
+        "qkey string",
+    )
+    top = head_queries(wl, n=2).collect()
+    assert [(r["qkey"], r["freq"]) for r in top] == [("a", 5), ("b", 3)]
+
+
+def test_cached_serving_is_output_invisible(spark):
+    """Head queries served from the cache match the all-live batch
+    value-exactly; the live scorer never sees a hit query."""
+    tf, dl, dct, stats = _parts(spark)
+
+    seen_qids: list[set[int]] = []
+
+    def scorer(qt):
+        seen_qids.append(
+            {r["query_id"] for r in qt.select("query_id").distinct().collect()}
+        )
+        return score_exhaustive(
+            qt, tf, dl, dct, stats, k=10, deterministic=True
+        )
+
+    qt_all = spark.createDataFrame(
+        [(0, "table", 1), (0, "hash", 1),
+         (1, "hash", 1), (1, "table", 1),   # same key as q0, other order
+         (2, "merge", 1), (2, "sort", 1)],  # miss
+        "query_id int, term string, qtf int",
+    )
+    # cache built from q0 only
+    head = spark.createDataFrame([("hash:1 table:1", 9)], "qkey string, freq long")
+    cache = build_result_cache(qt_all.filter("query_id = 0"), head, scorer)
+    cache.persist().count()
+    seen_qids.clear()
+
+    served = serve_with_cache(qt_all, cache, scorer).collect()
+    live = score_exhaustive(
+        qt_all, tf, dl, dct, stats, k=10, deterministic=True
+    ).collect()
+    s = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in served}
+    l = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in live}
+    assert set(s) == set(l)
+    for key in l:
+        assert s[key][0] == l[key][0]
+        assert s[key][1] == pytest.approx(l[key][1], rel=1e-12)
+    # the live scorer ran exactly once, for the miss only
+    assert seen_qids == [{2}]
+    cache.unpersist()
+    tf.unpersist()
+
+
+def test_all_hits_never_invokes_scorer(spark):
+    tf, dl, dct, stats = _parts(spark)
+
+    def scorer(qt):
+        return score_exhaustive(
+            qt, tf, dl, dct, stats, k=10, deterministic=True
+        )
+
+    def exploding_scorer(qt):
+        raise AssertionError("live scorer must not run on an all-hit workload")
+
+    qt = spark.createDataFrame(
+        [(0, "table", 1)], "query_id int, term string, qtf int"
+    )
+    head = head_queries(query_keys(qt).select("qkey"), n=1)
+    cache = build_result_cache(qt, head, scorer)
+    cache.persist().count()
+    served = serve_with_cache(qt, cache, exploding_scorer)
+    assert served.count() > 0
+    cache.unpersist()
+    tf.unpersist()
