@@ -1227,6 +1227,77 @@ def main() -> None:
         ("shard routing (can_match pruning: exact directory + Bloom)", p_rt + "\n\n" + p_bl, checks)
     )
 
+    # LTR sufficient statistics: ONE aggregation — the only Exchange is
+    # the single-partition merge of per-partition partials (d² doubles
+    # each), and nothing crosses into Python.
+    from searchenginejava_spark.operators.ltr import ltr_suffstats
+
+    feats_au = spark.createDataFrame(
+        [(0, 1, 1.0, 1.0, 1.0, 1.0, 1.0, 10.0),
+         (0, 2, 2.0, 1.5, 0.5, 1.0, 2.0, 12.0)],
+        "query_id int, doc_id long, bm25 double, tfidf double, lm double,"
+        " coverage double, tf_sum double, doc_len double",
+    )
+    labels_au = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 0)], "query_id int, doc_id long, rel int"
+    )
+    p_ss = plan_of(ltr_suffstats(feats_au, labels_au))
+    checks = [
+        (
+            # the two join Exchanges shuffle only the slim keyed rows
+            # (and AQE broadcasts qrels when they are small); the
+            # REDUCTION itself is partial HashAggregate -> ONE
+            # SinglePartition Exchange of d^2 partial sums -> final
+            "suffstats reduce: label join + ONE single-partition "
+            "Exchange of d^2 partials",
+            n_nodes(p_ss, "Exchange") <= 3
+            and "SinglePartition" in p_ss
+            and n_nodes(p_ss, "HashAggregate") == 2,
+            f"Exchange x{n_nodes(p_ss, 'Exchange')}",
+        ),
+        (
+            "no Python crossing in the training reduction",
+            "ArrowEvalPython" not in p_ss and "MapInPandas" not in p_ss
+            and "BatchEvalPython" not in p_ss,
+            "",
+        ),
+    ]
+    sections.append(("LTR training (sufficient-statistics reduction)", p_ss, checks))
+
+    # result cache: the hit path must be broadcast-join-only — no
+    # aggregation over anything index-sized, no Python
+    from searchenginejava_spark.operators.caching import (
+        build_result_cache,
+        head_queries,
+        query_keys,
+        serve_with_cache,
+    )
+
+    cache_au = spark.createDataFrame(
+        [("table:1", 1, 7, 1.5)], "qkey string, rank int, doc_id long, score double"
+    )
+    qt_hit = spark.createDataFrame(
+        [(0, "table", 1)], "query_id int, term string, qtf int"
+    )
+    p_hit = plan_of(
+        serve_with_cache(qt_hit, cache_au, lambda q: (_ for _ in ()).throw(
+            AssertionError("all-hit workload must not plan the live path")
+        ))
+    )
+    checks = [
+        (
+            "all-hit serving is join-only (no scan of index relations)",
+            "Scan parquet" not in p_hit,
+            "",
+        ),
+        (
+            "cache probe has no Python crossing",
+            "ArrowEvalPython" not in p_hit and "MapInPandas" not in p_hit,
+            "",
+        ),
+    ]
+    sections.append(("head-query result cache (hit path)", p_hit, checks))
+
     ok = True
     out = ["# PLANS.md — physical-plan audit (generated by tools/explain_audit.py)", ""]
     for title, plan, cks in sections:
