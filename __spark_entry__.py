@@ -1878,6 +1878,23 @@ def q_ltr_suffstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_plan_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based serving planner: per-query routing decision across
+    the rank-identical scorer families (exhaustive / WAND / MaxScore)
+    from dictionary statistics only — n_terms, Σdf, union-bound
+    candidate fraction, chosen path."""
+    from searchenginejava_spark.operators.planner import plan_queries
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    res = plan_queries(qt, dct, stats)
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
 def q_cached_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Head-query result cache: the workload is every oracle query
     TWICE (ids 100+ carry the same term sets in another order), the
@@ -2929,7 +2946,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cached_serving": q_cached_serving,
         "q_clone_pairs": q_clone_pairs,
         "q_code_metrics": q_code_metrics,
-        "q_secret_scan": q_secret_scan,
+        # Wave-14: q_plan_queries (serving planner — a new family) took
+        # q_secret_scan's slot; the code-analysis family keeps
+        # q_subtoken_index + q_symbol_extract + q_clone_pairs +
+        # q_code_metrics in-window.
+        "q_plan_queries": q_plan_queries,
         "q_impact_topk": q_impact_topk,
         # -- no driver row yet (past r02's 50-row window) --
         "q_more_like_this": q_more_like_this,
@@ -2993,6 +3014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_expansion_embedded": q_expansion_embedded,
         "q_rm3_expansion": q_rm3_expansion,
         "q_grep_lines": q_grep_lines,
+        "q_secret_scan": q_secret_scan,
         "q_event_rollup": q_event_rollup,
         "q_commit_delta": q_commit_delta,
         "q_dismax": q_dismax,
@@ -5652,6 +5674,36 @@ def oracle_sql() -> dict[str, str]:
     sql["q_federated_search"] = sql["q_bm25_topk"]
     # star contraction computes the same components as propagation
     sql["q_dedup_clusters_star"] = sql["q_dedup_clusters"]
+    # serving planner: per-query path decision from dictionary stats
+    # (n_terms == 0 -> empty; cand_frac >= 0.5 -> exhaustive;
+    #  n_terms >= 8 -> maxscore; else wand)
+    sql["q_plan_queries"] = _SQL_TF + f"""
+    , stats AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+    dict AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             FROM tf GROUP BY term),
+    q(query_id, term, qtf) AS (VALUES {q_values}),
+    qd AS (SELECT DISTINCT query_id, term FROM q),
+    hits AS (SELECT qd.query_id,
+                    CAST(count(*) AS BIGINT) AS n_terms,
+                    CAST(sum(df) AS BIGINT) AS sum_df
+             FROM qd JOIN dict USING (term) GROUP BY qd.query_id),
+    rows_ AS (
+      SELECT qq.query_id,
+             coalesce(h.n_terms, 0) AS n_terms,
+             coalesce(h.sum_df, 0) AS sum_df,
+             round(coalesce(least(1.0, h.sum_df / stats.n), 0.0), 6)
+               AS cand_frac
+      FROM (SELECT DISTINCT query_id FROM q) qq
+      LEFT JOIN hits h USING (query_id)
+      CROSS JOIN stats)
+    SELECT CAST(query_id AS INT) AS query_id, n_terms, sum_df, cand_frac,
+           CASE WHEN n_terms = 0 THEN 'empty'
+                WHEN cand_frac >= 0.5 THEN 'exhaustive'
+                WHEN n_terms >= 8 THEN 'maxscore'
+                ELSE 'wand' END AS path
+    FROM rows_
+    ORDER BY query_id
+    """
     # head-query cache: serving every workload id (base + reordered
     # duplicates at id+100) from the materialized cache equals live
     # BM25 over all ids — the oracle scores all of them directly

@@ -1,0 +1,131 @@
+"""Serving planner — cost-based routing across the scorer families.
+
+The engine ships three rank-identical serving strategies (exhaustive
+scan, block-max WAND, MaxScore) plus the impact-ordered path — each
+optimal in a different region of query space, which is exactly why
+Lucene/PISA-class systems pick per query ([L:Mallia, Siedlaczek &
+Suel, ECIR 2019] — dynamic-pruning effectiveness depends strongly on
+term count and posting density):
+
+- dense queries (candidate set ≈ the corpus, e.g. all-stopword
+  queries): pruning bounds are useless — every block survives — so the
+  scan-everything exhaustive path wins by skipping the bound machinery;
+- few-term selective queries: WAND's pivot skipping excels;
+- many-term queries: WAND's per-doc pivot sort degrades with |q|;
+  MaxScore's essential/non-essential split is the standard choice.
+
+``plan_queries`` makes the decision from DICTIONARY statistics only
+(per-term df via a broadcast semi-join — never postings, never the
+corpus), emitting an oracle-checkable decision relation; analytic cost
+columns ride along so the choice is auditable. ``serve_planned`` then
+fans each path group through the existing ``run_queries`` — since the
+families are rank-identical (oracle rows q_bm25/q_wand/q_maxscore pin
+this), routing is output-invisible, and ``test_planner.py`` asserts
+exactly that end to end.
+
+Scale shape: the decision costs O(query terms) dictionary rows per
+query; grouping the batch by path yields ≤ 3 Spark jobs per workload
+regardless of batch size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# routing thresholds — documented constants, not magic: a query whose
+# candidate union exceeds DENSE_FRAC of the corpus gains nothing from
+# pruning; past MANY_TERMS terms WAND's pivot handling degrades
+DENSE_FRAC = 0.5
+MANY_TERMS = 8
+
+
+def plan_queries(
+    query_terms: DataFrame,
+    dictionary: DataFrame,
+    stats: dict,
+    *,
+    dense_frac: float = DENSE_FRAC,
+    many_terms: int = MANY_TERMS,
+) -> DataFrame:
+    """(query_id, n_terms, sum_df, cand_frac, path): the serving
+    decision per query.
+
+        n_terms == 0             → 'empty'      (no dictionary hit)
+        cand_frac >= dense_frac  → 'exhaustive' (pruning can't skip)
+        n_terms  >= many_terms   → 'maxscore'
+        otherwise                → 'wand'
+
+    cand_frac = min(1, Σdf / N) — the union-bound candidate fraction
+    (cheap, admissible: the true union is ≤ Σdf). All inputs are
+    dictionary rows for the query's terms via a broadcast semi-join.
+    """
+    n_docs = float(stats["N"])
+    qt = query_terms.select("query_id", "term").distinct()
+    q_all = qt.select("query_id").distinct()
+    hits = dictionary.join(F.broadcast(qt), "term").groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("df").cast("long").alias("sum_df"),
+    )
+    cand = F.least(F.lit(1.0), F.col("sum_df").cast("double") / F.lit(n_docs))
+    return (
+        q_all.join(hits, "query_id", "left")
+        .select(
+            F.col("query_id").cast("int"),
+            F.coalesce("n_terms", F.lit(0).cast("long")).alias("n_terms"),
+            F.coalesce("sum_df", F.lit(0).cast("long")).alias("sum_df"),
+            F.round(
+                F.coalesce(cand, F.lit(0.0)), 6
+            ).alias("cand_frac"),
+        )
+        .withColumn(
+            "path",
+            F.when(F.col("n_terms") == 0, F.lit("empty"))
+            .when(F.col("cand_frac") >= F.lit(dense_frac), F.lit("exhaustive"))
+            .when(F.col("n_terms") >= many_terms, F.lit("maxscore"))
+            .otherwise(F.lit("wand")),
+        )
+        .orderBy("query_id")
+    )
+
+
+def serve_planned(
+    spark,
+    index,
+    queries: list[tuple[int, str]],
+    *,
+    k: int = 10,
+    tokenizer=None,
+    dense_frac: float = DENSE_FRAC,
+    many_terms: int = MANY_TERMS,
+) -> DataFrame:
+    """Route a workload through ``plan_queries`` and serve each path
+    group with the matching ``run_queries`` strategy; union of the
+    groups is the response (families are rank-identical, so this equals
+    any single-path batch). ≤ 3 jobs per workload; 'empty' queries are
+    dropped (no dictionary term — every scorer returns nothing)."""
+    from ..operators.search import query_terms_df
+    from ..plans.pipeline import run_queries
+
+    kwargs = {} if tokenizer is None else {"tokenizer": tokenizer}
+    qt = query_terms_df(spark, queries, **kwargs)
+    plan = plan_queries(
+        qt, index.dictionary, index.stats,
+        dense_frac=dense_frac, many_terms=many_terms,
+    )
+    by_path: dict[str, list[int]] = {}
+    for r in plan.collect():  # decision rows: O(batch size)
+        by_path.setdefault(r["path"], []).append(int(r["query_id"]))
+    out = None
+    for path, qids in sorted(by_path.items()):
+        if path == "empty":
+            continue
+        sub = [(qid, text) for qid, text in queries if qid in set(qids)]
+        res = run_queries(
+            spark, index, sub, k=k, path=path, **kwargs
+        ).select("query_id", "rank", "doc_id", "score")
+        out = res if out is None else out.unionByName(res)
+    if out is None:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
+    return out

@@ -1,0 +1,94 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginejava_spark.operators.planner import (
+    plan_queries,
+    serve_planned,
+)
+from searchenginejava_spark.plans.pipeline import build_index, run_queries
+
+TESTDATA = "/root/testdata/sf0.001"
+
+
+def test_plan_rules_hand_checked(spark):
+    dct = spark.createDataFrame(
+        [("rare", 2), ("mid", 40), ("stop", 95)] +
+        [(f"t{i}", 3) for i in range(10)],
+        "term string, df long",
+    )
+    stats = {"N": 100}
+    rows = (
+        [(0, "rare", 1), (1, "stop", 1),                 # wand / exhaustive
+         (2, "oov", 1)]                                   # empty
+        + [(3, f"t{i}", 1) for i in range(9)]             # many terms
+        + [(4, "rare", 1), (4, "mid", 1)]                 # wand
+    )
+    qt = spark.createDataFrame(rows, "query_id int, term string, qtf int")
+    plan = {r["query_id"]: r for r in plan_queries(qt, dct, stats).collect()}
+    assert plan[0]["path"] == "wand" and plan[0]["sum_df"] == 2
+    assert plan[1]["path"] == "exhaustive"
+    assert plan[1]["cand_frac"] == pytest.approx(0.95)
+    assert plan[2]["path"] == "empty" and plan[2]["n_terms"] == 0
+    assert plan[3]["path"] == "maxscore" and plan[3]["n_terms"] == 9
+    assert plan[4]["path"] == "wand"
+    # cand_frac is capped at 1
+    qt5 = spark.createDataFrame(
+        [(5, "stop", 1), (5, "mid", 1)], "query_id int, term string, qtf int"
+    )
+    p5 = plan_queries(qt5, dct, stats).collect()[0]
+    assert p5["cand_frac"] <= 1.0 and p5["path"] == "exhaustive"
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    i = build_index(spark, docs, text_col="text", mode="simple",
+                    num_partitions=4)
+    i.persist()
+    return i
+
+
+def test_serve_planned_rank_identical_to_exhaustive(spark, idx):
+    """Routing is output-invisible: the planned batch (which splits
+    across ≥2 different paths here) equals the all-exhaustive batch in
+    ranks, and in scores to float tolerance."""
+    # the synthetic corpus has a dense 31-term vocabulary, so the
+    # thresholds are tuned to split THIS workload across all 3 paths
+    # (the production defaults would route a dense-vocab corpus
+    # all-exhaustive, which is the correct call there)
+    queries = [
+        (0, "dup"),                            # df=25/500 → selective → wand
+        (1, "dup line"),                       # union ~0.8 <0.9, 2 terms → maxscore
+        (2, "table scan"),                     # union ≥ 1.0 → exhaustive
+        (3, "zzzunknownzzz"),                  # empty → dropped
+    ]
+    knobs = {"dense_frac": 0.9, "many_terms": 2}
+    from searchenginejava_spark.operators.search import query_terms_df
+
+    tok = lambda t: [w for w in t.lower().split() if w]  # matches mode="simple"
+    qt = query_terms_df(spark, queries, tokenizer=tok)
+    plan = {
+        r["query_id"]: r["path"]
+        for r in plan_queries(qt, idx.dictionary, idx.stats, **knobs).collect()
+    }
+    assert plan[3] == "empty"
+    assert len({plan[0], plan[1], plan[2]}) == 3, plan
+    planned = serve_planned(
+        spark, idx, queries, k=10, tokenizer=tok, **knobs
+    ).collect()
+    base = run_queries(
+        spark, idx, queries[:3], k=10, path="exhaustive", tokenizer=tok
+    ).collect()
+    p = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in planned}
+    b = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in base}
+    assert set(p) == set(b)
+    for key in b:
+        assert p[key][0] == b[key][0], key
+        assert p[key][1] == pytest.approx(b[key][1], rel=1e-6)
+
+
+def test_serve_planned_all_empty(spark, idx):
+    out = serve_planned(spark, idx, [(0, "zzzunknownzzz")], k=5)
+    assert out.count() == 0
