@@ -2678,6 +2678,39 @@ def q_pagerank_priors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_ppr_priors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the same symbol-reference graph:
+    teleport mass restricted to the doc_id%10==0 seed set (normalized),
+    r0 = w — "authority relative to these seed modules". Oracle unrolls
+    the same 3 iterations with the personalized base."""
+    from searchenginejava_spark.operators.codesearch import (
+        extract_call_sites,
+        extract_symbols,
+        reference_edges,
+    )
+    from searchenginejava_spark.operators.linkrank import pagerank
+
+    cv = _code_view(spark, sf_dir)
+    cv.persist()
+    edges = reference_edges(
+        extract_call_sites(cv, text_col="code"),
+        extract_symbols(cv, text_col="code"),
+    )
+    restart = cv.select("doc_id").filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.lit(1.0).alias("weight")
+    )
+    pri = pagerank(
+        cv.select("doc_id"), edges, n_iter=3, deterministic=True,
+        restart=restart,
+    )
+    res = pri.select("doc_id", "pagerank")
+    res.persist()
+    res.count()
+    pri.unpersist()
+    cv.unpersist()
+    return res
+
+
 def q_prior_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Static-rank-boosted retrieval: BM25 top-10 re-ranked by the
     PageRank prior (score · prior, the function_score-multiply
@@ -3015,6 +3048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rm3_expansion": q_rm3_expansion,
         "q_grep_lines": q_grep_lines,
         "q_secret_scan": q_secret_scan,
+        "q_ppr_priors": q_ppr_priors,
         "q_event_rollup": q_event_rollup,
         "q_commit_delta": q_commit_delta,
         "q_dismax": q_dismax,
@@ -3680,7 +3714,9 @@ def _sql_symbol_union() -> str:
     )
 
 
-def _pagerank_ctes(n_iter: int = 3, damping: float = 0.85) -> str:
+def _pagerank_ctes(
+    n_iter: int = 3, damping: float = 0.85, restart_pred: str | None = None
+) -> str:
     """Unrolled-K PageRank CTE chain over the symbol-reference edges
     (continues an open WITH that already defined ``cv``): the iteration
     r_{k+1} = (1-d)/N + d·Σ r_k(u)·(1/outdeg(u)) written as K chained
@@ -3712,8 +3748,23 @@ def _pagerank_ctes(n_iter: int = 3, damping: float = 0.85) -> str:
     )
     , outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src)
     , nn AS (SELECT count(*) AS n FROM cv)
+    """
+    if restart_pred is None:
+        s += """
     , r0 AS (SELECT doc_id,
                     CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS r FROM cv)
+    """
+    else:
+        # personalized teleport: normalized restart weights w, r0 = w,
+        # per-node base (1-d)·w — same IEEE op order as
+        # linkrank.pagerank(restart=): weight/Σweight then (1-d)*w
+        s += f"""
+    , wraw AS (SELECT doc_id,
+                      CASE WHEN {restart_pred} THEN CAST(1.0 AS DOUBLE)
+                           ELSE CAST(0.0 AS DOUBLE) END AS wr
+               FROM cv)
+    , wn AS (SELECT doc_id, wr / (SELECT sum(wr) FROM wraw) AS w FROM wraw)
+    , r0 AS (SELECT doc_id, w AS r FROM wn)
     """
     # every float op is CAST-forced to DOUBLE and the in-contribution sum
     # is the src-sorted left fold — bit-identical to pagerank(
@@ -3721,6 +3772,15 @@ def _pagerank_ctes(n_iter: int = 3, damping: float = 0.85) -> str:
     # rational values land on decimal midpoints where round() diverges
     # between engines even for equal doubles)
     d = f"CAST({damping} AS DOUBLE)"
+    if restart_pred is None:
+        base_sql = f"(CAST(1.0 AS DOUBLE) - {d}) / (SELECT n FROM nn)"
+        base_join = ""
+    else:
+        base_sql = (
+            f"(CAST(1.0 AS DOUBLE) - {d})"
+            " * coalesce(wn.w, CAST(0.0 AS DOUBLE))"
+        )
+        base_join = "LEFT JOIN wn USING (doc_id)"
     for k in range(1, n_iter + 1):
         s += f"""
     , c{k} AS (
@@ -3739,9 +3799,9 @@ def _pagerank_ctes(n_iter: int = 3, damping: float = 0.85) -> str:
     )
     , r{k} AS (
       SELECT cv.doc_id,
-             (CAST(1.0 AS DOUBLE) - {d}) / (SELECT n FROM nn)
+             {base_sql}
              + {d} * coalesce(c{k}.c, CAST(0.0 AS DOUBLE)) AS r
-      FROM cv LEFT JOIN c{k} USING (doc_id)
+      FROM cv {base_join} LEFT JOIN c{k} USING (doc_id)
     )
     """
     s += f"""
@@ -6283,6 +6343,13 @@ def oracle_sql() -> dict[str, str]:
     QUALIFY rank <= {_TOPK}
     """
     sql["q_pagerank_priors"] = _pagerank_sql(n_iter=3, damping=0.85)
+    sql["q_ppr_priors"] = (
+        _SQL_CODEVIEW
+        + _pagerank_ctes(
+            n_iter=3, damping=0.85, restart_pred="doc_id % 10 = 0"
+        )
+        + " SELECT doc_id, pagerank FROM pri"
+    )
     sql["q_prior_search"] = (
         _SQL_TF
         + _SQL_CODEVIEW.replace("WITH cvtok", ", cvtok", 1)

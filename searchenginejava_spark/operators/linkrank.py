@@ -50,12 +50,23 @@ def pagerank(
     id_col: str = "doc_id",
     checkpoint_every: int = 8,
     deterministic: bool = False,
+    restart: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, pagerank) — scaled by N so the mean is 1.0 (a drop-in
     multiplicative/log-additive prior for the scorers).
 
     ``nodes`` fixes the vertex set (docs with no edges still rank);
     ``edges`` is distinct (src, dst). N is one bounded count() scalar.
+
+    ``restart`` (doc_id, weight) switches to PERSONALIZED PageRank
+    ([L:Page et al. 1999 §6; Haveliwala, WWW 2002]): the teleport mass
+    lands on the restart set (weights normalized to 1) instead of
+    uniformly, so authority flows FROM the seed docs outward — "rank
+    relative to this module / this team's files / the query's topic".
+    r0 = w and base_i = (1−d)·w_i; docs outside the restart set get
+    teleport 0 and rank only via links. The restart relation is
+    O(seeds) rows, joined once into the per-node base — the iteration
+    cost is unchanged.
 
     ``deterministic=True`` folds each node's in-contributions in src
     order (sort_array + left fold) instead of plain sum — bit-identical
@@ -72,6 +83,20 @@ def pagerank(
         )
     base = (1.0 - damping) / n
 
+    base_rel = None
+    if restart is not None:
+        wsum = float(
+            restart.agg(F.sum("weight").alias("s")).collect()[0]["s"] or 0.0
+        )
+        if wsum <= 0.0:
+            raise ValueError("restart weights must sum to a positive value")
+        base_rel = restart.select(
+            F.col(id_col).alias("doc_id"),
+            (F.col("weight").cast("double") / F.lit(wsum)).alias("w"),
+        )
+        base_rel.persist()
+        base_rel.count()
+
     # 1/outdeg rides the edge relation — computed once, reused every round
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     ew = edges.join(outdeg, "src").select(
@@ -80,9 +105,18 @@ def pagerank(
     ew.persist()
     ew.count()
 
-    ranks = nodes.select(
-        F.col(id_col).alias("doc_id"), (F.lit(1.0) / n).alias("r")
-    )
+    if base_rel is None:
+        ranks = nodes.select(
+            F.col(id_col).alias("doc_id"), (F.lit(1.0) / n).alias("r")
+        )
+    else:
+        ranks = (
+            nodes.select(F.col(id_col).alias("doc_id"))
+            .join(base_rel, "doc_id", "left")
+            .select(
+                "doc_id", F.coalesce(F.col("w"), F.lit(0.0)).alias("r")
+            )
+        )
     for i in range(n_iter):
         per_edge = ew.join(ranks, ew["src"] == ranks["doc_id"]).select(
             "dst", "src", (F.col("r") * F.col("inv_od")).alias("c")
@@ -104,16 +138,25 @@ def pagerank(
             )
         else:
             contrib = per_edge.groupBy("dst").agg(F.sum("c").alias("c"))
-        ranks = (
-            nodes.select(F.col(id_col).alias("doc_id"))
-            .join(contrib, F.col("doc_id") == F.col("dst"), "left")
-            .select(
-                "doc_id",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
-                ).alias("r"),
+        nodes_ids = nodes.select(F.col(id_col).alias("doc_id"))
+        if base_rel is None:
+            base_col = F.lit(base)
+            joined = nodes_ids.join(
+                contrib, F.col("doc_id") == F.col("dst"), "left"
             )
+        else:
+            base_col = F.lit(1.0 - damping) * F.coalesce(
+                F.col("w"), F.lit(0.0)
+            )
+            joined = nodes_ids.join(base_rel, "doc_id", "left").join(
+                contrib, F.col("doc_id") == F.col("dst"), "left"
+            )
+        ranks = joined.select(
+            "doc_id",
+            (
+                base_col
+                + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("r"),
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
@@ -124,6 +167,8 @@ def pagerank(
     out.persist()
     out.count()
     ew.unpersist()
+    if base_rel is not None:
+        base_rel.unpersist()
     return out
 
 

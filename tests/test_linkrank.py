@@ -176,3 +176,61 @@ def test_analyze_code_job_cli(spark, tmp_path, capsys):
     assert summary["n_grep_lines"] > 0
     pri = spark.read.parquet(f"{out}/priors")
     assert pri.count() == 64
+
+
+def _restart(spark, weights):
+    return spark.createDataFrame(
+        [(i, float(w)) for i, w in weights.items()], "doc_id long, weight double"
+    )
+
+
+def test_ppr_uniform_restart_equals_global(spark):
+    """A uniform restart vector IS global PageRank (same base, same
+    init) — identical ranks to float tolerance."""
+    nodes = _nodes(spark, range(5))
+    edges = _edges(spark, [(0, 1), (1, 2), (2, 0), (3, 4)])
+    g = _ranks(pagerank(nodes, edges, n_iter=4))
+    p = _ranks(
+        pagerank(nodes, edges, n_iter=4,
+                 restart=_restart(spark, {i: 1.0 for i in range(5)}))
+    )
+    for i in range(5):
+        assert p[i] == pytest.approx(g[i], rel=1e-12)
+
+
+def test_ppr_teleport_localizes_mass(spark):
+    """Two disconnected components; all restart mass in component A →
+    component B ends with zero rank (no teleport, no in-links from A),
+    and A's total mass is N·1.0 (the full scaled budget)."""
+    nodes = _nodes(spark, range(6))
+    edges = _edges(spark, [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3)])
+    p = _ranks(
+        pagerank(nodes, edges, n_iter=6,
+                 restart=_restart(spark, {0: 1.0, 1: 1.0, 2: 1.0}))
+    )
+    assert p[3] == pytest.approx(0.0) and p[4] == pytest.approx(0.0)
+    assert sum(p[i] for i in (0, 1, 2)) == pytest.approx(6.0, rel=1e-9)
+    # seeds hold strictly more rank than global uniform would give them
+    g = _ranks(pagerank(nodes, edges, n_iter=6))
+    assert p[0] > g[0]
+
+
+def test_ppr_hand_computed_one_iteration(spark):
+    """1 iteration, d=0.5, restart all on node 0, edges 0->1:
+    w = [1,0]; r0 = [1,0]; r1(0) = 0.5*1 + 0 = 0.5;
+    r1(1) = 0.5*0 + 0.5*(r0(0)/1) = 0.5. Scaled by N=2: [1.0, 1.0]."""
+    nodes = _nodes(spark, [0, 1])
+    edges = _edges(spark, [(0, 1)])
+    p = _ranks(
+        pagerank(nodes, edges, n_iter=1, damping=0.5,
+                 restart=_restart(spark, {0: 2.0}))
+    )
+    assert p[0] == pytest.approx(1.0) and p[1] == pytest.approx(1.0)
+
+
+def test_ppr_rejects_nonpositive_weights(spark):
+    with pytest.raises(ValueError, match="positive"):
+        pagerank(
+            _nodes(spark, [0]), _edges(spark, []),
+            restart=_restart(spark, {0: 0.0}),
+        )
