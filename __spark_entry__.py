@@ -895,6 +895,29 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_hits(docs, bench, n=3)
 
 
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate decontamination: the benchmark is every 40th doc
+    verbatim (the leaked-eval-set scenario); MinHash+LSH (16 hashes, 4
+    bands) buckets corpus×benchmark, exact Jaccard verifies candidates
+    at ≥ 0.5 — catching the leaked docs themselves AND their near
+    variants, which the exact n-gram rule's paraphrase blind spot
+    motivates."""
+    from searchenginejava_spark.operators.curation import (
+        contamination_hits_fuzzy,
+    )
+
+    docs = _documents(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 40 == 3).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    res = contamination_hits_fuzzy(
+        docs, bench, n=3, num_hashes=16, bands=4, threshold=0.5
+    ).orderBy("doc_id", "bench_id")
+    res.persist()
+    res.count()
+    return res
+
+
 _MIX = {"src3": 1.0, "src7": 0.5, "src11": 0.25}
 _CHUNK = (16, 4)  # max_tokens, overlap
 
@@ -3049,6 +3072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grep_lines": q_grep_lines,
         "q_secret_scan": q_secret_scan,
         "q_ppr_priors": q_ppr_priors,
+        "q_decontaminate_fuzzy": q_decontaminate_fuzzy,
         "q_event_rollup": q_event_rollup,
         "q_commit_delta": q_commit_delta,
         "q_dismax": q_dismax,
@@ -5734,6 +5758,40 @@ def oracle_sql() -> dict[str, str]:
     sql["q_federated_search"] = sql["q_bm25_topk"]
     # star contraction computes the same components as propagation
     sql["q_dedup_clusters_star"] = sql["q_dedup_clusters"]
+    # fuzzy (MinHash) decontamination: benchmark = every 40th doc
+    # verbatim; same sig/band machinery as the near-dup oracle, joined
+    # CROSS-table (doc side x bench side), exact-Jaccard verified
+    sql["q_decontaminate_fuzzy"] = (
+        _SQL_SHINGLES
+        + _minhash_sig_sql(16)
+        + _lsh_banded_sql(16, 4)
+        + """
+    , sh_b AS (SELECT doc_id AS bench_id, shingle FROM sh
+               WHERE doc_id % 40 = 3)
+    , banded_b AS (SELECT doc_id AS bench_id, band, bucket FROM banded
+                   WHERE doc_id % 40 = 3)
+    , cand AS (
+        SELECT DISTINCT a.doc_id, b.bench_id
+        FROM banded a JOIN banded_b b USING (band, bucket)
+    )
+    , sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+    , sizes_b AS (SELECT bench_id, count(*) AS sz FROM sh_b GROUP BY bench_id)
+    , inter AS (
+        SELECT d.doc_id, b.bench_id, count(*) AS inter
+        FROM sh d
+        JOIN sh_b b USING (shingle)
+        GROUP BY d.doc_id, b.bench_id
+    )
+    SELECT c.doc_id, c.bench_id,
+           round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM cand c
+    JOIN inter i ON c.doc_id = i.doc_id AND c.bench_id = i.bench_id
+    JOIN sizes sa ON c.doc_id = sa.doc_id
+    JOIN sizes_b sb ON c.bench_id = sb.bench_id
+    WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+    ORDER BY c.doc_id, c.bench_id
+    """
+    )
     # serving planner: per-query path decision from dictionary stats
     # (n_terms == 0 -> empty; cand_frac >= 0.5 -> exhaustive;
     #  n_terms >= 8 -> maxscore; else wand)

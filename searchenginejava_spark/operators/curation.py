@@ -65,6 +65,109 @@ def contamination_hits(
     )
 
 
+def contamination_hits_fuzzy(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """NEAR-duplicate decontamination (the Llama/GPT-4-era upgrade of
+    the exact n-gram rule): a training doc that paraphrases or lightly
+    edits an eval item sails through exact 8-gram matching — MinHash
+    similarity catches it. Output: (doc_id, bench_id, jaccard) for
+    every corpus×benchmark pair with estimated-then-verified Jaccard ≥
+    ``threshold``; callers anti-join on doc_id like
+    ``curate_corpus(benchmark=...)`` does for the exact rule.
+
+    Shape mirrors ``dedup.minhash_near_duplicates``, cross-table:
+    both sides shingle + sign (one hash-agg each — the benchmark side
+    is eval-sized, so its banded buckets broadcast), LSH bands
+    bucket-JOIN corpus×benchmark (never a cross join), and the
+    exact-Jaccard verify semi-joins both shingle tables down to
+    candidate ids BEFORE the pair join, so the quadratic stage is
+    bounded by colliding docs — the same candidate-restriction that
+    keeps the self-join variant scale-safe at 10^12 docs.
+    """
+    from .dedup import minhash_signatures, shingles
+
+    sh_d = shingles(documents, text_col=text_col, id_col=id_col, n=n)
+    sh_b = shingles(
+        benchmark.select(
+            F.col(bench_id_col).alias("bench_id"),
+            F.col(bench_text_col).alias("text"),
+        ),
+        text_col="text",
+        id_col="bench_id",
+        n=n,
+    ).withColumnRenamed("doc_id", "bench_id")
+    sh_d.persist()
+    sh_b.persist()
+    sig_d = minhash_signatures(sh_d, num_hashes=num_hashes)
+    sig_b = minhash_signatures(
+        sh_b.withColumnRenamed("bench_id", "doc_id"), num_hashes=num_hashes
+    ).withColumnRenamed("doc_id", "bench_id")
+
+    rows_per_band = num_hashes // bands
+
+    def banded(sigs: DataFrame, key: str) -> DataFrame:
+        band_cols = []
+        for bi in range(bands):
+            cols = [
+                F.col(f"h{bi * rows_per_band + j}")
+                for j in range(rows_per_band)
+            ]
+            band_cols.append(
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.md5(
+                        F.concat_ws(",", *[c.cast("string") for c in cols])
+                    ).alias("bucket"),
+                )
+            )
+        return sigs.select(
+            key, F.explode(F.array(*band_cols)).alias("bb")
+        ).select(key, "bb.band", "bb.bucket")
+
+    cands = (
+        banded(sig_d, "doc_id")
+        .join(F.broadcast(banded(sig_b, "bench_id")), ["band", "bucket"])
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    cands.persist()
+    # exact verify, candidate-restricted on BOTH sides
+    d_ids = cands.select("doc_id").distinct()
+    b_ids = cands.select("bench_id").distinct()
+    sd = sh_d.join(d_ids, "doc_id", "left_semi")
+    sb = sh_b.join(F.broadcast(b_ids), "bench_id", "left_semi")
+    sz_d = sd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_d"))
+    sz_b = sb.groupBy("bench_id").agg(F.count(F.lit(1)).alias("sz_b"))
+    inter = (
+        sd.join(sb, "shingle")
+        .join(cands, ["doc_id", "bench_id"], "left_semi")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (
+        F.col("sz_d") + F.col("sz_b") - F.col("inter")
+    )
+    return (
+        inter.join(sz_d, "doc_id")
+        .join(sz_b, "bench_id")
+        .filter(F.round(jac, 6) >= threshold)
+        .select(
+            "doc_id", "bench_id", F.round(jac, 6).alias("jaccard")
+        )
+    )
+
+
 def sample_mixture(
     df: DataFrame,
     fractions: dict[str, float],
@@ -163,6 +266,7 @@ def curate_corpus(
     dup_ngram: int = 2,
     benchmark: DataFrame | None = None,
     contamination_ngram: int = 8,
+    fuzzy_jaccard: float | None = None,
     max_avg_nll: float | None = None,
     max_boiler_frac: float | None = None,
     boiler_ngram: int = 3,
@@ -189,12 +293,20 @@ def curate_corpus(
     kept = df.join(keep, id_col, "left_semi")
     if benchmark is not None:
         # eval-set decontamination: drop every doc sharing an n-gram with
-        # the benchmark (anti-join against the broadcast-joined hit set)
+        # the benchmark (anti-join against the broadcast-joined hit set);
+        # fuzzy_jaccard ALSO drops MinHash near-duplicates of eval items
+        # (the paraphrase blind spot of the exact rule)
         bad = contamination_hits(
             kept, benchmark, n=contamination_ngram,
             text_col=text_col, id_col=id_col,
         ).select(F.col("doc_id").alias(id_col))
         kept = kept.join(bad, id_col, "left_anti")
+        if fuzzy_jaccard is not None:
+            bad_f = contamination_hits_fuzzy(
+                kept, benchmark, threshold=fuzzy_jaccard,
+                text_col=text_col, id_col=id_col,
+            ).select(F.col("doc_id").alias(id_col)).distinct()
+            kept = kept.join(bad_f, id_col, "left_anti")
     if max_dup_frac is not None:
         rep_keep = repetition_stats(
             kept, n=dup_ngram, text_col=text_col, id_col=id_col

@@ -3,6 +3,7 @@ language tag in one declarative plan."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from searchenginejava_spark.operators.curation import curate_corpus
@@ -403,3 +404,75 @@ def test_curate_job_pack_and_chunk_exclusive(spark, tmp_path):
             "--input", "x", "--output", "y",
             "--pack-window", "8", "--chunk-tokens", "8",
         ])
+
+
+def test_fuzzy_decontamination_catches_paraphrase(spark):
+    """One word changed mid-item kills every shared 8-gram (the exact
+    rule's blind spot) but leaves 3-gram Jaccard high — the fuzzy rule
+    flags it, the exact rule does not."""
+    from searchenginejava_spark.operators.curation import (
+        contamination_hits,
+        contamination_hits_fuzzy,
+    )
+
+    # 14 tokens; changing the 8th leaves runs of 7 and 6 unchanged
+    # tokens — shorter than 8, so NO shared 8-gram survives
+    bench_text = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                  "kappa lam mu nu xi")
+    leaked = bench_text.replace("theta", "CHANGED")
+    rows = [(0, leaked), (1, "totally unrelated words here nothing shared "
+                             "at all in this one honest")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "bench_id long, text string"
+    )
+    exact = contamination_hits(docs, bench, n=8).collect()
+    assert exact == []
+    # 16 single-row bands: collision prob 1-(1-j)^16 ≈ 1 at j=0.6 (the
+    # 4-row-band curve is centered at ~0.75 and would miss a 0.6 pair)
+    fuzzy = contamination_hits_fuzzy(
+        docs, bench, n=3, num_hashes=16, bands=16, threshold=0.3
+    ).collect()
+    assert [(r["doc_id"], r["bench_id"]) for r in fuzzy] == [(0, 100)]
+    # jaccard hand-check: 12 shingles per side, shared = 3-grams not
+    # covering position 8 -> 9; 9 / (12 + 12 - 9) = 0.6
+    assert fuzzy[0]["jaccard"] == pytest.approx(0.6)
+
+
+def test_fuzzy_decontamination_identical_doc_jaccard_one(spark):
+    from searchenginejava_spark.operators.curation import (
+        contamination_hits_fuzzy,
+    )
+
+    text = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, text)], "bench_id long, text string")
+    out = contamination_hits_fuzzy(
+        docs, bench, n=3, num_hashes=16, bands=4, threshold=0.5
+    ).collect()
+    assert len(out) == 1 and out[0]["jaccard"] == 1.0
+
+
+def test_curate_corpus_fuzzy_decontaminates_paraphrase(spark):
+    """fuzzy_jaccard= drops a near-copy of an eval item that the exact
+    8-gram rule keeps."""
+    bench_text = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                  "kappa lam mu nu xi")
+    leaked = bench_text.replace("theta", "CHANGED")
+    rows = [(0, leaked), (1, GOOD_EN)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(9, bench_text)], "bench_id long, text string"
+    )
+    exact_only = {
+        r["doc_id"]
+        for r in curate_corpus(df, min_quality=0.0, benchmark=bench).collect()
+    }
+    assert exact_only == {0, 1}
+    fuzzy = {
+        r["doc_id"]
+        for r in curate_corpus(
+            df, min_quality=0.0, benchmark=bench, fuzzy_jaccard=0.3
+        ).collect()
+    }
+    assert fuzzy == {1}
