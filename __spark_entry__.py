@@ -1901,6 +1901,30 @@ def q_ltr_suffstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_search_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-AND retrieval with OR relaxation: the three contract
+    queries have ≥30 conjunctive hits and serve strict pages; query
+    100 ('dup window', conjunction rarer than min_hits) relaxes to the
+    disjunctive BM25 page with relaxed=true — one declarative plan, no
+    driver loop."""
+    from searchenginejava_spark.operators.search import search_with_fallback
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    q_rows += [(100, "dup", 1), (100, "window", 1)]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    res = search_with_fallback(
+        qt, tf, dl, dct, stats, k=_TOPK, min_hits=30
+    ).select(
+        "query_id", "rank", "doc_id",
+        F.round("score", 6).alias("score"), "relaxed",
+    )
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
 def q_plan_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cost-based serving planner: per-query routing decision across
     the rank-identical scorer families (exhaustive / WAND / MaxScore)
@@ -3073,6 +3097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_secret_scan": q_secret_scan,
         "q_ppr_priors": q_ppr_priors,
         "q_decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "q_search_fallback": q_search_fallback,
         "q_event_rollup": q_event_rollup,
         "q_commit_delta": q_commit_delta,
         "q_dismax": q_dismax,
@@ -5758,6 +5783,60 @@ def oracle_sql() -> dict[str, str]:
     sql["q_federated_search"] = sql["q_bm25_topk"]
     # star contraction computes the same components as propagation
     sql["q_dedup_clusters_star"] = sql["q_dedup_clusters"]
+    # strict-AND with OR relaxation: conj page where the conjunction has
+    # >= 30 hits, disjunctive BM25 page (relaxed=true) otherwise
+    _q_vals_fb = q_values + ", (100, 'dup', 1), (100, 'window', 1)"
+    sql["q_search_fallback"] = _SQL_TF + f"""
+    , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+             FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+    dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    q(query_id, term, qtf) AS (VALUES {_q_vals_fb}),
+    nq AS (SELECT query_id, count(DISTINCT term) AS n_query_terms
+           FROM q GROUP BY query_id),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             sum(q.qtf
+                 * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                 * (tf.tf * {_K1 + 1.0})
+                 / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+             ) AS s,
+             count(DISTINCT tf.term) AS nt
+      FROM q
+      JOIN dict USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    conj AS (
+      SELECT scored.query_id, doc_id, s
+      FROM scored JOIN nq USING (query_id)
+      WHERE nt = n_query_terms
+    ),
+    counts AS (SELECT query_id, count(*) AS n_and FROM conj GROUP BY query_id),
+    strictq AS (SELECT query_id FROM counts WHERE n_and >= 30),
+    page_and AS (
+      SELECT query_id, doc_id, s,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, doc_id ASC) AS rank,
+             false AS relaxed
+      FROM conj SEMI JOIN strictq USING (query_id)
+      QUALIFY rank <= {_TOPK}
+    ),
+    page_or AS (
+      SELECT query_id, doc_id, s,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, doc_id ASC) AS rank,
+             true AS relaxed
+      FROM scored ANTI JOIN strictq USING (query_id)
+      QUALIFY rank <= {_TOPK}
+    )
+    SELECT CAST(query_id AS INT) AS query_id, CAST(rank AS INT) AS rank,
+           doc_id, round(s, 6) AS score, relaxed
+    FROM (SELECT * FROM page_and UNION ALL SELECT * FROM page_or)
+    ORDER BY query_id, rank
+    """
     # fuzzy (MinHash) decontamination: benchmark = every 40th doc
     # verbatim; same sig/band machinery as the near-dup oracle, joined
     # CROSS-table (doc side x bench side), exact-Jaccard verified

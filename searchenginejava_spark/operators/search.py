@@ -1629,3 +1629,89 @@ def bm25_numpy_oracle(
         for rank, (doc_id, score) in enumerate(top, start=1):
             results.append((qid, rank, doc_id, score))
     return results
+
+
+def search_with_fallback(
+    query_terms: DataFrame,
+    tf: DataFrame,
+    docs: DataFrame,
+    dictionary: DataFrame,
+    stats: dict,
+    *,
+    k: int = TOP_K,
+    min_hits: int = 1,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    doc_exclude: DataFrame | None = None,
+) -> DataFrame:
+    """Strict-AND retrieval with automatic OR relaxation — the
+    e-commerce/site-search convention (Elasticsearch clients implement
+    it as "retry with lighter operator on low recall"; here it is ONE
+    declarative plan, no driver round-trip per query):
+
+    1. conjunctive pass: docs containing EVERY query term, BM25-ranked;
+    2. per-query hit count;
+    3. queries with ≥ ``min_hits`` conjunctive hits serve the AND page
+       (``relaxed = false``); the rest fall back to the standard
+       disjunctive BM25 top-k (``relaxed = true``).
+
+    Both branches share the same broadcast-semi-joined candidate
+    stream, so the fallback costs one extra aggregation — not a second
+    scan — and the decision is a per-query join, not a driver loop
+    (at 10^4 queries/batch a collect-and-resubmit loop would double
+    scheduler latency per relaxed query).
+
+    Output: (query_id, rank, doc_id, score, relaxed).
+    """
+    qt = query_terms.select("query_id", "term").distinct()
+    n_q = qt.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_query_terms")
+    )
+    cand = tf.join(F.broadcast(qt), "term")
+    if doc_exclude is not None:
+        cand = cand.join(doc_exclude.select("doc_id"), "doc_id", "left_anti")
+    # docs holding every query term
+    conj_docs = (
+        cand.groupBy("query_id", "doc_id")
+        .agg(F.count_distinct("term").cast("long").alias("nt"))
+        .join(F.broadcast(n_q), "query_id")
+        .filter(F.col("nt") == F.col("n_query_terms"))
+        .select("query_id", "doc_id")
+    )
+    # score ONCE (disjunctive BM25, no top-k cut: the per-query window
+    # sorts the same candidate rows whether it keeps k or all), then
+    # carve both pages out of the same scored relation
+    all_scored = score_exhaustive(
+        query_terms, tf, docs, dictionary, stats, k=(1 << 31) - 1,
+        k1=k1, b=b, doc_exclude=doc_exclude,
+    ).select("query_id", "doc_id", "score")
+    all_scored = all_scored.persist()
+    and_scored = all_scored.join(conj_docs, ["query_id", "doc_id"])
+    counts = and_scored.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_and")
+    )
+    strict_q = counts.filter(F.col("n_and") >= min_hits).select("query_id")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    page_and = (
+        and_scored.join(F.broadcast(strict_q), "query_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("relaxed", F.lit(False))
+    )
+    page_or = (
+        all_scored.join(F.broadcast(strict_q), "query_id", "left_anti")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("relaxed", F.lit(True))
+    )
+    return (
+        page_and.unionByName(page_or)
+        .select(
+            F.col("query_id").cast("int"),
+            F.col("rank").cast("int"),
+            F.col("doc_id").cast("long"),
+            F.col("score").cast("double"),
+            "relaxed",
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -339,3 +339,88 @@ def test_qtf_weighting(spark, index):
     assert common
     # scores differ because 'batch' counts twice
     assert any(not math.isclose(s1[d], s2[d], rel_tol=1e-12) for d in common)
+
+
+def test_search_with_fallback(spark):
+    """Strict-AND page for queries with enough conjunctive hits; OR
+    fallback (flagged) otherwise; AND page docs contain every term and
+    carry the standard BM25 scores."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from searchenginejava_spark.operators.search import (
+        score_exhaustive,
+        search_with_fallback,
+    )
+
+    rows = [
+        (0, "apple banana cherry"),
+        (1, "apple banana"),
+        (2, "apple cherry"),
+        (3, "banana cherry"),
+        (4, "apple plum"),
+    ]
+    docs_raw = spark.createDataFrame(rows, "doc_id long, text string")
+    tf = (
+        docs_raw.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+    dct = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    stats = {"N": 5, "avgdl": dl.agg(F.avg("doc_len")).collect()[0][0]}
+    qt = spark.createDataFrame(
+        [(0, "apple", 1), (0, "banana", 1),     # AND hits: docs 0,1 → strict
+         (1, "plum", 1), (1, "cherry", 1),      # AND hits: none → relaxed
+         (2, "banana", 1), (2, "plum", 1)],     # AND none → relaxed
+        "query_id int, term string, qtf int",
+    )
+    out = search_with_fallback(qt, tf, dl, dct, stats, k=10, min_hits=1)
+    got = out.collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert {r["relaxed"] for r in by_q[0]} == {False}
+    assert {r["doc_id"] for r in by_q[0]} == {0, 1}
+    assert {r["relaxed"] for r in by_q[1]} == {True}
+    assert {r["doc_id"] for r in by_q[1]} >= {2, 3, 4}   # any cherry/plum doc
+    assert {r["relaxed"] for r in by_q[2]} == {True}
+    # relaxed pages equal the plain BM25 batch for those queries
+    base = score_exhaustive(
+        qt.filter("query_id = 1"), tf, dl, dct, stats, k=10
+    ).collect()
+    b1 = [(r["rank"], r["doc_id"]) for r in base]
+    f1 = [(r["rank"], r["doc_id"]) for r in sorted(by_q[1], key=lambda r: r["rank"])]
+    assert b1 == f1
+    for br, fr in zip(base, sorted(by_q[1], key=lambda r: r["rank"])):
+        assert fr["score"] == pytest.approx(br["score"], rel=1e-12)
+
+
+def test_search_with_fallback_min_hits_threshold(spark):
+    """min_hits above the conjunctive count forces relaxation even when
+    some AND hits exist."""
+    from pyspark.sql import functions as F
+
+    from searchenginejava_spark.operators.search import search_with_fallback
+
+    rows = [(0, "x y"), (1, "x"), (2, "y")]
+    docs_raw = spark.createDataFrame(rows, "doc_id long, text string")
+    tf = (
+        docs_raw.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+    dct = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    stats = {"N": 3, "avgdl": dl.agg(F.avg("doc_len")).collect()[0][0]}
+    qt = spark.createDataFrame(
+        [(0, "x", 1), (0, "y", 1)], "query_id int, term string, qtf int"
+    )
+    strict = search_with_fallback(qt, tf, dl, dct, stats, k=5, min_hits=1).collect()
+    assert {r["relaxed"] for r in strict} == {False}
+    assert [r["doc_id"] for r in strict] == [0]
+    relaxed = search_with_fallback(qt, tf, dl, dct, stats, k=5, min_hits=2).collect()
+    assert {r["relaxed"] for r in relaxed} == {True}
+    assert {r["doc_id"] for r in relaxed} == {0, 1, 2}
