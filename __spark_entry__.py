@@ -1901,6 +1901,43 @@ def q_ltr_suffstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile + cardinality search aggregations (ES percentiles /
+    cardinality aggs) over the BM25 top-10 result sets: per (query,
+    source) bucket — doc_count, score stats, exact interpolated
+    p50/p95 of n_chars, distinct langs."""
+    from searchenginejava_spark.operators.search import (
+        score_exhaustive,
+        search_aggs,
+    )
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    scored = score_exhaustive(
+        qt, tf, dl, dct, stats, k=_TOPK, deterministic=True
+    ).select("query_id", "doc_id", F.round("score", 6).alias("score"))
+    meta = _documents(spark, sf_dir).select(
+        "doc_id", "source", "n_chars", "lang"
+    )
+    res = search_aggs(
+        scored, meta, "source",
+        percentile_col="n_chars", percentiles=(0.5, 0.95),
+        distinct_col="lang",
+    ).select(
+        "query_id", "source", "doc_count",
+        F.round("score_sum", 6).alias("score_sum"),
+        F.round("score_max", 6).alias("score_max"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p95", 6).alias("p95"),
+        "n_distinct",
+    ).orderBy("query_id", "source")
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
 def q_search_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-AND retrieval with OR relaxation: the three contract
     queries have ≥30 conjunctive hits and serve strict pages; query
@@ -3098,6 +3135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ppr_priors": q_ppr_priors,
         "q_decontaminate_fuzzy": q_decontaminate_fuzzy,
         "q_search_fallback": q_search_fallback,
+        "q_agg_percentiles": q_agg_percentiles,
         "q_event_rollup": q_event_rollup,
         "q_commit_delta": q_commit_delta,
         "q_dismax": q_dismax,
@@ -5783,6 +5821,46 @@ def oracle_sql() -> dict[str, str]:
     sql["q_federated_search"] = sql["q_bm25_topk"]
     # star contraction computes the same components as propagation
     sql["q_dedup_clusters_star"] = sql["q_dedup_clusters"]
+    # percentile/cardinality aggs over the BM25 top-10: exact
+    # interpolated quantile (quantile_cont == Spark F.percentile) and
+    # exact distinct count per (query, source) bucket
+    sql["q_agg_percentiles"] = _SQL_TF + f"""
+    , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+             FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+    dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    q(query_id, term, qtf) AS (VALUES {q_values}),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             sum(q.qtf
+                 * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                 * (tf.tf * {_K1 + 1.0})
+                 / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+             ) AS s
+      FROM q
+      JOIN dict USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    topk AS (
+      SELECT query_id, doc_id, round(s, 6) AS s,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, doc_id ASC) AS rank
+      FROM scored QUALIFY rank <= {_TOPK}
+    )
+    SELECT CAST(t.query_id AS INT) AS query_id, d.source,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           round(sum(t.s), 6) AS score_sum,
+           round(max(t.s), 6) AS score_max,
+           round(quantile_cont(CAST(d.n_chars AS DOUBLE), 0.5), 6) AS p50,
+           round(quantile_cont(CAST(d.n_chars AS DOUBLE), 0.95), 6) AS p95,
+           CAST(count(DISTINCT d.lang) AS BIGINT) AS n_distinct
+    FROM topk t JOIN documents d USING (doc_id)
+    GROUP BY t.query_id, d.source
+    ORDER BY query_id, source
+    """
     # strict-AND with OR relaxation: conj page where the conjunction has
     # >= 30 hits, disjunctive BM25 page (relaxed=true) otherwise
     _q_vals_fb = q_values + ", (100, 'dup', 1), (100, 'window', 1)"

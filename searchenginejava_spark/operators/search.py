@@ -1070,6 +1070,10 @@ def search_aggs(
     *,
     histogram_col: str | None = None,
     bin_width: int = 100,
+    percentile_col: str | None = None,
+    percentiles: tuple[float, ...] = (0.5, 0.95),
+    distinct_col: str | None = None,
+    approx: bool = False,
 ) -> DataFrame:
     """Search aggregations (the Elasticsearch ``aggs`` convention) over
     a scored candidate set: per (query, ``group_col`` bucket) —
@@ -1077,10 +1081,22 @@ def search_aggs(
     (``floor(histogram_col / bin_width) · bin_width``) so one call
     yields the terms-agg and histogram-agg facets a search UI renders
     next to results. One metadata join + one hash agg (partial+final);
-    buckets are per-query-bounded."""
-    cols = ["doc_id", group_col] + (
-        [histogram_col] if histogram_col else []
-    )
+    buckets are per-query-bounded.
+
+    ``percentile_col`` adds the ES ``percentiles`` agg (columns
+    ``p<pct>``); ``distinct_col`` adds the ``cardinality`` agg
+    (``n_distinct``). ``approx=False`` computes both exactly —
+    interpolated percentile and count_distinct, the DuckDB-matchable
+    convention; ``approx=True`` switches to ``percentile_approx`` and
+    HyperLogLog++ ``approx_count_distinct`` — the 100 TB serving mode,
+    where exact percentile would buffer every bucket value and exact
+    distinct would shuffle every distinct key (the t-digest/HLL trade
+    ES itself makes; accuracy pinned by ``test_aggs_approx_bounds``).
+    """
+    cols = ["doc_id", group_col]
+    for c in (histogram_col, percentile_col, distinct_col):
+        if c and c not in cols:
+            cols.append(c)
     j = scored.join(doc_meta.select(*cols), "doc_id")
     keys = ["query_id", group_col]
     if histogram_col:
@@ -1094,19 +1110,47 @@ def search_aggs(
             ).cast("long"),
         )
         keys.append("bin")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("doc_count"),
+        F.sum("score").alias("score_sum"),
+        F.max("score").alias("score_max"),
+    ]
+    extra_out = []
+    if percentile_col:
+        pc = F.col(percentile_col).cast("double")
+        for p in percentiles:
+            name = f"p{str(p).replace('0.', '').ljust(2, '0')}"
+            if approx:
+                aggs.append(
+                    F.percentile_approx(pc, p, 10000).alias(name)
+                )
+            else:
+                aggs.append(F.percentile(pc, F.lit(p)).alias(name))
+            extra_out.append(name)
+    if distinct_col:
+        if approx:
+            aggs.append(
+                F.approx_count_distinct(distinct_col).cast("long").alias(
+                    "n_distinct"
+                )
+            )
+        else:
+            aggs.append(
+                F.count_distinct(F.col(distinct_col)).cast("long").alias(
+                    "n_distinct"
+                )
+            )
+        extra_out.append("n_distinct")
     return (
         j.groupBy(*keys)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("doc_count"),
-            F.sum("score").alias("score_sum"),
-            F.max("score").alias("score_max"),
-        )
+        .agg(*aggs)
         .select(
             F.col("query_id").cast("int"),
             *[F.col(c) for c in keys[1:]],
             "doc_count",
             F.col("score_sum").cast("double"),
             F.col("score_max").cast("double"),
+            *[F.col(c) for c in extra_out],
         )
     )
 

@@ -825,3 +825,75 @@ def test_boolean_minimum_should_match(tf):
         for r in boolean_match(tf, must=["join"], should=["merge"]).collect()
     }
     assert 1 in got3          # doc1 has join but no merge
+
+
+def test_search_aggs_percentiles_and_cardinality(spark, tf):
+    """Exact percentiles (interpolated) + distinct counts per bucket;
+    hand-checked against numpy on the same values."""
+    import numpy as np
+
+    from searchenginejava_spark.operators.search import (
+        score_exhaustive,
+        search_aggs,
+    )
+
+    dl, dct, stats = _parts(tf)
+    qt = spark.createDataFrame(
+        [(0, "join", 1)], "query_id int, term string, qtf int"
+    )
+    scored = score_exhaustive(
+        qt, tf, dl, dct, stats, k=100, deterministic=True
+    ).select("query_id", "doc_id", "score")
+    cand = {r["doc_id"] for r in scored.collect()}
+    meta = spark.createDataFrame(
+        [(0, "a", 10, "en"), (1, "a", 250, "fr"), (2, "b", 10, "en"),
+         (3, "b", 20, "en")],
+        "doc_id long, site string, n long, lang string",
+    )
+    got = {
+        r["site"]: r
+        for r in search_aggs(
+            scored, meta, "site",
+            percentile_col="n", percentiles=(0.5, 0.95),
+            distinct_col="lang",
+        ).collect()
+    }
+    rows = {0: ("a", 10, "en"), 1: ("a", 250, "fr"), 2: ("b", 10, "en"),
+            3: ("b", 20, "en")}
+    for site in {v[0] for d, v in rows.items() if d in cand}:
+        vals = [v[1] for d, v in rows.items() if d in cand and v[0] == site]
+        langs = {v[2] for d, v in rows.items() if d in cand and v[0] == site}
+        assert got[site]["p50"] == pytest.approx(
+            float(np.percentile(vals, 50, method="linear"))
+        )
+        assert got[site]["p95"] == pytest.approx(
+            float(np.percentile(vals, 95, method="linear"))
+        )
+        assert got[site]["n_distinct"] == len(langs)
+
+
+def test_aggs_approx_bounds(spark):
+    """approx mode: HLL++ cardinality within its rsd envelope and
+    approx percentile within the neighboring-rank bound — the 100 TB
+    serving knobs never drift far from exact."""
+    from searchenginejava_spark.operators.search import search_aggs
+
+    n = 5000
+    scored = spark.createDataFrame(
+        [(0, i, 1.0) for i in range(n)], "query_id int, doc_id long, score double"
+    )
+    meta = spark.createDataFrame(
+        [(i, "g", i % 997, f"k{i % 1000}") for i in range(n)],
+        "doc_id long, site string, n long, key string",
+    )
+    exact = search_aggs(
+        scored, meta, "site", percentile_col="n", percentiles=(0.5,),
+        distinct_col="key",
+    ).collect()[0]
+    approx = search_aggs(
+        scored, meta, "site", percentile_col="n", percentiles=(0.5,),
+        distinct_col="key", approx=True,
+    ).collect()[0]
+    assert exact["n_distinct"] == 1000
+    assert abs(approx["n_distinct"] - 1000) <= 1000 * 0.05 * 3  # 3 sigma rsd
+    assert abs(approx["p50"] - exact["p50"]) <= 5
