@@ -1901,6 +1901,37 @@ def q_ltr_suffstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_tiered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier serving (Risvik): hot tier = top 20% docs by a static
+    prior (n_chars stands in for PageRank so the oracle needs no graph),
+    count-based fallback — the contract queries fill their page from
+    the hot tier; query 100 ('dup', rare in the hot tier) falls back to
+    the full index with tier='full'."""
+    from searchenginejava_spark.operators.tiering import (
+        tier_split,
+        tiered_topk,
+    )
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    priors = _documents(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("double").alias("pagerank")
+    )
+    hot = tier_split(priors, hot_frac=0.2)
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    q_rows += [(100, "dup", 1)]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    res = tiered_topk(
+        qt, tf, dl, dct, stats, hot, k=_TOPK, min_hits=_TOPK
+    ).select(
+        "query_id", "rank", "doc_id",
+        F.round("score", 6).alias("score"), "tier",
+    )
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
 def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile + cardinality search aggregations (ES percentiles /
     cardinality aggs) over the BM25 top-10 result sets: per (query,
@@ -3136,6 +3167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate_fuzzy": q_decontaminate_fuzzy,
         "q_search_fallback": q_search_fallback,
         "q_agg_percentiles": q_agg_percentiles,
+        "q_tiered_search": q_tiered_search,
         "q_event_rollup": q_event_rollup,
         "q_commit_delta": q_commit_delta,
         "q_dismax": q_dismax,
@@ -5821,6 +5853,63 @@ def oracle_sql() -> dict[str, str]:
     sql["q_federated_search"] = sql["q_bm25_topk"]
     # star contraction computes the same components as propagation
     sql["q_dedup_clusters_star"] = sql["q_dedup_clusters"]
+    # two-tier serving: hot = top 20% by n_chars (ties by doc_id),
+    # hot page when the tier holds >= k candidates, full otherwise
+    _q_vals_tier = q_values + ", (100, 'dup', 1)"
+    sql["q_tiered_search"] = _SQL_TF + f"""
+    , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+             FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+    dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nn AS (SELECT count(*) AS n FROM documents),
+    hot AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS r
+        FROM documents
+      ) CROSS JOIN nn
+      WHERE r <= greatest(1, CAST(floor(nn.n * 0.2) AS BIGINT))
+    ),
+    q(query_id, term, qtf) AS (VALUES {_q_vals_tier}),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             sum(q.qtf
+                 * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                 * (tf.tf * {_K1 + 1.0})
+                 / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+             ) AS s
+      FROM q
+      JOIN dict USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    hot_scored AS (SELECT scored.* FROM scored SEMI JOIN hot USING (doc_id)),
+    counts AS (SELECT query_id, count(*) AS n_hot
+               FROM hot_scored GROUP BY query_id),
+    hotq AS (SELECT query_id FROM counts WHERE n_hot >= {_TOPK}),
+    page_hot AS (
+      SELECT query_id, doc_id, s,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, doc_id ASC) AS rank,
+             'hot' AS tier
+      FROM hot_scored SEMI JOIN hotq USING (query_id)
+      QUALIFY rank <= {_TOPK}
+    ),
+    page_full AS (
+      SELECT query_id, doc_id, s,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, doc_id ASC) AS rank,
+             'full' AS tier
+      FROM scored ANTI JOIN hotq USING (query_id)
+      QUALIFY rank <= {_TOPK}
+    )
+    SELECT CAST(query_id AS INT) AS query_id, CAST(rank AS INT) AS rank,
+           doc_id, round(s, 6) AS score, tier
+    FROM (SELECT * FROM page_hot UNION ALL SELECT * FROM page_full)
+    ORDER BY query_id, rank
+    """
     # percentile/cardinality aggs over the BM25 top-10: exact
     # interpolated quantile (quantile_cont == Spark F.percentile) and
     # exact distinct count per (query, source) bucket

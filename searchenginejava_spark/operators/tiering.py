@@ -1,0 +1,164 @@
+"""Index tiering — hot/cold split by static rank with count fallback.
+
+The classic two-tier serving architecture ([L:Risvik, Aasheim &
+Lidal, "Multi-tier architecture for web search engines", LA-WEB
+2003]; every large engine since): keep a HOT tier of the
+highest-static-rank documents (PageRank priors, click priors, freshness
+— any query-independent score this repo's ``linkrank`` family
+produces), serve queries against it first, and only touch the cold
+tier (the long tail, ~90% of the corpus) when the hot tier cannot fill
+the page. Head queries — the Zipf bulk of traffic — are answered by an
+index a tenth the size, which is the point: at 10^12 docs the hot tier
+is the thing that fits in the serving fleet's page cache.
+
+Semantics are the honest production ones: the hot page is exact BM25
+over the hot subset (``doc_filter`` keeps collection-level statistics,
+so surviving docs score identically to a full run), and the fallback
+rule is COUNT-based — a query whose hot tier yields fewer than
+``min_hits`` candidates re-runs against the full index (``tier =
+'full'``). A hot-served page can differ from the full-index page when
+a high-BM25 low-static-rank doc exists; that is the deliberate
+quality/cost trade tiering makes, and ``tiered_topk(audit=True)``
+quantifies it (per-query overlap with the full page) so the trade is
+measured, not assumed.
+
+Shape: the split is one prior-ranked cut (window over the priors
+relation — O(docs) slim rows, once per index generation, not per
+query); serving adds ONE semi-join of candidates against the hot-id
+relation; the fallback decision is a per-query count, chosen by join —
+no driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def tier_split(
+    priors: DataFrame,
+    *,
+    hot_frac: float = 0.1,
+    rank_col: str = "pagerank",
+) -> DataFrame:
+    """Hot-tier membership: top ``hot_frac`` of docs by static rank
+    (deterministic tie-break on doc_id) → (doc_id) relation. One
+    window over the slim priors relation, computed per index
+    generation."""
+    if not (0.0 < hot_frac <= 1.0):
+        raise ValueError("hot_frac must be in (0, 1]")
+    n = priors.count()
+    n_hot = max(1, int(n * hot_frac))
+    w = Window.orderBy(F.desc(rank_col), F.asc("doc_id"))
+    # single-partition window: acceptable at test scale; at 10^12 docs
+    # replace with the same range-partition + prefix-sum rank the
+    # source layer uses (assign_doc_ids(scalable=True)) — membership is
+    # a THRESHOLD on static rank, which an approximate quantile already
+    # gives without any global sort
+    return (
+        priors.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_hot)
+        .select("doc_id")
+    )
+
+
+def tiered_topk(
+    query_terms: DataFrame,
+    tf: DataFrame,
+    docs: DataFrame,
+    dictionary: DataFrame,
+    stats: dict,
+    hot_ids: DataFrame,
+    *,
+    k: int = 10,
+    min_hits: int | None = None,
+    k1: float | None = None,
+    b: float | None = None,
+) -> DataFrame:
+    """Serve a batch against the hot tier, falling back per query to
+    the full index when the hot tier yields < ``min_hits`` (default k)
+    candidates. Output (query_id, rank, doc_id, score, tier) with
+    tier ∈ {'hot', 'full'}."""
+    from .search import BM25_B, BM25_K1, score_exhaustive
+
+    k1 = BM25_K1 if k1 is None else k1
+    b = BM25_B if b is None else b
+    min_hits = k if min_hits is None else min_hits
+    # one scored pass over the FULL candidate stream; the hot page is a
+    # semi-join carve-out (same trick as search_with_fallback — scoring
+    # twice would scan twice)
+    all_scored = score_exhaustive(
+        query_terms, tf, docs, dictionary, stats, k=(1 << 31) - 1,
+        k1=k1, b=b,
+    ).select("query_id", "doc_id", "score")
+    all_scored = all_scored.persist()
+    hot_scored = all_scored.join(hot_ids, "doc_id", "left_semi")
+    counts = hot_scored.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hot")
+    )
+    hot_q = counts.filter(F.col("n_hot") >= min_hits).select("query_id")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    page_hot = (
+        hot_scored.join(F.broadcast(hot_q), "query_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("tier", F.lit("hot"))
+    )
+    page_full = (
+        all_scored.join(F.broadcast(hot_q), "query_id", "left_anti")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("tier", F.lit("full"))
+    )
+    return (
+        page_hot.unionByName(page_full)
+        .select(
+            F.col("query_id").cast("int"),
+            F.col("rank").cast("int"),
+            F.col("doc_id").cast("long"),
+            F.col("score").cast("double"),
+            "tier",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def tier_audit(
+    tiered: DataFrame,
+    full: DataFrame,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Quantify the tiering quality trade: per query, overlap@k between
+    the tiered page and the full-index page → (query_id, tier,
+    n_tiered, n_overlap, overlap_frac). The measurement loop that
+    keeps 'hot tier is good enough' an empirical claim."""
+    t = tiered.filter(F.col("rank") <= k).select(
+        "query_id", "doc_id", "tier"
+    )
+    f = full.filter(F.col("rank") <= k).select("query_id", "doc_id")
+    n_t = t.groupBy("query_id", "tier").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tiered")
+    )
+    ov = (
+        t.join(f, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    return (
+        n_t.join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            "tier",
+            "n_tiered",
+            F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0).cast("long"))
+                / F.col("n_tiered").cast("double"),
+                6,
+            ).alias("overlap_frac"),
+        )
+        .orderBy("query_id")
+    )

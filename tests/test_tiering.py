@@ -1,0 +1,85 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginejava_spark.operators.search import score_exhaustive
+from searchenginejava_spark.operators.tiering import (
+    tier_audit,
+    tier_split,
+    tiered_topk,
+)
+
+
+def _corpus(spark):
+    rows = [
+        (0, "apple banana"),
+        (1, "apple banana cherry"),
+        (2, "apple plum"),
+        (3, "cherry plum"),
+        (4, "apple banana plum"),
+        (5, "quince fig"),
+    ]
+    docs_raw = spark.createDataFrame(rows, "doc_id long, text string")
+    tf = (
+        docs_raw.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+    dct = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    stats = {"N": 6, "avgdl": dl.agg(F.avg("doc_len")).collect()[0][0]}
+    return tf, dl, dct, stats
+
+
+def test_tier_split_top_frac_deterministic(spark):
+    priors = spark.createDataFrame(
+        [(i, float(10 - i)) for i in range(10)], "doc_id long, pagerank double"
+    )
+    hot = sorted(r["doc_id"] for r in tier_split(priors, hot_frac=0.3).collect())
+    assert hot == [0, 1, 2]
+    with pytest.raises(ValueError):
+        tier_split(priors, hot_frac=0.0)
+
+
+def test_tiered_serving_hot_and_fallback(spark):
+    tf, dl, dct, stats = _corpus(spark)
+    hot = spark.createDataFrame([(0,), (1,), (2,)], "doc_id long")
+    qt = spark.createDataFrame(
+        [(0, "apple", 1),            # 3 hot candidates ≥ min_hits=2 → hot
+         (1, "quince", 1)],          # only doc 5 (cold) → full fallback
+        "query_id int, term string, qtf int",
+    )
+    out = tiered_topk(qt, tf, dl, dct, stats, hot, k=5, min_hits=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert {r["tier"] for r in by_q[0]} == {"hot"}
+    assert {r["doc_id"] for r in by_q[0]} == {0, 1, 2}   # hot subset only
+    assert {r["tier"] for r in by_q[1]} == {"full"}
+    assert {r["doc_id"] for r in by_q[1]} == {5}
+    # hot-page scores equal the full-index scores of the same docs
+    # (doc_filter semantics: collection-level stats)
+    full = score_exhaustive(
+        qt.filter("query_id = 0"), tf, dl, dct, stats, k=10
+    ).collect()
+    fs = {r["doc_id"]: r["score"] for r in full}
+    for r in by_q[0]:
+        assert r["score"] == pytest.approx(fs[r["doc_id"]], rel=1e-12)
+
+
+def test_tier_audit_overlap(spark):
+    tf, dl, dct, stats = _corpus(spark)
+    hot = spark.createDataFrame([(0,), (2,)], "doc_id long")
+    qt = spark.createDataFrame(
+        [(0, "apple", 1)], "query_id int, term string, qtf int"
+    )
+    tiered = tiered_topk(qt, tf, dl, dct, stats, hot, k=2, min_hits=2)
+    full = score_exhaustive(qt, tf, dl, dct, stats, k=2)
+    audit = tier_audit(tiered, full, k=2).collect()
+    assert len(audit) == 1
+    row = audit[0]
+    assert row["tier"] == "hot" and row["n_tiered"] == 2
+    # hot page {0,2} vs full page (top-2 of apple docs incl. cold 1/4)
+    assert 0 <= row["n_overlap"] <= 2
+    assert row["overlap_frac"] == pytest.approx(row["n_overlap"] / 2)
