@@ -1901,6 +1901,26 @@ def q_ltr_suffstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_prune_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static index pruning (Carmel SIGIR'01, uniform top-score rule at
+    ε=0.5): per-term accounting of what the prune keeps — df and exact
+    codec bytes before/after. The keep rule is pure rational arithmetic
+    (idf cancels per term), so DuckDB reproduces the decision
+    bit-for-bit."""
+    from searchenginejava_spark.operators.pruning import (
+        prune_report,
+        prune_tf,
+    )
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    pruned = prune_tf(tf, dl, stats, eps=0.5)
+    res = prune_report(tf, pruned)
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
 def q_tiered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-tier serving (Risvik): hot tier = top 20% docs by a static
     prior (n_chars stands in for PageRank so the oracle needs no graph),
@@ -3168,6 +3188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_search_fallback": q_search_fallback,
         "q_agg_percentiles": q_agg_percentiles,
         "q_tiered_search": q_tiered_search,
+        "q_prune_index": q_prune_index,
         "q_event_rollup": q_event_rollup,
         "q_commit_delta": q_commit_delta,
         "q_dismax": q_dismax,
@@ -3943,6 +3964,16 @@ def oracle_sql() -> dict[str, str]:
     q_values = ", ".join(
         f"({qid}, '{t}', 1)" for qid, terms in _ORACLE_QUERIES for t in terms
     )
+
+    def _vbsz(col: str) -> str:
+        """Varbyte byte count: 1 + one byte per crossed 128^k boundary
+        (integer thresholds — floating log misrounds at the edges).
+        Shared by the layout-comparison and index-pruning oracles."""
+        terms = " + ".join(
+            f"CASE WHEN {col} >= {1 << (7 * k)} THEN 1 ELSE 0 END"
+            for k in range(1, 9)
+        )
+        return f"(1 + {terms})"
     from searchenginejava_spark.operators.textstats import RK_BASE, RK_MOD
 
     alpha = "len(list_filter(l, t -> regexp_matches(t, '^[a-z]+$')))"
@@ -5853,6 +5884,54 @@ def oracle_sql() -> dict[str, str]:
     sql["q_federated_search"] = sql["q_bm25_topk"]
     # star contraction computes the same components as propagation
     sql["q_dedup_clusters_star"] = sql["q_dedup_clusters"]
+    # static index pruning at eps=0.5: keep rule on the idf-free BM25
+    # tf part (pure rational arithmetic), then the same exact varbyte
+    # byte model as q_reorder_compression for before/after accounting
+    sql["q_prune_index"] = _SQL_TF + f"""
+    , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+             FROM tf GROUP BY doc_id),
+    stats AS (SELECT avg(doc_len) AS avgdl FROM dl),
+    contrib AS (
+      SELECT tf.term, tf.doc_id, tf.tf,
+             (CAST(tf.tf AS DOUBLE) * {_K1 + 1.0})
+             / (CAST(tf.tf AS DOUBLE)
+                + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+               AS c
+      FROM tf JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    mx AS (SELECT term, max(c) AS mc FROM contrib GROUP BY term),
+    pruned AS (
+      SELECT contrib.term, doc_id, tf
+      FROM contrib JOIN mx USING (term)
+      WHERE round(c, 9) >= round(0.5 * mc, 9)
+    ),
+    cur AS (
+      SELECT term,
+             doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term
+                                                 ORDER BY doc_id), 0) AS gap,
+             tf
+      FROM tf),
+    reo AS (
+      SELECT term,
+             doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term
+                                                 ORDER BY doc_id), 0) AS gap,
+             tf
+      FROM pruned),
+    before AS (SELECT term, CAST(count(*) AS BIGINT) AS df_before,
+                      CAST(sum({_vbsz('gap')}) + sum({_vbsz('tf')})
+                           + {_vbsz('count(*)')} AS BIGINT) AS bytes_before
+               FROM cur GROUP BY term),
+    after AS (SELECT term, CAST(count(*) AS BIGINT) AS df_after,
+                     CAST(sum({_vbsz('gap')}) + sum({_vbsz('tf')})
+                          + {_vbsz('count(*)')} AS BIGINT) AS bytes_after
+              FROM reo GROUP BY term)
+    SELECT b.term, b.df_before,
+           coalesce(a.df_after, 0) AS df_after,
+           b.bytes_before,
+           coalesce(a.bytes_after, 0) AS bytes_after
+    FROM before b LEFT JOIN after a USING (term)
+    ORDER BY term
+    """
     # two-tier serving: hot = top 20% by n_chars (ties by doc_id),
     # hot page when the tier holds >= k candidates, full otherwise
     _q_vals_tier = q_values + ", (100, 'dup', 1)"
@@ -6289,15 +6368,8 @@ def oracle_sql() -> dict[str, str]:
     """
     # index-layout comparison: per-term delta+varbyte size (the codec's
     # exact VB(df) VB(gaps) VB(tfs) layout) under current vs
-    # (source, lang)-clustered doc ids; vbsz is the integer-threshold
-    # byte-count chain (1 + one byte per crossed 128^k boundary)
-    def _vbsz(col: str) -> str:
-        terms = " + ".join(
-            f"CASE WHEN {col} >= {1 << (7 * k)} THEN 1 ELSE 0 END"
-            for k in range(1, 9)
-        )
-        return f"(1 + {terms})"
-
+    # (source, lang)-clustered doc ids; _vbsz (defined near the top of
+    # oracle_sql) is the integer-threshold byte-count chain
     sql["q_reorder_compression"] = _SQL_TF + f"""
     , m AS (SELECT doc_id,
                    row_number() OVER (ORDER BY source, lang, doc_id) - 1

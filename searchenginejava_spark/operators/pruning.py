@@ -1,0 +1,118 @@
+"""Static index pruning — Carmel-style term-level posting pruning.
+
+[L:Carmel et al., "Static index pruning for information retrieval
+systems", SIGIR 2001]: most posting entries can never reach a top-k
+page — their term's score contribution for that doc is far below the
+term's best contribution anywhere. Dropping them at INDEX time (not
+query time, which is WAND/MaxScore's job) shrinks the index the tail
+lives in; the classic result is 60-70% size reduction with near-identical
+top-10 pages.
+
+The rule here is Carmel's uniform top-score variant, made fully
+deterministic and oracle-checkable:
+
+    keep (term, doc)  ⇔  contrib(term, doc) ≥ ε · max_doc contrib(term, ·)
+
+with contrib = the tf side of the BM25 term score,
+tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) — the per-term idf factor
+multiplies both sides of the comparison and cancels, so it is omitted
+(see ``_contrib``). The threshold is therefore in score units per
+term, and the pruned index serves through the UNCHANGED scorer stack
+(it is just a smaller tf relation; SPIMI/merge/compression run as-is
+downstream).
+
+Pruning is lossy by design; like tiering, the trade ships with its
+measurement: ``prune_report`` gives per-term kept/dropped counts and
+byte estimates (via the layout module's exact codec model), and
+``tier_audit``-style page-overlap checks live in the tests. At 10^12
+docs the shape is one window/agg per term over the slim (term, doc,
+tf, dl) relation — the same term-keyed shuffle the build merge pays,
+with the same Zipf-head caveat (a head term's max is one agg, not a
+sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .search import BM25_B, BM25_K1
+
+
+def _contrib(stats: dict, k1: float, b: float):
+    """The tf-side BM25 term part. idf is deliberately ABSENT: the keep
+    rule compares a posting against ε·max over the SAME term, so the
+    per-term idf factor cancels — dropping it makes the decision pure
+    rational arithmetic (no ln whose last ulp differs between JVM and
+    libm/DuckDB at the ≥ boundary)."""
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("doc_len").cast("double")
+    return (tf_d * F.lit(k1 + 1.0)) / (
+        tf_d
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * dl_d / F.lit(stats["avgdl"]))
+    )
+
+
+def prune_tf(
+    tf: DataFrame,
+    docs: DataFrame,
+    stats: dict,
+    *,
+    eps: float = 0.2,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """The pruned tf relation: rows whose BM25 term contribution clears
+    ε of the term's best contribution. One join chain + one per-term
+    max agg (map-side combined) + one filter — the output feeds the
+    normal build (``build_postings`` / SPIMI) unchanged."""
+    if not (0.0 <= eps <= 1.0):
+        raise ValueError("eps must be in [0, 1]")
+    j = tf.join(docs.select("doc_id", "doc_len"), "doc_id").withColumn(
+        "contrib", _contrib(stats, k1, b)
+    )
+    mx = j.groupBy("term").agg(F.max("contrib").alias("max_contrib"))
+    return (
+        j.join(mx, "term")
+        .filter(
+            F.round(F.col("contrib"), 9)
+            >= F.round(F.lit(eps) * F.col("max_contrib"), 9)
+        )
+        .select("doc_id", "term", "tf")
+    )
+
+
+def prune_report(
+    tf: DataFrame,
+    pruned: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-term pruning accounting: (term, df_before, df_after,
+    bytes_before, bytes_after) with byte sizes from the exact codec
+    model (layout.posting_byte_sizes) — the 'is the 60% there' report."""
+    from .layout import posting_byte_sizes
+
+    before = posting_byte_sizes(tf, id_col=id_col).select(
+        "term",
+        F.col("df").alias("df_before"),
+        F.col("bytes").alias("bytes_before"),
+    )
+    after = posting_byte_sizes(pruned, id_col=id_col).select(
+        "term",
+        F.col("df").alias("df_after"),
+        F.col("bytes").alias("bytes_after"),
+    )
+    return (
+        before.join(after, "term", "left")
+        .select(
+            "term",
+            "df_before",
+            F.coalesce("df_after", F.lit(0).cast("long")).alias("df_after"),
+            "bytes_before",
+            F.coalesce("bytes_after", F.lit(0).cast("long")).alias(
+                "bytes_after"
+            ),
+        )
+        .orderBy("term")
+    )

@@ -1,0 +1,71 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginejava_spark.operators.pruning import prune_report, prune_tf
+from searchenginejava_spark.operators.search import score_exhaustive
+
+
+def _corpus(spark):
+    # doc 9 mentions 'apple' once in a LONG doc -> tiny contribution
+    rows = [(i, "apple " * (5 - i // 3) + "pad " * (2 * i)) for i in range(10)]
+    docs_raw = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+    )
+    tf = (
+        docs_raw.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+    dct = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    stats = {"N": 10, "avgdl": dl.agg(F.avg("doc_len")).collect()[0][0]}
+    return tf, dl, dct, stats
+
+
+def test_prune_keeps_max_and_drops_tail(spark):
+    tf, dl, dct, stats = _corpus(spark)
+    pruned = prune_tf(tf, dl, stats, eps=0.8)
+    kept = {(r["doc_id"], r["term"]) for r in pruned.collect()}
+    full = {(r["doc_id"], r["term"]) for r in tf.collect()}
+    assert kept < full                       # something was dropped
+    # every term keeps at least its argmax posting
+    terms_before = {t for _, t in full}
+    terms_after = {t for _, t in kept}
+    assert terms_after == terms_before
+    # eps=0 keeps everything
+    assert prune_tf(tf, dl, stats, eps=0.0).count() == tf.count()
+    with pytest.raises(ValueError):
+        prune_tf(tf, dl, stats, eps=1.5)
+
+
+def test_pruned_index_preserves_head_page(spark):
+    """Top-3 of a selective query survives aggressive pruning: the big
+    contributions are exactly what the rule keeps."""
+    tf, dl, dct, stats = _corpus(spark)
+    qt = spark.createDataFrame(
+        [(0, "apple", 1)], "query_id int, term string, qtf int"
+    )
+    full = score_exhaustive(qt, tf, dl, dct, stats, k=3).collect()
+    pruned_tf_rel = prune_tf(tf, dl, stats, eps=0.5)
+    # serve the pruned relation through the UNCHANGED scorer (stats and
+    # df stay collection-level, the static-pruning convention)
+    pr = score_exhaustive(qt, pruned_tf_rel, dl, dct, stats, k=3).collect()
+    assert [(r["rank"], r["doc_id"]) for r in pr] == [
+        (r["rank"], r["doc_id"]) for r in full
+    ]
+    for a, b in zip(pr, full):
+        assert a["score"] == pytest.approx(b["score"], rel=1e-12)
+
+
+def test_prune_report_accounts_bytes(spark):
+    tf, dl, dct, stats = _corpus(spark)
+    pruned = prune_tf(tf, dl, stats, eps=0.8)
+    rep = prune_report(tf, pruned).collect()
+    assert rep
+    tot_b = sum(r["bytes_before"] for r in rep)
+    tot_a = sum(r["bytes_after"] for r in rep)
+    assert tot_a < tot_b
+    for r in rep:
+        assert 0 <= r["df_after"] <= r["df_before"]
