@@ -2623,6 +2623,19 @@ def q_symbol_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_symbols(_code_view(spark, sf_dir), text_col="code")
 
 
+def q_find_usages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Find-usages (the IDE references panel, corpus-wide): every line
+    whose call sites resolve to the symbol 'keyAgg' on the
+    case-convention-insensitive key — key_agg( and keyAgg( both
+    answer."""
+    from searchenginejava_spark.operators.codesearch import find_usages
+
+    res = find_usages(_code_view(spark, sf_dir), "keyAgg", text_col="code")
+    res.persist()
+    res.count()
+    return res
+
+
 def q_code_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file structural quality metrics (BigCode/StarCoder-style
     curation cuts for the code payload): line-shape stats, comment
@@ -3189,6 +3202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_agg_percentiles": q_agg_percentiles,
         "q_tiered_search": q_tiered_search,
         "q_prune_index": q_prune_index,
+        "q_find_usages": q_find_usages,
         "q_event_rollup": q_event_rollup,
         "q_commit_delta": q_commit_delta,
         "q_dismax": q_dismax,
@@ -5884,6 +5898,25 @@ def oracle_sql() -> dict[str, str]:
     sql["q_federated_search"] = sql["q_bm25_topk"]
     # star contraction computes the same components as propagation
     sql["q_dedup_clusters_star"] = sql["q_dedup_clusters"]
+    # find-usages: per-line call extraction (same CALL_PATTERN as the
+    # reference-edge builder), normalized-symbol equality to 'key_agg'
+    from searchenginejava_spark.operators.codesearch import CALL_PATTERN
+
+    sql["q_find_usages"] = _SQL_CODEVIEW + f"""
+    , lines AS (
+      SELECT doc_id, generate_subscripts(ls, 1) AS line_no, unnest(ls) AS line
+      FROM (SELECT doc_id, string_split(code, chr(10)) AS ls FROM cv)
+    ),
+    calls AS (
+      SELECT doc_id, line_no, line,
+             unnest(regexp_extract_all(line, '{CALL_PATTERN}', 1)) AS callee
+      FROM lines
+    )
+    SELECT doc_id, CAST(line_no AS INT) AS line_no, callee, line
+    FROM calls
+    WHERE array_to_string({_sql_subsplit("callee")}, '_') = 'key_agg'
+    ORDER BY doc_id, line_no, callee
+    """
     # static index pruning at eps=0.5: keep rule on the idf-free BM25
     # tf part (pure rational arithmetic), then the same exact varbyte
     # byte model as q_reorder_compression for before/after accounting

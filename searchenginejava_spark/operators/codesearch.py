@@ -449,3 +449,65 @@ def secret_scrub(
         clean.alias("clean_code"),
         total.alias("n_secrets"),
     )
+
+
+def find_usages(
+    corpus: DataFrame,
+    symbol: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    subtoken_tf: DataFrame | None = None,
+) -> DataFrame:
+    """Find-usages (the IDE "references" panel, corpus-wide): every
+    line whose call sites include ``symbol``, matched on the normalized
+    subtoken key — so ``parseQuery(...)``, ``parse_query(...)`` and
+    ``ParseQuery(...)`` all answer a query for any of those spellings.
+    Output (doc_id, line_no, callee, line), line_no 1-based.
+
+    Scale shape: when ``subtoken_tf`` (the ``subtoken_terms`` relation
+    / the code-mode index's tf) is given, docs are pruned FIRST to
+    those containing every subtoken of the symbol — an index semi-join,
+    the same trick grep_lines plays with trigrams — so the line
+    explode + per-line call extraction touch only candidate docs.
+    Everything is native regexp/splits; the per-line extraction is the
+    SAME pattern the reference-edge builder uses, so usages and the
+    call graph can never disagree.
+    """
+    target = norm_symbol_col(F.lit(symbol))
+    src = corpus
+    if subtoken_tf is not None:
+        from ..functions.tokenize import tokenize_code
+
+        toks = tokenize_code(symbol)
+        # SUBtokens only — every spelling of the symbol (keyAgg /
+        # key_agg / KeyAgg) emits the same subtokens into the code
+        # index, while the whole-identifier token is spelling-specific
+        # and would prune away other conventions' call sites
+        whole = symbol.lower()
+        subs = [t for t in toks if t != whole] or toks
+        if subs:
+            cand = None
+            for s in sorted(set(subs)):
+                d = subtoken_tf.filter(F.col("term") == s).select("doc_id")
+                cand = d if cand is None else cand.join(d, "doc_id", "left_semi")
+            src = src.join(
+                cand.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+            )
+    lines = src.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+    )
+    calls = lines.select(
+        "doc_id",
+        (F.col("idx") + 1).cast("int").alias("line_no"),
+        "line",
+        F.explode(
+            F.regexp_extract_all(F.col("line"), F.lit(CALL_PATTERN), 1)
+        ).alias("callee"),
+    )
+    return (
+        calls.filter(norm_symbol_col(F.col("callee")) == target)
+        .select("doc_id", "line_no", "callee", "line")
+        .orderBy("doc_id", "line_no", "callee")
+    )

@@ -330,3 +330,42 @@ def test_secret_scrub_masks_and_counts(spark):
     assert "<SECRET:aws_access_key>" in r["clean_code"]
     assert "<SECRET:password_assign>" in r["clean_code"]
     assert r["clean_code"].endswith("ok = 1")
+
+
+def test_find_usages_cross_convention(spark):
+    from searchenginejava_spark.operators.codesearch import find_usages
+
+    rows = [
+        (0, "def key_agg(x):\n    y = keyAgg(z)\n    return scan(y)"),
+        (1, "class A:\n    v = key_agg(1)"),
+        (2, "nothing relevant here()"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = find_usages(df, "KeyAgg").collect()
+    # the def line matches the call pattern too — regex usage finders
+    # (and this one) surface the definition alongside the calls
+    assert [(r["doc_id"], r["line_no"], r["callee"]) for r in got] == [
+        (0, 1, "key_agg"), (0, 2, "keyAgg"), (1, 2, "key_agg"),
+    ]
+    assert got[1]["line"].strip() == "y = keyAgg(z)"
+
+
+def test_find_usages_index_pruned_equals_full(spark):
+    from searchenginejava_spark.operators.codesearch import (
+        find_usages,
+        subtoken_terms,
+    )
+
+    rows = [
+        (0, "a = keyAgg(b)"),
+        (1, "c = key_agg(d)"),
+        (2, "e = other_call(f)"),
+        (3, "keyless agg()"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tf = subtoken_terms(df, text_col="text")
+    full = [(r["doc_id"], r["line_no"], r["callee"])
+            for r in find_usages(df, "keyAgg").collect()]
+    pruned = [(r["doc_id"], r["line_no"], r["callee"])
+              for r in find_usages(df, "keyAgg", subtoken_tf=tf).collect()]
+    assert full == pruned == [(0, 1, "keyAgg"), (1, 1, "key_agg")]
