@@ -600,3 +600,89 @@ class SearchEngine:
 
     def stats(self) -> dict:
         return index_stats(self.index)
+
+    # --- serving policies (round-3 wave: planner / fallback / tiers /
+    #     static pruning) -------------------------------------------------
+
+    def plan(self, queries: Sequence[tuple[int, str]], **knobs) -> DataFrame:
+        """Per-query serving-path decision (operators/planner.py) from
+        dictionary statistics only."""
+        from .operators.planner import plan_queries
+        from .operators.search import query_terms_df
+
+        qt = query_terms_df(self.spark, list(queries), tokenizer=self._tok)
+        return plan_queries(qt, self.index.dictionary, self.index.stats, **knobs)
+
+    def search_planned(
+        self, queries: Sequence[tuple[int, str]], *, k: int = TOP_K, **knobs
+    ) -> DataFrame:
+        """Route each query to its chosen scorer family and union the
+        (rank-identical) results — ≤ 3 jobs per batch."""
+        from .operators.planner import serve_planned
+
+        return serve_planned(
+            self.spark, self.index, list(queries), k=k,
+            tokenizer=self._tok, **knobs,
+        )
+
+    def search_fallback(
+        self, text: str, *, k: int = TOP_K, min_hits: int = 1
+    ) -> DataFrame:
+        """Strict-AND page with automatic OR relaxation (the site-search
+        convention); rows carry a ``relaxed`` flag."""
+        from .operators.search import query_terms_df, search_with_fallback
+
+        qt = query_terms_df(self.spark, [(0, text)], tokenizer=self._tok)
+        return search_with_fallback(
+            qt, self.index.tf, self.index.docs, self.index.dictionary,
+            self.index.stats, k=k, min_hits=min_hits,
+            doc_exclude=self.index.tombstones,
+        )
+
+    def search_tiered(
+        self,
+        queries: Sequence[tuple[int, str]],
+        priors: DataFrame,
+        *,
+        hot_frac: float = 0.1,
+        k: int = TOP_K,
+        min_hits: int | None = None,
+    ) -> DataFrame:
+        """Two-tier serving against a hot tier cut from ``priors``
+        (e.g. ``compute_priors()``'s output); rows carry a ``tier``
+        flag and fall back per query when the hot tier can't fill k."""
+        from .operators.search import query_terms_df
+        from .operators.tiering import tier_split, tiered_topk
+
+        hot = tier_split(priors, hot_frac=hot_frac)
+        qt = query_terms_df(self.spark, list(queries), tokenizer=self._tok)
+        return tiered_topk(
+            qt, self.index.tf, self.index.docs, self.index.dictionary,
+            self.index.stats, hot, k=k, min_hits=min_hits,
+        )
+
+    def pruned(self, *, eps: float = 0.2) -> "SearchEngine":
+        """A statically pruned twin (Carmel rule at ε): smaller tf
+        relation, collection-level dictionary/docs/stats retained (the
+        static-pruning convention). The pruned twin serves via the
+        EXHAUSTIVE path (its compressed postings are not rebuilt —
+        doc-length norms must stay original, which the exhaustive
+        docs-join already guarantees): ``search(..., path="exhaustive")``."""
+        from .operators.pruning import prune_tf
+        from .plans.pipeline import IndexArtifacts
+
+        new_tf = prune_tf(
+            self.index.tf, self.index.docs, self.index.stats, eps=eps
+        )
+        return SearchEngine(
+            self.spark,
+            IndexArtifacts(
+                docs=self.index.docs,
+                tf=new_tf,
+                dictionary=self.index.dictionary,
+                postings=None,
+                stats=dict(self.index.stats),
+                tombstones=self.index.tombstones,
+            ),
+            mode=self.mode,
+        )

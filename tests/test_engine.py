@@ -356,3 +356,33 @@ def test_engine_train_and_serve_ltr(spark, eng):
         assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
         scores = [r["ltr_score"] for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_engine_serving_policies(spark, eng):
+    """Facade surface for the round-3 serving wave: planner decision +
+    routed batch, strict-AND fallback, tiered serving, pruned twin."""
+    queries = [(0, "table hash"), (1, "merge sort scan")]
+    plan = eng.plan(queries).collect()
+    assert {r["query_id"] for r in plan} == {0, 1}
+    assert all(r["path"] in ("empty", "wand", "maxscore", "exhaustive")
+               for r in plan)
+    routed = eng.search_planned(queries, k=5).collect()
+    base = eng.search_batch(queries, k=5, path="exhaustive").collect()
+    assert [(r["query_id"], r["rank"], r["doc_id"]) for r in routed] == [
+        (r["query_id"], r["rank"], r["doc_id"]) for r in base
+    ]
+
+    fb = eng.search_fallback("table hash", k=5).collect()
+    assert fb and all(r["relaxed"] in (True, False) for r in fb)
+
+    priors = eng.index.docs.select(
+        "doc_id", F.col("doc_len").cast("double").alias("pagerank")
+    )
+    tiers = eng.search_tiered(queries, priors, hot_frac=0.2, k=5).collect()
+    assert tiers and {r["tier"] for r in tiers} <= {"hot", "full"}
+
+    small = eng.pruned(eps=0.5)
+    assert small.index.postings is None
+    res = small.search("table hash", k=5, path="exhaustive").collect()
+    assert res and [r["rank"] for r in res] == list(range(1, len(res) + 1))
+    assert small.index.tf.count() < eng.index.tf.count()
