@@ -1629,6 +1629,30 @@ def q_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPR-style hard-negative mining: each judged-relevant doc paired
+    with the top-ranked non-relevant retrievals (hardest first) — the
+    retriever-training triples a search log + qrels yield for free."""
+    from searchenginejava_spark.operators.evaluation import (
+        mine_hard_negatives,
+    )
+    from searchenginejava_spark.operators.search import score_exhaustive
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    res = score_exhaustive(qt, tf, dl, dct, stats, k=_TOPK).select(
+        "query_id", "rank", "doc_id"
+    )
+    out = mine_hard_negatives(
+        res, _synthetic_qrels(spark, sf_dir), n_neg=3, max_pos=5
+    )
+    out.persist()
+    out.count()
+    tf.unpersist()
+    return out
+
+
 def q_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25F fielded ranking (title = first 3 tokens as a virtual field,
     boost 3; body = full text): field evidence folds into t̃f BEFORE
@@ -3203,6 +3227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tiered_search": q_tiered_search,
         "q_prune_index": q_prune_index,
         "q_find_usages": q_find_usages,
+        "q_hard_negatives": q_hard_negatives,
         "q_event_rollup": q_event_rollup,
         "q_commit_delta": q_commit_delta,
         "q_dismax": q_dismax,
@@ -5898,6 +5923,64 @@ def oracle_sql() -> dict[str, str]:
     sql["q_federated_search"] = sql["q_bm25_topk"]
     # star contraction computes the same components as propagation
     sql["q_dedup_clusters_star"] = sql["q_dedup_clusters"]
+    # hard-negative mining: BM25 top-10 minus the relevant set, top 3
+    # per positive (graded positives capped at 5, rel desc)
+    sql["q_hard_negatives"] = _SQL_TF + f"""
+    , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+             FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+    dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    q(query_id, term, qtf) AS (VALUES {q_values}),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             sum(q.qtf
+                 * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                 * (tf.tf * {_K1 + 1.0})
+                 / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+             ) AS s
+      FROM q
+      JOIN dict USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    res AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, doc_id ASC) AS rank
+      FROM scored QUALIFY rank <= {_TOPK}
+    ),
+    qrels AS (
+      SELECT qq.query_id, d.doc_id,
+             CASE WHEN (d.doc_id + qq.query_id) % 17 = 0 THEN 2
+                  WHEN (d.doc_id + qq.query_id) % 5 = 0 THEN 1
+                  ELSE 0 END AS rel
+      FROM (SELECT DISTINCT query_id FROM q) qq
+      CROSS JOIN documents d
+    ),
+    pos AS (
+      SELECT query_id, doc_id AS pos_doc_id, rel AS pos_rel
+      FROM (
+        SELECT query_id, doc_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, doc_id ASC) AS pr
+        FROM qrels WHERE rel > 0
+      ) WHERE pr <= 5
+    ),
+    neg AS (
+      SELECT query_id, doc_id AS neg_doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rank ASC) AS INT) AS neg_rank
+      FROM res ANTI JOIN (SELECT query_id, doc_id FROM qrels WHERE rel > 0)
+               USING (query_id, doc_id)
+      QUALIFY neg_rank <= 3
+    )
+    SELECT CAST(pos.query_id AS INT) AS query_id, pos_doc_id, neg_doc_id,
+           neg_rank, CAST(pos_rel AS INT) AS pos_rel
+    FROM pos JOIN neg USING (query_id)
+    ORDER BY query_id, pos_doc_id, neg_rank
+    """
     # find-usages: per-line call extraction (same CALL_PATTERN as the
     # reference-edge builder), normalized-symbol equality to 'key_agg'
     from searchenginejava_spark.operators.codesearch import CALL_PATTERN

@@ -196,3 +196,77 @@ def query_difficulty(
         ).alias("wig"),
     )
     return out.join(post, "query_id", "left").orderBy("query_id")
+
+
+def mine_hard_negatives(
+    results: DataFrame,
+    qrels: DataFrame,
+    *,
+    n_neg: int = 5,
+    max_pos: int = 10,
+) -> DataFrame:
+    """Hard-negative mining for retriever training ([L:Karpukhin et
+    al., DPR, EMNLP 2020 §3.2] — "BM25 hard negatives"; the standard
+    recipe behind DPR/Contriever/E5 training sets): for every judged
+    query, pair each relevant doc with the top-ranked docs the ranker
+    retrieved that are NOT relevant — the negatives that look most like
+    positives, which is what makes them informative.
+
+    Inputs: ``results`` (query_id, rank, doc_id) from any scorer here;
+    ``qrels`` (query_id, doc_id, rel). Output: one training triple per
+    row — (query_id, pos_doc_id, neg_doc_id, neg_rank, pos_rel) with
+    negatives ordered by retrieval rank (hardest first), ``n_neg`` per
+    positive, ``max_pos`` positives per query (graded order: rel desc,
+    doc_id asc).
+
+    Shape: both inputs are k-row / qrel-sized relations; the pair
+    build is a per-query join of two capped relations (≤ max_pos ×
+    n_neg rows per query), nothing corpus-sized anywhere. At a 10^7
+    query training log this is the cheap step; the expensive part
+    (running the batch scorer) is the one pass the serving stack
+    already does.
+    """
+    pos = (
+        qrels.filter(F.col("rel") > 0)
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("rel"), F.asc("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("pr") <= max_pos)
+        .select(
+            "query_id",
+            F.col("doc_id").alias("pos_doc_id"),
+            F.col("rel").alias("pos_rel"),
+        )
+    )
+    rel_docs = qrels.filter(F.col("rel") > 0).select("query_id", "doc_id")
+    neg = (
+        results.join(rel_docs, ["query_id", "doc_id"], "left_anti")
+        .withColumn(
+            "nr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.asc("rank"))
+            ),
+        )
+        .filter(F.col("nr") <= n_neg)
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neg_doc_id"),
+            F.col("nr").cast("int").alias("neg_rank"),
+        )
+    )
+    return (
+        pos.join(neg, "query_id")
+        .select(
+            F.col("query_id").cast("int"),
+            F.col("pos_doc_id").cast("long"),
+            F.col("neg_doc_id").cast("long"),
+            "neg_rank",
+            F.col("pos_rel").cast("int"),
+        )
+        .orderBy("query_id", "pos_doc_id", "neg_rank")
+    )

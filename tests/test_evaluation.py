@@ -112,3 +112,33 @@ def test_query_difficulty_post_retrieval(spark):
     assert out[1]["nqc"] > 0.5
     assert out[1]["wig"] == pytest.approx(round((9 - 5) / 5, 6))
     assert out[1]["s1"] == 9.0 and out[1]["sk"] == 3.0
+
+
+def test_mine_hard_negatives(spark):
+    """DPR-style triples: each positive paired with the top-ranked
+    NON-relevant docs, hardest first; caps respected."""
+    from searchenginejava_spark.operators.evaluation import (
+        mine_hard_negatives,
+    )
+
+    results = spark.createDataFrame(
+        [(0, r, 100 + r) for r in range(1, 7)],
+        "query_id int, rank int, doc_id long",
+    )
+    qrels = spark.createDataFrame(
+        [(0, 102, 2), (0, 105, 1), (0, 999, 1), (1, 50, 1)],
+        "query_id int, doc_id long, rel int",
+    )
+    out = mine_hard_negatives(results, qrels, n_neg=2).collect()
+    # positives for q0: 102 (rel 2), 105, 999; negatives ranked: 101, 103
+    got = {(r["pos_doc_id"], r["neg_doc_id"], r["neg_rank"]) for r in out}
+    assert got == {
+        (102, 101, 1), (102, 103, 2),
+        (105, 101, 1), (105, 103, 2),
+        (999, 101, 1), (999, 103, 2),
+    }
+    assert all(r["query_id"] == 0 for r in out)   # q1 has no results rows
+    # rel ordering cap: max_pos=1 keeps only the rel-2 positive
+    capped = mine_hard_negatives(results, qrels, n_neg=2, max_pos=1).collect()
+    assert {r["pos_doc_id"] for r in capped} == {102}
+    assert all(r["pos_rel"] == 2 for r in capped)
