@@ -3184,9 +3184,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_reorder_compression": q_reorder_compression,
         "q_search_after": q_search_after,
         "q_explain_score": q_explain_score,
-        "q_curation_full": q_curation_full,
-        "q_duplication_stats": q_duplication_stats,
-        "q_proximity_rerank": q_proximity_rerank,
+        # Wave-15: the three brand-new serving-policy families
+        # (fallback / tiering / pruning) take these slots; the displaced
+        # rows' families keep driver-green coverage elsewhere —
+        # curation via q_decontaminate (in-window) + q_corpus_curation
+        # (r02-green), exact-substring dedup via the r02-green dedup
+        # block, rerank via q_mmr_rerank (in-window).
+        "q_search_fallback": q_search_fallback,
+        "q_tiered_search": q_tiered_search,
+        "q_prune_index": q_prune_index,
         "q_related_terms": q_related_terms,
         "q_mmr_rerank": q_mmr_rerank,
         "q_index_diff": q_index_diff,
@@ -3222,10 +3228,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_secret_scan": q_secret_scan,
         "q_ppr_priors": q_ppr_priors,
         "q_decontaminate_fuzzy": q_decontaminate_fuzzy,
-        "q_search_fallback": q_search_fallback,
         "q_agg_percentiles": q_agg_percentiles,
-        "q_tiered_search": q_tiered_search,
-        "q_prune_index": q_prune_index,
+        # displaced by wave-15's in-window swaps (families still
+        # driver-covered, see the boundary comment)
+        "q_curation_full": q_curation_full,
+        "q_duplication_stats": q_duplication_stats,
+        "q_proximity_rerank": q_proximity_rerank,
         "q_find_usages": q_find_usages,
         "q_hard_negatives": q_hard_negatives,
         "q_event_rollup": q_event_rollup,
