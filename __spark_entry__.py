@@ -2476,6 +2476,27 @@ def q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_query_string_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaf boosts in the query-string language: '"table hash"^2 OR
+    customer' — the phrase's terms score at weight 2 (matching set
+    unchanged); the oracle restates the boosted qtf in the q VALUES."""
+    from searchenginejava_spark.operators.positional import positional_index
+    from searchenginejava_spark.operators.querystring import (
+        query_string_search,
+    )
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    pidx = positional_index(_documents(spark, sf_dir), mode="simple")
+    res = query_string_search(
+        '"table hash"^2 OR customer', tf, dl, dct, stats, k=_TOPK,
+        positional=pidx,
+    ).select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
 _FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -3236,6 +3257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_proximity_rerank": q_proximity_rerank,
         "q_find_usages": q_find_usages,
         "q_hard_negatives": q_hard_negatives,
+        "q_query_string_boost": q_query_string_boost,
         "q_event_rollup": q_event_rollup,
         "q_commit_delta": q_commit_delta,
         "q_dismax": q_dismax,
@@ -6560,6 +6582,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT doc_id FROM tf WHERE term = 'customer'
           AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tf
                              WHERE term = 'slow')
+    )
+    , scored AS (
+      SELECT q.query_id, tf.doc_id,
+             sum(q.qtf
+                 * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                 * (tf.tf * {_K1 + 1.0})
+                 / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+             ) AS s
+      FROM q
+      JOIN dict USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      WHERE tf.doc_id IN (SELECT doc_id FROM cand)
+      GROUP BY q.query_id, tf.doc_id
+    )
+    SELECT CAST(query_id AS INT) AS query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY s DESC, doc_id ASC) AS INT) AS rank,
+           doc_id,
+           round(s, 6) AS score
+    FROM scored
+    QUALIFY rank <= {_TOPK}
+    """
+    # query-string leaf boosts: '"table hash"^2 OR customer' — same
+    # doc-set algebra (no NOT branch), phrase terms at qtf 2.0
+    sql["q_query_string_boost"] = _SQL_TOKL + f"""
+    , tf AS (SELECT doc_id, term, count(*) AS tf
+             FROM tok GROUP BY doc_id, term)
+    , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+             FROM tf GROUP BY doc_id)
+    , stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl)
+    , dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+    , q(query_id, term, qtf) AS (VALUES
+        (0, 'table', 2.0), (0, 'hash', 2.0), (0, 'customer', 1.0))
+    , p0 AS (SELECT doc_id, pos FROM tok WHERE term = 'table')
+    , p1 AS (SELECT doc_id, pos FROM tok WHERE term = 'hash')
+    , phr AS (SELECT DISTINCT p0.doc_id FROM p0
+              JOIN p1 ON p0.doc_id = p1.doc_id AND p1.pos = p0.pos + 1)
+    , cand AS (
+        SELECT doc_id FROM phr
+        UNION
+        SELECT DISTINCT doc_id FROM tf WHERE term = 'customer'
     )
     , scored AS (
       SELECT q.query_id, tf.doc_id,

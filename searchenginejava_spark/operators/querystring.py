@@ -12,9 +12,11 @@ the subset whose operators exist in-engine:
     (a OR b) AND c               grouping
     tab*                         wildcard (dictionary-expanded, capped)
     tabel~  / tabel~2            fuzzy (SymSpell-expanded, capped)
+    table^2  "hash join"^1.5     leaf boosts (scale the term's query
+                                 weight; matching is unchanged)
 
-Out of scope (and rejected loudly, not silently): fields (``title:x``),
-boosts (``^2``), ranges — the engine's data model is single-field.
+Out of scope (and rejected loudly, not silently): fields (``title:x``)
+and ranges — the engine's data model is single-field.
 
 Execution: the parse tree lowers to DOC-SET algebra over term-pruned
 posting slices — leaves are semi-join/isin slices of the tf relation
@@ -67,6 +69,12 @@ class Fuzzy:
 
 
 @dataclass(frozen=True)
+class Boosted:
+    child: object     # a leaf (Term/Phrase/Wildcard/Fuzzy)
+    boost: float
+
+
+@dataclass(frozen=True)
 class Not:
     child: object
 
@@ -81,13 +89,17 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<lparen>\()
       | (?P<rparen>\))
-      | (?P<phrase>"[^"]*")
+      | (?P<phrase>"[^"]*")(?P<pboost>\^\d+(?:\.\d+)?)?
       | (?P<word>[^\s()"]+)
     )""",
     re.VERBOSE,
 )
 
-_REJECT_RE = re.compile(r"(?<!\\):|[\^\[\]{]")
+# '^' is allowed only as a LEAF boost suffix (term^2, "a b"^1.5) —
+# handled by the parser; fields and ranges stay rejected
+_REJECT_RE = re.compile(r"(?<!\\):|[\[\]{]")
+
+_BOOST_RE = re.compile(r"(.+?)\^(\d+(?:\.\d+)?)$")
 
 
 def _tokenize(s: str) -> list[tuple[str, str]]:
@@ -104,7 +116,11 @@ def _tokenize(s: str) -> list[tuple[str, str]]:
         elif m.group("rparen"):
             out.append((")", ")"))
         elif m.group("phrase"):
-            out.append(("phrase", m.group("phrase")[1:-1]))
+            body = m.group("phrase")[1:-1]
+            if m.group("pboost"):
+                out.append(("bphrase", (body, float(m.group("pboost")[1:]))))
+            else:
+                out.append(("phrase", body))
         else:
             out.append(("word", m.group("word")))
     return out
@@ -145,7 +161,7 @@ def parse_query(s: str, *, default_operator: str = "or"):
                 parts.append(parse_and())
             elif (
                 default_operator == "or"
-                and kind in ("word", "phrase", "(")
+                and kind in ("word", "phrase", "bphrase", "(")
                 and not (kind == "word" and val.upper() in ("AND", "OR"))
             ):
                 parts.append(parse_and())
@@ -162,7 +178,7 @@ def parse_query(s: str, *, default_operator: str = "or"):
                 parts.append(parse_unary())
             elif (
                 default_operator == "and"
-                and kind in ("word", "phrase", "(")
+                and kind in ("word", "phrase", "bphrase", "(")
                 and not (kind == "word" and val.upper() in ("AND", "OR"))
             ):
                 parts.append(parse_unary())
@@ -190,15 +206,29 @@ def parse_query(s: str, *, default_operator: str = "or"):
             if not words:
                 raise ValueError("empty phrase in query string")
             return Phrase(words)
+        if kind == "bphrase":
+            body, boost = val
+            words = tuple(w for w in body.split(" ") if w)
+            if not words:
+                raise ValueError("empty phrase in query string")
+            return Boosted(Phrase(words), boost)
         if kind == "word":
             if val.upper() in ("AND", "OR", "NOT"):
                 raise ValueError(f"dangling operator {val!r}")
+            boost = None
+            bm = _BOOST_RE.fullmatch(val)
+            if bm:
+                val, boost = bm.group(1), float(bm.group(2))
+            elif "^" in val:
+                raise ValueError(f"malformed boost in {val!r}")
             m = re.fullmatch(r"(.+?)~(\d?)", val)
             if m:
-                return Fuzzy(m.group(1), int(m.group(2) or "1"))
-            if "*" in val or "?" in val:
-                return Wildcard(val)
-            return Term(val)
+                leaf = Fuzzy(m.group(1), int(m.group(2) or "1"))
+            elif "*" in val or "?" in val:
+                leaf = Wildcard(val)
+            else:
+                leaf = Term(val)
+            return Boosted(leaf, boost) if boost is not None else leaf
         raise ValueError("empty query string")
 
     if not toks:
@@ -248,6 +278,12 @@ def _leaf_terms(node, dictionary, tokenizer, *, max_expansions: int):
 def _candidates(
     node, tf, dictionary, universe, tokenizer, positional, max_expansions
 ) -> DataFrame:
+    if isinstance(node, Boosted):
+        # boosts change SCORES, never the matched doc set
+        return _candidates(
+            node.child, tf, dictionary, universe, tokenizer, positional,
+            max_expansions,
+        )
     if isinstance(node, (Term, Wildcard, Fuzzy, Phrase)):
         terms, is_phrase = _leaf_terms(
             node, dictionary, tokenizer, max_expansions=max_expansions
@@ -316,10 +352,40 @@ def positive_terms(node, dictionary, tokenizer, *, max_expansions: int = 16):
                 )
             )
         return list(dict.fromkeys(out))
+    if isinstance(node, Boosted):
+        node = node.child
     terms, _ = _leaf_terms(
         node, dictionary, tokenizer, max_expansions=max_expansions
     )
     return list(dict.fromkeys(terms))
+
+
+def positive_term_weights(
+    node, dictionary, tokenizer, *, max_expansions: int = 16
+) -> dict[str, float]:
+    """term → MAX boost over the positive scope (unboosted leaves weigh
+    1.0, so repeated unboosted mentions dedup exactly like
+    ``positive_terms`` always has — pre-boost queries keep their
+    scores). Feeds the scorers' qtf column, the per-term query weight
+    throughout this engine."""
+    if isinstance(node, Not):
+        return {}
+    if isinstance(node, Bool):
+        out: dict[str, float] = {}
+        for c in node.children:
+            for t, w in positive_term_weights(
+                c, dictionary, tokenizer, max_expansions=max_expansions
+            ).items():
+                out[t] = max(out.get(t, 0.0), w)
+        return out
+    boost = 1.0
+    if isinstance(node, Boosted):
+        boost = node.boost
+        node = node.child
+    terms, _ = _leaf_terms(
+        node, dictionary, tokenizer, max_expansions=max_expansions
+    )
+    return {t: boost for t in dict.fromkeys(terms)}
 
 
 def query_string_search(
@@ -347,17 +413,17 @@ def query_string_search(
     cand = _candidates(
         node, tf, dictionary, universe, tokenizer, positional, max_expansions
     )
-    pos_terms = positive_terms(
+    weights = positive_term_weights(
         node, dictionary, tokenizer, max_expansions=max_expansions
     )
-    if not pos_terms:
+    if not weights:
         raise ValueError(
             "query has no positive terms to rank by (pure negation)"
         )
     spark = tf.sparkSession
     qt = spark.createDataFrame(
-        [(query_id, t, 1) for t in pos_terms],
-        "query_id int, term string, qtf int",
+        [(query_id, t, float(w)) for t, w in weights.items()],
+        "query_id int, term string, qtf double",
     )
     return score_exhaustive(
         qt, tf, docs, dictionary, stats, k=k, doc_filter=cand,

@@ -53,7 +53,7 @@ def test_parser_leaves():
 def test_parser_rejects():
     for bad in (
         "title:foo",      # fields
-        "foo^2",          # boosts
+        "foo^bar",        # malformed boost (non-numeric)
         "[a TO b]",       # ranges
         "a AND",          # dangling operator
         "(a OR b",        # unbalanced
@@ -206,3 +206,69 @@ def test_search_job_query_string_flag(spark, tmp_path, capsys):
     ]
     got = [(r["rank"], r["doc_id"]) for r in lines[:-1]]
     assert got == want
+
+
+def test_parser_boosts():
+    """Leaf boosts parse on terms, phrases, wildcards and fuzzy leaves;
+    matching set is unchanged, only the weight scales."""
+    from searchenginejava_spark.operators.querystring import (
+        Boosted,
+        Fuzzy,
+        Phrase,
+        Term,
+        Wildcard,
+        parse_query,
+        positive_term_weights,
+    )
+
+    n = parse_query("table^2")
+    assert n == Boosted(Term("table"), 2.0)
+    n = parse_query('"hash join"^1.5')
+    assert n == Boosted(Phrase(("hash", "join")), 1.5)
+    assert parse_query("tab*^3") == Boosted(Wildcard("tab*"), 3.0)
+    assert parse_query("tabel~^2") == Boosted(Fuzzy("tabel", 1), 2.0)
+    w = positive_term_weights(
+        parse_query("table^2 hash"), None, None
+    )
+    assert w == {"table": 2.0, "hash": 1.0}
+    # max convention: repeated mentions keep the biggest boost, and
+    # unboosted repeats stay at 1.0 (pre-boost score compatibility)
+    w = positive_term_weights(parse_query("a a^3 a^2"), None, None)
+    assert w == {"a": 3.0}
+    w = positive_term_weights(parse_query("a a"), None, None)
+    assert w == {"a": 1.0}
+
+
+def test_boosted_search_scales_scores(spark, parts):
+    """term^2 doubles that term's score contribution: scores of docs
+    matching ONLY the boosted term double; the matched doc set is
+    unchanged vs the unboosted query."""
+    import pytest as _pt
+
+    from searchenginejava_spark.operators.querystring import (
+        query_string_search,
+    )
+
+    tf, docs, dct, stats, _pidx = parts
+    plain = {
+        r["doc_id"]: r["score"]
+        for r in query_string_search(
+            "table OR customer", tf, docs, dct, stats, k=10**6
+        ).collect()
+    }
+    boosted = {
+        r["doc_id"]: r["score"]
+        for r in query_string_search(
+            "table^2 OR customer", tf, docs, dct, stats, k=10**6
+        ).collect()
+    }
+    assert set(plain) == set(boosted)
+    both = {r["doc_id"] for r in tf.filter("term = 'table'").join(
+        tf.filter("term = 'customer'"), "doc_id", "left_semi"
+    ).select("doc_id").collect()}
+    only_table = {
+        d for d in plain
+        if d not in both
+    } & {r["doc_id"] for r in tf.filter("term = 'table'").select("doc_id").collect()}
+    for d in only_table:
+        assert boosted[d] == _pt.approx(2 * plain[d], rel=1e-9)
