@@ -122,3 +122,44 @@ def load_index(spark: SparkSession, path: str):
         stats=stats,
         tombstones=tombs,
     )
+
+
+# ---------------------------------------------------------------------------
+# index aliases — atomic generation flips (the ES alias / Iceberg
+# current-snapshot-pointer convention)
+# ---------------------------------------------------------------------------
+
+def publish_alias(root: str, alias: str, target: str) -> None:
+    """Point ``alias`` at the published index directory ``target``
+    (relative to ``root`` or absolute). Atomic: the pointer file is
+    written to a temp name and os.replace'd, so readers see either the
+    old or the new generation, never a partial write — serving flips
+    between index generations (fresh build, compaction, merge output)
+    without any reader coordination. On a real object store the same
+    role is played by the Iceberg catalog's snapshot pointer."""
+    if not alias or "/" in alias or alias.startswith("."):
+        raise ValueError(f"bad alias name: {alias!r}")
+    tgt = target if os.path.isabs(target) else os.path.join(root, target)
+    if not os.path.exists(os.path.join(tgt, "stats.json")):
+        raise ValueError(f"target is not a published index: {target!r}")
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, f".{alias}.alias.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"target": tgt}, f)
+    os.replace(tmp, os.path.join(root, f"{alias}.alias"))
+
+
+def resolve_alias(root: str, alias: str) -> str:
+    """The index directory ``alias`` currently points at."""
+    p = os.path.join(root, f"{alias}.alias")
+    try:
+        with open(p) as f:
+            return json.load(f)["target"]
+    except FileNotFoundError:
+        raise ValueError(f"unknown alias: {alias!r}") from None
+
+
+def load_index_by_alias(spark: SparkSession, root: str, alias: str):
+    """load_index through the alias pointer — the serving entry point
+    that survives generation flips."""
+    return load_index(spark, resolve_alias(root, alias))

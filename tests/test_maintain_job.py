@@ -314,3 +314,42 @@ def test_run_queries_job_models(spark, tmp_path, capsys):
     assert [(r["doc_id"], round(r["score"], 9)) for r in lm_job] == [
         (r["doc_id"], round(r["score"], 9)) for r in lm_lib
     ]
+
+
+def test_alias_atomic_flip(spark, tmp_path):
+    """Aliases: publish two generations, flip the pointer, reads follow;
+    bad targets and names fail loudly."""
+    import pytest as _pt
+
+    from searchenginejava_spark.sources.index_store import (
+        load_index_by_alias,
+        publish_alias,
+        resolve_alias,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    root = str(tmp_path)
+    g1, g2 = f"{root}/gen1", f"{root}/gen2"
+    save_index(
+        build_index(spark, docs.filter(F.col("doc_id") < 100),
+                    text_col="text", mode="simple", num_partitions=2),
+        g1, term_partitions=2,
+    )
+    save_index(
+        build_index(spark, docs, text_col="text", mode="simple",
+                    num_partitions=2),
+        g2, term_partitions=2,
+    )
+    publish_alias(root, "serving", g1)
+    assert resolve_alias(root, "serving") == g1
+    idx1 = load_index_by_alias(spark, root, "serving")
+    n1 = idx1.docs.count()
+    publish_alias(root, "serving", g2)          # atomic flip
+    idx2 = load_index_by_alias(spark, root, "serving")
+    assert idx2.docs.count() > n1
+    with _pt.raises(ValueError, match="unknown alias"):
+        resolve_alias(root, "nope")
+    with _pt.raises(ValueError, match="not a published index"):
+        publish_alias(root, "bad", f"{root}/missing")
+    with _pt.raises(ValueError, match="bad alias"):
+        publish_alias(root, "../evil", g1)
