@@ -3258,6 +3258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_find_usages": q_find_usages,
         "q_hard_negatives": q_hard_negatives,
         "q_query_string_boost": q_query_string_boost,
+        "q_completion": q_completion,
+        "q_passage_search": q_passage_search,
         "q_event_rollup": q_event_rollup,
         "q_commit_delta": q_commit_delta,
         "q_dismax": q_dismax,
@@ -6605,6 +6607,94 @@ def oracle_sql() -> dict[str, str]:
            round(s, 6) AS score
     FROM scored
     QUALIFY rank <= {_TOPK}
+    """
+    # materialized completion artifact: all prefixes (<=10 chars) of
+    # dictionary terms, top-5 per prefix by df (ties by term), served
+    # for the fixed prefix set
+    _pfx = ", ".join(f"'{p}'" for p in _COMPLETE_PREFIXES)
+    sql["q_completion"] = _SQL_TF + f"""
+    , dict AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+               FROM tf GROUP BY term),
+    pref AS (
+      SELECT term, df,
+             unnest(list_transform(
+               generate_series(1, least(length(term), 10)),
+               i -> substr(term, 1, CAST(i AS INT))
+             )) AS prefix
+      FROM dict
+    ),
+    ranked AS (
+      SELECT prefix, term, df,
+             row_number() OVER (PARTITION BY prefix
+                                ORDER BY df DESC, term ASC) AS rank
+      FROM pref
+    )
+    SELECT prefix, CAST(rank AS INT) AS rank, term, df
+    FROM ranked WHERE rank <= 5 AND prefix IN ({_pfx})
+    ORDER BY prefix, rank
+    """
+    # passage rollup (MaxP): chunk the docs exactly like
+    # q_chunk_documents, BM25 over the CHUNK corpus's own stats, roll
+    # best-passage evidence up to the parent (winning chunk kept)
+    sql["q_passage_search"] = _SQL_TOKL + f"""
+    , par AS (
+      SELECT doc_id, l,
+             greatest(CAST(ceil((len(l) - {_CHUNK[1]})
+                           / CAST({_CHUNK[0] - _CHUNK[1]} AS DOUBLE)) AS INT),
+                      1) AS n_chunks
+      FROM tokl
+    ),
+    ch AS (
+      SELECT doc_id,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_idx,
+             l
+      FROM par
+    ),
+    sl AS (
+      SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             l[chunk_idx * {_CHUNK[0] - _CHUNK[1]} + 1
+               : chunk_idx * {_CHUNK[0] - _CHUNK[1]} + {_CHUNK[0]}] AS ctoks
+      FROM ch
+    ),
+    tfc AS (
+      SELECT doc_id, chunk_idx, unnest(ctoks) AS term
+      FROM sl WHERE len(ctoks) > 0
+    ),
+    tf2 AS (SELECT doc_id, chunk_idx, term, count(*) AS tf
+            FROM tfc GROUP BY 1, 2, 3),
+    dlc AS (SELECT doc_id, chunk_idx, CAST(sum(tf) AS BIGINT) AS doc_len
+            FROM tf2 GROUP BY 1, 2),
+    statsc AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dlc),
+    dictc AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+    q(query_id, term, qtf) AS (VALUES {q_values}),
+    scoredc AS (
+      SELECT q.query_id, tf2.doc_id, tf2.chunk_idx,
+             round(sum(q.qtf
+                 * ln((statsc.n - dictc.df + 0.5) / (dictc.df + 0.5) + 1.0)
+                 * (tf2.tf * {_K1 + 1.0})
+                 / (tf2.tf + {_K1} * (1.0 - {_B} + {_B} * dlc.doc_len / statsc.avgdl))
+             ), 6) AS s
+      FROM q
+      JOIN dictc USING (term)
+      JOIN tf2 USING (term)
+      JOIN dlc ON tf2.doc_id = dlc.doc_id AND tf2.chunk_idx = dlc.chunk_idx
+      CROSS JOIN statsc
+      GROUP BY q.query_id, tf2.doc_id, tf2.chunk_idx
+    ),
+    best AS (
+      SELECT query_id, doc_id, chunk_idx, s,
+             row_number() OVER (PARTITION BY query_id, doc_id
+                                ORDER BY s DESC, chunk_idx ASC) AS cr
+      FROM scoredc
+    )
+    SELECT CAST(query_id AS INT) AS query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY s DESC, doc_id ASC) AS INT) AS rank,
+           doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           s AS score
+    FROM best WHERE cr = 1
+    QUALIFY rank <= {_TOPK}
+    ORDER BY query_id, rank
     """
     # query-string leaf boosts: '"table hash"^2 OR customer' — same
     # doc-set algebra (no NOT branch), phrase terms at qtf 2.0

@@ -1759,3 +1759,59 @@ def search_with_fallback(
         )
         .orderBy("query_id", "rank")
     )
+
+
+def rollup_passages(
+    chunk_scores: DataFrame,
+    *,
+    parent_col: str = "parent_id",
+    chunk_col: str = "chunk_idx",
+    score_mode: str = "max",
+    k: int = TOP_K,
+) -> DataFrame:
+    """Passage-rollup retrieval — the long-document convention
+    (Elasticsearch nested ``inner_hits`` / the BERT-era MaxP rule of
+    [L:Dai & Callan, SIGIR 2019]): score CHUNKS (fixed token windows —
+    ``curation.chunk_documents``), then roll the evidence up to the
+    parent document. ``score_mode='max'`` is MaxP (a document is as
+    relevant as its best passage — the robust default for retrieval);
+    ``'sum'`` aggregates all passages (favors long docs with repeated
+    hits). Output: (query_id, rank, doc_id, chunk_idx, score) where
+    chunk_idx is the WINNING passage — what a UI highlights or a
+    reranker reads.
+
+    Shape: one hash agg (query, parent) over the chunk results + the
+    standard top-k window; the chunk relation is the only corpus-sized
+    input and it was already produced by the scorer's candidate
+    stream."""
+    if score_mode not in ("max", "sum"):
+        raise ValueError("score_mode must be 'max' or 'sum'")
+    # best struct: (score, -chunk) so ties prefer the EARLIEST chunk
+    best = F.max(
+        F.struct(
+            F.col("score").alias("s"),
+            (-F.col(chunk_col)).cast("long").alias("negc"),
+        )
+    )
+    agg = chunk_scores.groupBy("query_id", parent_col).agg(
+        best.alias("b"),
+        F.sum("score").alias("s_sum"),
+    )
+    score = (
+        F.col("b.s") if score_mode == "max" else F.col("s_sum")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        agg.select(
+            F.col("query_id").cast("int"),
+            F.col(parent_col).cast("long").alias("doc_id"),
+            (-F.col("b.negc")).cast("int").alias("chunk_idx"),
+            score.cast("double").alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "chunk_idx", "score")
+        .orderBy("query_id", "rank")
+    )

@@ -897,3 +897,26 @@ def test_aggs_approx_bounds(spark):
     assert exact["n_distinct"] == 1000
     assert abs(approx["n_distinct"] - 1000) <= 1000 * 0.05 * 3  # 3 sigma rsd
     assert abs(approx["p50"] - exact["p50"]) <= 5
+
+
+def test_rollup_passages_maxp(spark):
+    """MaxP rollup: parent score = best chunk, winning chunk kept
+    (earliest on ties), sum mode aggregates."""
+    from searchenginejava_spark.operators.search import rollup_passages
+
+    scored = spark.createDataFrame(
+        [(0, 7, 0, 1.0), (0, 7, 1, 3.0), (0, 7, 2, 3.0),
+         (0, 8, 0, 2.5), (1, 7, 5, 4.0)],
+        "query_id int, parent_id long, chunk_idx int, score double",
+    )
+    mx = {(r["query_id"], r["doc_id"]): (r["rank"], r["chunk_idx"], r["score"])
+          for r in rollup_passages(scored, k=10).collect()}
+    assert mx[(0, 7)] == (1, 1, 3.0)     # ties -> earliest chunk
+    assert mx[(0, 8)] == (2, 0, 2.5)
+    assert mx[(1, 7)] == (1, 5, 4.0)
+    sm = {(r["query_id"], r["doc_id"]): r["score"]
+          for r in rollup_passages(scored, score_mode="sum", k=10).collect()}
+    assert sm[(0, 7)] == 7.0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        rollup_passages(scored, score_mode="avg")

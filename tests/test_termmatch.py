@@ -278,3 +278,29 @@ def test_related_terms_requires_seeds(spark, dct):
 
     with pytest.raises(ValueError):
         related_terms(dct, [])
+
+
+def test_completion_index_and_serve(spark):
+    """Materialized completion artifact: top-n per prefix by df (ties
+    by term); serving is a point filter over the artifact."""
+    from searchenginejava_spark.operators.termmatch import (
+        complete,
+        completion_index,
+    )
+
+    dct = spark.createDataFrame(
+        [("table", 50), ("tab", 40), ("tag", 40), ("taxi", 1), ("zoo", 9)],
+        "term string, df long",
+    )
+    cidx = completion_index(dct, max_prefix_len=3, top_n=2)
+    rows = {(r["prefix"], r["rank"]): r["term"] for r in cidx.collect()}
+    assert rows[("ta", 1)] == "table"            # df 50
+    assert rows[("ta", 2)] == "tab"              # df 40, 'tab' < 'tag'
+    assert ("ta", 3) not in rows                 # top_n cap
+    assert rows[("z", 1)] == "zoo"
+    # max_prefix_len=3: no 4-char prefixes exist
+    assert not any(len(p) > 3 for p, _ in rows)
+    got = complete(cidx, ["ta", "zz"], k=2).collect()
+    assert [(r["prefix"], r["rank"], r["term"]) for r in got] == [
+        ("ta", 1, "table"), ("ta", 2, "tab"),
+    ]
