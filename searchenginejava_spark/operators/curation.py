@@ -158,7 +158,7 @@ def contamination_hits_fuzzy(
     jac = F.col("inter") / (
         F.col("sz_d") + F.col("sz_b") - F.col("inter")
     )
-    return (
+    hits = (
         inter.join(sz_d, "doc_id")
         .join(sz_b, "bench_id")
         .filter(F.round(jac, 6) >= threshold)
@@ -166,6 +166,14 @@ def contamination_hits_fuzzy(
             "doc_id", "bench_id", F.round(jac, 6).alias("jaccard")
         )
     )
+    # Materialize the (hit-pair-sized) result, then RELEASE the
+    # corpus-sized cached relations — otherwise sh_d/sh_b/cands blocks
+    # leak for the rest of the session in long curation pipelines.
+    hits = hits.persist()
+    hits.count()
+    for rel in (sh_d, sh_b, cands):
+        rel.unpersist()
+    return hits
 
 
 def sample_mixture(

@@ -116,6 +116,20 @@ def compare_layouts(
     (term, df, bytes_current, bytes_reordered). ``mapping`` is the
     (doc_id, new_id) relation from ``reorder_map``. The join moves only
     (term, id, tf) triples; content never shuffles."""
+    # mapping must cover every doc_id in tf — an inner join would
+    # silently drop unmapped docs from the reordered side only, making
+    # a candidate layout look better than it is. Assert coverage first
+    # (one anti-join count over the distinct-id relation, O(|docs|)).
+    uncovered = (
+        tf.select(id_col).distinct()
+        .join(mapping.select(id_col), id_col, "left_anti")
+        .count()
+    )
+    if uncovered:
+        raise ValueError(
+            f"compare_layouts: reorder mapping misses {uncovered} doc_ids "
+            "present in tf — sizes would undercount on the reordered side"
+        )
     cur = posting_byte_sizes(tf, id_col=id_col)
     re_tf = tf.join(mapping, id_col).select(
         "term", F.col("new_id").alias(id_col), "tf"

@@ -85,6 +85,10 @@ def pagerank(
 
     base_rel = None
     if restart is not None:
+        # Normalize ONLY over seeds that exist in `nodes` — unknown seed
+        # ids would otherwise be dropped by the later left join and their
+        # teleport mass silently vanish (total teleport < 1-d).
+        restart = restart.join(nodes.select(id_col), id_col, "left_semi")
         wsum = float(
             restart.agg(F.sum("weight").alias("s")).collect()[0]["s"] or 0.0
         )

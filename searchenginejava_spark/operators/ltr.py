@@ -100,15 +100,28 @@ def ltr_fit(
     intercept is never regularized."""
     import numpy as np
 
+    # Empty features⋈labels join (e.g. qrels doc_ids disjoint from the
+    # index) yields NULL averages — fail with a diagnosable message
+    # instead of an opaque TypeError from float(None).
+    n_rows = 0.0
+    for r in suffstats_rows:
+        if r["f_i"] == "__n__" and r["value"] is not None:
+            n_rows = float(r["value"])
+    if n_rows == 0.0:
+        raise ValueError(
+            "ltr_fit: no labelled training rows — the features⋈labels "
+            "join is empty (do the qrels doc_ids overlap the index?)"
+        )
+
     names = ["__one__", *feature_cols]
     idx = {n: i for i, n in enumerate(names)}
     d = len(names)
     xtx = np.zeros((d, d))
     xty = np.zeros(d)
     for r in suffstats_rows:
-        fi, fj, v = r["f_i"], r["f_j"], float(r["value"])
-        if fi == "__n__":
+        if r["f_i"] == "__n__" or r["value"] is None:
             continue
+        fi, fj, v = r["f_i"], r["f_j"], float(r["value"])
         if fj == "__label__":
             xty[idx[fi]] = v
         else:

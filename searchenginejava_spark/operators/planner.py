@@ -119,7 +119,8 @@ def serve_planned(
     for path, qids in sorted(by_path.items()):
         if path == "empty":
             continue
-        sub = [(qid, text) for qid, text in queries if qid in set(qids)]
+        qset = set(qids)  # hoisted: O(batch + path), not O(batch × path)
+        sub = [(qid, text) for qid, text in queries if qid in qset]
         res = run_queries(
             spark, index, sub, k=k, path=path, **kwargs
         ).select("query_id", "rank", "doc_id", "score")

@@ -111,3 +111,27 @@ def test_scalable_reorder_matches_window_path(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_compare_layouts_rejects_partial_mapping(spark):
+    """A mapping that misses doc_ids present in tf must raise — the
+    inner join would silently shrink only the reordered side and make
+    a candidate layout look better than it is."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, "a b", "g") for i in range(4)],
+        "doc_id long, text string, source string",
+    )
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    partial = spark.createDataFrame(
+        [(0, 0), (1, 1)], "doc_id long, new_id long"
+    )
+    with pytest.raises(ValueError, match="misses 2 doc_ids"):
+        compare_layouts(tf, partial)

@@ -234,3 +234,22 @@ def test_ppr_rejects_nonpositive_weights(spark):
             _nodes(spark, [0]), _edges(spark, []),
             restart=_restart(spark, {0: 0.0}),
         )
+
+
+def test_ppr_unknown_seed_mass_not_lost(spark):
+    """Seeds absent from `nodes` must not silently swallow teleport
+    mass: restart {0: 1.0, 99: 1.0} over nodes {0,1} normalizes over
+    the KNOWN seeds only, so it is identical to restart {0: 1.0} —
+    without the semi-join, node 0's teleport would be halved."""
+    nodes = _nodes(spark, [0, 1])
+    edges = _edges(spark, [(0, 1)])
+    p = _ranks(
+        pagerank(nodes, edges, n_iter=4,
+                 restart=_restart(spark, {0: 1.0, 99: 1.0}))
+    )
+    only_known = _ranks(
+        pagerank(nodes, edges, n_iter=4,
+                 restart=_restart(spark, {0: 1.0}))
+    )
+    for i in (0, 1):
+        assert p[i] == pytest.approx(only_known[i], rel=1e-12)

@@ -144,3 +144,19 @@ def test_topk_scoring_contiguous_ranks(spark, feats_and_labels):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for q, ranks in by_q.items():
         assert ranks == list(range(1, len(ranks) + 1)), q
+
+
+def test_fit_raises_clear_error_on_empty_join(spark):
+    """qrels whose doc_ids don't overlap the index produce an empty
+    features⋈labels join → NULL averages; ltr_fit must raise a clear
+    'no labelled training rows' ValueError, not an opaque TypeError."""
+    feats = spark.createDataFrame(
+        [], "query_id int, doc_id long, "
+        + ", ".join(f"{c} double" for c in LTR_FEATURES),
+    )
+    labels = spark.createDataFrame(
+        [(0, 12345, 1.0)], "query_id int, doc_id long, rel double"
+    )
+    rows = ltr_suffstats(feats, labels).collect()
+    with pytest.raises(ValueError, match="no labelled training rows"):
+        ltr_fit(rows)
