@@ -2,12 +2,14 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with
 typed metadata structs. The Spark-side plumbing (schemas, Arrow batch
-shape, mapInPandas signatures, partition sizing) is real and tested; the
-actual codec calls (image decode, resampling, frame extraction) are
-STUBBED — this container ships no PIL/ffmpeg — behind
-``decoder="stub"`` (deterministic fake derived from the bytes) vs
-``decoder="real"`` (raises NotImplementedError at the exact integration
-point a PIL/torchvision/ffmpeg call would occupy).
+shape, mapInPandas signatures, partition sizing) is real and tested.
+Three decoder modes: ``decoder="png"`` is a REAL image decode with zero
+external dependencies (pure-stdlib zlib inflate + chunk parse +
+scanline unfiltering — executes and is pytest-covered in-container);
+``decoder="real"`` uses PIL / the ffmpeg binary for richer formats
+(capability-gated: imported lazily at task time, tests importorskip);
+``decoder="stub"`` is a deterministic fake derived from the payload
+bytes, kept for oracle-checkable plumbing tests.
 
 Scale shape: payloads never shuffle — feature extraction is a narrow
 mapInPandas over the scan; only the (id, features) projection moves on.
@@ -57,6 +59,129 @@ def _require_ffmpeg() -> str:
     return path
 
 
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytes:
+    """Undo PNG per-scanline filtering (types 0-4, RFC 2083 §6). Left-
+    neighbor dependencies force a sequential per-byte pass — fine at
+    feature-extraction image sizes; this decoder exists so a REAL decode
+    executes without PIL, not as the high-throughput path."""
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(h):
+        f = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos:pos + stride])
+        pos += stride
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out += line
+        prev = line
+    return bytes(out)
+
+
+def _decode_png(data: bytes):
+    """Pure-stdlib PNG decode (zlib inflate + IHDR/PLTE/IDAT parse) →
+    (width, height, grayscale uint8 H×W ndarray). Supports bit depth 8,
+    color types 0/2/3/4/6, non-interlaced — the common case; richer
+    formats stay on decoder='real' (PIL). Grayscale uses the ITU-R
+    BT.601 luma weights PIL's convert('L') uses."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    idat = bytearray()
+    plte = None
+    hdr = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", chunk)
+        elif ctype == b"PLTE":
+            plte = chunk
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+    if hdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = hdr
+    if bit_depth != 8:
+        raise ValueError(f"decoder='png' supports bit depth 8, got {bit_depth}")
+    if interlace != 0:
+        raise ValueError("decoder='png' does not support Adam7 interlacing")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {color_type}")
+    stride = w * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    px = np.frombuffer(
+        _png_unfilter(raw, h, stride, channels), dtype=np.uint8
+    ).reshape(h, w, channels)
+    luma = np.array([0.299, 0.587, 0.114])
+    if color_type == 0:
+        gray = px[:, :, 0]
+    elif color_type == 2:
+        gray = (px.astype(np.float64) @ luma).round().astype(np.uint8)
+    elif color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        rgb = pal[px[:, :, 0]]
+        gray = (rgb.astype(np.float64) @ luma).round().astype(np.uint8)
+    elif color_type == 4:
+        gray = px[:, :, 0]
+    else:  # 6: RGBA
+        gray = (
+            px[:, :, :3].astype(np.float64) @ luma
+        ).round().astype(np.uint8)
+    return int(w), int(h), gray
+
+
+def _png_embedding(gray, embedding_dim: int):
+    """Column-strip mean pooling of the grayscale image down to
+    ``embedding_dim`` values in [0, 1] — the decoder='png' analog of the
+    real path's resize-to-(dim, 1)."""
+    import numpy as np
+
+    w = gray.shape[1]
+    bounds = np.linspace(0, w, embedding_dim + 1).round().astype(int)
+    cols = gray.astype(np.float64).mean(axis=0)
+    out = []
+    for i in range(embedding_dim):
+        s = min(int(bounds[i]), w - 1)  # clamp: every strip non-empty
+        e = max(int(bounds[i + 1]), s + 1)
+        out.append(float(cols[s:e].mean() / 255.0))
+    return out
+
+
 MEDIA_META = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -104,11 +229,15 @@ def extract_image_features(
     _require_pil — absent in this container, so the path skips cleanly
     under pytest.importorskip and lights up wherever PIL exists):
     width/height from the decoded image, embedding = the grayscale image
-    resized to embedding_dim pixels, scaled to [0, 1]. decoder="stub"
-    (default) produces a deterministic fake (dims + embedding derived
-    from sha256 of the payload) so the distributed plumbing — batch
-    iteration, schema, null payloads, empty partitions — is fully
-    testable everywhere.
+    resized to embedding_dim pixels, scaled to [0, 1]. decoder="png"
+    is a REAL decode with zero extra dependencies — pure-stdlib zlib
+    inflate + IHDR/IDAT parse + scanline unfiltering (_decode_png), so
+    an actual image decode executes and is tested even where PIL is
+    absent; width/height from IHDR, embedding = column-strip mean
+    pooling of the grayscale image. decoder="stub" (default) produces a
+    deterministic fake (dims + embedding derived from sha256 of the
+    payload) so the distributed plumbing — batch iteration, schema,
+    null payloads, empty partitions — is fully testable everywhere.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -136,6 +265,13 @@ def extract_image_features(
                     out.append(
                         (int(mid), int(width), int(height), emb.tolist())
                     )
+                    continue
+                if decoder == "png":
+                    width, height, gray = _decode_png(bytes(payload))
+                    out.append((
+                        int(mid), width, height,
+                        _png_embedding(gray, embedding_dim),
+                    ))
                     continue
                 digest = hashlib.sha256(bytes(payload)).digest()
                 width = 64 + digest[0]

@@ -122,3 +122,150 @@ def test_frame_sampling_shape(media):
     vid = sorted(by_media[3], key=lambda r: r["frame_idx"])
     assert [r["frame_idx"] for r in vid] == [0, 30, 60, 90]  # 4800B → 4 frames
     assert len({r["frame_sha256"] for r in vid}) == len(vid)
+
+
+# ---- pure-stdlib PNG decoder (decoder="png": a REAL decode with no
+# external deps — VERDICT r03 order #3) ---------------------------------
+
+def _encode_png(pixels, color_type, filters=None, palette=None):
+    """Minimal in-test PNG writer (stdlib only): `pixels` is an H×W×C
+    uint8 ndarray (C per color type), one filter byte per scanline from
+    `filters` (default all-0). Applies the FORWARD filter so the decoder
+    must genuinely invert Sub/Up/Average/Paeth."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = pixels.shape[0], pixels.shape[1]
+    c = 1 if pixels.ndim == 2 else pixels.shape[2]
+    flat = pixels.reshape(h, w * c).astype(np.int32)
+    filters = filters or [0] * h
+    bpp = c
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        line = flat[y]
+        f = filters[y]
+        enc = bytearray()
+        for i in range(w * c):
+            a = int(line[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            cc = int(prev[i - bpp]) if i >= bpp else 0
+            x = int(line[i])
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = x - a
+            elif f == 2:
+                v = x - b
+            elif f == 3:
+                v = x - ((a + b) >> 1)
+            else:  # 4: Paeth
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                v = x - pr
+            enc.append(v & 0xFF)
+        raw.append(f)
+        raw += enc
+        prev = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(palette))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_png_decode_gray_roundtrip_all_filters():
+    """A real PNG (grayscale, every filter type 0-4 across scanlines)
+    decodes back to the exact source pixels — the unfilter pass must
+    genuinely invert Sub/Up/Average/Paeth."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 12), dtype=np.uint8)
+    data = _encode_png(px, color_type=0, filters=[0, 1, 2, 3, 4])
+    w, h, gray = multimodal._decode_png(data)
+    assert (w, h) == (12, 5)
+    assert np.array_equal(gray, px)
+
+
+def test_png_decode_rgb_and_rgba_luma():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    w, h, gray = multimodal._decode_png(
+        _encode_png(rgb, color_type=2, filters=[4, 3, 2, 1])
+    )
+    expect = (rgb.astype(np.float64) @ [0.299, 0.587, 0.114]).round()
+    assert np.array_equal(gray, expect.astype(np.uint8))
+    # RGBA: alpha ignored, same luma
+    rgba = np.dstack([rgb, np.full((4, 6), 128, dtype=np.uint8)])
+    w2, h2, gray2 = multimodal._decode_png(_encode_png(rgba, color_type=6))
+    assert np.array_equal(gray2, gray)
+
+
+def test_png_decode_palette():
+    import numpy as np
+
+    pal = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  10, 20, 30])
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    w, h, gray = multimodal._decode_png(
+        _encode_png(idx, color_type=3, palette=pal)
+    )
+    expect = np.array(
+        [[round(0.299 * 255), round(0.587 * 255)],
+         [round(0.114 * 255), round(0.299 * 10 + 0.587 * 20 + 0.114 * 30)]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(gray, expect)
+
+
+def test_png_decoder_through_spark_extract(spark):
+    """The order's done-criterion: a NON-skipped pytest decodes a real
+    PNG through extract_image_features (decoder='png'), distributed via
+    mapInPandas — dims from IHDR, embedding = unit-range strip means."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    px0 = rng.integers(0, 256, size=(8, 16), dtype=np.uint8)
+    png0 = _encode_png(px0, color_type=0, filters=[0, 1, 2, 3, 4, 1, 2, 4])
+    rgb1 = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    png1 = _encode_png(rgb1, color_type=2)
+    df = spark.createDataFrame(
+        [(0, "image", "image/png", bytearray(png0)),
+         (1, "image", "image/png", bytearray(png1)),
+         (2, "image", "image/png", None)],
+        "media_id long, kind string, mime string, payload binary",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.extract_image_features(
+            df, decoder="png", embedding_dim=4
+        ).collect()
+    }
+    assert (rows[0]["width"], rows[0]["height"]) == (16, 8)
+    assert (rows[1]["width"], rows[1]["height"]) == (9, 5)
+    assert rows[2]["width"] is None and rows[2]["embedding"] is None
+    # embedding exact: strip means of the known pixels
+    emb = rows[0]["embedding"]
+    cols = px0.astype(np.float64).mean(axis=0)
+    expect = [float(cols[i * 4:(i + 1) * 4].mean() / 255.0) for i in range(4)]
+    assert emb == pytest.approx(expect, abs=1e-12)
+    assert all(0.0 <= v <= 1.0 for v in emb)
+
+
+def test_png_decode_rejects_non_png():
+    with pytest.raises(ValueError, match="bad signature"):
+        multimodal._decode_png(b"\xff\xd8 not a png")
