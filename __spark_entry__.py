@@ -2054,6 +2054,45 @@ def q_plan_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_plan_queries_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner with ALL serving assets declared (impact index + sharded
+    postings): the decision relation routes this workload across
+    wand / impact / wand_sharded / exhaustive / empty. Thresholds are
+    N-relative so the decision is sf-independent: impact at Σdf ≥
+    0.3·N for ≤1-term queries, sharding once Σdf ≥ 4·⌊0.125·N⌋
+    (per-shard work still meaningful), dense cutoff 0.95. The maxscore
+    leg of the rule is pinned by q_plan_queries + the five-family
+    rank-identity pytest (this corpus has no multi-term query that is
+    simultaneously non-dense and below the shard threshold)."""
+    from searchenginejava_spark.operators.planner import plan_queries
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    n = int(stats["N"])
+    q_rows = [
+        (0, "dup", 1),                      # rare single term   → wand
+        (1, "line", 1),                     # hot single term    → impact
+        (2, "line", 1), (2, "query", 1),    # two hot terms      → exhaustive
+        (3, "dup", 1), (3, "line", 1),      # heavy, non-dense   → wand_sharded
+        (4, "zzz_oov_term", 1),             # no dictionary hit  → empty
+    ]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    res = plan_queries(
+        qt, dct, stats,
+        dense_frac=0.95, many_terms=2,
+        available=(
+            "exhaustive", "wand", "maxscore", "impact", "wand_sharded"
+        ),
+        num_shards=4,
+        impact_max_terms=1,
+        impact_min_df=int(0.3 * n),
+        shard_min_work=int(0.125 * n),
+    )
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
 def q_cached_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Head-query result cache: the workload is every oracle query
     TWICE (ids 100+ carry the same term sets in another order), the
@@ -3177,6 +3216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_subtoken_index + q_symbol_extract + q_clone_pairs +
         # q_code_metrics in-window.
         "q_plan_queries": q_plan_queries,
+        # Wave-16 (r4): the planner with impact + sharded legs routed
+        "q_plan_queries_full": q_plan_queries_full,
         "q_impact_topk": q_impact_topk,
         # -- no driver row yet (past r02's 50-row window) --
         "q_more_like_this": q_more_like_this,
@@ -6291,6 +6332,44 @@ def oracle_sql() -> dict[str, str]:
            CASE WHEN n_terms = 0 THEN 'empty'
                 WHEN cand_frac >= 0.5 THEN 'exhaustive'
                 WHEN n_terms >= 8 THEN 'maxscore'
+                ELSE 'wand' END AS path
+    FROM rows_
+    ORDER BY query_id
+    """
+    # planner with all serving assets: impact + sharded legs enter the
+    # CASE in rule order (dense → impact → sharded → many-terms → wand),
+    # thresholds N-relative exactly as the Spark side computes them
+    sql["q_plan_queries_full"] = _SQL_TF + """
+    , stats AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+    dict AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             FROM tf GROUP BY term),
+    q(query_id, term, qtf) AS (VALUES
+      (0, 'dup', 1), (1, 'line', 1), (2, 'line', 1), (2, 'query', 1),
+      (3, 'dup', 1), (3, 'line', 1), (4, 'zzz_oov_term', 1)),
+    qd AS (SELECT DISTINCT query_id, term FROM q),
+    hits AS (SELECT qd.query_id,
+                    CAST(count(*) AS BIGINT) AS n_terms,
+                    CAST(sum(df) AS BIGINT) AS sum_df
+             FROM qd JOIN dict USING (term) GROUP BY qd.query_id),
+    rows_ AS (
+      SELECT qq.query_id,
+             coalesce(h.n_terms, 0) AS n_terms,
+             coalesce(h.sum_df, 0) AS sum_df,
+             round(coalesce(least(1.0, h.sum_df / stats.n), 0.0), 6)
+               AS cand_frac,
+             stats.n AS n
+      FROM (SELECT DISTINCT query_id FROM q) qq
+      LEFT JOIN hits h USING (query_id)
+      CROSS JOIN stats)
+    SELECT CAST(query_id AS INT) AS query_id, n_terms, sum_df, cand_frac,
+           CASE WHEN n_terms = 0 THEN 'empty'
+                WHEN cand_frac >= 0.95 THEN 'exhaustive'
+                WHEN n_terms <= 1
+                     AND sum_df >= CAST(floor(0.3 * n) AS BIGINT)
+                     THEN 'impact'
+                WHEN sum_df >= CAST(floor(0.125 * n) AS BIGINT) * 4
+                     THEN 'wand_sharded'
+                WHEN n_terms >= 2 THEN 'maxscore'
                 ELSE 'wand' END AS path
     FROM rows_
     ORDER BY query_id

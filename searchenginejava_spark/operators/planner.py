@@ -1,31 +1,42 @@
-"""Serving planner — cost-based routing across the scorer families.
+"""Serving planner — cost-based routing across the serving families.
 
-The engine ships three rank-identical serving strategies (exhaustive
-scan, block-max WAND, MaxScore) plus the impact-ordered path — each
-optimal in a different region of query space, which is exactly why
-Lucene/PISA-class systems pick per query ([L:Mallia, Siedlaczek &
-Suel, ECIR 2019] — dynamic-pruning effectiveness depends strongly on
-term count and posting density):
+The engine ships FIVE serving strategies, each optimal in a different
+region of query space, which is exactly why Lucene/PISA-class systems
+pick per query ([L:Mallia, Siedlaczek & Suel, ECIR 2019] —
+dynamic-pruning effectiveness depends strongly on term count and
+posting density):
 
 - dense queries (candidate set ≈ the corpus, e.g. all-stopword
   queries): pruning bounds are useless — every block survives — so the
   scan-everything exhaustive path wins by skipping the bound machinery;
 - few-term selective queries: WAND's pivot skipping excels;
 - many-term queries: WAND's per-doc pivot sort degrades with |q|;
-  MaxScore's essential/non-essential split is the standard choice.
+  MaxScore's essential/non-essential split is the standard choice;
+- few-term HOT queries (huge Σdf): the impact-ordered index serves with
+  no doc-length join and a per-term ρ budget that caps hot-term cost at
+  O(ρ) instead of O(df) — the JASS anytime trade;
+- heavy queries on a large cluster: doc-sharded WAND splits one query
+  into S tasks — it PAYS only when the per-shard slice is still
+  meaningful work (Σdf ≥ work·S; the r03 stress run measured sharding
+  costing 2× on one saturated box, so the rule must know when NOT to).
 
 ``plan_queries`` makes the decision from DICTIONARY statistics only
 (per-term df via a broadcast semi-join — never postings, never the
 corpus), emitting an oracle-checkable decision relation; analytic cost
-columns ride along so the choice is auditable. ``serve_planned`` then
-fans each path group through the existing ``run_queries`` — since the
-families are rank-identical (oracle rows q_bm25/q_wand/q_maxscore pin
-this), routing is output-invisible, and ``test_planner.py`` asserts
-exactly that end to end.
+columns ride along so the choice is auditable. Paths beyond the always-
+available three participate only when their index asset exists
+(``available``). ``serve_planned`` then fans each path group through
+the matching scorer and unions the groups; the exact families
+(exhaustive/WAND/MaxScore/sharded WAND) are rank-identical so routing
+among them is output-invisible (pinned by test_planner.py end to end);
+the impact leg is quantized-BM25 (documented trade) and is only taken
+when the caller provides the impact asset.
 
 Scale shape: the decision costs O(query terms) dictionary rows per
-query; grouping the batch by path yields ≤ 3 Spark jobs per workload
-regardless of batch size.
+query; grouping the batch by path yields ≤ 5 Spark jobs per workload
+regardless of batch size. The optional result cache composes in FRONT
+of the planner (cache→planner): hit queries never touch the index, miss
+queries route as one planned job.
 """
 
 from __future__ import annotations
@@ -37,6 +48,15 @@ from pyspark.sql import DataFrame, functions as F
 # pruning; past MANY_TERMS terms WAND's pivot handling degrades
 DENSE_FRAC = 0.5
 MANY_TERMS = 8
+# impact leg: a ≤IMPACT_MAX_TERMS-term query whose Σdf exceeds
+# IMPACT_MIN_DF is a "hot head query" — the ρ budget turns its cost
+# from O(Σdf) into O(ρ·terms)
+IMPACT_MAX_TERMS = 2
+IMPACT_MIN_DF = 65536
+# sharded leg: splitting one query into S shard tasks pays only while
+# each task still gets ≥ SHARD_MIN_WORK postings (below that, S-fold
+# task overhead beats the parallelism — measured 2× on one box)
+SHARD_MIN_WORK = 65536
 
 
 def plan_queries(
@@ -46,18 +66,31 @@ def plan_queries(
     *,
     dense_frac: float = DENSE_FRAC,
     many_terms: int = MANY_TERMS,
+    available: tuple = ("exhaustive", "wand", "maxscore"),
+    num_shards: int | None = None,
+    impact_max_terms: int = IMPACT_MAX_TERMS,
+    impact_min_df: int = IMPACT_MIN_DF,
+    shard_min_work: int = SHARD_MIN_WORK,
 ) -> DataFrame:
     """(query_id, n_terms, sum_df, cand_frac, path): the serving
     decision per query.
 
-        n_terms == 0             → 'empty'      (no dictionary hit)
-        cand_frac >= dense_frac  → 'exhaustive' (pruning can't skip)
-        n_terms  >= many_terms   → 'maxscore'
-        otherwise                → 'wand'
+        n_terms == 0                      → 'empty' (no dictionary hit)
+        cand_frac >= dense_frac           → 'exhaustive'
+        ['impact' available]
+          n_terms <= impact_max_terms
+          and sum_df >= impact_min_df     → 'impact'
+        ['wand_sharded' available]
+          sum_df >= shard_min_work·S      → 'wand_sharded'
+        n_terms >= many_terms             → 'maxscore'
+        otherwise                         → 'wand'
 
     cand_frac = min(1, Σdf / N) — the union-bound candidate fraction
     (cheap, admissible: the true union is ≤ Σdf). All inputs are
     dictionary rows for the query's terms via a broadcast semi-join.
+    'impact' and 'wand_sharded' enter the decision only when listed in
+    ``available`` (i.e. the caller actually built those assets);
+    'wand_sharded' additionally needs ``num_shards``.
     """
     n_docs = float(stats["N"])
     qt = query_terms.select("query_id", "term").distinct()
@@ -67,6 +100,24 @@ def plan_queries(
         F.sum("df").cast("long").alias("sum_df"),
     )
     cand = F.least(F.lit(1.0), F.col("sum_df").cast("double") / F.lit(n_docs))
+    decision = (
+        F.when(F.col("n_terms") == 0, F.lit("empty"))
+        .when(F.col("cand_frac") >= F.lit(dense_frac), F.lit("exhaustive"))
+    )
+    if "impact" in available:
+        decision = decision.when(
+            (F.col("n_terms") <= F.lit(impact_max_terms))
+            & (F.col("sum_df") >= F.lit(impact_min_df)),
+            F.lit("impact"),
+        )
+    if "wand_sharded" in available and num_shards:
+        decision = decision.when(
+            F.col("sum_df") >= F.lit(int(shard_min_work) * int(num_shards)),
+            F.lit("wand_sharded"),
+        )
+    decision = decision.when(
+        F.col("n_terms") >= many_terms, F.lit("maxscore")
+    ).otherwise(F.lit("wand"))
     return (
         q_all.join(hits, "query_id", "left")
         .select(
@@ -77,13 +128,7 @@ def plan_queries(
                 F.coalesce(cand, F.lit(0.0)), 6
             ).alias("cand_frac"),
         )
-        .withColumn(
-            "path",
-            F.when(F.col("n_terms") == 0, F.lit("empty"))
-            .when(F.col("cand_frac") >= F.lit(dense_frac), F.lit("exhaustive"))
-            .when(F.col("n_terms") >= many_terms, F.lit("maxscore"))
-            .otherwise(F.lit("wand")),
-        )
+        .withColumn("path", decision)
         .orderBy("query_id")
     )
 
@@ -97,20 +142,94 @@ def serve_planned(
     tokenizer=None,
     dense_frac: float = DENSE_FRAC,
     many_terms: int = MANY_TERMS,
+    sharded: DataFrame | None = None,
+    num_shards: int | None = None,
+    impact: dict | None = None,
+    cache: DataFrame | None = None,
+    impact_max_terms: int = IMPACT_MAX_TERMS,
+    impact_min_df: int = IMPACT_MIN_DF,
+    shard_min_work: int = SHARD_MIN_WORK,
 ) -> DataFrame:
     """Route a workload through ``plan_queries`` and serve each path
-    group with the matching ``run_queries`` strategy; union of the
-    groups is the response (families are rank-identical, so this equals
-    any single-path batch). ≤ 3 jobs per workload; 'empty' queries are
-    dropped (no dictionary term — every scorer returns nothing)."""
+    group with the matching scorer; union of the groups is the
+    response. ≤ 5 jobs per workload; 'empty' queries are dropped (no
+    dictionary term — every scorer returns nothing).
+
+    Optional serving assets compose in:
+    - ``cache``: a result-cache relation (caching.build_result_cache) —
+      checked FIRST; hit queries never reach the planner.
+    - ``sharded`` + ``num_shards``: doc-sharded postings
+      (index.build_sharded_postings) — enables the 'wand_sharded' leg.
+    - ``impact``: {'impacts': DataFrame, 'umax': float, 'bits': int,
+      'rho': int | None} (impact.build_impact_index) — enables the
+      'impact' leg (quantized-BM25 ranking; exact-rank callers leave it
+      out).
+    """
     from ..operators.search import query_terms_df
-    from ..plans.pipeline import run_queries
 
     kwargs = {} if tokenizer is None else {"tokenizer": tokenizer}
     qt = query_terms_df(spark, queries, **kwargs)
+
+    if cache is not None:
+        from ..operators.caching import serve_with_cache
+
+        def _miss_scorer(miss_qt: DataFrame) -> DataFrame:
+            miss_ids = {
+                int(r["query_id"])
+                for r in miss_qt.select("query_id").distinct().collect()
+            }  # O(batch) decision rows
+            return _serve_routed(
+                spark, index,
+                [(qid, text) for qid, text in queries if qid in miss_ids],
+                miss_qt, k=k, kwargs=kwargs,
+                dense_frac=dense_frac, many_terms=many_terms,
+                sharded=sharded, num_shards=num_shards, impact=impact,
+                impact_max_terms=impact_max_terms,
+                impact_min_df=impact_min_df, shard_min_work=shard_min_work,
+            )
+
+        return serve_with_cache(qt, cache, _miss_scorer)
+
+    return _serve_routed(
+        spark, index, queries, qt, k=k, kwargs=kwargs,
+        dense_frac=dense_frac, many_terms=many_terms,
+        sharded=sharded, num_shards=num_shards, impact=impact,
+        impact_max_terms=impact_max_terms,
+        impact_min_df=impact_min_df, shard_min_work=shard_min_work,
+    )
+
+
+def _serve_routed(
+    spark,
+    index,
+    queries: list[tuple[int, str]],
+    qt: DataFrame,
+    *,
+    k: int,
+    kwargs: dict,
+    dense_frac: float,
+    many_terms: int,
+    sharded: DataFrame | None,
+    num_shards: int | None,
+    impact: dict | None,
+    impact_max_terms: int,
+    impact_min_df: int,
+    shard_min_work: int,
+) -> DataFrame:
+    """The planner core: decide per query, dispatch per path group."""
+    from ..plans.pipeline import run_queries
+
+    available = ["exhaustive", "wand", "maxscore"]
+    if impact is not None:
+        available.append("impact")
+    if sharded is not None and num_shards:
+        available.append("wand_sharded")
     plan = plan_queries(
         qt, index.dictionary, index.stats,
         dense_frac=dense_frac, many_terms=many_terms,
+        available=tuple(available), num_shards=num_shards,
+        impact_max_terms=impact_max_terms, impact_min_df=impact_min_df,
+        shard_min_work=shard_min_work,
     )
     by_path: dict[str, list[int]] = {}
     for r in plan.collect():  # decision rows: O(batch size)
@@ -120,10 +239,26 @@ def serve_planned(
         if path == "empty":
             continue
         qset = set(qids)  # hoisted: O(batch + path), not O(batch × path)
-        sub = [(qid, text) for qid, text in queries if qid in qset]
-        res = run_queries(
-            spark, index, sub, k=k, path=path, **kwargs
-        ).select("query_id", "rank", "doc_id", "score")
+        if path == "wand_sharded":
+            from ..operators.wand import wand_topk_sharded
+
+            res = wand_topk_sharded(
+                spark, qt.filter(F.col("query_id").isin(qids)),
+                sharded, index.stats, k=k, tombstones=index.tombstones,
+            )
+        elif path == "impact":
+            from ..operators.impact import impact_topk
+
+            res = impact_topk(
+                qt.filter(F.col("query_id").isin(qids)),
+                impact["impacts"], index.dictionary, index.stats,
+                impact["umax"], k=k,
+                bits=impact.get("bits", 8), rho=impact.get("rho"),
+            )
+        else:
+            sub = [(qid, text) for qid, text in queries if qid in qset]
+            res = run_queries(spark, index, sub, k=k, path=path, **kwargs)
+        res = res.select("query_id", "rank", "doc_id", "score")
         out = res if out is None else out.unionByName(res)
     if out is None:
         return spark.createDataFrame(

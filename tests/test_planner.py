@@ -92,3 +92,141 @@ def test_serve_planned_rank_identical_to_exhaustive(spark, idx):
 def test_serve_planned_all_empty(spark, idx):
     out = serve_planned(spark, idx, [(0, "zzzunknownzzz")], k=5)
     assert out.count() == 0
+
+
+def test_plan_rules_impact_and_sharded_hand_checked(spark):
+    """The two asset-gated legs: hot few-term queries route to the
+    impact index, heavy queries route to sharded WAND only while each
+    shard still gets >= shard_min_work postings — and neither path
+    appears unless its asset is declared available."""
+    dct = spark.createDataFrame(
+        [("hot", 5000), ("warm", 900), ("rare", 3), ("mid", 400)],
+        "term string, df long",
+    )
+    stats = {"N": 100000}
+    rows = [
+        (0, "hot", 1),                       # 1 term, df 5000 → impact
+        (1, "hot", 1), (1, "warm", 1), (1, "mid", 1),  # 3 terms, 6300 → sharded
+        (2, "rare", 1),                      # 1 term, df 3 → wand
+        (3, "warm", 1), (3, "mid", 1),       # 1300 < 1600 → maxscore (many=2)
+    ]
+    qt = spark.createDataFrame(rows, "query_id int, term string, qtf int")
+    knobs = dict(
+        dense_frac=0.5, many_terms=2,
+        impact_max_terms=1, impact_min_df=1000,
+        shard_min_work=400, num_shards=4,     # sharded threshold: 1600
+    )
+    full = {
+        r["query_id"]: r["path"]
+        for r in plan_queries(
+            qt, dct, stats,
+            available=("exhaustive", "wand", "maxscore", "impact",
+                       "wand_sharded"),
+            **knobs,
+        ).collect()
+    }
+    assert full == {0: "impact", 1: "wand_sharded", 2: "wand", 3: "maxscore"}
+    # without the assets, the same workload folds back onto the 3 core
+    # paths — no plan ever names a path the caller cannot serve
+    core = {
+        r["query_id"]: r["path"]
+        for r in plan_queries(qt, dct, stats, **knobs).collect()
+    }
+    assert core == {0: "wand", 1: "maxscore", 2: "wand", 3: "maxscore"}
+
+
+def test_serve_planned_five_families_rank_identical(spark, idx):
+    """VERDICT r03 order #5 done-criterion: one workload that the
+    planner splits across ALL FIVE serving families (impact + sharded
+    legs included), compared rank-for-rank against the all-exhaustive
+    batch. The impact leg is quantized-BM25; at bits=24 the grid is
+    fine enough that the 500-doc corpus ranks identically."""
+    from searchenginejava_spark.operators.impact import build_impact_index
+    from searchenginejava_spark.operators.index import (
+        build_sharded_postings,
+    )
+    from searchenginejava_spark.operators.search import query_terms_df
+
+    tok = lambda t: [w for w in t.lower().split() if w]
+    queries = [
+        (0, "dup"),          # 1 term, df 25 < 300           → wand
+        (1, "line"),         # 1 term, df 376 ≥ 300          → impact
+        (2, "dup query"),    # Σdf 440 ≥ 110·4               → wand_sharded
+        (3, "dup line"),     # Σdf 401 < 440, 2 terms        → maxscore
+        (4, "table scan"),   # cand_frac 1.0                 → exhaustive
+        (5, "zzzunknown"),   # OOV                           → empty
+    ]
+    knobs = dict(
+        dense_frac=1.0, many_terms=2,
+        impact_max_terms=1, impact_min_df=300,
+        shard_min_work=110, num_shards=4,
+    )
+    sharded = build_sharded_postings(idx.tf, num_shards=4, num_partitions=4)
+    impacts, umax = build_impact_index(idx.tf, idx.docs, idx.stats, bits=24)
+    impact = {"impacts": impacts, "umax": umax, "bits": 24, "rho": None}
+
+    qt = query_terms_df(spark, queries, tokenizer=tok)
+    plan = {
+        r["query_id"]: r["path"]
+        for r in plan_queries(
+            qt, idx.dictionary, idx.stats,
+            available=("exhaustive", "wand", "maxscore", "impact",
+                       "wand_sharded"),
+            **knobs,
+        ).collect()
+    }
+    assert plan == {
+        0: "wand", 1: "impact", 2: "wand_sharded", 3: "maxscore",
+        4: "exhaustive", 5: "empty",
+    }, plan
+
+    planned = serve_planned(
+        spark, idx, queries, k=10, tokenizer=tok,
+        sharded=sharded, impact=impact, **knobs,
+    ).collect()
+    base = run_queries(
+        spark, idx, queries[:5], k=10, path="exhaustive", tokenizer=tok
+    ).collect()
+    p = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in planned}
+    b = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in base}
+    assert set(p) == set(b)
+    for key in b:
+        assert p[key][0] == b[key][0], key
+        # impact leg (query 1) is quantized — 24-bit grid ≈ 6e-8 rel
+        assert p[key][1] == pytest.approx(b[key][1], rel=1e-5)
+
+
+def test_serve_planned_cache_composes_with_routing(spark, idx):
+    """cache→planner composition: a cached query is answered from the
+    cache relation (value-exact), the misses flow through the planner,
+    and the union equals the uncached planned batch."""
+    from searchenginejava_spark.operators.caching import build_result_cache
+    from searchenginejava_spark.operators.search import query_terms_df
+
+    tok = lambda t: [w for w in t.lower().split() if w]
+    queries = [(0, "dup"), (1, "dup line"), (2, "table scan")]
+    knobs = dict(dense_frac=0.9, many_terms=2)
+    uncached = serve_planned(
+        spark, idx, queries, k=10, tokenizer=tok, **knobs
+    ).collect()
+
+    # cache exactly query 1's results (keyed by its sorted term set)
+    from searchenginejava_spark.operators.caching import query_keys
+    from searchenginejava_spark.operators.search import score_exhaustive
+
+    qt1 = query_terms_df(spark, [queries[1]], tokenizer=tok)
+    head = query_keys(qt1).select("qkey")
+    cache = build_result_cache(
+        qt1, head,
+        lambda qt: score_exhaustive(
+            qt, idx.tf, idx.docs, idx.dictionary, idx.stats, k=10
+        ),
+    )
+    cached = serve_planned(
+        spark, idx, queries, k=10, tokenizer=tok, cache=cache, **knobs
+    ).collect()
+    u = {(r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+         for r in uncached}
+    c = {(r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+         for r in cached}
+    assert u == c
