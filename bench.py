@@ -100,13 +100,24 @@ def main() -> None:
     queries["index_build_code"] = t_build_code
 
     # --- index build over the generic documents corpus ---------------------
-    t0 = time.monotonic()
-    idx_docs = build_index(
-        spark, docs, text_col="text", mode="full", num_partitions=2 * cpus
-    )
-    idx_docs.postings.persist().count()
-    idx_docs.docs.persist().count()
-    queries["index_build_documents"] = round(time.monotonic() - t0, 3)
+    # best of 3, like every other leg (VERDICT r03: a single-shot leg on a
+    # VM with 2-4x drift is unfalsifiable in either direction)
+    doc_build_runs = []
+    idx_docs = None
+    for _ in range(3):
+        if idx_docs is not None:
+            idx_docs.tf.unpersist()
+            idx_docs.postings.unpersist()
+            idx_docs.docs.unpersist()
+        t0 = time.monotonic()
+        idx_docs = build_index(
+            spark, docs, text_col="text", mode="full",
+            num_partitions=2 * cpus,
+        )
+        idx_docs.postings.persist().count()
+        idx_docs.docs.persist().count()
+        doc_build_runs.append(round(time.monotonic() - t0, 3))
+    queries["index_build_documents"] = min(doc_build_runs)
 
     # --- batch BM25: 50 queries, exhaustive vs WAND (best of 2 each — the
     # VM noise that motivates the build repeats applies equally here).
@@ -135,20 +146,27 @@ def main() -> None:
     # --- positional index build + indexed phrase serving -------------------
     from searchenginejava_spark.operators.positional import phrase_match_batch
 
-    t0 = time.monotonic()
     # positional=True swaps in the fused positional_tf — one mapInPandas,
     # zero shuffle for the token→positions relation (the posexplode/agg
-    # form would shuffle one row per token occurrence)
-    idx_pos = build_index(
-        spark, docs, text_col="text", mode="simple",
-        num_partitions=2 * cpus, positional=True,
-    )
+    # form would shuffle one row per token occurrence). Best of 3: this
+    # leg was single-shot through r03 and its one 2x round-over-round
+    # swing was unfalsifiable (VERDICT r03 "What's wrong" #2).
+    pos_build_runs = []
+    idx_pos = None
+    for _ in range(3):
+        if idx_pos is not None:
+            idx_pos.tf.unpersist()
+            idx_pos.postings.unpersist()
+        t0 = time.monotonic()
+        idx_pos = build_index(
+            spark, docs, text_col="text", mode="simple",
+            num_partitions=2 * cpus, positional=True,
+        )
+        idx_pos.postings.count()
+        pos_build_runs.append(round(time.monotonic() - t0, 3))
     pos_postings = idx_pos.postings
-    pos_postings.count()
     idx_pos.tf.unpersist()
-    queries["index_build_positional_documents"] = round(
-        time.monotonic() - t0, 3
-    )
+    queries["index_build_positional_documents"] = min(pos_build_runs)
     phrases = {
         "p1": ["table", "hash"], "p2": ["customer", "join"],
         "p3": ["merge", "group"], "p4": ["slow", "key"],
@@ -172,15 +190,23 @@ def main() -> None:
     # SAME fused tokenize+tf + compressed SPIMI/merge path as the word
     # index (zero tf shuffle; the relational subtoken_terms explode route
     # is the oracle slice, not the build path)
-    t0 = time.monotonic()
-    idx_sub = build_index(
-        spark,
-        assign_doc_ids(code, scalable=True, num_partitions=2 * cpus),
-        text_col="content", mode="code", num_partitions=2 * cpus,
-        assume_partitioned=True,
-    )
-    idx_sub.postings.count()
-    queries["index_build_code_subtokens"] = round(time.monotonic() - t0, 3)
+    sub_build_runs = []
+    idx_sub = None
+    for _ in range(3):
+        if idx_sub is not None:
+            idx_sub.tf.unpersist()
+            idx_sub.postings.unpersist()
+            idx_sub.docs.unpersist()
+        t0 = time.monotonic()
+        idx_sub = build_index(
+            spark,
+            assign_doc_ids(code, scalable=True, num_partitions=2 * cpus),
+            text_col="content", mode="code", num_partitions=2 * cpus,
+            assume_partitioned=True,
+        )
+        idx_sub.postings.count()
+        sub_build_runs.append(round(time.monotonic() - t0, 3))
+    queries["index_build_code_subtokens"] = min(sub_build_runs)
     idx_sub.tf.unpersist()
     idx_sub.postings.unpersist()
     idx_sub.docs.unpersist()
@@ -193,6 +219,7 @@ def main() -> None:
         run_queries(spark, idx_code, single, path="wand").collect()
         lat_runs.append(round(time.monotonic() - t0, 3))
     queries["wand_single_query_latency"] = min(lat_runs)
+    query_runs["wand_single_query_latency"] = lat_runs
 
     total = sum(queries.values())
     out = {
@@ -203,6 +230,9 @@ def main() -> None:
         "sf": sf,
         "files_per_sec_code_index": round(n_code / t_build_code, 1),
         "build_runs_sec": build_runs,
+        "build_runs_documents_sec": doc_build_runs,
+        "build_runs_positional_sec": pos_build_runs,
+        "build_runs_subtokens_sec": sub_build_runs,
         "query_runs_sec": query_runs,
         "n_code_files": n_code,
         "n_documents": n_docs,
