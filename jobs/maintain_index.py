@@ -33,7 +33,12 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument(
-        "action", choices=["delete", "compact", "merge", "stats", "check"]
+        "action",
+        choices=["delete", "compact", "merge", "stats", "check", "auto"],
+    )
+    p.add_argument(
+        "--max-tombstone-frac", type=float, default=0.02,
+        help="auto: compact when |tombstones|/N exceeds this",
     )
     p.add_argument("--index", required=True)
     p.add_argument("--doc-ids", default=None, help="parquet with doc_id column")
@@ -103,7 +108,23 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"action": "delete", "tombstones": n, "out": out}))
         return 0
 
-    if args.action == "compact":
+    extra = {}
+    if args.action == "auto":
+        # policy-driven compaction: act on the documented tombstone
+        # bound instead of leaving it to the operator
+        from searchenginejava_spark.plans.pipeline import auto_compact
+
+        result, report = auto_compact(
+            spark, idx, max_tombstone_frac=args.max_tombstone_frac,
+            num_partitions=args.buckets, num_salts=args.salts,
+        )
+        report["decision"] = report.pop("action")
+        if report["decision"] == "noop":
+            print(json.dumps({"action": "auto", **report, "out": None}))
+            return 0
+        # fall through to the compact write path below
+        extra = report
+    elif args.action == "compact":
         result = compact_index(
             spark, idx, num_partitions=args.buckets, num_salts=args.salts
         )
@@ -136,6 +157,7 @@ def main(argv: list[str] | None = None) -> int:
         json.dumps(
             {
                 "action": args.action,
+                **extra,
                 "n_docs": result.stats.get("N"),
                 "out": out,
             }

@@ -553,6 +553,42 @@ def compact_index(
     )
 
 
+def auto_compact(
+    spark: SparkSession,
+    index: IndexArtifacts,
+    *,
+    max_tombstone_frac: float = 0.02,
+    **compact_kwargs,
+) -> tuple[IndexArtifacts, dict]:
+    """The compaction POLICY the tombstone cost bound relies on, acted
+    on instead of merely documented: ``delete_docs`` is O(1) precisely
+    because tombstones stay bounded at "a few percent of N" — this
+    enforces that bound. Compares |tombstones| / N (N = the stale
+    collection count, i.e. every doc the postings still physically
+    cover) against ``max_tombstone_frac`` and runs ``compact_index``
+    only past it.
+
+    Returns (index, report): the SAME index (report.action="noop") when
+    under the bound — the decision costs one count over the
+    tombstone-sized relation, never a postings pass — or the compacted
+    one (report.action="compact", tombstones=None).
+    """
+    n_tomb = 0 if index.tombstones is None else int(index.tombstones.count())
+    n_total = int(index.stats.get("N", 0)) or 1
+    frac = n_tomb / n_total
+    report = {
+        "n_tombstones": n_tomb,
+        "n_docs": n_total,
+        "tombstone_frac": round(frac, 6),
+        "max_tombstone_frac": max_tombstone_frac,
+    }
+    if n_tomb == 0 or frac <= max_tombstone_frac:
+        report["action"] = "noop"
+        return index, report
+    report["action"] = "compact"
+    return compact_index(spark, index, **compact_kwargs), report
+
+
 def structured_search(
     spark: SparkSession,
     index: IndexArtifacts,

@@ -353,3 +353,69 @@ def test_alias_atomic_flip(spark, tmp_path):
         publish_alias(root, "bad", f"{root}/missing")
     with _pt.raises(ValueError, match="bad alias"):
         publish_alias(root, "../evil", g1)
+
+
+def test_auto_compact_policy(spark, tmp_path, capsys):
+    """The documented compaction policy, acted on: deletes past the
+    tombstone bound trigger a compact (rankings unchanged, tombstones
+    materialized away); deletes under it are a no-op."""
+    import json
+
+    from searchenginejava_spark.plans.pipeline import (
+        auto_compact,
+        delete_docs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(spark, docs, text_col="text", num_partitions=4)
+    n = int(idx.stats["N"])
+
+    # under the bound: one deleted doc out of N -> noop, same index
+    one = spark.createDataFrame([(0,)], "doc_id long")
+    small = delete_docs(idx, one)
+    kept, report = auto_compact(spark, small, max_tombstone_frac=0.02)
+    assert report["action"] == "noop"
+    assert kept is small and kept.tombstones is not None
+
+    # past the bound: 10% deleted -> compacts, tombstones gone
+    dead_ids = [int(r["doc_id"]) for r in docs.limit(max(2, n // 10)).collect()]
+    dead = spark.createDataFrame([(d,) for d in dead_ids], "doc_id long")
+    tomb = delete_docs(idx, dead)
+    compacted, report = auto_compact(
+        spark, tomb, max_tombstone_frac=0.02, num_partitions=4
+    )
+    assert report["action"] == "compact"
+    assert compacted.tombstones is None
+    assert int(compacted.stats["N"]) == n - len(dead_ids)
+    # compaction invariant: identical ranking to a COLD build over the
+    # surviving corpus (stats refresh shifts scores vs the tombstoned
+    # index — the documented convention — but never vs a fresh build)
+    survivors = docs.filter(~F.col("doc_id").isin(dead_ids))
+    cold = build_index(spark, survivors, text_col="text", num_partitions=4)
+    after = run_queries(
+        spark, compacted, [(0, "data table")], k=10, path="exhaustive"
+    ).collect()
+    want = run_queries(
+        spark, cold, [(0, "data table")], k=10, path="exhaustive"
+    ).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in after] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
+    assert all(r["doc_id"] not in set(dead_ids) for r in after)
+
+    # the job surface: delete in place, then `auto` compacts past bound
+    p = str(tmp_path / "idx")
+    save_index(tomb, p, term_partitions=4)
+    rc = maintain(["auto", "--index", p, "--buckets", "4"])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rep = json.loads(line)
+    assert rep["action"] == "auto" and rep["n_docs"] == n - len(dead_ids)
+    reloaded = load_index(spark, p)
+    assert reloaded.tombstones is None
+    # and a second `auto` is a no-op
+    rc = maintain(["auto", "--index", p, "--buckets", "4"])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(line)["action"] == "auto"
+    assert json.loads(line)["n_tombstones"] == 0
