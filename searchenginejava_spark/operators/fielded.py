@@ -76,6 +76,54 @@ def fielded_tf(
     )
 
 
+def fielded_positions(
+    corpus: DataFrame,
+    fields: Mapping[str, Column | str],
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """corpus → (doc_id, field, term, positions array<int>, 1-based,
+    sorted) — the per-field positional relation that backs
+    ``field:"a b"`` phrase leaves in the query-string language. Slicing
+    one field and projecting (doc_id, term, positions) yields exactly
+    the relation ``positional.phrase_match`` consumes, so within-field
+    phrase matching reuses the standard rarest-term-anchored join chain
+    unchanged. Same melt + posexplode + hash-agg plan family as
+    ``fielded_tf`` (positions are per-field coordinates — a term's slot
+    within ITS field's token stream, the Lucene per-field convention)."""
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    melted = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("field"),
+                        (
+                            F.col(c) if isinstance(c, str) else c
+                        ).alias("ftext"),
+                    )
+                    for name, c in fields.items()
+                ]
+            )
+        ).alias("fv"),
+    ).select("doc_id", "fv.field", "fv.ftext")
+    return (
+        melted.select(
+            "doc_id",
+            "field",
+            F.posexplode(tokens_simple_col("ftext")).alias("pos0", "term"),
+        )
+        .groupBy("doc_id", "field", "term")
+        .agg(
+            F.sort_array(
+                F.collect_list((F.col("pos0") + 1).cast("int"))
+            ).alias("positions")
+        )
+    )
+
+
 def bm25f_stats(ftf: DataFrame) -> dict:
     """{"N": docs, "avgdl": {field: avg length}} over the fielded tf.
     avgdl_f averages over docs that HAVE the field (absent fields simply
@@ -237,6 +285,7 @@ def bm25f_topk(
     k: int = TOP_K,
     k1: float = BM25_K1,
     b: float | Mapping[str, float] = BM25_B,
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """BM25F top-k for every query in one job → (query_id, rank, doc_id,
     score), tie-break (score desc, doc_id asc).
@@ -245,6 +294,18 @@ def bm25f_topk(
     (libm ``math.log`` — same engine-portability rationale as
     search.score_exhaustive) and broadcast back; everything else is
     native Catalyst.
+
+    ``query_terms`` may carry an optional ``field`` column (nullable):
+    a non-null value restricts that query term's t̃f fold to the one
+    named field — the fielded-leaf semantics of the query-string
+    language's ``field:term`` (Lucene classic QueryParser). Null (or
+    no column) keeps the standard all-fields BM25F fold. idf stays
+    document-level either way (field restriction narrows the EVIDENCE
+    fold, not the rarity estimate — the simplified-BM25F convention).
+
+    ``doc_filter`` (doc_id relation) constrains scoring to a candidate
+    set — the filter-query convention used across the engine: surviving
+    docs keep collection-level scores.
     """
     import math
 
@@ -252,6 +313,7 @@ def bm25f_topk(
         lambda f: float(b)
     )
     n_d = float(stats["N"])
+    has_field = "field" in query_terms.columns
     # document-level df over the query vocabulary only
     vocab = query_terms.select("term").distinct()
     df_rows = (
@@ -268,7 +330,11 @@ def bm25f_topk(
     }
     spark = ftf.sparkSession
     qw_rows = [
-        (int(r["query_id"]), r["term"], float(r["qtf"]) * idf[r["term"]])
+        (
+            int(r["query_id"]), r["term"],
+            (r["field"] if has_field else None),
+            float(r["qtf"]) * idf[r["term"]],
+        )
         for r in query_terms.collect()
         if r["term"] in idf
     ]
@@ -276,7 +342,9 @@ def bm25f_topk(
         return spark.createDataFrame(
             [], "query_id int, rank int, doc_id long, score double"
         )
-    qw = spark.createDataFrame(qw_rows, "query_id int, term string, w double")
+    qw = spark.createDataFrame(
+        qw_rows, "query_id int, term string, qfield string, w double"
+    )
 
     dl_f = ftf.groupBy("doc_id", "field").agg(
         F.sum("tf").cast("double").alias("dl")
@@ -297,6 +365,10 @@ def bm25f_topk(
     )
     cand = (
         ftf.join(F.broadcast(qw), "term")
+        # fielded query terms fold only their named field's evidence
+        .filter(
+            F.col("qfield").isNull() | (F.col("qfield") == F.col("field"))
+        )
         .join(dl_f, ["doc_id", "field"])
         .withColumn(
             "fpart",
@@ -309,7 +381,7 @@ def bm25f_topk(
             ),
         )
     )
-    tilde = cand.groupBy("query_id", "doc_id", "term", "w").agg(
+    tilde = cand.groupBy("query_id", "doc_id", "term", "qfield", "w").agg(
         F.sum("fpart").alias("tilde")
     )
     agg = (
@@ -319,6 +391,10 @@ def bm25f_topk(
         .groupBy("query_id", "doc_id")
         .agg(F.sum("part").alias("score"))
     )
+    if doc_filter is not None:
+        agg = agg.join(
+            doc_filter.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         agg.withColumn("rank", F.row_number().over(w))

@@ -14,9 +14,15 @@ the subset whose operators exist in-engine:
     tabel~  / tabel~2            fuzzy (SymSpell-expanded, capped)
     table^2  "hash join"^1.5     leaf boosts (scale the term's query
                                  weight; matching is unchanged)
+    title:x  path:"a b"          fielded leaves (opt-in via fields=;
+                                 match one field's postings, score via
+                                 BM25F with the term's evidence fold
+                                 restricted to that field — see
+                                 query_string_search_fielded)
 
-Out of scope (and rejected loudly, not silently): fields (``title:x``)
-and ranges — the engine's data model is single-field.
+Out of scope (and rejected loudly, not silently): ranges and fielded
+groups (``title:(a OR b)``); fields are rejected too unless the caller
+opts in with ``fields=`` (the single-field surface is unchanged).
 
 Execution: the parse tree lowers to DOC-SET algebra over term-pruned
 posting slices — leaves are semi-join/isin slices of the tf relation
@@ -70,8 +76,14 @@ class Fuzzy:
 
 @dataclass(frozen=True)
 class Boosted:
-    child: object     # a leaf (Term/Phrase/Wildcard/Fuzzy)
+    child: object     # a leaf (Term/Phrase/Wildcard/Fuzzy/Fielded)
     boost: float
+
+
+@dataclass(frozen=True)
+class Fielded:
+    field: str
+    child: object     # a leaf (Term/Phrase/Wildcard/Fuzzy)
 
 
 @dataclass(frozen=True)
@@ -96,10 +108,14 @@ _TOKEN_RE = re.compile(
 )
 
 # '^' is allowed only as a LEAF boost suffix (term^2, "a b"^1.5) —
-# handled by the parser; fields and ranges stay rejected
-_REJECT_RE = re.compile(r"(?<!\\):|[\[\]{]")
+# handled by the parser. Ranges stay rejected always; ':' (fields) is
+# rejected only when the caller doesn't opt into fielded parsing.
+_REJECT_RANGE_RE = re.compile(r"[\[\]{]")
+_REJECT_FIELD_RE = re.compile(r"(?<!\\):")
 
 _BOOST_RE = re.compile(r"(.+?)\^(\d+(?:\.\d+)?)$")
+# field prefix: identifier followed by an unescaped ':'
+_FIELD_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_.]*):(.*)", re.DOTALL)
 
 
 def _tokenize(s: str) -> list[tuple[str, str]]:
@@ -126,17 +142,29 @@ def _tokenize(s: str) -> list[tuple[str, str]]:
     return out
 
 
-def parse_query(s: str, *, default_operator: str = "or"):
+def parse_query(s: str, *, default_operator: str = "or", fields=None):
     """Query string → AST. ``default_operator`` joins adjacent clauses
     with no explicit operator ("or" — the Lucene default — or "and").
-    Precedence: NOT > AND > OR; parentheses group."""
+    Precedence: NOT > AND > OR; parentheses group.
+
+    ``fields``: opt-in for ``field:term`` / ``field:"phrase"`` leaves
+    (Lucene classic QueryParser field syntax). None (default) rejects
+    ':' loudly — the single-field surface is unchanged; a collection of
+    known field names enables fielded leaves and validates names
+    against it. Fielded GROUPS (``field:(a OR b)``) and ranges stay
+    out of scope and are rejected loudly, never silently."""
     if default_operator not in ("or", "and"):
         raise ValueError("default_operator must be 'or' or 'and'")
-    if _REJECT_RE.search(s):
+    if _REJECT_RANGE_RE.search(s):
         raise ValueError(
-            "unsupported query-string feature (fields/boosts/ranges): "
-            f"{s!r}"
+            f"unsupported query-string feature (ranges): {s!r}"
         )
+    if fields is None and _REJECT_FIELD_RE.search(s):
+        raise ValueError(
+            "unsupported query-string feature (fields — pass fields= "
+            f"to enable): {s!r}"
+        )
+    known_fields = None if fields is None else {str(f) for f in fields}
     toks = _tokenize(s)
     pos = 0
 
@@ -215,12 +243,46 @@ def parse_query(s: str, *, default_operator: str = "or"):
         if kind == "word":
             if val.upper() in ("AND", "OR", "NOT"):
                 raise ValueError(f"dangling operator {val!r}")
+            fname = None
+            fm = _FIELD_RE.fullmatch(val)
+            if fm and known_fields is not None:
+                fname, val = fm.group(1), fm.group(2)
+                if fname not in known_fields:
+                    raise ValueError(
+                        f"unknown field {fname!r} (known: "
+                        f"{sorted(known_fields)})"
+                    )
+                if val == "":
+                    # field:"a phrase" — the tokenizer split the quoted
+                    # body into its own token; field:(...) is rejected
+                    k2, v2 = take()
+                    if k2 == "phrase":
+                        words = tuple(w for w in v2.split(" ") if w)
+                        if not words:
+                            raise ValueError("empty phrase in query string")
+                        return Fielded(fname, Phrase(words))
+                    if k2 == "bphrase":
+                        body, boost = v2
+                        words = tuple(w for w in body.split(" ") if w)
+                        if not words:
+                            raise ValueError("empty phrase in query string")
+                        return Boosted(Fielded(fname, Phrase(words)), boost)
+                    raise ValueError(
+                        f"field {fname!r} must be followed by a term or "
+                        'a "quoted phrase" (fielded groups are out of '
+                        "scope)"
+                    )
+            elif fm and known_fields is None:
+                raise ValueError(
+                    f"fields are not enabled for this query: {val!r}"
+                )
             boost = None
             bm = _BOOST_RE.fullmatch(val)
             if bm:
                 val, boost = bm.group(1), float(bm.group(2))
             elif "^" in val:
                 raise ValueError(f"malformed boost in {val!r}")
+            val = val.replace("\\:", ":")
             m = re.fullmatch(r"(.+?)~(\d?)", val)
             if m:
                 leaf = Fuzzy(m.group(1), int(m.group(2) or "1"))
@@ -228,6 +290,8 @@ def parse_query(s: str, *, default_operator: str = "or"):
                 leaf = Wildcard(val)
             else:
                 leaf = Term(val)
+            if fname is not None:
+                leaf = Fielded(fname, leaf)
             return Boosted(leaf, boost) if boost is not None else leaf
         raise ValueError("empty query string")
 
@@ -275,59 +339,123 @@ def _leaf_terms(node, dictionary, tokenizer, *, max_expansions: int):
     raise TypeError(f"not a leaf: {node!r}")
 
 
-def _candidates(
+def _leaf_candidates(
     node, tf, dictionary, universe, tokenizer, positional, max_expansions
 ) -> DataFrame:
+    """One leaf → doc_id relation, over whatever (tf, dictionary,
+    positional) slice the caller scoped — the full index for unfielded
+    leaves, one field's slice for ``field:...`` leaves."""
+    terms, is_phrase = _leaf_terms(
+        node, dictionary, tokenizer, max_expansions=max_expansions
+    )
+    if not terms:
+        return universe.limit(0)
+    if is_phrase and len(terms) > 1:
+        if positional is None:
+            raise ValueError(
+                "phrase query needs a positional index "
+                "(build with positional=True)"
+            )
+        from .positional import phrase_match
+
+        return phrase_match(positional, terms).select("doc_id")
+    if is_phrase or isinstance(node, Term):
+        # a multi-token normalized Term behaves like all-of (the
+        # analyzer split it); single tokens are one posting slice
+        cur = universe
+        for t in terms:
+            cur = cur.join(
+                tf.filter(F.col("term") == F.lit(t)).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+        return cur
+    # expansion leaves: ANY of the expanded terms
+    return tf.filter(F.col("term").isin(terms)).select("doc_id").distinct()
+
+
+def _field_dictionary(ftf: DataFrame, fname: str) -> DataFrame:
+    """(term, df) over ONE field's slice — wildcard/fuzzy leaves under
+    ``field:`` expand against the field's own vocabulary (the Lucene
+    per-field rewrite), not the document-level dictionary."""
+    return (
+        ftf.filter(F.col("field") == F.lit(fname))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+
+
+def _candidates(
+    node, tf, dictionary, universe, tokenizer, positional, max_expansions,
+    *, ftf=None, fpos=None, fields=None,
+) -> DataFrame:
+    def rec(child):
+        return _candidates(
+            child, tf, dictionary, universe, tokenizer, positional,
+            max_expansions, ftf=ftf, fpos=fpos, fields=fields,
+        )
+
     if isinstance(node, Boosted):
         # boosts change SCORES, never the matched doc set
-        return _candidates(
-            node.child, tf, dictionary, universe, tokenizer, positional,
+        return rec(node.child)
+    if isinstance(node, Fielded):
+        if ftf is None:
+            raise ValueError(
+                "fielded leaf needs a fielded tf relation (use "
+                "query_string_search_fielded)"
+            )
+        fslice = ftf.filter(F.col("field") == F.lit(node.field)).select(
+            "doc_id", "term"
+        )
+        fdict = (
+            _field_dictionary(ftf, node.field)
+            if isinstance(node.child, (Wildcard, Fuzzy))
+            else dictionary
+        )
+        fp = None
+        if isinstance(node.child, Phrase) and fpos is not None:
+            fp = fpos.filter(F.col("field") == F.lit(node.field)).select(
+                "doc_id", "term", "positions"
+            )
+        return _leaf_candidates(
+            node.child, fslice, fdict, universe, tokenizer, fp,
             max_expansions,
         )
-    if isinstance(node, (Term, Wildcard, Fuzzy, Phrase)):
-        terms, is_phrase = _leaf_terms(
+    if isinstance(node, Phrase) and positional is None and fpos is not None:
+        # unfielded phrase in fielded mode: the phrase must sit inside
+        # ONE field's token stream — per-field match, union (field count
+        # is a small constant, each leg the standard join chain)
+        from .positional import phrase_match
+
+        terms, _ = _leaf_terms(
             node, dictionary, tokenizer, max_expansions=max_expansions
         )
         if not terms:
             return universe.limit(0)
-        if is_phrase and len(terms) > 1:
-            if positional is None:
-                raise ValueError(
-                    "phrase query needs a positional index "
-                    "(build with positional=True)"
-                )
-            from .positional import phrase_match
-
-            return phrase_match(positional, terms).select("doc_id")
-        if is_phrase or isinstance(node, Term):
-            # a multi-token normalized Term behaves like all-of (the
-            # analyzer split it); single tokens are one posting slice
-            cur = universe
-            for t in terms:
-                cur = cur.join(
-                    tf.filter(F.col("term") == F.lit(t)).select("doc_id"),
-                    "doc_id",
-                    "left_semi",
-                )
-            return cur
-        # expansion leaves: ANY of the expanded terms
-        return (
-            tf.filter(F.col("term").isin(terms)).select("doc_id").distinct()
-        )
-    if isinstance(node, Not):
-        inner = _candidates(
-            node.child, tf, dictionary, universe, tokenizer, positional,
+        legs = [
+            phrase_match(
+                fpos.filter(F.col("field") == F.lit(fname)).select(
+                    "doc_id", "term", "positions"
+                ),
+                terms,
+            ).select("doc_id")
+            for fname in sorted(fields or ())
+        ]
+        if not legs:
+            raise ValueError("phrase query needs fields or a positional index")
+        cur = legs[0]
+        for leg in legs[1:]:
+            cur = cur.unionByName(leg)
+        return cur.distinct()
+    if isinstance(node, (Term, Wildcard, Fuzzy, Phrase)):
+        return _leaf_candidates(
+            node, tf, dictionary, universe, tokenizer, positional,
             max_expansions,
         )
-        return universe.join(inner, "doc_id", "left_anti")
+    if isinstance(node, Not):
+        return universe.join(rec(node.child), "doc_id", "left_anti")
     if isinstance(node, Bool):
-        kids = [
-            _candidates(
-                c, tf, dictionary, universe, tokenizer, positional,
-                max_expansions,
-            )
-            for c in node.children
-        ]
+        kids = [rec(c) for c in node.children]
         cur = kids[0]
         for k in kids[1:]:
             if node.op == "and":
@@ -341,6 +469,11 @@ def _candidates(
 def positive_terms(node, dictionary, tokenizer, *, max_expansions: int = 16):
     """Distinct concrete terms under non-negated scope — what BM25
     scores (negated branches filter, never score)."""
+    if isinstance(node, Fielded):
+        raise ValueError(
+            "fielded leaves need field-aware scoring — use "
+            "query_string_search_fielded"
+        )
     if isinstance(node, Not):
         return []
     if isinstance(node, Bool):
@@ -382,10 +515,57 @@ def positive_term_weights(
     if isinstance(node, Boosted):
         boost = node.boost
         node = node.child
+    if isinstance(node, Fielded):
+        raise ValueError(
+            "fielded leaves need field-aware scoring — use "
+            "query_string_search_fielded"
+        )
     terms, _ = _leaf_terms(
         node, dictionary, tokenizer, max_expansions=max_expansions
     )
     return {t: boost for t in dict.fromkeys(terms)}
+
+
+def positive_term_field_weights(
+    node, dictionary, tokenizer, *, ftf=None, max_expansions: int = 16
+) -> dict[tuple[str, str | None], float]:
+    """(term, field|None) → MAX boost over the positive scope — the
+    field-aware twin of ``positive_term_weights``. A fielded leaf's
+    terms carry its field (their BM25F evidence fold is restricted to
+    that field); unfielded leaves carry None (all-fields fold). The
+    same term may legitimately appear both ways (``title:hash hash``) —
+    the two entries are distinct scoring contributions, exactly as two
+    Lucene clauses would be."""
+    if isinstance(node, Not):
+        return {}
+    if isinstance(node, Bool):
+        out: dict[tuple[str, str | None], float] = {}
+        for c in node.children:
+            for key, w in positive_term_field_weights(
+                c, dictionary, tokenizer, ftf=ftf,
+                max_expansions=max_expansions,
+            ).items():
+                out[key] = max(out.get(key, 0.0), w)
+        return out
+    boost = 1.0
+    if isinstance(node, Boosted):
+        boost = node.boost
+        node = node.child
+    fname = None
+    if isinstance(node, Fielded):
+        fname = node.field
+        node = node.child
+        if isinstance(node, (Wildcard, Fuzzy)):
+            if ftf is None:
+                raise ValueError(
+                    "fielded expansion leaves need the fielded tf "
+                    "relation to expand against"
+                )
+            dictionary = _field_dictionary(ftf, fname)
+    terms, _ = _leaf_terms(
+        node, dictionary, tokenizer, max_expansions=max_expansions
+    )
+    return {(t, fname): boost for t in dict.fromkeys(terms)}
 
 
 def query_string_search(
@@ -428,4 +608,68 @@ def query_string_search(
     return score_exhaustive(
         qt, tf, docs, dictionary, stats, k=k, doc_filter=cand,
         doc_exclude=doc_exclude,
+    )
+
+
+def query_string_search_fielded(
+    query: str,
+    ftf: DataFrame,
+    fstats: dict,
+    *,
+    boosts,
+    fpos: DataFrame | None = None,
+    k: int = TOP_K,
+    default_operator: str = "or",
+    tokenizer=None,
+    max_expansions: int = 16,
+    query_id: int = 0,
+) -> DataFrame:
+    """Fielded query-string search: ``field:term`` / ``field:"phrase"``
+    leaves lower onto the fielded tf relation (candidates = boolean
+    doc-set algebra where a fielded leaf slices ONE field's postings),
+    and ranking is BM25F over the positive (term, field) weights — a
+    fielded leaf's evidence fold is restricted to its field, unfielded
+    leaves fold all fields (Lucene classic QueryParser semantics over
+    the engine's BM25F scorer).
+
+    ``ftf``: (doc_id, field, term, tf) from ``fielded.fielded_tf``;
+    ``fstats``/``boosts``: ``fielded.bm25f_stats`` output + per-field
+    boosts (its keys define the known field names for the grammar);
+    ``fpos``: (doc_id, field, term, positions) from
+    ``fielded.fielded_positions`` — required only when the query has
+    phrase leaves.
+
+    Plan shape: same as the unfielded path — every leaf is a term-pruned
+    slice (fielded leaves add a field predicate that prunes harder),
+    candidates compose via semi/anti/union joins, and one BM25F job
+    scores with the candidate set as the filter query.
+    """
+    from .fielded import bm25f_topk
+
+    fields = set(boosts)
+    node = parse_query(query, default_operator=default_operator,
+                       fields=fields)
+    dictionary = ftf.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    universe = ftf.select("doc_id").distinct()
+    tf_any = ftf.select("doc_id", "term")
+    cand = _candidates(
+        node, tf_any, dictionary, universe, tokenizer, None, max_expansions,
+        ftf=ftf, fpos=fpos, fields=fields,
+    )
+    weights = positive_term_field_weights(
+        node, dictionary, tokenizer, ftf=ftf, max_expansions=max_expansions
+    )
+    if not weights:
+        raise ValueError(
+            "query has no positive terms to rank by (pure negation)"
+        )
+    spark = ftf.sparkSession
+    qt = spark.createDataFrame(
+        [(query_id, t, f, float(w)) for (t, f), w in weights.items()],
+        "query_id int, term string, field string, qtf double",
+    )
+    return bm25f_topk(
+        qt, ftf, fstats, boosts=boosts, k=k, doc_filter=cand
     )

@@ -272,3 +272,180 @@ def test_boosted_search_scales_scores(spark, parts):
     } & {r["doc_id"] for r in tf.filter("term = 'table'").select("doc_id").collect()}
     for d in only_table:
         assert boosted[d] == _pt.approx(2 * plain[d], rel=1e-9)
+
+
+# --- fielded query strings ---------------------------------------------------
+
+
+def test_parser_fielded_leaves():
+    from searchenginejava_spark.operators.querystring import Boosted, Fielded
+
+    flds = {"title", "body"}
+    assert parse_query("title:x", fields=flds) == Fielded("title", Term("x"))
+    assert parse_query('body:"a b"', fields=flds) == Fielded(
+        "body", Phrase(("a", "b"))
+    )
+    assert parse_query("title:tab*", fields=flds) == Fielded(
+        "title", Wildcard("tab*")
+    )
+    assert parse_query("title:tabel~2", fields=flds) == Fielded(
+        "title", Fuzzy("tabel", 2)
+    )
+    assert parse_query("title:x^2", fields=flds) == Boosted(
+        Fielded("title", Term("x")), 2.0
+    )
+    assert parse_query('body:"a b"^1.5', fields=flds) == Boosted(
+        Fielded("body", Phrase(("a", "b"))), 1.5
+    )
+    # mixed fielded/unfielded boolean
+    assert parse_query("title:x AND y", fields=flds) == Bool(
+        "and", (Fielded("title", Term("x")), Term("y"))
+    )
+    # escaped colon stays a literal term
+    assert parse_query(r"foo\:bar", fields=flds) == Term("foo:bar")
+
+
+def test_parser_fielded_rejects():
+    flds = {"title", "body"}
+    with pytest.raises(ValueError):   # fields off by default (unchanged)
+        parse_query("title:x")
+    with pytest.raises(ValueError):   # unknown field name
+        parse_query("nope:x", fields=flds)
+    with pytest.raises(ValueError):   # fielded groups out of scope
+        parse_query("title:(a OR b)", fields=flds)
+    with pytest.raises(ValueError):   # ranges still rejected
+        parse_query("title:[a TO b]", fields=flds)
+
+
+@pytest.fixture(scope="module")
+def fparts(spark):
+    from searchenginejava_spark.functions.tokenize import tokens_simple_col
+    from searchenginejava_spark.operators.fielded import (
+        bm25f_stats,
+        fielded_positions,
+        fielded_tf,
+    )
+
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    title = F.array_join(F.slice(tokens_simple_col("text"), 1, 3), " ")
+    fields = {"title": title, "body": F.col("text")}
+    ftf = fielded_tf(docs, fields).persist()
+    fpos = fielded_positions(docs, fields).persist()
+    return ftf, fpos, bm25f_stats(ftf), {"title": 3.0, "body": 1.0}
+
+
+def test_fielded_leaf_slices_one_field(spark, fparts):
+    from searchenginejava_spark.operators.querystring import (
+        query_string_search_fielded,
+    )
+
+    ftf, fpos, s, boosts = fparts
+    res = query_string_search_fielded(
+        "title:data", ftf, s, boosts=boosts, k=10_000
+    )
+    in_title = {
+        r["doc_id"]
+        for r in ftf.filter("field = 'title' AND term = 'data'")
+        .select("doc_id").collect()
+    }
+    assert _docids(res) == in_title
+    # ... and is a strict subset of the any-field match
+    res_any = query_string_search_fielded(
+        "data", ftf, s, boosts=boosts, k=10_000
+    )
+    assert in_title < _docids(res_any)
+
+
+def test_fielded_phrase_within_field(spark, fparts):
+    from searchenginejava_spark.operators.positional import phrase_match
+    from searchenginejava_spark.operators.querystring import (
+        query_string_search_fielded,
+    )
+
+    ftf, fpos, s, boosts = fparts
+    # pick a phrase that actually occurs in some body
+    res = query_string_search_fielded(
+        'body:"the data"', ftf, s, boosts=boosts, fpos=fpos, k=10_000
+    )
+    expect = {
+        r["doc_id"]
+        for r in phrase_match(
+            fpos.filter("field = 'body'").select(
+                "doc_id", "term", "positions"
+            ),
+            ["the", "data"],
+        ).collect()
+    }
+    assert _docids(res) == expect
+    assert expect, "fixture phrase should match at least one doc"
+
+
+def test_fielded_scoring_restricts_evidence_fold(spark, fparts):
+    """title:data must score the term's t̃f from the title field ONLY —
+    equal to bm25f_topk with an explicit field-masked query row, and
+    different from the all-fields fold whenever body evidence exists."""
+    from searchenginejava_spark.operators.fielded import bm25f_topk
+    from searchenginejava_spark.operators.querystring import (
+        query_string_search_fielded,
+    )
+
+    ftf, fpos, s, boosts = fparts
+    res = query_string_search_fielded(
+        "title:data", ftf, s, boosts=boosts, k=10_000
+    )
+    qt_masked = spark.createDataFrame(
+        [(0, "data", "title", 1.0)],
+        "query_id int, term string, field string, qtf double",
+    )
+    cand = ftf.filter("field = 'title' AND term = 'data'").select("doc_id")
+    expect = bm25f_topk(
+        qt_masked, ftf, s, boosts=boosts, k=10_000, doc_filter=cand
+    )
+    got = {(r["doc_id"], round(r["score"], 9)) for r in res.collect()}
+    want = {(r["doc_id"], round(r["score"], 9)) for r in expect.collect()}
+    assert got == want
+    # all-fields fold on the same candidates differs (body adds evidence)
+    qt_open = spark.createDataFrame(
+        [(0, "data", None, 1.0)],
+        "query_id int, term string, field string, qtf double",
+    )
+    open_fold = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25f_topk(
+            qt_open, ftf, s, boosts=boosts, k=10_000, doc_filter=cand
+        ).collect()
+    }
+    assert open_fold != want
+
+
+def test_fielded_boolean_composition(spark, fparts):
+    from searchenginejava_spark.operators.querystring import (
+        query_string_search_fielded,
+    )
+
+    ftf, fpos, s, boosts = fparts
+    res = query_string_search_fielded(
+        "title:data AND body:table", ftf, s, boosts=boosts, k=10_000,
+        default_operator="and",
+    )
+    a = {
+        r["doc_id"]
+        for r in ftf.filter("field='title' AND term='data'")
+        .select("doc_id").collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in ftf.filter("field='body' AND term='table'")
+        .select("doc_id").collect()
+    }
+    assert _docids(res) == (a & b)
+
+
+def test_unfielded_path_unchanged_and_fielded_needs_optin(spark, parts):
+    from searchenginejava_spark.operators.querystring import (
+        query_string_search,
+    )
+
+    tf, dl, dct, stats, pidx = parts
+    with pytest.raises(ValueError):
+        query_string_search("title:x", tf, dl, dct, stats)
