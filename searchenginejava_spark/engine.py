@@ -579,6 +579,61 @@ class SearchEngine:
             self.spark, self.index, text, list(phrase), **kwargs
         )
 
+    # -- docvalue-driven serving -------------------------------------------
+
+    def search_sorted(
+        self, text: str, sort_col: str, *,
+        doc_meta: DataFrame, k: int = TOP_K, ascending: bool = False,
+        candidates: int = 200,
+    ) -> DataFrame:
+        """Field-ordered serving (ES `sort: [{field}, _score]`): BM25
+        picks ``candidates`` matching docs, ``sort_col`` of ``doc_meta``
+        dictates the order, score tie-breaks."""
+        from .operators.docvalues import sort_by_field
+
+        return sort_by_field(
+            self.search(text, k=candidates), doc_meta, sort_col,
+            ascending=ascending, k=k,
+        )
+
+    def top_hits(
+        self, text: str, group_col: str, *,
+        doc_meta: DataFrame, hits_per_bucket: int = 3,
+        candidates: int = 200,
+    ) -> DataFrame:
+        """top_hits sub-aggregation: best N docs per facet bucket."""
+        from .operators.docvalues import top_hits
+
+        return top_hits(
+            self.search(text, k=candidates), doc_meta, group_col,
+            hits_per_bucket=hits_per_bucket,
+        )
+
+    def composite(
+        self, doc_meta: DataFrame, group_cols: Sequence[str], *,
+        page_size: int = 100, after: Sequence | None = None,
+    ) -> DataFrame:
+        """Composite aggregation page (after-key cursor pagination)."""
+        from .operators.docvalues import composite_agg
+
+        return composite_agg(
+            doc_meta, list(group_cols), page_size=page_size, after=after
+        )
+
+    def search_decay(
+        self, text: str, field: str, *,
+        doc_meta: DataFrame, origin: float, scale: float,
+        decay: float = 0.5, mode: str = "gauss", k: int = TOP_K,
+    ) -> DataFrame:
+        """function_score decay boosting: the text score multiplies by a
+        gauss/linear decay of ``field``'s distance from ``origin``."""
+        from .operators.docvalues import function_score
+
+        return function_score(
+            self.search(text, k=k), doc_meta, field,
+            origin=origin, scale=scale, decay=decay, mode=mode,
+        )
+
     # -- maintenance ------------------------------------------------------
 
     def delete(self, doc_ids: Sequence[int]) -> "SearchEngine":
@@ -591,6 +646,21 @@ class SearchEngine:
     def compact(self, **kwargs) -> "SearchEngine":
         self.index = compact_index(self.spark, self.index, **kwargs)
         return self
+
+    def maintain(
+        self, *, max_tombstone_frac: float = 0.02, **kwargs
+    ) -> dict:
+        """Enforce the compaction policy: compact when the tombstone
+        fraction exceeds ``max_tombstone_frac``, no-op (one tiny count)
+        otherwise. Returns the decision report; call after delete
+        bursts or on a maintenance schedule."""
+        from .plans.pipeline import auto_compact
+
+        self.index, report = auto_compact(
+            self.spark, self.index,
+            max_tombstone_frac=max_tombstone_frac, **kwargs,
+        )
+        return report
 
     def merge(self, other: "SearchEngine", **kwargs) -> "SearchEngine":
         self.index = merge_indexes(

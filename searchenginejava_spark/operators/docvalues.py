@@ -1,0 +1,232 @@
+"""Docvalue-driven serving — sort-by-field, top-hits, composite
+pagination, function-score decay.
+
+The reference ranks purely by text score ([R:Ranker], SURVEY.md §2.5);
+production fulltext engines additionally serve results ORDERED or
+RE-WEIGHTED by per-document metadata ("docvalues" in Lucene — columnar
+per-doc fields, which in this engine is simply the doc metadata
+relation). Four standard surfaces (Elasticsearch/Lucene conventions,
+public semantics):
+
+- ``sort_by_field``   — ``sort: [{field: desc}, _score]``: matching is
+  textual, ORDER comes from a document field, score tie-breaks.
+- ``top_hits``        — the ``top_hits`` sub-aggregation: best N docs
+  per facet bucket (the "group results by category" UI).
+- ``composite_agg``   — the ``composite`` aggregation: deterministic
+  cursor pagination over an UNBOUNDED bucket space via an after-key.
+- ``function_score``  — decay re-weighting (gauss/linear) of the text
+  score by a numeric field's distance from an origin (recency /
+  proximity boosting), multiplicative boost_mode.
+
+Scale shape: all four operate on top-k-sized or bucket-sized relations,
+never postings. The metadata join is pruned to the candidate doc_ids
+(broadcast-sized after top-k); composite_agg is the one operator whose
+INPUT is corpus-sized — that is its point: a terms agg over millions of
+buckets cannot return in one response, so it pages with a lexicographic
+after-key filter that Catalyst pushes into the scan, each page one
+bounded job (the same reason Elasticsearch caps terms-agg size and
+tells you to use composite).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import TOP_K
+
+
+def sort_by_field(
+    scored: DataFrame,
+    doc_meta: DataFrame,
+    sort_col: str,
+    *,
+    ascending: bool = False,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Field-ordered serving: keep the query's matched docs, order by
+    ``sort_col`` (a doc_meta column), tie-break (score desc, doc_id
+    asc) → (query_id, rank, doc_id, sort_value, score).
+
+    ``scored`` is any (query_id, doc_id, score) relation — typically a
+    scorer's top-k, or a boolean candidate set with a constant score.
+    The metadata join is candidate-pruned (k rows per query join against
+    the docvalue projection), so field-sorted serving costs one small
+    join + the standard window regardless of corpus size.
+    """
+    sv = F.col("sort_value")
+    order = [sv.asc() if ascending else sv.desc(),
+             F.desc("score"), F.asc("doc_id")]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.select("query_id", "doc_id", "score")
+        .join(
+            doc_meta.select(
+                "doc_id", F.col(sort_col).alias("sort_value")
+            ),
+            "doc_id",
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("int"),
+            F.col("rank").cast("int"),
+            F.col("doc_id").cast("long"),
+            "sort_value",
+            F.col("score").cast("double"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def top_hits(
+    scored: DataFrame,
+    doc_meta: DataFrame,
+    group_col: str,
+    *,
+    hits_per_bucket: int = 3,
+) -> DataFrame:
+    """The ``top_hits`` sub-aggregation: per (query, ``group_col``
+    bucket), the best ``hits_per_bucket`` docs by (score desc, doc_id
+    asc) → (query_id, bucket, bucket_rank, doc_id, score).
+
+    One candidate-pruned metadata join + one window partitioned by
+    (query, bucket) — bucket count is bounded by the candidate set, so
+    the operator is top-k-sized end to end.
+    """
+    w = Window.partitionBy("query_id", "bucket").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.select("query_id", "doc_id", "score")
+        .join(
+            doc_meta.select("doc_id", F.col(group_col).alias("bucket")),
+            "doc_id",
+        )
+        .withColumn("bucket_rank", F.row_number().over(w))
+        .filter(F.col("bucket_rank") <= hits_per_bucket)
+        .select(
+            F.col("query_id").cast("int"),
+            "bucket",
+            F.col("bucket_rank").cast("int"),
+            F.col("doc_id").cast("long"),
+            F.col("score").cast("double"),
+        )
+        .orderBy("query_id", "bucket", "bucket_rank")
+    )
+
+
+def _after_predicate(group_cols: Sequence[str], after: Sequence) -> Column:
+    """Lexicographic ``key > after`` over the composite key — the
+    after-key cursor. Expanded to the standard OR-of-ANDs form so the
+    leading column's range predicate is scan-pushable."""
+    pred = F.lit(False)
+    for i, col in enumerate(group_cols):
+        clause = F.col(col) > F.lit(after[i])
+        for j in range(i):
+            clause = clause & (F.col(group_cols[j]) == F.lit(after[j]))
+        pred = pred | clause
+    return pred
+
+
+def composite_agg(
+    doc_meta: DataFrame,
+    group_cols: Sequence[str],
+    *,
+    page_size: int = 100,
+    after: Sequence | None = None,
+) -> DataFrame:
+    """The ``composite`` aggregation: one PAGE of (key..., doc_count)
+    buckets in ascending key order, starting strictly after the
+    ``after`` cursor (the previous page's last key tuple).
+
+    This is how an unbounded bucket space is enumerated at scale: each
+    page is one bounded job — the cursor predicate prunes before the
+    agg (pushed to the scan for the leading column), the agg itself is
+    a partial+final hash agg, and only ``page_size`` rows return. The
+    caller loops pages with the last row as the next ``after`` — no
+    driver-side state beyond one key tuple.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if after is not None and len(after) != len(group_cols):
+        raise ValueError("after must have one value per group column")
+    src = doc_meta
+    if after is not None:
+        src = src.filter(_after_predicate(group_cols, after))
+    return (
+        src.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy(*[F.asc(c) for c in group_cols])
+        .limit(page_size)
+    )
+
+
+def function_score(
+    scored: DataFrame,
+    doc_meta: DataFrame,
+    field: str,
+    *,
+    origin: float,
+    scale: float,
+    decay: float = 0.5,
+    mode: str = "gauss",
+    offset: float = 0.0,
+) -> DataFrame:
+    """Decay re-weighting (the ES ``function_score`` decay family):
+    multiply each hit's text score by a factor that decays with the
+    numeric field's distance from ``origin`` — the standard recency /
+    numeric-proximity boost. → (query_id, rank, doc_id, factor, score),
+    re-ranked by the combined score.
+
+        d        = max(0, |v − origin| − offset)
+        gauss    : exp(d² · ln(decay) / scale²)    (= decay at d=scale)
+        linear   : max(0, 1 − d·(1−decay)/scale)
+
+    The factor is a native Column expression over the candidate-pruned
+    metadata join — no postings touched, no UDF; the exact hit SET is
+    unchanged (boost_mode=multiply re-orders, never filters — except
+    linear's hard zero beyond scale/(1−decay), the documented ES
+    semantics).
+    """
+    import math
+
+    if mode not in ("gauss", "linear"):
+        raise ValueError("mode must be 'gauss' or 'linear'")
+    if not (0.0 < decay < 1.0):
+        raise ValueError("decay must be in (0, 1)")
+    if scale <= 0:
+        raise ValueError("scale must be positive")
+    v = F.col("_fv").cast("double")
+    d = F.greatest(
+        F.lit(0.0), F.abs(v - F.lit(float(origin))) - F.lit(float(offset))
+    )
+    if mode == "gauss":
+        factor = F.exp(
+            d * d * F.lit(math.log(decay) / (float(scale) ** 2))
+        )
+    else:
+        factor = F.greatest(
+            F.lit(0.0),
+            F.lit(1.0) - d * F.lit((1.0 - decay) / float(scale)),
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("new_score"), F.asc("doc_id")
+    )
+    return (
+        scored.select("query_id", "doc_id", "score")
+        .join(doc_meta.select("doc_id", F.col(field).alias("_fv")), "doc_id")
+        .withColumn("factor", factor)
+        .withColumn("new_score", F.col("score") * F.col("factor"))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            F.col("query_id").cast("int"),
+            F.col("rank").cast("int"),
+            F.col("doc_id").cast("long"),
+            F.col("factor").cast("double"),
+            F.col("new_score").cast("double").alias("score"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,197 @@
+"""Docvalue-driven serving: sort-by-field, top-hits, composite
+pagination, function-score decay."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginejava_spark.operators.docvalues import (
+    composite_agg,
+    function_score,
+    sort_by_field,
+    top_hits,
+)
+
+TESTDATA = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    """A deterministic fake top-k: 2 queries x 6 docs with known scores."""
+    rows = [
+        (q, d, float(s))
+        for q in (0, 1)
+        for d, s in [(1, 5.0), (2, 4.0), (3, 4.0), (4, 3.0), (5, 2.0), (6, 1.0)]
+    ]
+    return spark.createDataFrame(
+        rows, "query_id int, doc_id long, score double"
+    )
+
+
+@pytest.fixture(scope="module")
+def meta(spark):
+    rows = [
+        (1, "a", 100), (2, "b", 300), (3, "a", 300),
+        (4, "b", 200), (5, "a", 500), (6, "b", 50),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, n_chars int")
+
+
+def test_sort_by_field_orders_by_docvalue(spark, scored, meta):
+    res = sort_by_field(scored, meta, "n_chars", k=10).filter(
+        "query_id = 0"
+    ).collect()
+    # n_chars desc; the 300-tie (docs 2,3) breaks by score desc? both 4.0
+    # -> doc_id asc
+    assert [r["doc_id"] for r in res] == [5, 2, 3, 4, 1, 6]
+    assert [r["sort_value"] for r in res] == [500, 300, 300, 200, 100, 50]
+    asc = sort_by_field(scored, meta, "n_chars", ascending=True, k=3).filter(
+        "query_id = 0"
+    ).collect()
+    assert [r["doc_id"] for r in asc] == [6, 1, 4]
+    assert all(r["rank"] == i + 1 for i, r in enumerate(asc))
+
+
+def test_top_hits_caps_per_bucket(spark, scored, meta):
+    res = top_hits(scored, meta, "lang", hits_per_bucket=2).filter(
+        "query_id = 1"
+    ).collect()
+    by_bucket = {}
+    for r in res:
+        by_bucket.setdefault(r["bucket"], []).append(r["doc_id"])
+    # a-bucket: docs 1(5.0), 3(4.0), 5(2.0) -> top2 = [1, 3]
+    # b-bucket: docs 2(4.0), 4(3.0), 6(1.0) -> top2 = [2, 4]
+    assert by_bucket == {"a": [1, 3], "b": [2, 4]}
+    assert all(r["bucket_rank"] <= 2 for r in res)
+
+
+def test_composite_agg_pages_are_disjoint_and_ordered(spark):
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet").select(
+        "doc_id", "lang", "source"
+    )
+    full = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy("lang", "source")
+        .collect()
+    )
+    assert len(full) >= 3, "fixture needs several buckets"
+    size = max(1, len(full) // 3)
+    pages, after = [], None
+    while True:
+        page = composite_agg(
+            docs, ["lang", "source"], page_size=size, after=after
+        ).collect()
+        if not page:
+            break
+        pages.extend(page)
+        after = (page[-1]["lang"], page[-1]["source"])
+    # paging reconstructs the full enumeration exactly, no dup, no gap
+    assert [tuple(r) for r in pages] == [tuple(r) for r in full]
+    # cursor past the end -> empty page
+    assert (
+        composite_agg(
+            docs, ["lang", "source"], page_size=size,
+            after=(full[-1]["lang"], full[-1]["source"]),
+        ).count()
+        == 0
+    )
+
+
+def test_composite_agg_validates(spark, meta):
+    with pytest.raises(ValueError):
+        composite_agg(meta, [])
+    with pytest.raises(ValueError):
+        composite_agg(meta, ["lang", "n_chars"], after=("a",))
+
+
+def test_function_score_gauss_semantics(spark, scored, meta):
+    res = function_score(
+        scored, meta, "n_chars", origin=0.0, scale=300.0, decay=0.5,
+        mode="gauss",
+    ).filter("query_id = 0")
+    rows = {r["doc_id"]: r for r in res.collect()}
+    # hit SET unchanged (multiply never filters)
+    assert set(rows) == {1, 2, 3, 4, 5, 6}
+    # at distance == scale the factor IS decay (docs 2,3: n_chars=300)
+    assert rows[2]["factor"] == pytest.approx(0.5, rel=1e-12)
+    # combined score = base * factor
+    assert rows[2]["score"] == pytest.approx(4.0 * 0.5, rel=1e-12)
+    # re-ranking actually happened: doc 5 (n_chars=500) decays below
+    # doc 6 (n_chars=50) despite higher base score
+    assert rows[5]["rank"] > rows[6]["rank"]
+    # ranks are the combined-score order
+    ordered = sorted(rows.values(), key=lambda r: r["rank"])
+    assert all(
+        a["score"] >= b["score"] for a, b in zip(ordered, ordered[1:])
+    )
+
+
+def test_function_score_linear_cutoff(spark, scored, meta):
+    res = function_score(
+        scored, meta, "n_chars", origin=0.0, scale=200.0, decay=0.5,
+        mode="linear",
+    ).filter("query_id = 0")
+    rows = {r["doc_id"]: r for r in res.collect()}
+    # linear hits zero at d = scale/(1-decay) = 400; doc 5 (500) zeroes
+    assert rows[5]["factor"] == 0.0 and rows[5]["score"] == 0.0
+    # at d == scale, factor == decay
+    assert rows[4]["factor"] == pytest.approx(0.5, rel=1e-12)
+    with pytest.raises(ValueError):
+        function_score(scored, meta, "n_chars", origin=0, scale=0)
+    with pytest.raises(ValueError):
+        function_score(scored, meta, "n_chars", origin=0, scale=1, decay=1.0)
+    with pytest.raises(ValueError):
+        function_score(
+            scored, meta, "n_chars", origin=0, scale=1, mode="nope"
+        )
+
+
+def test_function_score_offset_plateau(spark, scored, meta):
+    """Inside the offset radius the factor is exactly 1 (no decay)."""
+    res = function_score(
+        scored, meta, "n_chars", origin=0.0, scale=100.0, decay=0.5,
+        mode="gauss", offset=300.0,
+    ).filter("query_id = 0")
+    rows = {r["doc_id"]: r for r in res.collect()}
+    for d in (1, 2, 3, 4, 6):     # n_chars <= 300 -> plateau
+        assert rows[d]["factor"] == 1.0
+    assert rows[5]["factor"] == pytest.approx(
+        math.exp((500 - 300) ** 2 * math.log(0.5) / 100.0 ** 2), rel=1e-9
+    )
+
+
+def test_engine_facade_docvalue_methods(spark):
+    from searchenginejava_spark.engine import SearchEngine
+
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    eng = SearchEngine.build(spark, docs, text_col="text", num_partitions=4)
+    meta = docs.select("doc_id", "lang", "source", "n_chars")
+
+    srt = eng.search_sorted(
+        "data table", "n_chars", doc_meta=meta, k=5, candidates=50
+    ).collect()
+    assert len(srt) == 5
+    assert [r["sort_value"] for r in srt] == sorted(
+        (r["sort_value"] for r in srt), reverse=True
+    )
+
+    th = eng.top_hits(
+        "data table", "lang", doc_meta=meta, hits_per_bucket=2,
+        candidates=50,
+    ).collect()
+    assert th and all(r["bucket_rank"] <= 2 for r in th)
+
+    page = eng.composite(meta, ["lang", "source"], page_size=3).collect()
+    assert len(page) == 3
+    keys = [(r["lang"], r["source"]) for r in page]
+    assert keys == sorted(keys)
+
+    dec = eng.search_decay(
+        "data table", "n_chars", doc_meta=meta, origin=0.0, scale=1000.0,
+        k=5,
+    ).collect()
+    assert len(dec) == 5 and all(0.0 < r["factor"] <= 1.0 for r in dec)
