@@ -269,3 +269,122 @@ def test_png_decoder_through_spark_extract(spark):
 def test_png_decode_rejects_non_png():
     with pytest.raises(ValueError, match="bad signature"):
         multimodal._decode_png(b"\xff\xd8 not a png")
+
+
+# --- audio: REAL stdlib-WAV decode + stub plumbing ---------------------------
+
+
+def _wav_bytes(samples, rate=8000, sampwidth=2, channels=1):
+    """Synthesize a PCM WAV in memory (stdlib wave module)."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        if sampwidth == 2:
+            frames = b"".join(
+                struct.pack("<h", int(s * 32767)) for s in samples
+            )
+        else:  # 8-bit unsigned
+            frames = bytes(int(s * 127) + 128 for s in samples)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_wav_decode_sine_features(spark):
+    """A 440 Hz sine at 8 kHz: REAL decode recovers rate/duration
+    exactly, RMS ~ 1/sqrt(2), ZCR ~ 2*f/rate, flat RMS envelope."""
+    import math
+
+    from searchenginejava_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    rate, f, n = 8000, 440.0, 8000
+    sine = [math.sin(2 * math.pi * f * i / rate) for i in range(n)]
+    payload = _wav_bytes(sine, rate=rate)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    row = extract_audio_features(df, decoder="wav").collect()[0]
+    assert row["sample_rate"] == rate and row["n_channels"] == 1
+    assert row["n_samples"] == n
+    assert row["duration_s"] == pytest.approx(1.0)
+    assert row["rms"] == pytest.approx(1 / math.sqrt(2), rel=1e-3)
+    assert row["zcr"] == pytest.approx(2 * f / rate, rel=0.02)
+    # constant-amplitude tone -> flat RMS envelope strips
+    emb = row["embedding"]
+    assert len(emb) == 8
+    assert max(emb) - min(emb) < 0.01
+
+
+def test_wav_decode_stereo_and_8bit(spark):
+    import math
+
+    from searchenginejava_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    rate = 4000
+    # stereo 16-bit: L = sine, R = -sine -> mono mixdown cancels to ~0
+    sine = [math.sin(2 * math.pi * 100 * i / rate) for i in range(rate)]
+    inter = []
+    for s in sine:
+        inter.extend([s, -s])
+    stereo = _wav_bytes(inter, rate=rate, channels=2)
+    # 8-bit mono constant half-scale -> rms ~ 0.5, zcr 0
+    const8 = _wav_bytes([0.5] * rate, rate=rate, sampwidth=1)
+    df = spark.createDataFrame(
+        [(1, bytearray(stereo)), (2, bytearray(const8))],
+        "media_id long, payload binary",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in extract_audio_features(df, decoder="wav").collect()
+    }
+    assert rows[1]["n_channels"] == 2
+    assert rows[1]["rms"] == pytest.approx(0.0, abs=1e-4)
+    assert rows[2]["n_channels"] == 1
+    assert rows[2]["rms"] == pytest.approx(0.5, rel=0.02)
+    assert rows[2]["zcr"] == 0.0
+
+
+def test_audio_stub_deterministic_and_null_safe(media):
+    from searchenginejava_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    a = extract_audio_features(media).orderBy("media_id").collect()
+    b = extract_audio_features(media).orderBy("media_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    r = a[0]
+    assert 8000 <= r["sample_rate"] < 8000 + 65536
+    assert r["n_channels"] in (1, 2)
+    assert r["duration_s"] == pytest.approx(
+        r["n_samples"] / r["sample_rate"]
+    )
+    assert len(r["embedding"]) == 8
+    # null payloads yield null features, not errors
+    spark = media.sparkSession
+    withnull = spark.createDataFrame(
+        [(99, None)], "media_id long, payload binary"
+    )
+    nr = extract_audio_features(withnull).collect()[0]
+    assert nr["media_id"] == 99 and nr["sample_rate"] is None
+
+
+def test_wav_decode_rejects_garbage(spark):
+    from searchenginejava_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not a wav at all"))],
+        "media_id long, payload binary",
+    )
+    with pytest.raises(Exception):
+        extract_audio_features(df, decoder="wav").collect()
