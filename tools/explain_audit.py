@@ -1298,6 +1298,103 @@ def main() -> None:
     ]
     sections.append(("head-query result cache (hit path)", p_hit, checks))
 
+    # 34. wave-16 (r4): fielded query-string serving — the candidate
+    # algebra slices ONE field's postings; BM25F scoring broadcasts the
+    # field-masked query weights; everything native
+    from searchenginejava_spark.operators.fielded import fielded_positions
+    from searchenginejava_spark.operators.querystring import (
+        query_string_search_fielded,
+    )
+
+    fpos_au = fielded_positions(
+        corpus,
+        {
+            "title": F.array_join(F.slice(F.split("text", " "), 1, 3), " "),
+            "body": F.col("text"),
+        },
+    )
+    p_qsf = plan_of(
+        query_string_search_fielded(
+            'title:merge AND body:"hash table"',
+            ftf_au,
+            bm25f_stats(ftf_au),
+            boosts={"title": 2.0, "body": 1.0},
+            fpos=fpos_au,
+            default_operator="and",
+        )
+    )
+    checks = [
+        (
+            "fielded query string: broadcast joins carry the query side",
+            "BroadcastHashJoin" in p_qsf,
+            "",
+        ),
+        (
+            "fielded query string: zero Python crossings",
+            "ArrowEvalPython" not in p_qsf and "MapInPandas" not in p_qsf,
+            "",
+        ),
+    ]
+    sections.append(
+        ("fielded query-string serving (field-sliced candidates + "
+         "masked BM25F)", p_qsf, checks)
+    )
+
+    # 35. wave-17 (r4): docvalue serving — composite pagination's
+    # after-key predicate must reach the scan (leading-column range is
+    # pushable); function_score decay is native column arithmetic
+    from searchenginejava_spark.operators.docvalues import (
+        composite_agg,
+        function_score,
+    )
+
+    meta_path = os.path.join(SF_DIR, "documents.parquet")
+    meta_au = spark.read.parquet(meta_path).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    p_comp = plan_of(
+        composite_agg(
+            meta_au, ["lang", "source"], page_size=5, after=("mm", "nn")
+        )
+    )
+    scored_au = spark.createDataFrame(
+        [(0, 1, 2.0)], "query_id int, doc_id long, score double"
+    )
+    p_fsc = plan_of(
+        function_score(
+            scored_au, meta_au, "n_chars", origin=0.0, scale=100.0
+        )
+    )
+    checks = [
+        (
+            "composite: after-key predicate pushed to the parquet scan",
+            "PushedFilters: [" in p_comp
+            and re.search(r"PushedFilters: \[[^\]]*lang", p_comp) is not None,
+            "",
+        ),
+        (
+            "composite: partial+final hash agg (map-side combine)",
+            n_nodes(p_comp, "HashAggregate") >= 2,
+            "",
+        ),
+        (
+            "function_score: decay factor is native (zero Python crossings)",
+            "ArrowEvalPython" not in p_fsc and "MapInPandas" not in p_fsc,
+            "",
+        ),
+        (
+            "function_score: metadata join reads only the needed columns",
+            "text" not in re.search(
+                r"ReadSchema: struct<([^>]*)>", p_fsc
+            ).group(1),
+            "",
+        ),
+    ]
+    sections.append(
+        ("docvalue serving (composite pagination + decay boosting)",
+         p_comp + "\n\n" + p_fsc, checks)
+    )
+
     ok = True
     out = ["# PLANS.md — physical-plan audit (generated by tools/explain_audit.py)", ""]
     for title, plan, cks in sections:
