@@ -511,3 +511,130 @@ def find_usages(
         .select("doc_id", "line_no", "callee", "line")
         .orderBy("doc_id", "line_no", "callee")
     )
+
+
+# license detection: SPDX tag wins, else header-phrase rules in fixed
+# precedence order (the BigCode/StarCoder-style permissive-license gate
+# runs on exactly these signals — public convention)
+LICENSE_RULES = [
+    ("mit", r"mit license|permission is hereby granted, free of charge"),
+    ("apache-2.0", r"apache license,? version 2\.0|licensed under the apache license"),
+    ("gpl", r"gnu (general|lesser general|affero general) public license"),
+    ("bsd", r"redistribution and use in source and binary forms"),
+    ("mpl-2.0", r"mozilla public license"),
+    ("unlicense", r"this is free and unencumbered software"),
+]
+_SPDX_RE = r"spdx-license-identifier:\s*([a-z0-9.+-]+)"
+
+
+def detect_license(
+    df: DataFrame,
+    *,
+    text_col: str = "code",
+    id_col: str = "doc_id",
+    header_chars: int = 2000,
+) -> DataFrame:
+    """Per-file license detection → (doc_id, license, via).
+
+    An explicit ``SPDX-License-Identifier:`` tag wins (``via='spdx'``,
+    the id reported verbatim, lowercased); otherwise the first
+    LICENSE_RULES header phrase in precedence order (``via='header'``);
+    otherwise ``('unknown', 'none')``. Only the first ``header_chars``
+    characters are scanned — license blocks live at the top of the
+    file, and bounding the regex subject keeps per-row cost constant
+    no matter how large the payload (a 10 MB generated file costs the
+    same as a 1 KB one). Single projection, zero shuffle, codegen-only.
+    """
+    head = F.lower(F.substring(F.col(text_col), 1, header_chars))
+    spdx = F.regexp_extract(head, _SPDX_RE, 1)
+    lic = F.when(spdx != "", spdx)
+    via = F.when(spdx != "", F.lit("spdx"))
+    for name, rx in LICENSE_RULES:
+        m = head.rlike(rx)
+        lic = lic.when(m, F.lit(name))
+        via = via.when(m, F.lit("header"))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        lic.otherwise(F.lit("unknown")).alias("license"),
+        via.otherwise(F.lit("none")).alias("via"),
+    )
+
+
+def license_filter(
+    df: DataFrame,
+    allow: list[str],
+    *,
+    text_col: str = "code",
+    id_col: str = "doc_id",
+    keep_unknown: bool = False,
+    header_chars: int = 2000,
+) -> DataFrame:
+    """The permissive-license training-data gate: keep rows whose
+    detected license (or SPDX prefix — 'apache-2.0' matches an allow
+    entry 'apache-2.0'; 'gpl-3.0-only' is caught by detect's 'gpl'
+    family only via the header rule, SPDX ids match exactly) is in
+    ``allow``; ``keep_unknown`` decides the no-signal rows (BigCode
+    drops them — the conservative default here too). One semi-join-free
+    narrow filter: the decision column computes inline.
+    """
+    det = detect_license(
+        df.select(F.col(id_col), F.col(text_col)),
+        text_col=text_col, id_col=id_col, header_chars=header_chars,
+    ).withColumnRenamed("doc_id", "_lid")
+    allowed = {a.lower() for a in allow}
+    keep = F.col("license").isin(list(allowed))
+    if keep_unknown:
+        keep = keep | (F.col("license") == "unknown")
+    kept_ids = det.filter(keep).select(F.col("_lid").alias(id_col))
+    return df.join(kept_ids, id_col, "left_semi")
+
+
+def transitive_closure(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    max_depth: int = 3,
+    direction: str = "out",
+) -> DataFrame:
+    """Bounded-depth reachability over the reference graph → (doc_id,
+    depth), depth = MINIMUM hop count from any seed (seeds themselves at
+    depth 0). ``direction="out"`` walks src→dst (transitive CALLEES:
+    "what does this module pull in"); ``direction="in"`` walks the
+    reversed edges (transitive CALLERS: the blast-radius / impact-
+    analysis query code-search UIs serve).
+
+    Shape: K ≤ ``max_depth`` rounds of frontier equi-join + visited
+    anti-join — BFS layer by layer, so each node joins once (the
+    frontier only carries NEW nodes; min-depth falls out of layer
+    order, no per-node min agg needed). Each round localCheckpoints the
+    (small, node-sized) frontier/visited relations to truncate lineage
+    — same convention as the PageRank loop. The per-round emptiness
+    check is one count over the frontier (node-sized, never edges).
+    """
+    if direction not in ("out", "in"):
+        raise ValueError("direction must be 'out' or 'in'")
+    if max_depth < 0:
+        raise ValueError("max_depth must be >= 0")
+    s, d = ("src", "dst") if direction == "out" else ("dst", "src")
+    e = edges.select(F.col(s).alias("from_id"), F.col(d).alias("to_id"))
+    visited = (
+        seeds.select(F.col(seeds.columns[0]).cast("long").alias("doc_id"))
+        .distinct()
+        .withColumn("depth", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("doc_id")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["doc_id"] == e["from_id"])
+            .select(F.col("to_id").alias("doc_id"))
+            .distinct()
+            .join(visited.select("doc_id"), "doc_id", "left_anti")
+            .withColumn("depth", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("doc_id")
+    return visited

@@ -499,3 +499,69 @@ def mixture_weights(
         F.round("target_share", 6).alias("target_share"),
         F.round(F.col("target_share") / F.col("share"), 6).alias("weight"),
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fim_rate: float = 0.5,
+    mode: str = "psm",
+    salt: str = "fim",
+) -> DataFrame:
+    """Fill-in-the-middle transformation for code training data
+    ([L:Bavarian et al. 2022, "Efficient Training of Language Models to
+    Fill in the Middle"]; the StarCoder/SantaCoder data-prep step):
+    a ``fim_rate`` fraction of documents is rewritten as
+
+        psm:  <fim_prefix> P <fim_suffix> S <fim_middle> M
+        spm:  <fim_prefix> <fim_suffix> S <fim_middle> P M
+
+    where (P, M, S) split the text at two cut points. → (doc_id, fim,
+    sample).
+
+    Everything is a pure function of (id, salt) via the same md5-based
+    H60 the dedup/mixture family uses — the FIM membership AND both cut
+    points are reproducible across runs, engines and cluster sizes (no
+    RNG), and the whole transform is one narrow projection: zero
+    shuffle, zero UDF, exactly the property a 100 TB preprocessing pass
+    needs. Cut points are character-based (the public recipe applies
+    FIM before tokenization at the character level).
+    """
+    from .dedup import str_hash60
+
+    if not (0.0 <= fim_rate <= 1.0):
+        raise ValueError(f"fim_rate out of [0,1]: {fim_rate}")
+    if mode not in ("psm", "spm"):
+        raise ValueError("mode must be 'psm' or 'spm'")
+    txt = F.col(text_col)
+    sid = F.col(id_col).cast("string")
+    n = F.length(txt)
+    pick = (
+        str_hash60(F.concat(sid, F.lit(f":{salt}"))).cast("double")
+        < F.lit(float(fim_rate)) * F.lit(float(1 << 60))
+    )
+    # two independent cut points in [0, n], ordered
+    c_a = str_hash60(F.concat(sid, F.lit(f":{salt}1"))) % (n + 1)
+    c_b = str_hash60(F.concat(sid, F.lit(f":{salt}2"))) % (n + 1)
+    lo, hi = F.least(c_a, c_b), F.greatest(c_a, c_b)
+    pre = F.substring(txt, F.lit(1), lo)
+    mid = txt.substr(lo + 1, hi - lo)
+    suf = txt.substr(hi + 1, n - hi)
+    if mode == "psm":
+        sample = F.concat(
+            F.lit("<fim_prefix>"), pre,
+            F.lit("<fim_suffix>"), suf,
+            F.lit("<fim_middle>"), mid,
+        )
+    else:
+        sample = F.concat(
+            F.lit("<fim_prefix><fim_suffix>"), suf,
+            F.lit("<fim_middle>"), pre, mid,
+        )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        pick.alias("fim"),
+        F.when(pick, sample).otherwise(txt).alias("sample"),
+    )

@@ -689,3 +689,97 @@ def mmr_rerank(
         )
         .orderBy("query_id", "rank")
     )
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization (the Lucene/Elasticsearch
+    ``int8_hnsw`` storage trade, public convention): scale = max|v|/127,
+    qᵢ = floor(vᵢ/scale + 0.5) clamped to [-127, 127] → (id, scale,
+    qvec array<tinyint>). 4× smaller vectors at rest and integer dot
+    products at query time. The rounding is the explicit floor(x+0.5)
+    form so Spark and the DuckDB oracle compute bit-identical codes
+    (no banker's-rounding divergence). Zero vectors quantize to zeros
+    with scale 0. One narrow projection, zero shuffle.
+    """
+    v = F.col(vec_col)
+    amax = F.aggregate(
+        v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x.cast("double")))
+    )
+    with_scale = embeddings.select(
+        F.col(id_col), v.alias("_v"), (amax / F.lit(127.0)).alias("scale")
+    )
+    qv = F.transform(
+        F.col("_v"),
+        lambda x: F.when(
+            F.col("scale") > 0,
+            F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.floor(x.cast("double") / F.col("scale") + F.lit(0.5))
+                    .cast("int"),
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("tinyint"),
+    )
+    return with_scale.select(id_col, "scale", qv.alias("qvec"))
+
+
+def knn_int8(
+    quantized: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k over int8-quantized vectors →
+    (id, cosine_q8). The query quantizes with the SAME formula
+    driver-side; per-vector scales CANCEL in the cosine, so the whole
+    ranking is integer arithmetic (Σ qdᵢ·qqᵢ over int codes, exact in
+    any engine) divided by two integer-derived norms — no float-order
+    sensitivity anywhere. Zero-norm rows rank last (null cosine).
+    Accuracy is pinned by the recall@k pytest against the exact float
+    path; at 100 TB this is the scan-side win: 4× fewer bytes read and
+    SIMD-friendly integer dots, the exact trade ES ships as int8.
+    """
+    import math
+
+    amax = max((abs(float(x)) for x in query_vec), default=0.0)
+    qs = amax / 127.0
+    qq = [
+        max(-127, min(127, int(math.floor(float(x) / qs + 0.5)))) if qs > 0
+        else 0
+        for x in query_vec
+    ]
+    qnorm = math.sqrt(sum(v * v for v in qq))
+    qlit = F.array(*[F.lit(int(v)) for v in qq])
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("qvec"), qlit,
+            lambda a, b: a.cast("long") * b.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d2 = F.aggregate(
+        F.col("qvec"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long") * x.cast("long"),
+    )
+    cos = F.when(
+        (d2 > 0) & (F.lit(qnorm) > 0),
+        idot.cast("double") / (F.sqrt(d2.cast("double")) * F.lit(qnorm)),
+    )
+    return (
+        quantized.select(F.col(id_col), cos.alias("cosine_q8"))
+        .orderBy(F.desc_nulls_last("cosine_q8"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("cosine_q8", 6).alias("cosine_q8"))
+    )

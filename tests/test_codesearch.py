@@ -369,3 +369,105 @@ def test_find_usages_index_pruned_equals_full(spark):
     pruned = [(r["doc_id"], r["line_no"], r["callee"])
               for r in find_usages(df, "keyAgg", subtoken_tf=tf).collect()]
     assert full == pruned == [(0, 1, "keyAgg"), (1, 1, "key_agg")]
+
+
+# --- license detection + transitive closure (round 4) ------------------------
+
+
+def test_detect_license_rules(spark):
+    from searchenginejava_spark.operators.codesearch import (
+        detect_license,
+        license_filter,
+    )
+
+    rows = [
+        (1, "# SPDX-License-Identifier: Apache-2.0\ncode"),
+        (2, "/* MIT License */\nint main(){}"),
+        (3, "Licensed under the Apache License, Version 2.0"),
+        (4, "GNU General Public License v3 applies"),
+        (5, "Redistribution and use in source and binary forms"),
+        (6, "Mozilla Public License, v. 2.0"),
+        (7, "This is free and unencumbered software released"),
+        (8, "no license signal anywhere"),
+        (9, "// SPDX-License-Identifier: GPL-3.0-only\nx=1"),
+        # SPDX beats a conflicting header phrase
+        (10, "# SPDX-License-Identifier: MIT\nGNU General Public License"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, code string")
+    got = {
+        r["doc_id"]: (r["license"], r["via"])
+        for r in detect_license(df).collect()
+    }
+    assert got[1] == ("apache-2.0", "spdx")
+    assert got[2] == ("mit", "header")
+    assert got[3] == ("apache-2.0", "header")
+    assert got[4] == ("gpl", "header")
+    assert got[5] == ("bsd", "header")
+    assert got[6] == ("mpl-2.0", "header")
+    assert got[7] == ("unlicense", "header")
+    assert got[8] == ("unknown", "none")
+    assert got[9] == ("gpl-3.0-only", "spdx")
+    assert got[10] == ("mit", "spdx")
+
+    kept = sorted(
+        r["doc_id"]
+        for r in license_filter(df, ["mit", "apache-2.0", "bsd"]).collect()
+    )
+    assert kept == [1, 2, 3, 5, 10]
+    with_unknown = sorted(
+        r["doc_id"]
+        for r in license_filter(
+            df, ["mit"], keep_unknown=True
+        ).collect()
+    )
+    assert with_unknown == [2, 8, 10]
+
+
+def test_detect_license_header_bound(spark):
+    """The license block must be in the header slice — a phrase buried
+    past header_chars is (by documented design) not scanned."""
+    from searchenginejava_spark.operators.codesearch import detect_license
+
+    deep = "x = 1\n" * 500 + "MIT License"
+    df = spark.createDataFrame([(1, deep)], "doc_id long, code string")
+    assert detect_license(df).collect()[0]["license"] == "unknown"
+    assert (
+        detect_license(df, header_chars=10_000).collect()[0]["license"]
+        == "mit"
+    )
+
+
+def test_transitive_closure_bfs_min_depth(spark):
+    from searchenginejava_spark.operators.codesearch import (
+        transitive_closure,
+    )
+
+    #   1 -> 2 -> 3 -> 4,  1 -> 3 (shortcut), 5 isolated, 4 -> 1 (cycle)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (4, 1)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "doc_id long")
+    out = {
+        r["doc_id"]: r["depth"]
+        for r in transitive_closure(edges, seeds, max_depth=5).collect()
+    }
+    # min depth wins: 3 is reachable at depth 1 via the shortcut
+    assert out == {1: 0, 2: 1, 3: 1, 4: 2}
+    # callers direction: who transitively calls 4?
+    inn = {
+        r["doc_id"]: r["depth"]
+        for r in transitive_closure(
+            edges,
+            spark.createDataFrame([(4,)], "doc_id long"),
+            max_depth=5,
+            direction="in",
+        ).collect()
+    }
+    assert inn == {4: 0, 3: 1, 1: 2, 2: 2}
+    # depth bound respected
+    shallow = transitive_closure(edges, seeds, max_depth=1).collect()
+    assert {r["doc_id"] for r in shallow} == {1, 2, 3}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        transitive_closure(edges, seeds, direction="sideways")

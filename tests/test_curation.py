@@ -476,3 +476,66 @@ def test_curate_corpus_fuzzy_decontaminates_paraphrase(spark):
         ).collect()
     }
     assert fuzzy == {1}
+
+
+def test_fim_transform_reconstructs_and_is_deterministic(spark):
+    import re
+
+    from searchenginejava_spark.operators.curation import fim_transform
+
+    rows = [(i, f"line{i} " * 10) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = fim_transform(docs, fim_rate=0.5).collect()
+    orig = dict(rows)
+    n_fim = 0
+    for r in out:
+        if r["fim"]:
+            n_fim += 1
+            m = re.fullmatch(
+                r"<fim_prefix>(.*)<fim_suffix>(.*)<fim_middle>(.*)",
+                r["sample"],
+                re.S,
+            )
+            assert m, r["sample"]
+            p, s, mid = m.groups()
+            assert p + mid + s == orig[r["doc_id"]]
+        else:
+            assert r["sample"] == orig[r["doc_id"]]
+    assert 0 < n_fim < 40  # rate=0.5 selects a strict subset
+    # deterministic across runs
+    again = fim_transform(docs, fim_rate=0.5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # rate 0 / 1 are total
+    assert all(
+        not r["fim"] for r in fim_transform(docs, fim_rate=0.0).collect()
+    )
+    assert all(
+        r["fim"] for r in fim_transform(docs, fim_rate=1.0).collect()
+    )
+
+
+def test_fim_transform_spm_mode(spark):
+    import re
+
+    from searchenginejava_spark.operators.curation import fim_transform
+
+    docs = spark.createDataFrame(
+        [(i, "abcdefghijklmnop") for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = fim_transform(docs, fim_rate=1.0, mode="spm").collect()
+    for r in out:
+        m = re.fullmatch(
+            r"<fim_prefix><fim_suffix>(.*)<fim_middle>(.*)",
+            r["sample"],
+            re.S,
+        )
+        assert m, r["sample"]
+        s, pm = m.groups()
+        assert pm + s == "abcdefghijklmnop"
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        fim_transform(docs, fim_rate=2.0)
+    with _pt.raises(ValueError):
+        fim_transform(docs, mode="mps")

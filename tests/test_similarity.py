@@ -480,3 +480,45 @@ def test_mmr_defers_duplicate_embedding(spark):
         for r in similarity.mmr_rerank(scored, df, k=3, lam=0.5).collect()
     ]
     assert got[0] == 0 and got[1] == 2 and got[2] == 1
+
+
+def test_int8_quantization_recall_and_exactness(spark):
+    from searchenginejava_spark.operators.similarity import (
+        cosine_topk,
+        knn_int8,
+        quantize_int8,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = quantize_int8(emb).persist()
+    row = q.filter("vec_id = 0").collect()[0]
+    assert row["scale"] > 0
+    assert all(-127 <= v <= 127 for v in row["qvec"])
+    assert max(abs(v) for v in row["qvec"]) == 127  # amax maps to +-127
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    exact = [r["vec_id"] for r in cosine_topk(emb, qvec, k=10).collect()]
+    approx = [r["vec_id"] for r in knn_int8(q, qvec, k=10).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8, (exact, approx)
+    assert approx[0] == 0  # the query vector itself is its own 1-NN
+    q.unpersist()
+
+
+def test_int8_zero_vector_safe(spark):
+    from searchenginejava_spark.operators.similarity import (
+        knn_int8,
+        quantize_int8,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, -2.0, 0.5]), (1, [0.0, 0.0, 0.0]), (2, [2.0, -4.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = quantize_int8(emb)
+    rows = {r["vec_id"]: r for r in q.collect()}
+    assert rows[1]["scale"] == 0.0 and rows[1]["qvec"] == [0, 0, 0]
+    res = knn_int8(q, [1.0, -2.0, 0.5], k=3).collect()
+    # zero vector ranks last with null score; parallel vectors tie at 1.0
+    assert [r["vec_id"] for r in res] == [0, 2, 1]
+    assert res[0]["cosine_q8"] == res[1]["cosine_q8"] == 1.0
+    assert res[2]["cosine_q8"] is None
