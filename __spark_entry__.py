@@ -2702,6 +2702,91 @@ def q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+_LICENSE_HEADERS = [
+    "# SPDX-License-Identifier: Apache-2.0\n",
+    "// MIT License\n",
+    "/* Licensed under the Apache License, Version 2.0 */\n",
+    "# GNU General Public License v3\n",
+    "// Redistribution and use in source and binary forms\n",
+    "// Mozilla Public License 2.0\n",
+    "",  # no license signal
+]
+
+
+def q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License detection (the BigCode-style permissive gate's signal):
+    the code view gets a deterministic per-doc header injected
+    (doc_id % 7 selects SPDX tag / MIT / Apache / GPL / BSD / MPL /
+    none), the detector runs on the augmented text, and the oracle
+    computes the EXPECTED (license, via) straight from the injection
+    rule — ground-truth checking, not regex-mirroring."""
+    from searchenginejava_spark.operators.codesearch import detect_license
+
+    cv = _code_view(spark, sf_dir)
+    hdr = F.element_at(
+        F.array(*[F.lit(h) for h in _LICENSE_HEADERS]),
+        (F.col("doc_id") % 7 + 1).cast("int"),
+    )
+    aug = cv.select("doc_id", F.concat(hdr, F.col("code")).alias("code"))
+    return detect_license(aug)
+
+
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training-data transform (PSM): membership and
+    both character cut points are pure H60 functions of the doc id, so
+    the oracle replays the exact same substring arithmetic."""
+    from searchenginejava_spark.operators.curation import fim_transform
+
+    docs = _documents(spark, sf_dir)
+    return fim_transform(docs, fim_rate=0.5)
+
+
+def q_int8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized vector search: symmetric per-vector quantization
+    (floor(x/scale + 0.5), clamp ±127) then integer-dot cosine — scales
+    cancel, so the ranking arithmetic is exact integers on both engines;
+    query = vector 0, same as q_cosine_topk, recall pinned by pytest."""
+    from searchenginejava_spark.operators.similarity import (
+        knn_int8,
+        quantize_int8,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    q = quantize_int8(emb)
+    return knn_int8(q, qvec, k=10)
+
+
+def q_transitive_callers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact analysis over the symbol-reference graph: every module
+    that transitively CALLS the seed modules (doc_id 0 and 1) within 3
+    hops, with its minimum hop depth — BFS frontier joins; the oracle
+    is a bounded recursive CTE over the same edge relation with a
+    min-depth rollup."""
+    from searchenginejava_spark.operators.codesearch import (
+        extract_call_sites,
+        extract_symbols,
+        reference_edges,
+        transitive_closure,
+    )
+
+    cv = _code_view(spark, sf_dir)
+    cv.persist()
+    edges = reference_edges(
+        extract_call_sites(cv, text_col="code"),
+        extract_symbols(cv, text_col="code"),
+    )
+    seeds = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    res = transitive_closure(edges, seeds, max_depth=3, direction="in")
+    res = res.select(
+        F.col("doc_id").cast("long"), F.col("depth").cast("int")
+    )
+    res.persist()
+    res.count()
+    cv.unpersist()
+    return res
+
+
 _FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -3348,14 +3433,15 @@ _R04_WINDOW = [
     "q_proximity_rerank", "q_find_usages", "q_hard_negatives",
     "q_query_string_boost", "q_query_string_fielded", "q_event_rollup",
     "q_boilerplate_stats",
-    "q_filtered_knn", "q_boolean_msm",
-    "q_cross_repo_dups", "q_mixture_weights",
+    "q_filtered_knn",
     "q_code_search", "q_prior_search",
-    "q_lm_jelinek_mercer", "q_federated_search",
+    "q_lm_jelinek_mercer",
     "q_dedup_clusters_star",
     # brand-new this round (each is itself a first driver row)
     "q_sort_by_field", "q_top_hits", "q_composite_agg",
     "q_function_score", "q_audio_features",
+    "q_license_scan", "q_fim_transform", "q_int8_knn",
+    "q_transitive_callers",
 ]
 
 
@@ -3434,6 +3520,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_query_string_fielded": q_query_string_fielded,
         # Wave-17 (r4): docvalue-driven serving family
         "q_audio_features": q_audio_features,
+        # Wave-18 (r4): code/training-data additions
+        "q_license_scan": q_license_scan,
+        "q_fim_transform": q_fim_transform,
+        "q_int8_knn": q_int8_knn,
+        "q_transitive_callers": q_transitive_callers,
         "q_sort_by_field": q_sort_by_field,
         "q_top_hits": q_top_hits,
         "q_composite_agg": q_composite_agg,
@@ -4178,18 +4269,15 @@ def _sql_symbol_union() -> str:
     )
 
 
-def _pagerank_ctes(
-    n_iter: int = 3, damping: float = 0.85, restart_pred: str | None = None
-) -> str:
-    """Unrolled-K PageRank CTE chain over the symbol-reference edges
-    (continues an open WITH that already defined ``cv``): the iteration
-    r_{k+1} = (1-d)/N + d·Σ r_k(u)·(1/outdeg(u)) written as K chained
-    CTEs — same IEEE op sequence as operators/linkrank.py (contribution
-    is r * (1.0/od), base is (1.0-d)/N). Ends with ``pri(doc_id,
-    pagerank)``, the mean-1.0-scaled prior relation."""
+def _edges_ctes() -> str:
+    """Symbol-reference edge CTEs (continues an open WITH that defined
+    ``cv``): call sites resolved to definition sites on the normalized
+    subtoken key → distinct (src, dst), self-edges dropped — the exact
+    mirror of codesearch.reference_edges. Shared by the PageRank family
+    and the transitive-closure oracle."""
     from searchenginejava_spark.operators.codesearch import CALL_PATTERN
 
-    s = f"""
+    return f"""
     , sym AS ({_sql_symbol_union()})
     , defs AS (
       SELECT DISTINCT doc_id AS dst,
@@ -4210,6 +4298,19 @@ def _pagerank_ctes(
       SELECT DISTINCT src, dst FROM calls JOIN defs USING (nsym)
       WHERE src <> dst
     )
+    """
+
+
+def _pagerank_ctes(
+    n_iter: int = 3, damping: float = 0.85, restart_pred: str | None = None
+) -> str:
+    """Unrolled-K PageRank CTE chain over the symbol-reference edges
+    (continues an open WITH that already defined ``cv``): the iteration
+    r_{k+1} = (1-d)/N + d·Σ r_k(u)·(1/outdeg(u)) written as K chained
+    CTEs — same IEEE op sequence as operators/linkrank.py (contribution
+    is r * (1.0/od), base is (1.0-d)/N). Ends with ``pri(doc_id,
+    pagerank)``, the mean-1.0-scaled prior relation."""
+    s = _edges_ctes() + """
     , outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src)
     , nn AS (SELECT count(*) AS n FROM cv)
     """
@@ -7090,6 +7191,129 @@ def oracle_sql() -> dict[str, str]:
            round(factor, 6) AS factor,
            round(s * factor, 6) AS score
     FROM fs
+    """
+    # license scan: the oracle computes EXPECTED (license, via) straight
+    # from the deterministic header-injection rule — ground truth, not a
+    # regex mirror (doc_id % 7 selects the injected header)
+    sql["q_license_scan"] = _SQL_CODEVIEW + """
+    SELECT doc_id,
+           CASE doc_id % 7
+             WHEN 0 THEN 'apache-2.0'
+             WHEN 1 THEN 'mit'
+             WHEN 2 THEN 'apache-2.0'
+             WHEN 3 THEN 'gpl'
+             WHEN 4 THEN 'bsd'
+             WHEN 5 THEN 'mpl-2.0'
+             ELSE 'unknown' END AS license,
+           CASE doc_id % 7
+             WHEN 0 THEN 'spdx'
+             WHEN 6 THEN 'none'
+             ELSE 'header' END AS via
+    FROM cv
+    """
+    # FIM transform: membership + cut points are H60(id:salt) functions,
+    # replayed with identical substring arithmetic
+    _h = _HASH60_SQL
+    _fim_thresh = repr(0.5 * float(1 << 60))
+    sql["q_fim_transform"] = f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    h AS (
+      SELECT doc_id, text, n,
+             {_h.format(col="doc_id::VARCHAR || ':fim'")} AS hp,
+             {_h.format(col="doc_id::VARCHAR || ':fim1'")} % (n + 1) AS ca,
+             {_h.format(col="doc_id::VARCHAR || ':fim2'")} % (n + 1) AS cb
+      FROM d
+    ),
+    c AS (
+      SELECT doc_id, text, n,
+             CAST(hp AS DOUBLE) < {_fim_thresh} AS fim,
+             least(ca, cb) AS lo, greatest(ca, cb) AS hi
+      FROM h
+    )
+    SELECT doc_id, fim,
+           CASE WHEN fim THEN
+             '<fim_prefix>' || substr(text, 1, CAST(lo AS INT))
+             || '<fim_suffix>' || substr(text, CAST(hi + 1 AS INT),
+                                         CAST(n - hi AS INT))
+             || '<fim_middle>' || substr(text, CAST(lo + 1 AS INT),
+                                         CAST(hi - lo AS INT))
+           ELSE text END AS sample
+    FROM c
+    """
+    # int8-quantized kNN: identical quantization arithmetic on both
+    # engines (left-fold amax, floor(x/scale + 0.5) clamp), then an
+    # INTEGER dot / integer-derived norms — scales cancel in the cosine
+    _q8 = (
+        "list_transform({v}, x -> CASE WHEN {s} > 0 THEN "
+        "greatest(-127, least(127, CAST(floor(x::DOUBLE / {s} + 0.5) "
+        "AS INT))) ELSE 0 END)"
+    )
+    _amax = (
+        "list_reduce(list_prepend(0.0, list_transform({v}, "
+        "x -> abs(x::DOUBLE))), (a, b) -> greatest(a, b)) / 127.0"
+    )
+    _isum = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), {terms}), "
+        "(a, b) -> a + b)"
+    )
+    sql["q_int8_knn"] = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qs AS (SELECT qv, {_amax.format(v="qv")} AS qscale FROM q),
+    qq AS (SELECT {_q8.format(v="qv", s="qscale")} AS qqv FROM qs),
+    qn AS (
+      SELECT qqv,
+             sqrt(CAST({_isum.format(
+                 terms="list_transform(qqv, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))"
+             )} AS DOUBLE)) AS qnorm
+      FROM qq
+    ),
+    s AS (SELECT vec_id, embedding,
+                 {_amax.format(v="embedding")} AS scale
+          FROM embeddings),
+    qd AS (SELECT vec_id,
+                  {_q8.format(v="embedding", s="scale")} AS qvec
+           FROM s),
+    sc AS (
+      SELECT vec_id,
+             {_isum.format(
+                 terms="list_transform(list_zip(qvec, qn.qqv), "
+                       "z -> CAST(z[1] AS BIGINT) * CAST(z[2] AS BIGINT))"
+             )} AS idot,
+             {_isum.format(
+                 terms="list_transform(qvec, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))"
+             )} AS d2,
+             qn.qnorm AS qnorm
+      FROM qd CROSS JOIN qn
+    )
+    SELECT vec_id,
+           round(CASE WHEN d2 > 0 AND qnorm > 0
+                 THEN CAST(idot AS DOUBLE) / (sqrt(CAST(d2 AS DOUBLE)) * qnorm)
+                 END, 6) AS cosine_q8
+    FROM sc
+    ORDER BY cosine_q8 DESC NULLS LAST, vec_id ASC
+    LIMIT 10
+    """
+    # transitive callers: bounded BFS unrolled layer by layer (same
+    # min-depth-by-layer-order semantics as the frontier-join operator)
+    sql["q_transitive_callers"] = _SQL_CODEVIEW + _edges_ctes() + """
+    , l0 AS (SELECT CAST(0 AS BIGINT) AS doc_id
+             UNION ALL SELECT CAST(1 AS BIGINT)),
+    l1 AS (SELECT DISTINCT e.src AS doc_id FROM edges e
+           JOIN l0 ON e.dst = l0.doc_id
+           WHERE e.src NOT IN (SELECT doc_id FROM l0)),
+    l2 AS (SELECT DISTINCT e.src AS doc_id FROM edges e
+           JOIN l1 ON e.dst = l1.doc_id
+           WHERE e.src NOT IN (SELECT doc_id FROM l0
+                               UNION ALL SELECT doc_id FROM l1)),
+    l3 AS (SELECT DISTINCT e.src AS doc_id FROM edges e
+           JOIN l2 ON e.dst = l2.doc_id
+           WHERE e.src NOT IN (SELECT doc_id FROM l0
+                               UNION ALL SELECT doc_id FROM l1
+                               UNION ALL SELECT doc_id FROM l2))
+    SELECT doc_id, CAST(0 AS INT) AS depth FROM l0
+    UNION ALL SELECT doc_id, CAST(1 AS INT) FROM l1
+    UNION ALL SELECT doc_id, CAST(2 AS INT) FROM l2
+    UNION ALL SELECT doc_id, CAST(3 AS INT) FROM l3
     """
     # materialized completion artifact: all prefixes (<=10 chars) of
     # dictionary terms, top-5 per prefix by df (ties by term), served
