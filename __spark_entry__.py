@@ -2702,6 +2702,32 @@ def q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-level did-you-mean (ES phrase suggester): per-term fuzzy
+    candidates for 'tabel hash quary' rescored as whole phrases under
+    the corpus bigram LM — the oracle enumerates the same lattice with
+    identical JM + Laplace arithmetic."""
+    from searchenginejava_spark.operators.termmatch import (
+        bigram_counts,
+        phrase_suggest,
+    )
+
+    docs = _documents(spark, sf_dir)
+    cf1, cf2 = bigram_counts(docs)
+    cf1.persist()
+    cf2.persist()
+    dct = cf1.select(F.col("w").alias("term"), F.col("cf1").alias("df"))
+    res = phrase_suggest(
+        dct, cf1, cf2, "tabel hash quary",
+        max_edits=2, candidates_per_term=4, lam=0.9, n=3,
+    )
+    res.persist()
+    res.count()
+    cf1.unpersist()
+    cf2.unpersist()
+    return res
+
+
 _LICENSE_HEADERS = [
     "# SPDX-License-Identifier: Apache-2.0\n",
     "// MIT License\n",
@@ -3433,7 +3459,6 @@ _R04_WINDOW = [
     "q_proximity_rerank", "q_find_usages", "q_hard_negatives",
     "q_query_string_boost", "q_query_string_fielded", "q_event_rollup",
     "q_boilerplate_stats",
-    "q_filtered_knn",
     "q_code_search", "q_prior_search",
     "q_lm_jelinek_mercer",
     "q_dedup_clusters_star",
@@ -3441,7 +3466,7 @@ _R04_WINDOW = [
     "q_sort_by_field", "q_top_hits", "q_composite_agg",
     "q_function_score", "q_audio_features",
     "q_license_scan", "q_fim_transform", "q_int8_knn",
-    "q_transitive_callers",
+    "q_transitive_callers", "q_phrase_suggest",
 ]
 
 
@@ -3522,6 +3547,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_features": q_audio_features,
         # Wave-18 (r4): code/training-data additions
         "q_license_scan": q_license_scan,
+        "q_phrase_suggest": q_phrase_suggest,
         "q_fim_transform": q_fim_transform,
         "q_int8_knn": q_int8_knn,
         "q_transitive_callers": q_transitive_callers,
@@ -7292,6 +7318,69 @@ def oracle_sql() -> dict[str, str]:
     FROM sc
     ORDER BY cosine_q8 DESC NULLS LAST, vec_id ASC
     LIMIT 10
+    """
+    # phrase suggester: the candidate lattice for a fixed 3-term query,
+    # rescored with the same JM-bigram + Laplace-unigram arithmetic
+    _PS_LAM = 0.9
+    sql["q_phrase_suggest"] = _SQL_TOKL + f"""
+    , cf1 AS (SELECT term AS w, CAST(count(*) AS BIGINT) AS cf1
+              FROM tok GROUP BY term),
+    occ AS (SELECT doc_id, pos, term AS cur,
+                   lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM tok),
+    cf2 AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cf2
+            FROM occ WHERE prev IS NOT NULL GROUP BY prev, cur),
+    tv AS (SELECT CAST(sum(cf1) + count(*) AS DOUBLE) AS tpv FROM cf1),
+    q(pos, q_term) AS (VALUES (0, 'tabel'), (1, 'hash'), (2, 'quary')),
+    fzc AS (
+      SELECT v.q_term, c.w AS cand
+      FROM (SELECT DISTINCT q_term FROM q) v CROSS JOIN cf1 c
+      WHERE levenshtein(v.q_term, c.w) <= 2
+      QUALIFY row_number() OVER (
+        PARTITION BY v.q_term
+        ORDER BY levenshtein(v.q_term, c.w) ASC, c.cf1 DESC, c.w ASC
+      ) <= 4
+    ),
+    cands AS (
+      SELECT DISTINCT q.pos, coalesce(f.cand, q.q_term) AS cand
+      FROM q LEFT JOIN fzc f USING (q_term)
+    ),
+    uni AS (
+      SELECT c.pos, c.cand,
+             CAST(coalesce(f.cf1, 0) + 1 AS DOUBLE) / tv.tpv AS p_uni,
+             CAST(coalesce(f.cf1, 0) AS DOUBLE) AS cf1v
+      FROM cands c LEFT JOIN cf1 f ON c.cand = f.w CROSS JOIN tv
+    ),
+    p0 AS (SELECT cand AS suggestion, cand AS last, cf1v AS last_cf1,
+                  ln(p_uni) AS logp
+           FROM uni WHERE pos = 0),
+    p1 AS (
+      SELECT p0.suggestion || ' ' || u.cand AS suggestion,
+             u.cand AS last, u.cf1v AS last_cf1,
+             p0.logp + ln({_PS_LAM!r} * coalesce(b.cf2, 0)::DOUBLE
+                          / greatest(p0.last_cf1, 1.0)
+                          + {(1.0 - _PS_LAM)!r} * u.p_uni) AS logp
+      FROM p0
+      CROSS JOIN (SELECT * FROM uni WHERE pos = 1) u
+      LEFT JOIN cf2 b ON b.prev = p0.last AND b.cur = u.cand
+    ),
+    p2 AS (
+      SELECT p1.suggestion || ' ' || u.cand AS suggestion,
+             p1.logp + ln({_PS_LAM!r} * coalesce(b.cf2, 0)::DOUBLE
+                          / greatest(p1.last_cf1, 1.0)
+                          + {(1.0 - _PS_LAM)!r} * u.p_uni) AS logp
+      FROM p1
+      CROSS JOIN (SELECT * FROM uni WHERE pos = 2) u
+      LEFT JOIN cf2 b ON b.prev = p1.last AND b.cur = u.cand
+    )
+    SELECT CAST(row_number() OVER (
+             ORDER BY logp DESC, suggestion ASC) AS INT) AS rank,
+           suggestion,
+           round(logp, 6) AS logp,
+           suggestion <> 'tabel hash quary' AS changed
+    FROM p2
+    QUALIFY rank <= 3
+    ORDER BY rank
     """
     # transitive callers: bounded BFS unrolled layer by layer (same
     # min-depth-by-layer-order semantics as the frontier-join operator)

@@ -226,6 +226,24 @@ class SearchEngine:
         kwargs.setdefault("tokenizer", self._tok)
         return suggest_correction(self.index.dictionary, text, **kwargs)
 
+    def suggest_phrase(
+        self, text: str, corpus: DataFrame, *,
+        text_col: str = "text", **kwargs
+    ) -> DataFrame:
+        """Phrase-level did-you-mean: per-term fuzzy candidates rescored
+        as whole phrases under ``corpus``'s bigram LM (ES phrase
+        suggester). Pass the raw-text relation the index was built
+        from; the two count aggregations run once per call — cache
+        them via operators.termmatch.bigram_counts for suggest-heavy
+        workloads."""
+        from .operators.termmatch import bigram_counts, phrase_suggest
+
+        cf1, cf2 = bigram_counts(corpus, text_col=text_col)
+        kwargs.setdefault("tokenizer", self._tok)
+        return phrase_suggest(
+            self.index.dictionary, cf1, cf2, text, **kwargs
+        )
+
     def more_like(self, doc_id: int, **kwargs) -> DataFrame:
         from .operators.search import more_like_this
 

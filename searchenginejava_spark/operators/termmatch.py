@@ -454,3 +454,165 @@ def complete(
         .filter(F.col("rank") <= k)
         .orderBy("prefix", "rank")
     )
+
+
+def bigram_counts(
+    corpus: DataFrame, *, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """(cf1(w, cf1), cf2(prev, cur, cf2)) corpus LM count relations —
+    the bigram model the phrase suggester rescores with. Bigrams come
+    from the doc-local zip_with (no position shuffle); both aggs are
+    slim-key hash aggs with map-side combine (the cf2 agg is the one
+    term-profile shuffle, same as textstats.bigram_nll)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")
+    )
+    t = corpus.select(toks.alias("l"))
+    cf1 = (
+        t.select(F.explode("l").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf1"))
+    )
+    pairs = t.select(
+        F.explode(
+            F.zip_with(
+                F.slice("l", 1, F.greatest(F.size("l") - 1, F.lit(0))),
+                F.slice("l", 2, F.greatest(F.size("l") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+            )
+        ).alias("p")
+    )
+    cf2 = pairs.groupBy("p.prev", "p.cur").agg(
+        F.count(F.lit(1)).cast("long").alias("cf2")
+    )
+    return cf1, cf2
+
+
+def phrase_suggest(
+    dictionary: DataFrame,
+    cf1: DataFrame,
+    cf2: DataFrame,
+    query_text: str,
+    *,
+    max_edits: int = 2,
+    candidates_per_term: int = 4,
+    lam: float = 0.9,
+    n: int = 3,
+    tokenizer=None,
+    max_phrases: int = 100_000,
+) -> DataFrame:
+    """Phrase-level did-you-mean (the Elasticsearch ``phrase`` suggester,
+    public semantics): per-term fuzzy candidates rescored as WHOLE
+    phrases under the corpus bigram LM → (rank, suggestion, logp,
+    changed). Where ``suggest_correction`` fixes terms in isolation,
+    this picks the candidate COMBINATION the corpus actually says —
+    "quer hash" may prefer "query hash" over the closer-by-edits
+    "queue hash" because the bigram evidence says so.
+
+        cand(t)     = fuzzy_terms(t) capped (dist asc, df desc, term
+                      asc) ∪ {t itself when nothing matches}
+        p(w)        = (cf1(w) + 1) / (T + V)          Laplace unigram
+        p(w | v)    = λ·cf2(v,w)/cf1(v) + (1−λ)·p(w)  JM, never zero
+        score       = ln p(c₁) + Σ ln p(cᵢ | cᵢ₋₁)
+
+    Shape: the lattice is enumerated RELATIONALLY — m−1 chained joins
+    over per-position candidate slices (≤ c rows each) with the LM
+    lookups as broadcast-size left joins; everything downstream of the
+    two corpus count relations is query-bounded. Phrase count is cᵐ —
+    suggester queries are short by definition; ``max_phrases`` guards
+    the degenerate case loudly rather than letting a 50-term "phrase"
+    enumerate silently.
+    """
+    toks = (tokenizer or (lambda t: [x for x in t.lower().split() if x]))(
+        query_text
+    )
+    if not toks:
+        raise ValueError("empty suggest query")
+    if (candidates_per_term + 1) ** len(toks) > max_phrases:
+        raise ValueError(
+            f"{len(toks)}-term phrase x {candidates_per_term} candidates "
+            f"exceeds max_phrases={max_phrases}"
+        )
+    spark = dictionary.sparkSession
+    fz = fuzzy_terms(
+        dictionary,
+        sorted(set(toks)),
+        max_edits=max_edits,
+        max_terms=candidates_per_term,
+    ).select("q_term", F.col("term").alias("cand"))
+    pos_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "pos int, q_term string"
+    )
+    # literal fallback: a position with no in-vocabulary candidate keeps
+    # the typed term (it scores through the Laplace floor, never -inf)
+    cands = (
+        pos_df.join(fz, "q_term", "left")
+        .select(
+            "pos", F.coalesce(F.col("cand"), F.col("q_term")).alias("cand")
+        )
+        .distinct()
+    )
+    tv = cf1.agg(
+        F.sum("cf1").alias("t"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    t_plus_v = float(int(tv["t"] or 0) + int(tv["v"] or 0))
+    uni = cands.join(cf1, cands["cand"] == cf1["w"], "left").select(
+        "pos",
+        "cand",
+        (
+            (F.coalesce(F.col("cf1"), F.lit(0)) + F.lit(1)).cast("double")
+            / F.lit(t_plus_v)
+        ).alias("p_uni"),
+        F.coalesce(F.col("cf1"), F.lit(0)).cast("double").alias("cf1v"),
+    )
+    cur = uni.filter(F.col("pos") == 0).select(
+        F.col("cand").alias("suggestion"),
+        F.col("cand").alias("last"),
+        F.col("cf1v").alias("last_cf1"),
+        F.log(F.col("p_uni")).alias("logp"),
+    )
+    for i in range(1, len(toks)):
+        step = uni.filter(F.col("pos") == i).select(
+            F.col("cand").alias("nxt"),
+            F.col("p_uni").alias("nxt_uni"),
+            F.col("cf1v").alias("nxt_cf1"),
+        )
+        joined = cur.crossJoin(F.broadcast(step)).join(
+            F.broadcast(
+                cf2.select(
+                    F.col("prev").alias("last"),
+                    F.col("cur").alias("nxt"),
+                    F.col("cf2").cast("double").alias("cf2v"),
+                ).join(
+                    cands.filter(F.col("pos") == i - 1).select(
+                        F.col("cand").alias("last")
+                    ),
+                    "last",
+                    "left_semi",
+                )
+            ),
+            ["last", "nxt"],
+            "left",
+        )
+        p_step = F.lit(float(lam)) * F.coalesce(F.col("cf2v"), F.lit(0.0)) / F.greatest(
+            F.col("last_cf1"), F.lit(1.0)
+        ) + F.lit(1.0 - float(lam)) * F.col("nxt_uni")
+        cur = joined.select(
+            F.concat_ws(" ", "suggestion", "nxt").alias("suggestion"),
+            F.col("nxt").alias("last"),
+            F.col("nxt_cf1").alias("last_cf1"),
+            (F.col("logp") + F.log(p_step)).alias("logp"),
+        )
+    original = " ".join(toks)
+    w = Window.orderBy(F.desc("logp"), F.asc("suggestion"))
+    return (
+        cur.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select(
+            F.col("rank").cast("int"),
+            "suggestion",
+            F.round("logp", 6).alias("logp"),
+            (F.col("suggestion") != F.lit(original)).alias("changed"),
+        )
+        .orderBy("rank")
+    )

@@ -304,3 +304,73 @@ def test_completion_index_and_serve(spark):
     assert [(r["prefix"], r["rank"], r["term"]) for r in got] == [
         ("ta", 1, "table"), ("ta", 2, "tab"),
     ]
+
+
+# --- phrase suggester (round 4) ----------------------------------------------
+
+
+def _suggest_fixture(spark):
+    from searchenginejava_spark.operators.termmatch import bigram_counts
+
+    # a corpus where "query plan" is the dominant bigram, "queue plan"
+    # exists but is rare — edits alone can't pick between them
+    rows = [(i, "query plan cache") for i in range(20)]
+    rows += [(100, "queue plan x"), (101, "queue depth y")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cf1, cf2 = bigram_counts(docs)
+    from pyspark.sql import functions as F
+
+    dct = cf1.select(F.col("w").alias("term"), F.col("cf1").alias("df"))
+    return dct, cf1, cf2
+
+
+def test_phrase_suggest_uses_bigram_context(spark):
+    from searchenginejava_spark.operators.termmatch import phrase_suggest
+
+    dct, cf1, cf2 = _suggest_fixture(spark)
+    # 'quer' reaches 'query' (1 edit) AND 'queue' (2 edits); the bigram
+    # with 'plan' must pick 'query'
+    res = phrase_suggest(
+        dct, cf1, cf2, "quer plan", max_edits=2, n=3
+    ).collect()
+    assert res[0]["suggestion"] == "query plan"
+    assert res[0]["changed"] is True
+    # with the context flipped, 'depth' selects 'queue' even though
+    # 'query' is CLOSER by edits — bigram evidence beats edit distance
+    res2 = phrase_suggest(
+        dct, cf1, cf2, "quer depth", max_edits=2, n=3
+    ).collect()
+    assert res2[0]["suggestion"] == "queue depth"
+    # scores are descending and ranks dense
+    lp = [r["logp"] for r in res]
+    assert lp == sorted(lp, reverse=True)
+    assert [r["rank"] for r in res] == list(range(1, len(res) + 1))
+
+
+def test_phrase_suggest_clean_query_unchanged(spark):
+    from searchenginejava_spark.operators.termmatch import phrase_suggest
+
+    dct, cf1, cf2 = _suggest_fixture(spark)
+    res = phrase_suggest(dct, cf1, cf2, "query plan", max_edits=0, n=1)
+    top = res.collect()[0]
+    assert top["suggestion"] == "query plan" and top["changed"] is False
+
+
+def test_phrase_suggest_oov_fallback_and_guards(spark):
+    import pytest as _pt
+
+    from searchenginejava_spark.operators.termmatch import phrase_suggest
+
+    dct, cf1, cf2 = _suggest_fixture(spark)
+    # a hopeless OOV term survives literally through the Laplace floor
+    res = phrase_suggest(
+        dct, cf1, cf2, "zzzzzzzzzz plan", max_edits=1, n=1
+    ).collect()
+    assert res[0]["suggestion"].endswith(" plan")
+    assert "zzzzzzzzzz" in res[0]["suggestion"]
+    with _pt.raises(ValueError):
+        phrase_suggest(dct, cf1, cf2, "")
+    with _pt.raises(ValueError):
+        phrase_suggest(
+            dct, cf1, cf2, " ".join(["a"] * 30), candidates_per_term=4
+        )
