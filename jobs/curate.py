@@ -70,6 +70,20 @@ def main(argv: list[str] | None = None) -> int:
         "doc_offset, tok_in_window) over the kept docs instead of doc "
         "rows; mutually exclusive with --chunk-tokens",
     )
+    p.add_argument(
+        "--licenses", default=None,
+        help="comma-separated permissive-license allowlist (code "
+        "corpora): keep only files whose detected license matches; "
+        "--keep-unknown-license keeps no-signal files too",
+    )
+    p.add_argument("--keep-unknown-license", action="store_true")
+    p.add_argument(
+        "--fim-rate", type=float, default=None,
+        help="rewrite this fraction of kept docs as fill-in-the-middle "
+        "samples (deterministic hash membership + cut points); output "
+        "rows carry (fim, sample)",
+    )
+    p.add_argument("--fim-mode", choices=["psm", "spm"], default="psm")
     args = p.parse_args(argv)
     if args.pack_window and args.chunk_tokens:
         p.error("--pack-window and --chunk-tokens are mutually exclusive")
@@ -95,6 +109,20 @@ def main(argv: list[str] | None = None) -> int:
 
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
+    if args.licenses:
+        # license gate FIRST: cheapest per-row filter, shrinks everything
+        # downstream (the BigCode ordering)
+        from searchenginejava_spark.operators.codesearch import (
+            license_filter,
+        )
+
+        docs = license_filter(
+            docs,
+            [x.strip() for x in args.licenses.split(",") if x.strip()],
+            text_col=args.text_col,
+            id_col=args.id_col,
+            keep_unknown=args.keep_unknown_license,
+        )
     bench = (
         spark.read.parquet(args.benchmark) if args.benchmark else None
     )
@@ -156,6 +184,17 @@ def main(argv: list[str] | None = None) -> int:
     out = kept.join(
         curated.withColumnRenamed("doc_id", args.id_col), args.id_col
     )
+    if args.fim_rate is not None:
+        from searchenginejava_spark.operators.curation import fim_transform
+
+        fim = fim_transform(
+            kept,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            fim_rate=args.fim_rate,
+            mode=args.fim_mode,
+        ).withColumnRenamed("doc_id", args.id_col)
+        out = out.join(fim, args.id_col)
     if args.chunk_tokens:
         from searchenginejava_spark.operators.curation import chunk_documents
 

@@ -233,16 +233,21 @@ class SearchEngine:
         """Phrase-level did-you-mean: per-term fuzzy candidates rescored
         as whole phrases under ``corpus``'s bigram LM (ES phrase
         suggester). Pass the raw-text relation the index was built
-        from; the two count aggregations run once per call — cache
-        them via operators.termmatch.bigram_counts for suggest-heavy
+        from. Candidates come from the RAW-TEXT vocabulary (cf1), not
+        the stemmed index dictionary — suggestions are user-facing
+        surface strings, and the bigram model speaks surface forms
+        (the index dictionary's Porter stems would never match it).
+        The tokenizer is deliberately whitespace-lower for the same
+        reason. The two count aggregations run per call — cache them
+        via operators.termmatch.bigram_counts for suggest-heavy
         workloads."""
+        from pyspark.sql import functions as F
+
         from .operators.termmatch import bigram_counts, phrase_suggest
 
         cf1, cf2 = bigram_counts(corpus, text_col=text_col)
-        kwargs.setdefault("tokenizer", self._tok)
-        return phrase_suggest(
-            self.index.dictionary, cf1, cf2, text, **kwargs
-        )
+        dct = cf1.select(F.col("w").alias("term"), F.col("cf1").alias("df"))
+        return phrase_suggest(dct, cf1, cf2, text, **kwargs)
 
     def more_like(self, doc_id: int, **kwargs) -> DataFrame:
         from .operators.search import more_like_this

@@ -539,3 +539,49 @@ def test_fim_transform_spm_mode(spark):
         fim_transform(docs, fim_rate=2.0)
     with _pt.raises(ValueError):
         fim_transform(docs, mode="mps")
+
+
+def test_curate_job_license_and_fim_flags(spark, tmp_path):
+    """jobs/curate.py: --licenses gates files up front; --fim-rate adds
+    (fim, sample) columns over the kept rows."""
+    from jobs.curate import main
+
+    rows = [
+        (1, "# SPDX-License-Identifier: MIT\n" + "alpha beta gamma " * 30,
+         "code"),
+        (2, "# SPDX-License-Identifier: GPL-3.0-only\n" + "x " * 100,
+         "code"),
+        (3, "/* MIT License */\n" + "delta epsilon zeta " * 30, "code"),
+        (4, "no license " + "words " * 100, "code"),
+    ]
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(src)
+    rc = main([
+        "--input", src, "--output", out,
+        "--min-quality", "0.0",
+        "--licenses", "mit",
+        "--fim-rate", "1.0",
+    ])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    ids = sorted(r["doc_id"] for r in got.select("doc_id").collect())
+    assert ids == [1, 3]          # GPL + unknown dropped
+    assert "fim" in got.columns and "sample" in got.columns
+    s = got.filter("doc_id = 1").collect()[0]
+    assert s["fim"] is True and s["sample"].startswith("<fim_prefix>")
+    # keep_unknown admits the unsigned file
+    out2 = str(tmp_path / "out2")
+    rc = main([
+        "--input", src, "--output", out2,
+        "--min-quality", "0.0",
+        "--licenses", "mit", "--keep-unknown-license",
+    ])
+    assert rc == 0
+    ids2 = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(out2).select("doc_id").collect()
+    )
+    assert ids2 == [1, 3, 4]

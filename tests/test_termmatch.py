@@ -374,3 +374,16 @@ def test_phrase_suggest_oov_fallback_and_guards(spark):
         phrase_suggest(
             dct, cf1, cf2, " ".join(["a"] * 30), candidates_per_term=4
         )
+
+
+def test_engine_suggest_phrase_facade(spark):
+    from searchenginejava_spark.engine import SearchEngine
+
+    rows = [(i, "query plan cache") for i in range(10)]
+    rows += [(100, "queue plan x")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    eng = SearchEngine.build(spark, docs, text_col="text", num_partitions=2)
+    res = eng.suggest_phrase(
+        "quer plan", docs, max_edits=2, n=2, tokenizer=lambda t: t.split()
+    ).collect()
+    assert res[0]["suggestion"] == "query plan"
