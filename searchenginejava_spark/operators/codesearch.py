@@ -545,6 +545,8 @@ def detect_license(
     no matter how large the payload (a 10 MB generated file costs the
     same as a 1 KB one). Single projection, zero shuffle, codegen-only.
     """
+    if header_chars <= 0:
+        raise ValueError("header_chars must be positive")
     head = F.lower(F.substring(F.col(text_col), 1, header_chars))
     spdx = F.regexp_extract(head, _SPDX_RE, 1)
     lic = F.when(spdx != "", spdx)
@@ -619,6 +621,7 @@ def transitive_closure(
     e = edges.select(F.col(s).alias("from_id"), F.col(d).alias("to_id"))
     visited = (
         seeds.select(F.col(seeds.columns[0]).cast("long").alias("doc_id"))
+        .filter(F.col("doc_id").isNotNull())
         .distinct()
         .withColumn("depth", F.lit(0))
         .localCheckpoint(eager=True)

@@ -57,7 +57,9 @@ def sort_by_field(
     join + the standard window regardless of corpus size.
     """
     sv = F.col("sort_value")
-    order = [sv.asc() if ascending else sv.desc(),
+    # docs missing the sort field rank LAST in either direction (the ES
+    # `missing: _last` default) — without this, asc would put them first
+    order = [sv.asc_nulls_last() if ascending else sv.desc_nulls_last(),
              F.desc("score"), F.asc("doc_id")]
     w = Window.partitionBy("query_id").orderBy(*order)
     return (
@@ -151,9 +153,16 @@ def composite_agg(
     """
     if not group_cols:
         raise ValueError("group_cols must be non-empty")
-    if after is not None and len(after) != len(group_cols):
-        raise ValueError("after must have one value per group column")
-    src = doc_meta
+    if after is not None:
+        if len(after) != len(group_cols):
+            raise ValueError("after must have one value per group column")
+        if any(v is None for v in after):
+            raise ValueError("after-key values must be non-null")
+    # rows with a null key column are EXCLUDED (the ES composite
+    # `missing_bucket: false` default) — a null key has no position in
+    # the cursor order, so including it would make pagination silently
+    # skip or duplicate it depending on the engine's null ordering
+    src = doc_meta.dropna(subset=list(group_cols))
     if after is not None:
         src = src.filter(_after_predicate(group_cols, after))
     return (

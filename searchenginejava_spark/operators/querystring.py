@@ -646,6 +646,8 @@ def query_string_search_fielded(
     """
     from .fielded import bm25f_topk
 
+    if not boosts:
+        raise ValueError("boosts must name at least one field")
     fields = set(boosts)
     node = parse_query(query, default_operator=default_operator,
                        fields=fields)

@@ -523,6 +523,11 @@ def phrase_suggest(
     the degenerate case loudly rather than letting a 50-term "phrase"
     enumerate silently.
     """
+    if not (0.0 < lam < 1.0):
+        # lam == 1 would zero the Laplace floor: a candidate pair with
+        # no corpus bigram scores ln(0) — reject instead of emitting
+        # -inf phrases that silently sink to the bottom
+        raise ValueError(f"lam must be in (0, 1), got {lam}")
     toks = (tokenizer or (lambda t: [x for x in t.lower().split() if x]))(
         query_text
     )

@@ -195,3 +195,34 @@ def test_engine_facade_docvalue_methods(spark):
         k=5,
     ).collect()
     assert len(dec) == 5 and all(0.0 < r["factor"] <= 1.0 for r in dec)
+
+
+def test_composite_agg_excludes_null_keys(spark):
+    """ES composite `missing_bucket: false` default: rows with a null
+    key column never enter the bucket enumeration — a null has no
+    position in the cursor order, so including it would skip or
+    duplicate it depending on engine null ordering."""
+    rows = [
+        (1, "a", "x"), (2, "a", None), (3, None, "y"), (4, "b", "y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    page = composite_agg(df, ["lang", "source"], page_size=10).collect()
+    assert [(r["lang"], r["source"]) for r in page] == [("a", "x"), ("b", "y")]
+    with pytest.raises(ValueError):
+        composite_agg(df, ["lang", "source"], after=("a", None))
+
+
+def test_sort_by_field_missing_values_rank_last(spark, scored):
+    meta = spark.createDataFrame(
+        [(1, 100), (2, None), (3, 300), (4, 200), (5, None), (6, 50)],
+        "doc_id long, n_chars int",
+    )
+    res = sort_by_field(scored, meta, "n_chars", k=10).filter(
+        "query_id = 0"
+    ).collect()
+    assert [r["doc_id"] for r in res] == [3, 4, 1, 6, 2, 5]
+    asc = sort_by_field(scored, meta, "n_chars", ascending=True, k=10).filter(
+        "query_id = 0"
+    ).collect()
+    # nulls last in BOTH directions (the ES `missing: _last` default)
+    assert [r["doc_id"] for r in asc] == [6, 1, 4, 3, 2, 5]
