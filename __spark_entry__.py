@@ -2702,6 +2702,46 @@ def q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+_SYN_GROUPS = [["merge", "join"], ["window", "frame"]]
+
+
+def q_synonym_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX-TIME synonyms (Lucene SynonymFilter at index time — the
+    complement of q_synonym_search's query-side expansion): the tf
+    relation folds every group member to its canonical, the dictionary
+    recomputes over the folded relation, and queries written with
+    NON-canonical members ('merge', 'window') fold identically before
+    scoring — one posting list per concept."""
+    from searchenginejava_spark.operators.search import (
+        canonicalize_terms,
+        score_exhaustive,
+        synonym_contract_tf,
+        synonym_map,
+    )
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    sm = synonym_map(spark, _SYN_GROUPS)
+    ctf = synonym_contract_tf(tf, sm)
+    ctf.persist()
+    cdct = ctf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    q_rows = [(0, "merge", 1), (0, "key", 1), (1, "window", 1),
+              (1, "data", 1)]
+    qt = canonicalize_terms(
+        spark.createDataFrame(q_rows, "query_id int, term string, qtf int"),
+        sm,
+    )
+    res = score_exhaustive(qt, ctf, dl, cdct, stats, k=_TOPK).select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+    res.persist()
+    res.count()
+    ctf.unpersist()
+    tf.unpersist()
+    return res
+
+
 def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase-level did-you-mean (ES phrase suggester): per-term fuzzy
     candidates for 'tabel hash quary' rescored as whole phrases under
@@ -3461,12 +3501,11 @@ _R04_WINDOW = [
     "q_boilerplate_stats",
     "q_code_search", "q_prior_search",
     "q_lm_jelinek_mercer",
-    "q_dedup_clusters_star",
     # brand-new this round (each is itself a first driver row)
     "q_sort_by_field", "q_top_hits", "q_composite_agg",
     "q_function_score", "q_audio_features",
     "q_license_scan", "q_fim_transform", "q_int8_knn",
-    "q_transitive_callers", "q_phrase_suggest",
+    "q_transitive_callers", "q_phrase_suggest", "q_synonym_index",
 ]
 
 
@@ -3548,6 +3587,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Wave-18 (r4): code/training-data additions
         "q_license_scan": q_license_scan,
         "q_phrase_suggest": q_phrase_suggest,
+        "q_synonym_index": q_synonym_index,
         "q_fim_transform": q_fim_transform,
         "q_int8_knn": q_int8_knn,
         "q_transitive_callers": q_transitive_callers,
@@ -7318,6 +7358,54 @@ def oracle_sql() -> dict[str, str]:
     FROM sc
     ORDER BY cosine_q8 DESC NULLS LAST, vec_id ASC
     LIMIT 10
+    """
+    # index-time synonyms: fold members to the lexicographic-min
+    # canonical on BOTH the tf relation and the query, dictionary over
+    # the folded relation, standard BM25 (dl/N/avgdl are fold-invariant)
+    _syn_vals = ", ".join(
+        f"('{t}', '{min(g)}')" for g in _SYN_GROUPS for t in g
+    )
+    sql["q_synonym_index"] = _SQL_TF + f"""
+    , m(term, canon) AS (VALUES {_syn_vals}),
+    ctf AS (
+      SELECT tf.doc_id, coalesce(m.canon, tf.term) AS term,
+             CAST(sum(tf.tf) AS INT) AS tf
+      FROM tf LEFT JOIN m USING (term)
+      GROUP BY tf.doc_id, coalesce(m.canon, tf.term)
+    ),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+           FROM ctf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+    dict AS (SELECT term, count(*) AS df FROM ctf GROUP BY term),
+    qraw(query_id, term, qtf) AS (VALUES
+      (0, 'merge', 1), (0, 'key', 1), (1, 'window', 1), (1, 'data', 1)),
+    q AS (
+      SELECT query_id, coalesce(m.canon, qraw.term) AS term,
+             CAST(sum(qtf) AS DOUBLE) AS qtf
+      FROM qraw LEFT JOIN m USING (term)
+      GROUP BY query_id, coalesce(m.canon, qraw.term)
+    ),
+    scored AS (
+      SELECT q.query_id, ctf.doc_id,
+             sum(q.qtf
+                 * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                 * (ctf.tf * {_K1 + 1.0})
+                 / (ctf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+             ) AS s
+      FROM q
+      JOIN dict USING (term)
+      JOIN ctf USING (term)
+      JOIN dl ON ctf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY q.query_id, ctf.doc_id
+    )
+    SELECT CAST(query_id AS INT) AS query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY s DESC, doc_id ASC) AS INT) AS rank,
+           doc_id,
+           round(s, 6) AS score
+    FROM scored
+    QUALIFY rank <= {_TOPK}
     """
     # phrase suggester: the candidate lattice for a fixed 3-term query,
     # rescored with the same JM-bigram + Laplace-unigram arithmetic

@@ -1264,6 +1264,75 @@ def doc_term_vector(
     )
 
 
+def synonym_map(spark, groups) -> DataFrame:
+    """Synonym groups → the (term, canon) folding relation the
+    index-time path consumes: every member of a group maps to the
+    group's lexicographically smallest term (a deterministic canonical,
+    no configuration to drift). Groups must be disjoint — a term in two
+    groups would fold ambiguously, so that raises."""
+    seen: dict[str, str] = {}
+    rows = []
+    for g in groups:
+        if not g:
+            continue
+        canon = min(g)
+        for t in g:
+            if t in seen:
+                raise ValueError(f"term {t!r} appears in two synonym groups")
+            seen[t] = canon
+            rows.append((t, canon))
+    if not rows:
+        raise ValueError("no synonym groups given")
+    return spark.createDataFrame(rows, "term string, canon string")
+
+
+def synonym_contract_tf(tf: DataFrame, syn_map: DataFrame) -> DataFrame:
+    """INDEX-TIME synonym folding — the complement of query-side
+    ``synonym_expand``: every term rewrites to its group canonical and
+    the tf relation re-aggregates, so the index stores ONE posting list
+    per concept. The trade vs query-side expansion: smaller index and
+    cheaper queries (one term, not the whole group), but a thesaurus
+    change means reindexing — exactly Lucene's index-time
+    SynonymFilter trade, stated in its docs.
+
+    Plan: one broadcast join of the folding relation into the tf scan
+    (the thesaurus is dictionary-sized) + the (doc_id, term) hash
+    re-agg — same shuffle class the build already pays. Query terms
+    MUST fold identically (``canonicalize_terms``); rank identity
+    between {contracted index + folded query} and treating group
+    members interchangeably is pinned by pytest.
+    """
+    m = F.broadcast(syn_map.select("term", "canon"))
+    return (
+        tf.join(m, "term", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("canon"), F.col("term")).alias("term"),
+            "tf",
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.sum("tf").cast("int").alias("tf"))
+    )
+
+
+def canonicalize_terms(query_terms: DataFrame, syn_map: DataFrame) -> DataFrame:
+    """Fold a (query_id, term, qtf) relation through the same synonym
+    canonicals as the contracted index — the query-side half of
+    index-time synonyms (a query for any group member hits the
+    concept's posting list)."""
+    m = F.broadcast(syn_map.select("term", "canon"))
+    return (
+        query_terms.join(m, "term", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("canon"), F.col("term")).alias("term"),
+            F.col("qtf").cast("double").alias("qtf"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.sum("qtf").alias("qtf"))
+    )
+
+
 def synonym_expand(
     query_terms: DataFrame,
     synonyms: DataFrame,

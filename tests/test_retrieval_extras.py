@@ -920,3 +920,99 @@ def test_rollup_passages_maxp(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         rollup_passages(scored, score_mode="avg")
+
+
+# --- index-time synonyms (round 4) -------------------------------------------
+
+
+def test_synonym_contract_index_time(spark):
+    """Index-time folding: a query for ANY group member hits docs that
+    contain only ANOTHER member, and the whole pipeline equals an index
+    built over text with members pre-substituted by the canonical."""
+    from pyspark.sql import functions as F
+
+    from searchenginejava_spark.operators.search import (
+        canonicalize_terms,
+        score_exhaustive,
+        synonym_contract_tf,
+        synonym_map,
+    )
+
+    rows = [
+        (0, "merge sort algorithm"),
+        (1, "join order planning"),       # synonym of merge
+        (2, "window frame spec frame"),
+        (3, "hash probe build"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def tf_of(df):
+        return (
+            df.select(
+                "doc_id", F.explode(F.split("text", " ")).alias("term")
+            )
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        )
+
+    groups = [["merge", "join"], ["window", "frame"]]
+    sm = synonym_map(spark, groups)
+    ctf = synonym_contract_tf(tf_of(docs), sm)
+
+    # folding preserved totals and merged the concept rows
+    row2 = ctf.filter("doc_id = 2 AND term = 'frame'").collect()
+    assert row2 and row2[0]["tf"] == 3  # window + frame + frame
+
+    dl = ctf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+    st = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("a"))
+    srow = st.collect()[0]
+    stats = {"N": int(srow["n"]), "avgdl": float(srow["a"])}
+    dct = ctf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+
+    qt = canonicalize_terms(
+        spark.createDataFrame(
+            [(0, "merge", 1)], "query_id int, term string, qtf int"
+        ),
+        sm,
+    )
+    hits = score_exhaustive(qt, ctf, dl, dct, stats, k=10).collect()
+    # 'merge' finds BOTH doc 0 (merge) and doc 1 (join-only)
+    assert {r["doc_id"] for r in hits} == {0, 1}
+
+    # equivalence with pre-substituted text
+    subbed = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", r"\bmerge\b", "join"),
+            r"\bwindow\b", "frame",
+        ).alias("text"),
+    )
+    tf2 = tf_of(subbed)
+    dct2 = tf2.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    want = score_exhaustive(
+        spark.createDataFrame(
+            [(0, "join", 1.0)], "query_id int, term string, qtf double"
+        ),
+        tf2, dl, dct2, stats, k=10,
+    ).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in hits] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
+
+
+def test_synonym_map_validates(spark):
+    import pytest as _pt
+
+    from searchenginejava_spark.operators.search import synonym_map
+
+    with _pt.raises(ValueError):
+        synonym_map(spark, [["a", "b"], ["b", "c"]])  # overlapping groups
+    with _pt.raises(ValueError):
+        synonym_map(spark, [])
+    rows = {
+        (r["term"], r["canon"])
+        for r in synonym_map(spark, [["zeta", "alpha"]]).collect()
+    }
+    assert rows == {("zeta", "alpha"), ("alpha", "alpha")}
