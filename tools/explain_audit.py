@@ -1395,6 +1395,65 @@ def main() -> None:
          p_comp + "\n\n" + p_fsc, checks)
     )
 
+    # 36. wave-18 (r4): int8 kNN (native integer folds), FIM transform
+    # (single narrow projection, zero shuffle), index-time synonym fold
+    # (broadcast map + one re-agg)
+    from searchenginejava_spark.operators.curation import fim_transform
+    from searchenginejava_spark.operators.search import (
+        synonym_contract_tf,
+        synonym_map,
+    )
+    from searchenginejava_spark.operators.similarity import (
+        knn_int8,
+        quantize_int8,
+    )
+
+    emb_au = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    qv_au = [float(x) for x in emb_au.first()["embedding"]]
+    p_q8 = plan_of(knn_int8(quantize_int8(emb_au), qv_au, k=5))
+    p_fim = plan_of(fim_transform(corpus, text_col="text"))
+    tf_syn = corpus.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    p_syn = plan_of(
+        synonym_contract_tf(
+            tf_syn, synonym_map(spark, [["merge", "join"]])
+        )
+    )
+    checks = [
+        (
+            "int8 kNN: quantization + integer dot are native folds "
+            "(zero Python crossings)",
+            "ArrowEvalPython" not in p_q8 and "MapInPandas" not in p_q8,
+            "",
+        ),
+        (
+            "FIM transform: zero shuffles (one narrow projection)",
+            n_nodes(p_fim, "Exchange") == 0,
+            "",
+        ),
+        (
+            "FIM transform: zero Python crossings (hash cut points are "
+            "native)",
+            "ArrowEvalPython" not in p_fim and "MapInPandas" not in p_fim,
+            "",
+        ),
+        (
+            "synonym fold: the mapping relation broadcasts",
+            "BroadcastHashJoin" in p_syn,
+            "",
+        ),
+        (
+            "synonym fold: partial+final re-agg (map-side combine)",
+            n_nodes(p_syn, "HashAggregate") >= 2,
+            "",
+        ),
+    ]
+    sections.append(
+        ("wave-18: int8 kNN / FIM / index-time synonyms",
+         p_q8 + "\n\n" + p_fim + "\n\n" + p_syn, checks)
+    )
+
     ok = True
     out = ["# PLANS.md — physical-plan audit (generated by tools/explain_audit.py)", ""]
     for title, plan, cks in sections:
