@@ -32,6 +32,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--iterations", type=int, default=3)
     p.add_argument("--damping", type=float, default=0.85)
     p.add_argument("--grep", default=None)
+    p.add_argument(
+        "--impact-of", type=int, default=None, metavar="DOC_ID",
+        help="also write the transitive CALLERS of this doc (blast "
+        "radius) to <output>/impact, with min hop depth",
+    )
+    p.add_argument("--impact-depth", type=int, default=3)
+    p.add_argument(
+        "--licenses", action="store_true",
+        help="also write per-file license detection to <output>/licenses",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -103,6 +113,33 @@ def main(argv: list[str] | None = None) -> int:
         summary["n_grep_lines"] = spark.read.parquet(
             f"{args.output}/grep"
         ).count()
+    if args.impact_of is not None:
+        from searchenginejava_spark.operators.codesearch import (
+            transitive_closure,
+        )
+
+        seeds = spark.createDataFrame(
+            [(int(args.impact_of),)], "doc_id long"
+        )
+        impact = transitive_closure(
+            edges, seeds, max_depth=args.impact_depth, direction="in"
+        )
+        impact.write.mode("overwrite").parquet(f"{args.output}/impact")
+        summary["n_impacted"] = (
+            spark.read.parquet(f"{args.output}/impact").count() - 1
+        )
+    if args.licenses:
+        from searchenginejava_spark.operators.codesearch import (
+            detect_license,
+        )
+
+        lic = detect_license(corpus, text_col=tc, id_col=ic)
+        lic.write.mode("overwrite").parquet(f"{args.output}/licenses")
+        summary["n_licensed"] = (
+            spark.read.parquet(f"{args.output}/licenses")
+            .filter("license <> 'unknown'")
+            .count()
+        )
     syms.unpersist()
     edges.unpersist()
     pri.unpersist()

@@ -253,3 +253,31 @@ def test_ppr_unknown_seed_mass_not_lost(spark):
     )
     for i in (0, 1):
         assert p[i] == pytest.approx(only_known[i], rel=1e-12)
+
+
+def test_analyze_code_job_impact_and_licenses(spark, tmp_path, capsys):
+    import json
+
+    from jobs.analyze_code import main
+    from searchenginejava_spark.sources.source import assign_doc_ids
+    from searchenginejava_spark.synth.gen_code_table import gen_code_table
+
+    src = str(tmp_path / "code")
+    out = str(tmp_path / "out")
+    code = assign_doc_ids(
+        gen_code_table(spark, 64, num_partitions=4), num_partitions=4
+    )
+    code.write.parquet(src)
+    assert main([
+        "--input", src, "--output", out,
+        "--impact-of", "0", "--impact-depth", "2",
+        "--licenses",
+    ]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "n_impacted" in summary and summary["n_impacted"] >= 0
+    imp = spark.read.parquet(f"{out}/impact")
+    assert imp.filter("doc_id = 0 AND depth = 0").count() == 1
+    assert imp.agg({"depth": "max"}).collect()[0][0] <= 2
+    lic = spark.read.parquet(f"{out}/licenses")
+    assert lic.count() == 64
+    assert set(lic.columns) == {"doc_id", "license", "via"}
