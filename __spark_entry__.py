@@ -1666,6 +1666,28 @@ def q_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascade/persistence ranking metrics (ERR@10, RBP(0.8)) over the
+    same BM25 batch + synthetic qrels as q_ir_metrics — the fold-exact
+    oracle replays the cascade product with the identical left fold."""
+    from searchenginejava_spark.operators.evaluation import (
+        rank_eval_extras,
+    )
+    from searchenginejava_spark.operators.search import score_exhaustive
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    res = score_exhaustive(qt, tf, dl, dct, stats, k=_TOPK).select(
+        "query_id", "rank", "doc_id"
+    )
+    out = rank_eval_extras(res, _synthetic_qrels(spark, sf_dir), k=_TOPK)
+    out.persist()
+    out.count()
+    tf.unpersist()
+    return out
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DPR-style hard-negative mining: each judged-relevant doc paired
     with the top-ranked non-relevant retrievals (hardest first) — the
@@ -3500,12 +3522,12 @@ _R04_WINDOW = [
     "q_query_string_boost", "q_query_string_fielded", "q_event_rollup",
     "q_boilerplate_stats",
     "q_code_search", "q_prior_search",
-    "q_lm_jelinek_mercer",
     # brand-new this round (each is itself a first driver row)
     "q_sort_by_field", "q_top_hits", "q_composite_agg",
     "q_function_score", "q_audio_features",
     "q_license_scan", "q_fim_transform", "q_int8_knn",
     "q_transitive_callers", "q_phrase_suggest", "q_synonym_index",
+    "q_rank_eval",
 ]
 
 
@@ -3588,6 +3610,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_license_scan": q_license_scan,
         "q_phrase_suggest": q_phrase_suggest,
         "q_synonym_index": q_synonym_index,
+        "q_rank_eval": q_rank_eval,
         "q_fim_transform": q_fim_transform,
         "q_int8_knn": q_int8_knn,
         "q_transitive_callers": q_transitive_callers,
@@ -7358,6 +7381,58 @@ def oracle_sql() -> dict[str, str]:
     FROM sc
     ORDER BY cosine_q8 DESC NULLS LAST, vec_id ASC
     LIMIT 10
+    """
+    # cascade/persistence rank metrics: ERR's order-dependent product
+    # runs as the SAME {err, disc} monoid left fold on both engines
+    sql["q_rank_eval"] = _sql_cand30.replace(
+        "WHERE r <= 30", f"WHERE r <= {_TOPK}"
+    ) + f"""
+    , qrels AS (
+      SELECT qq.query_id, d.doc_id,
+             CASE WHEN (d.doc_id + qq.query_id) % 17 = 0 THEN 2
+                  WHEN (d.doc_id + qq.query_id) % 5 = 0 THEN 1
+                  ELSE 0 END AS rel
+      FROM (SELECT DISTINCT query_id FROM q) qq
+      CROSS JOIN documents d
+    ),
+    qr AS (SELECT * FROM qrels WHERE rel > 0),
+    mx AS (SELECT pow(2.0, max(rel)) AS denom FROM qr),
+    ranked AS (
+      SELECT query_id, doc_id, s,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, doc_id ASC) AS rank
+      FROM cand
+    ),
+    jj AS (
+      SELECT ranked.query_id, ranked.rank,
+             coalesce(qr.rel, 0) AS rel
+      FROM ranked LEFT JOIN qr USING (query_id, doc_id)
+      WHERE ranked.query_id IN (SELECT DISTINCT query_id FROM qr)
+    ),
+    hits AS (
+      SELECT query_id,
+             list_sort(list({{'rank': rank,
+                              'r': (pow(2.0, rel) - 1.0) / mx.denom,
+                              'relbin': CASE WHEN rel > 0
+                                        THEN 1.0 ELSE 0.0 END}}))
+               AS hits
+      FROM jj CROSS JOIN mx
+      GROUP BY query_id
+    )
+    SELECT query_id,
+           round(list_reduce(
+             list_prepend({{'err': CAST(0.0 AS DOUBLE),
+                            'disc': CAST(1.0 AS DOUBLE)}},
+               list_transform(hits,
+                 h -> {{'err': h.r / h.rank, 'disc': 1.0 - h.r}})),
+             (a, e) -> {{'err': a.err + e.err * a.disc,
+                         'disc': a.disc * e.disc}}).err, 6) AS err_at_k,
+           round(0.19999999999999996 * list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(hits,
+                 h -> h.relbin * pow(0.8, CAST(h.rank AS DOUBLE) - 1.0))),
+             (a, b) -> a + b), 6) AS rbp
+    FROM hits
     """
     # index-time synonyms: fold members to the lexicographic-min
     # canonical on BOTH the tf relation and the query, dictionary over

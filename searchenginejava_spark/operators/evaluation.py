@@ -270,3 +270,89 @@ def mine_hard_negatives(
         )
         .orderBy("query_id", "pos_doc_id", "neg_rank")
     )
+
+
+def rank_eval_extras(
+    results: DataFrame,
+    qrels: DataFrame,
+    *,
+    k: int = 10,
+    p: float = 0.8,
+    max_rel: int | None = None,
+) -> DataFrame:
+    """Beyond-trec_eval ranking metrics → (query_id, err_at_k, rbp):
+
+    - ERR@k ([L:Chapelle et al. CIKM'09]): the cascade model —
+      Rᵢ = (2^relᵢ − 1)/2^rel_max, ERR = Σ (1/i)·Rᵢ·Π_{j<i}(1−Rⱼ);
+      a perfect top hit *absorbs* the metric (later ranks stop
+      mattering), which is what distinguishes it from nDCG's additive
+      discount.
+    - RBP(p) ([L:Moffat & Zobel TOIS'08]): (1−p)·Σ relbinᵢ·p^(i−1) —
+      user-persistence-weighted precision; p=0.8 ≈ "inspects 5 docs".
+
+    ERR's cascade product is ORDER-dependent, so it computes as one
+    native array fold per query (collect the ≤k (rank, R) pairs,
+    sort_array, F.aggregate with a struct accumulator) — identical
+    left-fold op order to the oracle's list_reduce, no window-product
+    ln-tricks that would break on R = 1. Queries with no qrels row are
+    dropped (the trec_eval convention ir_metrics also follows).
+    """
+    if not (0.0 < p < 1.0):
+        raise ValueError(f"RBP persistence p must be in (0,1), got {p}")
+    qr = qrels.filter(F.col("rel") > 0).select(
+        "query_id", "doc_id", F.col("rel").cast("int").alias("rel")
+    )
+    if max_rel is None:
+        row = qr.agg(F.max("rel").alias("m")).collect()[0]
+        max_rel = int(row["m"] or 1)
+    denom = float(2 ** max_rel)
+    res = results.filter(F.col("rank") <= k).select(
+        "query_id", "rank", "doc_id"
+    )
+    j = (
+        res.join(qr, ["query_id", "doc_id"], "left")
+        .withColumn("rel", F.coalesce("rel", F.lit(0)))
+        # only queries that HAVE judgments (semi-join against qrels)
+        .join(qr.select("query_id").distinct(), "query_id", "left_semi")
+    )
+    ranked = j.groupBy("query_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("rank").cast("int").alias("rank"),
+                    (
+                        (F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0))
+                        / F.lit(denom)
+                    ).alias("r"),
+                    (F.col("rel") > 0).cast("double").alias("relbin"),
+                )
+            )
+        ).alias("hits")
+    )
+    # op order pinned to the oracle's monoid fold: contribution =
+    # (r/rank) · disc, then disc ·= (1−r) — same IEEE sequence both sides
+    err_fold = F.aggregate(
+        F.col("hits"),
+        F.struct(
+            F.lit(0.0).alias("err"), F.lit(1.0).alias("disc")
+        ),
+        lambda acc, h: F.struct(
+            (
+                acc["err"]
+                + (h["r"] / h["rank"].cast("double")) * acc["disc"]
+            ).alias("err"),
+            (acc["disc"] * (F.lit(1.0) - h["r"])).alias("disc"),
+        ),
+    )["err"]
+    rbp = F.lit(1.0 - p) * F.aggregate(
+        F.col("hits"),
+        F.lit(0.0),
+        lambda acc, h: acc
+        + h["relbin"]
+        * F.pow(F.lit(p), h["rank"].cast("double") - F.lit(1.0)),
+    )
+    return ranked.select(
+        "query_id",
+        F.round(err_fold, 6).alias("err_at_k"),
+        F.round(rbp, 6).alias("rbp"),
+    )

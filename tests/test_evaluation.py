@@ -142,3 +142,60 @@ def test_mine_hard_negatives(spark):
     capped = mine_hard_negatives(results, qrels, n_neg=2, max_pos=1).collect()
     assert {r["pos_doc_id"] for r in capped} == {102}
     assert all(r["pos_rel"] == 2 for r in capped)
+
+
+def test_rank_eval_extras_hand_computed(spark):
+    """ERR@k and RBP against by-hand arithmetic on a 3-doc ranking."""
+    import pytest as _pt
+
+    from searchenginejava_spark.operators.evaluation import (
+        rank_eval_extras,
+    )
+
+    res = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 11), (0, 3, 12), (9, 1, 10)],
+        "query_id int, rank int, doc_id long",
+    )
+    # rel: doc 10 -> 2 (max), doc 11 -> 0, doc 12 -> 1; query 9 unjudged
+    qrels = spark.createDataFrame(
+        [(0, 10, 2), (0, 12, 1), (0, 99, 1)],
+        "query_id int, doc_id long, rel int",
+    )
+    out = rank_eval_extras(res, qrels, k=3, p=0.8).collect()
+    # unjudged query dropped (the trec_eval convention)
+    assert [r["query_id"] for r in out] == [0]
+    r = out[0]
+    # R1 = (2^2-1)/4 = .75; R2 = 0; R3 = (2^1-1)/4 = .25
+    # ERR = .75/1 + 0 + (.25/3)*(1-.75)*(1-0)
+    want_err = 0.75 + (0.25 / 3) * 0.25
+    assert r["err_at_k"] == _pt.approx(want_err, abs=1e-6)
+    # RBP = .2 * (1*.8^0 + 0*.8^1 + 1*.8^2)
+    assert r["rbp"] == _pt.approx(0.2 * (1 + 0.64), abs=1e-6)
+    with _pt.raises(ValueError):
+        rank_eval_extras(res, qrels, p=1.0)
+
+
+def test_rank_eval_err_cascade_absorption(spark):
+    """A perfect top hit absorbs ERR: with R1 = 1 the cascade product
+    zeroes every later contribution — the property that distinguishes
+    ERR from nDCG's additive discount."""
+    import math
+
+    import pytest as _pt
+
+    from searchenginejava_spark.operators.evaluation import (
+        rank_eval_extras,
+    )
+
+    res = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 11)], "query_id int, rank int, doc_id long"
+    )
+    qrels = spark.createDataFrame(
+        [(0, 10, 30), (0, 11, 30)], "query_id int, doc_id long, rel int"
+    )
+    r = rank_eval_extras(res, qrels, k=2).collect()[0]
+    # R1 = (2^30-1)/2^30 ~ 1: the rank-2 term is damped by (1-R1)
+    want = (2**30 - 1) / 2**30
+    want = want + (want / 2) * (1 - want)
+    assert r["err_at_k"] == _pt.approx(want, abs=1e-6)
+    assert math.isclose(r["err_at_k"], 1.0, abs_tol=1e-3)
