@@ -285,10 +285,16 @@ def main() -> None:
         "rounds": rounds,
         "local_dir_base": local_dir_base,
         "shared_disk_artifact": {
-            "note": "same 8x25k build with all children sharing the VM's "
-                    "one /tmp block device vs private tmpfs dirs — the "
-                    "shared virtual disk is a one-box artifact a real "
-                    "cluster (per-executor disks) does not have",
+            "note": "HISTORICAL measurement (2026-08, round 4), not "
+                    "re-measured by this run: the same 8x25k build with "
+                    "all children sharing the VM's one /tmp block device "
+                    "vs private tmpfs dirs — the shared virtual disk is "
+                    "a one-box artifact a real cluster (per-executor "
+                    "disks) does not have. Re-measure with "
+                    "MP_LOCAL_DIR_BASE= (unset tmpfs) before citing on "
+                    "a different host.",
+            "historical": True,
+            "measured_on": "round 4 (2026-08), this VM",
             "wall_shared_tmp_s": 118.1,
             "wall_private_tmpfs_s": 26.7,
         },
@@ -298,7 +304,18 @@ def main() -> None:
         "target": 0.8,
         "pass": headline >= 0.8,
     }
-    with open(os.path.join(REPO, "BENCH", "MULTIPROC.json"), "w") as f:
+    # preserve keys a human (or a previous run) added by hand — only the
+    # keys this run actually measures are overwritten
+    out_path = os.path.join(REPO, "BENCH", "MULTIPROC.json")
+    try:
+        with open(out_path) as f:
+            prev = json.load(f)
+        for key, val in prev.items():
+            if key not in result:
+                result[key] = val
+    except (OSError, ValueError):
+        pass
+    with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
     if local_dir_base:
         import shutil

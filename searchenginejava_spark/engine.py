@@ -647,15 +647,23 @@ class SearchEngine:
         self, text: str, field: str, *,
         doc_meta: DataFrame, origin: float, scale: float,
         decay: float = 0.5, mode: str = "gauss", k: int = TOP_K,
+        candidates: int = 200,
     ) -> DataFrame:
         """function_score decay boosting: the text score multiplies by a
-        gauss/linear decay of ``field``'s distance from ``origin``."""
+        gauss/linear decay of ``field``'s distance from ``origin``.
+
+        Re-ranking happens over ``candidates`` BM25 hits (wider than
+        ``k``, mirroring search_sorted/top_hits) and truncates to ``k``
+        AFTER the decay — so a doc at BM25 rank k+1 that wins once
+        boosted can still surface, matching ES function_score, which
+        rescores the full match set, not the final page."""
         from .operators.docvalues import function_score
 
-        return function_score(
-            self.search(text, k=k), doc_meta, field,
+        res = function_score(
+            self.search(text, k=max(candidates, k)), doc_meta, field,
             origin=origin, scale=scale, decay=decay, mode=mode,
         )
+        return res.filter(F.col("rank") <= k)
 
     # -- maintenance ------------------------------------------------------
 

@@ -62,6 +62,9 @@ def sort_by_field(
     order = [sv.asc_nulls_last() if ascending else sv.desc_nulls_last(),
              F.desc("score"), F.asc("doc_id")]
     w = Window.partitionBy("query_id").orderBy(*order)
+    # LEFT join: a hit with no doc_meta row at all is the same case as
+    # a null field value — it sorts last, it is never dropped (the hit
+    # SET is the scorer's, metadata only orders it)
     return (
         scored.select("query_id", "doc_id", "score")
         .join(
@@ -69,6 +72,7 @@ def sort_by_field(
                 "doc_id", F.col(sort_col).alias("sort_value")
             ),
             "doc_id",
+            "left",
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -101,11 +105,15 @@ def top_hits(
     w = Window.partitionBy("query_id", "bucket").orderBy(
         F.desc("score"), F.asc("doc_id")
     )
+    # LEFT join: a hit with no doc_meta row lands in the same NULL
+    # bucket a null field value does — consistent missing≡null
+    # semantics, no silently-dropped hits
     return (
         scored.select("query_id", "doc_id", "score")
         .join(
             doc_meta.select("doc_id", F.col(group_col).alias("bucket")),
             "doc_id",
+            "left",
         )
         .withColumn("bucket_rank", F.row_number().over(w))
         .filter(F.col("bucket_rank") <= hits_per_bucket)
@@ -224,10 +232,19 @@ def function_score(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("new_score"), F.asc("doc_id")
     )
+    # LEFT join + factor 1 for a null/missing field — the documented ES
+    # decay semantics (docs without the field are not boosted, and the
+    # hit SET really is unchanged, as the docstring promises)
     return (
         scored.select("query_id", "doc_id", "score")
-        .join(doc_meta.select("doc_id", F.col(field).alias("_fv")), "doc_id")
-        .withColumn("factor", factor)
+        .join(
+            doc_meta.select("doc_id", F.col(field).alias("_fv")),
+            "doc_id",
+            "left",
+        )
+        .withColumn(
+            "factor", F.when(v.isNull(), F.lit(1.0)).otherwise(factor)
+        )
         .withColumn("new_score", F.col("score") * F.col("factor"))
         .withColumn("rank", F.row_number().over(w))
         .select(

@@ -340,7 +340,10 @@ def _audio_profile(rate: int, n_ch: int, x, embedding_dim: int):
     import numpy as np
 
     n = int(len(x))
-    dur = n / float(rate) if rate else 0.0
+    # rate=None means "sample rate unknown" (e.g. ffmpeg pipe decode
+    # without a probe): duration cannot be derived, emit null rather
+    # than a silently-wrong value.
+    dur = n / float(rate) if rate else None
     if n == 0:
         return n, dur, 0.0, 0.0, [0.0] * embedding_dim
     rms = float(np.sqrt(np.mean(x * x)))
@@ -425,10 +428,11 @@ def extract_audio_features(
                         )
                         / 32768.0
                     )
-                    # rate unknown without probing; report samples only
+                    # rate unknown without probing; report samples only —
+                    # duration_s is null too (rate=None), never a lie
                     out.append(
                         (int(mid), None, 1)
-                        + _audio_profile(1, 1, x, embedding_dim)
+                        + _audio_profile(None, 1, x, embedding_dim)
                     )
                     continue
                 digest = hashlib.sha256(data).digest()

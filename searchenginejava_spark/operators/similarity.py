@@ -777,9 +777,14 @@ def knn_int8(
         (d2 > 0) & (F.lit(qnorm) > 0),
         idot.cast("double") / (F.sqrt(d2.cast("double")) * F.lit(qnorm)),
     )
+    # order by the ROUNDED cosine (the value we publish) + id tie-break,
+    # so two near-equal cosines that collapse under 6-decimal rounding
+    # rank identically here and in any engine sorting the published
+    # column — the integer dot is exact, but sqrt() of the norms is not.
     return (
-        quantized.select(F.col(id_col), cos.alias("cosine_q8"))
+        quantized.select(
+            F.col(id_col), F.round(cos, 6).alias("cosine_q8")
+        )
         .orderBy(F.desc_nulls_last("cosine_q8"), F.asc(id_col))
         .limit(k)
-        .select(id_col, F.round("cosine_q8", 6).alias("cosine_q8"))
     )
