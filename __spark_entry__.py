@@ -3497,14 +3497,44 @@ def q_passage_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
-# Round-4 driver window (VERDICT r03 order #4): the driver checks the
+# Round-5 driver window (VERDICT r04 order #2): the driver checks the
 # FIRST 50 registered queries, so registration order rotates each round
-# to maximize the union of driver-green rows. This round keeps 10
-# core-contract anchors and promotes 40 queries that have never had a
-# driver row (all were green in the builder's local oracle artifact AND
-# the round-3 judge's independent re-run); union(r03, r04 windows) then
-# covers 90 distinct driver-green queries. Everything stays fully
-# oracle-checked locally regardless (tools/check_oracle.py runs all).
+# to maximize the union of driver-green rows. union(r03, r04) = 91
+# distinct driver-green queries; this round keeps the same 10
+# core-contract anchors and promotes 40 queries from OUTSIDE that
+# union — all 19 that have never had a driver row in ANY round, plus
+# 21 whose only driver rows date from rounds 1-2 (oldest coverage,
+# code has evolved most since). Every promoted query is green in the
+# builder's local oracle artifact AND the round-4 judge's independent
+# re-run. union(r03, r04, r05) then covers 131 distinct driver-green
+# queries (target ≥130). Everything stays fully oracle-checked locally
+# regardless (tools/check_oracle.py runs all).
+_R05_WINDOW = [
+    # core-contract anchors (driver-green in r01-r04, kept as tripwires)
+    "q_term_frequencies", "q_doc_stats", "q_dictionary",
+    "q_collection_stats", "q_bm25_topk", "q_postings_roundtrip",
+    "q_wand_topk", "q_maxscore_topk", "q_impact_topk",
+    "q_plan_queries_full",
+    # the 19 queries with NO driver row in any of rounds 1-4
+    "q_boolean_msm", "q_chunk_documents", "q_classic_tfidf",
+    "q_collapse_dedup", "q_collocations", "q_cross_repo_dups",
+    "q_dedup_clusters_star", "q_doc_term_vectors", "q_federated_search",
+    "q_filtered_knn", "q_funnel", "q_lm_jelinek_mercer",
+    "q_mixture_weights", "q_sample_mixture", "q_session_cooccurrence",
+    "q_synonym_search", "q_unigram_nll", "q_vocab_coverage",
+    "q_winnow_fingerprints",
+    # 21 queries whose only driver rows are from rounds 1-2
+    "q_phrase_indexed", "q_positional_index", "q_positions_roundtrip",
+    "q_wand_sharded_topk", "q_postings_incremental",
+    "q_compact_postings", "q_dictionary_compressed",
+    "q_image_features", "q_video_frames", "q_media_metadata",
+    "q_fuzzy_search", "q_wildcard_search", "q_term_suggest",
+    "q_snippets", "q_structured_search", "q_boolean_match",
+    "q_bm25_filtered", "q_ann_ivf_topk", "q_ann_lsh_topk",
+    "q_corpus_curation", "q_exact_dedup",
+]
+
+# Round-4 window, kept for the rotation audit trail (union bookkeeping).
 _R04_WINDOW = [
     # core-contract anchors (driver-green in r01-r03, kept as tripwires)
     "q_term_frequencies", "q_doc_stats", "q_dictionary",
@@ -3534,12 +3564,12 @@ _R04_WINDOW = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration ORDER is load-bearing: the driver's CORRECTNESS
     window covers exactly the first 50 registered queries, so the
-    registry below is re-ordered through _R04_WINDOW (window rows
+    registry below is re-ordered through _R05_WINDOW (window rows
     first, in its order; every other query after, in literal order).
     The dict literal itself keeps its stable thematic grouping for
     readability."""
     q = _registry()
-    window = {k: q[k] for k in _R04_WINDOW}
+    window = {k: q[k] for k in _R05_WINDOW}
     rest = {k: v for k, v in q.items() if k not in window}
     return {**window, **rest}
 
