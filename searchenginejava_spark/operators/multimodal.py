@@ -492,6 +492,13 @@ def sample_video_frames(
     absent here, so tests skip cleanly) with select='not(mod(n,N))'
     to pull every Nth frame as raw RGB and fingerprints the frame
     bytes; one subprocess per payload, frames streamed off the pipe.
+    decoder="y4m" is the REAL in-container decode path: a pure-stdlib
+    YUV4MPEG2 parser (header + concatenated raw planar frames — the
+    uncompressed interchange format every ffmpeg/x264 toolchain reads
+    and writes) that keeps every Nth frame's luma (Y) plane and
+    fingerprints it — the same grayscale-fingerprint convention as the
+    ffmpeg path, no external binary needed. Compressed containers stay
+    on decoder="real".
     """
     schema = StructType(
         [
@@ -519,6 +526,11 @@ def sample_video_frames(
                         )
                     )
                     continue
+                if decoder == "y4m":
+                    rows.extend(
+                        _y4m_sample_one(int(mid), bytes(payload), every_n)
+                    )
+                    continue
                 n_frames = min(max(len(payload) // bytes_per_frame, 1), 10)
                 ph = bytes(payload).hex()
                 for i in range(n_frames):
@@ -533,6 +545,85 @@ def sample_video_frames(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         sample, schema=schema
     )
+
+
+# chroma subsampling → bytes per frame, as a fraction of W*H. All C420
+# variants (jpeg/paldv/mpeg2 siting differ only in WHERE chroma samples
+# sit, not how many there are) share one size.
+_Y4M_PLANES = {
+    "mono": (1, 1),     # Y only
+    "420": (3, 2),      # Y + Cb/4 + Cr/4
+    "420jpeg": (3, 2),
+    "420paldv": (3, 2),
+    "420mpeg2": (3, 2),
+    "422": (2, 1),      # Y + Cb/2 + Cr/2
+    "444": (3, 1),      # Y + Cb + Cr
+}
+
+
+def _y4m_sample_one(
+    media_id: int, payload: bytes, every_n: int
+) -> list[tuple[int, int, str]]:
+    """Pure-stdlib YUV4MPEG2 frame sampling: parse the stream header
+    (``YUV4MPEG2 W<w> H<h> ... [C<cs>]``), walk the concatenated
+    ``FRAME\\n``-delimited raw planar frames, keep every Nth frame and
+    fingerprint its luma plane (sha256 of the W*H grayscale bytes —
+    byte-identical to what the ffmpeg path would hash for a gray
+    rawvideo pipe of the same plane). Malformed streams raise loudly;
+    a truncated trailing frame is an error, not a silent drop."""
+    import hashlib
+
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError(
+            f"media_id={media_id}: not a YUV4MPEG2 stream "
+            f"(header magic missing)"
+        )
+    width = height = None
+    colorspace = "420"
+    for tok in payload[:nl].split(b" ")[1:]:
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:].decode("ascii", "replace")
+        if tag == b"W":
+            width = int(val)
+        elif tag == b"H":
+            height = int(val)
+        elif tag == b"C":
+            colorspace = val
+    if not width or not height:
+        raise ValueError(
+            f"media_id={media_id}: Y4M header missing W/H ({payload[:nl]!r})"
+        )
+    if colorspace not in _Y4M_PLANES:
+        raise ValueError(
+            f"media_id={media_id}: unsupported Y4M colorspace "
+            f"C{colorspace} (supported: {sorted(_Y4M_PLANES)})"
+        )
+    num, den = _Y4M_PLANES[colorspace]
+    luma = width * height
+    frame_size = luma * num // den
+    pos, n, out = nl + 1, 0, []
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError(
+                f"media_id={media_id}: expected FRAME marker at byte "
+                f"{pos}, got {payload[pos:pos + 16]!r}"
+            )
+        body = payload[fnl + 1 : fnl + 1 + frame_size]
+        if len(body) < frame_size:
+            raise ValueError(
+                f"media_id={media_id}: truncated frame {n} "
+                f"({len(body)} of {frame_size} bytes)"
+            )
+        if n % every_n == 0:
+            out.append(
+                (media_id, n, hashlib.sha256(body[:luma]).hexdigest())
+            )
+        pos = fnl + 1 + frame_size
+        n += 1
+    return out
 
 
 def _ffmpeg_sample_one(
