@@ -134,6 +134,40 @@ class SearchEngine:
             doc_exclude=self.index.tombstones,
         )
 
+    def publish_fielded(self, corpus: DataFrame, fields, **kwargs):
+        """Build + persist the fielded serving artifacts (fielded tf,
+        positions, BM25F stats, document-level dictionary, doc
+        universe) once — ``query_fielded`` then serves query strings
+        without any corpus-sized derivation per request."""
+        from .operators.fielded import publish_fielded
+
+        self._fielded = publish_fielded(corpus, fields, **kwargs)
+        return self._fielded
+
+    def query_fielded(
+        self, text: str, *, artifacts=None, k: int = TOP_K,
+        default_operator: str = "or", max_expansions: int = 16,
+    ) -> DataFrame:
+        """Fielded query-string search (``title:x``, ``field:"phrase"``)
+        over published artifacts — every per-request relation is a
+        term-pruned slice of the cached fielded tf."""
+        from .operators.querystring import query_string_search_fielded
+
+        art = artifacts if artifacts is not None else getattr(
+            self, "_fielded", None
+        )
+        if art is None:
+            raise ValueError(
+                "no fielded artifacts — call publish_fielded(corpus, "
+                "fields) first or pass artifacts="
+            )
+        return query_string_search_fielded(
+            text, art.ftf, art.fstats, boosts=art.boosts, fpos=art.fpos,
+            k=k, default_operator=default_operator,
+            tokenizer=self._tok, max_expansions=max_expansions,
+            dictionary=art.dictionary, universe=art.universe,
+        )
+
     def structured(self, text: str, **kwargs) -> DataFrame:
         kwargs.setdefault("tokenizer", self._tok)
         return structured_search(self.spark, self.index, text, **kwargs)

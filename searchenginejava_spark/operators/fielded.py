@@ -139,6 +139,61 @@ def bm25f_stats(ftf: DataFrame) -> dict:
     return {"N": n, "avgdl": {r["field"]: float(r["avgdl"]) for r in rows}}
 
 
+class FieldedArtifacts:
+    """The build-time outputs a fielded serving deployment publishes
+    once and every query-string request reuses: the fielded tf (and,
+    when phrases are served, positions), the BM25F stats, the document-
+    level (term, df) dictionary, and the doc-id universe. With these in
+    hand, ``query_string_search_fielded`` touches only term-pruned
+    slices per request — no full-corpus aggregation on the query path
+    (VERDICT r04 order #5)."""
+
+    __slots__ = ("ftf", "fpos", "fstats", "dictionary", "universe",
+                 "boosts")
+
+    def __init__(self, ftf, fpos, fstats, dictionary, universe, boosts):
+        self.ftf = ftf
+        self.fpos = fpos
+        self.fstats = fstats
+        self.dictionary = dictionary
+        self.universe = universe
+        self.boosts = dict(boosts)
+
+
+def publish_fielded(
+    corpus: DataFrame,
+    fields: Mapping[str, Column | str],
+    *,
+    boosts: Mapping[str, float] | None = None,
+    id_col: str = "doc_id",
+    with_positions: bool = True,
+) -> FieldedArtifacts:
+    """Build and persist the fielded serving artifacts in ONE pass over
+    the corpus: ftf (cached — it is the index), optional positions,
+    BM25F stats, the document-level dictionary, and the doc universe.
+    The two corpus-sized aggregations (dictionary, universe) run HERE,
+    at publish time, exactly once — the per-request path then derives
+    nothing corpus-sized."""
+    ftf = fielded_tf(corpus, fields, id_col=id_col).persist()
+    fpos = (
+        fielded_positions(corpus, fields, id_col=id_col).persist()
+        if with_positions else None
+    )
+    fstats = bm25f_stats(ftf)
+    dictionary = (
+        ftf.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .persist()
+    )
+    universe = ftf.select("doc_id").distinct().persist()
+    dictionary.count()
+    universe.count()
+    return FieldedArtifacts(
+        ftf, fpos, fstats, dictionary, universe,
+        boosts if boosts is not None else {f: 1.0 for f in fields},
+    )
+
+
 def dismax_topk(
     query_terms: DataFrame,
     ftf: DataFrame,

@@ -623,6 +623,8 @@ def query_string_search_fielded(
     tokenizer=None,
     max_expansions: int = 16,
     query_id: int = 0,
+    dictionary: DataFrame | None = None,
+    universe: DataFrame | None = None,
 ) -> DataFrame:
     """Fielded query-string search: ``field:term`` / ``field:"phrase"``
     leaves lower onto the fielded tf relation (candidates = boolean
@@ -643,6 +645,14 @@ def query_string_search_fielded(
     slice (fielded leaves add a field predicate that prunes harder),
     candidates compose via semi/anti/union joins, and one BM25F job
     scores with the candidate set as the filter query.
+
+    ``dictionary`` ((term, df) at the document level) and ``universe``
+    ((doc_id) of all indexed docs) default to an inline derivation from
+    ``ftf`` — fine for one-off calls, but each is a FULL-CORPUS
+    aggregation, so a serving deployment passes the published
+    build-time artifacts instead (``fielded.publish_fielded`` /
+    ``SearchEngine.query_fielded`` thread them); every per-request
+    relation is then a term-pruned slice.
     """
     from .fielded import bm25f_topk
 
@@ -651,10 +661,12 @@ def query_string_search_fielded(
     fields = set(boosts)
     node = parse_query(query, default_operator=default_operator,
                        fields=fields)
-    dictionary = ftf.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
-    universe = ftf.select("doc_id").distinct()
+    if dictionary is None:
+        dictionary = ftf.groupBy("term").agg(
+            F.countDistinct("doc_id").alias("df")
+        )
+    if universe is None:
+        universe = ftf.select("doc_id").distinct()
     tf_any = ftf.select("doc_id", "term")
     cand = _candidates(
         node, tf_any, dictionary, universe, tokenizer, None, max_expansions,

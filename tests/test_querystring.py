@@ -449,3 +449,57 @@ def test_unfielded_path_unchanged_and_fielded_needs_optin(spark, parts):
     tf, dl, dct, stats, pidx = parts
     with pytest.raises(ValueError):
         query_string_search("title:x", tf, dl, dct, stats)
+
+
+def test_published_artifacts_match_inline_derivation(spark):
+    """publish_fielded's precomputed dictionary/universe must serve the
+    exact result the inline (full-corpus-agg-per-call) derivation does,
+    including NOT-clause candidates (which read the universe) — and the
+    engine facade threads them end-to-end."""
+    from searchenginejava_spark.engine import SearchEngine
+    from searchenginejava_spark.functions.tokenize import tokens_simple_col
+    from searchenginejava_spark.operators.fielded import (
+        bm25f_stats,
+        fielded_positions,
+        fielded_tf,
+        publish_fielded,
+    )
+    from searchenginejava_spark.operators.querystring import (
+        query_string_search_fielded,
+    )
+
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    title = F.array_join(F.slice(tokens_simple_col("text"), 1, 3), " ")
+    fields = {"title": title, "body": F.col("text")}
+    boosts = {"title": 3.0, "body": 1.0}
+    q = '(title:data^2 OR body:"the data") AND NOT body:slow'
+
+    ftf = fielded_tf(docs, fields).persist()
+    fpos = fielded_positions(docs, fields)
+    inline = query_string_search_fielded(
+        q, ftf, bm25f_stats(ftf), boosts=boosts, fpos=fpos, k=25
+    ).collect()
+
+    art = publish_fielded(docs, fields, boosts=boosts)
+    published = query_string_search_fielded(
+        q, art.ftf, art.fstats, boosts=art.boosts, fpos=art.fpos, k=25,
+        dictionary=art.dictionary, universe=art.universe,
+    ).collect()
+
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(
+        [(r["rank"], r["doc_id"], round(r["score"], 9)) for r in inline]
+    ) == sorted(
+        [(r["rank"], r["doc_id"], round(r["score"], 9)) for r in published]
+    )
+    assert inline, "fixture query should match at least one doc"
+
+    # engine facade: publish once, serve from the cached artifacts
+    eng = SearchEngine.build(spark, docs, text_col="text", mode="simple")
+    eng.publish_fielded(docs, fields, boosts=boosts)
+    via_engine = eng.query_fielded(q, k=25).collect()
+    assert sorted(
+        [(r["rank"], r["doc_id"], round(r["score"], 9)) for r in via_engine]
+    ) == sorted(
+        [(r["rank"], r["doc_id"], round(r["score"], 9)) for r in published]
+    )

@@ -1340,6 +1340,109 @@ def main() -> None:
          "masked BM25F)", p_qsf, checks)
     )
 
+    # 34b. r5 (VERDICT r04 order #5): the SERVING deployment of the
+    # fielded path — published artifacts (cached dictionary + universe)
+    # threaded in, so the per-request plan derives nothing corpus-sized:
+    # the corpus-wide aggs move to publish time and the request reads
+    # only term-pruned slices of the cached relations.
+    from searchenginejava_spark.operators.fielded import publish_fielded
+
+    # capture the INLINE derivation's plan BEFORE publishing: once the
+    # artifacts are cached, Spark's cache manager substitutes them into
+    # any structurally-identical plan, so the "inline" expression would
+    # read the cache too (a nice serving property, but it would make
+    # this comparison vacuous)
+    qterms = ["merge", "hash", "table"]
+    p_dict_inline = plan_of(
+        ftf_au.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("term").isin(qterms))
+    )
+    art_au = publish_fielded(
+        corpus,
+        {
+            "title": F.array_join(F.slice(F.split("text", " "), 1, 3), " "),
+            "body": F.col("text"),
+        },
+        boosts={"title": 2.0, "body": 1.0},
+    )
+    p_qsf_pub = plan_of(
+        query_string_search_fielded(
+            'title:merge AND body:"hash table"',
+            art_au.ftf,
+            art_au.fstats,
+            boosts=art_au.boosts,
+            fpos=art_au.fpos,
+            default_operator="and",
+            dictionary=art_au.dictionary,
+            universe=art_au.universe,
+        )
+    )
+
+    # The corpus-sized work the published path removes is in the
+    # DRIVER-SIDE actions the request performs (the df collect for leaf
+    # weights/expansions, the universe for negation shapes), so audit
+    # those relations directly: the slice a request reads must execute
+    # straight off the cache — no aggregation node above the cache scan.
+    # (In the final returned plan, cached lineage text is
+    # indistinguishable from executing nodes, so counting there proves
+    # nothing — see the r5 build notes.)
+    def _exec_prefix(plan: str) -> str:
+        """Executing prefix of a single-chain plan: tree lines above the
+        first InMemoryRelation (everything below it is cached lineage,
+        printed for provenance but never re-executed)."""
+        tree = plan.split("\n\n")[0]
+        out = []
+        for line in tree.splitlines():
+            if "InMemoryRelation" in line:
+                break
+            out.append(line)
+        return "\n".join(out)
+
+    p_dict_pub = plan_of(
+        art_au.dictionary.filter(F.col("term").isin(qterms))
+    )
+    p_univ_pub = plan_of(art_au.universe)
+    checks = [
+        (
+            "published dictionary slice: cache scan, ZERO executing "
+            "aggregation (inline derivation aggregates the full ftf "
+            "per request)",
+            "HashAggregate" not in _exec_prefix(p_dict_pub)
+            and "InMemoryTableScan" in _exec_prefix(p_dict_pub)
+            and "HashAggregate" in _exec_prefix(p_dict_inline),
+            "",
+        ),
+        (
+            "published universe: cache scan, ZERO executing aggregation",
+            "HashAggregate" not in _exec_prefix(p_univ_pub)
+            and "InMemoryTableScan" in _exec_prefix(p_univ_pub),
+            "",
+        ),
+        (
+            "published request plan: broadcast joins + term predicates "
+            "still prune every slice",
+            "BroadcastHashJoin" in p_qsf_pub
+            and "merge" in p_qsf_pub and "hash" in p_qsf_pub,
+            "",
+        ),
+        (
+            "published request plan: zero Python crossings",
+            "ArrowEvalPython" not in p_qsf_pub
+            and "MapInPandas" not in p_qsf_pub,
+            "",
+        ),
+    ]
+    sections.append(
+        ("fielded query-string serving over PUBLISHED artifacts "
+         "(no corpus-sized derivation per request)",
+         p_dict_pub + "\n---\n" + p_univ_pub, checks)
+    )
+    for _df in (art_au.ftf, art_au.fpos, art_au.dictionary,
+                art_au.universe):
+        if _df is not None:
+            _df.unpersist()
+
     # 35. wave-17 (r4): docvalue serving — composite pagination's
     # after-key predicate must reach the scan (leading-column range is
     # pushable); function_score decay is native column arithmetic
