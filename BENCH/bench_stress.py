@@ -58,10 +58,17 @@ def main() -> None:
     from searchenginejava_spark.synth.gen_code_table import (
         gen_code_table,
         gen_query_set,
+        heaps_vocab,
     )
 
-    # corpus prep (untimed: fixture generation, not engine work)
-    code = gen_code_table(spark, n_files, num_partitions=2 * cpus).persist()
+    # corpus prep (untimed: fixture generation, not engine work).
+    # Heaps'-law vocab: |V| ∝ √n_files, so the stress corpus's term
+    # statistics scale like a real corpus instead of saturating at a
+    # fixed 10k vocabulary (VERDICT r04 order #6)
+    code = gen_code_table(
+        spark, n_files, num_partitions=2 * cpus,
+        vocab_size=heaps_vocab(n_files),
+    ).persist()
     code.count()
 
     # untimed warm build: Python-worker spin-up + per-worker imports

@@ -42,6 +42,7 @@ def main() -> None:
     from searchenginejava_spark.synth.gen_code_table import (
         gen_code_table,
         gen_query_set,
+        heaps_vocab,
     )
 
     queries: dict[str, float] = {}
@@ -50,7 +51,13 @@ def main() -> None:
     docs = read_documents(spark, sf_dir)
     n_docs = docs.count()
     n_code = 10 * n_docs  # 50k files at sf0.1
-    code = gen_code_table(spark, n_code, num_partitions=2 * cpus)
+    # Heaps'-law vocabulary (VERDICT r04 order #6): |V| ∝ √n_files, so
+    # posting lists no longer all grow linearly with corpus size and
+    # cross-scale throughput ratios are representative of real corpora
+    code = gen_code_table(
+        spark, n_code, num_partitions=2 * cpus,
+        vocab_size=heaps_vocab(n_code),
+    )
     code = code.persist()
     code.count()
 

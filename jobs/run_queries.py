@@ -33,7 +33,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--output", required=True)
     p.add_argument("--k", type=int, default=10)
-    p.add_argument("--path", default="exhaustive", choices=["exhaustive", "wand"])
+    p.add_argument(
+        "--path", default="exhaustive",
+        choices=["exhaustive", "wand", "planned"],
+        help="scorer family: exhaustive, WAND, or 'planned' — the "
+        "cost-based per-query router (operators/planner.py); with "
+        "--assets it also routes hot/heavy queries to the published "
+        "impact / doc-sharded / cache legs",
+    )
+    p.add_argument(
+        "--assets", default=None,
+        help="published serving-assets dir (index_store."
+        "save_serving_assets layout); --path planned only. Absent "
+        "assets simply leave the matching planner legs unavailable.",
+    )
     p.add_argument(
         "--expand", type=int, default=0,
         help="semantic expansion: N nearest vocabulary terms per query term",
@@ -64,6 +77,10 @@ def main(argv: list[str] | None = None) -> int:
             p.error("--expand applies to --model bm25 only")
         if args.path != "exhaustive":
             p.error("--path applies to --model bm25 only")
+    if args.assets and args.path != "planned":
+        p.error("--assets applies to --path planned only")
+    if args.path == "planned" and (args.rm3 or args.expand):
+        p.error("--path planned does not compose with --rm3/--expand")
 
     from pyspark.sql import SparkSession
 
@@ -104,7 +121,18 @@ def main(argv: list[str] | None = None) -> int:
                     continue
                 qid, text = line.split("\t", 1)
                 queries.append((int(qid), text))
-    if args.model == "bm25" and not args.rm3:
+    if args.model == "bm25" and args.path == "planned":
+        from searchenginejava_spark.operators.planner import serve_planned
+
+        assets = {}
+        if args.assets:
+            from searchenginejava_spark.sources.index_store import (
+                load_serving_assets,
+            )
+
+            assets = load_serving_assets(spark, args.assets)
+        res = serve_planned(spark, art, queries, k=args.k, **assets)
+    elif args.model == "bm25" and not args.rm3:
         res = run_queries(
             spark, art, queries, k=args.k, path=args.path, expand=args.expand
         )

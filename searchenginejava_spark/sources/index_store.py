@@ -125,6 +125,111 @@ def load_index(spark: SparkSession, path: str):
 
 
 # ---------------------------------------------------------------------------
+# serving assets — the planner's OPTIONAL side indexes (doc-sharded
+# postings, impact index, result cache), published as their own datasets
+# so a serving job composes them into serve_planned without rebuilding.
+# Each is independent: publish any subset; load returns exactly the
+# kwargs serve_planned takes for the subset found on disk.
+# ---------------------------------------------------------------------------
+
+def save_serving_assets(
+    path: str,
+    *,
+    sharded=None,
+    num_shards: int | None = None,
+    impact: dict | None = None,
+    cache=None,
+    term_partitions: int | None = None,
+) -> None:
+    """Persist serving assets under ``path`` (overwrite).
+
+    - ``sharded`` (+ required ``num_shards``): doc-range-sharded
+      postings (operators/index.py::build_sharded_postings), written
+      term-range-partitioned like the main postings so a query's term
+      predicate prunes Parquet files by footer stats;
+    - ``impact``: {'impacts': DataFrame, 'umax': float, 'bits': int,
+      'rho': int | None} (operators/impact.py::build_impact_index) —
+      the frame term-range-partitioned, the scalars in the manifest;
+    - ``cache``: (qkey, rank, doc_id, score) result-cache rows
+      (operators/caching.py::build_result_cache) — head-sized, plain.
+
+    ``assets.json`` is the manifest (written last, atomically): a
+    loader never sees an asset whose data directory is half-written.
+    """
+    if sharded is not None and not num_shards:
+        raise ValueError("sharded assets need num_shards")
+    manifest: dict = {}
+    some = None
+    for df in (sharded, impact["impacts"] if impact else None, cache):
+        if df is not None:
+            some = df
+            break
+    if some is None:
+        raise ValueError("no assets given")
+    n = term_partitions or some.sparkSession.sparkContext.defaultParallelism
+    os.makedirs(path, exist_ok=True)
+    if sharded is not None:
+        (
+            sharded.repartitionByRange(n, "term")
+            .sortWithinPartitions("term", "salt")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "sharded"))
+        )
+        manifest["num_shards"] = int(num_shards)
+    if impact is not None:
+        (
+            impact["impacts"].repartitionByRange(n, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "impact"))
+        )
+        manifest["impact"] = {
+            "umax": float(impact["umax"]),
+            "bits": int(impact.get("bits", 8)),
+            "rho": (None if impact.get("rho") is None
+                    else int(impact["rho"])),
+        }
+    if cache is not None:
+        cache.write.mode("overwrite").parquet(os.path.join(path, "cache"))
+        manifest["cache"] = True
+    tmp = os.path.join(path, "assets.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, "assets.json"))
+
+
+def load_serving_assets(spark: SparkSession, path: str) -> dict:
+    """Load published serving assets as serve_planned kwargs — exactly
+    the subset present on disk ({} for a missing/empty directory, so a
+    caller can thread ``**load_serving_assets(...)`` unconditionally:
+    the planner treats every absent asset as "leg unavailable")."""
+    from ..schema import PARTIAL_POSTINGS
+
+    try:
+        with open(os.path.join(path, "assets.json")) as f:
+            manifest = json.load(f)
+    except FileNotFoundError:
+        return {}
+    out: dict = {}
+    if "num_shards" in manifest:
+        out["sharded"] = spark.read.schema(PARTIAL_POSTINGS).parquet(
+            os.path.join(path, "sharded")
+        )
+        out["num_shards"] = int(manifest["num_shards"])
+    if "impact" in manifest:
+        meta = manifest["impact"]
+        out["impact"] = {
+            "impacts": spark.read.parquet(os.path.join(path, "impact")),
+            "umax": float(meta["umax"]),
+            "bits": int(meta["bits"]),
+            "rho": meta["rho"],
+        }
+    if manifest.get("cache"):
+        out["cache"] = spark.read.parquet(os.path.join(path, "cache"))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # index aliases — atomic generation flips (the ES alias / Iceberg
 # current-snapshot-pointer convention)
 # ---------------------------------------------------------------------------

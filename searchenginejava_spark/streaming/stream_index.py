@@ -85,6 +85,7 @@ def start_incremental_index(
     mode: str = "full",
     num_salts: int = 4,
     num_partitions: int = 4,
+    max_tombstone_frac: float | None = 0.02,
 ):
     """Near-real-time indexing — the full streaming refresh loop (the
     Lucene "new segment per refresh + background merge" lifecycle, here
@@ -106,11 +107,22 @@ def start_incremental_index(
     O(batch) + O(compressed bytes of the live index) for the stitch —
     the standard NRT trade; when the fold cost dominates, ingest
     partials instead (start_partial_ingest) and merge on a schedule.
+
+    MAINTENANCE IS PART OF THE LOOP: a long-running stream whose live
+    index takes deletes would otherwise accumulate tombstones without
+    bound (every fold carries them forward). After each fold the
+    compaction policy runs (``plans.pipeline.auto_compact`` — one count
+    over the tombstone-sized relation when under the
+    ``max_tombstone_frac`` bound, a real compaction only past it), so
+    the published version is always within the bound delete_docs' O(1)
+    cost model assumes. ``max_tombstone_frac=None`` disables the hook.
+    The decision report is recorded in the LATEST commit point for
+    observability.
     """
     import json as _json
     import os as _os
 
-    from ..plans.pipeline import build_index, merge_indexes
+    from ..plans.pipeline import auto_compact, build_index, merge_indexes
     from ..sources.index_store import load_index, save_index
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -139,11 +151,23 @@ def start_incremental_index(
                 prev = _json.load(fh)["version"]
             live = load_index(spark, _os.path.join(index_dir, prev))
             merged = merge_indexes(spark, live, seg)
+        maint = {"action": "disabled"}
+        if max_tombstone_frac is not None:
+            merged, maint = auto_compact(
+                spark, merged, max_tombstone_frac=max_tombstone_frac
+            )
         version = f"v{int(batch_id):012d}"
         save_index(merged, _os.path.join(index_dir, version))
         tmp = _os.path.join(index_dir, "LATEST.tmp")
         with open(tmp, "w") as fh:
-            _json.dump({"version": version, "batch_id": int(batch_id)}, fh)
+            _json.dump(
+                {
+                    "version": version,
+                    "batch_id": int(batch_id),
+                    "maintenance": maint,
+                },
+                fh,
+            )
         _os.replace(tmp, latest)
 
     return (

@@ -38,8 +38,23 @@ VOCAB_SIZE = 10_000
 SEED = 42
 
 
-def row_content(i: int) -> tuple[str, str, str, str, str]:
-    """Pure function index → (repo, path, commit, lang, content)."""
+def heaps_vocab(n_rows: int) -> int:
+    """Heaps'-law vocabulary size for an ``n_rows``-file corpus:
+    |V| = K·N^β with K=100, β=0.5 (the classic sub-linear growth real
+    corpora exhibit — vocabulary keeps growing with collection size,
+    so posting lists do NOT all grow linearly with N), floored at the
+    legacy fixed vocab so small fixtures keep their golden hashes'
+    id-space. 50k files → 22,360 terms; 500k → 70,711 (×√10)."""
+    return max(VOCAB_SIZE, int(round(100.0 * n_rows ** 0.5)))
+
+
+def row_content(
+    i: int, vocab_size: int = VOCAB_SIZE
+) -> tuple[str, str, str, str, str]:
+    """Pure function (index, vocab size) → (repo, path, commit, lang,
+    content). The default fixed vocab preserves the frozen golden
+    snapshots; scale benchmarks pass ``heaps_vocab(n_rows)`` so term
+    statistics stay representative across corpus sizes."""
     import numpy as np
 
     ext, lang = _EXTS[i % len(_EXTS)]
@@ -49,7 +64,7 @@ def row_content(i: int) -> tuple[str, str, str, str, str]:
     rng = np.random.default_rng(SEED + i)
     n_tokens = int(rng.integers(50, 200))
     # Zipf-ranked identifiers: rank r with p ∝ 1/(r+1)^1.1, clipped to vocab
-    ranks = (rng.zipf(1.1, size=n_tokens) - 1) % VOCAB_SIZE
+    ranks = (rng.zipf(1.1, size=n_tokens) - 1) % vocab_size
     kw = _KEYWORDS[lang]
     parts = [f"{kw[0]} fn_{i % 1000}"]
     for j, r in enumerate(ranks):
@@ -60,13 +75,23 @@ def row_content(i: int) -> tuple[str, str, str, str, str]:
     return repo, path, commit, lang, content
 
 
-def gen_code_table(spark: SparkSession, n_rows: int, *, num_partitions: int | None = None) -> DataFrame:
-    """Distributed deterministic generation of the contract input table."""
+def gen_code_table(
+    spark: SparkSession, n_rows: int, *,
+    num_partitions: int | None = None,
+    vocab_size: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic generation of the contract input table.
+
+    ``vocab_size=None`` keeps the legacy fixed 10k vocabulary (golden
+    fixtures depend on it byte-for-byte); pass ``heaps_vocab(n_rows)``
+    — or any explicit size — for scale runs where the vocabulary must
+    grow sub-linearly with the corpus like a real one."""
     base = spark.range(0, n_rows, numPartitions=num_partitions or max(8, n_rows // 50_000))
+    vs = int(vocab_size) if vocab_size else VOCAB_SIZE
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [row_content(int(i)) for i in pdf["id"]]
+            rows = [row_content(int(i), vs) for i in pdf["id"]]
             yield pd.DataFrame(
                 rows, columns=["repo", "path", "commit", "lang", "content"]
             )

@@ -316,6 +316,112 @@ def test_run_queries_job_models(spark, tmp_path, capsys):
     ]
 
 
+def test_run_queries_job_planned_path(spark, tmp_path):
+    """jobs/run_queries.py --path planned (VERDICT r04 order #8): the
+    cost-based router is the batch-serving path, with and without a
+    published serving-assets directory. Without assets the planner
+    routes among the three core families; with --assets the cache leg
+    answers the cached query and the sharded/impact legs become
+    available. Both runs are value-identical to each other and to the
+    library exhaustive batch (routing is output-invisible)."""
+    from jobs.run_queries import main as rq_main
+    from searchenginejava_spark.operators.caching import (
+        build_result_cache,
+        query_keys,
+    )
+    from searchenginejava_spark.operators.impact import build_impact_index
+    from searchenginejava_spark.operators.index import (
+        build_sharded_postings,
+    )
+    from searchenginejava_spark.operators.search import (
+        query_terms_df,
+        score_exhaustive,
+    )
+    from searchenginejava_spark.sources.index_store import (
+        load_serving_assets,
+        save_serving_assets,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(
+        spark, docs, text_col="text", mode="full", num_partitions=4
+    )
+    idx_path = str(tmp_path / "pidx")
+    save_index(idx, idx_path, term_partitions=4)
+    qfile = tmp_path / "q.tsv"
+    qfile.write_text("7\tthe table hash join\n8\tdup line\n")
+    queries = [(7, "the table hash join"), (8, "dup line")]
+
+    # absent assets dir → {} → every optional leg simply unavailable
+    assert load_serving_assets(spark, str(tmp_path / "nowhere")) == {}
+
+    out_plain = str(tmp_path / "planned_plain")
+    rc = rq_main([
+        "--index", idx_path, "--queries", str(qfile),
+        "--output", out_plain, "--k", "5", "--path", "planned",
+    ])
+    assert rc == 0
+
+    # publish all three asset kinds, exactly as a serving job would
+    sharded = build_sharded_postings(idx.tf, num_shards=2, num_partitions=4)
+    impacts, umax = build_impact_index(idx.tf, idx.docs, idx.stats, bits=24)
+    qt8 = query_terms_df(spark, [queries[1]])
+    cache = build_result_cache(
+        qt8, query_keys(qt8).select("qkey"),
+        lambda qt: score_exhaustive(
+            qt, idx.tf, idx.docs, idx.dictionary, idx.stats, k=5
+        ),
+    )
+    assets_dir = str(tmp_path / "assets")
+    save_serving_assets(
+        assets_dir, sharded=sharded, num_shards=2,
+        impact={"impacts": impacts, "umax": umax, "bits": 24, "rho": None},
+        cache=cache, term_partitions=2,
+    )
+    loaded = load_serving_assets(spark, assets_dir)
+    assert set(loaded) == {"sharded", "num_shards", "impact", "cache"}
+    assert loaded["num_shards"] == 2
+    assert loaded["impact"]["bits"] == 24
+    assert loaded["impact"]["umax"] == umax
+
+    out_assets = str(tmp_path / "planned_assets")
+    rc = rq_main([
+        "--index", idx_path, "--queries", str(qfile),
+        "--output", out_assets, "--k", "5", "--path", "planned",
+        "--assets", assets_dir,
+    ])
+    assert rc == 0
+
+    def ranking(path):
+        return {
+            (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+            for r in spark.read.parquet(path).collect()
+        }
+
+    plain, with_assets = ranking(out_plain), ranking(out_assets)
+    base = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+        for r in run_queries(spark, idx, queries, k=5).collect()
+    }
+    assert plain == base and with_assets == base
+    assert {q for (q, _) in base} == {7, 8}
+
+    # flag-contract errors fail loudly, not silently
+    import pytest as _pt
+
+    with _pt.raises(SystemExit):
+        rq_main([
+            "--index", idx_path, "--queries", str(qfile),
+            "--output", str(tmp_path / "x"), "--path", "wand",
+            "--assets", assets_dir,
+        ])
+    with _pt.raises(SystemExit):
+        rq_main([
+            "--index", idx_path, "--queries", str(qfile),
+            "--output", str(tmp_path / "y"), "--path", "planned", "--rm3",
+        ])
+
+
 def test_alias_atomic_flip(spark, tmp_path):
     """Aliases: publish two generations, flip the pointer, reads follow;
     bad targets and names fail loudly."""

@@ -147,3 +147,43 @@ def test_save_load_positional_and_tombstones(spark, tmp_path):
         ).collect()
     )
     assert after == [t for t in base_phrase if t[0] != dead[0]]
+
+
+def test_heaps_vocab_grows_with_corpus(spark):
+    """Scale-run vocabulary: heaps_vocab is ∝ √N above the legacy
+    floor, gen_code_table(vocab_size=...) is deterministic across
+    parallelism, and the realized term id-space actually widens —
+    while the DEFAULT stays byte-identical to the frozen fixtures."""
+    from searchenginejava_spark.synth.gen_code_table import (
+        gen_code_table,
+        heaps_vocab,
+        row_content,
+    )
+
+    assert heaps_vocab(100) == 10_000            # floor: golden id-space
+    assert heaps_vocab(50_000) == 22_361
+    assert heaps_vocab(500_000) == 70_711
+    assert abs(heaps_vocab(500_000) / heaps_vocab(5_000_000)
+               - 10 ** -0.5) < 1e-3              # |V| ∝ N^0.5
+
+    # default path unchanged (golden snapshots elsewhere depend on it)
+    assert row_content(7) == row_content(7, 10_000)
+
+    # deterministic across parallelism at an explicit vocab size
+    a = gen_code_table(spark, 120, num_partitions=1, vocab_size=40_000)
+    b = gen_code_table(spark, 120, num_partitions=6, vocab_size=40_000)
+    assert (sorted(map(tuple, a.collect()))
+            == sorted(map(tuple, b.collect())))
+
+    # a wider vocab realizes more distinct identifiers on the same rows
+    import re
+
+    def n_ids(df):
+        ids = set()
+        for r in df.collect():
+            ids.update(re.findall(r"\bid\d+\b", r["content"]))
+        return len(ids)
+
+    narrow = gen_code_table(spark, 400, num_partitions=4)
+    wide = gen_code_table(spark, 400, num_partitions=4, vocab_size=200_000)
+    assert n_ids(wide) > n_ids(narrow)

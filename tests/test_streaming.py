@@ -4,6 +4,7 @@ batch salted merge == cold batch build over the same corpus."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from searchenginejava_spark.operators.index import merge_postings
 from searchenginejava_spark.plans.pipeline import build_index
@@ -396,3 +397,98 @@ def test_incremental_index_matches_cold_build(spark, tmp_path):
     term = max(want, key=lambda t: want[t][0])
     res = run_queries(spark, live, [(0, term)], k=5, path="wand")
     assert res.count() > 0
+
+
+def test_nrt_stream_auto_compacts_past_tombstone_threshold(spark, tmp_path):
+    """Maintenance composed into the NRT loop (VERDICT r04 order #7):
+    deletes land on the live index mid-stream, the tombstone fraction
+    crosses the threshold, and the NEXT fold publishes a COMPACTED
+    version — tombstones gone, index content (hence rankings) identical
+    to a cold build over survivors ∪ new arrivals."""
+    import json as _json
+    import os as _os
+
+    from searchenginejava_spark.plans.pipeline import (
+        build_index,
+        delete_docs,
+        run_queries,
+    )
+    from searchenginejava_spark.sources.index_store import save_index
+    from searchenginejava_spark.sources.source import assign_doc_ids
+    from searchenginejava_spark.streaming.stream_index import (
+        load_latest_index,
+        start_incremental_index,
+        stream_source,
+    )
+
+    src_dir = str(tmp_path / "ac_src")
+    idx_dir = str(tmp_path / "ac_idx")
+    ckpt = str(tmp_path / "ac_ckpt")
+    corpus = gen_code_table(spark, 60, num_partitions=2).persist()
+    is_a = F.abs(F.xxhash64("path")) % 3 < 2
+    part_a, part_b = corpus.filter(is_a), corpus.filter(~is_a)
+    part_a.write.parquet(src_dir)
+
+    # phase 1: ingest A
+    stream = stream_source(spark, src_dir, max_files_per_trigger=10)
+    start_incremental_index(stream, idx_dir, ckpt, num_salts=2)\
+        .awaitTermination(300)
+
+    # out-of-band deletes: tombstone ~25% of A (far past the 2% bound),
+    # publish as a manual maintenance version
+    live = load_latest_index(spark, idx_dir)
+    dead = live.docs.select("doc_id").filter(
+        F.col("doc_id") % 4 == 0
+    ).persist()
+    n_dead = dead.count()
+    assert n_dead > 0
+    deleted = delete_docs(live, dead)
+    save_index(deleted, _os.path.join(idx_dir, "v-manual-delete"))
+    with open(_os.path.join(idx_dir, "LATEST"), "w") as fh:
+        _json.dump({"version": "v-manual-delete", "batch_id": -1}, fh)
+
+    # phase 2: B arrives; the fold must auto-compact past the threshold
+    part_b.write.mode("append").parquet(src_dir)
+    stream2 = stream_source(spark, src_dir, max_files_per_trigger=100)
+    start_incremental_index(
+        stream2, idx_dir, ckpt, num_salts=2, max_tombstone_frac=0.02
+    ).awaitTermination(300)
+
+    with open(_os.path.join(idx_dir, "LATEST")) as fh:
+        meta = _json.load(fh)
+    assert meta["maintenance"]["action"] == "compact"
+    final = load_latest_index(spark, idx_dir)
+    assert final.tombstones is None
+
+    # content identity: dictionary == cold build over survivors ∪ B
+    sid = F.xxhash64("repo", "path", "commit").bitwiseAND(
+        F.lit((1 << 63) - 1)
+    )
+    survivors = (
+        part_a.withColumn("doc_id", sid)
+        .join(dead, "doc_id", "left_anti")
+        .drop("doc_id")
+        .unionByName(part_b)
+    )
+    cold = build_index(
+        spark, assign_doc_ids(survivors), text_col="content",
+        num_partitions=3, num_salts=2,
+    )
+    got = {r["term"]: (r["df"], r["cf"]) for r in final.dictionary.collect()}
+    want = {r["term"]: (r["df"], r["cf"]) for r in cold.dictionary.collect()}
+    assert got == want
+
+    # ranking identity (doc_ids differ by construction → compare the
+    # score multiset of the same query's top-5 on both indexes)
+    term = max(want, key=lambda t: want[t][0])
+    s_live = sorted(
+        round(r["score"], 9)
+        for r in run_queries(spark, final, [(0, term)], k=5).collect()
+    )
+    s_cold = sorted(
+        round(r["score"], 9)
+        for r in run_queries(spark, cold, [(0, term)], k=5).collect()
+    )
+    assert s_live == s_cold and len(s_live) > 0
+    corpus.unpersist()
+    dead.unpersist()
