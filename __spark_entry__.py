@@ -3497,6 +3497,170 @@ def q_passage_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct-user counts via HyperLogLog (m=256 registers) next
+    to the exact count — the ES `cardinality` agg reconstructed as pure
+    integer H60 arithmetic (register = comparison ladder, harmonic sum
+    as Σ 2^(53−M) in a BIGINT), so the oracle replays the sketch
+    bit-for-bit; the one float step is the final α·m²·2^53/S division."""
+    from searchenginejava_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    day_us = 86_400_000_000
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (
+            F.floor(
+                F.expr(
+                    "timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                )
+                / F.lit(day_us)
+            )
+            * F.lit(day_us)
+        ).cast("long").alias("day_us"),
+        "user_id",
+    )
+    sk = hll_sketch(ev, "user_id", group_cols=("day_us",), m=256)
+    est = hll_estimate(sk, group_cols=("day_us",), m=256)
+    exact = ev.groupBy("day_us").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return est.join(exact, "day_us").select(
+        "day_us",
+        "est",
+        "exact_users",
+        F.round(
+            F.abs(F.col("est") - F.col("exact_users"))
+            / F.col("exact_users").cast("double"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count–min frequency estimates for the corpus's heavy-hitter
+    terms (exact cf ≥ 300): est is min over d=4 hash rows of the w=1024
+    cell counts — one-sided by construction (est ≥ cf always; the
+    pytest pins the εN upper bound)."""
+    from searchenginejava_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    docs = _documents(spark, sf_dir)
+    tok = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), " "), lambda x: x != F.lit("")
+            )
+        ).alias("term")
+    )
+    tok.persist()
+    sk = cms_sketch(tok, "term", d=4, w=1024)
+    heavy = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+        .filter(F.col("cf") >= 300)
+    )
+    res = cms_estimate(sk, heavy, "term", d=4, w=1024).select(
+        "term", "cf", "est"
+    )
+    res.persist()
+    res.count()
+    tok.unpersist()
+    return res
+
+
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join prefilter: a 16384-bit filter built over the
+    blocklist (terms of docs 0–19) probes the corpus vocabulary →
+    (term, maybe, member). The contract the oracle re-derives: member ⇒
+    maybe (zero false negatives), with the small FP surplus visible as
+    maybe ∧ ¬member rows — the broadcast-a-bitset-not-the-set pattern
+    for 100 TB semi-joins."""
+    from searchenginejava_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    docs = _documents(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), " "), lambda x: x != F.lit("")
+            )
+        ).alias("term"),
+    )
+    tok.persist()
+    block = tok.filter(F.col("doc_id") < 20).select("term").distinct()
+    vocab = tok.select("term").distinct()
+    flagged = bloom_probe(vocab, "term", bloom_build(block, "term"))
+    res = flagged.join(
+        block.withColumn("member", F.lit(True)), "term", "left"
+    ).select(
+        "term", "maybe", F.coalesce("member", F.lit(False)).alias("member")
+    )
+    res.persist()
+    res.count()
+    tok.unpersist()
+    return res
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data-selection importance weights (hashed-bigram importance
+    resampling, target = the ``lang='en'`` slice): per-doc Σ ln ratio of
+    add-one-smoothed bucket probabilities — deterministic H60 bucketing,
+    ln once per bucket on exact rationals."""
+    from searchenginejava_spark.operators.curation import dsir_weights
+
+    docs = _documents(spark, sf_dir)
+    return dsir_weights(docs, F.col("lang") == "en", n_buckets=4096)
+
+
+def q_anchor_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text ranking over the code view: callers donate the
+    called symbol's subtokens to the defining doc's virtual ``anchor``
+    field (one vote per distinct caller), folded into BM25F with the
+    anchor field boosted 2× — the web anchor-text trick on the code
+    reference graph."""
+    from searchenginejava_spark.operators.codesearch import (
+        anchor_tf,
+        extract_call_sites,
+        extract_symbols,
+    )
+    from searchenginejava_spark.operators.fielded import (
+        bm25f_stats,
+        bm25f_topk,
+        fielded_tf,
+    )
+
+    cv = _code_view(spark, sf_dir)
+    cv.persist()
+    content = fielded_tf(cv, {"content": F.col("code")})
+    anchors = anchor_tf(
+        extract_call_sites(cv, text_col="code"),
+        extract_symbols(cv, text_col="code"),
+    )
+    ftf = content.unionByName(anchors)
+    ftf.persist()
+    s = bm25f_stats(ftf)
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    res = bm25f_topk(
+        qt, ftf, s, boosts={"content": 1.0, "anchor": 2.0}, k=_TOPK
+    ).select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+    res.persist()
+    res.count()
+    ftf.unpersist()
+    cv.unpersist()
+    return res
+
+
 # Round-5 driver window (VERDICT r04 order #2): the driver checks the
 # FIRST 50 registered queries, so registration order rotates each round
 # to maximize the union of driver-green rows. union(r03, r04) = 91
@@ -3811,6 +3975,12 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_term_suggest": q_term_suggest,
         "q_fuzzy_terms": q_fuzzy_terms,
         "q_fuzzy_search": q_fuzzy_search,
+        # round-5 wave: mergeable sketches + data selection + anchors
+        "q_hll_cardinality": q_hll_cardinality,
+        "q_cms_heavy_hitters": q_cms_heavy_hitters,
+        "q_bloom_prefilter": q_bloom_prefilter,
+        "q_dsir_weights": q_dsir_weights,
+        "q_anchor_search": q_anchor_search,
     }
 
 
@@ -4330,6 +4500,17 @@ def _lang_id_sql() -> str:
         + f" SELECT doc_id, {pred} AS pred_lang,"
         + " CAST(best AS BIGINT) AS marker_hits FROM withbest"
     )
+
+
+def _rho_sql(col: str, width: int) -> str:
+    """DuckDB mirror of sketches._rho_col: leading-zero rank of a
+    ``width``-bit integer as a descending comparison ladder (exact
+    integer logic — no float log2)."""
+    whens = " ".join(
+        f"WHEN {col} >= {1 << (bits - 1)} THEN {width + 1 - bits}"
+        for bits in range(width, 0, -1)
+    )
+    return f"CASE {whens} ELSE {width + 1} END"
 
 
 def _sql_subsplit(col: str) -> str:
@@ -8113,6 +8294,242 @@ def oracle_sql() -> dict[str, str]:
            round(target_share, 6) AS target_share,
            round(target_share / share, 6) AS weight
     FROM tgt
+    """
+
+    # ------------------------------------------------------------------
+    # round-5 wave: mergeable sketches + data selection + anchor text
+    # ------------------------------------------------------------------
+
+    # HyperLogLog daily distinct users: identical register derivation
+    # (H60 low 8 bits = bucket, comparison-ladder rho over the top 52),
+    # integer harmonic sum, one final double division / linear-counting
+    # branch. alpha·m²·2^53 is computed ONCE in Python and embedded in
+    # both engines as the same double literal.
+    _hll_day = 86_400_000_000
+    _hll_am2 = 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * float(1 << 53)
+    _hll_h = _HASH60_SQL.format(col="CAST(user_id AS VARCHAR)")
+    sql["q_hll_cardinality"] = f"""
+    WITH ev AS (
+      SELECT CAST(floor(epoch_us(ts) / {_hll_day}) * {_hll_day} AS BIGINT)
+                 AS day_us,
+             user_id
+      FROM events
+    ), h AS (SELECT day_us, {_hll_h} AS h FROM ev),
+    cells AS (
+      SELECT day_us, h % 256 AS bucket,
+             {_rho_sql("(h // 256)", 52)} AS rho
+      FROM h
+    ),
+    regs AS (
+      SELECT day_us, bucket, max(rho) AS register
+      FROM cells GROUP BY day_us, bucket
+    ),
+    agg AS (
+      SELECT day_us, count(*) AS n_present,
+             sum(CAST(1 AS BIGINT) << (53 - register)) AS s_present
+      FROM regs GROUP BY day_us
+    ),
+    est0 AS (
+      SELECT day_us, (256 - n_present) AS zeros,
+             CAST(COALESCE(s_present, 0)
+                  + (256 - n_present) * (CAST(1 AS BIGINT) << 53)
+                  AS DOUBLE) AS s
+      FROM agg
+    ),
+    est1 AS (
+      SELECT day_us,
+             CASE WHEN ({_hll_am2!r} / s) <= 640.0 AND zeros > 0
+                  THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+                  ELSE {_hll_am2!r} / s END AS e
+      FROM est0
+    ),
+    ex AS (
+      SELECT CAST(floor(epoch_us(ts) / {_hll_day}) * {_hll_day} AS BIGINT)
+                 AS day_us,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events GROUP BY 1
+    )
+    SELECT est1.day_us, round(e, 4) AS est, exact_users,
+           round(abs(round(e, 4) - exact_users)
+                 / CAST(exact_users AS DOUBLE), 6) AS rel_err
+    FROM est1 JOIN ex ON est1.day_us = ex.day_us
+    """
+
+    # count–min: d=4 salted H60 rows × w=1024, est = min over rows
+    _cms_h = _HASH60_SQL.format(col="concat(CAST(j AS VARCHAR), ':', term)")
+    sql["q_cms_heavy_hitters"] = _SQL_TOKL + f"""
+    , js(j) AS (VALUES (0), (1), (2), (3)),
+    cells AS (
+      SELECT j, ({_cms_h}) % 1024 AS bucket FROM tok CROSS JOIN js
+    ),
+    grid AS (
+      SELECT j, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM cells GROUP BY j, bucket
+    ),
+    heavy AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS cf
+      FROM tok GROUP BY term HAVING count(*) >= 300
+    ),
+    probes AS (
+      SELECT term, cf, j, ({_cms_h}) % 1024 AS bucket
+      FROM heavy CROSS JOIN js
+    )
+    SELECT term, cf, CAST(min(COALESCE(grid.c, 0)) AS BIGINT) AS est
+    FROM probes LEFT JOIN grid USING (j, bucket)
+    GROUP BY term, cf
+    """
+
+    # Bloom prefilter: k=3 salted H60 bits in m=16384, 60 bits/word,
+    # bit_or-folded words; maybe = every probe bit set
+    _bl_h = _HASH60_SQL.format(col="concat(CAST(j AS VARCHAR), ':', term)")
+    sql["q_bloom_prefilter"] = _SQL_TOKL + f"""
+    , block AS (SELECT DISTINCT term FROM tok WHERE doc_id < 20),
+    js(j) AS (VALUES (0), (1), (2)),
+    bbits AS (
+      SELECT ({_bl_h}) % 16384 AS bit FROM block CROSS JOIN js
+    ),
+    filt AS (
+      SELECT bit // 60 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(bit % 60 AS INT)) AS bits
+      FROM bbits GROUP BY (bit // 60)
+    ),
+    vocab AS (SELECT DISTINCT term FROM tok),
+    probes AS (
+      SELECT term, ({_bl_h}) % 16384 AS bit FROM vocab CROSS JOIN js
+    ),
+    flags AS (
+      SELECT term,
+             bool_and(
+               (COALESCE(f.bits, 0)
+                & (CAST(1 AS BIGINT) << CAST(p.bit % 60 AS INT)))
+               = (CAST(1 AS BIGINT) << CAST(p.bit % 60 AS INT))
+             ) AS maybe
+      FROM probes p LEFT JOIN filt f ON (p.bit // 60) = f.word
+      GROUP BY term
+    )
+    SELECT v.term, flags.maybe, (b.term IS NOT NULL) AS member
+    FROM vocab v
+    JOIN flags USING (term)
+    LEFT JOIN block b ON v.term = b.term
+    """
+
+    # DSIR hashed-bigram importance weights, target = lang 'en'
+    _ds_h = _HASH60_SQL.format(col="g")
+    sql["q_dsir_weights"] = _SQL_TOKL + f"""
+    , big AS (
+      SELECT t1.doc_id, t1.term || ' ' || t2.term AS g
+      FROM tok t1 JOIN tok t2
+        ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+    ),
+    feats AS (
+      SELECT b.doc_id, (d.lang = 'en') AS t, ({_ds_h}) % 4096 AS bkt
+      FROM big b JOIN documents d ON b.doc_id = d.doc_id
+    ),
+    raw AS (
+      SELECT bkt, CAST(count(*) AS BIGINT) AS c_r,
+             CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+      FROM feats GROUP BY bkt
+    ),
+    tot AS (
+      SELECT CAST(sum(c_r) AS DOUBLE) AS n_r,
+             CAST(sum(c_t) AS DOUBLE) AS n_t
+      FROM raw
+    ),
+    lr AS (
+      SELECT bkt,
+             ln(CAST(c_t + 1 AS DOUBLE) / (n_t + 4096.0))
+             - ln(CAST(c_r + 1 AS DOUBLE) / (n_r + 4096.0)) AS lr
+      FROM raw CROSS JOIN tot
+    )
+    SELECT feats.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+           round(sum(lr), 6) AS weight
+    FROM feats JOIN lr USING (bkt)
+    GROUP BY feats.doc_id
+    """
+
+    # anchor-text BM25F over the code view: caller-donated anchor field
+    # (count of DISTINCT callers per subtoken) unioned with the content
+    # field, anchor boosted 2×; identical simplified-BM25F fold as
+    # q_bm25f (document-level idf, per-field length norm)
+    from searchenginejava_spark.operators.codesearch import CALL_PATTERN
+
+    sql["q_anchor_search"] = _SQL_CODEVIEW + f"""
+    , sym AS ({_sql_symbol_union()})
+    , defs AS (
+      SELECT DISTINCT doc_id AS dst,
+             array_to_string({_sql_subsplit("symbol")}, '_') AS nsym
+      FROM sym
+    )
+    , csites AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(code, '{CALL_PATTERN}', 1)) AS callee
+      FROM cv
+    )
+    , calls AS (
+      SELECT DISTINCT doc_id AS src,
+             array_to_string({_sql_subsplit("callee")}, '_') AS nsym
+      FROM csites
+    )
+    , aedges AS (
+      SELECT DISTINCT src, dst, nsym FROM calls JOIN defs USING (nsym)
+      WHERE src <> dst
+    )
+    , anch AS (
+      SELECT dst AS doc_id, 'anchor' AS field, tsub AS term,
+             CAST(count(DISTINCT src) AS BIGINT) AS tf
+      FROM (SELECT src, dst, unnest(string_split(nsym, '_')) AS tsub
+            FROM aedges)
+      WHERE tsub <> ''
+      GROUP BY dst, tsub
+    )
+    , ctf AS (
+      SELECT doc_id, 'content' AS field, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split(lower(code), ' '),
+                                      x -> x <> '')) AS term
+            FROM cv)
+      GROUP BY doc_id, term
+    )
+    , ftf AS (SELECT * FROM ctf UNION ALL SELECT * FROM anch)
+    , dlf AS (
+      SELECT doc_id, field, CAST(sum(tf) AS DOUBLE) AS dl
+      FROM ftf GROUP BY doc_id, field
+    )
+    , avgf AS (SELECT field, avg(dl) AS avgdl FROM dlf GROUP BY field)
+    , nstats AS (SELECT count(DISTINCT doc_id) AS n FROM ftf)
+    , q(query_id, term, qtf) AS (VALUES {q_values})
+    , dfq AS (
+      SELECT ftf.term, count(DISTINCT ftf.doc_id) AS df
+      FROM ftf JOIN (SELECT DISTINCT term FROM q) v ON ftf.term = v.term
+      GROUP BY ftf.term
+    )
+    , tilde AS (
+      SELECT q.query_id, ftf.doc_id, ftf.term, q.qtf, dfq.df,
+             sum((CASE WHEN ftf.field = 'anchor' THEN 2.0 ELSE 1.0 END)
+                 * ftf.tf
+                 / (1.0 - {_B} + {_B} * dlf.dl / avgf.avgdl)) AS tf_tilde
+      FROM q
+      JOIN dfq ON q.term = dfq.term
+      JOIN ftf ON ftf.term = q.term
+      JOIN dlf ON ftf.doc_id = dlf.doc_id AND ftf.field = dlf.field
+      JOIN avgf ON ftf.field = avgf.field
+      GROUP BY q.query_id, ftf.doc_id, ftf.term, q.qtf, dfq.df
+    )
+    , scored AS (
+      SELECT query_id, doc_id,
+             sum(qtf * ln((nstats.n - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf_tilde / ({_K1} + tf_tilde)) AS s
+      FROM tilde CROSS JOIN nstats
+      GROUP BY query_id, doc_id
+    )
+    SELECT CAST(query_id AS INT) AS query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY s DESC, doc_id ASC) AS INT)
+               AS rank,
+           doc_id,
+           round(s, 6) AS score
+    FROM scored
+    QUALIFY rank <= {_TOPK}
     """
     return sql
 

@@ -565,3 +565,85 @@ def fim_transform(
         pick.alias("fim"),
         F.when(pick, sample).otherwise(txt).alias("sample"),
     )
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target_pred,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Data Selection with Importance Resampling ([L:Xie et al.,
+    NeurIPS 2023, "Data Selection for Language Models via Importance
+    Resampling"]): score every raw document by how target-like its
+    hashed-bigram distribution is,
+
+        weight(doc) = Σ_{g ∈ doc}  ln p̂_target(b(g)) − ln p̂_raw(b(g))
+
+    with b(g) = H60(bigram) mod ``n_buckets`` (the paper's hashed
+    n-gram generative model) and add-one smoothing on both bucket
+    distributions. High weight ⇒ the doc looks like the target domain;
+    resample the raw pool ∝ exp(weight) to build a target-shaped
+    training mix. → (doc_id, n_feats, weight); docs with zero bigrams
+    (< 2 tokens) carry no evidence and are omitted.
+
+    ``target_pred`` is a Column predicate over the corpus selecting the
+    in-domain sample (e.g. ``F.col("lang") == "en"``).
+
+    Scale shape: ONE featurize pass (doc-local zip_with bigrams → hashed
+    bucket, no positional shuffle) feeding two bucket histograms that
+    are at most ``n_buckets`` rows each (partial+final agg), a broadcast
+    log-ratio join back, and one per-doc sum — the same shuffle class as
+    unigram_nll. Everything is deterministic H60 arithmetic: the same
+    doc gets the same weight at any cluster size, and the DuckDB oracle
+    replays it bit-for-bit (ln enters once, on exact rationals).
+    """
+    from .dedup import str_hash60
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")
+    )
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    feats = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.alias("_t"),
+        F.explode(grams).alias("g"),
+    ).select(
+        "doc_id", "_t", (str_hash60(F.col("g")) % n_buckets).alias("b")
+    )
+    raw = feats.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("c_r"),
+        F.sum(F.col("_t").cast("long")).cast("long").alias("c_t"),
+    )
+    tot = raw.agg(
+        F.sum("c_r").cast("double").alias("n_r"),
+        F.sum("c_t").cast("double").alias("n_t"),
+    )
+    lr = raw.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log(
+                (F.col("c_t") + 1).cast("double")
+                / (F.col("n_t") + F.lit(float(n_buckets)))
+            )
+            - F.log(
+                (F.col("c_r") + 1).cast("double")
+                / (F.col("n_r") + F.lit(float(n_buckets)))
+            )
+        ).alias("lr"),
+    )
+    return (
+        feats.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.round(F.sum("lr"), 6).alias("weight"),
+        )
+    )

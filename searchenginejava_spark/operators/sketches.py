@@ -1,0 +1,333 @@
+"""Mergeable summary sketches — HyperLogLog, count–min, Bloom.
+
+At 100 TB the questions "how many distinct users/terms?", "roughly how
+often does this key occur?", and "could this item be in that set?" must
+not cost a full-key shuffle or a giant broadcast. The three classic
+sketches answer them with tiny, MERGEABLE state:
+
+    HyperLogLog  distinct count in m registers (m=256 → ±6.5% rel
+                 error) — registers merge by per-bucket max, so
+                 segment/partition sketches union into a corpus sketch
+                 without re-reading data ([L:Flajolet, Fusy, Gandouet,
+                 Meunier — AofA 2007]; the ES `cardinality` agg)
+    count–min    upper-biased frequency estimates in a d×w grid;
+                 est ≥ true, est ≤ true + εN w.h.p., merge = cell-wise
+                 sum ([L:Cormode & Muthukrishnan, J.Alg 2005])
+    Bloom        membership with NO false negatives in m bits; the
+                 broadcast-a-bitset-instead-of-a-set join prefilter
+                 ([L:Bloom, CACM 1970]; Spark's own runtime bloom-join
+                 pruning applies the same idea inside AQE)
+
+Engine-portability design (the whole point of this implementation):
+every hash is the repo-wide md5-based H60 (dedup.str_hash60 ==
+DuckDB ``CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)``), every
+register/cell/bit derivation is INTEGER arithmetic (modulo, shifts, a
+comparison ladder — no float log2 whose last ulp could differ), and the
+one floating-point step per estimator happens once, at the end, on
+integer inputs. A DuckDB oracle replays every sketch bit-for-bit.
+
+Shape: each sketch is ONE narrow projection + ONE hash aggregation
+(partial+final map-side combine) to at most d·w rows — the shuffle
+carries sketch cells, not data. Estimation joins are sketch-sized.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import str_hash60
+
+HLL_BUCKETS = 256          # m: power of two (register index = low bits)
+CMS_DEPTH = 4              # d: independent hash rows
+CMS_WIDTH = 1024           # w: buckets per row
+BLOOM_BITS = 16384         # m: filter size in bits
+BLOOM_HASHES = 3           # k: probes per item
+_WORD = 60                 # bits packed per bigint word (sign-safe)
+
+
+def _salted60(col: Column, salt: int) -> Column:
+    """H60 of ``salt ‖ ':' ‖ value`` — the repo's standard derived-hash
+    family (same construction as MinHash permutations / FIM cuts)."""
+    return str_hash60(F.concat(F.lit(f"{salt}:"), col.cast("string")))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def _rho_col(rest: Column, width: int) -> Column:
+    """Leading-zero rank of a ``width``-bit integer: 1 + (number of
+    leading zero bits), i.e. ``width + 1 - bitlength(rest)``.
+
+    A pure comparison ladder against powers of two — exact integer
+    logic on both engines, unlike ``floor(log2(x))`` whose float
+    rounding at power-of-two boundaries is not portable.
+    """
+    expr = F.lit(width + 1)  # rest == 0: all `width` bits are zero
+    # descending thresholds so the FIRST true WHEN wins in a fold
+    return reduce(
+        lambda acc, bits: F.when(
+            rest >= F.lit(1 << (bits - 1)), F.lit(width + 1 - bits)
+        ).otherwise(acc),
+        range(1, width + 1),
+        expr,
+    )
+
+
+def hll_sketch(
+    df: DataFrame,
+    value_col: str | Column,
+    *,
+    group_cols: tuple[str, ...] = (),
+    m: int = HLL_BUCKETS,
+) -> DataFrame:
+    """(group_cols…, bucket, register) — the HLL register file, only
+    the touched buckets materialized (absent bucket ≡ register 0).
+
+    bucket = low ``log2 m`` bits of H60(value); register = max over the
+    bucket's values of the leading-zero rank of the remaining 52 bits.
+    One projection + one (partial+final) max agg; at any corpus size
+    the shuffle moves ≤ |groups|·m tiny rows.
+    """
+    if m & (m - 1) or m < 16:
+        raise ValueError("m must be a power of two ≥ 16")
+    shift = m.bit_length() - 1
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    h = str_hash60(c.cast("string"))
+    rest_width = 60 - shift
+    return (
+        df.select(
+            *group_cols,
+            (h % F.lit(m)).alias("bucket"),
+            _rho_col(F.shiftright(h, shift), rest_width).alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").cast("int").alias("register"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union register files → per-bucket max: the HLL merge is exact
+    (sketch(A ∪ B) == merge(sketch(A), sketch(B)) bit-for-bit), which
+    is what makes per-segment/per-day sketches composable without
+    re-reading data."""
+    if not sketches:
+        raise ValueError("nothing to merge")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "register"]
+    return out.groupBy(*keys).agg(
+        F.max("register").cast("int").alias("register")
+    )
+
+
+def hll_estimate(
+    sketch: DataFrame,
+    *,
+    group_cols: tuple[str, ...] = (),
+    m: int = HLL_BUCKETS,
+) -> DataFrame:
+    """Register file → (group_cols…, est) distinct-count estimates.
+
+    The harmonic sum is computed as an INTEGER — Σ 2^(R_max − register)
+    with R_max = 53 for m = 256 — so no float summation order can
+    differ between engines; α·m²·2^R_max / S is one double division at
+    the end. Linear counting (m·ln(m/V)) below 2.5m with V empty
+    registers, per the standard recipe.
+    """
+    shift = m.bit_length() - 1
+    rmax = 60 - shift + 1           # max register value (rest == 0)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - register)")
+        ).cast("long").alias("s_present"),
+    )
+    zeros = (F.lit(m) - F.col("n_present")).cast("long")
+    s_total = (
+        # empty input: global agg yields (n_present=0, s_present=null)
+        # → all-zero registers → linear counting gives exactly 0.0
+        F.coalesce(F.col("s_present"), F.lit(0))
+        + zeros * F.lit(1 << rmax).cast("long")
+    ).cast("double")
+    e_raw = F.lit(alpha * m * m * float(1 << rmax)) / s_total
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(*group_cols, F.round(est, 4).alias("est"))
+
+
+# ---------------------------------------------------------------------------
+# count–min
+# ---------------------------------------------------------------------------
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str | Column,
+    *,
+    d: int = CMS_DEPTH,
+    w: int = CMS_WIDTH,
+) -> DataFrame:
+    """(row, bucket, c) — the d×w count grid; merge = cell-wise sum
+    (unionByName + re-agg). One explode to d cells per occurrence, one
+    hash agg; the shuffle carries ≤ d·w cells."""
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                (_salted60(c, j) % F.lit(w)).alias("bucket"),
+            )
+            for j in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("cell"))
+        .select("cell.row", "cell.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    *,
+    d: int = CMS_DEPTH,
+    w: int = CMS_WIDTH,
+) -> DataFrame:
+    """items(value_col, …) → + ``est`` (long): min over the d rows of
+    the item's cell counts — upper-biased (est ≥ true count, always;
+    est ≤ true + εN with probability 1−δ, ε=e/w, δ=e^−d). The join is
+    items×d against the ≤ d·w-cell sketch — broadcast-sized by
+    construction."""
+    probes = items.select(
+        F.col(value_col).alias("_v"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        (_salted60(F.col(value_col), j) % F.lit(w)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("cell"),
+    ).select("_v", "cell.row", "cell.bucket")
+    got = (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("_v")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est"))
+    )
+    return items.join(
+        got.withColumnRenamed("_v", value_col), value_col, "left"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str | Column,
+    *,
+    m_bits: int = BLOOM_BITS,
+    k: int = BLOOM_HASHES,
+) -> DataFrame:
+    """(word, bits) — the filter as ⌈m/60⌉ OR-folded bigint words,
+    bit_j(v) = H60(j:v) mod m, packed ``_WORD`` bits per word (bit 60+
+    of a signed long is never set, so ``&`` comparisons stay sign-safe).
+
+    One explode to k bits per value, one bit_or agg; the result is a
+    ≤ ⌈m/60⌉-row relation — THE broadcast-instead-of-the-set join
+    prefilter (16 KiB of words can stand in for millions of keys)."""
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    exploded = df.select(
+        *[
+            (_salted60(c, j) % F.lit(m_bits)).alias(f"bit{j}")
+            for j in range(k)
+        ]
+    ).select(
+        F.explode(
+            F.array(*[F.col(f"bit{j}") for j in range(k)])
+        ).alias("bit")
+    )
+    return (
+        exploded.select(
+            F.floor(F.col("bit") / F.lit(_WORD)).cast("long").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {_WORD} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    items: DataFrame,
+    value_col: str,
+    bloom: DataFrame,
+    *,
+    m_bits: int = BLOOM_BITS,
+    k: int = BLOOM_HASHES,
+) -> DataFrame:
+    """items → + ``maybe`` (boolean): true iff ALL k probe bits are set.
+
+    Guarantee: an item that WAS added always probes true (no false
+    negatives); a miss probes true with FP rate ≈ (1 − e^{−kn/m})^k.
+    The filter side is ⌈m/60⌉ rows — broadcast, never shuffled.
+    """
+    probes = (
+        items.select(F.col(value_col).alias("_v"))
+        .distinct()
+        .select(
+            "_v",
+            F.explode(
+                F.array(
+                    *[
+                        (_salted60(F.col("_v"), j) % F.lit(m_bits)).alias(
+                            f"b{j}"
+                        )
+                        for j in range(k)
+                    ]
+                )
+            ).alias("bit"),
+        )
+        .select(
+            "_v",
+            F.floor(F.col("bit") / F.lit(_WORD)).cast("long").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {_WORD} AS INT))"
+            ).alias("mask"),
+        )
+    )
+    flags = (
+        probes.join(F.broadcast(bloom), "word", "left")
+        .select(
+            "_v",
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+                == F.col("mask")
+            ).alias("hit"),
+        )
+        .groupBy("_v")
+        .agg(F.min("hit").alias("maybe"))
+    )
+    return items.join(
+        flags.withColumnRenamed("_v", value_col), value_col, "left"
+    )

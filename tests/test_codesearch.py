@@ -471,3 +471,80 @@ def test_transitive_closure_bfs_min_depth(spark):
 
     with _pt.raises(ValueError):
         transitive_closure(edges, seeds, direction="sideways")
+
+
+def test_anchor_tf_propagates_caller_names(spark):
+    """Anchor-text propagation: callers donate the called symbol's
+    subtokens to the DEFINING doc's anchor field, one vote per distinct
+    caller (repeat calls in one file do not stack); self-references and
+    unresolved calls contribute nothing."""
+    from searchenginejava_spark.operators.codesearch import (
+        anchor_tf,
+        extract_call_sites,
+        extract_symbols,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "def key_agg(x):\n    return x"),
+            (1, "y = keyAgg(1)\nz = key_agg(2)"),       # 2 calls, 1 vote
+            (2, "print(KeyAgg(3))"),
+            (3, "key_agg(4)"),
+            (4, "unrelated(5)"),
+            (5, "def solo(q):\n    return solo_helper(q)"),
+        ],
+        "doc_id long, text string",
+    )
+    calls = extract_call_sites(corpus)
+    syms = extract_symbols(corpus)
+    at = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in anchor_tf(calls, syms).collect()
+    }
+    # three distinct callers (1, 2, 3) across naming conventions
+    assert at[(0, "key")] == 3 and at[(0, "agg")] == 3
+    # doc 5 calls solo_helper which nobody defines; solo() defined in 5
+    # is only self-referenced — no anchor rows for doc 5
+    assert not [k for k in at if k[0] == 5]
+    assert set(at) == {(0, "key"), (0, "agg")}
+
+
+def test_anchor_field_lifts_heavily_referenced_definition(spark):
+    """Composed with BM25F: the hub definition outranks a doc whose body
+    merely mentions the query term, once the anchor field's caller
+    evidence is folded in with a field boost — and WITHOUT anchors the
+    order is the body-only one (the lift is attributable)."""
+    from searchenginejava_spark.operators.codesearch import (
+        anchor_tf,
+        extract_call_sites,
+        extract_symbols,
+    )
+    from searchenginejava_spark.operators.fielded import (
+        bm25f_stats,
+        bm25f_topk,
+        fielded_tf,
+    )
+
+    hub = "def merge_postings(a, b):\n    return a"
+    filler = "x = merge buffers merge tables merge runs"
+    rows = [(0, hub), (1, filler)] + [
+        (10 + i, f"out = merge_postings({i})") for i in range(6)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    content = fielded_tf(corpus, {"content": F.col("text")})
+    anchors = anchor_tf(
+        extract_call_sites(corpus), extract_symbols(corpus)
+    )
+    ftf = content.unionByName(anchors)
+    qt = spark.createDataFrame(
+        [(0, "merge", 1)], "query_id int, term string, qtf int"
+    )
+    boosts = {"content": 1.0, "anchor": 2.0}
+    with_anchor = bm25f_topk(
+        qt, ftf, bm25f_stats(ftf), boosts=boosts, k=3
+    ).collect()
+    assert with_anchor[0]["doc_id"] == 0          # the hub wins
+    body_only = bm25f_topk(
+        qt, content, bm25f_stats(content), boosts={"content": 1.0}, k=3
+    ).collect()
+    assert body_only[0]["doc_id"] == 1            # without anchors: filler

@@ -585,3 +585,82 @@ def test_curate_job_license_and_fim_flags(spark, tmp_path):
         for r in spark.read.parquet(out2).select("doc_id").collect()
     )
     assert ids2 == [1, 3, 4]
+
+
+def test_dsir_weights_separate_domains_and_determinism(spark):
+    """DSIR importance weights: docs whose bigrams match the target
+    domain outweigh off-domain docs; zero-bigram docs are omitted;
+    the whole computation is a pure H60 function (partition-invariant)."""
+    from searchenginejava_spark.operators.curation import dsir_weights
+
+    a_rows = [
+        (i, " ".join(["alpha beta gamma delta"] * 4), "tgt")
+        for i in range(20)
+    ]
+    b_rows = [
+        (100 + i, " ".join(["omega psi chi phi"] * 4), "raw")
+        for i in range(20)
+    ]
+    corpus = spark.createDataFrame(
+        a_rows + b_rows + [(999, "single", "raw")],
+        "doc_id long, text string, dom string",
+    )
+    w = dsir_weights(corpus, F.col("dom") == "tgt", n_buckets=512)
+    rows = {r["doc_id"]: r for r in w.collect()}
+    assert 999 not in rows                       # <2 tokens: no evidence
+    wa = [rows[i]["weight"] for i in range(20)]
+    wb = [rows[100 + i]["weight"] for i in range(20)]
+    assert min(wa) > max(wb)                     # clean domain separation
+    assert all(rows[i]["n_feats"] == 15 for i in range(20))
+
+    again = dsir_weights(
+        corpus.repartition(7), F.col("dom") == "tgt", n_buckets=512
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, w.collect())
+    )
+
+
+def test_dsir_weights_hand_computed(spark):
+    """Exact arithmetic pinned on a 3-doc corpus: bucket counts, add-one
+    smoothing, and the per-doc ln-ratio sum replicated in pure Python
+    with the same md5-derived buckets."""
+    import hashlib
+    import math
+
+    from searchenginejava_spark.operators.curation import dsir_weights
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c", True), (2, "a b", False), (3, "b c", False)],
+        "doc_id long, text string, t boolean",
+    )
+    B = 64
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    grams = {1: ["a b", "b c"], 2: ["a b"], 3: ["b c"]}
+    c_r, c_t = {}, {}
+    for d, gs in grams.items():
+        for g in gs:
+            b = bucket(g)
+            c_r[b] = c_r.get(b, 0) + 1
+            if d == 1:
+                c_t[b] = c_t.get(b, 0) + 1
+    n_r, n_t = sum(c_r.values()), sum(c_t.values())
+    want = {}
+    for d, gs in grams.items():
+        s = 0.0
+        for g in gs:
+            b = bucket(g)
+            s += math.log((c_t.get(b, 0) + 1) / (n_t + B)) - math.log(
+                (c_r[b] + 1) / (n_r + B)
+            )
+        want[d] = round(s, 6)
+    got = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_weights(
+            corpus, F.col("t"), n_buckets=B
+        ).collect()
+    }
+    assert got == pytest.approx(want)

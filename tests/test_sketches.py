@@ -1,0 +1,155 @@
+"""Mergeable sketches (operators/sketches.py): HyperLogLog estimates
+within theory error and merges exactly; count–min is one-sided within
+εN; Bloom has zero false negatives and a small measured FP rate. All
+three must be deterministic across partitioning (pure H60 functions)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from searchenginejava_spark.operators.sketches import (
+    bloom_build,
+    bloom_probe,
+    cms_estimate,
+    cms_sketch,
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
+)
+
+TESTDATA = "/root/testdata/sf0.001"
+
+
+def _tokens(spark):
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+        ).alias("term"),
+    )
+
+
+def test_hll_estimate_within_theory_error(spark):
+    ev = spark.read.parquet(f"{TESTDATA}/events.parquet")
+    exact = ev.select("user_id").distinct().count()
+    sk = hll_sketch(ev, "user_id", m=256)
+    est = hll_estimate(sk, m=256).collect()[0]["est"]
+    # 1.04/sqrt(256) = 6.5% standard error; allow 3 sigma
+    assert abs(est - exact) / exact < 3 * 1.04 / math.sqrt(256), (est, exact)
+
+
+def test_hll_grouped_and_register_bounds(spark):
+    tok = _tokens(spark)
+    grouped = hll_sketch(tok, "term", group_cols=("doc_id",), m=256)
+    regs = grouped.agg(
+        F.min("register"), F.max("register"), F.min("bucket"), F.max("bucket")
+    ).collect()[0]
+    assert regs[0] >= 1 and regs[1] <= 53          # 60-8 bits + 1
+    assert regs[2] >= 0 and regs[3] <= 255
+    ests = {
+        r["doc_id"]: r["est"]
+        for r in hll_estimate(
+            grouped, group_cols=("doc_id",), m=256
+        ).collect()
+    }
+    exact = {
+        r["doc_id"]: r["n"]
+        for r in tok.groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("n"))
+        .collect()
+    }
+    rel = [abs(ests[d] - n) / n for d, n in exact.items()]
+    assert sum(rel) / len(rel) < 0.10              # mean rel err ~6.5%
+
+
+def test_hll_merge_is_exact_and_partition_invariant(spark):
+    ev = spark.read.parquet(f"{TESTDATA}/events.parquet")
+    lo = ev.filter(F.col("event_id") % 2 == 0)
+    hi = ev.filter(F.col("event_id") % 2 == 1)
+    merged = hll_merge(
+        hll_sketch(lo, "user_id"), hll_sketch(hi, "user_id")
+    )
+    whole = hll_sketch(ev, "user_id")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    again = hll_sketch(ev.repartition(13), "user_id")
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_hll_empty_input_estimates_zero(spark):
+    ev = spark.read.parquet(f"{TESTDATA}/events.parquet").filter("false")
+    est = hll_estimate(hll_sketch(ev, "user_id")).collect()[0]["est"]
+    assert est == 0.0
+
+
+def test_cms_one_sided_within_eps_n(spark):
+    tok = _tokens(spark)
+    n_total = tok.count()
+    sk = cms_sketch(tok, "term", d=4, w=1024)
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    probed = cms_estimate(sk, exact, "term", d=4, w=1024).collect()
+    eps_n = math.e / 1024 * n_total
+    for r in probed:
+        assert r["est"] >= r["cf"], r          # NEVER underestimates
+        assert r["est"] - r["cf"] <= 3 * eps_n, r
+
+    # merge = cell-wise sum (union + re-agg) == whole-corpus sketch
+    lo = cms_sketch(tok.filter(F.col("doc_id") % 2 == 0), "term")
+    hi = cms_sketch(tok.filter(F.col("doc_id") % 2 == 1), "term")
+    summed = (
+        lo.unionByName(hi)
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    assert sorted(map(tuple, summed.collect())) == sorted(
+        map(tuple, sk.collect())
+    )
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    tok = _tokens(spark)
+    added = tok.filter(F.col("doc_id") < 50).select("term").distinct()
+    bloom = bloom_build(added, "term")
+    n_words = bloom.count()
+    assert n_words <= (16384 + 59) // 60
+
+    # every added item probes true — the Bloom contract
+    hits = bloom_probe(added, "term", bloom)
+    assert hits.filter(~F.col("maybe")).count() == 0
+
+    # measured FP rate on known-absent probes ≈ (1 - e^{-kn/m})^k
+    absent = spark.range(0, 1000).select(
+        F.concat(F.lit("zz_absent_"), F.col("id").cast("string")).alias(
+            "term"
+        )
+    )
+    fp = bloom_probe(absent, "term", bloom).filter("maybe").count()
+    n = added.count()
+    expected = (1.0 - math.exp(-3.0 * n / 16384.0)) ** 3
+    assert fp / 1000.0 < max(0.05, 3 * expected), (fp, n, expected)
+
+
+def test_bloom_prefilter_semantics_vs_exact_join(spark):
+    """The join-pruning use: probe the corpus term relation against a
+    blocklist Bloom — every true member is kept (no lost rows), and the
+    survivor set is small enough to make the exact join cheap."""
+    tok = _tokens(spark)
+    block = tok.filter(F.col("doc_id") == 3).select("term").distinct()
+    bloom = bloom_build(block, "term")
+    flagged = bloom_probe(
+        tok.select("doc_id", "term"), "term", bloom
+    ).filter("maybe")
+    exact = tok.join(block, "term").select("doc_id", "term")
+    # prefilter ⊇ exact membership (no false negatives on a relation)
+    missing = exact.join(
+        flagged.select("doc_id", "term"), ["doc_id", "term"], "left_anti"
+    ).count()
+    assert missing == 0
+    # and it actually prunes: the maybe-set is far below the corpus
+    assert flagged.count() < tok.count()

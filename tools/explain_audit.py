@@ -1557,6 +1557,90 @@ def main() -> None:
          p_q8 + "\n\n" + p_fim + "\n\n" + p_syn, checks)
     )
 
+    # 37. wave-19 (r5): mergeable sketches (HLL / count–min / Bloom),
+    # DSIR importance weights, anchor-text propagation — the claims:
+    # every sketch is ONE hash agg whose shuffle carries cells (not
+    # data), probes/estimates broadcast the sketch side, and everything
+    # stays native (the whole wave is H60 integer arithmetic).
+    from searchenginejava_spark.operators.codesearch import (
+        anchor_tf,
+        extract_call_sites,
+        extract_symbols,
+    )
+    from searchenginejava_spark.operators.curation import dsir_weights
+    from searchenginejava_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+        cms_estimate,
+        cms_sketch,
+        hll_sketch,
+    )
+
+    tok_sk = corpus.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    p_hll = plan_of(hll_sketch(tok_sk, "term"))
+    sk_cms = cms_sketch(tok_sk, "term")
+    p_cms = plan_of(
+        cms_estimate(sk_cms, tok_sk.select("term").distinct(), "term")
+    )
+    bl = bloom_build(tok_sk.filter(F.col("doc_id") < 20), "term")
+    p_bl = plan_of(bloom_probe(tok_sk.select("term").distinct(), "term", bl))
+    p_ds = plan_of(dsir_weights(corpus, F.col("doc_id") % 2 == 0))
+    p_at = plan_of(
+        anchor_tf(extract_call_sites(corpus), extract_symbols(corpus))
+    )
+    wave19 = p_hll + "\n\n" + p_cms + "\n\n" + p_bl + "\n\n" + p_ds
+    checks = [
+        (
+            "HLL register file: ONE Exchange (partial+final max agg — "
+            "the shuffle carries ≤ groups·m register cells, not data)",
+            n_nodes(p_hll, "Exchange") == 1
+            and n_nodes(p_hll, "HashAggregate") == 2,
+            "",
+        ),
+        (
+            "count–min estimate: the d×w sketch side broadcasts "
+            "(probe never shuffles the corpus relation by cell)",
+            "BroadcastHashJoin" in p_cms,
+            "",
+        ),
+        (
+            "Bloom probe: the ⌈m/60⌉-word filter broadcasts",
+            "BroadcastHashJoin" in p_bl,
+            "",
+        ),
+        (
+            "sketches: zero Python crossings anywhere (pure H60 "
+            "integer arithmetic)",
+            all(
+                "ArrowEvalPython" not in p and "MapInPandas" not in p
+                for p in (p_hll, p_cms, p_bl)
+            ),
+            "",
+        ),
+        (
+            "DSIR: the ≤ n_buckets log-ratio relation broadcasts back "
+            "into the feature relation; zero Python crossings",
+            "BroadcastHashJoin" in p_ds
+            and "ArrowEvalPython" not in p_ds
+            and "MapInPandas" not in p_ds,
+            "",
+        ),
+        (
+            "anchor_tf: partial+final agg, zero Python crossings "
+            "(regexp extraction + equi-join + countDistinct, all native)",
+            n_nodes(p_at, "HashAggregate") >= 2
+            and "ArrowEvalPython" not in p_at
+            and "MapInPandas" not in p_at,
+            "",
+        ),
+    ]
+    sections.append(
+        ("wave-19: sketches (HLL/CMS/Bloom) + DSIR + anchor text",
+         wave19 + "\n\n" + p_at, checks)
+    )
+
     ok = True
     out = ["# PLANS.md — physical-plan audit (generated by tools/explain_audit.py)", ""]
     for title, plan, cks in sections:
