@@ -647,3 +647,41 @@ def dsir_weights(
             F.round(F.sum("lr"), 6).alias("weight"),
         )
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic stratified sample: the ``n_per_stratum`` rows with
+    the smallest H60(seed ‖ ':' ‖ id) WITHIN each stratum → all input
+    columns + ``r`` (1..n inside the stratum, hash order).
+
+    The eval-set/holdout primitive at corpus scale: "5 uniform docs per
+    language / per source / per license bucket", reproducible
+    bit-for-bit on any engine and at any parallelism (unlike
+    ``df.sample``, whose draw depends on partitioning), and stable
+    under corpus growth in the bottom-k sense — a doc's rank key never
+    changes, so adding new docs only displaces samples at the boundary.
+
+    Scale shape: ONE hash shuffle on the stratum key, then a bounded
+    per-stratum window (row_number over the hash order, filter ≤ n).
+    Skewed strata cost their row count in the sort, not in memory —
+    windows stream per key. No driver-side loops, no collect.
+    """
+    from .dedup import str_hash60
+
+    h = str_hash60(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(strata_col).orderBy("_h", id_col)
+    return (
+        df.withColumn("_h", h)
+        .withColumn("r", F.row_number().over(w).cast("int"))
+        .filter(F.col("r") <= n_per_stratum)
+        .drop("_h")
+    )

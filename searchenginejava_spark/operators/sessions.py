@@ -279,3 +279,48 @@ def funnel(events: DataFrame, steps: list[str]) -> DataFrame:
     for f in frontiers:
         f.unpersist()
     return out
+
+
+def pipeline_aggs(
+    events: DataFrame,
+    *,
+    window_minutes: int = 60,
+    moving_window: int = 3,
+) -> DataFrame:
+    """ES pipeline aggregations over a date histogram — per event_type:
+    (window_start_us, event_type, n_events, derivative, cumulative,
+    moving_avg). The ES `derivative` / `cumulative_sum` / `moving_fn`
+    sub-aggregations reconstructed as window functions over the rollup:
+
+        derivative  = n − lag(n)        (null for each series' first
+                                         bucket, per ES)
+        cumulative  = running Σ n
+        moving_avg  = avg over the trailing ``moving_window`` buckets
+                      (current included — ES moving_fn with
+                      window=W, shift=1)
+
+    Buckets are the OBSERVED ones (sparse histogram) ordered by time —
+    derivative/moving windows step over present buckets, which is ES's
+    behavior with min_doc_count=1.
+
+    Scale shape: the histogram itself is the event_rollup agg (one
+    corpus-sized partial+final agg down to |buckets|·|types| rows);
+    the pipeline step is three window functions over that TINY relation
+    partitioned by event_type — per-series sorts of bucket-count rows,
+    never a second pass over the events. Exactly how ES computes
+    pipeline aggs (on the bucket array, not the documents).
+    """
+    hist = event_rollup(events, window_minutes=window_minutes)
+    w = Window.partitionBy("event_type").orderBy("window_start_us")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_mov = w.rowsBetween(-(int(moving_window) - 1), Window.currentRow)
+    return hist.select(
+        "window_start_us",
+        "event_type",
+        "n_events",
+        (F.col("n_events") - F.lag("n_events").over(w))
+        .cast("long")
+        .alias("derivative"),
+        F.sum("n_events").over(w_cum).cast("long").alias("cumulative"),
+        F.round(F.avg("n_events").over(w_mov), 6).alias("moving_avg"),
+    )

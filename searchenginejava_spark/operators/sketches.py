@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import str_hash60
@@ -330,4 +330,133 @@ def bloom_probe(
     )
     return items.join(
         flags.withColumnRenamed("_v", value_col), value_col, "left"
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) — mergeable distinct-count sketch AND deterministic sample
+# ---------------------------------------------------------------------------
+
+KMV_K = 256
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str | Column,
+    *,
+    k: int = KMV_K,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(group_cols…, pos, h) — the k SMALLEST distinct H60 hashes of the
+    values, pos = 1..k ascending ([L:Bar-Yossef et al., RANDOM 2002 —
+    "Counting distinct elements in a data stream", the KMV/bottom-k
+    estimator]; Beyer et al. SIGMOD 2007 for the unbiased (k−1)/u_k
+    form and exact mergeability).
+
+    Why a THIRD cardinality sketch next to HLL: bottom-k is
+    simultaneously (a) a distinct-count estimate and (b) a uniform
+    DISTINCT sample — the hash order is a random permutation of the
+    value universe, so the k smallest ARE k uniform draws without
+    replacement. One artifact answers "how many?" and "show me a fair
+    sample" — and two corpora's sketches union into the sketch of the
+    union (take the k smallest of the merged set — exact, no
+    approximation stacking).
+
+    Plan shape (ungrouped): distinct → ``ORDER BY h LIMIT k``, which
+    Spark executes as TakeOrderedAndProject — per-partition bottom-k
+    then a k-row driver merge, NO global sort shuffle. Grouped: one
+    hash shuffle on the group key, per-group bounded window.
+    """
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    hashed = df.select(
+        *group_cols, str_hash60(c.cast("string")).alias("h")
+    ).distinct()
+    if not group_cols:
+        topk = hashed.orderBy("h").limit(k)
+        w = Window.orderBy("h")
+    else:
+        w_rank = Window.partitionBy(*group_cols).orderBy("h")
+        topk = hashed.withColumn(
+            "pos", F.row_number().over(w_rank)
+        ).filter(F.col("pos") <= k).drop("pos")
+        w = Window.partitionBy(*group_cols).orderBy("h")
+    return topk.select(
+        *group_cols,
+        F.row_number().over(w).cast("int").alias("pos"),
+        "h",
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Union → distinct → re-take the k smallest per group: KMV merge is
+    EXACT (merge(sk(A), sk(B)) == sk(A ∪ B) bit-for-bit), the property
+    that lets per-segment/per-day sketches fold without re-reading."""
+    if not sketches:
+        raise ValueError("nothing to merge")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    group_cols = tuple(c for c in out.columns if c not in ("pos", "h"))
+    hashed = out.select(*group_cols, "h").distinct()
+    if not group_cols:
+        hashed = hashed.orderBy("h").limit(k)
+    w = (
+        Window.partitionBy(*group_cols).orderBy("h")
+        if group_cols
+        else Window.orderBy("h")
+    )
+    ranked = hashed.select(
+        *group_cols, F.row_number().over(w).cast("int").alias("pos"), "h"
+    )
+    return ranked.filter(F.col("pos") <= k)
+
+
+def kmv_estimate(
+    sketch: DataFrame,
+    *,
+    k: int = KMV_K,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Sketch → (group_cols…, est): the unbiased (k−1)/u_k estimator
+    with u_k = h_k / 2^60 — i.e. est = (k−1)·2^60 / h_k, ONE double
+    division on integer inputs. If the sketch holds fewer than k hashes
+    the count is exact (est = n_present)."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.max("h").cast("long").alias("h_k"),
+    )
+    est = F.when(
+        F.col("n_present") < k, F.col("n_present").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(1 << 60))
+        / F.col("h_k").cast("double")
+    )
+    return agg.select(*group_cols, F.round(est, 4).alias("est"))
+
+
+def bottomk_sample(
+    df: DataFrame,
+    n: int,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """A uniform n-row sample of ``df``, DETERMINISTIC and engine- and
+    partitioning-invariant: rank every row by H60(seed ‖ ':' ‖ id) and
+    keep the n smallest (ties broken by id). The same (seed, n) always
+    selects the same rows — on this engine, on DuckDB, at any cluster
+    size — which is what an eval-set/holdout cut needs (Spark's own
+    ``df.sample`` is seed×partitioning dependent).
+
+    Executes as TakeOrderedAndProject (per-partition bottom-n + n-row
+    merge), never a full sort. Output keeps all input columns plus the
+    rank ``r`` (1..n in hash order).
+    """
+    ranked = df.withColumn(
+        "_h", _salted60(F.col(id_col), seed)
+    ).orderBy("_h", id_col).limit(n)
+    w = Window.orderBy("_h", id_col)
+    return (
+        ranked.withColumn("r", F.row_number().over(w).cast("int"))
+        .drop("_h")
     )

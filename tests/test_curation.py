@@ -664,3 +664,44 @@ def test_dsir_weights_hand_computed(spark):
         ).collect()
     }
     assert got == pytest.approx(want)
+
+
+def test_stratified_sample_deterministic_per_stratum(spark):
+    """5 per stratum, hash-deterministic: identical at any partitioning,
+    short strata keep all their rows, ranks are 1..n within stratum, and
+    the draw is stable under corpus growth except at the rank boundary."""
+    from searchenginejava_spark.operators.curation import stratified_sample
+
+    rows = [(i, f"text {i}", ["en", "de", "fr"][i % 3]) for i in range(60)]
+    rows += [(1000, "only one", "zz")]           # short stratum
+    corpus = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    s = stratified_sample(corpus, "lang", 5, seed=7)
+    got = {(r["lang"], r["doc_id"]): r["r"] for r in s.collect()}
+    per = {}
+    for (lang, _), r in got.items():
+        per.setdefault(lang, []).append(r)
+    assert {k: sorted(v) for k, v in per.items()} == {
+        "en": [1, 2, 3, 4, 5], "de": [1, 2, 3, 4, 5],
+        "fr": [1, 2, 3, 4, 5], "zz": [1],
+    }
+    again = stratified_sample(corpus.repartition(11), "lang", 5, seed=7)
+    assert {
+        (r["lang"], r["doc_id"]): r["r"] for r in again.collect()
+    } == got
+    # bottom-k stability: doubling a stratum only displaces at the
+    # boundary — every surviving doc keeps its relative hash order
+    grown = corpus.unionByName(
+        spark.createDataFrame(
+            [(2000 + i, "new", "en") for i in range(60)],
+            "doc_id long, text string, lang string",
+        )
+    )
+    s2 = {
+        r["doc_id"]: r["r"]
+        for r in stratified_sample(grown, "lang", 5, seed=7)
+        .filter(F.col("lang") == "en").collect()
+    }
+    kept = [d for (lg, d) in got if lg == "en" and d in s2]
+    orig_order = sorted(kept, key=lambda d: got[("en", d)])
+    new_order = sorted(kept, key=lambda d: s2[d])
+    assert orig_order == new_order

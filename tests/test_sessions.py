@@ -254,3 +254,54 @@ def test_session_cooccurrence_pairs_once_and_pruned(spark):
     assert (
         session_cooccurrence(_evp(spark, rows), min_sessions=2).count() == 0
     )
+
+
+def test_pipeline_aggs_hand_computed(spark):
+    """derivative/cumulative/moving_avg pinned on a 1-type, 4-bucket
+    histogram with a GAP — windows step over observed buckets (ES
+    min_doc_count=1 semantics), derivative is null on the first."""
+    from searchenginejava_spark.operators.sessions import pipeline_aggs
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows = []
+    eid = 0
+    # bucket counts: hour0 → 2, hour1 → 5, hour3 → 1 (hour2 empty)
+    for n, off in ((2, 0), (5, 1), (1, 3)):
+        for _ in range(n):
+            rows.append((eid, t0 + off * h, 1, "view", 1.0))
+            eid += 1
+    out = {
+        r["window_start_us"]: r
+        for r in pipeline_aggs(
+            _ev(spark, rows), window_minutes=60, moving_window=3
+        ).collect()
+    }
+    us = 3_600_000_000
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    b0, b1, b3 = base, base + 1 * us, base + 3 * us
+    assert out[b0]["derivative"] is None
+    assert out[b1]["derivative"] == 3
+    assert out[b3]["derivative"] == -4          # steps over the gap
+    assert [out[b]["cumulative"] for b in (b0, b1, b3)] == [2, 7, 8]
+    assert out[b0]["moving_avg"] == 2.0
+    assert out[b1]["moving_avg"] == 3.5
+    assert out[b3]["moving_avg"] == round(8 / 3, 6)
+
+
+def test_pipeline_aggs_partitions_by_type(spark):
+    """Each event_type is its own series: windows never leak across."""
+    from searchenginejava_spark.operators.sessions import pipeline_aggs
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows = [
+        (0, t0, 1, "view", 1.0),
+        (1, t0 + h, 1, "view", 1.0),
+        (2, t0 + h, 1, "click", 1.0),
+    ]
+    out = pipeline_aggs(_ev(spark, rows), window_minutes=60)
+    click = [r for r in out.collect() if r["event_type"] == "click"]
+    assert len(click) == 1
+    assert click[0]["derivative"] is None        # first of ITS series
+    assert click[0]["cumulative"] == 1

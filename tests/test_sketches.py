@@ -153,3 +153,100 @@ def test_bloom_prefilter_semantics_vs_exact_join(spark):
     assert missing == 0
     # and it actually prunes: the maybe-set is far below the corpus
     assert flagged.count() < tok.count()
+
+
+# ---------------------------------------------------------------------------
+# KMV / bottom-k
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_estimate_within_theory_error(spark):
+    """KMV with n >> k: the (k−1)/u_k estimator lands within 3σ of the
+    true distinct count (σ ≈ n/√(k−2)), and the sketch is exactly the
+    k smallest distinct hashes (pos ascending with h)."""
+    from searchenginejava_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    n = 5000
+    df = spark.range(n).select(
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("v")
+    )
+    k = 256
+    sk = kmv_sketch(df, "v", k=k)
+    rows = sk.orderBy("pos").collect()
+    assert len(rows) == k
+    assert [r["pos"] for r in rows] == list(range(1, k + 1))
+    hs = [r["h"] for r in rows]
+    assert hs == sorted(hs) and len(set(hs)) == k
+    est = kmv_estimate(sk, k=k).collect()[0]["est"]
+    sigma = n / math.sqrt(k - 2)
+    assert abs(est - n) <= 3 * sigma
+
+
+def test_kmv_exact_below_k_and_merge_exact(spark):
+    """Fewer than k distinct values → est is the exact count; and
+    merge(sk(A), sk(B)) == sk(A ∪ B) bit-for-bit (KMV merges exactly)."""
+    from searchenginejava_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    a = spark.range(0, 900).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(600, 1500).select(F.col("id").cast("string").alias("v"))
+    small = spark.range(40).select(F.col("id").cast("string").alias("v"))
+    est_small = kmv_estimate(kmv_sketch(small, "v", k=128), k=128)
+    assert est_small.collect()[0]["est"] == 40.0
+
+    k = 64
+    merged = kmv_merge(kmv_sketch(a, "v", k=k), kmv_sketch(b, "v", k=k), k=k)
+    direct = kmv_sketch(a.unionByName(b), "v", k=k)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_kmv_partition_invariance_and_groups(spark):
+    """The sketch is a pure H60 function of the value SET — identical at
+    any partitioning — and grouped sketches keep k per group."""
+    from searchenginejava_spark.operators.sketches import kmv_sketch
+
+    df = spark.range(2000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.col("id").cast("string").alias("v"),
+    )
+    one = kmv_sketch(df.coalesce(1), "v", k=32, group_cols=("g",))
+    many = kmv_sketch(df.repartition(13), "v", k=32, group_cols=("g",))
+    assert sorted(map(tuple, one.collect())) == sorted(
+        map(tuple, many.collect())
+    )
+    per = {r["g"]: r["n"] for r in one.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {"0": 32, "1": 32}
+
+
+def test_bottomk_sample_deterministic_and_seed_sensitive(spark):
+    """bottomk_sample: same (seed, n) → identical rows at any
+    partitioning; different seeds → (almost surely) different rows;
+    n ≥ rows → everything, ranked."""
+    from searchenginejava_spark.operators.sketches import bottomk_sample
+
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    s1 = bottomk_sample(docs, 10, seed=1).select("doc_id", "r")
+    s1b = bottomk_sample(docs.repartition(7), 10, seed=1).select(
+        "doc_id", "r"
+    )
+    assert sorted(map(tuple, s1.collect())) == sorted(
+        map(tuple, s1b.collect())
+    )
+    s2 = bottomk_sample(docs, 10, seed=2).select("doc_id")
+    ids1 = {r["doc_id"] for r in s1.collect()}
+    ids2 = {r["doc_id"] for r in s2.collect()}
+    assert ids1 != ids2
+    total = docs.count()
+    allr = bottomk_sample(docs, total + 100, seed=1)
+    assert allr.count() == total
+    ranks = sorted(r["r"] for r in allr.select("r").collect())
+    assert ranks == list(range(1, total + 1))

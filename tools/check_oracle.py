@@ -58,10 +58,16 @@ def main() -> int:
     import __spark_entry__ as se
     from pyspark.sql import SparkSession
 
+    # 150+ queries in ONE driver JVM: broadcast blocks / cached plans /
+    # listener state accumulate, and the default 1g heap eventually OOMs
+    # around query ~150 (observed r5). 8g heap + an explicit cache clear
+    # between queries keeps the long tail stable; correctness is
+    # per-query so neither changes any result.
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
         .appName("oracle-check")
         .getOrCreate()
     )
@@ -84,6 +90,7 @@ def main() -> int:
             srows = sdf.collect()
             scols = sdf.columns
         except Exception as exc:  # record the error, keep checking
+            spark.catalog.clearCache()
             failed.append(name)
             record[name] = {
                 "rows_match": False, "schema_match": False,
@@ -92,6 +99,7 @@ def main() -> int:
             }
             print(f"FAIL {name}: spark error {exc}")
             continue
+        spark.catalog.clearCache()
         if name not in oracles:
             print(f"{name}: rows-only check — {len(srows)} rows")
             record[name] = {

@@ -1641,6 +1641,67 @@ def main() -> None:
          wave19 + "\n\n" + p_at, checks)
     )
 
+    # 38. wave-20 (r5): KMV bottom-k + deterministic sampling + ES
+    # pipeline aggs — the claims: bottom-k executes as
+    # TakeOrderedAndProject (per-partition top-k + k-row merge, NO
+    # global sort exchange); pipeline aggs scan events ONCE and fuse
+    # the three window functions into one Window node over the tiny
+    # rollup; stratified sampling is one stratum shuffle + one Window.
+    from searchenginejava_spark.operators.curation import stratified_sample
+    from searchenginejava_spark.operators.sessions import pipeline_aggs
+    from searchenginejava_spark.operators.sketches import (
+        bottomk_sample,
+        kmv_sketch,
+    )
+
+    p_kmv = plan_of(kmv_sketch(tok_sk, "term", k=64))
+    p_bk = plan_of(bottomk_sample(corpus, 10, seed=1))
+    ev_pa = spark.createDataFrame(
+        [(0, __import__("datetime").datetime(2024, 1, 1), 1, "view", 1.0)],
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double",
+    )
+    p_pa = plan_of(pipeline_aggs(ev_pa, window_minutes=60))
+    p_ss = plan_of(stratified_sample(corpus, "lang", 5)) if "lang" in corpus.columns else plan_of(
+        stratified_sample(corpus.withColumn("lang", F.lit("en")), "lang", 5)
+    )
+    checks = [
+        (
+            "KMV bottom-k: TakeOrderedAndProject (per-partition top-k, "
+            "no global-sort Exchange)",
+            "TakeOrderedAndProject" in p_kmv,
+            "",
+        ),
+        (
+            "bottomk_sample: TakeOrderedAndProject, zero Python "
+            "crossings",
+            "TakeOrderedAndProject" in p_bk
+            and "ArrowEvalPython" not in p_bk
+            and "MapInPandas" not in p_bk,
+            "",
+        ),
+        (
+            "pipeline aggs: events scanned ONCE, partial+final rollup "
+            "agg, the three pipeline functions fused into ONE Window "
+            "node",
+            n_nodes(p_pa, "HashAggregate") == 2
+            and n_nodes(p_pa, "Window") == 1,
+            "",
+        ),
+        (
+            "stratified sample: one stratum-key Exchange feeding one "
+            "Window (bounded per-stratum rank), no Python",
+            n_nodes(p_ss, "Window") == 1
+            and "ArrowEvalPython" not in p_ss
+            and "MapInPandas" not in p_ss,
+            "",
+        ),
+    ]
+    sections.append(
+        ("wave-20: KMV bottom-k / deterministic sampling / pipeline aggs",
+         p_kmv + "\n\n" + p_bk + "\n\n" + p_pa + "\n\n" + p_ss, checks)
+    )
+
     ok = True
     out = ["# PLANS.md — physical-plan audit (generated by tools/explain_audit.py)", ""]
     for title, plan, cks in sections:
