@@ -3722,10 +3722,13 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to maximize the union of driver-green rows. union(r03, r04) = 91
 # distinct driver-green queries; this round keeps the same 10
 # core-contract anchors and promotes 40 queries from OUTSIDE that
-# union — all 19 that have never had a driver row in ANY round, plus
-# 21 whose only driver rows date from rounds 1-2 (oldest coverage,
-# code has evolved most since). Every promoted query is green in the
-# builder's local oracle artifact AND the round-4 judge's independent
+# union — the 19 pre-round-5 queries that never had a driver row in
+# ANY round, 13 whose only driver rows date from rounds 1-2 (oldest
+# coverage, code has evolved most since), and the 8 brand-new round-5
+# queries (each is itself a first driver row — the r04-window
+# precedent). Every promoted query is green in the builder's local
+# oracle artifact (CORRECTNESS_LOCAL_r05.json, 159/159); the pre-
+# round-5 ones are also green in the round-4 judge's independent
 # re-run. union(r03, r04, r05) then covers 131 distinct driver-green
 # queries (target ≥130). Everything stays fully oracle-checked locally
 # regardless (tools/check_oracle.py runs all).
@@ -3735,7 +3738,7 @@ _R05_WINDOW = [
     "q_collection_stats", "q_bm25_topk", "q_postings_roundtrip",
     "q_wand_topk", "q_maxscore_topk", "q_impact_topk",
     "q_plan_queries_full",
-    # the 19 queries with NO driver row in any of rounds 1-4
+    # the 19 pre-round-5 queries with NO driver row in rounds 1-4
     "q_boolean_msm", "q_chunk_documents", "q_classic_tfidf",
     "q_collapse_dedup", "q_collocations", "q_cross_repo_dups",
     "q_dedup_clusters_star", "q_doc_term_vectors", "q_federated_search",
@@ -3743,15 +3746,22 @@ _R05_WINDOW = [
     "q_mixture_weights", "q_sample_mixture", "q_session_cooccurrence",
     "q_synonym_search", "q_unigram_nll", "q_vocab_coverage",
     "q_winnow_fingerprints",
-    # 21 queries whose only driver rows are from rounds 1-2
-    "q_phrase_indexed", "q_positional_index", "q_positions_roundtrip",
-    "q_wand_sharded_topk", "q_postings_incremental",
-    "q_compact_postings", "q_dictionary_compressed",
+    # brand-new this round (sketches / data selection / anchor text /
+    # deterministic sampling / pipeline aggs — first driver rows)
+    "q_hll_cardinality", "q_cms_heavy_hitters", "q_bloom_prefilter",
+    "q_dsir_weights", "q_anchor_search", "q_kmv_sample",
+    "q_pipeline_aggs", "q_stratified_sample",
+    # 13 queries whose only driver rows are from rounds 1-2 (the other
+    # eight r1/r2-only rows — postings codec/roundtrip/sharded-WAND/
+    # boolean-filter siblings — stay outside: their families are
+    # anchor-covered every round and they remain judge- and
+    # locally-oracle-checked)
+    "q_phrase_indexed", "q_positional_index",
     "q_image_features", "q_video_frames", "q_media_metadata",
-    "q_fuzzy_search", "q_wildcard_search", "q_term_suggest",
-    "q_snippets", "q_structured_search", "q_boolean_match",
-    "q_bm25_filtered", "q_ann_ivf_topk", "q_ann_lsh_topk",
-    "q_corpus_curation", "q_exact_dedup",
+    "q_fuzzy_search", "q_term_suggest",
+    "q_snippets",
+    "q_ann_ivf_topk", "q_ann_lsh_topk",
+    "q_corpus_curation", "q_exact_dedup", "q_boolean_match",
 ]
 
 # Round-4 window, kept for the rotation audit trail (union bookkeeping).
@@ -3795,7 +3805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    all_q = {
         # -- core driver contract (rounds 1-2 driver-green, keep first;
         #    same-family siblings of these — incremental/compressed-dict/
         #    sharded-WAND/compact/structured/phrase-batch — are r02-green
@@ -4041,6 +4051,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pipeline_aggs": q_pipeline_aggs,
         "q_stratified_sample": q_stratified_sample,
     }
+    return all_q
 
 
 # shared SQL CTEs for the dedup/textstats oracles
