@@ -235,6 +235,14 @@ def measure_pair(n_lo: int, n_hi: int, files_per_proc: int, rounds: int) -> dict
     best_hi = min(r["wall_s"] for r in runs_hi)
     med_lo = statistics.median(r["wall_s"] for r in runs_lo)
     med_hi = statistics.median(r["wall_s"] for r in runs_hi)
+    # per-ROUND efficiency (lo_i/hi_i of the interleaved pair) + its
+    # IQR: shows directly whether any single round's excursion could
+    # drag the median across the gate (VERDICT r04 order #4)
+    per_round = [
+        round(lo["wall_s"] / hi["wall_s"], 3)
+        for lo, hi in zip(runs_lo, runs_hi)
+    ]
+    q = statistics.quantiles(per_round, n=4) if len(per_round) >= 2 else None
     return {
         "n_lo": n_lo,
         "n_hi": n_hi,
@@ -244,6 +252,11 @@ def measure_pair(n_lo: int, n_hi: int, files_per_proc: int, rounds: int) -> dict
         # weak scaling: ideal = identical wall at both levels
         "efficiency_best": round(best_lo / best_hi, 3),
         "efficiency_median": round(med_lo / med_hi, 3),
+        "efficiency_per_round": per_round,
+        "efficiency_round_median": round(statistics.median(per_round), 3),
+        "efficiency_iqr": (
+            [round(q[0], 3), round(q[2], 3)] if q else None
+        ),
         "throughput_lo_best": round(n_lo * files_per_proc / best_lo, 1),
         "throughput_hi_best": round(n_hi * files_per_proc / best_hi, 1),
         "throughput_lo_median": round(n_lo * files_per_proc / med_lo, 1),
