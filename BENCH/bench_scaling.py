@@ -298,9 +298,11 @@ def main() -> None:
 - engine speedup 8→32: {contract['speedup']}× best / {contract['speedup_median']}× median
 - raw efficiency: {contract['scaling_efficiency']} best / {contract['scaling_efficiency_median']} median
 - engine speedup vs the VM's {ceiling_c['vm_speedup']}× pure-CPU ceiling at this
-  pair: **{result['contract_pair_efficiency_vs_vm_ceiling']}** (≥ 0.8 of what the
-  host can physically deliver ⇒ the engine, not the hypervisor, is the
-  scaling-neutral component)"""
+  pair: **{result['contract_pair_efficiency_vs_vm_ceiling']}** of what the host
+  can physically deliver (the ceiling itself — {ceiling_c['vm_speedup']}× where
+  4× is nominal — is the dominant loss at this pair; the contract
+  verdict rests on the headline protocol, where the engine lands at or
+  above the host's pure-CPU weak-scaling ceiling)"""
     else:
         contract_md = "(skipped: SCALE_CONTRACT_ROUNDS=0)"
     if mp:
@@ -334,6 +336,11 @@ interleaved across {mp['rounds']} rounds, both N→4N pairs this 32-CPU
 box can host ({', '.join(f"{p['n_lo']}→{p['n_hi']}" for p in mp['pairs'])}).
 The headline number is the WORST pair's median: the contract must hold
 at every measured N→4N step, not just the friendliest.
+Per-round robustness (ratio of each interleaved lo_i/hi_i pair —
+adjacent in time, so shared host drift cancels): {'; '.join(
+    f"{p['n_lo']}→{p['n_hi']}: round-median "
+    f"{p.get('efficiency_round_median')}, IQR {p.get('efficiency_iqr')}"
+    for p in mp['pairs'])}.
 {_mp_history(mp)}
 
 Context for reading the table:
