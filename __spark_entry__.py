@@ -3705,6 +3705,67 @@ def q_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline_aggs(ev, window_minutes=60, moving_window=3)
 
 
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation cardinalities from two KMV sketches (k=256) over
+    the en- vs de-slice BIGRAM vocabularies (907/888 distinct at
+    sf0.01 — the estimator branch, not the exact one): jaccard +
+    est_union + est_intersection from two 256-row artifacts, with the
+    exact counts alongside — the raw table is never re-read for the
+    estimates."""
+    from searchenginejava_spark.operators.sketches import (
+        kmv_set_estimates,
+        kmv_sketch,
+    )
+
+    docs = _documents(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
+    )
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    big = docs.select("lang", F.explode(grams).alias("g"))
+    big.persist()
+    en = big.filter(F.col("lang") == "en").select("g")
+    de = big.filter(F.col("lang") == "de").select("g")
+    est = kmv_set_estimates(
+        kmv_sketch(en, "g", k=256), kmv_sketch(de, "g", k=256), k=256
+    )
+    exact = (
+        en.withColumn("a", F.lit(1))
+        .distinct()
+        .join(de.withColumn("b", F.lit(1)).distinct(), "g", "full")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("exact_union"),
+            F.sum(
+                (F.col("a").isNotNull() & F.col("b").isNotNull()).cast(
+                    "long"
+                )
+            ).cast("long").alias("exact_intersection"),
+        )
+    )
+    res = est.crossJoin(F.broadcast(exact))
+    res.persist()
+    res.count()
+    big.unpersist()
+    return res
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sample: 20 docs drawn ∝ n_chars by
+    the deterministic key ln((H60(11:doc_id)+1)/2^60)/n_chars, ranked
+    on the ROUNDED key + doc_id tie-break (engine-portable ordering)."""
+    from searchenginejava_spark.operators.sketches import weighted_sample
+
+    docs = _documents(spark, sf_dir)
+    return weighted_sample(docs, 20, "n_chars", seed=11).select(
+        "doc_id", "n_chars", "key", "r"
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample: the 5 docs per language with the
     smallest H60(seed:doc_id) — the engine/partitioning-invariant
@@ -4050,6 +4111,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmv_sample": q_kmv_sample,
         "q_pipeline_aggs": q_pipeline_aggs,
         "q_stratified_sample": q_stratified_sample,
+        "q_kmv_set_ops": q_kmv_set_ops,
+        "q_weighted_sample": q_weighted_sample,
     }
     return all_q
 
@@ -8650,6 +8713,81 @@ def oracle_sql() -> dict[str, str]:
                  6) AS moving_avg
     FROM hist
     WINDOW w AS (PARTITION BY event_type ORDER BY window_start_us)
+    """
+
+    # KMV set operations over en/de bigram vocabularies: both 256-row
+    # sketches, the exact merge (k smallest of the full join), and the
+    # (k−1)·2^60/h_k estimator replayed bit-for-bit; exact counts ride
+    # along from a full-join distinct agg.
+    _kmv_num255 = float(255) * float(1 << 60)
+    _kmv_hg = _HASH60_SQL.format(col="g")
+    sql["q_kmv_set_ops"] = _SQL_TOKL + f"""
+    , big AS (
+      SELECT d.lang, t1.term || ' ' || t2.term AS g
+      FROM tok t1
+      JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+      JOIN documents d ON t1.doc_id = d.doc_id
+      WHERE d.lang IN ('en', 'de')
+    ),
+    ska AS (
+      SELECT DISTINCT {_kmv_hg} AS h FROM big WHERE lang = 'en'
+      ORDER BY h LIMIT 256
+    ),
+    skb AS (
+      SELECT DISTINCT {_kmv_hg} AS h FROM big WHERE lang = 'de'
+      ORDER BY h LIMIT 256
+    ),
+    merged AS (
+      SELECT COALESCE(a.h, b.h) AS h,
+             CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS in_a,
+             CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS in_b
+      FROM ska a FULL JOIN skb b ON a.h = b.h
+      ORDER BY 1 LIMIT 256
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS kk,
+             CAST(max(h) AS BIGINT) AS h_k,
+             CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+      FROM merged
+    ),
+    est AS (
+      SELECT CAST(n_both AS DOUBLE) / CAST(kk AS DOUBLE) AS j,
+             CASE WHEN kk < 256 THEN CAST(kk AS DOUBLE)
+                  ELSE {_kmv_num255!r} / CAST(h_k AS DOUBLE) END AS u
+      FROM agg
+    ),
+    ex AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_union,
+             CAST(sum(a * b) AS BIGINT) AS exact_intersection
+      FROM (SELECT g,
+                   max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS a,
+                   max(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS b
+            FROM big GROUP BY g)
+    )
+    SELECT round(j, 6) AS jaccard, round(u, 4) AS est_union,
+           round(j * u, 4) AS est_intersection,
+           exact_union, exact_intersection
+    FROM est CROSS JOIN ex
+    """
+
+    # Efraimidis–Spirakis weighted sample: key = ln((H60(11:id)+1)/2^60)
+    # / n_chars, rounded to 9 decimals BEFORE ranking (id tie-break)
+    _ws_h = _HASH60_SQL.format(col="concat('11:', CAST(doc_id AS VARCHAR))")
+    sql["q_weighted_sample"] = f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             round(ln(CAST({_ws_h} + 1 AS DOUBLE)
+                      / 1152921504606846976.0)
+                   / CAST(n_chars AS DOUBLE), 9) AS key
+      FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT doc_id, n_chars, key,
+             CAST(row_number() OVER (ORDER BY key DESC, doc_id)
+                  AS INT) AS r
+      FROM keyed
+    )
+    SELECT doc_id, n_chars, key, r FROM ranked WHERE r <= 20
     """
 
     # deterministic stratified sample: 5 docs per lang by H60(7:doc_id)

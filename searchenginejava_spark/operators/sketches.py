@@ -434,6 +434,70 @@ def kmv_estimate(
     return agg.select(*group_cols, F.round(est, 4).alias("est"))
 
 
+def kmv_set_estimates(
+    sk_a: DataFrame,
+    sk_b: DataFrame,
+    *,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Set-operation cardinalities from two ungrouped KMV sketches —
+    WITHOUT touching the data again ([L:Beyer et al., SIGMOD 2007,
+    "On synopses for distinct-value estimation under multiset
+    operations"]): one row
+    (jaccard, est_union, est_intersection, est_only_a, est_only_b).
+
+    Method: merge the sketches (k smallest of the union — exact), then
+    over those k survivors count how many appear in BOTH inputs: that
+    fraction is an unbiased Jaccard estimate because the merged sketch
+    is a uniform sample of A ∪ B under the hash order.
+
+        Ĵ        = |merged ∩ A ∩ B| / k'   (k' = merged size)
+        |A ∪ B|  = (k'−1)·2^60 / h_k'      (the KMV estimator)
+        |A ∩ B|  = Ĵ · |A ∪ B|             (and differences by share)
+
+    All arithmetic is exact-integer until the final divisions, so the
+    DuckDB oracle replays it bit-for-bit. The answer to "how many
+    distinct users did A AND B / A OR B / only A" at 100 TB: two
+    k-row artifacts and a k-row join — the raw tables are never
+    re-read.
+    """
+    a = sk_a.select(F.col("h").alias("h"), F.lit(1).alias("in_a"))
+    b = sk_b.select(F.col("h").alias("h"), F.lit(1).alias("in_b"))
+    merged = (
+        a.join(b, "h", "full")
+        .select(
+            "h",
+            F.coalesce("in_a", F.lit(0)).alias("in_a"),
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+        )
+        .orderBy("h")
+        .limit(k)
+    )
+    agg = merged.agg(
+        F.count(F.lit(1)).cast("long").alias("kk"),
+        F.max("h").cast("long").alias("h_k"),
+        F.sum((F.col("in_a") * F.col("in_b")).cast("long"))
+        .cast("long")
+        .alias("n_both"),
+    )
+    union_full = (
+        # both inputs exhaustive (< k hashes each) → the merge IS the
+        # union: exact count, no estimator
+        F.when(
+            F.col("kk") < k, F.col("kk").cast("double")
+        ).otherwise(
+            F.lit(float(k - 1)) * F.lit(float(1 << 60))
+            / F.col("h_k").cast("double")
+        )
+    )
+    jac = F.col("n_both").cast("double") / F.col("kk").cast("double")
+    return agg.select(
+        F.round(jac, 6).alias("jaccard"),
+        F.round(union_full, 4).alias("est_union"),
+        F.round(jac * union_full, 4).alias("est_intersection"),
+    )
+
+
 def bottomk_sample(
     df: DataFrame,
     n: int,
@@ -460,3 +524,46 @@ def bottomk_sample(
         ranked.withColumn("r", F.row_number().over(w).cast("int"))
         .drop("_h")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weight-proportional sample without replacement —
+    the Efraimidis–Spirakis A-ES scheme ([L:Efraimidis & Spirakis,
+    IPL 2006, "Weighted random sampling with a reservoir"]): each row
+    draws u = (H60(seed:id)+1)/2^60 ∈ (0,1] and is ranked by
+
+        key = ln(u) / w        (take the n LARGEST keys)
+
+    which selects row i with probability proportional to w_i among the
+    remaining rows — the exact distributed analog of weighted reservoir
+    sampling, with the reservoir replaced by a bottom-n
+    (TakeOrderedAndProject: per-partition top-n + an n-row merge, no
+    global sort, no sequential pass).
+
+    Engine-portability: ranking uses the key ROUNDED to 9 decimals with
+    the id as tie-break (the int8-kNN lesson — never order by a raw
+    float an oracle must reproduce); u is integer-derived so both
+    engines round the same integer to the same double, and ln enters
+    once. Rows with non-positive weight are excluded (zero selection
+    mass). Output: all input columns + ``key`` (rounded) + ``r``.
+    """
+    u = (
+        (_salted60(F.col(id_col), seed) + F.lit(1)).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    ranked = (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("key", key)
+        .orderBy(F.desc("key"), id_col)
+        .limit(n)
+    )
+    w = Window.orderBy(F.desc("key"), id_col)
+    return ranked.withColumn("r", F.row_number().over(w).cast("int"))

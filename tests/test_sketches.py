@@ -250,3 +250,67 @@ def test_bottomk_sample_deterministic_and_seed_sensitive(spark):
     assert allr.count() == total
     ranks = sorted(r["r"] for r in allr.select("r").collect())
     assert ranks == list(range(1, total + 1))
+
+
+def test_kmv_set_estimates_accuracy_and_edges(spark):
+    """Known 1/3 overlap at n >> k: jaccard/union/intersection estimates
+    land within ~3σ; identical inputs → jaccard exactly 1.0; small
+    disjoint inputs take the exact (below-k) branch."""
+    from searchenginejava_spark.operators.sketches import (
+        kmv_set_estimates,
+        kmv_sketch,
+    )
+
+    k = 256
+    a = spark.range(0, 1000).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(500, 1500).select(F.col("id").cast("string").alias("v"))
+    r = kmv_set_estimates(
+        kmv_sketch(a, "v", k=k), kmv_sketch(b, "v", k=k), k=k
+    ).collect()[0]
+    sig_j = math.sqrt((1 / 3) * (2 / 3) / k)
+    assert abs(r["jaccard"] - 1 / 3) <= 3.5 * sig_j
+    assert abs(r["est_union"] - 1500) <= 3.5 * 1500 / math.sqrt(k - 2)
+    assert abs(r["est_intersection"] - 500) <= 3.5 * (
+        1500 / math.sqrt(k - 2)
+    )
+
+    same = kmv_set_estimates(
+        kmv_sketch(a, "v", k=k), kmv_sketch(a, "v", k=k), k=k
+    ).collect()[0]
+    assert same["jaccard"] == 1.0
+
+    s1 = spark.range(0, 30).select(F.col("id").cast("string").alias("v"))
+    s2 = spark.range(100, 140).select(F.col("id").cast("string").alias("v"))
+    dj = kmv_set_estimates(
+        kmv_sketch(s1, "v", k=k), kmv_sketch(s2, "v", k=k), k=k
+    ).collect()[0]
+    assert dj["jaccard"] == 0.0
+    assert dj["est_union"] == 70.0      # below-k branch: exact
+    assert dj["est_intersection"] == 0.0
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    """A-ES: heavy-weight rows dominate the draw; the draw is identical
+    at any partitioning; non-positive weights are excluded; ranks are
+    1..n with keys non-increasing."""
+    from searchenginejava_spark.operators.sketches import weighted_sample
+
+    rows = [(i, 100.0) for i in range(500)] + [
+        (1000 + i, 1.0) for i in range(500)
+    ] + [(9000, 0.0), (9001, -3.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    s = weighted_sample(df, 50, "w", seed=3)
+    got = s.collect()
+    assert len(got) == 50
+    ids = {r["doc_id"] for r in got}
+    assert 9000 not in ids and 9001 not in ids
+    heavy = sum(1 for i in ids if i < 500)
+    assert heavy >= 42                    # ~99% of mass is heavy
+    ranks = sorted(r["r"] for r in got)
+    assert ranks == list(range(1, 51))
+    by_r = sorted(got, key=lambda r: r["r"])
+    keys = [r["key"] for r in by_r]
+    assert all(a >= b for a, b in zip(keys, keys[1:]))
+
+    again = weighted_sample(df.repartition(9), 50, "w", seed=3)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, got))

@@ -1702,6 +1702,53 @@ def main() -> None:
          p_kmv + "\n\n" + p_bk + "\n\n" + p_pa + "\n\n" + p_ss, checks)
     )
 
+    # 39. wave-21 (r5): KMV set operations + A-ES weighted sampling —
+    # the claims: estimates come from the two k-row sketch relations
+    # only (full join + bottom-k — the data is never re-read), and the
+    # weighted draw is a TakeOrderedAndProject like every bottom-k.
+    from searchenginejava_spark.operators.sketches import (
+        kmv_set_estimates,
+        weighted_sample,
+    )
+
+    ska = kmv_sketch(tok_sk.filter(F.col("doc_id") % 2 == 0), "term", k=64)
+    skb = kmv_sketch(tok_sk.filter(F.col("doc_id") % 2 == 1), "term", k=64)
+    p_so = plan_of(kmv_set_estimates(ska, skb, k=64))
+    p_ws = plan_of(
+        weighted_sample(
+            corpus.withColumn("w", F.length("text").cast("double")),
+            10,
+            "w",
+        )
+    )
+    checks = [
+        (
+            "KMV set ops: the k-row merge is a TakeOrderedAndProject "
+            "over the joined sketches (never a global sort, never a "
+            "re-read of the data relation)",
+            "TakeOrderedAndProject" in p_so,
+            "",
+        ),
+        (
+            "KMV set ops + weighted sample: zero Python crossings",
+            all(
+                "ArrowEvalPython" not in p and "MapInPandas" not in p
+                for p in (p_so, p_ws)
+            ),
+            "",
+        ),
+        (
+            "weighted sample (A-ES): per-partition bottom-n + n-row "
+            "merge (TakeOrderedAndProject)",
+            "TakeOrderedAndProject" in p_ws,
+            "",
+        ),
+    ]
+    sections.append(
+        ("wave-21: KMV set operations + weighted (A-ES) sampling",
+         p_so + "\n\n" + p_ws, checks)
+    )
+
     ok = True
     out = ["# PLANS.md — physical-plan audit (generated by tools/explain_audit.py)", ""]
     for title, plan, cks in sections:
