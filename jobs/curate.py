@@ -84,9 +84,39 @@ def main(argv: list[str] | None = None) -> int:
         "rows carry (fim, sample)",
     )
     p.add_argument("--fim-mode", choices=["psm", "spm"], default="psm")
+    # DSIR domain selection (operators/curation.py::dsir_weights): keep
+    # docs whose hashed-bigram importance weight against the target
+    # slice (--dsir-target-col == --dsir-target-value) clears
+    # --dsir-min-weight. An absolute threshold keeps the cut
+    # deterministic and partitioning-invariant (a top-frac cut would
+    # need a global weight sort). Docs with < 2 tokens carry no bigram
+    # evidence and are dropped by this stage.
+    p.add_argument("--dsir-target-col", default=None)
+    p.add_argument("--dsir-target-value", default=None)
+    p.add_argument("--dsir-min-weight", type=float, default=0.0)
+    p.add_argument("--dsir-buckets", type=int, default=4096)
+    # deterministic stratified holdout split (curation.py::
+    # stratified_sample): N docs per --holdout-col stratum go to
+    # --holdout-output, anti-joined out of the main output — same split
+    # at any cluster size / seed, and chunk rows of a held-out doc are
+    # held out wholesale (no train/eval leakage through chunking).
+    p.add_argument("--holdout-per-stratum", type=int, default=None)
+    p.add_argument("--holdout-col", default="lang")
+    p.add_argument("--holdout-seed", type=int, default=0)
+    p.add_argument("--holdout-output", default=None)
     args = p.parse_args(argv)
     if args.pack_window and args.chunk_tokens:
         p.error("--pack-window and --chunk-tokens are mutually exclusive")
+    if bool(args.dsir_target_col) != bool(args.dsir_target_value):
+        p.error("--dsir-target-col and --dsir-target-value go together")
+    if args.holdout_per_stratum and not args.holdout_output:
+        p.error("--holdout-per-stratum needs --holdout-output")
+    if args.holdout_per_stratum and args.pack_window:
+        p.error(
+            "--holdout-per-stratum and --pack-window are mutually "
+            "exclusive (packed windows mix documents, so a doc-level "
+            "split can no longer separate them)"
+        )
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -172,6 +202,23 @@ def main(argv: list[str] | None = None) -> int:
             args.id_col,
             "left_semi",
         )
+    if args.dsir_target_col:
+        from searchenginejava_spark.operators.curation import dsir_weights
+
+        wts = dsir_weights(
+            kept,
+            F.col(args.dsir_target_col) == args.dsir_target_value,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            n_buckets=args.dsir_buckets,
+        )
+        kept = kept.join(
+            wts.filter(F.col("weight") >= args.dsir_min_weight).select(
+                F.col("doc_id").alias(args.id_col)
+            ),
+            args.id_col,
+            "left_semi",
+        )
     if args.mixture:
         from searchenginejava_spark.operators.curation import sample_mixture
 
@@ -220,6 +267,23 @@ def main(argv: list[str] | None = None) -> int:
             text_col=args.text_col,
             id_col=args.id_col,
         )
+    n_held = 0
+    if args.holdout_per_stratum:
+        from searchenginejava_spark.operators.curation import (
+            stratified_sample,
+        )
+
+        hold_ids = stratified_sample(
+            kept.select(args.id_col, args.holdout_col),
+            args.holdout_col,
+            args.holdout_per_stratum,
+            id_col=args.id_col,
+            seed=args.holdout_seed,
+        ).select(args.id_col)
+        holdout = out.join(hold_ids, args.id_col, "left_semi")
+        out = out.join(hold_ids, args.id_col, "left_anti")
+        holdout.write.mode("overwrite").parquet(args.holdout_output)
+        n_held = spark.read.parquet(args.holdout_output).count()
     out.write.mode("overwrite").parquet(args.output)
     n_out = spark.read.parquet(args.output).count()
     print(
@@ -228,6 +292,7 @@ def main(argv: list[str] | None = None) -> int:
                 "status": "complete",
                 "docs_in": n_in,
                 "docs_kept": n_out,
+                "rows_held_out": n_held,
                 "near_dup_stage": bool(args.near_dup),
             }
         )

@@ -705,3 +705,62 @@ def test_stratified_sample_deterministic_per_stratum(spark):
     orig_order = sorted(kept, key=lambda d: got[("en", d)])
     new_order = sorted(kept, key=lambda d: s2[d])
     assert orig_order == new_order
+
+
+def test_curate_job_dsir_and_holdout_flags(spark, tmp_path):
+    """jobs/curate.py: --dsir-* keeps only docs whose importance weight
+    against the target slice clears the threshold; --holdout-* splits a
+    deterministic per-stratum eval set into its own parquet, disjoint
+    from the main output."""
+    from jobs.curate import main
+
+    tgt = " ".join(["alpha beta gamma delta"] * 6)
+    off = " ".join(["omega psi chi phi"] * 6)
+    # unique suffix per doc: exact dedup (stage 1) must not collapse the
+    # corpus before the stages under test see it
+    rows = (
+        [(i, f"{tgt} u{i}", "en") for i in range(10)]
+        + [(100 + i, f"{off} u{100 + i}", "de") for i in range(10)]
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    hold = str(tmp_path / "hold")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(src)
+
+    rc = main([
+        "--input", src, "--output", out,
+        "--min-quality", "0.0",
+        "--dsir-target-col", "lang", "--dsir-target-value", "en",
+        "--dsir-min-weight", "0.0",
+    ])
+    assert rc == 0
+    ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert ids == set(range(10))        # off-domain docs fall below 0
+
+    rc = main([
+        "--input", src, "--output", out,
+        "--min-quality", "0.0",
+        "--holdout-per-stratum", "2", "--holdout-col", "lang",
+        "--holdout-seed", "5", "--holdout-output", hold,
+    ])
+    assert rc == 0
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    held = {r["doc_id"] for r in spark.read.parquet(hold).collect()}
+    assert len(held) == 4 and not (kept & held)
+    assert kept | held == set(range(10)) | set(range(100, 110))
+    by_lang = {}
+    for r in spark.read.parquet(hold).collect():
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert {k: len(v) for k, v in by_lang.items()} == {"en": 2, "de": 2}
+    # the split is a pure (seed, id) function: rerun → identical holdout
+    rc = main([
+        "--input", src, "--output", out,
+        "--min-quality", "0.0",
+        "--holdout-per-stratum", "2", "--holdout-col", "lang",
+        "--holdout-seed", "5", "--holdout-output", hold,
+    ])
+    assert rc == 0
+    held2 = {r["doc_id"] for r in spark.read.parquet(hold).collect()}
+    assert held2 == held
