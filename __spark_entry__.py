@@ -8747,11 +8747,15 @@ def oracle_sql() -> dict[str, str]:
     agg AS (
       SELECT CAST(count(*) AS BIGINT) AS kk,
              CAST(max(h) AS BIGINT) AS h_k,
-             CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+             CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+             CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS n_only_a,
+             CAST(sum((1 - in_a) * in_b) AS BIGINT) AS n_only_b
       FROM merged
     ),
     est AS (
       SELECT CAST(n_both AS DOUBLE) / CAST(kk AS DOUBLE) AS j,
+             CAST(n_only_a AS DOUBLE) / CAST(kk AS DOUBLE) AS sa,
+             CAST(n_only_b AS DOUBLE) / CAST(kk AS DOUBLE) AS sb,
              CASE WHEN kk < 256 THEN CAST(kk AS DOUBLE)
                   ELSE {_kmv_num255!r} / CAST(h_k AS DOUBLE) END AS u
       FROM agg
@@ -8766,24 +8770,29 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT round(j, 6) AS jaccard, round(u, 4) AS est_union,
            round(j * u, 4) AS est_intersection,
+           round(sa * u, 4) AS est_only_a,
+           round(sb * u, 4) AS est_only_b,
            exact_union, exact_intersection
     FROM est CROSS JOIN ex
     """
 
-    # Efraimidis–Spirakis weighted sample: key = ln((H60(11:id)+1)/2^60)
-    # / n_chars, rounded to 9 decimals BEFORE ranking (id tie-break)
+    # Efraimidis–Spirakis weighted sample: ranked on the RAW key
+    # ln((H60(11:id)+1)/2^60)/n_chars (bit-identical doubles on both
+    # engines) with doc_id tie-break; the published key is rounded for
+    # display only — rounding before ranking would collapse the draw to
+    # id-order at large weight scales
     _ws_h = _HASH60_SQL.format(col="concat('11:', CAST(doc_id AS VARCHAR))")
     sql["q_weighted_sample"] = f"""
     WITH keyed AS (
       SELECT doc_id, n_chars,
-             round(ln(CAST({_ws_h} + 1 AS DOUBLE)
-                      / 1152921504606846976.0)
-                   / CAST(n_chars AS DOUBLE), 9) AS key
+             ln(CAST({_ws_h} + 1 AS DOUBLE)
+                / 1152921504606846976.0)
+             / CAST(n_chars AS DOUBLE) AS rawkey
       FROM documents WHERE n_chars > 0
     ),
     ranked AS (
-      SELECT doc_id, n_chars, key,
-             CAST(row_number() OVER (ORDER BY key DESC, doc_id)
+      SELECT doc_id, n_chars, round(rawkey, 9) AS key,
+             CAST(row_number() OVER (ORDER BY rawkey DESC, doc_id)
                   AS INT) AS r
       FROM keyed
     )

@@ -141,6 +141,18 @@ class SearchEngine:
         without any corpus-sized derivation per request."""
         from .operators.fielded import publish_fielded
 
+        old = getattr(self, "_fielded", None)
+        if old is not None:
+            # release the superseded generation's cache entries BEFORE
+            # building the new one — dropping the Python reference does
+            # NOT unpersist (re-publishing engines would accumulate
+            # stale corpus-sized fielded-tf caches until executors
+            # OOM), and unpersisting AFTER would evict the new caches
+            # whenever the plans are identical (Spark's CacheManager
+            # dedupes by logical plan)
+            for df in (old.ftf, old.fpos, old.dictionary, old.universe):
+                if df is not None:
+                    df.unpersist()
         self._fielded = publish_fielded(corpus, fields, **kwargs)
         return self._fielded
 

@@ -673,14 +673,12 @@ def stratified_sample(
     Skewed strata cost their row count in the sort, not in memory —
     windows stream per key. No driver-side loops, no collect.
     """
-    from .dedup import str_hash60
+    from .dedup import salted_hash60
 
-    h = str_hash60(
-        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
-    )
     w = Window.partitionBy(strata_col).orderBy("_h", id_col)
     return (
-        df.withColumn("_h", h)
+        df.filter(F.col(id_col).isNotNull())
+        .withColumn("_h", salted_hash60(F.col(id_col), seed))
         .withColumn("r", F.row_number().over(w).cast("int"))
         .filter(F.col("r") <= n_per_stratum)
         .drop("_h")

@@ -36,6 +36,14 @@ def str_hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def salted_hash60(col: Column, salt: int) -> Column:
+    """H60 of ``salt ‖ ':' ‖ value`` — THE repo-wide seeded-hash family
+    (MinHash permutations, FIM cuts, sketch rows, sampling keys). One
+    definition so the byte layout the DuckDB oracles mirror
+    (``concat('{salt}:', CAST(x AS VARCHAR))``) can never fork."""
+    return str_hash60(F.concat(F.lit(f"{salt}:"), col.cast("string")))
+
+
 def minhash_params(num_hashes: int = 64) -> list[tuple[int, int]]:
     rng = np.random.default_rng(MINHASH_SEED)
     return [

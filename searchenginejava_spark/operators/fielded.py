@@ -188,6 +188,11 @@ def publish_fielded(
     universe = ftf.select("doc_id").distinct().persist()
     dictionary.count()
     universe.count()
+    if fpos is not None:
+        # materialize at publish time like the rest — otherwise the
+        # FIRST field:"phrase" request pays the corpus positional pass
+        # on the serving path (twice, under two concurrent firsts)
+        fpos.count()
     return FieldedArtifacts(
         ftf, fpos, fstats, dictionary, universe,
         boosts if boosts is not None else {f: 1.0 for f in fields},

@@ -38,7 +38,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import str_hash60
+from .dedup import salted_hash60, str_hash60
 
 HLL_BUCKETS = 256          # m: power of two (register index = low bits)
 CMS_DEPTH = 4              # d: independent hash rows
@@ -48,10 +48,9 @@ BLOOM_HASHES = 3           # k: probes per item
 _WORD = 60                 # bits packed per bigint word (sign-safe)
 
 
-def _salted60(col: Column, salt: int) -> Column:
-    """H60 of ``salt ‖ ':' ‖ value`` — the repo's standard derived-hash
-    family (same construction as MinHash permutations / FIM cuts)."""
-    return str_hash60(F.concat(F.lit(f"{salt}:"), col.cast("string")))
+# the shared seeded-hash family lives next to str_hash60 so the byte
+# layout mirrored by every DuckDB oracle has exactly one definition
+_salted60 = salted_hash60
 
 
 # ---------------------------------------------------------------------------
@@ -100,7 +99,11 @@ def hll_sketch(
     h = str_hash60(c.cast("string"))
     rest_width = 60 - shift
     return (
-        df.select(
+        # NULLs carry no identity (countDistinct semantics); unfiltered,
+        # H60(NULL)=NULL would mint a phantom (bucket NULL, rho = max)
+        # row that drives n_present past m and the estimate negative
+        df.filter(c.isNotNull())
+        .select(
             *group_cols,
             (h % F.lit(m)).alias("bucket"),
             _rho_col(F.shiftright(h, shift), rest_width).alias("rho"),
@@ -190,7 +193,8 @@ def cms_sketch(
         ]
     )
     return (
-        df.select(F.explode(cells).alias("cell"))
+        df.filter(c.isNotNull())
+        .select(F.explode(cells).alias("cell"))
         .select("cell.row", "cell.bucket")
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -256,7 +260,7 @@ def bloom_build(
     ≤ ⌈m/60⌉-row relation — THE broadcast-instead-of-the-set join
     prefilter (16 KiB of words can stand in for millions of keys)."""
     c = F.col(value_col) if isinstance(value_col, str) else value_col
-    exploded = df.select(
+    exploded = df.filter(c.isNotNull()).select(
         *[
             (_salted60(c, j) % F.lit(m_bits)).alias(f"bit{j}")
             for j in range(k)
@@ -294,6 +298,7 @@ def bloom_probe(
     """
     probes = (
         items.select(F.col(value_col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
         .distinct()
         .select(
             "_v",
@@ -368,7 +373,10 @@ def kmv_sketch(
     hash shuffle on the group key, per-group bounded window.
     """
     c = F.col(value_col) if isinstance(value_col, str) else value_col
-    hashed = df.select(
+    # NULLs filtered: no identity to count, and Spark's ascending sort
+    # is NULLS FIRST (DuckDB's is NULLS LAST) — an unfiltered null would
+    # both evict a real hash and fork the two engines' sketches
+    hashed = df.filter(c.isNotNull()).select(
         *group_cols, str_hash60(c.cast("string")).alias("h")
     ).distinct()
     if not group_cols:
@@ -451,9 +459,10 @@ def kmv_set_estimates(
     fraction is an unbiased Jaccard estimate because the merged sketch
     is a uniform sample of A ∪ B under the hash order.
 
-        Ĵ        = |merged ∩ A ∩ B| / k'   (k' = merged size)
-        |A ∪ B|  = (k'−1)·2^60 / h_k'      (the KMV estimator)
-        |A ∩ B|  = Ĵ · |A ∪ B|             (and differences by share)
+        Ĵ          = |merged ∩ A ∩ B| / k'   (k' = merged size)
+        |A ∪ B|    = (k'−1)·2^60 / h_k'      (the KMV estimator)
+        |A ∩ B|    = Ĵ · |A ∪ B|
+        |A \\ B|    = (only-A share of merged) · |A ∪ B|   (and B \\ A)
 
     All arithmetic is exact-integer until the final divisions, so the
     DuckDB oracle replays it bit-for-bit. The answer to "how many
@@ -479,6 +488,12 @@ def kmv_set_estimates(
         F.sum((F.col("in_a") * F.col("in_b")).cast("long"))
         .cast("long")
         .alias("n_both"),
+        F.sum((F.col("in_a") * (1 - F.col("in_b"))).cast("long"))
+        .cast("long")
+        .alias("n_only_a"),
+        F.sum(((1 - F.col("in_a")) * F.col("in_b")).cast("long"))
+        .cast("long")
+        .alias("n_only_b"),
     )
     union_full = (
         # both inputs exhaustive (< k hashes each) → the merge IS the
@@ -491,10 +506,14 @@ def kmv_set_estimates(
         )
     )
     jac = F.col("n_both").cast("double") / F.col("kk").cast("double")
+    sh_a = F.col("n_only_a").cast("double") / F.col("kk").cast("double")
+    sh_b = F.col("n_only_b").cast("double") / F.col("kk").cast("double")
     return agg.select(
         F.round(jac, 6).alias("jaccard"),
         F.round(union_full, 4).alias("est_union"),
         F.round(jac * union_full, 4).alias("est_intersection"),
+        F.round(sh_a * union_full, 4).alias("est_only_a"),
+        F.round(sh_b * union_full, 4).alias("est_only_b"),
     )
 
 
@@ -516,9 +535,12 @@ def bottomk_sample(
     merge), never a full sort. Output keeps all input columns plus the
     rank ``r`` (1..n in hash order).
     """
-    ranked = df.withColumn(
-        "_h", _salted60(F.col(id_col), seed)
-    ).orderBy("_h", id_col).limit(n)
+    ranked = (
+        df.filter(F.col(id_col).isNotNull())  # no id → no rank key
+        .withColumn("_h", _salted60(F.col(id_col), seed))
+        .orderBy("_h", id_col)
+        .limit(n)
+    )
     w = Window.orderBy("_h", id_col)
     return (
         ranked.withColumn("r", F.row_number().over(w).cast("int"))
@@ -547,23 +569,32 @@ def weighted_sample(
     (TakeOrderedAndProject: per-partition top-n + an n-row merge, no
     global sort, no sequential pass).
 
-    Engine-portability: ranking uses the key ROUNDED to 9 decimals with
-    the id as tie-break (the int8-kNN lesson — never order by a raw
-    float an oracle must reproduce); u is integer-derived so both
-    engines round the same integer to the same double, and ln enters
-    once. Rows with non-positive weight are excluded (zero selection
-    mass). Output: all input columns + ``key`` (rounded) + ``r``.
+    Engine-portability: ranking uses the RAW key with the id as
+    tie-break — the raw doubles are bit-identical on both engines (u is
+    the same integer rounded to double by the same IEEE rule, divided
+    by an exact power of two; ln enters once on identical inputs), so
+    the order cannot fork. The PUBLISHED ``key`` column is rounded to 9
+    decimals for display only. Rounding before ranking would be wrong
+    at scale: for weights ~1e9+ the key collapses below 1e-8 and a
+    fixed 9-decimal grid degenerates the draw into id-order. Rows with non-positive weight are excluded (zero
+    selection mass). Output: all input columns + ``key`` + ``r``.
     """
     u = (
         (_salted60(F.col(id_col), seed) + F.lit(1)).cast("double")
         / F.lit(float(1 << 60))
     )
-    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    raw = F.log(u) / F.col(weight_col).cast("double")
     ranked = (
         df.filter(F.col(weight_col) > 0)
-        .withColumn("key", key)
-        .orderBy(F.desc("key"), id_col)
+        .filter(F.col(id_col).isNotNull())
+        .withColumn("_key", raw)
+        .orderBy(F.desc("_key"), id_col)
         .limit(n)
     )
-    w = Window.orderBy(F.desc("key"), id_col)
-    return ranked.withColumn("r", F.row_number().over(w).cast("int"))
+    w = Window.orderBy(F.desc("_key"), id_col)
+    return (
+        ranked.withColumn("r", F.row_number().over(w).cast("int"))
+        .withColumn("key", F.round(F.col("_key"), 9))
+        .drop("_key")
+        .select(*df.columns, "key", "r")
+    )

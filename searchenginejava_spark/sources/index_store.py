@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import SparkSession, functions as F
 
@@ -153,8 +154,14 @@ def save_serving_assets(
     - ``cache``: (qkey, rank, doc_id, score) result-cache rows
       (operators/caching.py::build_result_cache) — head-sized, plain.
 
-    ``assets.json`` is the manifest (written last, atomically): a
-    loader never sees an asset whose data directory is half-written.
+    ``assets.json`` is the manifest (written last, atomically), and
+    every publish writes into a FRESH generation directory ``g{N}``
+    before the manifest flips to it — so a loader never sees an asset
+    whose data directory is half-written, including across
+    RE-publishes (an in-place overwrite would delete-then-rewrite data
+    the previous manifest still advertises). The previous generation
+    is kept for in-flight readers; generations older than that are
+    removed after the flip.
     """
     if sharded is not None and not num_shards:
         raise ValueError("sharded assets need num_shards")
@@ -168,12 +175,18 @@ def save_serving_assets(
         raise ValueError("no assets given")
     n = term_partitions or some.sparkSession.sparkContext.defaultParallelism
     os.makedirs(path, exist_ok=True)
+    try:
+        with open(os.path.join(path, "assets.json")) as f:
+            gen = int(json.load(f).get("gen", 0)) + 1
+    except (OSError, ValueError):
+        gen = 1
+    gdir = os.path.join(path, f"g{gen}")
     if sharded is not None:
         (
             sharded.repartitionByRange(n, "term")
             .sortWithinPartitions("term", "salt")
             .write.mode("overwrite")
-            .parquet(os.path.join(path, "sharded"))
+            .parquet(os.path.join(gdir, "sharded"))
         )
         manifest["num_shards"] = int(num_shards)
     if impact is not None:
@@ -181,7 +194,7 @@ def save_serving_assets(
             impact["impacts"].repartitionByRange(n, "term")
             .sortWithinPartitions("term")
             .write.mode("overwrite")
-            .parquet(os.path.join(path, "impact"))
+            .parquet(os.path.join(gdir, "impact"))
         )
         manifest["impact"] = {
             "umax": float(impact["umax"]),
@@ -190,12 +203,18 @@ def save_serving_assets(
                     else int(impact["rho"])),
         }
     if cache is not None:
-        cache.write.mode("overwrite").parquet(os.path.join(path, "cache"))
+        cache.write.mode("overwrite").parquet(os.path.join(gdir, "cache"))
         manifest["cache"] = True
+    manifest["gen"] = gen
     tmp = os.path.join(path, "assets.json.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.replace(tmp, os.path.join(path, "assets.json"))
+    # retain gen-1 for readers that loaded the old manifest; drop older
+    for name in os.listdir(path):
+        if name.startswith("g") and name[1:].isdigit():
+            if int(name[1:]) < gen - 1:
+                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
 
 
 def load_serving_assets(spark: SparkSession, path: str) -> dict:
@@ -210,22 +229,29 @@ def load_serving_assets(spark: SparkSession, path: str) -> dict:
             manifest = json.load(f)
     except FileNotFoundError:
         return {}
+    # generation layout (re-publish-safe); pre-generation manifests
+    # point at the flat layout
+    base = (
+        os.path.join(path, f"g{int(manifest['gen'])}")
+        if "gen" in manifest
+        else path
+    )
     out: dict = {}
     if "num_shards" in manifest:
         out["sharded"] = spark.read.schema(PARTIAL_POSTINGS).parquet(
-            os.path.join(path, "sharded")
+            os.path.join(base, "sharded")
         )
         out["num_shards"] = int(manifest["num_shards"])
     if "impact" in manifest:
         meta = manifest["impact"]
         out["impact"] = {
-            "impacts": spark.read.parquet(os.path.join(path, "impact")),
+            "impacts": spark.read.parquet(os.path.join(base, "impact")),
             "umax": float(meta["umax"]),
             "bits": int(meta["bits"]),
             "rho": meta["rho"],
         }
     if manifest.get("cache"):
-        out["cache"] = spark.read.parquet(os.path.join(path, "cache"))
+        out["cache"] = spark.read.parquet(os.path.join(base, "cache"))
     return out
 
 

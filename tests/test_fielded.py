@@ -221,3 +221,33 @@ def test_dismax_oov_query_returns_empty(spark, ftf):
         ).count()
         == 0
     )
+
+
+def test_publish_fielded_materializes_positions_and_releases_caches(spark):
+    """publish_fielded materializes fpos at publish time (the first
+    phrase request must not pay the corpus positional pass), and the
+    engine's re-publish unpersists the superseded generation's caches."""
+    from searchenginejava_spark.engine import SearchEngine
+
+    def _docs(tag):
+        return spark.createDataFrame(
+            [(i, f"alpha beta {tag}{i}", f"t{i}") for i in range(6)],
+            "doc_id long, body string, title string",
+        )
+
+    docs1, docs2 = _docs("old"), _docs("new")
+    eng = SearchEngine.build(spark, docs1, text_col="body")
+    fields = {"body": F.col("body"), "title": F.col("title")}
+    a1 = eng.publish_fielded(docs1, fields)
+    assert a1.fpos is not None and a1.fpos.storageLevel.useMemory
+    # refresh on NEW data (distinct plan): the superseded generation's
+    # cache entries must be released, the live one cached
+    a2 = eng.publish_fielded(docs2, fields)
+    assert not a1.ftf.storageLevel.useMemory
+    assert not a1.fpos.storageLevel.useMemory
+    assert a2.ftf.storageLevel.useMemory and a2.fpos.storageLevel.useMemory
+    # identical-plan re-publish shares the cache entry (Spark dedupes by
+    # logical plan) — the release-before-rebuild order must leave the
+    # fresh artifacts cached, not evict them
+    a3 = eng.publish_fielded(docs2, fields)
+    assert a3.ftf.storageLevel.useMemory and a3.fpos.storageLevel.useMemory

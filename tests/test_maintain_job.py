@@ -525,3 +525,52 @@ def test_auto_compact_policy(spark, tmp_path, capsys):
     line = capsys.readouterr().out.strip().splitlines()[-1]
     assert json.loads(line)["action"] == "auto"
     assert json.loads(line)["n_tombstones"] == 0
+
+
+def test_serving_assets_republish_generations(spark, tmp_path):
+    """Re-publishing writes a FRESH generation directory and flips the
+    manifest afterwards — the data a previous manifest advertises is
+    never overwritten in place; generations older than the previous one
+    are cleaned up."""
+    import json as _json
+    import os as _os
+
+    from searchenginejava_spark.operators.caching import (
+        build_result_cache,
+        query_keys,
+    )
+    from searchenginejava_spark.operators.search import query_terms_df
+    from searchenginejava_spark.sources.index_store import (
+        load_serving_assets,
+        save_serving_assets,
+    )
+
+    def _cache(qid, text, score):
+        qt = query_terms_df(spark, [(qid, text)])
+        return build_result_cache(
+            qt, query_keys(qt).select("qkey"),
+            lambda q: spark.createDataFrame(
+                [(qid, 1, 0, score)],
+                "query_id int, rank int, doc_id long, score double",
+            ),
+        )
+
+    root = str(tmp_path / "assets")
+    save_serving_assets(root, cache=_cache(1, "alpha", 1.0))
+    man1 = _json.load(open(_os.path.join(root, "assets.json")))
+    assert man1["gen"] == 1 and _os.path.isdir(_os.path.join(root, "g1"))
+
+    save_serving_assets(root, cache=_cache(1, "alpha", 2.0))
+    man2 = _json.load(open(_os.path.join(root, "assets.json")))
+    assert man2["gen"] == 2
+    # previous generation retained for in-flight readers
+    assert _os.path.isdir(_os.path.join(root, "g1"))
+    got = load_serving_assets(spark, root)["cache"].collect()
+    assert [r["score"] for r in got] == [2.0]
+
+    save_serving_assets(root, cache=_cache(1, "alpha", 3.0))
+    # g1 (two generations back) cleaned, g2 retained, g3 live
+    assert not _os.path.isdir(_os.path.join(root, "g1"))
+    assert _os.path.isdir(_os.path.join(root, "g2"))
+    got = load_serving_assets(spark, root)["cache"].collect()
+    assert [r["score"] for r in got] == [3.0]

@@ -287,6 +287,7 @@ def test_kmv_set_estimates_accuracy_and_edges(spark):
     assert dj["jaccard"] == 0.0
     assert dj["est_union"] == 70.0      # below-k branch: exact
     assert dj["est_intersection"] == 0.0
+    assert dj["est_only_a"] == 30.0 and dj["est_only_b"] == 40.0
 
 
 def test_weighted_sample_proportional_and_deterministic(spark):
@@ -314,3 +315,55 @@ def test_weighted_sample_proportional_and_deterministic(spark):
 
     again = weighted_sample(df.repartition(9), 50, "w", seed=3)
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, got))
+
+
+def test_sketches_ignore_nulls(spark):
+    """NULL values carry no identity (countDistinct semantics): HLL and
+    KMV estimates are unchanged by null rows (no phantom register / no
+    evicted hash — Spark sorts NULLS FIRST, DuckDB LAST, so an
+    unfiltered null would also fork the engines), CMS does not count
+    them, Bloom does not set bits for them."""
+    from searchenginejava_spark.operators.sketches import (
+        bloom_build,
+        cms_sketch,
+        hll_estimate,
+        hll_sketch,
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    clean = spark.range(300).select(F.col("id").cast("string").alias("v"))
+    dirty = clean.unionByName(
+        spark.range(5).select(F.lit(None).cast("string").alias("v"))
+    )
+    for est_fn, sk_fn in (
+        (hll_estimate, hll_sketch),
+        (kmv_estimate, lambda d, c: kmv_sketch(d, c, k=64)),
+    ):
+        e1 = est_fn(sk_fn(clean, "v")).collect()[0]["est"]
+        e2 = est_fn(sk_fn(dirty, "v")).collect()[0]["est"]
+        assert e1 == e2
+    c1 = sorted(map(tuple, cms_sketch(clean, "v").collect()))
+    c2 = sorted(map(tuple, cms_sketch(dirty, "v").collect()))
+    assert c1 == c2
+    b1 = sorted(map(tuple, bloom_build(clean, "v").collect()))
+    b2 = sorted(map(tuple, bloom_build(dirty, "v").collect()))
+    assert b1 == b2
+
+
+def test_weighted_sample_large_weight_scale(spark):
+    """The draw must stay weight-proportional when keys are tiny
+    (weights ~1e11): ranking on a fixed-decimal ROUNDED key would
+    collapse everything to id-order — the raw-key ranking must not."""
+    from searchenginejava_spark.operators.sketches import weighted_sample
+
+    rows = [(i, 1.0e11) for i in range(500)] + [
+        (1000 + i, 1.0e9) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, 50, "w", seed=3).collect()
+    heavy = sum(1 for r in got if r["doc_id"] < 500)
+    assert heavy >= 42                    # ∝ weight, not id order
+    # id-order collapse would select doc_ids 0..49 exactly — require
+    # the draw to differ from that degenerate set
+    assert {r["doc_id"] for r in got} != set(range(50))
