@@ -367,3 +367,28 @@ def test_weighted_sample_large_weight_scale(spark):
     # id-order collapse would select doc_ids 0..49 exactly — require
     # the draw to differ from that degenerate set
     assert {r["doc_id"] for r in got} != set(range(50))
+
+
+def test_new_sketch_ops_empty_inputs(spark):
+    """Empty-input edges: an empty side degrades KMV set ops gracefully
+    (jaccard 0 against a non-empty side, union = the other side's exact
+    count below k); empty frames give empty samples, not errors."""
+    from searchenginejava_spark.operators.sketches import (
+        bottomk_sample,
+        kmv_set_estimates,
+        kmv_sketch,
+        weighted_sample,
+    )
+
+    empty = spark.createDataFrame([], "v string")
+    a = spark.range(25).select(F.col("id").cast("string").alias("v"))
+    r = kmv_set_estimates(
+        kmv_sketch(a, "v", k=64), kmv_sketch(empty, "v", k=64), k=64
+    ).collect()[0]
+    assert r["jaccard"] == 0.0
+    assert r["est_union"] == 25.0 and r["est_intersection"] == 0.0
+    assert r["est_only_a"] == 25.0 and r["est_only_b"] == 0.0
+
+    edocs = spark.createDataFrame([], "doc_id long, w double")
+    assert bottomk_sample(edocs, 5, id_col="doc_id").count() == 0
+    assert weighted_sample(edocs, 5, "w", id_col="doc_id").count() == 0
