@@ -86,6 +86,7 @@ def start_incremental_index(
     num_salts: int = 4,
     num_partitions: int = 4,
     max_tombstone_frac: float | None = 0.02,
+    cardinality_col: str | None = None,
 ):
     """Near-real-time indexing — the full streaming refresh loop (the
     Lucene "new segment per refresh + background merge" lifecycle, here
@@ -118,6 +119,17 @@ def start_incremental_index(
     cost model assumes. ``max_tombstone_frac=None`` disables the hook.
     The decision report is recorded in the LATEST commit point for
     observability.
+
+    MERGEABLE SKETCH STATE rides the same commit: with
+    ``cardinality_col`` set (e.g. ``"repo"``), every version directory
+    carries an HLL register file (``hll/`` parquet,
+    operators/sketches.py) folded from the previous version's by exact
+    per-bucket max — so "how many distinct X has this stream ever
+    seen?" is answered from ≤ m tiny rows at any point in the stream's
+    life, never by re-reading ingested data, and the stream-end
+    register file is BIT-IDENTICAL to a cold sketch of everything
+    ingested (the merge is exact — pinned by test). The running
+    estimate lands in LATEST for observability.
     """
     import json as _json
     import os as _os
@@ -158,6 +170,29 @@ def start_incremental_index(
             )
         version = f"v{int(batch_id):012d}"
         save_index(merged, _os.path.join(index_dir, version))
+        card = None
+        if cardinality_col is not None:
+            from ..operators.sketches import (
+                hll_estimate,
+                hll_merge,
+                hll_sketch,
+            )
+
+            sk = hll_sketch(with_ids, cardinality_col)
+            if _os.path.exists(latest):
+                prev_sk_dir = _os.path.join(index_dir, prev, "hll")
+                if _os.path.isdir(prev_sk_dir):
+                    sk = hll_merge(sk, spark.read.parquet(prev_sk_dir))
+            sk.coalesce(1).write.mode("overwrite").parquet(
+                _os.path.join(index_dir, version, "hll")
+            )
+            card = float(
+                hll_estimate(
+                    spark.read.parquet(
+                        _os.path.join(index_dir, version, "hll")
+                    )
+                ).collect()[0]["est"]
+            )
         tmp = _os.path.join(index_dir, "LATEST.tmp")
         with open(tmp, "w") as fh:
             _json.dump(
@@ -165,6 +200,7 @@ def start_incremental_index(
                     "version": version,
                     "batch_id": int(batch_id),
                     "maintenance": maint,
+                    "cardinality_est": card,
                 },
                 fh,
             )

@@ -492,3 +492,49 @@ def test_nrt_stream_auto_compacts_past_tombstone_threshold(spark, tmp_path):
     assert s_live == s_cold and len(s_live) > 0
     corpus.unpersist()
     dead.unpersist()
+
+
+def test_nrt_stream_carries_mergeable_hll_state(spark, tmp_path):
+    """cardinality_col: every commit carries an HLL register file folded
+    from the previous version's; the stream-end registers are
+    BIT-IDENTICAL to a cold sketch over everything ingested (exact
+    merge), and LATEST records the running estimate."""
+    import json as _json
+    import os as _os
+
+    from searchenginejava_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+    from searchenginejava_spark.streaming.stream_index import (
+        start_incremental_index,
+    )
+
+    src_dir = str(tmp_path / "hll_src")
+    idx_dir = str(tmp_path / "hll_idx")
+    ckpt = str(tmp_path / "hll_ckpt")
+    corpus = gen_code_table(spark, 40, num_partitions=4)
+    corpus.write.parquet(src_dir)
+
+    stream = stream_source(spark, src_dir, max_files_per_trigger=1)
+    q = start_incremental_index(
+        stream, idx_dir, ckpt, num_salts=2, cardinality_col="repo"
+    )
+    q.awaitTermination(300)
+
+    with open(_os.path.join(idx_dir, "LATEST")) as fh:
+        latest = _json.load(fh)
+    assert latest["cardinality_est"] is not None
+
+    streamed = spark.read.parquet(
+        _os.path.join(idx_dir, latest["version"], "hll")
+    )
+    cold = hll_sketch(corpus, "repo")
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, cold.collect())
+    )
+    want = hll_estimate(cold).collect()[0]["est"]
+    assert latest["cardinality_est"] == want
+    # exact sanity: few distinct repos → linear counting is near-exact
+    n_repos = corpus.select("repo").distinct().count()
+    assert abs(latest["cardinality_est"] - n_repos) / n_repos < 0.25
