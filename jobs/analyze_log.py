@@ -25,6 +25,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", required=True)
     p.add_argument("--gap-minutes", type=int, default=30)
     p.add_argument("--window-minutes", type=int, default=60)
+    # pipeline aggs (derivative / cumulative / moving avg per series)
+    # over the rollup's date histogram → pipeline/ dataset
+    p.add_argument("--pipeline-aggs", action="store_true")
+    p.add_argument("--moving-window", type=int, default=3)
+    # per-window distinct users via HLL (m=256 register files, merge =
+    # per-bucket max) → cardinality/ dataset; the sketch answer costs
+    # <= |windows|*256 shuffled cells at ANY log size, where exact
+    # count-distinct shuffles every (window, user) pair
+    p.add_argument("--hll-users", action="store_true")
     p.add_argument("--json", action="store_true")
     args = p.parse_args(argv)
 
@@ -47,6 +56,35 @@ def main(argv: list[str] | None = None) -> int:
     sess.write.mode("overwrite").parquet(f"{args.output}/sessions")
     roll = event_rollup(ev, window_minutes=args.window_minutes)
     roll.write.mode("overwrite").parquet(f"{args.output}/rollup")
+    n_pipeline = None
+    if args.pipeline_aggs:
+        from searchenginejava_spark.operators.sessions import pipeline_aggs
+
+        pipeline_aggs(
+            ev,
+            window_minutes=args.window_minutes,
+            moving_window=args.moving_window,
+        ).write.mode("overwrite").parquet(f"{args.output}/pipeline")
+        n_pipeline = spark.read.parquet(f"{args.output}/pipeline").count()
+    n_card = None
+    if args.hll_users:
+        from searchenginejava_spark.operators.sessions import _MICROS
+        from searchenginejava_spark.operators.sketches import (
+            hll_estimate,
+            hll_sketch,
+        )
+
+        win_us = int(args.window_minutes) * 60_000_000
+        bucketed = ev.select(
+            (
+                F.floor(F.expr(_MICROS) / F.lit(win_us)) * F.lit(win_us)
+            ).cast("long").alias("window_start_us"),
+            "user_id",
+        )
+        sk = hll_sketch(bucketed, "user_id", group_cols=("window_start_us",))
+        est = hll_estimate(sk, group_cols=("window_start_us",))
+        est.write.mode("overwrite").parquet(f"{args.output}/cardinality")
+        n_card = spark.read.parquet(f"{args.output}/cardinality").count()
 
     sess_out = spark.read.parquet(f"{args.output}/sessions")
     dur_s = (
@@ -63,6 +101,8 @@ def main(argv: list[str] | None = None) -> int:
         "n_rollup_buckets": spark.read.parquet(f"{args.output}/rollup").count(),
         "session_dur_p50_s": round(float(pcts[0]), 3),
         "session_dur_p95_s": round(float(pcts[1]), 3),
+        "n_pipeline_rows": n_pipeline,
+        "n_cardinality_windows": n_card,
         "out": args.output,
     }
     print(json.dumps(summary))

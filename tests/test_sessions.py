@@ -305,3 +305,62 @@ def test_pipeline_aggs_partitions_by_type(spark):
     assert len(click) == 1
     assert click[0]["derivative"] is None        # first of ITS series
     assert click[0]["cumulative"] == 1
+
+
+def test_analyze_log_job_pipeline_and_hll_flags(spark, tmp_path, capsys):
+    """--pipeline-aggs writes the derivative/cumulative/moving series;
+    --hll-users writes per-window HLL distinct-user estimates that agree
+    with exact countDistinct within theory error."""
+    import json as _json
+
+    from jobs.analyze_log import main
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    out = str(tmp_path / "logout2")
+    rc = main([
+        "--input", src, "--output", out,
+        "--window-minutes", "1440",
+        "--pipeline-aggs", "--hll-users",
+    ])
+    assert rc == 0
+    rep = _json.loads([
+        x for x in capsys.readouterr().out.strip().splitlines()
+        if x.startswith("{")
+    ][-1])
+    assert rep["n_pipeline_rows"] > 0 and rep["n_cardinality_windows"] > 0
+
+    pipe = spark.read.parquet(f"{out}/pipeline")
+    assert {"derivative", "cumulative", "moving_avg"} <= set(pipe.columns)
+    # cumulative within each series ends at that series' total
+    tot = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(src)
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    last = {
+        r["event_type"]: r["cumulative"]
+        for r in pipe.orderBy("window_start_us").collect()
+    }
+    assert last == tot
+
+    card = {
+        r["window_start_us"]: r["est"]
+        for r in spark.read.parquet(f"{out}/cardinality").collect()
+    }
+    ev = spark.read.parquet(src)
+    day_us = 1440 * 60_000_000
+    exact = {
+        r["w"]: r["n"]
+        for r in ev.select(
+            (F.floor(
+                F.expr(
+                    "timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                ) / F.lit(day_us)
+            ) * F.lit(day_us)).cast("long").alias("w"),
+            "user_id",
+        ).groupBy("w").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert set(card) == set(exact)
+    for w, n in exact.items():
+        assert abs(card[w] - n) / n < 3 * 1.04 / (256 ** 0.5)
