@@ -3778,6 +3778,112 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_binary_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN (the ES/Lucene BBQ shape): sign-bit codes
+    packed 64 dims/word, Hamming (popcount-of-xor, exact integers) cuts
+    to 50 candidates, exact float cosine re-ranks → top-10
+    (vec_id, hamming, cosine). Query = vector 0."""
+    from searchenginejava_spark.operators.similarity import knn_binary
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return knn_binary(emb, qvec, k=10, rerank=50)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: deterministic k-means cells (lowest-id init, 0 Lloyd
+    iters — the oracle-exact quantizer) restrict the cosine pair search
+    to within-cluster candidates; keep=false iff a lower-id same-cell
+    vector has rounded cosine ≥ 0.4 (threshold set inside the synthetic
+    corpus's similarity range — max pairwise cosine ≈ 0.51)."""
+    from searchenginejava_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb, n_clusters=8, threshold=0.4)
+
+
+def q_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank_feature scoring (ES feature fields): BM25 top-30 candidates
+    re-scored by score + boost·sat(n_chars) with pivot 300 — additive
+    bool-should composition, saturation keeps the boost bounded; docs
+    missing the feature contribute 0 (left join)."""
+    from searchenginejava_spark.operators.docvalues import rank_feature_search
+    from searchenginejava_spark.operators.search import score_exhaustive
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    base = score_exhaustive(qt, tf, dl, dct, stats, k=30)
+    docs = _documents(spark, sf_dir)
+    res = rank_feature_search(
+        base, docs.select("doc_id", "n_chars"), "n_chars",
+        method="saturation", pivot=300.0, boost=1.5, k=_TOPK,
+    )
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
+def q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """adjacency_matrix aggregation (ES): three named term filters over
+    the corpus → per-filter and per-intersection doc counts (key 'a',
+    'b', 'a&b'); empty intersections omitted. Membership-sized
+    self-join, bucket count bounded by n(n+1)/2."""
+    from searchenginejava_spark.operators.docvalues import adjacency_matrix
+
+    tf = _tf(spark, sf_dir)
+    tagged = tf.filter(
+        F.col("term").isin(list(_ADJ_FILTERS))
+    ).select(F.col("term").alias("name"), "doc_id")
+    return adjacency_matrix(tagged)
+
+
+def q_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """matrix_stats aggregation (ES): pairwise count/mean/covariance/
+    correlation over three per-doc numeric fields (n_chars, doc_len,
+    uniq_terms) — native partial-aggregable moments, one pass."""
+    from searchenginejava_spark.operators.docvalues import matrix_stats
+
+    ds = _tf(spark, sf_dir).groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("doc_len"),
+        F.count(F.lit(1)).cast("long").alias("uniq_terms"),
+    )
+    docs = _documents(spark, sf_dir).select("doc_id", "n_chars")
+    return matrix_stats(
+        docs.join(ds, "doc_id"), ["n_chars", "doc_len", "uniq_terms"]
+    )
+
+
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: quality-score each doc, band into 4
+    equal-width score buckets (phase 1 = best band), deterministic
+    H60-shuffled position within each phase — fixed-threshold banding
+    (not ntile) so no global sort exists at any corpus size."""
+    from searchenginejava_spark.operators.curation import curriculum_order
+    from searchenginejava_spark.operators.textstats import quality_score
+
+    q = quality_score(_documents(spark, sf_dir)).select("doc_id", "quality")
+    return curriculum_order(q, n_phases=4, seed=13, score_col="quality")
+
+
+def q_tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility/compression planning stats per language over
+    the code view: bytes, whitespace tokens, BPE-style pieces (letter
+    runs | digits | marks), bytes/piece and pieces/word — one projection
+    + one tiny agg."""
+    from searchenginejava_spark.operators.textstats import tokenizer_stats
+
+    cv = _code_view(spark, sf_dir)
+    docs = _documents(spark, sf_dir).select("doc_id", "lang")
+    return tokenizer_stats(
+        cv.join(docs, "doc_id"), text_col="code", group_col="lang"
+    )
+
+
+_ADJ_FILTERS = ("merge", "window", "hash")
+
+
 # Round-5 driver window (VERDICT r04 order #2): the driver checks the
 # FIRST 50 registered queries, so registration order rotates each round
 # to maximize the union of driver-green rows. union(r03, r04) = 91
@@ -4113,6 +4219,15 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_kmv_set_ops": q_kmv_set_ops,
         "q_weighted_sample": q_weighted_sample,
+        # round-5 wave b: binary-quantized ANN, SemDeDup, rank_feature,
+        # ES matrix aggs, curriculum ordering, tokenizer planning stats
+        "q_binary_knn": q_binary_knn,
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_rank_feature": q_rank_feature,
+        "q_adjacency_matrix": q_adjacency_matrix,
+        "q_matrix_stats": q_matrix_stats,
+        "q_curriculum": q_curriculum,
+        "q_tokenizer_stats": q_tokenizer_stats,
     }
     return all_q
 
@@ -8810,6 +8925,184 @@ def oracle_sql() -> dict[str, str]:
       FROM documents
     )
     SELECT lang, doc_id, r FROM ranked WHERE r <= 5
+    """
+
+    # binary-quantized ANN: hamming = per-dim sign mismatch count (the
+    # packed popcount(xor) computes exactly this), candidate cut 50 by
+    # (hamming, id) — pure integers — then exact-cosine re-rank
+    _bq_cos = (
+        _fold_dot_sql("cand.embedding", "q.qv")
+        + " / (" + _fold_norm_sql("cand.embedding")
+        + " * " + _fold_norm_sql("q.qv") + ")"
+    )
+    sql["q_binary_knn"] = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    h AS (
+      SELECT e.vec_id, e.embedding,
+             CAST(list_reduce(list_prepend(0, list_transform(
+                    list_zip(e.embedding, q.qv),
+                    z -> CASE WHEN (z[1]::DOUBLE > 0) <> (z[2]::DOUBLE > 0)
+                         THEN 1 ELSE 0 END)),
+                  (a, b) -> a + b) AS BIGINT) AS hamming
+      FROM embeddings e CROSS JOIN q
+    ),
+    cand AS (
+      SELECT vec_id, embedding, hamming FROM h
+      ORDER BY hamming ASC, vec_id ASC LIMIT 50
+    )
+    SELECT cand.vec_id, cand.hamming, round({_bq_cos}, 6) AS cosine
+    FROM cand CROSS JOIN q
+    ORDER BY round({_bq_cos}, 6) DESC NULLS LAST, cand.vec_id ASC
+    LIMIT 10
+    """
+
+    # SemDeDup: same coarse quantizer as the IVF oracle (lowest-id init,
+    # argmin d2 with lower-cid ties), within-cell pair search on the
+    # ROUNDED cosine, keep = no lower-id neighbor ≥ threshold
+    _sd_cos = (
+        _fold_dot_sql("x.embedding", "b.embedding")
+        + " / (" + _fold_norm_sql("x.embedding")
+        + " * " + _fold_norm_sql("b.embedding") + ")"
+    )
+    sql["q_semantic_dedup"] = f"""
+    WITH c0 AS (
+      SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    c AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             embedding AS cv
+      FROM c0
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY {_fold_d2_sql("embedding", "cv")} ASC, cid ASC
+             ) AS rn
+      FROM embeddings CROSS JOIN c
+    ),
+    a AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+    drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM a x JOIN a b ON x.cid = b.cid AND x.vec_id < b.vec_id
+      WHERE round({_sd_cos}, 6) >= 0.4
+    )
+    SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS keep
+    FROM a LEFT JOIN drops d ON a.vec_id = d.vec_id
+    """
+
+    # rank_feature saturation: BM25 top-30 candidates + 1.5·x/(x+300)
+    # over the n_chars docvalue, additive, missing feature → 0
+    sql["q_rank_feature"] = _sql_cand30 + f"""
+    , rescored AS (
+      SELECT c.query_id, c.doc_id,
+             round(c.s + CASE WHEN d.n_chars IS NOT NULL
+                   THEN 1.5 * (CAST(d.n_chars AS DOUBLE)
+                               / (CAST(d.n_chars AS DOUBLE) + 300.0))
+                   ELSE 0.0 END, 6) AS score
+      FROM cand c LEFT JOIN documents d USING (doc_id)
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+           ) AS INT) AS rank,
+           doc_id, score
+    FROM rescored
+    QUALIFY rank <= {_TOPK}
+    """
+
+    # adjacency_matrix: named term filters → per-filter + pairwise
+    # intersection doc counts, key 'a', 'b', 'a&b'; empty pairs omitted
+    _adj_in = ", ".join(f"'{t}'" for t in _ADJ_FILTERS)
+    sql["q_adjacency_matrix"] = _SQL_TF + f"""
+    , m AS (
+      SELECT DISTINCT term AS name, doc_id FROM tf
+      WHERE term IN ({_adj_in})
+    )
+    SELECT CASE WHEN a.name = b.name THEN a.name
+                ELSE a.name || '&' || b.name END AS key,
+           CAST(count(*) AS BIGINT) AS doc_count
+    FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.name <= b.name
+    GROUP BY 1
+    """
+
+    # matrix_stats: pairwise moments over (n_chars, doc_len, uniq_terms)
+    _ms_cols = ["n_chars", "doc_len", "uniq_terms"]
+    _ms_rows = "\n    UNION ALL\n".join(
+        f"""
+    SELECT '{ca}' AS field_a, '{cb}' AS field_b,
+           CAST(count(*) AS BIGINT) AS row_count,
+           round(avg(CAST({ca} AS DOUBLE)), 6) AS mean_a,
+           round(covar_pop(CAST({ca} AS DOUBLE), CAST({cb} AS DOUBLE)), 6)
+               AS covariance,
+           {"1.0" if ca == cb else
+            f"round(corr(CAST({ca} AS DOUBLE), CAST({cb} AS DOUBLE)), 6)"}
+               AS correlation
+    FROM j"""
+        for ca in _ms_cols
+        for cb in _ms_cols
+    )
+    sql["q_matrix_stats"] = _SQL_TF + f"""
+    , ds AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len,
+             CAST(count(*) AS BIGINT) AS uniq_terms
+      FROM tf GROUP BY doc_id
+    ),
+    j AS (
+      SELECT d.n_chars, ds.doc_len, ds.uniq_terms
+      FROM documents d JOIN ds USING (doc_id)
+    )
+    {_ms_rows}
+    """
+
+    # curriculum: quality (same formula as q_quality_score) → 4
+    # equal-width bands (phase 1 = best), H60(13:id)-ordered position
+    _cur_h = _HASH60_SQL.format(col="concat('13:', CAST(doc_id AS VARCHAR))")
+    sql["q_curriculum"] = _SQL_TOKL + f"""
+    , qual AS (
+      SELECT doc_id,
+             round((CASE WHEN len(l) BETWEEN 10 AND 100000
+                    THEN 0.4 ELSE 0.0 END)
+                   + 0.3 * (len(list_distinct(l)) / greatest(len(l), 1))
+                   + 0.3 * ({alpha} / greatest(len(l), 1)), 6) AS score
+      FROM tokl
+    ),
+    ph AS (
+      SELECT doc_id, score,
+             CAST(5 - least(4, CAST(floor(
+               least(greatest(score, 0.0), 1.0) * 4) AS INT) + 1)
+             AS INT) AS phase
+      FROM qual
+    )
+    SELECT doc_id, phase,
+           CAST(row_number() OVER (
+             PARTITION BY phase ORDER BY {_cur_h}, doc_id
+           ) AS INT) AS position,
+           score
+    FROM ph
+    """
+
+    # tokenizer fertility/compression stats per language over the code
+    # view: bytes, whitespace tokens, BPE-style pieces, derived ratios
+    sql["q_tokenizer_stats"] = _SQL_CODEVIEW + r"""
+    , base AS (
+      SELECT d.lang AS slice,
+             CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(strlen(cv.code)) AS BIGINT) AS bytes,
+             CAST(sum(len(regexp_extract_all(cv.code, '[^\s]+')))
+                  AS BIGINT) AS ws_tokens,
+             CAST(sum(len(regexp_extract_all(cv.code,
+                  '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT)
+                  AS bpe_pieces
+      FROM cv JOIN documents d USING (doc_id)
+      GROUP BY 1
+    )
+    SELECT slice, docs, bytes, ws_tokens, bpe_pieces,
+           round(CAST(bytes AS DOUBLE) / greatest(bpe_pieces, 1), 6)
+               AS bytes_per_piece,
+           round(CAST(bpe_pieces AS DOUBLE) / greatest(ws_tokens, 1), 6)
+               AS fertility
+    FROM base
     """
     return sql
 

@@ -683,3 +683,54 @@ def stratified_sample(
         .filter(F.col("r") <= n_per_stratum)
         .drop("_h")
     )
+
+
+def curriculum_order(
+    scored: DataFrame,
+    *,
+    n_phases: int = 4,
+    seed: int = 13,
+    score_col: str = "quality",
+    id_col: str = "doc_id",
+    descending: bool = True,
+) -> DataFrame:
+    """Curriculum ordering for training-data pipelines: band documents
+    into ``n_phases`` equal-WIDTH score buckets (phase 1 = the
+    highest-quality band when ``descending``), then give each doc a
+    deterministic position inside its phase by H60(seed ‖ ':' ‖ id) —
+    the "train on clean data first, shuffle within phase" layout
+    (quality-ordered curricula are standard in public LLM-data work,
+    e.g. the C4/Gopher-filter-then-sample recipes).
+
+    Equal-width (not equal-frequency) banding is the 100 TB choice on
+    purpose: ntile would need a single global sort of the corpus, while
+    a fixed-threshold band is one narrow map; the within-phase position
+    is a per-phase hash-order window (streams per key, one shuffle).
+    Everything is engine-portable arithmetic: band edges on the rounded
+    score, hash order from the repo-wide H60 family.
+
+    Returns (id, phase, position, score-rounded).
+    """
+    from ..operators.dedup import salted_hash60
+
+    if n_phases < 1:
+        raise ValueError(f"n_phases must be >= 1, got {n_phases}")
+    s = F.round(F.col(score_col).cast("double"), 6)
+    clamped = F.least(F.greatest(s, F.lit(0.0)), F.lit(1.0))
+    bucket = F.least(
+        F.lit(n_phases),
+        (F.floor(clamped * n_phases) + 1).cast("int"),
+    )
+    phase = (
+        (F.lit(n_phases + 1) - bucket) if descending else bucket
+    ).cast("int")
+    w = Window.partitionBy("phase").orderBy("_h", id_col)
+    return (
+        scored.select(
+            F.col(id_col), phase.alias("phase"), s.alias("score")
+        )
+        .withColumn("_h", salted_hash60(F.col(id_col), seed))
+        .withColumn("position", F.row_number().over(w).cast("int"))
+        .drop("_h")
+        .select(id_col, "phase", "position", "score")
+    )

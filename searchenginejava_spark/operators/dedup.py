@@ -704,3 +704,70 @@ def cross_source_duplicates(
         )
         .filter(F.col("n_sources") >= int(min_sources))
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    *,
+    n_clusters: int = 8,
+    threshold: float = 0.9,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup ([L:Abbas et al. 2023, arXiv:2303.09540]): cluster the
+    embedding space with a k-means coarse quantizer, then search for
+    near-duplicates ONLY within each cluster — the candidate space
+    drops from N² to Σ|cell|², the property that makes embedding-level
+    dedup feasible at 10^9 docs (raise C so cells stay bounded;
+    cluster-partitioned storage makes the pair stage a co-partitioned
+    self-join with no global shuffle).
+
+    Returns (id, cid, keep): keep=false iff a LOWER-id vector in the
+    same cluster has cosine ≥ threshold — a deterministic keep-lowest
+    rule (the paper keeps the vector farthest from the centroid; any
+    single-representative rule is admissible, and the EXISTS-lower-id
+    form is engine-portable: one anti-join, no iteration). Cosine uses
+    the same left-fold arithmetic as the ANN operators, and the
+    threshold compares the ROUNDED cosine so boundary pairs cannot
+    split across engines.
+    """
+    from .similarity import _nearest_centroid_col, dot_col, ivf_train, norm_col
+
+    if centroids is None:
+        # iters=0 → deterministic lowest-id init, the oracle-exact path
+        centroids = ivf_train(
+            embeddings, n_centroids=n_clusters, iters=0,
+            id_col=id_col, vec_col=vec_col,
+        )
+    assigned = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _nearest_centroid_col(F.col(vec_col), centroids).alias("cid"),
+    )
+    a = assigned.select(
+        F.col("id").alias("a_id"), F.col("v").alias("a_v"), "cid"
+    )
+    b = assigned.select(
+        F.col("id").alias("b_id"), F.col("v").alias("b_v"), "cid"
+    )
+    cos = dot_col(F.col("a_v"), F.col("b_v")) / (
+        norm_col(F.col("a_v")) * norm_col(F.col("b_v"))
+    )
+    drops = (
+        a.join(b, "cid")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.round(cos, 6) >= F.lit(float(threshold)))
+        .select(F.col("b_id").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            drops.withColumn("_d", F.lit(1)), "id", "left"
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "cid",
+            F.col("_d").isNull().alias("keep"),
+        )
+    )

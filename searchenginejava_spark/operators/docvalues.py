@@ -256,3 +256,150 @@ def function_score(
         )
         .orderBy("query_id", "rank")
     )
+
+
+def rank_feature_search(
+    scored: DataFrame,
+    doc_features: DataFrame,
+    feature_col: str,
+    *,
+    method: str = "saturation",
+    pivot: float = 1.0,
+    boost: float = 1.0,
+    scaling: float = 1.0,
+    k: int = TOP_K,
+) -> DataFrame:
+    """``rank_feature`` query (Elasticsearch/Lucene feature-field
+    scoring, public semantics): add a bounded monotone transform of a
+    per-document numeric feature to the text score —
+
+    - ``saturation``: boost · x/(x + pivot)   (default; ∈ [0, boost))
+    - ``log``:        boost · ln(scaling + x)
+
+    combined ADDITIVELY with the text score (the bool-should
+    convention), unlike function_score's multiplicative boost_mode.
+    Docs missing the feature (no row, or null) get contribution 0 —
+    the clause simply doesn't match (left join; the function_score
+    missing-row lesson). ``scored`` should be a candidate set WIDER
+    than k (the decay-window lesson): the feature boost re-orders, so
+    truncation happens AFTER re-scoring. One candidate-pruned join +
+    window — never a corpus pass; the feature column is a docvalue
+    read, exactly Lucene's feature-field shape."""
+    if method == "saturation":
+        if pivot <= 0:
+            raise ValueError(f"saturation pivot must be > 0, got {pivot}")
+        fx = F.col("_f") / (F.col("_f") + F.lit(float(pivot)))
+    elif method == "log":
+        fx = F.log(F.lit(float(scaling)) + F.col("_f"))
+    else:
+        raise ValueError(f"unknown rank_feature method: {method}")
+    feats = doc_features.select(
+        "doc_id", F.col(feature_col).cast("double").alias("_f")
+    )
+    contrib = F.when(
+        F.col("_f").isNotNull(), F.lit(float(boost)) * fx
+    ).otherwise(F.lit(0.0))
+    rescored = (
+        scored.join(feats, "doc_id", "left")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("score") + contrib, 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+        .orderBy("query_id", "rank")
+    )
+
+
+def adjacency_matrix(
+    tagged: DataFrame,
+    *,
+    separator: str = "&",
+) -> DataFrame:
+    """``adjacency_matrix`` aggregation (Elasticsearch, public
+    semantics): given named filters materialized as a (name, doc_id)
+    membership relation, emit one bucket per filter and per unordered
+    filter PAIR that intersect — key ``a``, ``b``, ``a&b`` — with
+    doc_count. Empty intersections are omitted (the ES contract).
+
+    One distinct + self-equi-join on doc_id + hash agg: the join is
+    membership-sized (docs × matching filters), never corpus × filters;
+    at scale the membership relation is the output of n term/bool
+    matches, each already candidate-pruned. Bucket count is bounded by
+    n + n(n−1)/2 regardless of corpus size."""
+    m = tagged.select("name", "doc_id").distinct()
+    a = m.select(F.col("name").alias("a"), "doc_id")
+    b = m.select(F.col("name").alias("b"), "doc_id")
+    pairs = a.join(b, "doc_id").filter(F.col("a") <= F.col("b"))
+    key = F.when(
+        F.col("a") == F.col("b"), F.col("a")
+    ).otherwise(F.concat_ws(separator, F.col("a"), F.col("b")))
+    return (
+        pairs.select(key.alias("key"), "doc_id")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+    )
+
+
+def matrix_stats(
+    df: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """``matrix_stats`` aggregation (Elasticsearch, public semantics),
+    flattened to one row per ordered field pair: (field_a, field_b,
+    row_count, mean_a, covariance, correlation). Diagonal rows carry
+    the field's variance (covar_pop(x,x)) and correlation 1.
+
+    Entirely native partial-aggregable moments (count/avg/covar_pop/
+    corr) — one map-side-combined pass over the input regardless of
+    width; p fields cost p² running sums, no per-row Python, no second
+    scan. Rows with a null in either field of a pair are excluded from
+    that pair (the ES pairwise-deletion convention matches SQL's
+    covar_pop/corr null handling)."""
+    aggs = []
+    for ca in cols:
+        for cb in cols:
+            x = F.col(ca).cast("double")
+            y = F.col(cb).cast("double")
+            both = x.isNotNull() & y.isNotNull()
+            pref = f"{ca}__{cb}"
+            aggs += [
+                F.count(F.when(both, 1)).cast("long").alias(f"{pref}__n"),
+                F.avg(F.when(both, x)).alias(f"{pref}__mean_a"),
+                F.covar_pop(x, y).alias(f"{pref}__cov"),
+                F.corr(x, y).alias(f"{pref}__corr"),
+            ]
+    one = df.agg(*aggs)
+    stack_args = []
+    for ca in cols:
+        for cb in cols:
+            pref = f"{ca}__{cb}"
+            stack_args.append(
+                (
+                    f"'{ca}', '{cb}', `{pref}__n`, `{pref}__mean_a`,"
+                    f" `{pref}__cov`, `{pref}__corr`"
+                )
+            )
+    n_pairs = len(cols) * len(cols)
+    expr = (
+        f"stack({n_pairs}, " + ", ".join(stack_args)
+        + ") as (field_a, field_b, row_count, mean_a, covariance,"
+        " correlation)"
+    )
+    return one.selectExpr(expr).select(
+        "field_a",
+        "field_b",
+        "row_count",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("covariance", 6).alias("covariance"),
+        F.when(F.col("field_a") == F.col("field_b"), F.lit(1.0))
+        .otherwise(F.round("correlation", 6))
+        .alias("correlation"),
+    )

@@ -652,3 +652,53 @@ def clone_pairs(
         .filter(F.col("overlap") >= min_overlap)
     )
     return out
+
+
+def tokenizer_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer fertility / compression statistics per corpus slice —
+    the "how many tokens is this corpus" planning numbers every
+    training-data pipeline publishes: per ``group_col``, document
+    count, total bytes, whitespace-token count, BPE-style piece count
+    (letter runs ‖ single digits ‖ single non-alnum marks — the GPT-2
+    pre-tokenizer shape, public convention), bytes/piece (compression
+    ratio) and pieces/word (fertility).
+
+    One codegen'd projection (two regexp_count + octet_length) + one
+    map-side-combined agg — no Python, no second scan; grouping
+    cardinality is slice-count-sized, so the shuffle is trivial at any
+    corpus size."""
+    ws = F.regexp_count(F.col(text_col), F.lit(r"[^\s]+")).cast("long")
+    bpe = F.regexp_count(
+        F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")
+    ).cast("long")
+    by = F.octet_length(F.col(text_col)).cast("long")
+    return (
+        df.select(
+            F.col(group_col).alias("slice"),
+            ws.alias("_ws"), bpe.alias("_bpe"), by.alias("_b"),
+        )
+        .groupBy("slice")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum("_b").alias("bytes"),
+            F.sum("_ws").alias("ws_tokens"),
+            F.sum("_bpe").alias("bpe_pieces"),
+        )
+        .select(
+            "slice", "docs", "bytes", "ws_tokens", "bpe_pieces",
+            F.round(
+                F.col("bytes") / F.greatest(F.col("bpe_pieces"), F.lit(1)),
+                6,
+            ).alias("bytes_per_piece"),
+            F.round(
+                F.col("bpe_pieces")
+                / F.greatest(F.col("ws_tokens"), F.lit(1)),
+                6,
+            ).alias("fertility"),
+        )
+    )

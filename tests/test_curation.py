@@ -764,3 +764,48 @@ def test_curate_job_dsir_and_holdout_flags(spark, tmp_path):
     assert rc == 0
     held2 = {r["doc_id"] for r in spark.read.parquet(hold).collect()}
     assert held2 == held
+
+
+def test_curriculum_order_bands_and_positions(spark):
+    from pyspark.sql import functions as F
+
+    from searchenginejava_spark.operators.curation import curriculum_order
+
+    scored = spark.createDataFrame(
+        [(1, 0.95), (2, 0.55), (3, 0.30), (4, 0.05), (5, 0.80), (6, 1.0)],
+        "doc_id long, quality double",
+    )
+    res = {r["doc_id"]: r for r in curriculum_order(scored, n_phases=4).collect()}
+    # equal-width bands on [0,1), descending: phase 1 = [0.75, 1]
+    assert res[1]["phase"] == 1 and res[5]["phase"] == 1 and res[6]["phase"] == 1
+    assert res[2]["phase"] == 2
+    assert res[3]["phase"] == 3    # 0.30 -> bucket 2 -> phase 3
+    assert res[4]["phase"] == 4
+    # positions are 1..n inside each phase, no duplicates
+    p1 = sorted(r["position"] for r in res.values() if r["phase"] == 1)
+    assert p1 == [1, 2, 3]
+    # ascending mode flips the band order
+    asc = {r["doc_id"]: r["phase"] for r in curriculum_order(
+        scored, n_phases=4, descending=False
+    ).collect()}
+    assert asc[4] == 1 and asc[6] == 4
+
+
+def test_curriculum_order_deterministic_and_clamped(spark):
+    import pytest
+
+    from searchenginejava_spark.operators.curation import curriculum_order
+
+    scored = spark.createDataFrame(
+        [(i, 1.5 if i == 0 else -0.2 if i == 1 else i / 100.0)
+         for i in range(40)],
+        "doc_id long, quality double",
+    )
+    a = sorted(map(tuple, curriculum_order(scored).collect()))
+    b = sorted(map(tuple, curriculum_order(scored).collect()))
+    assert a == b                        # rerun-identical
+    res = {r[0]: r[1] for r in a}
+    assert res[0] == 1                   # >1 clamps into the top band
+    assert res[1] == 4                   # <0 clamps into the bottom band
+    with pytest.raises(ValueError):
+        curriculum_order(scored, n_phases=0)

@@ -285,3 +285,54 @@ def test_repeated_spans_short_docs_no_crash(spark):
         "doc_id long, text string",
     )
     assert repeated_spans(docs, k=3).count() == 0
+
+
+def test_semantic_dedup_drops_planted_near_duplicates(spark):
+    import numpy as np
+
+    from searchenginejava_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    base[11] = base[3] * 1.5                      # exact direction dup of 3
+    base[25] = base[3] + 0.001 * base[7]          # near-dup of 3
+    emb = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    res = {r["vec_id"]: r for r in
+           semantic_dedup(emb, n_clusters=4, threshold=0.99).collect()}
+    assert len(res) == 40
+    # the keeper is the LOWEST id of the near-dup group
+    assert res[3]["keep"] is True
+    assert res[11]["keep"] is False and res[25]["keep"] is False
+    # group members land in the same cluster (they share a direction)
+    assert res[11]["cid"] == res[3]["cid"] == res[25]["cid"]
+    # everything else survives
+    dropped = {v for v, r in res.items() if not r["keep"]}
+    assert dropped == {11, 25}
+
+
+def test_semantic_dedup_cluster_restriction_is_real(spark):
+    """A cross-cluster near-identical pair is NOT dropped — the paper's
+    trade: candidates only within a cell (that is what makes it scale)."""
+    from searchenginejava_spark.operators.dedup import semantic_dedup
+
+    # centroids = vectors 0 and 1 (lowest-id init, n_clusters=2);
+    # 2/3 sit with 0, 4 sits with 1 but is near-identical to 3
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0, 0.0]),
+            (3, [0.8, 0.55, 0.0, 0.0]),
+            (4, [0.75, 0.62, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    res = {r["vec_id"]: r for r in
+           semantic_dedup(emb, n_clusters=2, threshold=0.95).collect()}
+    if res[3]["cid"] != res[4]["cid"]:
+        assert res[4]["keep"] is True    # pair straddles cells → kept
+    else:
+        assert res[4]["keep"] is False

@@ -226,3 +226,119 @@ def test_sort_by_field_missing_values_rank_last(spark, scored):
     ).collect()
     # nulls last in BOTH directions (the ES `missing: _last` default)
     assert [r["doc_id"] for r in asc] == [6, 1, 4, 3, 2, 5]
+
+
+def test_rank_feature_saturation_hand_computed(spark):
+    from searchenginejava_spark.operators.docvalues import rank_feature_search
+
+    scored = spark.createDataFrame(
+        [(1, 10, 2.0), (1, 20, 1.9), (1, 30, 1.8)],
+        "query_id int, doc_id long, score double",
+    )
+    feats = spark.createDataFrame(
+        [(10, 0.0), (20, 300.0), (30, 900.0)],
+        "doc_id long, f double",
+    )
+    res = rank_feature_search(
+        scored, feats, "f", pivot=300.0, boost=2.0, k=3
+    ).collect()
+    got = {r["doc_id"]: r["score"] for r in res}
+    # sat(0)=0, sat(300)=0.5, sat(900)=0.75 with pivot 300
+    assert got[10] == 2.0
+    assert got[20] == round(1.9 + 2.0 * 0.5, 6)
+    assert got[30] == round(1.8 + 2.0 * 0.75, 6)
+    # the boost re-orders: 30 overtakes both
+    assert [r["doc_id"] for r in res] == [30, 20, 10]
+
+
+def test_rank_feature_missing_feature_contributes_zero(spark):
+    from searchenginejava_spark.operators.docvalues import rank_feature_search
+
+    scored = spark.createDataFrame(
+        [(1, 10, 2.0), (1, 20, 1.0)], "query_id int, doc_id long, score double"
+    )
+    feats = spark.createDataFrame([(10, 50.0)], "doc_id long, f double")
+    res = {r["doc_id"]: r["score"] for r in rank_feature_search(
+        scored, feats, "f", pivot=50.0, boost=1.0, k=2
+    ).collect()}
+    assert res[20] == 1.0          # no feature row -> clause contributes 0
+    assert res[10] == 2.5
+
+
+def test_rank_feature_log_method_and_bad_args(spark):
+    import math
+
+    import pytest
+
+    from searchenginejava_spark.operators.docvalues import rank_feature_search
+
+    scored = spark.createDataFrame(
+        [(1, 10, 1.0)], "query_id int, doc_id long, score double"
+    )
+    feats = spark.createDataFrame([(10, 9.0)], "doc_id long, f double")
+    res = rank_feature_search(
+        scored, feats, "f", method="log", scaling=1.0, boost=1.0, k=1
+    ).collect()
+    assert res[0]["score"] == round(1.0 + math.log(10.0), 6)
+    with pytest.raises(ValueError):
+        rank_feature_search(scored, feats, "f", pivot=0.0).collect()
+    with pytest.raises(ValueError):
+        rank_feature_search(scored, feats, "f", method="sigmoidish")
+
+
+def test_adjacency_matrix_counts_and_omits_empty(spark):
+    from searchenginejava_spark.operators.docvalues import adjacency_matrix
+
+    tagged = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 2), ("b", 3), ("c", 9)],
+        "name string, doc_id long",
+    )
+    got = {r["key"]: r["doc_count"] for r in adjacency_matrix(tagged).collect()}
+    assert got == {"a": 2, "b": 2, "c": 1, "a&b": 1}
+    # a&c / b&c empty -> omitted (the ES contract); keys are sorted pairs
+    assert "a&c" not in got and "c&a" not in got
+
+
+def test_adjacency_matrix_dedupes_membership(spark):
+    from searchenginejava_spark.operators.docvalues import adjacency_matrix
+
+    tagged = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 1)], "name string, doc_id long"
+    )
+    got = {r["key"]: r["doc_count"] for r in adjacency_matrix(tagged).collect()}
+    assert got == {"a": 1, "b": 1, "a&b": 1}
+
+
+def test_matrix_stats_against_numpy(spark):
+    import numpy as np
+
+    from searchenginejava_spark.operators.docvalues import matrix_stats
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(10, 3, 200)
+    y = 2.0 * x + rng.normal(0, 1, 200)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    )
+    got = {
+        (r["field_a"], r["field_b"]): r
+    for r in matrix_stats(df, ["x", "y"]).collect()}
+    assert got[("x", "x")]["row_count"] == 200
+    assert got[("x", "x")]["correlation"] == 1.0
+    assert abs(got[("x", "y")]["covariance"] - float(np.cov(x, y, bias=True)[0, 1])) < 1e-4
+    assert abs(got[("x", "y")]["correlation"] - float(np.corrcoef(x, y)[0, 1])) < 1e-6
+    assert got[("x", "y")]["covariance"] == got[("y", "x")]["covariance"]
+
+
+def test_matrix_stats_pairwise_null_deletion(spark):
+    from searchenginejava_spark.operators.docvalues import matrix_stats
+
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, 4.0), (3.0, 5.0)], "x double, y double"
+    )
+    got = {
+        (r["field_a"], r["field_b"]): r
+    for r in matrix_stats(df, ["x", "y"]).collect()}
+    assert got[("x", "x")]["row_count"] == 3      # x alone keeps all rows
+    assert got[("x", "y")]["row_count"] == 2      # the pair drops the null row
+    assert got[("x", "y")]["mean_a"] == 2.5       # mean over the PAIR rows

@@ -522,3 +522,55 @@ def test_int8_zero_vector_safe(spark):
     assert [r["vec_id"] for r in res] == [0, 2, 1]
     assert res[0]["cosine_q8"] == res[1]["cosine_q8"] == 1.0
     assert res[2]["cosine_q8"] is None
+
+
+def test_binary_quantization_pack_matches_signs(spark):
+    from searchenginejava_spark.operators.similarity import (
+        _pack_query_bits,
+        quantize_binary,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    b = quantize_binary(emb)
+    rows = {r["vec_id"]: r["bvec"] for r in b.limit(50).collect()}
+    raw = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.limit(50).collect()
+    }
+    for vid, words in rows.items():
+        # the JVM packing and the driver-side packing agree bit-for-bit
+        assert words == _pack_query_bits(raw[vid]), vid
+
+
+def test_binary_knn_recall_and_self_hit(spark):
+    from searchenginejava_spark.operators.similarity import (
+        cosine_topk,
+        knn_binary,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    res = knn_binary(emb, qvec, k=10, rerank=50).collect()
+    assert res[0]["vec_id"] == 0 and res[0]["hamming"] == 0
+    exact = {r["vec_id"] for r in cosine_topk(emb, qvec, k=10).collect()}
+    got = {r["vec_id"] for r in res}
+    # sign codes keep >= 60% of the exact top-10 at 8x oversampling
+    assert len(exact & got) / 10 >= 0.6, (exact, got)
+
+
+def test_binary_knn_negated_vector_is_max_hamming(spark):
+    from searchenginejava_spark.operators.similarity import knn_binary
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, -1.0, 2.0, -2.0] * 16),
+            (1, [-1.0, 1.0, -2.0, 2.0] * 16),   # exact negation: 64 flips
+            (2, [1.0, -1.0, 2.0, -2.0] * 16),   # identical: hamming 0
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = [1.0, -1.0, 2.0, -2.0] * 16
+    rows = {r["vec_id"]: r for r in knn_binary(emb, q, k=3).collect()}
+    assert rows[0]["hamming"] == 0 and rows[2]["hamming"] == 0
+    assert rows[1]["hamming"] == 64
+    assert rows[1]["cosine"] == -1.0

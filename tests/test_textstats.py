@@ -367,3 +367,27 @@ def test_bigram_nll_single_token_doc(spark):
     assert out[0]["n_tokens"] == 1
     # cf1: a=2, b=1, T=3; p(a)=2/3
     assert abs(out[0]["avg_nll"] - round(-math.log(2 / 3), 6)) < 1e-9
+
+
+def test_tokenizer_stats_hand_computed(spark):
+    from searchenginejava_spark.operators.textstats import tokenizer_stats
+
+    df = spark.createDataFrame(
+        [
+            ("py", "def f(x): return x1"),
+            ("py", "a = b"),
+            ("go", "x != y"),
+        ],
+        "lang string, text string",
+    )
+    got = {r["slice"]: r for r in tokenizer_stats(df).collect()}
+    # 'def f(x): return x1' -> ws 4; pieces: def,f,(,x,),:,return,x,1 = 9
+    # 'a = b' -> ws 3; pieces a,=,b = 3
+    assert got["py"]["docs"] == 2
+    assert got["py"]["ws_tokens"] == 7
+    assert got["py"]["bpe_pieces"] == 12
+    assert got["py"]["bytes"] == 19 + 5
+    assert got["py"]["fertility"] == round(12 / 7, 6)
+    # 'x != y' -> ws 3; pieces x,!,=,y = 4
+    assert got["go"]["ws_tokens"] == 3 and got["go"]["bpe_pieces"] == 4
+    assert got["go"]["bytes_per_piece"] == round(6 / 4, 6)
