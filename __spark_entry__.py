@@ -1523,6 +1523,189 @@ def _span_sql(terms: list[str], slop: int) -> str:
     """
 
 
+def _span_not_sql(
+    inc: list[str], exc: list[str], *, slop: int, pre: int, post: int
+) -> str:
+    """DuckDB restatement of positional.span_not: the _span_sql include
+    chain, minus occurrences overlapped (±pre/post) by the exclude
+    chain's occurrences; LEFT-joined exclude slices behave as empty."""
+    k = len(inc)
+    chain = "p"
+    for i in range(2, k + 1):
+        chain = f"list_min(list_filter(t{i}.ps, q{i} -> q{i} > ({chain})))"
+    echain = "xx"
+    for j in range(2, len(exc) + 1):
+        echain = (
+            f"list_min(list_filter(coalesce(x{j}.ps, []),"
+            f" e{j} -> e{j} > ({echain})))"
+        )
+    inc_joins = " ".join(
+        f"JOIN pl t{i} ON t{i}.doc_id = t1.doc_id"
+        f" AND t{i}.term = '{inc[i - 1]}'"
+        for i in range(2, k + 1)
+    )
+    exc_joins = " ".join(
+        f"LEFT JOIN pl x{j} ON x{j}.doc_id = t1.doc_id"
+        f" AND x{j}.term = '{exc[j - 1]}'"
+        for j in range(1, len(exc) + 1)
+    )
+    overlap = (
+        f"len(list_filter(coalesce(x1.ps, []), xx ->"
+        f" ({echain}) IS NOT NULL"
+        f" AND xx <= ({chain}) + {int(post)}"
+        f" AND ({echain}) >= p - {int(pre)})) > 0"
+    )
+    kept = (
+        f"list_filter(list_transform(t1.ps, p -> CASE WHEN"
+        f" ({chain}) - p - {k - 1} <= {int(slop)}"
+        f" AND NOT ({overlap})"
+        f" THEN ({chain}) - p - {k - 1} END), s -> s IS NOT NULL)"
+    )
+    return _SQL_TOKL + f"""
+    , pl AS (
+      SELECT doc_id, term, list(pos ORDER BY pos) AS ps
+      FROM tok GROUP BY doc_id, term
+    )
+    SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_spans,
+           CAST(list_min(kept) AS BIGINT) AS min_span
+    FROM (
+      SELECT t1.doc_id, {kept} AS kept
+      FROM pl t1 {inc_joins} {exc_joins}
+      WHERE t1.term = '{inc[0]}'
+    ) WHERE len(kept) > 0
+    """
+
+
+def _textrank_sql(
+    *, window: int, n_iter: int, damping: float, top_n: int
+) -> str:
+    """Unrolled weighted-PageRank CTE chain mirroring
+    textstats.textrank_keywords: lead-g co-occurrence pairs, undirected
+    weighted edges, src-sorted left-fold in-sums, (1−d) + d·c updates.
+    Base and damping are interpolated at python-repr precision so the
+    SQL doubles equal the Spark-side literals bit-for-bit."""
+    base = repr(1.0 - float(damping))
+    d = repr(float(damping))
+    pair_legs = " UNION ALL ".join(
+        f"""SELECT t1.term AS src, t2.term AS dst
+            FROM tok t1 JOIN tok t2
+              ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + {g}
+            WHERE t1.term <> t2.term"""
+        for g in range(1, int(window) + 1)
+    )
+    s = _SQL_TOKL + f"""
+    , pr AS ({pair_legs})
+    , und AS (SELECT src, dst FROM pr
+              UNION ALL SELECT dst AS src, src AS dst FROM pr)
+    , edges AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+                FROM und GROUP BY src, dst)
+    , outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src)
+    , r0 AS (SELECT src AS term, CAST(1.0 AS DOUBLE) AS r FROM outw)
+    """
+    for it in range(1, int(n_iter) + 1):
+        s += f"""
+    , c{it} AS (
+      SELECT e.dst AS term,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(
+                   list_sort(list({{'s': e.src,
+                     'c': p.r * (e.w / o.ow)}})),
+                   z -> z.c)),
+               (a, b) -> a + b) AS c
+      FROM edges e
+      JOIN r{it - 1} p ON e.src = p.term
+      JOIN outw o ON o.src = e.src
+      GROUP BY e.dst
+    )
+    , r{it} AS (
+      SELECT o.src AS term,
+             CAST({base} AS DOUBLE)
+             + CAST({d} AS DOUBLE)
+               * coalesce(c{it}.c, CAST(0.0 AS DOUBLE)) AS r
+      FROM outw o LEFT JOIN c{it} ON c{it}.term = o.src
+    )
+    """
+    return s + f"""
+    SELECT CAST(rank AS INT) AS rank, term, r AS score FROM (
+      SELECT term, r, row_number() OVER (ORDER BY r DESC, term ASC)
+             AS rank
+      FROM r{int(n_iter)}
+    ) WHERE rank <= {int(top_n)}
+    """
+
+
+def _cross_fields_sql(
+    q_values: str, *, boosts: dict, tie_breaker: float
+) -> str:
+    """Mirror of fielded.cross_fields_topk over the q_bm25f virtual
+    title/body split: per-FIELD df → blended max df → one shared idf
+    per term; per-field BM25 with per-field dl/avgdl; per-term
+    best + tb·(Σ−best); Σ over terms; constants at repr precision and
+    the same parenthesization as the Column expressions."""
+    k1p1 = repr(_K1 + 1.0)
+    boost_case = (
+        f"(CASE WHEN ftf.field = 'title' THEN {repr(float(boosts['title']))}"
+        f" ELSE {repr(float(boosts['body']))} END)"
+    )
+    return _SQL_TOKL + f"""
+    , btf AS (
+      SELECT doc_id, 'body' AS field, term, count(*) AS tf
+      FROM tok GROUP BY doc_id, term
+    ),
+    ttf AS (
+      SELECT doc_id, 'title' AS field, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(l[1:3]) AS term FROM tokl)
+      GROUP BY doc_id, term
+    ),
+    ftf AS (SELECT * FROM btf UNION ALL SELECT * FROM ttf),
+    dlf AS (
+      SELECT doc_id, field, CAST(sum(tf) AS DOUBLE) AS dl
+      FROM ftf GROUP BY doc_id, field
+    ),
+    avgf AS (SELECT field, avg(dl) AS avgdl FROM dlf GROUP BY field),
+    nstats AS (SELECT count(DISTINCT doc_id) AS n FROM ftf),
+    q(query_id, term, qtf) AS (VALUES {q_values}),
+    dff AS (
+      SELECT ftf.field, ftf.term, count(DISTINCT ftf.doc_id) AS df
+      FROM ftf JOIN (SELECT DISTINCT term FROM q) v ON ftf.term = v.term
+      GROUP BY ftf.field, ftf.term
+    ),
+    dfb AS (SELECT term, max(df) AS df FROM dff GROUP BY term),
+    fs AS (
+      SELECT q.query_id, ftf.doc_id, q.term,
+             ({boost_case}
+              * (q.qtf * ln((nstats.n - dfb.df + 0.5)
+                            / (dfb.df + 0.5) + 1.0)))
+             * (ftf.tf * {k1p1})
+             / (ftf.tf + {_K1} * (1.0 - {_B}
+                                  + {_B} * dlf.dl / avgf.avgdl)) AS fs
+      FROM q
+      JOIN dfb ON q.term = dfb.term
+      JOIN ftf ON ftf.term = q.term
+      JOIN dlf ON ftf.doc_id = dlf.doc_id AND ftf.field = dlf.field
+      JOIN avgf ON ftf.field = avgf.field
+      CROSS JOIN nstats
+    ),
+    per_term AS (
+      SELECT query_id, doc_id, term,
+             max(fs) AS best, sum(fs) AS total
+      FROM fs GROUP BY query_id, doc_id, term
+    ),
+    scored AS (
+      SELECT query_id, doc_id,
+             sum(best + {repr(float(tie_breaker))} * (total - best)) AS s
+      FROM per_term GROUP BY query_id, doc_id
+    )
+    SELECT CAST(query_id AS INT) AS query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY s DESC, doc_id ASC) AS INT) AS rank,
+           doc_id, round(s, 6) AS score
+    FROM scored
+    QUALIFY rank <= {_TOPK}
+    """
+
+
 def glob_like_sql(pattern: str) -> str:
     """Glob → LIKE pattern for the oracle SQL. The oracle LIKE carries no
     ESCAPE clause, so patterns whose literals need escaping are rejected."""
@@ -3884,6 +4067,111 @@ def q_tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ADJ_FILTERS = ("merge", "window", "hash")
 
 
+def q_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-not (Lucene SpanNotQuery): ordered the..hash..join spans
+    (slop 8) that do NOT overlap a 'scan' occurrence widened by one
+    position either side — include chain minus exclude overlaps, all
+    native position-array lambdas over dictionary-pruned slices."""
+    from searchenginejava_spark.operators.positional import span_not
+
+    return span_not(
+        _pindex(spark, sf_dir), _SPAN_TERMS, ["scan"],
+        slop=_SPAN_SLOP, pre=1, post=1,
+    )
+
+
+def q_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rare_terms aggregation (ES long-tail buckets) over the 3-gram
+    shingle relation: phrases appearing in ≤ 2 documents, rarest-first
+    cap at 50 — the exact form of the agg ES approximates with a
+    CuckooFilter."""
+    from searchenginejava_spark.operators.dedup import shingles
+    from searchenginejava_spark.operators.search import rare_terms
+
+    sh = shingles(_documents(spark, sf_dir), n=3)
+    return rare_terms(
+        sh.select(F.col("shingle").alias("term"), "doc_id"),
+        max_doc_count=2, max_buckets=50,
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb corpus-wide exact line dedup (keep the smallest
+    (doc_id, pos) occurrence of every duplicated line). The corpus has
+    no newlines, so 'lines' are derived 4-token chunks — 430 duplicate
+    lines at sf0.01 — re-joined with newline separators; the operator
+    then runs unmodified."""
+    from searchenginejava_spark.operators.curation import line_dedup
+
+    toks = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
+        ).alias("l"),
+    )
+    lined = toks.select(
+        "doc_id",
+        F.expr(
+            "array_join(transform("
+            " sequence(1, cast(ceil(size(l)/4.0) as int)),"
+            " g -> array_join(slice(l, (g-1)*4+1, 4), ' ')"
+            "), '\n')"
+        ).alias("text"),
+    )
+    return line_dedup(lined)
+
+
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords: weighted PageRank (3 iterations, d=0.85) over
+    the window-2 term co-occurrence graph; scores ship UNROUNDED (the
+    PageRank midpoint lesson) with src-sorted deterministic folds."""
+    from searchenginejava_spark.operators.textstats import textrank_keywords
+
+    return textrank_keywords(
+        _documents(spark, sf_dir), window=2, n_iter=3, top_n=20
+    )
+
+
+def q_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-retrieval quality: recall@10 of the d'-prefix
+    cosine top-10 vs the full 64-dim exact top-10, for d' in
+    {8, 16, 32, 64} — the fast-tier dimension-picking report."""
+    from searchenginejava_spark.operators.similarity import mrl_recall
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return mrl_recall(emb, qvec, dims_list=[8, 16, 32, 64], k=10)
+
+
+def q_cross_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_match cross_fields over the virtual title/body split:
+    term-centric blended-df (max over fields) idf, per-term dismax with
+    tie_breaker 0.3, summed over terms — the BlendedTermQuery semantics
+    between best_fields (q_dismax) and BM25F (q_bm25f)."""
+    from searchenginejava_spark.functions.tokenize import tokens_simple_col
+    from searchenginejava_spark.operators.fielded import (
+        bm25f_stats,
+        cross_fields_topk,
+        fielded_tf,
+    )
+
+    docs = _documents(spark, sf_dir)
+    title = F.array_join(F.slice(tokens_simple_col("text"), 1, 3), " ")
+    ftf = fielded_tf(docs, {"title": title, "body": F.col("text")})
+    ftf.persist()
+    s = bm25f_stats(ftf)
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    qt = spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+    res = cross_fields_topk(
+        qt, ftf, s, boosts={"title": 2.0, "body": 1.0},
+        k=_TOPK, tie_breaker=0.3,
+    )
+    res.persist()
+    res.count()
+    ftf.unpersist()
+    return res
+
+
 # Round-5 driver window (VERDICT r04 order #2): the driver checks the
 # FIRST 50 registered queries, so registration order rotates each round
 # to maximize the union of driver-green rows. union(r03, r04) = 91
@@ -4228,6 +4516,14 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_matrix_stats": q_matrix_stats,
         "q_curriculum": q_curriculum,
         "q_tokenizer_stats": q_tokenizer_stats,
+        # round-5 wave c: span_not, long-tail buckets, C4 line dedup,
+        # TextRank keywords, Matryoshka prefix recall, cross_fields
+        "q_span_not": q_span_not,
+        "q_rare_terms": q_rare_terms,
+        "q_line_dedup": q_line_dedup,
+        "q_textrank": q_textrank,
+        "q_mrl_recall": q_mrl_recall,
+        "q_cross_fields": q_cross_fields,
     }
     return all_q
 
@@ -9104,6 +9400,94 @@ def oracle_sql() -> dict[str, str]:
                AS fertility
     FROM base
     """
+
+    # span_not: include chain (greedy-earliest, as _span_sql) minus
+    # exclude-overlap occurrences, pre/post widening — exact mirror of
+    # positional.span_not's native-lambda arithmetic
+    sql["q_span_not"] = _span_not_sql(
+        _SPAN_TERMS, ["scan"], slop=_SPAN_SLOP, pre=1, post=1
+    )
+
+    # rare_terms over the 3-gram shingle relation: long-tail buckets,
+    # rarest-first deterministic cap
+    sql["q_rare_terms"] = _SQL_SHINGLES + """
+    SELECT shingle AS term,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_count
+    FROM sh GROUP BY shingle
+    HAVING count(DISTINCT doc_id) <= 2
+    ORDER BY doc_count ASC, term ASC LIMIT 50
+    """
+
+    # C4 line dedup over derived 4-token lines: global keep-first by
+    # (doc_id, line pos), re-joined per doc in original order
+    sql["q_line_dedup"] = _SQL_TOKL + """
+    , lines AS (
+      SELECT doc_id, CAST(ceil(pos / 4.0) AS BIGINT) AS lpos,
+             string_agg(term, ' ' ORDER BY pos) AS line
+      FROM tok GROUP BY doc_id, CAST(ceil(pos / 4.0) AS BIGINT)
+    ), marked AS (
+      SELECT doc_id, lpos, line,
+             (length(trim(line)) < 1) OR
+             (row_number() OVER (
+                PARTITION BY (length(trim(line)) >= 1), line
+                ORDER BY doc_id, lpos) = 1
+              AND length(trim(line)) >= 1) AS keep
+      FROM lines
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_removed,
+           coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                               ORDER BY lpos), '') AS text_clean
+    FROM marked GROUP BY doc_id
+    """
+
+    # TextRank: window-2 co-occurrence edges, 3 unrolled weighted
+    # PageRank iterations with src-sorted folds (the linkrank oracle
+    # convention); base/damping interpolated at python-repr precision
+    # so the SQL doubles equal the Spark literals bit-for-bit
+    sql["q_textrank"] = _textrank_sql(window=2, n_iter=3, damping=0.85,
+                                      top_n=20)
+
+    # Matryoshka prefix recall: per prefix length, |trunc∩full| / k —
+    # truncated legs rank on the ROUNDED prefix cosine (knn_truncated),
+    # the full leg on the raw cosine (cosine_topk)
+    sql["q_mrl_recall"] = """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    dims AS (SELECT unnest([8, 16, 32, 64]) AS d),
+    z AS (
+      SELECT dims.d, e.vec_id,
+             CAST(unnest(e.embedding[1:dims.d]) AS DOUBLE) AS x,
+             CAST(unnest(q.qv[1:dims.d]) AS DOUBLE) AS y
+      FROM embeddings e CROSS JOIN q CROSS JOIN dims
+    ), s AS (
+      SELECT d, vec_id, sum(x * y) AS dot,
+             sqrt(sum(x * x)) AS nx, sqrt(sum(y * y)) AS ny
+      FROM z GROUP BY d, vec_id
+    ), trunc AS (
+      SELECT d, vec_id FROM s
+      QUALIFY row_number() OVER (
+        PARTITION BY d
+        ORDER BY round(dot / (nx * ny), 6) DESC, vec_id ASC) <= 10
+    ), full64 AS (
+      SELECT vec_id FROM s WHERE d = 64
+      QUALIFY row_number() OVER (
+        ORDER BY dot / (nx * ny) DESC, vec_id ASC) <= 10
+    ), hits AS (
+      SELECT t.d, count(*) AS n
+      FROM trunc t JOIN full64 f USING (vec_id) GROUP BY t.d
+    )
+    SELECT CAST(dims.d AS BIGINT) AS dims,
+           round(coalesce(hits.n, 0) / 10.0, 6) AS recall
+    FROM dims LEFT JOIN hits ON hits.d = dims.d
+    """
+
+    # multi_match cross_fields: blended (max-over-fields) df idf,
+    # per-term dismax + tie_breaker over per-field BM25 scores
+    sql["q_cross_fields"] = _cross_fields_sql(
+        q_values, boosts={"title": 2.0, "body": 1.0}, tie_breaker=0.3
+    )
     return sql
 
 

@@ -685,6 +685,76 @@ def stratified_sample(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide exact line deduplication (the C4 / RefinedWeb /
+    Gopher-pipeline step [L:Raffel et al. 2020 §2.2; Penedo et al.
+    2023]): any line occurring more than once ACROSS THE WHOLE CORPUS
+    keeps exactly one occurrence — the one with the smallest
+    (doc_id, line position) — and is removed everywhere else; the cut
+    that strips nav bars, cookie banners, license headers, and
+    generated scaffolding that exact-document dedup cannot see.
+
+    Lines shorter than ``min_len`` after trim (blank separators,
+    braces) are structure, not content — always kept, never counted as
+    duplicates. → (doc_id, n_lines, n_removed, text_clean) with
+    ``text_clean`` the surviving lines re-joined by ``sep`` in original
+    order ('' when everything was removed).
+
+    Plan: explode to (line, doc, pos), ONE shuffle keyed by the line
+    itself (at 100 TB the key would be a 128-bit content hash to cut
+    shuffle bytes; exact equality is the semantics either way) for the
+    keep-first window — line groups are tiny (df of a duplicated line),
+    so the window never sees skew beyond true boilerplate lines, which
+    is exactly the data this cut exists to bound — then one per-doc agg
+    re-assembles. No UDF, no driver state.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    eligible = F.length(F.trim(F.col("line"))) >= int(min_len)
+    marked = lines.withColumn(
+        "keep",
+        (~eligible)
+        | (
+            F.row_number().over(
+                Window.partitionBy(eligible, "line").orderBy("_id", "pos")
+            )
+            == 1
+        )
+        & eligible,
+    )
+    per_doc = marked.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("keep"), F.struct("pos", "line")
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("text_clean"),
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col), "n_lines", "n_removed", "text_clean"
+    )
+
+
 def curriculum_order(
     scored: DataFrame,
     *,

@@ -467,3 +467,139 @@ def bm25f_topk(
         )
         .orderBy("query_id", "rank")
     )
+
+
+def cross_fields_topk(
+    query_terms: DataFrame,
+    ftf: DataFrame,
+    stats: dict,
+    *,
+    boosts: Mapping[str, float],
+    k: int = TOP_K,
+    k1: float = BM25_K1,
+    b: float | Mapping[str, float] = BM25_B,
+    tie_breaker: float = 0.0,
+) -> DataFrame:
+    """``multi_match type=cross_fields`` (Elasticsearch / Lucene
+    BlendedTermQuery, public semantics) — the TERM-centric multi-field
+    ranking that treats the field GROUP as one logical field: each
+    query term is looked up in every field, all of a term's per-field
+    scores share one BLENDED document frequency (df̃ = max over fields
+    of that field's df — the BlendedTermQuery rewrite, so a term rare
+    in `title` but common in `body` is not artificially inflated by
+    the title's tiny df), and the term's score is
+
+        best + tie_breaker · (Σ others)        over its field scores,
+
+    summed over query terms. This is the "first/last name split across
+    fields" semantics that best_fields (dismax over whole-query field
+    scores) and BM25F (tf folds BEFORE saturation) both get wrong in
+    opposite directions.
+
+    Per-field score = boost_f · idf(df̃) · tf·(k1+1)/(tf + k1·(1−b_f+
+    b_f·dl_f/avgdl_f)) — the repo's standard BM25 shape with per-field
+    length normalization. idf weights are computed driver-side over
+    the QUERY vocabulary only and broadcast (the score_exhaustive
+    engine-portability convention); everything else is native: one
+    broadcast term join prunes ftf to query-term rows, one (query, doc,
+    term) max/sum agg, one (query, doc) sum agg, top-k window.
+    → (query_id, rank, doc_id, score), ties (score desc, doc_id asc).
+    """
+    import math
+
+    b_of = (lambda f: float(b[f])) if isinstance(b, Mapping) else (
+        lambda f: float(b)
+    )
+    n_d = float(stats["N"])
+    vocab = query_terms.select("term").distinct()
+    # blended df: max over fields of the per-FIELD distinct-doc count
+    df_rows = (
+        ftf.join(F.broadcast(vocab), "term")
+        .groupBy("field", "term")
+        .agg(F.countDistinct("doc_id").alias("dff"))
+        .groupBy("term")
+        .agg(F.max("dff").alias("df"))
+        .collect()
+    )
+    idf = {
+        r["term"]: math.log(
+            (n_d - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0
+        )
+        for r in df_rows
+    }
+    spark = ftf.sparkSession
+    qw_rows = [
+        (int(r["query_id"]), r["term"], float(r["qtf"]) * idf[r["term"]])
+        for r in query_terms.collect()
+        if r["term"] in idf
+    ]
+    if not qw_rows:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
+    qw = spark.createDataFrame(qw_rows, "query_id int, term string, w double")
+
+    dl_f = ftf.groupBy("doc_id", "field").agg(
+        F.sum("tf").cast("double").alias("dl")
+    )
+    avg_map = F.create_map(
+        *[
+            x
+            for f_name in boosts
+            for x in (F.lit(f_name), F.lit(float(stats["avgdl"][f_name])))
+        ]
+    )
+    boost_map = F.create_map(
+        *[x for f in boosts for x in (F.lit(f), F.lit(float(boosts[f])))]
+    )
+    b_map = F.create_map(
+        *[x for f in boosts for x in (F.lit(f), F.lit(b_of(f)))]
+    )
+    tf_d = F.col("tf").cast("double")
+    norm = tf_d + F.lit(float(k1)) * (
+        F.lit(1.0)
+        - b_map[F.col("field")]
+        + b_map[F.col("field")] * F.col("dl") / avg_map[F.col("field")]
+    )
+    fscore = (
+        boost_map[F.col("field")]
+        * F.col("w")
+        * (tf_d * F.lit(float(k1) + 1.0))
+        / norm
+    )
+    per_term = (
+        ftf.join(F.broadcast(qw), "term")
+        .join(dl_f, ["doc_id", "field"])
+        .select("query_id", "doc_id", "term", fscore.alias("fs"))
+        .groupBy("query_id", "doc_id", "term")
+        .agg(
+            F.max("fs").alias("best"),
+            F.sum("fs").alias("total"),
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("best")
+                + F.lit(float(tie_breaker))
+                * (F.col("total") - F.col("best"))
+            ).alias("ts"),
+        )
+    )
+    scored = per_term.groupBy("query_id", "doc_id").agg(
+        F.sum("ts").alias("s")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("s"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("query_id").cast("int"),
+            F.col("rank").cast("int"),
+            F.col("doc_id").cast("long"),
+            F.round("s", 6).alias("score"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -455,6 +455,118 @@ def span_near(
     )
 
 
+def span_not(
+    pi: DataFrame,
+    include_terms: list[str],
+    exclude_terms: list[str],
+    *,
+    slop: int = 0,
+    pre: int = 0,
+    post: int = 0,
+) -> DataFrame:
+    """Span-not (Lucene SpanNotQuery, public semantics): occurrences of
+    the ordered ``include_terms`` span (same greedy-earliest chain as
+    :func:`span_near`, total extra gap ≤ ``slop``) that do NOT overlap
+    any occurrence of the ordered ``exclude_terms`` span, with the
+    exclusion window widened by ``pre`` positions before the include
+    span and ``post`` after (SpanNotQuery's pre/post) — "match
+    ``a … b`` except where ``x`` sits in or near it".
+
+    → (doc_id, n_spans, min_span): surviving-occurrence count and the
+    minimal surviving span width (end − start − (k−1); 0 = consecutive).
+
+    Plan shape: the include chain is the same k−1 doc_id equi-joins
+    over term-pruned posting slices as span_near; the exclude slices
+    attach by LEFT join (a doc with no exclude term keeps every
+    include occurrence), and the overlap test is a native
+    exists()-over-positions lambda — per-doc work is bounded by the
+    position-list lengths of the query terms only, so the operator
+    reads exactly k_inc + k_exc dictionary-pruned posting rows per doc
+    at any corpus size; nothing shuffles but the pruned slices.
+    """
+    if not include_terms:
+        raise ValueError("span_not needs at least 1 include term")
+    if not exclude_terms:
+        raise ValueError("span_not needs at least 1 exclude term")
+    joined = _slice(pi, include_terms[0], "p1")
+    for i, t in enumerate(include_terms[1:], start=2):
+        joined = joined.join(_slice(pi, t, f"p{i}"), "doc_id")
+    for j, t in enumerate(exclude_terms, start=1):
+        joined = joined.join(_slice(pi, t, f"x{j}"), "doc_id", "left")
+    # greedy-earliest ends for both chains (k=1 → the start itself)
+    inc_chain = "p"
+    for i in range(2, len(include_terms) + 1):
+        inc_chain = f"array_min(filter(p{i}, q -> q > ({inc_chain})))"
+    exc_chain = "x"
+    for j in range(2, len(exclude_terms) + 1):
+        exc_chain = f"array_min(filter(x{j}, q -> q > ({exc_chain})))"
+    k_inc = len(include_terms)
+    # an include occurrence [p, e] survives iff NO exclude occurrence
+    # [x, xe] satisfies x <= e + post AND xe >= p - pre (interval
+    # overlap after pre/post widening); missing exclude arrays behave
+    # as empty (coalesce), so the exists() is vacuously false
+    overlap = (
+        f"exists(coalesce(x1, array()), x -> ({exc_chain}) IS NOT NULL"
+        f" AND x <= ({inc_chain}) + {int(post)}"
+        f" AND ({exc_chain}) >= p - {int(pre)})"
+    )
+    kept = (
+        f"filter(transform(p1, p -> CASE WHEN ({inc_chain}) - p - "
+        f"{k_inc - 1} <= {int(slop)} AND NOT ({overlap}) "
+        f"THEN ({inc_chain}) - p - {k_inc - 1} END), s -> s IS NOT NULL)"
+    )
+    return (
+        joined.select(
+            "doc_id",
+            F.expr(f"size({kept})").cast("long").alias("n_spans"),
+            F.expr(f"array_min({kept})").cast("long").alias("min_span"),
+        )
+        .filter(F.col("n_spans") > 0)
+    )
+
+
+def span_first(
+    pi: DataFrame,
+    terms: list[str],
+    *,
+    end: int,
+    slop: int = 0,
+) -> DataFrame:
+    """Span-first (Lucene SpanFirstQuery, public semantics): the
+    ordered ``terms`` span (greedy-earliest chain, gap ≤ ``slop``) must
+    END at or before position ``end`` (1-based) — "the phrase appears
+    at the START of the document/field", the title-ish boost primitive
+    for single-field indexes.
+
+    → (doc_id, n_spans, min_span) over qualifying occurrences only —
+    same output contract as span_not, same k−1 term-pruned equi-joins;
+    the end bound folds into the same occurrence lambda, so the plan
+    is span_near's with one extra comparison.
+    """
+    if not terms:
+        raise ValueError("span_first needs at least 1 term")
+    joined = _slice(pi, terms[0], "p1")
+    for i, t in enumerate(terms[1:], start=2):
+        joined = joined.join(_slice(pi, t, f"p{i}"), "doc_id")
+    chain = "p"
+    for i in range(2, len(terms) + 1):
+        chain = f"array_min(filter(p{i}, q -> q > ({chain})))"
+    k = len(terms)
+    kept = (
+        f"filter(transform(p1, p -> CASE WHEN ({chain}) - p - "
+        f"{k - 1} <= {int(slop)} AND ({chain}) <= {int(end)} "
+        f"THEN ({chain}) - p - {k - 1} END), s -> s IS NOT NULL)"
+    )
+    return (
+        joined.select(
+            "doc_id",
+            F.expr(f"size({kept})").cast("long").alias("n_spans"),
+            F.expr(f"array_min({kept})").cast("long").alias("min_span"),
+        )
+        .filter(F.col("n_spans") > 0)
+    )
+
+
 def sdm_topk(
     spark,
     queries: list[tuple[int, list[str]]],

@@ -1217,6 +1217,84 @@ def significant_terms(
     )
 
 
+def rare_terms(
+    term_docs: DataFrame,
+    *,
+    max_doc_count: int = 1,
+    include: str | None = None,
+    max_buckets: int = 100,
+    term_col: str = "term",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Rare-terms aggregation (the Elasticsearch ``rare_terms`` agg,
+    public semantics): the LONG-TAIL complement of a terms agg — buckets
+    for values whose document count is ≤ ``max_doc_count`` ("which
+    terms/phrases/tags appear almost nowhere"), optional ``include``
+    regex. ES approximates membership with a CuckooFilter to bound
+    memory on one coordinating node; on Spark the exact form IS the
+    scalable form — one map-side-combined (term → distinct-doc count)
+    hash aggregation, then a filter that keeps only the tail.
+
+    → (term, doc_count), deterministically capped at ``max_buckets``
+    rows by (doc_count asc, term asc) — rarest first; the cap is a
+    TakeOrdered (per-partition heaps), never a single-partition window.
+    """
+    agg = (
+        term_docs.select(
+            F.col(term_col).alias("term"), F.col(doc_col).alias("doc_id")
+        )
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("long").alias("doc_count"))
+        .filter(F.col("doc_count") <= int(max_doc_count))
+    )
+    if include is not None:
+        agg = agg.filter(F.col("term").rlike(include))
+    return agg.orderBy(F.asc("doc_count"), F.asc("term")).limit(
+        int(max_buckets)
+    )
+
+
+def terms_set_match(
+    tf: DataFrame,
+    terms: list[str],
+    required: DataFrame,
+    *,
+    required_col: str = "required",
+) -> DataFrame:
+    """``terms_set`` query (Elasticsearch, public semantics): a doc
+    matches when the number of DISTINCT query terms it contains is ≥ a
+    PER-DOCUMENT threshold read from a field
+    (minimum_should_match_field) — "match if enough of these codes/
+    skills/tags apply", where each doc declares how many count as
+    enough. A doc whose threshold exceeds the query's term count can
+    never match (naturally — matched ≤ |terms|), the documented ES
+    behavior.
+
+    → (doc_id, n_matched, required) for matching docs only.
+
+    Plan: the term filter is an IN over a literal list pushed into the
+    tf scan, one (doc → distinct-matched) hash agg on candidate rows
+    only (docs containing none of the terms never appear), then a
+    doc-metadata join for the threshold — candidate-sized end to end;
+    the corpus is never scanned beyond the term-pruned posting rows.
+    """
+    if not terms:
+        raise ValueError("terms_set_match needs at least 1 term")
+    matched = (
+        tf.filter(F.col("term").isin(list(terms)))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").cast("long").alias("n_matched"))
+    )
+    req = required.select(
+        "doc_id", F.col(required_col).cast("long").alias("required")
+    )
+    return (
+        matched.join(req, "doc_id")
+        .filter(F.col("n_matched") >= F.col("required"))
+        .select("doc_id", "n_matched", "required")
+    )
+
+
 def doc_term_vector(
     doc_ids: Sequence[int],
     tf: DataFrame,

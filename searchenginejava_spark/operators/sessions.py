@@ -324,3 +324,108 @@ def pipeline_aggs(
         F.sum("n_events").over(w_cum).cast("long").alias("cumulative"),
         F.round(F.avg("n_events").over(w_mov), 6).alias("moving_avg"),
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    *,
+    window_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple every
+    event pipeline publishes: users are cohorted by the window of
+    their FIRST activity, and each (cohort, offset) cell counts users
+    from that cohort active ``offset`` windows later.
+
+    → (cohort_start_us, week_offset, n_users, retention) where
+    retention = n_users / cohort size (the offset-0 cell is the cohort
+    itself, retention 1.0). Exact integer bucket arithmetic (the
+    event_rollup convention — floor(µs / window)).
+
+    Plan: one (user, window) distinct (the only event-sized shuffle),
+    a per-user min for the cohort, a membership-sized self-join by
+    user, one hash agg over (cohort, offset); the retention divisor is
+    a window over the COHORT-sized output relation, never a second
+    events pass. At 100 TB the (user, window) relation is the usual
+    activity projection — everything downstream is user- or
+    cohort-sized.
+    """
+    win_us = int(window_days) * 86_400_000_000
+    bucket = (
+        F.floor(F.expr(_MICROS) / F.lit(win_us)) * F.lit(win_us)
+    ).cast("long")
+    active = (
+        events.select(F.col("user_id"), bucket.alias("w"))
+        .distinct()
+    )
+    cohort = active.groupBy("user_id").agg(F.min("w").alias("cohort"))
+    cells = (
+        active.join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort").alias("cohort_start_us"),
+            ((F.col("w") - F.col("cohort")) / F.lit(win_us))
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+    w0 = Window.partitionBy("cohort_start_us")
+    return cells.select(
+        "cohort_start_us",
+        "week_offset",
+        "n_users",
+        F.round(
+            F.col("n_users")
+            / F.max(
+                F.when(F.col("week_offset") == 0, F.col("n_users"))
+            ).over(w0),
+            6,
+        ).alias("retention"),
+    )
+
+
+def anomaly_zscore(
+    events: DataFrame,
+    *,
+    window_minutes: int = 60,
+    trailing: int = 6,
+    z_thresh: float = 3.0,
+    min_periods: int = 3,
+) -> DataFrame:
+    """Trailing z-score anomaly flags over the per-type event-rate
+    series — the alerting rule every log-analytics stack ships (ES
+    Watcher/Kibana threshold alerts, public shape): for each
+    (event_type, window) bucket of the :func:`event_rollup` series,
+    z = (n − mean)/stddev over the ``trailing`` PRECEDING buckets
+    (row frame over present buckets — densify upstream if empty
+    windows must count as zeros), flagged when |z| ≥ ``z_thresh``.
+    Buckets with < ``min_periods`` preceding rows or zero variance get
+    a null z (never a fake 0 — the missing-evidence convention).
+
+    → (window_start_us, event_type, n_events, z, is_anomaly). The
+    window runs over the ROLLUP relation (|types| × |windows| rows),
+    so the only event-sized work is the rollup's own hash agg.
+    """
+    roll = event_rollup(events, window_minutes=window_minutes).select(
+        "window_start_us", "event_type", "n_events"
+    )
+    frame = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start_us")
+        .rowsBetween(-int(trailing), -1)
+    )
+    mean = F.avg(F.col("n_events").cast("double")).over(frame)
+    sd = F.stddev_pop(F.col("n_events").cast("double")).over(frame)
+    n_prev = F.count(F.lit(1)).over(frame)
+    z = F.when(
+        (n_prev >= int(min_periods)) & (sd > 0),
+        (F.col("n_events").cast("double") - mean) / sd,
+    )
+    return roll.select(
+        "window_start_us",
+        "event_type",
+        "n_events",
+        F.round(z, 6).alias("z"),
+        F.coalesce(
+            F.abs(z) >= F.lit(float(z_thresh)), F.lit(False)
+        ).alias("is_anomaly"),
+    )

@@ -907,3 +907,87 @@ def knn_binary(
         .orderBy(F.desc_nulls_last("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def knn_truncated(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    dims: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k over only the FIRST ``dims`` coordinates —
+    Matryoshka retrieval ([L:Kusupati et al., NeurIPS 2022, "Matryoshka
+    Representation Learning"]): MRL-trained embeddings pack a usable
+    low-dimensional embedding into every prefix, so serving can scan a
+    d'-dim prefix (d'/d of the bytes; at rest the prefix is what you
+    STORE for the fast tier) and re-rank survivors with the full
+    vector. This is the scan stage: cosine over slice(v, 1, d') vs the
+    query prefix, same left-fold float arithmetic as cosine_topk, final
+    order on the ROUNDED cosine + id (engine-portable).
+
+    → (id, cosine_trunc) — top-k by prefix cosine."""
+    if dims < 1 or dims > len(query_vec):
+        raise ValueError(
+            f"dims must be in [1, {len(query_vec)}], got {dims}"
+        )
+    qp = [float(x) for x in query_vec[:dims]]
+    q = F.array(*[F.lit(x) for x in qp])
+    acc = 0.0
+    for x in qp:
+        acc += x * x
+    q_norm = float(np.sqrt(acc))
+    e = F.slice(F.col(vec_col), 1, int(dims))
+    cos = dot_col(e, q) / (norm_col(e) * F.lit(q_norm))
+    return (
+        embeddings.select(
+            F.col(id_col), F.round(cos, 6).alias("cosine_trunc")
+        )
+        .orderBy(F.desc_nulls_last("cosine_trunc"), F.asc(id_col))
+        .limit(int(k))
+    )
+
+
+def mrl_recall(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    dims_list: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Prefix-dimension retrieval-quality report for Matryoshka serving:
+    for each candidate prefix length d' in ``dims_list``, recall@k of
+    the d'-prefix cosine top-k against the full-dimension exact top-k —
+    the number every MRL deployment publishes to pick its fast-tier
+    dimension. → (dims, recall) rounded to 6.
+
+    Each leg is one bounded top-k plan (TakeOrdered over the same scan);
+    the overlap join is k×k rows. |dims_list| legs run as a union of
+    independent bounded jobs — nothing here grows with corpus size
+    except the shared scans."""
+    full = cosine_topk(
+        embeddings, query_vec, k=k, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("_fid"))
+    legs = []
+    for d in dims_list:
+        t = knn_truncated(
+            embeddings, query_vec, dims=int(d), k=k,
+            id_col=id_col, vec_col=vec_col,
+        )
+        hit = t.join(full, t[id_col] == full["_fid"], "left_semi")
+        legs.append(
+            hit.agg(
+                F.lit(int(d)).cast("long").alias("dims"),
+                F.round(
+                    F.count(F.lit(1)).cast("double") / F.lit(float(k)), 6
+                ).alias("recall"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

@@ -702,3 +702,107 @@ def tokenizer_stats(
             ).alias("fertility"),
         )
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    *,
+    window: int = 2,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    top_n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TextRank keyword extraction ([L:Mihalcea & Tarau, EMNLP 2004]):
+    terms are nodes, an undirected edge weighted by co-occurrence count
+    links any two DISTINCT terms appearing within ``window`` positions
+    of each other anywhere in the corpus, and the weighted PageRank
+
+        s(v) = (1−d) + d · Σ_{u∼v}  w(u,v)/Σ_x w(u,x) · s(u)
+
+    runs ``n_iter`` fixed iterations from s=1.0 — the graph-centrality
+    "which words organize this corpus" signal (keyword extraction,
+    query-suggestion seeds, topic labels). → (rank, term, score),
+    ``top_n`` rows by (score desc, term asc); score UNROUNDED — the
+    rational-arithmetic midpoint lesson from the PageRank oracle.
+
+    Scale shape: co-occurrence pairs come from ``window`` lead()
+    columns over the doc-partitioned token stream (no positions
+    self-join — the pair relation is |tokens|·window rows BEFORE its
+    one hash agg, which map-side combines to the sparse edge set); the
+    iteration is |V|+|E|-sized joins, corpus-independent after the
+    first agg. The in-contribution sum is the src-sorted left fold —
+    bit-identical across partitionings and engines (the
+    linkrank.pagerank(deterministic=True) convention).
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(_tokens(F.col(text_col))).alias("pos", "term"),
+    )
+    wspec = Window.partitionBy("_id").orderBy("pos")
+    legs = []
+    for g in range(1, int(window) + 1):
+        legs.append(
+            toks.select(
+                F.col("term").alias("src"),
+                F.lead("term", g).over(wspec).alias("dst"),
+            )
+        )
+    pairs = legs[0]
+    for leg in legs[1:]:
+        pairs = pairs.unionByName(leg)
+    pairs = pairs.filter(
+        F.col("dst").isNotNull() & (F.col("src") != F.col("dst"))
+    )
+    und = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    edges = und.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    scores = outw.select(
+        F.col("src").alias("term"), F.lit(1.0).alias("r")
+    )
+    d = float(damping)
+    for _ in range(int(n_iter)):
+        contrib = (
+            edges.join(outw, "src")
+            .join(scores.withColumnRenamed("term", "src"), "src")
+            .select(
+                "dst",
+                "src",
+                (F.col("r") * (F.col("w") / F.col("ow"))).alias("c"),
+            )
+        )
+        folded = contrib.groupBy("dst").agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("src", "c"))),
+                    lambda z: z["c"],
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("csum")
+        )
+        scores = (
+            outw.select(F.col("src").alias("term"))
+            .join(
+                folded.withColumnRenamed("dst", "term"), "term", "left"
+            )
+            .select(
+                "term",
+                (
+                    F.lit(1.0 - d)
+                    + F.lit(d) * F.coalesce("csum", F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    top = scores.orderBy(F.desc("r"), F.asc("term")).limit(int(top_n))
+    wrank = Window.orderBy(F.desc("r"), F.asc("term"))
+    return (
+        top.withColumn("rank", F.row_number().over(wrank).cast("int"))
+        .select("rank", "term", F.col("r").alias("score"))
+        .orderBy("rank")
+    )

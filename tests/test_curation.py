@@ -809,3 +809,69 @@ def test_curriculum_order_deterministic_and_clamped(spark):
     assert res[1] == 4                   # <0 clamps into the bottom band
     with pytest.raises(ValueError):
         curriculum_order(scored, n_phases=0)
+
+
+# ---- line_dedup (C4/RefinedWeb corpus-wide exact line dedup) ----
+
+def test_line_dedup_keep_first_across_corpus(spark):
+    from searchenginejava_spark.operators.curation import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "copyright acme\nalpha beta\ncopyright acme"),
+            (2, "copyright acme\ngamma delta"),
+            (3, "unique line only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_removed"], r["text_clean"])
+        for r in line_dedup(docs).collect()
+    }
+    # "copyright acme" occurs 3x: kept at (doc 1, pos 0), removed at
+    # (doc 1, pos 2) and (doc 2, pos 0)
+    assert got[1] == (3, 1, "copyright acme\nalpha beta")
+    assert got[2] == (2, 1, "gamma delta")
+    assert got[3] == (1, 0, "unique line only")
+
+
+def test_line_dedup_short_lines_always_kept(spark):
+    from searchenginejava_spark.operators.curation import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "{\nbody a\n{"), (2, "{\nbody b")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_removed"], r["text_clean"])
+        for r in line_dedup(docs, min_len=2).collect()
+    }
+    # "{" repeats 3x but is under min_len -> structure, never removed
+    assert got[1] == (0, "{\nbody a\n{")
+    assert got[2] == (0, "{\nbody b")
+
+
+def test_line_dedup_fully_removed_doc_yields_empty(spark):
+    from searchenginejava_spark.operators.curation import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "same line"), (2, "same line")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_removed"], r["text_clean"])
+        for r in line_dedup(docs).collect()
+    }
+    assert got[1] == (1, 0, "same line")
+    assert got[2] == (1, 1, "")
+
+
+def test_line_dedup_within_doc_duplicates(spark):
+    from searchenginejava_spark.operators.curation import line_dedup
+
+    docs = spark.createDataFrame(
+        [(7, "x y z\nx y z\nx y z")], "doc_id long, text string"
+    )
+    row = line_dedup(docs).collect()[0]
+    assert (row["n_lines"], row["n_removed"]) == (3, 2)
+    assert row["text_clean"] == "x y z"

@@ -251,3 +251,130 @@ def test_publish_fielded_materializes_positions_and_releases_caches(spark):
     # fresh artifacts cached, not evict them
     a3 = eng.publish_fielded(docs2, fields)
     assert a3.ftf.storageLevel.useMemory and a3.fpos.storageLevel.useMemory
+
+
+# ---- multi_match cross_fields (BlendedTermQuery semantics) ----
+
+def _cross_ref(q_terms, rows, boosts, k1, b, tb):
+    """Plain-python replica: blended max-df idf, per-term dismax+tb."""
+    docs = sorted({d for d, _, _, _ in rows})
+    fields = sorted(boosts)
+    dl = {}
+    for d, f, _, tf in rows:
+        dl[(d, f)] = dl.get((d, f), 0) + tf
+    avg = {
+        f: sum(v for (d, ff), v in dl.items() if ff == f)
+        / len({d for (d, ff) in dl if ff == f})
+        for f in fields
+    }
+    n = float(len(docs))
+    out = {}
+    for t in q_terms:
+        dff = {
+            f: len({d for d, ff, tt, _ in rows if ff == f and tt == t})
+            for f in fields
+        }
+        dfb = max(dff.values())
+        if dfb == 0:
+            continue
+        idf = math.log((n - dfb + 0.5) / (dfb + 0.5) + 1.0)
+        for d in docs:
+            fs = []
+            for f in fields:
+                tf = next(
+                    (x for dd, ff, tt, x in rows
+                     if dd == d and ff == f and tt == t),
+                    0,
+                )
+                if tf == 0:
+                    continue
+                norm = tf + k1 * (1 - b + b * dl[(d, f)] / avg[f])
+                fs.append(boosts[f] * idf * tf * (k1 + 1.0) / norm)
+            if fs:
+                best = max(fs)
+                out[d] = out.get(d, 0.0) + best + tb * (sum(fs) - best)
+    return out
+
+
+def test_cross_fields_hand_computed(spark, ftf):
+    from searchenginejava_spark.operators.fielded import cross_fields_topk
+
+    s = bm25f_stats(ftf)
+    boosts = {"title": 2.0, "body": 1.0}
+    qt = spark.createDataFrame(
+        [(1, "merge", 1), (1, "join", 1)], "query_id int, term string, qtf int"
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in cross_fields_topk(
+            qt, ftf, s, boosts=boosts, k=10, tie_breaker=0.3
+        ).collect()
+    }
+    rows = [
+        (r["doc_id"], r["field"], r["term"], r["tf"])
+        for r in ftf.collect()
+    ]
+    want = _cross_ref(
+        ["merge", "join"], rows, boosts, BM25_K1, BM25_B, 0.3
+    )
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(round(want[d], 6), abs=2e-6), d
+
+
+def test_cross_fields_blended_df_uses_max(spark, ftf):
+    from searchenginejava_spark.operators.fielded import cross_fields_topk
+
+    # "join": df(title)=1 (doc 0) but df(body)=3 (docs 0,1,3) — the
+    # blended idf must use df=3; a title-only df=1 would inflate every
+    # join score by idf(1)/idf(3)
+    s = bm25f_stats(ftf)
+    qt = spark.createDataFrame(
+        [(1, "join", 1)], "query_id int, term string, qtf int"
+    )
+    got = cross_fields_topk(
+        qt, ftf, s, boosts={"title": 1.0, "body": 1.0}, k=10,
+    ).collect()
+    n, dfb = 4.0, 3.0
+    idf3 = math.log((n - dfb + 0.5) / (dfb + 0.5) + 1.0)
+    # doc 2 has no 'join' anywhere -> absent from results
+    assert {r["doc_id"] for r in got} == {0, 1, 3}
+    # sanity bound: every score <= boost * idf3 * (k1+1) (saturation cap)
+    for r in got:
+        assert r["score"] <= idf3 * (BM25_K1 + 1.0) + 1e-9
+
+
+def test_cross_fields_tie_breaker_one_is_field_sum(spark, ftf):
+    from searchenginejava_spark.operators.fielded import cross_fields_topk
+
+    s = bm25f_stats(ftf)
+    boosts = {"title": 1.0, "body": 1.0}
+    qt = spark.createDataFrame(
+        [(1, "merge", 1)], "query_id int, term string, qtf int"
+    )
+    rows = [
+        (r["doc_id"], r["field"], r["term"], r["tf"])
+        for r in ftf.collect()
+    ]
+    got = {
+        r["doc_id"]: r["score"]
+        for r in cross_fields_topk(
+            qt, ftf, s, boosts=boosts, k=10, tie_breaker=1.0
+        ).collect()
+    }
+    want = _cross_ref(["merge"], rows, boosts, BM25_K1, BM25_B, 1.0)
+    for d in want:
+        assert got[d] == pytest.approx(round(want[d], 6), abs=2e-6), d
+
+
+def test_cross_fields_oov_query_returns_empty(spark, ftf):
+    from searchenginejava_spark.operators.fielded import cross_fields_topk
+
+    s = bm25f_stats(ftf)
+    qt = spark.createDataFrame(
+        [(1, "zzznope", 1)], "query_id int, term string, qtf int"
+    )
+    out = cross_fields_topk(
+        qt, ftf, s, boosts={"title": 1.0, "body": 1.0}
+    )
+    assert out.count() == 0

@@ -620,3 +620,149 @@ def test_sdm_matches_manual(spark):
     # doc 0 (both terms + adjacency) must rank first
     ranked = sorted(got, key=lambda d: (-got[d], d))
     assert ranked[0] == 0
+
+
+# ---- span_not (SpanNotQuery: include spans minus exclude overlaps) ----
+
+SPAN_NOT_DOCS = [
+    (0, "a b"),              # clean span 0, no exclude anywhere
+    (1, "a x b"),            # x INSIDE the a..b span -> excluded
+    (2, "a b x"),            # x after the span: kept at post=0
+    (3, "x a b"),            # x before the span: kept at pre=0
+    (4, "a b c a x b"),      # two occurrences; x inside the second
+    (5, "a c"),              # missing b -> never an include span
+    (6, "a y b x"),          # exclude PHRASE x->y never occurs in order
+]
+
+
+@pytest.fixture(scope="module")
+def span_not_pi(spark):
+    from searchenginejava_spark.operators.positional import positional_index
+
+    docs = spark.createDataFrame(SPAN_NOT_DOCS, "doc_id long, text string")
+    pi = positional_index(docs, mode="simple")
+    pi.persist().count()
+    yield pi
+    pi.unpersist()
+
+
+def test_span_not_basic_exclusion(span_not_pi):
+    from searchenginejava_spark.operators.positional import span_not
+
+    got = {
+        r["doc_id"]: (r["n_spans"], r["min_span"])
+        for r in span_not(
+            span_not_pi, ["a", "b"], ["x"], slop=5
+        ).collect()
+    }
+    # d1 loses its only span (x inside); d4 keeps only the clean first
+    # occurrence; d2/d3 keep theirs (x outside the span at pre=post=0)
+    assert got == {
+        0: (1, 0), 2: (1, 0), 3: (1, 0), 4: (1, 0), 6: (1, 1),
+    }
+
+
+def test_span_not_post_widens_exclusion(span_not_pi):
+    from searchenginejava_spark.operators.positional import span_not
+
+    got = {
+        r["doc_id"]
+        for r in span_not(
+            span_not_pi, ["a", "b"], ["x"], slop=5, post=1
+        ).collect()
+    }
+    # post=1 reaches d2's trailing x (span ends at 2, x at 3)
+    assert 2 not in got and 3 in got
+
+
+def test_span_not_pre_widens_exclusion(span_not_pi):
+    from searchenginejava_spark.operators.positional import span_not
+
+    got = {
+        r["doc_id"]
+        for r in span_not(
+            span_not_pi, ["a", "b"], ["x"], slop=5, pre=1
+        ).collect()
+    }
+    # pre=1 reaches d3's leading x (span starts at 2, x at 1)
+    assert 3 not in got and 2 in got
+
+
+def test_span_not_absent_exclude_equals_span_near(span_not_pi):
+    from searchenginejava_spark.operators.positional import (
+        span_near,
+        span_not,
+    )
+
+    near = {
+        (r["doc_id"], r["min_span"])
+        for r in span_near(span_not_pi, ["a", "b"], slop=5).collect()
+    }
+    nots = {
+        (r["doc_id"], r["min_span"])
+        for r in span_not(
+            span_not_pi, ["a", "b"], ["zzz_never"], slop=5
+        ).collect()
+    }
+    assert near == nots
+
+
+def test_span_not_phrase_exclude_chain(span_not_pi):
+    from searchenginejava_spark.operators.positional import span_not
+
+    # exclude the ordered chain x..y: d6 has x then no y after, and
+    # y then x is the WRONG order -> no exclude span -> d6 survives
+    got = {
+        r["doc_id"]
+        for r in span_not(
+            span_not_pi, ["a", "b"], ["x", "y"], slop=5
+        ).collect()
+    }
+    assert 6 in got
+
+
+def test_span_not_validates_args(span_not_pi):
+    from searchenginejava_spark.operators.positional import span_not
+
+    with pytest.raises(ValueError):
+        span_not(span_not_pi, [], ["x"])
+    with pytest.raises(ValueError):
+        span_not(span_not_pi, ["a"], [])
+
+
+# ---- span_first (SpanFirstQuery: span must end by position N) ----
+
+def test_span_first_end_bound(span_not_pi):
+    from searchenginejava_spark.operators.positional import span_first
+
+    # docs: 0 "a b", 3 "x a b" (a@2 b@3), 4 "a b c a x b", 6 "a y b x"
+    got = {
+        r["doc_id"]: (r["n_spans"], r["min_span"])
+        for r in span_first(span_not_pi, ["a", "b"], end=2, slop=5).collect()
+    }
+    # spans ending at pos <= 2: d0 (b@2), d2 ("a b x", b@2),
+    # d4 first occurrence (b@2)
+    assert got == {0: (1, 0), 2: (1, 0), 4: (1, 0)}
+
+
+def test_span_first_wider_end_admits_more(span_not_pi):
+    from searchenginejava_spark.operators.positional import span_first
+
+    got3 = {
+        r["doc_id"]
+        for r in span_first(span_not_pi, ["a", "b"], end=3, slop=5).collect()
+    }
+    # end=3 adds d1 ("a x b", b@3), d3 ("x a b", b@3) and
+    # d6 ("a y b x", b@3)
+    assert got3 == {0, 1, 2, 3, 4, 6}
+
+
+def test_span_first_single_term(span_not_pi):
+    from searchenginejava_spark.operators.positional import span_first
+
+    got = {
+        r["doc_id"]
+        for r in span_first(span_not_pi, ["x"], end=1).collect()
+    }
+    # only d3 "x a b" has x at position 1
+    assert got == {3}

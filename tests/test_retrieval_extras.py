@@ -1016,3 +1016,97 @@ def test_synonym_map_validates(spark):
         for r in synonym_map(spark, [["zeta", "alpha"]]).collect()
     }
     assert rows == {("zeta", "alpha"), ("alpha", "alpha")}
+
+
+# ---- rare_terms (ES rare_terms agg: the long-tail buckets) ----
+
+def test_rare_terms_hand_counts(spark):
+    from searchenginejava_spark.operators.search import rare_terms
+
+    td = spark.createDataFrame(
+        [
+            (1, "common"), (2, "common"), (3, "common"),
+            (1, "twice"), (2, "twice"),
+            (3, "once"),
+            (3, "single"),
+        ],
+        "doc_id long, term string",
+    )
+    got = {
+        r["term"]: r["doc_count"]
+        for r in rare_terms(td, max_doc_count=2).collect()
+    }
+    assert got == {"twice": 2, "once": 1, "single": 1}
+
+
+def test_rare_terms_include_regex_and_cap(spark):
+    from searchenginejava_spark.operators.search import rare_terms
+
+    td = spark.createDataFrame(
+        [(i, f"tag_{i}") for i in range(10)] + [(99, "other")],
+        "doc_id long, term string",
+    )
+    got = rare_terms(
+        td, max_doc_count=1, include="^tag_", max_buckets=3
+    ).collect()
+    # rarest-first cap is deterministic: (doc_count, term) ascending
+    assert [r["term"] for r in got] == ["tag_0", "tag_1", "tag_2"]
+
+
+def test_rare_terms_distinct_doc_count(spark):
+    from searchenginejava_spark.operators.search import rare_terms
+
+    # the same doc repeating a term is ONE doc_count, not three
+    td = spark.createDataFrame(
+        [(1, "dup"), (1, "dup"), (1, "dup")], "doc_id long, term string"
+    )
+    got = rare_terms(td, max_doc_count=1).collect()
+    assert [(r["term"], r["doc_count"]) for r in got] == [("dup", 1)]
+
+
+# ---- terms_set query (per-doc minimum_should_match) ----
+
+def test_terms_set_per_doc_threshold(spark):
+    from searchenginejava_spark.operators.search import terms_set_match
+
+    tf = spark.createDataFrame(
+        [
+            (1, "java", 1), (1, "spark", 2), (1, "sql", 1),
+            (2, "java", 1), (2, "rust", 1),
+            (3, "go", 1),
+            (4, "java", 3), (4, "spark", 1),
+        ],
+        "doc_id long, term string, tf int",
+    )
+    req = spark.createDataFrame(
+        [(1, 2), (2, 2), (3, 1), (4, 3)], "doc_id long, required int"
+    )
+    got = {
+        r["doc_id"]: r["n_matched"]
+        for r in terms_set_match(
+            tf, ["java", "spark", "sql"], req
+        ).collect()
+    }
+    # d1: 3 matched >= 2; d2: 1 < 2; d3: 0 matched (never appears);
+    # d4: 2 < 3 (threshold > matches -> no match)
+    assert got == {1: 3}
+
+
+def test_terms_set_tf_repeats_count_once(spark):
+    from searchenginejava_spark.operators.search import terms_set_match
+
+    tf = spark.createDataFrame(
+        [(1, "java", 9), (1, "java", 4)], "doc_id long, term string, tf int"
+    )
+    req = spark.createDataFrame([(1, 1)], "doc_id long, required int")
+    got = terms_set_match(tf, ["java", "spark"], req).collect()
+    assert [(r["doc_id"], r["n_matched"]) for r in got] == [(1, 1)]
+
+
+def test_terms_set_empty_terms_raises(spark):
+    from searchenginejava_spark.operators.search import terms_set_match
+
+    tf = spark.createDataFrame([(1, "a", 1)], "doc_id long, term string, tf int")
+    req = spark.createDataFrame([(1, 1)], "doc_id long, required int")
+    with pytest.raises(ValueError):
+        terms_set_match(tf, [], req)

@@ -364,3 +364,111 @@ def test_analyze_log_job_pipeline_and_hll_flags(spark, tmp_path, capsys):
     assert set(card) == set(exact)
     for w, n in exact.items():
         assert abs(card[w] - n) / n < 3 * 1.04 / (256 ** 0.5)
+
+
+# ---- retention cohorts ----
+
+def test_retention_cohorts_hand_matrix(spark):
+    from searchenginejava_spark.operators.sessions import retention_cohorts
+
+    d = dt.timedelta(days=1)
+    t0 = dt.datetime(2024, 1, 1)          # window-aligned? not needed —
+    # buckets are floor(us/window), cohort arithmetic is relative
+    rows = []
+    eid = 0
+    # cohort A (week of t0): users 1,2,3 — u1 active weeks 0,1,2;
+    # u2 active weeks 0,1; u3 only week 0
+    for u, weeks in [(1, [0, 1, 2]), (2, [0, 1]), (3, [0])]:
+        for w in weeks:
+            rows.append((eid, t0 + 7 * w * d, u, "view", 1.0)); eid += 1
+    # cohort B (week of t0+7d): user 4 active weeks 0,2 (skips 1)
+    for w in [0, 2]:
+        rows.append((eid, t0 + 7 * d + 7 * w * d, 4, "view", 1.0)); eid += 1
+    got = {
+        (r["cohort_start_us"], r["week_offset"]): (
+            r["n_users"], r["retention"]
+        )
+        for r in retention_cohorts(_ev(spark, rows)).collect()
+    }
+    cohorts = sorted({c for c, _ in got})
+    a, b = cohorts[0], cohorts[1]
+    assert got[(a, 0)] == (3, 1.0)
+    assert got[(a, 1)] == (2, pytest.approx(2 / 3, abs=1e-6))
+    assert got[(a, 2)] == (1, pytest.approx(1 / 3, abs=1e-6))
+    assert got[(b, 0)] == (1, 1.0)
+    assert (b, 1) not in got              # skipped week: no cell
+    assert got[(b, 2)] == (1, 1.0)
+
+
+def test_retention_multiple_events_count_once(spark):
+    from searchenginejava_spark.operators.sessions import retention_cohorts
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [(i, t0 + i * h, 9, "view", 1.0) for i in range(5)]
+    got = retention_cohorts(_ev(spark, rows)).collect()
+    assert len(got) == 1
+    assert (got[0]["week_offset"], got[0]["n_users"]) == (0, 1)
+
+
+# ---- trailing z-score anomaly flags ----
+
+def test_anomaly_zscore_flags_spike(spark):
+    from searchenginejava_spark.operators.sessions import anomaly_zscore
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows, eid = [], 0
+    # steady 2/hour for 6 hours, then a 40-event spike in hour 6
+    for w in range(6):
+        for _ in range(2):
+            rows.append((eid, t0 + w * h, 1, "view", 1.0)); eid += 1
+    for _ in range(40):
+        rows.append((eid, t0 + 6 * h, 1, "view", 1.0)); eid += 1
+    got = sorted(
+        anomaly_zscore(
+            _ev(spark, rows), trailing=6, min_periods=3, z_thresh=3.0
+        ).collect(),
+        key=lambda r: r["window_start_us"],
+    )
+    # first 3 buckets: not enough history -> null z, never flagged
+    for r in got[:3]:
+        assert r["z"] is None and r["is_anomaly"] is False
+    # steady buckets with full history: zero variance -> null z
+    for r in got[3:6]:
+        assert r["z"] is None and r["is_anomaly"] is False
+    assert got[6]["n_events"] == 40
+    # variance is 0 over the steady history -> still null... the spike
+    # bucket's PRECEDING frame is all 2s: sd=0 -> null by the rule
+    assert got[6]["z"] is None
+
+
+def test_anomaly_zscore_hand_computed(spark):
+    from searchenginejava_spark.operators.sessions import anomaly_zscore
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    counts = [2, 4, 3, 2, 4, 3, 30]
+    rows, eid = [], 0
+    for w, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, t0 + w * h, 1, "view", 1.0)); eid += 1
+    got = sorted(
+        anomaly_zscore(
+            _ev(spark, rows), trailing=6, min_periods=3, z_thresh=3.0
+        ).collect(),
+        key=lambda r: r["window_start_us"],
+    )
+    import statistics
+
+    hist = counts[:6]
+    mean = sum(hist) / 6.0
+    sd = statistics.pstdev(hist)
+    want = (30 - mean) / sd
+    assert got[6]["z"] == pytest.approx(round(want, 6), abs=2e-6)
+    assert got[6]["is_anomaly"] is True
+    # bucket 3 sees [2,4,3]: z = (2-3)/pstdev([2,4,3])
+    sd3 = statistics.pstdev(counts[:3])
+    assert got[3]["z"] == pytest.approx(
+        round((2 - 3.0) / sd3, 6), abs=2e-6
+    )

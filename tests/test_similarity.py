@@ -574,3 +574,70 @@ def test_binary_knn_negated_vector_is_max_hamming(spark):
     assert rows[0]["hamming"] == 0 and rows[2]["hamming"] == 0
     assert rows[1]["hamming"] == 64
     assert rows[1]["cosine"] == -1.0
+
+
+# ---- Matryoshka prefix retrieval (knn_truncated / mrl_recall) ----
+
+def test_knn_truncated_full_dims_equals_exact(emb):
+    from searchenginejava_spark.operators.similarity import (
+        cosine_topk,
+        knn_truncated,
+    )
+
+    df, vecs = emb
+    q = vecs[0].tolist()
+    full = [r["vec_id"] for r in cosine_topk(df, q, k=10).collect()]
+    trunc = [
+        r["vec_id"]
+        for r in knn_truncated(df, q, dims=len(q), k=10).collect()
+    ]
+    assert full == trunc
+
+
+def test_knn_truncated_prefix_cosine_hand_check(spark):
+    from searchenginejava_spark.operators.similarity import knn_truncated
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 9.0, 9.0]),   # prefix [1,0] aligned with q
+            (2, [0.0, 1.0, 0.0, 0.0]),   # prefix orthogonal
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["cosine_trunc"]
+        for r in knn_truncated(
+            emb, [1.0, 0.0, 0.0, 0.0], dims=2, k=2
+        ).collect()
+    }
+    assert got[1] == pytest.approx(1.0, abs=1e-6)
+    assert got[2] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_knn_truncated_rejects_bad_dims(emb):
+    from searchenginejava_spark.operators.similarity import knn_truncated
+
+    df, _ = emb
+    q = [1.0] * 8
+    with pytest.raises(ValueError):
+        knn_truncated(df, q, dims=0)
+    with pytest.raises(ValueError):
+        knn_truncated(df, q, dims=9)
+
+
+def test_mrl_recall_full_prefix_is_one(emb):
+    from searchenginejava_spark.operators.similarity import mrl_recall
+
+    df, vecs = emb
+    q = vecs[0].tolist()
+    d = len(q)
+    got = {
+        r["dims"]: r["recall"]
+        for r in mrl_recall(
+            df, q, dims_list=[d // 4, d // 2, d], k=10
+        ).collect()
+    }
+    assert got[d] == pytest.approx(1.0)
+    assert set(got) == {d // 4, d // 2, d}
+    for v in got.values():
+        assert 0.0 <= v <= 1.0

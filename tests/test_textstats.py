@@ -391,3 +391,79 @@ def test_tokenizer_stats_hand_computed(spark):
     # 'x != y' -> ws 3; pieces x,!,=,y = 4
     assert got["go"]["ws_tokens"] == 3 and got["go"]["bpe_pieces"] == 4
     assert got["go"]["bytes_per_piece"] == round(6 / 4, 6)
+
+
+# ---- TextRank keywords (weighted PageRank over co-occurrence) ----
+
+def _textrank_ref(docs, window, n_iter, d):
+    """Plain-python replica of the weighted TextRank iteration."""
+    from collections import defaultdict
+
+    w = defaultdict(float)
+    for _, text in docs:
+        toks = [t for t in text.lower().split(" ") if t]
+        for i, src in enumerate(toks):
+            for g in range(1, window + 1):
+                if i + g < len(toks) and toks[i + g] != src:
+                    w[(src, toks[i + g])] += 1.0
+                    w[(toks[i + g], src)] += 1.0
+    ow = defaultdict(float)
+    for (s, _), wt in w.items():
+        ow[s] += wt
+    scores = {v: 1.0 for v in ow}
+    for _ in range(n_iter):
+        nxt = {}
+        for v in ow:
+            # src-sorted fold, matching the operator's deterministic sum
+            c = 0.0
+            for s in sorted(ow):
+                if (s, v) in w:
+                    c += scores[s] * (w[(s, v)] / ow[s])
+            nxt[v] = (1.0 - d) + d * c
+        scores = nxt
+    return scores
+
+
+def test_textrank_matches_reference_iteration(spark):
+    from searchenginejava_spark.operators.textstats import textrank_keywords
+
+    docs = [(1, "a b c a"), (2, "b c"), (3, "c d a b")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["term"]: r["score"]
+        for r in textrank_keywords(
+            df, window=2, n_iter=3, top_n=10
+        ).collect()
+    }
+    want = _textrank_ref(docs, window=2, n_iter=3, d=0.85)
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t] == pytest.approx(want[t], rel=1e-12), t
+
+
+def test_textrank_symmetric_cycle_all_equal(spark):
+    from searchenginejava_spark.operators.textstats import textrank_keywords
+
+    # ring a-b-c-a with equal weights: stationary at 1.0 for all
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "b c"), (3, "c a")], "doc_id long, text string"
+    )
+    got = textrank_keywords(df, window=1, n_iter=4, top_n=10).collect()
+    assert len(got) == 3
+    for r in got:
+        assert r["score"] == pytest.approx(1.0, rel=1e-12)
+    # equal scores -> rank breaks ties by term ascending
+    assert [r["term"] for r in got] == ["a", "b", "c"]
+
+
+def test_textrank_hub_outranks_leaf(spark):
+    from searchenginejava_spark.operators.textstats import textrank_keywords
+
+    # "hub" co-occurs with every other word; leaves only with hub
+    df = spark.createDataFrame(
+        [(1, "hub x"), (2, "hub y"), (3, "hub z"), (4, "hub w")],
+        "doc_id long, text string",
+    )
+    rows = textrank_keywords(df, window=1, n_iter=3, top_n=10).collect()
+    assert rows[0]["term"] == "hub"
+    assert rows[0]["score"] > rows[1]["score"]

@@ -1749,6 +1749,145 @@ def main() -> None:
          p_so + "\n\n" + p_ws, checks)
     )
 
+    # 40. wave-22 (r5 wave b): binary-quantized ANN + SemDeDup +
+    # matrix_stats — the claims: the Hamming candidate cut is a
+    # TakeOrdered over the packed codes (no shuffle, no Python); the
+    # SemDeDup pair search is an equi-join on the cluster id (never a
+    # cartesian); matrix_stats is ONE map-side-combined pass.
+    from searchenginejava_spark.operators.dedup import semantic_dedup
+    from searchenginejava_spark.operators.similarity import knn_binary
+
+    emb_a = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = [float(x) for x in emb_a.filter("vec_id = 0").first()["embedding"]]
+    p_bk2 = plan_of(knn_binary(emb_a, qv, k=10, rerank=50))
+    p_sd = plan_of(semantic_dedup(emb_a, n_clusters=4, threshold=0.4))
+    from searchenginejava_spark.operators.docvalues import matrix_stats
+
+    p_ms = plan_of(
+        matrix_stats(
+            corpus.select(
+                F.length("text").alias("a"),
+                (F.length("text") * 2).alias("b"),
+            ),
+            ["a", "b"],
+        )
+    )
+    checks = [
+        (
+            "binary kNN: Hamming candidate cut is a "
+            "TakeOrderedAndProject (per-partition heaps, no global sort)",
+            "TakeOrderedAndProject" in p_bk2,
+            "",
+        ),
+        (
+            "binary kNN + SemDeDup + matrix_stats: zero Python crossings",
+            all(
+                "ArrowEvalPython" not in p and "MapInPandas" not in p
+                for p in (p_bk2, p_sd, p_ms)
+            ),
+            "",
+        ),
+        (
+            "SemDeDup pair search is an equi-join on the cluster id "
+            "(never a cartesian/nested-loop over the corpus)",
+            "CartesianProduct" not in p_sd,
+            "",
+        ),
+        (
+            "matrix_stats: one map-side-combined pass (partial + final "
+            "HashAggregate, single Exchange)",
+            n_nodes(p_ms, "Exchange") == 1 and "partial_" in p_ms,
+            f"Exchange x{n_nodes(p_ms, 'Exchange')}",
+        ),
+    ]
+    sections.append(
+        ("wave-22: binary-quantized ANN, SemDeDup, matrix_stats",
+         p_bk2 + "\n\n" + p_sd + "\n\n" + p_ms, checks)
+    )
+
+    # 41. wave-23 (r5 wave c): line dedup / TextRank / span_not /
+    # cross_fields / Matryoshka — the claims: line_dedup is two
+    # bounded shuffles and no Python; the TextRank edge build comes
+    # from lead() windows (no positions self-join → no cartesian);
+    # span_not joins term-pruned slices only; cross_fields broadcasts
+    # the query-weight relation; the MRL prefix leg is a TakeOrdered.
+    from searchenginejava_spark.operators.curation import line_dedup
+    from searchenginejava_spark.operators.fielded import (
+        bm25f_stats,
+        cross_fields_topk,
+        fielded_tf,
+    )
+    from searchenginejava_spark.operators.positional import (
+        positional_index,
+        span_not,
+    )
+    from searchenginejava_spark.operators.similarity import knn_truncated
+    from searchenginejava_spark.operators.textstats import textrank_keywords
+
+    p_ld = plan_of(line_dedup(corpus.select("doc_id", "text")))
+    p_tr = plan_of(
+        textrank_keywords(corpus.select("doc_id", "text"), n_iter=1)
+    )
+    pi_a = positional_index(corpus.select("doc_id", "text"), mode="simple")
+    p_sn = plan_of(span_not(pi_a, ["the", "hash"], ["scan"], slop=8))
+    ftf_a = fielded_tf(
+        corpus.select("doc_id", "text"),
+        {"title": F.col("text"), "body": F.col("text")},
+    )
+    s_a = bm25f_stats(ftf_a)
+    qt_a = spark.createDataFrame(
+        [(1, "the", 1)], "query_id int, term string, qtf int"
+    )
+    p_cf = plan_of(
+        cross_fields_topk(
+            qt_a, ftf_a, s_a, boosts={"title": 2.0, "body": 1.0}
+        )
+    )
+    p_mrl = plan_of(knn_truncated(emb_a, qv, dims=8, k=10))
+    checks = [
+        (
+            "line_dedup: zero Python crossings, exactly the two "
+            "claimed shuffles (line-keyed window + per-doc reassembly)",
+            "ArrowEvalPython" not in p_ld
+            and "MapInPandas" not in p_ld
+            and n_nodes(p_ld, "Exchange") == 2,
+            f"Exchange x{n_nodes(p_ld, 'Exchange')}",
+        ),
+        (
+            "TextRank: edge build from lead() windows — no cartesian, "
+            "no Python",
+            "CartesianProduct" not in p_tr
+            and "ArrowEvalPython" not in p_tr
+            and "MapInPandas" not in p_tr,
+            "",
+        ),
+        (
+            "span_not: term-pruned slice joins only (no cartesian, "
+            "no Python)",
+            "CartesianProduct" not in p_sn
+            and "ArrowEvalPython" not in p_sn,
+            "",
+        ),
+        (
+            "cross_fields: the query-weight relation joins BROADCAST "
+            "(the corpus-side ftf never shuffles for the term join)",
+            "BroadcastHashJoin" in p_cf,
+            "",
+        ),
+        (
+            "Matryoshka prefix kNN: TakeOrderedAndProject over the "
+            "sliced scan, zero Python",
+            "TakeOrderedAndProject" in p_mrl
+            and "ArrowEvalPython" not in p_mrl,
+            "",
+        ),
+    ]
+    sections.append(
+        ("wave-23: line dedup, TextRank, span_not, cross_fields, MRL",
+         p_ld + "\n\n" + p_tr + "\n\n" + p_sn + "\n\n" + p_cf
+         + "\n\n" + p_mrl, checks)
+    )
+
     ok = True
     out = ["# PLANS.md — physical-plan audit (generated by tools/explain_audit.py)", ""]
     for title, plan, cks in sections:
