@@ -1576,6 +1576,40 @@ def _span_not_sql(
     """
 
 
+def _span_first_sql(terms: list[str], *, slop: int, end: int) -> str:
+    """DuckDB restatement of positional.span_first: the _span_sql
+    greedy-earliest chain with the end-position bound in the lambda,
+    emitting (doc_id, n_spans, min_span) like span_not."""
+    k = len(terms)
+    chain = "p"
+    for i in range(2, k + 1):
+        chain = f"list_min(list_filter(t{i}.ps, q{i} -> q{i} > ({chain})))"
+    joins = " ".join(
+        f"JOIN pl t{i} ON t{i}.doc_id = t1.doc_id"
+        f" AND t{i}.term = '{terms[i - 1]}'"
+        for i in range(2, k + 1)
+    )
+    kept = (
+        f"list_filter(list_transform(t1.ps, p -> CASE WHEN"
+        f" ({chain}) - p - {k - 1} <= {int(slop)}"
+        f" AND ({chain}) <= {int(end)}"
+        f" THEN ({chain}) - p - {k - 1} END), s -> s IS NOT NULL)"
+    )
+    return _SQL_TOKL + f"""
+    , pl AS (
+      SELECT doc_id, term, list(pos ORDER BY pos) AS ps
+      FROM tok GROUP BY doc_id, term
+    )
+    SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_spans,
+           CAST(list_min(kept) AS BIGINT) AS min_span
+    FROM (
+      SELECT t1.doc_id, {kept} AS kept
+      FROM pl t1 {joins}
+      WHERE t1.term = '{terms[0]}'
+    ) WHERE len(kept) > 0
+    """
+
+
 def _textrank_sql(
     *, window: int, n_iter: int, damping: float, top_n: int
 ) -> str:
@@ -4143,6 +4177,56 @@ def q_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mrl_recall(emb, qvec, dims_list=[8, 16, 32, 64], k=10)
 
 
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix over the events log: users
+    cohorted by first-activity week, per-(cohort, offset) distinct-user
+    counts and retention fractions — the product-analytics staple, all
+    bucket arithmetic exact integers."""
+    from searchenginejava_spark.operators.sessions import retention_cohorts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(ev, window_days=7)
+
+
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score anomaly flags over the hourly per-type event
+    rates: z over the 6 preceding present buckets (≥3 required, zero
+    variance → null), |z| ≥ 3 flags — the threshold-alert rule, run
+    entirely on the rollup relation."""
+    from searchenginejava_spark.operators.sessions import anomaly_zscore
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return anomaly_zscore(
+        ev, window_minutes=60, trailing=6, min_periods=3, z_thresh=3.0
+    )
+
+
+def q_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms_set query (per-doc minimum_should_match read from a
+    docvalue): docs matching ≥ required-of-{hash, join, merge} where
+    required = 1 + doc_id % 3 — term-pruned candidate agg + one
+    metadata join, never a corpus scan."""
+    from searchenginejava_spark.operators.search import terms_set_match
+
+    req = _documents(spark, sf_dir).select(
+        "doc_id", (F.lit(1) + F.col("doc_id") % 3).alias("required")
+    )
+    return terms_set_match(
+        _tf(spark, sf_dir), ["hash", "join", "merge"], req
+    )
+
+
+def q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-first (SpanFirstQuery): the ordered the..hash span (slop 8)
+    must END by position 12 — the start-of-document boost primitive,
+    same term-pruned chain joins as span_near."""
+    from searchenginejava_spark.operators.positional import span_first
+
+    return span_first(
+        _pindex(spark, sf_dir), ["the", "hash"], end=12, slop=8
+    )
+
+
 def q_cross_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multi_match cross_fields over the virtual title/body split:
     term-centric blended-df (max over fields) idf, per-term dismax with
@@ -4524,6 +4608,12 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_textrank": q_textrank,
         "q_mrl_recall": q_mrl_recall,
         "q_cross_fields": q_cross_fields,
+        # round-5 wave d: log-analytics cohorts/alerts, terms_set,
+        # span_first
+        "q_retention": q_retention,
+        "q_anomaly": q_anomaly,
+        "q_terms_set": q_terms_set,
+        "q_span_first": q_span_first,
     }
     return all_q
 
@@ -9487,6 +9577,76 @@ def oracle_sql() -> dict[str, str]:
     # per-term dismax + tie_breaker over per-field BM25 scores
     sql["q_cross_fields"] = _cross_fields_sql(
         q_values, boosts={"title": 2.0, "body": 1.0}, tie_breaker=0.3
+    )
+
+    # weekly retention cohorts: first-activity-week cohort, per-offset
+    # distinct users, retention = n / cohort size (offset-0 cell)
+    sql["q_retention"] = """
+    WITH active AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / 604800000000)
+                  * 604800000000 AS BIGINT) AS w
+      FROM events
+    ), coh AS (
+      SELECT user_id, min(w) AS cohort FROM active GROUP BY user_id
+    ), cells AS (
+      SELECT cohort AS cohort_start_us,
+             CAST((w - cohort) / 604800000000 AS BIGINT) AS week_offset,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM active JOIN coh USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT cohort_start_us, week_offset, n_users,
+           round(n_users / max(CASE WHEN week_offset = 0
+                               THEN n_users END)
+                 OVER (PARTITION BY cohort_start_us), 6) AS retention
+    FROM cells
+    """
+
+    # trailing z-score alerts over the hourly per-type rollup: 6
+    # preceding present buckets, >=3 required, zero variance -> null z
+    sql["q_anomaly"] = """
+    WITH roll AS (
+      SELECT CAST(floor(epoch_us(ts) / 3600000000)
+                  * 3600000000 AS BIGINT) AS window_start_us,
+             event_type, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ), st AS (
+      SELECT window_start_us, event_type, n_events,
+             avg(CAST(n_events AS DOUBLE)) OVER w AS m,
+             stddev_pop(CAST(n_events AS DOUBLE)) OVER w AS sd,
+             count(*) OVER w AS np
+      FROM roll
+      WINDOW w AS (PARTITION BY event_type ORDER BY window_start_us
+                   ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT window_start_us, event_type, n_events,
+           round(CASE WHEN np >= 3 AND sd > 0
+                      THEN (n_events - m) / sd END, 6) AS z,
+           coalesce(abs(CASE WHEN np >= 3 AND sd > 0
+                             THEN (n_events - m) / sd END) >= 3.0,
+                    false) AS is_anomaly
+    FROM st
+    """
+
+    # terms_set: distinct matched query terms >= per-doc threshold
+    # (1 + doc_id % 3), candidates only
+    sql["q_terms_set"] = _SQL_TOKL + """
+    , m AS (
+      SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS n_matched
+      FROM tok WHERE term IN ('hash', 'join', 'merge')
+      GROUP BY doc_id
+    )
+    SELECT m.doc_id, m.n_matched,
+           CAST(1 + d.doc_id % 3 AS BIGINT) AS required
+    FROM m JOIN documents d ON d.doc_id = m.doc_id
+    WHERE m.n_matched >= 1 + d.doc_id % 3
+    """
+
+    # span_first: the _span_sql include chain with the end-position
+    # bound folded into the occurrence lambda
+    sql["q_span_first"] = _span_first_sql(
+        ["the", "hash"], slop=_SPAN_SLOP, end=12
     )
     return sql
 

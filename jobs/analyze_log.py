@@ -34,6 +34,14 @@ def main(argv: list[str] | None = None) -> int:
     # <= |windows|*256 shuffled cells at ANY log size, where exact
     # count-distinct shuffles every (window, user) pair
     p.add_argument("--hll-users", action="store_true")
+    # weekly retention-cohort matrix -> retention/ dataset
+    p.add_argument("--retention", action="store_true")
+    p.add_argument("--retention-window-days", type=int, default=7)
+    # trailing z-score alert flags over the rollup -> anomalies/
+    # dataset (only flagged buckets are written)
+    p.add_argument("--anomalies", action="store_true")
+    p.add_argument("--z-thresh", type=float, default=3.0)
+    p.add_argument("--trailing", type=int, default=6)
     p.add_argument("--json", action="store_true")
     args = p.parse_args(argv)
 
@@ -86,6 +94,30 @@ def main(argv: list[str] | None = None) -> int:
         est.write.mode("overwrite").parquet(f"{args.output}/cardinality")
         n_card = spark.read.parquet(f"{args.output}/cardinality").count()
 
+    n_ret = None
+    if args.retention:
+        from searchenginejava_spark.operators.sessions import (
+            retention_cohorts,
+        )
+
+        retention_cohorts(
+            ev, window_days=args.retention_window_days
+        ).write.mode("overwrite").parquet(f"{args.output}/retention")
+        n_ret = spark.read.parquet(f"{args.output}/retention").count()
+    n_anom = None
+    if args.anomalies:
+        from searchenginejava_spark.operators.sessions import anomaly_zscore
+
+        anomaly_zscore(
+            ev,
+            window_minutes=args.window_minutes,
+            trailing=args.trailing,
+            z_thresh=args.z_thresh,
+        ).filter("is_anomaly").write.mode("overwrite").parquet(
+            f"{args.output}/anomalies"
+        )
+        n_anom = spark.read.parquet(f"{args.output}/anomalies").count()
+
     sess_out = spark.read.parquet(f"{args.output}/sessions")
     dur_s = (
         (F.col("session_end_us") - F.col("session_start_us")) / 1_000_000.0
@@ -103,6 +135,8 @@ def main(argv: list[str] | None = None) -> int:
         "session_dur_p95_s": round(float(pcts[1]), 3),
         "n_pipeline_rows": n_pipeline,
         "n_cardinality_windows": n_card,
+        "n_retention_cells": n_ret,
+        "n_anomalous_buckets": n_anom,
         "out": args.output,
     }
     print(json.dumps(summary))

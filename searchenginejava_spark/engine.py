@@ -261,6 +261,84 @@ class SearchEngine:
         )
         return span_near(pi, list(terms), slop=slop)
 
+    def near_not(
+        self,
+        include: Sequence[str],
+        exclude: Sequence[str],
+        *,
+        slop: int = 0,
+        pre: int = 0,
+        post: int = 0,
+    ) -> DataFrame:
+        """Span-not over the compressed positional index: include-span
+        occurrences no exclude-span occurrence overlaps (±pre/post).
+        Decodes only the include+exclude terms' posting rows — the
+        same slice discipline as ``near``."""
+        from .operators.index import decode_postings_positions_df
+        from .operators.positional import span_not
+
+        if self.index.postings is None:
+            raise ValueError("span queries need compressed postings")
+        terms = list(include) + list(exclude)
+        pi = decode_postings_positions_df(
+            self.index.postings.filter(F.col("term").isin(terms))
+        )
+        return span_not(
+            pi, list(include), list(exclude), slop=slop, pre=pre, post=post
+        )
+
+    def near_first(
+        self, terms: Sequence[str], *, end: int, slop: int = 0
+    ) -> DataFrame:
+        """Span-first over the compressed positional index: the ordered
+        span must end by position ``end`` (start-of-document matches)."""
+        from .operators.index import decode_postings_positions_df
+        from .operators.positional import span_first
+
+        if self.index.postings is None:
+            raise ValueError("span queries need compressed postings")
+        pi = decode_postings_positions_df(
+            self.index.postings.filter(F.col("term").isin(list(terms)))
+        )
+        return span_first(pi, list(terms), end=end, slop=slop)
+
+    def terms_set(
+        self,
+        terms: Sequence[str],
+        required: DataFrame,
+        *,
+        required_col: str = "required",
+    ) -> DataFrame:
+        """terms_set query: docs whose distinct matched count among
+        ``terms`` meets their own ``required`` docvalue. Decodes only
+        the query terms' posting rows."""
+        from .operators.index import decode_postings_df
+        from .operators.search import terms_set_match
+
+        if self.index.postings is None:
+            raise ValueError("terms_set needs compressed postings")
+        tf = decode_postings_df(
+            self.index.postings.filter(F.col("term").isin(list(terms)))
+        )
+        return terms_set_match(
+            tf, list(terms), required, required_col=required_col
+        )
+
+    def rare_terms(
+        self, *, max_doc_count: int = 1, include: str | None = None,
+        max_buckets: int = 100,
+    ) -> DataFrame:
+        """rare_terms aggregation straight off the published dictionary
+        (term, df) — no posting or corpus access at all."""
+        agg = self.index.dictionary.select(
+            "term", F.col("df").cast("long").alias("doc_count")
+        ).filter(F.col("doc_count") <= int(max_doc_count))
+        if include is not None:
+            agg = agg.filter(F.col("term").rlike(include))
+        return agg.orderBy(F.asc("doc_count"), F.asc("term")).limit(
+            int(max_buckets)
+        )
+
     def suggest(self, prefix: str, *, k: int = 10) -> DataFrame:
         from .operators.termmatch import suggest_terms
 

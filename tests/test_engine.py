@@ -386,3 +386,47 @@ def test_engine_serving_policies(spark, eng):
     res = small.search("table hash", k=5, path="exhaustive").collect()
     assert res and [r["rank"] for r in res] == list(range(1, len(res) + 1))
     assert small.index.tf.count() < eng.index.tf.count()
+
+
+def test_engine_near_not_first_terms_set_rare(eng, spark):
+    # near_not with an absent exclude == near (docs and spans)
+    near5 = {
+        (r["doc_id"], r["min_span"])
+        for r in eng.near(["table", "hash"], slop=5).collect()
+    }
+    nn = {
+        (r["doc_id"], r["min_span"])
+        for r in eng.near_not(
+            ["table", "hash"], ["zzz_never"], slop=5
+        ).collect()
+    }
+    assert nn == near5 and nn
+    # a real exclude can only shrink the doc set
+    excl = {
+        r["doc_id"]
+        for r in eng.near_not(
+            ["table", "hash"], ["join"], slop=5, pre=2, post=2
+        ).collect()
+    }
+    assert excl <= {d for d, _ in near5}
+    # near_first at a huge end bound == near; tighter bound shrinks
+    nf_all = {
+        r["doc_id"]
+        for r in eng.near_first(["table", "hash"], end=10**6, slop=5).collect()
+    }
+    assert nf_all == {d for d, _ in near5}
+    nf_10 = {
+        r["doc_id"]
+        for r in eng.near_first(["table", "hash"], end=10, slop=5).collect()
+    }
+    assert nf_10 <= nf_all
+    # terms_set: required=1 over one common term == that term's doc set
+    req = spark.range(0, 10000).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("required")
+    )
+    ts = {r["doc_id"] for r in eng.terms_set(["table"], req).collect()}
+    bl = {r["doc_id"] for r in eng.boolean(must=["table"]).collect()}
+    assert ts == bl and ts
+    # rare_terms off the dictionary: doc_count bound honored
+    rt = eng.rare_terms(max_doc_count=3, max_buckets=10).collect()
+    assert all(r["doc_count"] <= 3 for r in rt)

@@ -472,3 +472,35 @@ def test_anomaly_zscore_hand_computed(spark):
     assert got[3]["z"] == pytest.approx(
         round((2 - 3.0) / sd3, 6), abs=2e-6
     )
+
+
+def test_analyze_log_retention_and_anomalies_cli(spark, tmp_path, capsys):
+    import json as _json
+
+    from jobs.analyze_log import main
+
+    out = str(tmp_path / "logout_ra")
+    rc = main([
+        "--input", "/root/testdata/sf0.001/events.parquet",
+        "--output", out, "--retention", "--anomalies",
+        "--z-thresh", "2.0",
+    ])
+    assert rc == 0
+    line = [
+        x for x in capsys.readouterr().out.strip().splitlines()
+        if x.startswith("{")
+    ][-1]
+    rep = _json.loads(line)
+    assert rep["n_retention_cells"] is not None
+    ret = spark.read.parquet(f"{out}/retention")
+    assert ret.count() == rep["n_retention_cells"]
+    # every cohort has its offset-0 cell at retention 1.0
+    zero = {
+        r["cohort_start_us"]: r["retention"]
+        for r in ret.filter("week_offset = 0").collect()
+    }
+    assert zero and all(v == 1.0 for v in zero.values())
+    anom = spark.read.parquet(f"{out}/anomalies")
+    assert anom.count() == rep["n_anomalous_buckets"]
+    # the anomalies dataset holds only flagged buckets
+    assert anom.filter("NOT is_anomaly").count() == 0
