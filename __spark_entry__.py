@@ -1610,6 +1610,46 @@ def _span_first_sql(terms: list[str], *, slop: int, end: int) -> str:
     """
 
 
+def _span_containing_sql(
+    big_terms: list[str], little: str, *, slop: int
+) -> str:
+    """DuckDB restatement of positional.span_containing: the _span_sql
+    greedy-earliest chain with a containment EXISTS over the little
+    term's positions, emitting (doc_id, n_spans, min_span)."""
+    k = len(big_terms)
+    chain = "p"
+    for i in range(2, k + 1):
+        chain = f"list_min(list_filter(t{i}.ps, q{i} -> q{i} > ({chain})))"
+    joins = " ".join(
+        f"JOIN pl t{i} ON t{i}.doc_id = t1.doc_id"
+        f" AND t{i}.term = '{big_terms[i - 1]}'"
+        for i in range(2, k + 1)
+    )
+    contains = (
+        f"len(list_filter(lt.ps, q -> q >= p AND q <= ({chain}))) > 0"
+    )
+    kept = (
+        f"list_filter(list_transform(t1.ps, p -> CASE WHEN"
+        f" ({chain}) - p - {k - 1} <= {int(slop)}"
+        f" AND ({contains})"
+        f" THEN ({chain}) - p - {k - 1} END), s -> s IS NOT NULL)"
+    )
+    return _SQL_TOKL + f"""
+    , pl AS (
+      SELECT doc_id, term, list(pos ORDER BY pos) AS ps
+      FROM tok GROUP BY doc_id, term
+    )
+    SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_spans,
+           CAST(list_min(kept) AS BIGINT) AS min_span
+    FROM (
+      SELECT t1.doc_id, {kept} AS kept
+      FROM pl t1 {joins}
+      JOIN pl lt ON lt.doc_id = t1.doc_id AND lt.term = '{little}'
+      WHERE t1.term = '{big_terms[0]}'
+    ) WHERE len(kept) > 0
+    """
+
+
 def _textrank_sql(
     *, window: int, n_iter: int, damping: float, top_n: int
 ) -> str:
@@ -4256,6 +4296,124 @@ def q_cross_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_span_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-or (SpanOrQuery): union of the/hash occurrences per doc —
+    one term-IN-pruned scan of the positional postings, positions
+    exploded and hash-aggregated."""
+    from searchenginejava_spark.operators.positional import span_or
+
+    return span_or(_pindex(spark, sf_dir), ["the", "hash"])
+
+
+def q_span_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-containing (SpanContainingQuery): the..hash spans (slop 8)
+    that CONTAIN an occurrence of 'table' — same term-pruned chain
+    joins as span_near plus one inner little-term slice."""
+    from searchenginejava_spark.operators.positional import span_containing
+
+    return span_containing(
+        _pindex(spark, sf_dir), ["the", "hash"], "table", slop=_SPAN_SLOP
+    )
+
+
+def q_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES range aggregation over n_chars: overlapping half-open
+    buckets (one intentionally empty), per-bucket doc_count + avg —
+    a broadcast range join + one |ranges|-sized agg."""
+    from searchenginejava_spark.operators.docvalues import range_agg
+
+    return range_agg(
+        _documents(spark, sf_dir),
+        "n_chars",
+        [(None, 200.0), (200.0, 500.0), (400.0, None), (100000.0, None)],
+        metric_col="n_chars",
+    )
+
+
+def q_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filters aggregation (with the other/missing/global family):
+    independent named predicate buckets + the _other_ bucket, one
+    conditional-aggregation pass down to a single row, then a
+    driver-sized stack unpivot."""
+    from searchenginejava_spark.operators.docvalues import filters_agg
+
+    return filters_agg(
+        _documents(spark, sf_dir),
+        {
+            "english": F.col("lang") == "en",
+            "long": "n_chars >= 400",
+            "nolang": F.col("lang").isNull(),
+        },
+        metric_col="n_chars",
+    )
+
+
+def q_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES string_stats over documents.text: count, length moments and
+    the Shannon character entropy — two single-pass hash aggs, the
+    histogram map-side combined to |alphabet| cells."""
+    from searchenginejava_spark.operators.textstats import string_stats
+
+    return string_stats(_documents(spark, sf_dir))
+
+
+def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES weighted_avg + median_absolute_deviation + boxplot per
+    event_type, exact: weight = 1 + event_id % 3 (a docvalue weight),
+    MAD via the median-then-residual second pass, Tukey fences."""
+    from searchenginejava_spark.operators.sessions import robust_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return robust_stats(
+        ev, weight_col=(F.lit(1) + F.col("event_id") % 3).cast("double")
+    )
+
+
+def q_bucket_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_selector + bucket_sort over the hourly rollup: keep
+    buckets with ≥ 2 events, top-25 by n_events (time/type
+    tie-broken) — pipeline aggs run on the bucket relation, never a
+    second events pass."""
+    from searchenginejava_spark.operators.sessions import (
+        bucket_pipeline,
+        event_rollup,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return bucket_pipeline(
+        event_rollup(ev, window_minutes=60),
+        min_events=2,
+        sort_by="n_events",
+        size=25,
+    )
+
+
+def q_random_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """function_score random_score: reproducible Knuth-hash factor
+    over a boolean candidate set (n_chars ≥ 300), top-50 — exact
+    integer arithmetic, bit-identical on any engine."""
+    from searchenginejava_spark.operators.docvalues import random_score_topk
+
+    cand = (
+        _documents(spark, sf_dir)
+        .filter(F.col("n_chars") >= 300)
+        .select(
+            F.lit(1).alias("query_id"), "doc_id", F.lit(1.0).alias("score")
+        )
+    )
+    return random_score_topk(cand, seed=7, k=50, boost_mode="replace")
+
+
+def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-test (ES t_test agg, heteroscedastic) between the
+    signup and purchase event groups on value — one conditional-agg
+    pass to a single row."""
+    from searchenginejava_spark.operators.sessions import ab_ttest
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ab_ttest(ev, "signup", "purchase")
+
+
 # Round-5 driver window (VERDICT r04 order #2): the driver checks the
 # FIRST 50 registered queries, so registration order rotates each round
 # to maximize the union of driver-green rows. union(r03, r04) = 91
@@ -4614,6 +4772,17 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anomaly": q_anomaly,
         "q_terms_set": q_terms_set,
         "q_span_first": q_span_first,
+        # round-5 wave e: bucket/metric agg families, span_or/
+        # containing, random_score, t-test
+        "q_span_or": q_span_or,
+        "q_span_containing": q_span_containing,
+        "q_range_agg": q_range_agg,
+        "q_filters_agg": q_filters_agg,
+        "q_string_stats": q_string_stats,
+        "q_robust_stats": q_robust_stats,
+        "q_bucket_pipeline": q_bucket_pipeline,
+        "q_random_score": q_random_score,
+        "q_ab_ttest": q_ab_ttest,
     }
     return all_q
 
@@ -9648,6 +9817,194 @@ def oracle_sql() -> dict[str, str]:
     sql["q_span_first"] = _span_first_sql(
         ["the", "hash"], slop=_SPAN_SLOP, end=12
     )
+
+    # span_or: union of the terms' positions — one pruned scan + agg
+    sql["q_span_or"] = _SQL_TOKL + """
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(pos) AS BIGINT) AS first_pos
+    FROM tok WHERE term IN ('the', 'hash')
+    GROUP BY doc_id
+    """
+
+    # span_containing: the include chain + containment EXISTS over the
+    # little term's positions
+    sql["q_span_containing"] = _span_containing_sql(
+        ["the", "hash"], "table", slop=_SPAN_SLOP
+    )
+
+    # range agg: overlapping half-open [from, to) buckets, empty
+    # buckets kept with doc_count 0 via the LEFT join
+    sql["q_range_agg"] = """
+    WITH r(range_key, lo, hi) AS (VALUES
+      ('*-200',    CAST(NULL AS DOUBLE), 200.0),
+      ('200-500',  200.0,                500.0),
+      ('400-*',    400.0,                CAST(NULL AS DOUBLE)),
+      ('100000-*', 100000.0,             CAST(NULL AS DOUBLE)))
+    SELECT r.range_key, r.lo, r.hi,
+           CAST(count(d.doc_id) AS BIGINT) AS doc_count,
+           round(avg(CAST(d.n_chars AS DOUBLE)), 6) AS metric_avg
+    FROM r LEFT JOIN documents d
+      ON d.n_chars IS NOT NULL
+     AND (r.lo IS NULL OR d.n_chars >= r.lo)
+     AND (r.hi IS NULL OR d.n_chars < r.hi)
+    GROUP BY 1, 2, 3
+    """
+
+    # filters agg: independent predicate buckets + the none-match
+    # _other_ bucket, one conditional pass
+    sql["q_filters_agg"] = """
+    SELECT 'english' AS bucket,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS doc_count,
+           round(avg(CASE WHEN lang = 'en'
+                          THEN CAST(n_chars AS DOUBLE) END), 6)
+             AS metric_avg
+    FROM documents
+    UNION ALL
+    SELECT 'long',
+           CAST(sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           round(avg(CASE WHEN n_chars >= 400
+                          THEN CAST(n_chars AS DOUBLE) END), 6)
+    FROM documents
+    UNION ALL
+    SELECT 'nolang',
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           round(avg(CASE WHEN lang IS NULL
+                          THEN CAST(n_chars AS DOUBLE) END), 6)
+    FROM documents
+    UNION ALL
+    SELECT '_other_',
+           CAST(sum(CASE WHEN NOT coalesce(lang = 'en', false)
+                          AND NOT coalesce(n_chars >= 400, false)
+                          AND NOT coalesce(lang IS NULL, false)
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           round(avg(CASE WHEN NOT coalesce(lang = 'en', false)
+                           AND NOT coalesce(n_chars >= 400, false)
+                           AND NOT coalesce(lang IS NULL, false)
+                          THEN CAST(n_chars AS DOUBLE) END), 6)
+    FROM documents
+    """
+
+    # string_stats: length moments + Shannon character entropy,
+    # H = log2(T) - sum(c*log2 c)/T
+    sql["q_string_stats"] = """
+    WITH lens AS (
+      SELECT CAST(count(*) AS BIGINT) AS "count",
+             CAST(min(length(text)) AS BIGINT) AS min_length,
+             CAST(max(length(text)) AS BIGINT) AS max_length,
+             round(avg(length(text)), 6) AS avg_length
+      FROM documents WHERE text IS NOT NULL
+    ), hist AS (
+      SELECT ch, CAST(count(*) AS DOUBLE) AS c
+      FROM (
+        SELECT unnest(string_split(text, '')) AS ch
+        FROM documents WHERE text IS NOT NULL
+      ) WHERE ch <> '' GROUP BY ch
+    ), ent AS (
+      SELECT round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6)
+               AS entropy
+      FROM hist
+    )
+    SELECT * FROM lens, ent
+    """
+
+    # robust metric aggs: weighted_avg (w = 1 + event_id % 3), exact
+    # MAD via median-then-residual, boxplot quartiles + Tukey fences
+    sql["q_robust_stats"] = """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS m
+      FROM events GROUP BY 1
+    ), mad AS (
+      SELECT e.event_type,
+             round(quantile_cont(abs(e.value - med.m), 0.5), 6) AS mad
+      FROM events e JOIN med USING (event_type) GROUP BY 1
+    ), base AS (
+      SELECT event_type AS "group",
+             CAST(count(value) AS BIGINT) AS n,
+             round(sum(value * (1 + event_id % 3))
+                   / sum(CAST(1 + event_id % 3 AS DOUBLE)), 6)
+               AS weighted_avg,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.5) AS q2,
+             quantile_cont(value, 0.75) AS q3,
+             min(value) AS vmin, max(value) AS vmax
+      FROM events GROUP BY 1
+    )
+    SELECT b."group", b.n, b.weighted_avg, mad.mad,
+           round(b.q1, 6) AS q1, round(b.q2, 6) AS q2,
+           round(b.q3, 6) AS q3,
+           round(b.vmin, 6) AS vmin, round(b.vmax, 6) AS vmax,
+           round(b.q1 - 1.5 * (b.q3 - b.q1), 6) AS lo_fence,
+           round(b.q3 + 1.5 * (b.q3 - b.q1), 6) AS hi_fence
+    FROM base b JOIN mad ON mad.event_type = b."group"
+    """
+
+    # bucket_selector + bucket_sort over the hourly rollup
+    sql["q_bucket_pipeline"] = """
+    WITH roll AS (
+      SELECT CAST(floor(epoch_us(ts) / 3600000000)
+                  * 3600000000 AS BIGINT) AS window_start_us,
+             event_type, CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(value), 6) AS value_sum
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(row_number() OVER (
+             ORDER BY n_events DESC, window_start_us, event_type)
+           AS INT) AS rank,
+           window_start_us, event_type, n_events, value_sum
+    FROM roll WHERE n_events >= 2
+    ORDER BY rank LIMIT 25
+    """
+
+    # random_score: Knuth multiplicative hash of doc_id — exact
+    # integer arithmetic, bit-identical across engines
+    sql["q_random_score"] = """
+    SELECT CAST(1 AS INT) AS query_id,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                AS INT) AS rank,
+           doc_id, score
+    FROM (
+      SELECT doc_id,
+             CAST(((doc_id % 2147483648) * 2654435761 + 7)
+                  % 4294967296 AS DOUBLE)
+               / 4294967296.0 AS score
+      FROM documents WHERE n_chars >= 300
+    ) ORDER BY rank LIMIT 50
+    """
+
+    # Welch's t-test between the signup and purchase groups
+    sql["q_ab_ttest"] = """
+    WITH one AS (
+      SELECT
+        CAST(count(CASE WHEN event_type = 'signup' THEN 1 END)
+             AS BIGINT) AS n_a,
+        CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+             AS BIGINT) AS n_b,
+        avg(CASE WHEN event_type = 'signup' THEN value END) AS mean_a,
+        avg(CASE WHEN event_type = 'purchase' THEN value END) AS mean_b,
+        var_samp(CASE WHEN event_type = 'signup' THEN value END)
+          AS var_a,
+        var_samp(CASE WHEN event_type = 'purchase' THEN value END)
+          AS var_b
+      FROM events
+      WHERE event_type IN ('signup', 'purchase')
+    )
+    SELECT 'signup' AS group_a, 'purchase' AS group_b, n_a, n_b,
+           round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+           round(CASE WHEN n_a >= 2 AND n_b >= 2
+                       AND var_a / n_a + var_b / n_b > 0
+                      THEN (mean_a - mean_b)
+                           / sqrt(var_a / n_a + var_b / n_b) END, 6)
+             AS t_stat,
+           round(CASE WHEN n_a >= 2 AND n_b >= 2
+                       AND var_a / n_a + var_b / n_b > 0
+                      THEN pow(var_a / n_a + var_b / n_b, 2)
+                           / (pow(var_a / n_a, 2) / (n_a - 1)
+                              + pow(var_b / n_b, 2) / (n_b - 1)) END, 6)
+             AS df
+    FROM one
+    """
     return sql
 
 

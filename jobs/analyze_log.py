@@ -42,6 +42,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--anomalies", action="store_true")
     p.add_argument("--z-thresh", type=float, default=3.0)
     p.add_argument("--trailing", type=int, default=6)
+    # per-type robust metrics (weighted_avg/MAD/boxplot) ->
+    # robust_stats/ dataset
+    p.add_argument("--robust-stats", action="store_true")
+    # Welch t-test between two event types on value -> printed in the
+    # summary (a one-row result, no dataset)
+    p.add_argument("--ttest", nargs=2, metavar=("GROUP_A", "GROUP_B"))
     p.add_argument("--json", action="store_true")
     args = p.parse_args(argv)
 
@@ -118,6 +124,21 @@ def main(argv: list[str] | None = None) -> int:
         )
         n_anom = spark.read.parquet(f"{args.output}/anomalies").count()
 
+    n_robust = None
+    if args.robust_stats:
+        from searchenginejava_spark.operators.sessions import robust_stats
+
+        robust_stats(ev).write.mode("overwrite").parquet(
+            f"{args.output}/robust_stats"
+        )
+        n_robust = spark.read.parquet(f"{args.output}/robust_stats").count()
+    ttest_row = None
+    if args.ttest:
+        from searchenginejava_spark.operators.sessions import ab_ttest
+
+        r = ab_ttest(ev, args.ttest[0], args.ttest[1]).collect()[0]
+        ttest_row = {k: r[k] for k in ("n_a", "n_b", "t_stat", "df")}
+
     sess_out = spark.read.parquet(f"{args.output}/sessions")
     dur_s = (
         (F.col("session_end_us") - F.col("session_start_us")) / 1_000_000.0
@@ -137,6 +158,8 @@ def main(argv: list[str] | None = None) -> int:
         "n_cardinality_windows": n_card,
         "n_retention_cells": n_ret,
         "n_anomalous_buckets": n_anom,
+        "n_robust_groups": n_robust,
+        "ttest": ttest_row,
         "out": args.output,
     }
     print(json.dumps(summary))

@@ -302,6 +302,44 @@ class SearchEngine:
         )
         return span_first(pi, list(terms), end=end, slop=slop)
 
+    def near_or(self, terms: Sequence[str]) -> DataFrame:
+        """Span-or over the compressed positional index: the union of
+        the terms' occurrences per doc. Decodes only the query terms'
+        posting rows."""
+        from .operators.index import decode_postings_positions_df
+        from .operators.positional import span_or
+
+        if self.index.postings is None:
+            raise ValueError("span queries need compressed postings")
+        pi = decode_postings_positions_df(
+            self.index.postings.filter(F.col("term").isin(list(terms)))
+        )
+        return span_or(pi, list(terms))
+
+    def near_containing(
+        self,
+        big_terms: Sequence[str],
+        little_term: str,
+        *,
+        slop: int = 0,
+    ) -> DataFrame:
+        """Span-containing over the compressed positional index:
+        big-span occurrences that contain an occurrence of
+        ``little_term``. Decodes only the involved terms' posting
+        rows — the same slice discipline as ``near``."""
+        from .operators.index import decode_postings_positions_df
+        from .operators.positional import span_containing
+
+        if self.index.postings is None:
+            raise ValueError("span queries need compressed postings")
+        terms = list(big_terms) + [little_term]
+        pi = decode_postings_positions_df(
+            self.index.postings.filter(F.col("term").isin(terms))
+        )
+        return span_containing(
+            pi, list(big_terms), little_term, slop=slop
+        )
+
     def terms_set(
         self,
         terms: Sequence[str],

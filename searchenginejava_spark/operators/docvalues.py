@@ -403,3 +403,194 @@ def matrix_stats(
         .otherwise(F.round("correlation", 6))
         .alias("correlation"),
     )
+
+
+def range_agg(
+    doc_meta: DataFrame,
+    field: str,
+    ranges: Sequence[tuple[float | None, float | None]],
+    *,
+    metric_col: str | None = None,
+) -> DataFrame:
+    """``range`` aggregation (Elasticsearch, public semantics):
+    half-open ``[from, to)`` buckets over a numeric docvalue, keyed
+    ``from-to`` with ``*`` for an open end. Buckets may OVERLAP (a doc
+    lands in every range it satisfies — the ES contract, which is why
+    this is not a CASE expression) and empty buckets are emitted with
+    doc_count 0. Docs with a null field fall in no bucket.
+
+    → (range_key, lo, hi, doc_count[, metric_avg]) — one bucket row per
+    requested range.
+
+    Plan shape: the ranges are a driver-literal relation (a handful of
+    rows) broadcast against the docvalue projection — a broadcast
+    nested-loop range join, ONE pass over the metadata at any corpus
+    size — followed by a |ranges|-sized hash agg; the empty-bucket
+    reattach is an anti-join between two |ranges|-sized relations.
+    """
+    if not ranges:
+        raise ValueError("range_agg needs at least 1 range")
+    rows = []
+    seen: set[str] = set()
+    for lo, hi in ranges:
+        key = (
+            f"{'*' if lo is None else format(float(lo), 'g')}"
+            f"-{'*' if hi is None else format(float(hi), 'g')}"
+        )
+        # a duplicate range would double-count every doc it matches
+        # (the join fans out) — reject loudly like ES's key collision
+        if key in seen:
+            raise ValueError(f"duplicate range {key!r}")
+        seen.add(key)
+        rows.append(
+            (
+                key,
+                None if lo is None else float(lo),
+                None if hi is None else float(hi),
+            )
+        )
+    spark = doc_meta.sparkSession
+    rdf = spark.createDataFrame(rows, "range_key string, lo double, hi double")
+    v = F.col(field).cast("double")
+    pred = (
+        v.isNotNull()
+        & (F.col("lo").isNull() | (v >= F.col("lo")))
+        & (F.col("hi").isNull() | (v < F.col("hi")))
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("doc_count")]
+    if metric_col is not None:
+        aggs.append(
+            F.round(F.avg(F.col(metric_col).cast("double")), 6)
+            .alias("metric_avg")
+        )
+    hit = (
+        doc_meta.join(F.broadcast(rdf), pred)
+        .groupBy("range_key", "lo", "hi")
+        .agg(*aggs)
+    )
+    empty = rdf.join(
+        hit.select("range_key"), "range_key", "left_anti"
+    ).withColumn("doc_count", F.lit(0).cast("long"))
+    if metric_col is not None:
+        empty = empty.withColumn("metric_avg", F.lit(None).cast("double"))
+    return hit.unionByName(empty.select(*hit.columns))
+
+
+def filters_agg(
+    df: DataFrame,
+    filters: dict[str, Column | str],
+    *,
+    metric_col: str | None = None,
+    other_bucket: bool = True,
+    other_bucket_key: str = "_other_",
+) -> DataFrame:
+    """``filters`` aggregation (Elasticsearch, public semantics): one
+    named bucket per boolean predicate — buckets are INDEPENDENT (a doc
+    can match several), plus the optional ``other`` bucket of docs
+    matching none. A null predicate counts as no-match (SQL three-valued
+    logic folded to false, the ES filter-context convention) — this also
+    makes ``field IS NULL`` filters express the ES ``missing`` agg, and
+    a ``true`` literal the ``global`` bucket.
+
+    → (bucket, doc_count[, metric_avg]) — one row per filter.
+
+    Plan shape: ONE conditional-aggregation pass (every bucket a
+    sum-of-when running total, map-side combined) down to a single row,
+    then a driver-sized ``stack`` unpivot — n filters never cost n
+    scans, and nothing but the final one-row agg shuffles.
+    """
+    if not filters:
+        raise ValueError("filters_agg needs at least 1 filter")
+    for name in filters:
+        # bucket names become string literals in the stack() unpivot
+        if "'" in name or "`" in name:
+            raise ValueError(f"filter name {name!r} may not contain ' or `")
+        if other_bucket and name == other_bucket_key:
+            raise ValueError(
+                f"filter name {name!r} collides with the other bucket"
+            )
+    conds = {
+        name: (F.expr(c) if isinstance(c, str) else c)
+        for name, c in filters.items()
+    }
+    names = list(conds)
+    if other_bucket:
+        none_match = F.lit(True)
+        for name in names:
+            none_match = none_match & ~F.coalesce(conds[name], F.lit(False))
+        conds[other_bucket_key] = none_match
+        names.append(other_bucket_key)
+    aggs = []
+    for i, name in enumerate(names):
+        aggs.append(
+            F.sum(F.when(conds[name], 1).otherwise(0))
+            .cast("long")
+            .alias(f"__c_{i}")
+        )
+        if metric_col is not None:
+            aggs.append(
+                F.avg(F.when(conds[name], F.col(metric_col).cast("double")))
+                .alias(f"__m_{i}")
+            )
+    one = df.agg(*aggs)
+    if metric_col is not None:
+        cells = ", ".join(
+            f"'{n}', `__c_{i}`, round(`__m_{i}`, 6)"
+            for i, n in enumerate(names)
+        )
+        out_cols = "(bucket, doc_count, metric_avg)"
+    else:
+        cells = ", ".join(f"'{n}', `__c_{i}`" for i, n in enumerate(names))
+        out_cols = "(bucket, doc_count)"
+    return one.selectExpr(f"stack({len(names)}, {cells}) as {out_cols}")
+
+
+def random_score_topk(
+    scored: DataFrame,
+    *,
+    seed: int = 42,
+    k: int = TOP_K,
+    boost_mode: str = "multiply",
+) -> DataFrame:
+    """``function_score`` with ``random_score`` (Elasticsearch, public
+    semantics): a REPRODUCIBLE pseudo-random per-document factor — ES
+    hashes a seed with a per-doc field; here the Knuth multiplicative
+    hash of doc_id, h = (doc_id·2654435761 + seed) mod 2³² scaled to
+    [0, 1) — combined with the text score (``multiply``) or replacing
+    it (``replace``). Exact integer arithmetic, so the factor is
+    bit-identical on any engine — the sampling is deterministic,
+    shard-count-independent, and resume-safe. doc_id folds mod 2³¹
+    BEFORE the multiply so the product stays inside int64 at any
+    doc_id (10¹²-file ids would otherwise overflow — silently in
+    Spark, loudly in engines that check).
+
+    → (query_id, rank, doc_id, score) re-ranked top-k. Window over the
+    candidate relation only (typically a scorer's top-k or a boolean
+    match), one bounded rank per query — nothing corpus-sized.
+    """
+    if boost_mode not in ("multiply", "replace"):
+        raise ValueError("boost_mode must be 'multiply' or 'replace'")
+    h = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761)
+        + F.lit(int(seed)),
+        F.lit(4294967296),
+    )
+    factor = h.cast("double") / F.lit(4294967296.0)
+    new_score = (
+        F.col("score") * factor if boost_mode == "multiply" else factor
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("new_score"), F.asc("doc_id")
+    )
+    return (
+        scored.select("query_id", "doc_id", new_score.alias("new_score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("int"),
+            F.col("rank").cast("int"),
+            F.col("doc_id").cast("long"),
+            F.col("new_score").cast("double").alias("score"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -567,6 +567,78 @@ def span_first(
     )
 
 
+def span_or(pi: DataFrame, terms: list[str]) -> DataFrame:
+    """Span-or (Lucene SpanOrQuery, public semantics): the UNION of the
+    given terms' occurrences per document → (doc_id, n_occurrences,
+    first_pos) — the disjunctive span primitive the other span queries
+    compose over ("any of these synonyms, positionally").
+
+    Plan shape: one ``term IN (...)`` partition-pruned scan of the
+    positional postings, positions exploded and hash-aggregated per
+    doc — the operator reads exactly |terms| dictionary-pruned posting
+    rows per matching doc at any corpus size; a token is one term, so
+    the union is duplicate-free by construction.
+    """
+    if not terms:
+        raise ValueError("span_or needs at least 1 term")
+    return (
+        pi.filter(F.col("term").isin(list(terms)))
+        .select("doc_id", F.explode("positions").alias("pos"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+    )
+
+
+def span_containing(
+    pi: DataFrame,
+    big_terms: list[str],
+    little_term: str,
+    *,
+    slop: int = 0,
+) -> DataFrame:
+    """Span-containing (Lucene SpanContainingQuery, public semantics):
+    occurrences of the ordered ``big_terms`` span (greedy-earliest
+    chain, total extra gap ≤ ``slop``) that CONTAIN an occurrence of
+    ``little_term`` (start ≤ q ≤ end) — "the phrase, but only where
+    ``x`` sits inside it".
+
+    → (doc_id, n_spans, min_span) over qualifying occurrences only —
+    the span_not output contract; same k−1 term-pruned equi-joins, the
+    little slice attaches by INNER join (a doc without the little term
+    cannot contain it) and the containment test is a native
+    exists()-over-positions lambda.
+    """
+    if len(big_terms) < 2:
+        raise ValueError("span_containing needs a ≥2-term big span")
+    if not little_term:
+        raise ValueError("span_containing needs a little term")
+    joined = _slice(pi, big_terms[0], "p1")
+    for i, t in enumerate(big_terms[1:], start=2):
+        joined = joined.join(_slice(pi, t, f"p{i}"), "doc_id")
+    joined = joined.join(_slice(pi, little_term, "lp"), "doc_id")
+    chain = "p"
+    for i in range(2, len(big_terms) + 1):
+        chain = f"array_min(filter(p{i}, q -> q > ({chain})))"
+    k = len(big_terms)
+    contains = f"exists(lp, q -> q >= p AND q <= ({chain}))"
+    kept = (
+        f"filter(transform(p1, p -> CASE WHEN ({chain}) - p - "
+        f"{k - 1} <= {int(slop)} AND ({contains}) "
+        f"THEN ({chain}) - p - {k - 1} END), s -> s IS NOT NULL)"
+    )
+    return (
+        joined.select(
+            "doc_id",
+            F.expr(f"size({kept})").cast("long").alias("n_spans"),
+            F.expr(f"array_min({kept})").cast("long").alias("min_span"),
+        )
+        .filter(F.col("n_spans") > 0)
+    )
+
+
 def sdm_topk(
     spark,
     queries: list[tuple[int, list[str]]],

@@ -28,7 +28,7 @@ unix_micros would force a session-timezone cast) and DuckDB's
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _MICROS = (
@@ -428,4 +428,174 @@ def anomaly_zscore(
         F.coalesce(
             F.abs(z) >= F.lit(float(z_thresh)), F.lit(False)
         ).alias("is_anomaly"),
+    )
+
+
+def robust_stats(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    weight_col: str | Column | None = None,
+) -> DataFrame:
+    """Robust metric aggregations per group — the ES ``weighted_avg``,
+    ``median_absolute_deviation`` and ``boxplot`` family in one pass
+    family (public semantics), exact rather than TDigest-approximate:
+
+    → (group, n, weighted_avg, mad, q1, q2, q3, vmin, vmax, lo_fence,
+    hi_fence) where mad = median(|x − median(x)|), the quartiles are
+    exact interpolated percentiles, and the fences are the Tukey
+    whisker rule q1/q3 ∓ 1.5·IQR (what a boxplot draws).
+
+    Plan shape: TWO corpus passes by construction — the median is a
+    holistic aggregate, so MAD needs median-then-residuals; pass 1 is
+    one hash agg to a |groups|-sized relation, whose (group, q2)
+    projection joins back broadcast-sized for pass 2's residual
+    percentile. Nulls are excluded per SQL/ES convention.
+    """
+    v = F.col(value_col).cast("double")
+    if weight_col is None:
+        wavg = F.avg(v)
+    else:
+        w = (
+            F.col(weight_col) if isinstance(weight_col, str) else weight_col
+        ).cast("double")
+        wavg = F.sum(v * w) / F.sum(w)
+    base = events.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(v).cast("long").alias("n"),
+        F.round(wavg, 6).alias("weighted_avg"),
+        F.percentile(v, F.lit(0.25)).alias("q1"),
+        F.percentile(v, F.lit(0.5)).alias("q2"),
+        F.percentile(v, F.lit(0.75)).alias("q3"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+    )
+    mad = (
+        events.select(F.col(group_col).alias("group"), v.alias("__v"))
+        .join(F.broadcast(base.select("group", "q2")), "group")
+        .groupBy("group")
+        .agg(
+            F.round(
+                F.percentile(F.abs(F.col("__v") - F.col("q2")), F.lit(0.5)),
+                6,
+            ).alias("mad")
+        )
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return base.join(mad, "group").select(
+        "group",
+        "n",
+        "weighted_avg",
+        "mad",
+        F.round("q1", 6).alias("q1"),
+        F.round("q2", 6).alias("q2"),
+        F.round("q3", 6).alias("q3"),
+        F.round("vmin", 6).alias("vmin"),
+        F.round("vmax", 6).alias("vmax"),
+        F.round(F.col("q1") - 1.5 * iqr, 6).alias("lo_fence"),
+        F.round(F.col("q3") + 1.5 * iqr, 6).alias("hi_fence"),
+    )
+
+
+def bucket_pipeline(
+    rollup: DataFrame,
+    *,
+    min_events: int | None = None,
+    sort_by: str = "n_events",
+    ascending: bool = False,
+    size: int = 10,
+) -> DataFrame:
+    """ES ``bucket_selector`` + ``bucket_sort`` pipeline aggregations
+    (public semantics) over a date-histogram rollup: drop buckets
+    failing the predicate (the HAVING of aggregations), then order the
+    survivors by a bucket metric and truncate to ``size`` — "the top-N
+    busiest (type, hour) buckets above a floor".
+
+    → the rollup's columns + rank, ordered (1-based).
+
+    Plan shape: like every ES pipeline agg this runs on the BUCKET
+    relation (|types| × |windows| rows — the corpus-sized work already
+    happened in the rollup's hash agg), so the global top-``size``
+    window is a TakeOrdered over a tiny input, and the selector
+    predicate prunes it first.
+    """
+    out = rollup
+    if min_events is not None:
+        out = out.filter(F.col("n_events") >= int(min_events))
+    key = F.col(sort_by)
+    order = [
+        key.asc() if ascending else key.desc(),
+        F.asc("window_start_us"),
+        F.asc("event_type"),
+    ]
+    w = Window.orderBy(*order)
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(size))
+        .select("rank", *rollup.columns)
+        .orderBy("rank")
+    )
+
+
+def ab_ttest(
+    events: DataFrame,
+    group_a: str,
+    group_b: str,
+    *,
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two event groups — the
+    ES ``t_test`` aggregation (heteroscedastic mode, public semantics)
+    and the experimentation-pipeline staple ("did variant B move the
+    metric?"):
+
+        t  = (m_a − m_b) / √(s²_a/n_a + s²_b/n_b)
+        df = Welch–Satterthwaite:
+             (s²_a/n_a + s²_b/n_b)² /
+             ((s²_a/n_a)²/(n_a−1) + (s²_b/n_b)²/(n_b−1))
+
+    with s² the SAMPLE variance. → one row (group_a, group_b, n_a, n_b,
+    mean_a, mean_b, t_stat, df). Groups with < 2 observations or two
+    zero-variance groups yield null t/df, never a division blow-up.
+
+    Plan shape: one conditional-aggregation pass over the type-pruned
+    scan (two sums per moment, map-side combined) to a single row —
+    any-size experiment reduces to six running sums.
+    """
+    v = F.col(value_col).cast("double")
+    is_a = F.col(type_col) == group_a
+    is_b = F.col(type_col) == group_b
+    one = events.filter(is_a | is_b).agg(
+        F.count(F.when(is_a, 1)).cast("long").alias("n_a"),
+        F.count(F.when(is_b, 1)).cast("long").alias("n_b"),
+        F.avg(F.when(is_a, v)).alias("mean_a"),
+        F.avg(F.when(is_b, v)).alias("mean_b"),
+        F.var_samp(F.when(is_a, v)).alias("var_a"),
+        F.var_samp(F.when(is_b, v)).alias("var_b"),
+    )
+    sea = F.col("var_a") / F.col("n_a")
+    seb = F.col("var_b") / F.col("n_b")
+    se2 = sea + seb
+    ok = (
+        (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0)
+    )
+    t = F.when(ok, (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2))
+    dof = F.when(
+        ok,
+        (se2 * se2)
+        / (
+            sea * sea / (F.col("n_a") - 1)
+            + seb * seb / (F.col("n_b") - 1)
+        ),
+    )
+    return one.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("df"),
     )

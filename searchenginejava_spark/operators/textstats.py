@@ -806,3 +806,44 @@ def textrank_keywords(
         .select("rank", "term", F.col("r").alias("score"))
         .orderBy("rank")
     )
+
+
+def string_stats(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """``string_stats`` aggregation (Elasticsearch, public semantics,
+    ``show_distribution`` folded into the entropy): corpus-level string
+    field statistics — count, min/max/avg length, and the Shannon
+    entropy (bits/char, log₂) of the CHARACTER distribution across all
+    values; the quick "is this field prose, IDs, or noise?" fingerprint
+    (entropy near 0 = constant field, ≥ 4 = natural text / random-ish).
+
+    → one row (count, min_length, max_length, avg_length, entropy).
+
+    Plan shape: two single-pass hash aggs — length moments straight off
+    the column, and the character histogram via explode(split('')) to a
+    |alphabet|-sized relation (map-side combined, so the shuffle is
+    |alphabet| cells per partition regardless of corpus size). Entropy
+    folds from two running sums: H = log₂T − (Σ c·log₂c)/T — no second
+    pass over the histogram. Null values are excluded per ES/SQL.
+    """
+    t = F.col(text_col)
+    lens = docs.filter(t.isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("count"),
+        F.min(F.length(t)).cast("long").alias("min_length"),
+        F.max(F.length(t)).cast("long").alias("max_length"),
+        F.round(F.avg(F.length(t)), 6).alias("avg_length"),
+    )
+    hist = (
+        docs.filter(t.isNotNull())
+        .select(F.explode(F.split(t, "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    ent = hist.agg(
+        F.round(
+            F.log2(F.sum("c"))
+            - F.sum(F.col("c") * F.log2("c")) / F.sum("c"),
+            6,
+        ).alias("entropy")
+    )
+    return lens.crossJoin(ent)

@@ -342,3 +342,126 @@ def test_matrix_stats_pairwise_null_deletion(spark):
     assert got[("x", "x")]["row_count"] == 3      # x alone keeps all rows
     assert got[("x", "y")]["row_count"] == 2      # the pair drops the null row
     assert got[("x", "y")]["mean_a"] == 2.5       # mean over the PAIR rows
+
+
+def test_range_agg_overlap_empty_and_null_field(spark, meta):
+    from searchenginejava_spark.operators.docvalues import range_agg
+
+    got = {
+        r["range_key"]: (r["doc_count"], r["metric_avg"])
+        for r in range_agg(
+            meta,
+            "n_chars",
+            [(None, 200.0), (200.0, None), (250.0, 350.0), (1000.0, None)],
+            metric_col="n_chars",
+        ).collect()
+    }
+    # overlapping buckets each count their docs independently; the
+    # empty bucket is kept at 0 with a null metric
+    assert got == {
+        "*-200": (2, 75.0),
+        "200-*": (4, 325.0),
+        "250-350": (2, 300.0),
+        "1000-*": (0, None),
+    }
+    # a null field value falls in NO bucket (even the open-ended one)
+    withnull = meta.unionByName(
+        spark.createDataFrame(
+            [(99, "a", None)], "doc_id long, lang string, n_chars int"
+        )
+    )
+    got2 = {
+        r["range_key"]: r["doc_count"]
+        for r in range_agg(withnull, "n_chars", [(None, None)]).collect()
+    }
+    assert got2 == {"*-*": 6}
+    with pytest.raises(ValueError):
+        range_agg(meta, "n_chars", [])
+
+
+def test_filters_agg_independent_buckets_and_other(spark, meta):
+    from searchenginejava_spark.operators.docvalues import filters_agg
+
+    got = {
+        r["bucket"]: (r["doc_count"], r["metric_avg"])
+        for r in filters_agg(
+            meta,
+            {"is_a": F.col("lang") == "a", "big": "n_chars >= 300"},
+            metric_col="n_chars",
+        ).collect()
+    }
+    # docs 1,3,5 are lang a (avg 300); docs 2,3,5 are big (avg 366.67);
+    # doc 3 and 5 sit in BOTH buckets; other = docs 4,6 (neither)
+    assert got["is_a"] == (3, 300.0)
+    assert got["big"][0] == 3
+    assert got["big"][1] == pytest.approx(1100 / 3, abs=1e-6)
+    assert got["_other_"] == (2, 125.0)
+    with pytest.raises(ValueError):
+        filters_agg(meta, {})
+
+
+def test_filters_agg_null_predicate_is_no_match(spark):
+    from searchenginejava_spark.operators.docvalues import filters_agg
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "doc_id long, lang string"
+    )
+    got = {
+        r["bucket"]: r["doc_count"]
+        for r in filters_agg(df, {"is_a": F.col("lang") == "a"}).collect()
+    }
+    # the null-lang row's predicate is NULL -> counts as no-match and
+    # lands in _other_ (with doc 3)
+    assert got == {"is_a": 1, "_other_": 2}
+
+
+def test_random_score_deterministic_hash(spark, scored):
+    from searchenginejava_spark.operators.docvalues import random_score_topk
+
+    a = random_score_topk(scored, seed=7, k=6, boost_mode="replace")
+    b = random_score_topk(scored, seed=7, k=6, boost_mode="replace")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+    c = random_score_topk(scored, seed=8, k=6, boost_mode="replace")
+    assert [tuple(r) for r in a.collect()] != [tuple(r) for r in c.collect()]
+    # hand-check the Knuth hash factor for one doc
+    row = {r["doc_id"]: r["score"] for r in a.collect()}
+    expect = (((3 % 2**31) * 2654435761 + 7) % 2**32) / 2**32
+    assert row[3] == pytest.approx(expect, abs=0)
+    # multiply mode scales the factor by the text score
+    m = {
+        r["doc_id"]: r["score"]
+        for r in random_score_topk(
+            scored, seed=7, k=6, boost_mode="multiply"
+        ).filter("query_id = 0").collect()
+    }
+    assert m[1] == pytest.approx(
+        5.0 * (((1 % 2**31) * 2654435761 + 7) % 2**32) / 2**32
+    )
+    with pytest.raises(ValueError):
+        random_score_topk(scored, boost_mode="sum")
+
+
+def test_random_score_huge_doc_id_no_overflow(spark):
+    from searchenginejava_spark.operators.docvalues import random_score_topk
+
+    big = 10**12 + 7   # a 10^12-file-scale doc_id
+    df = spark.createDataFrame(
+        [(0, big, 1.0)], "query_id int, doc_id long, score double"
+    )
+    got = random_score_topk(df, seed=7, k=1, boost_mode="replace").collect()
+    expect = (((big % 2**31) * 2654435761 + 7) % 2**32) / 2**32
+    assert got[0]["score"] == pytest.approx(expect, abs=0)
+
+
+def test_range_and_filters_agg_validation(spark, meta):
+    from searchenginejava_spark.operators.docvalues import (
+        filters_agg,
+        range_agg,
+    )
+
+    with pytest.raises(ValueError, match="duplicate range"):
+        range_agg(meta, "n_chars", [(0.0, 1.0), (0.0, 1.0)])
+    with pytest.raises(ValueError, match="may not contain"):
+        filters_agg(meta, {"bad'name": "n_chars >= 0"})
+    with pytest.raises(ValueError, match="collides"):
+        filters_agg(meta, {"_other_": "n_chars >= 0"})

@@ -430,3 +430,22 @@ def test_engine_near_not_first_terms_set_rare(eng, spark):
     # rare_terms off the dictionary: doc_count bound honored
     rt = eng.rare_terms(max_doc_count=3, max_buckets=10).collect()
     assert all(r["doc_count"] <= 3 for r in rt)
+
+
+def test_engine_near_or_and_containing(eng):
+    # near_or of one term == that term's doc set
+    or1 = {r["doc_id"] for r in eng.near_or(["table"]).collect()}
+    bl = {r["doc_id"] for r in eng.boolean(must=["table"]).collect()}
+    assert or1 == bl and or1
+    # two-term union is a superset of either term alone
+    or2 = {r["doc_id"] for r in eng.near_or(["table", "hash"]).collect()}
+    assert or1 <= or2
+    # containing the big span's own first term == near (doc set)
+    near5 = {r["doc_id"] for r in eng.near(["table", "hash"], slop=5).collect()}
+    cont = {
+        r["doc_id"]
+        for r in eng.near_containing(
+            ["table", "hash"], "table", slop=5
+        ).collect()
+    }
+    assert cont == near5

@@ -766,3 +766,64 @@ def test_span_first_single_term(span_not_pi):
     }
     # only d3 "x a b" has x at position 1
     assert got == {3}
+
+
+def test_span_or_union_counts(span_not_pi):
+    from searchenginejava_spark.operators.positional import span_or
+
+    got = {
+        r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+        for r in span_or(span_not_pi, ["a", "x"]).collect()
+    }
+    # per-doc union of a and x positions over SPAN_NOT_DOCS
+    assert got == {
+        0: (1, 1), 1: (2, 1), 2: (2, 1), 3: (2, 1),
+        4: (3, 1), 5: (1, 1), 6: (2, 1),
+    }
+    with pytest.raises(ValueError):
+        span_or(span_not_pi, [])
+
+
+def test_span_containing_basic(span_not_pi):
+    from searchenginejava_spark.operators.positional import span_containing
+
+    got = {
+        r["doc_id"]: (r["n_spans"], r["min_span"])
+        for r in span_containing(
+            span_not_pi, ["a", "b"], "x", slop=5
+        ).collect()
+    }
+    # only spans with x strictly inside [start, end]: d1 "a x b" and
+    # d4's second occurrence "a x b" (positions 4..6); d2/d3/d6 have x
+    # outside every a..b span
+    assert got == {1: (1, 1), 4: (1, 1)}
+
+
+def test_span_containing_self_term_equals_span_near(span_not_pi):
+    from searchenginejava_spark.operators.positional import (
+        span_containing,
+        span_near,
+    )
+
+    # the big span always contains its own first term -> doc set and
+    # min_span equal span_near's
+    near = {
+        (r["doc_id"], r["min_span"])
+        for r in span_near(span_not_pi, ["a", "b"], slop=5).collect()
+    }
+    cont = {
+        (r["doc_id"], r["min_span"])
+        for r in span_containing(
+            span_not_pi, ["a", "b"], "a", slop=5
+        ).collect()
+    }
+    assert cont == near and cont
+
+
+def test_span_containing_validates_args(span_not_pi):
+    from searchenginejava_spark.operators.positional import span_containing
+
+    with pytest.raises(ValueError):
+        span_containing(span_not_pi, ["a"], "x")
+    with pytest.raises(ValueError):
+        span_containing(span_not_pi, ["a", "b"], "")

@@ -504,3 +504,142 @@ def test_analyze_log_retention_and_anomalies_cli(spark, tmp_path, capsys):
     assert anom.count() == rep["n_anomalous_buckets"]
     # the anomalies dataset holds only flagged buckets
     assert anom.filter("NOT is_anomaly").count() == 0
+
+
+def test_robust_stats_hand_computed(spark):
+    from searchenginejava_spark.operators.sessions import robust_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 1, "a", 1.0), (1, t0, 1, "a", 2.0),
+        (2, t0, 2, "a", 3.0), (3, t0, 2, "a", 4.0),
+        (4, t0, 1, "b", 10.0), (5, t0, 2, "b", 20.0),
+    ]
+    got = {
+        r["group"]: r
+        for r in robust_stats(_ev(spark, rows)).collect()
+    }
+    a = got["a"]
+    # [1,2,3,4]: interpolated q1=1.75 q2=2.5 q3=3.25; MAD =
+    # median(|x-2.5|) = median([1.5,0.5,0.5,1.5]) = 1.0
+    assert a["n"] == 4
+    assert a["weighted_avg"] == pytest.approx(2.5)
+    assert (a["q1"], a["q2"], a["q3"]) == (1.75, 2.5, 3.25)
+    assert a["mad"] == pytest.approx(1.0)
+    assert (a["vmin"], a["vmax"]) == (1.0, 4.0)
+    # Tukey fences: q1 - 1.5*IQR, q3 + 1.5*IQR with IQR = 1.5
+    assert a["lo_fence"] == pytest.approx(-0.5)
+    assert a["hi_fence"] == pytest.approx(5.5)
+
+
+def test_robust_stats_weighted_avg(spark):
+    from searchenginejava_spark.operators.sessions import robust_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(0, t0, 1, "a", 1.0), (1, t0, 1, "a", 10.0)]
+    got = robust_stats(
+        _ev(spark, rows), weight_col=F.col("event_id") * 3 + 1
+    ).collect()[0]
+    # weights 1 and 4: (1*1 + 10*4) / 5 = 8.2
+    assert got["weighted_avg"] == pytest.approx(8.2)
+
+
+def test_bucket_pipeline_selector_sort_truncate(spark):
+    from searchenginejava_spark.operators.sessions import (
+        bucket_pipeline,
+        event_rollup,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # hour 0: 3 clicks; hour 1: 2 clicks, 2 views; hour 2: 1 view
+        (0, t0, 1, "click", 1.0), (1, t0, 1, "click", 1.0),
+        (2, t0, 2, "click", 1.0),
+        (3, t0 + h, 1, "click", 1.0), (4, t0 + h, 2, "click", 1.0),
+        (5, t0 + h, 1, "view", 1.0), (6, t0 + h, 2, "view", 1.0),
+        (7, t0 + 2 * h, 1, "view", 1.0),
+    ]
+    roll = event_rollup(_ev(spark, rows), window_minutes=60)
+    got = bucket_pipeline(
+        roll, min_events=2, sort_by="n_events", size=2
+    ).collect()
+    # the 1-event bucket is dropped (selector); survivors ordered by
+    # n_events desc then time/type, truncated to 2 (bucket_sort)
+    assert [(r["rank"], r["event_type"], r["n_events"]) for r in got] == [
+        (1, "click", 3), (2, "click", 2),
+    ]
+    asc = bucket_pipeline(
+        roll, min_events=2, sort_by="n_events", ascending=True, size=10
+    ).collect()
+    assert [r["n_events"] for r in asc] == sorted(
+        r["n_events"] for r in asc
+    )
+    assert [r["rank"] for r in asc] == [1, 2, 3]
+
+
+def test_ab_ttest_hand_computed(spark):
+    from searchenginejava_spark.operators.sessions import ab_ttest
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 1, "a", 1.0), (1, t0, 1, "a", 2.0),
+        (2, t0, 2, "a", 3.0), (3, t0, 2, "a", 4.0),
+        (4, t0, 1, "b", 2.0), (5, t0, 2, "b", 4.0),
+        (6, t0, 3, "b", 6.0),
+        (7, t0, 9, "other", 99.0),   # excluded from both groups
+    ]
+    got = ab_ttest(_ev(spark, rows), "a", "b").collect()[0]
+    # Welch by hand: means 2.5 vs 4; s2_a=5/3, s2_b=4
+    sea, seb = (5 / 3) / 4, 4 / 3
+    t = (2.5 - 4.0) / (sea + seb) ** 0.5
+    df = (sea + seb) ** 2 / (sea**2 / 3 + seb**2 / 2)
+    assert (got["n_a"], got["n_b"]) == (4, 3)
+    assert got["mean_a"] == pytest.approx(2.5)
+    assert got["mean_b"] == pytest.approx(4.0)
+    assert got["t_stat"] == pytest.approx(round(t, 6), abs=2e-6)
+    assert got["df"] == pytest.approx(round(df, 6), abs=2e-6)
+
+
+def test_ab_ttest_degenerate_groups_yield_null(spark):
+    from searchenginejava_spark.operators.sessions import ab_ttest
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 1, "a", 1.0),                       # n_a = 1
+        (1, t0, 1, "b", 2.0), (2, t0, 2, "b", 3.0),
+    ]
+    got = ab_ttest(_ev(spark, rows), "a", "b").collect()[0]
+    assert got["t_stat"] is None and got["df"] is None
+    # two zero-variance groups: se2 == 0 -> null, not a blow-up
+    rows2 = [
+        (0, t0, 1, "a", 5.0), (1, t0, 2, "a", 5.0),
+        (2, t0, 1, "b", 5.0), (3, t0, 2, "b", 5.0),
+    ]
+    got2 = ab_ttest(_ev(spark, rows2), "a", "b").collect()[0]
+    assert got2["t_stat"] is None and got2["df"] is None
+
+
+def test_analyze_log_robust_and_ttest_cli(spark, tmp_path, capsys):
+    import json as _json
+
+    from jobs.analyze_log import main
+
+    out = str(tmp_path / "logout_rt")
+    rc = main([
+        "--input", "/root/testdata/sf0.001/events.parquet",
+        "--output", out, "--robust-stats",
+        "--ttest", "signup", "purchase",
+    ])
+    assert rc == 0
+    line = [
+        x for x in capsys.readouterr().out.strip().splitlines()
+        if x.startswith("{")
+    ][-1]
+    rep = _json.loads(line)
+    rs = spark.read.parquet(f"{out}/robust_stats")
+    assert rs.count() == rep["n_robust_groups"] > 0
+    # fences bracket the quartile box in every group
+    bad = rs.filter("lo_fence > q1 OR hi_fence < q3").count()
+    assert bad == 0
+    assert rep["ttest"]["n_a"] > 0 and rep["ttest"]["t_stat"] is not None

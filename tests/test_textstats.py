@@ -467,3 +467,27 @@ def test_textrank_hub_outranks_leaf(spark):
     rows = textrank_keywords(df, window=1, n_iter=3, top_n=10).collect()
     assert rows[0]["term"] == "hub"
     assert rows[0]["score"] > rows[1]["score"]
+
+
+def test_string_stats_hand_computed(spark):
+    from searchenginejava_spark.operators.textstats import string_stats
+
+    df = spark.createDataFrame(
+        [(0, "aab"), (1, "b"), (2, None)], "doc_id long, text string"
+    )
+    got = string_stats(df).collect()[0]
+    # null excluded; chars a:2 b:2 -> entropy exactly 1 bit/char
+    assert got["count"] == 2
+    assert (got["min_length"], got["max_length"]) == (1, 3)
+    assert got["avg_length"] == pytest.approx(2.0)
+    assert got["entropy"] == pytest.approx(1.0)
+
+
+def test_string_stats_constant_field_zero_entropy(spark):
+    from searchenginejava_spark.operators.textstats import string_stats
+
+    df = spark.createDataFrame(
+        [(0, "aaa"), (1, "aa")], "doc_id long, text string"
+    )
+    got = string_stats(df).collect()[0]
+    assert got["entropy"] == pytest.approx(0.0)

@@ -1888,6 +1888,110 @@ def main() -> None:
          + "\n\n" + p_mrl, checks)
     )
 
+    # 42. wave-24 (r5 wave e): bucket/metric agg families + span
+    # algebra — the claims: range_agg broadcasts the driver-literal
+    # ranges (ONE metadata pass); filters_agg is one conditional agg
+    # (a single Exchange, no per-filter scans); robust_stats attaches
+    # the per-group median BROADCAST for the residual pass;
+    # ab_ttest is one partial+final conditional agg; span_or joins
+    # nothing (pruned scan + agg); random_score has no Python and no
+    # corpus-sized sort (window after the candidate filter).
+    from searchenginejava_spark.operators.docvalues import (
+        filters_agg,
+        random_score_topk,
+        range_agg,
+    )
+    from searchenginejava_spark.operators.positional import span_or
+    from searchenginejava_spark.operators.sessions import (
+        ab_ttest,
+        bucket_pipeline,
+        event_rollup,
+        robust_stats,
+    )
+
+    ev_a = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    p_ra = plan_of(
+        range_agg(
+            corpus, "n_chars", [(None, 200.0), (200.0, None)],
+            metric_col="n_chars",
+        )
+    )
+    p_fa = plan_of(
+        filters_agg(
+            corpus, {"en": F.col("lang") == "en", "big": "n_chars >= 400"},
+            metric_col="n_chars",
+        )
+    )
+    p_rs = plan_of(robust_stats(ev_a))
+    p_tt = plan_of(ab_ttest(ev_a, "signup", "purchase"))
+    p_so = plan_of(span_or(pi_a, ["the", "hash"]))
+    p_bp = plan_of(
+        bucket_pipeline(event_rollup(ev_a), min_events=2, size=10)
+    )
+    cand_a = corpus.select(
+        F.lit(1).alias("query_id"), "doc_id", F.lit(1.0).alias("score")
+    )
+    p_rnd = plan_of(random_score_topk(cand_a, seed=7, k=10))
+    checks = [
+        (
+            "range_agg: ranges join BROADCAST (one metadata pass), "
+            "no Python",
+            ("BroadcastNestedLoopJoin" in p_ra or "BroadcastHashJoin" in p_ra)
+            and "ArrowEvalPython" not in p_ra,
+            "",
+        ),
+        (
+            "filters_agg: ONE conditional agg — partial+final "
+            "HashAggregate, single corpus Exchange, no Python",
+            n_nodes(p_fa, "HashAggregate") >= 2
+            and n_nodes(p_fa, "Exchange") == 1
+            and "ArrowEvalPython" not in p_fa,
+            f"Exchange x{n_nodes(p_fa, 'Exchange')}",
+        ),
+        (
+            "robust_stats: per-group median attaches BROADCAST for "
+            "the residual pass, no Python",
+            "BroadcastHashJoin" in p_rs
+            and "ArrowEvalPython" not in p_rs,
+            "",
+        ),
+        (
+            "ab_ttest: one partial+final conditional agg, single "
+            "Exchange, no Python",
+            n_nodes(p_tt, "HashAggregate") >= 2
+            and n_nodes(p_tt, "Exchange") == 1
+            and "ArrowEvalPython" not in p_tt,
+            f"Exchange x{n_nodes(p_tt, 'Exchange')}",
+        ),
+        (
+            "span_or: pruned scan + hash agg — no joins at all, "
+            "no Python",
+            n_nodes(p_so, "Join") == 0
+            and "ArrowEvalPython" not in p_so,
+            "",
+        ),
+        (
+            "bucket_pipeline: window over the BUCKET relation — the "
+            "only corpus work is the rollup's partial+final agg",
+            n_nodes(p_bp, "HashAggregate") >= 2
+            and "ArrowEvalPython" not in p_bp,
+            "",
+        ),
+        (
+            "random_score: no Python, no corpus sort (rank window "
+            "over the candidate relation)",
+            "ArrowEvalPython" not in p_rnd
+            and "MapInPandas" not in p_rnd,
+            "",
+        ),
+    ]
+    sections.append(
+        ("wave-24: range/filters/robust/t-test aggs, span_or, "
+         "bucket pipeline, random_score",
+         p_ra + "\n\n" + p_fa + "\n\n" + p_rs + "\n\n" + p_tt
+         + "\n\n" + p_so + "\n\n" + p_bp + "\n\n" + p_rnd, checks)
+    )
+
     ok = True
     out = ["# PLANS.md — physical-plan audit (generated by tools/explain_audit.py)", ""]
     for title, plan, cks in sections:
