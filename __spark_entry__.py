@@ -4414,6 +4414,133 @@ def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_ttest(ev, "signup", "purchase")
 
 
+def q_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_child over the source→documents join field: sources with
+    ≥ 8 children of n_chars ≥ 400, scored by sum of child n_chars —
+    one filter + partial+final hash agg, no corpus×corpus join."""
+    from searchenginejava_spark.operators.parentchild import has_child
+
+    return has_child(
+        _documents(spark, sf_dir),
+        F.col("n_chars") >= 400,
+        parent_col="source",
+        score_col="n_chars",
+        score_mode="sum",
+        min_children=8,
+    )
+
+
+def q_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_parent composed over has_child's output: English docs
+    whose source has ≥ 10 long children — a semi-join against the
+    qualifying-parent key set (broadcast-sized, AQE picks it)."""
+    from searchenginejava_spark.operators.parentchild import (
+        has_child,
+        has_parent,
+    )
+
+    docs = _documents(spark, sf_dir)
+    parents = has_child(
+        docs,
+        F.col("n_chars") >= 400,
+        parent_col="source",
+        score_col="n_chars",
+        score_mode="sum",
+        min_children=8,
+    )
+    return has_parent(
+        docs.filter(F.col("lang") == "en"),
+        parents,
+        F.col("n_matching_children") >= 10,
+        parent_col="source",
+    ).select("doc_id", "source", "n_chars")
+
+
+def q_auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES auto_date_histogram: smallest rounding-ladder interval with
+    ≤ 50 aligned buckets over the events span, then the histogram —
+    one 1-row bounds agg broadcast against the bucketing agg."""
+    from searchenginejava_spark.operators.sessions import auto_date_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return auto_date_histogram(ev, target_buckets=50)
+
+
+def q_serial_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES serial_diff (lag 2) over the daily per-type rollup — the
+    seasonality-differencing pipeline agg, run on the bucket
+    relation."""
+    from searchenginejava_spark.operators.sessions import serial_diff
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return serial_diff(ev, window_minutes=1440, lag=2)
+
+
+def q_diversified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES diversified_sampler, deterministic: the 30 BM25 candidates
+    per query capped at 2 per source, then the overall best 10 —
+    two windows over the candidate relation, nothing corpus-sized."""
+    from searchenginejava_spark.operators.docvalues import diversified_sample
+
+    scored, meta, tf = _scored_top30(spark, sf_dir)
+    res = diversified_sample(
+        scored, meta, "source", max_per_value=2, sample_size=10
+    ).select(
+        "query_id", "sample_rank", "doc_id", "field_value",
+        F.round("score", 6).alias("score"),
+    )
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
+def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES histogram agg over n_chars at interval 100: fixed-width
+    buckets keyed by lower bound, per-bucket count + avg — one
+    partial+final hash agg over the projection."""
+    from searchenginejava_spark.operators.docvalues import numeric_histogram
+
+    return numeric_histogram(
+        _documents(spark, sf_dir), "n_chars", interval=100.0,
+        metric_col="n_chars",
+    )
+
+
+def q_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_terms agg over (lang, source): compound-key buckets
+    ordered by doc_count desc (key tie-break), top-15 — exact where
+    ES is shard-approximate."""
+    from searchenginejava_spark.operators.docvalues import multi_terms
+
+    return multi_terms(
+        _documents(spark, sf_dir), ["lang", "source"], size=15,
+        metric_col="n_chars",
+    )
+
+
+def q_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_metrics (size 1) per event_type: the (value, user_id)
+    read off the LATEST event — one max_by(struct) agg with map-side
+    partial combine, never a per-bucket history sort."""
+    from searchenginejava_spark.operators.sessions import top_metrics
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return top_metrics(ev, metric_cols=("value", "user_id"))
+
+
+def q_moving_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES moving_percentiles over the daily per-type rates, EXACT
+    (ES uses TDigest): trailing-4 interpolated p50/p90 — a bounded
+    row-frame window over the bucket relation."""
+    from searchenginejava_spark.operators.sessions import moving_percentile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return moving_percentile(
+        ev, window_minutes=1440, trailing=4, percentiles=(0.5, 0.9)
+    )
+
+
 # Round-5 driver window (VERDICT r04 order #2): the driver checks the
 # FIRST 50 registered queries, so registration order rotates each round
 # to maximize the union of driver-green rows. union(r03, r04) = 91
@@ -4783,6 +4910,19 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bucket_pipeline": q_bucket_pipeline,
         "q_random_score": q_random_score,
         "q_ab_ttest": q_ab_ttest,
+        # round-5 wave f: join field, auto/serial histogram pipeline,
+        # diversified sampling
+        "q_has_child": q_has_child,
+        "q_has_parent": q_has_parent,
+        "q_auto_date_histogram": q_auto_date_histogram,
+        "q_serial_diff": q_serial_diff,
+        "q_diversified_sample": q_diversified_sample,
+        # round-5 wave g: numeric histogram, compound terms, argmax
+        # metrics, exact moving percentiles
+        "q_numeric_histogram": q_numeric_histogram,
+        "q_multi_terms": q_multi_terms,
+        "q_top_metrics": q_top_metrics,
+        "q_moving_percentile": q_moving_percentile,
     }
     return all_q
 
@@ -10004,6 +10144,147 @@ def oracle_sql() -> dict[str, str]:
                               + pow(var_b / n_b, 2) / (n_b - 1)) END, 6)
              AS df
     FROM one
+    """
+
+    # has_child: filter -> per-parent agg -> thresholds
+    sql["q_has_child"] = """
+    SELECT source AS parent_id,
+           CAST(count(*) AS BIGINT) AS n_matching_children,
+           round(sum(CAST(n_chars AS DOUBLE)), 6) AS score
+    FROM documents
+    WHERE n_chars >= 400 AND source IS NOT NULL
+    GROUP BY source
+    HAVING count(*) >= 8
+    """
+
+    # has_parent over has_child's parents: English children of
+    # sources with >= 10 long docs (8-threshold folded by the 10)
+    sql["q_has_parent"] = """
+    WITH p AS (
+      SELECT source FROM documents
+      WHERE n_chars >= 400 AND source IS NOT NULL
+      GROUP BY source HAVING count(*) >= 10
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN p USING (source)
+    WHERE d.lang = 'en'
+    """
+
+    # auto_date_histogram: the same finest-first rounding ladder as
+    # the operator (CASE returns the first = smallest passing rung)
+    _adh_rungs = [1, 5, 30, 60, 180, 720, 1440, 10080]
+    _adh_cases = " ".join(
+        f"WHEN floor(hi / {m * 60_000_000}.0)"
+        f" - floor(lo / {m * 60_000_000}.0) + 1 <= 50"
+        f" THEN {m * 60_000_000}"
+        for m in _adh_rungs
+    )
+    sql["q_auto_date_histogram"] = f"""
+    WITH b AS (
+      SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+      FROM events
+    ), iv AS (
+      SELECT CAST(CASE {_adh_cases}
+                  ELSE {_adh_rungs[-1] * 60_000_000} END AS BIGINT) AS iv
+      FROM b
+    )
+    SELECT CAST(iv / 60000000 AS BIGINT) AS interval_minutes,
+           CAST(floor(epoch_us(ts) / iv) * iv AS BIGINT)
+             AS window_start_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events CROSS JOIN iv
+    GROUP BY 1, 2
+    """
+
+    # serial_diff lag 2 over the daily rollup
+    sql["q_serial_diff"] = """
+    WITH roll AS (
+      SELECT CAST(floor(epoch_us(ts) / 86400000000)
+                  * 86400000000 AS BIGINT) AS window_start_us,
+             event_type, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start_us, event_type, n_events,
+           CAST(n_events - lag(n_events, 2) OVER (
+                  PARTITION BY event_type ORDER BY window_start_us)
+                AS BIGINT) AS serial_diff
+    FROM roll
+    """
+
+    # diversified_sampler: per-(query, source) cap of 2 on the 30 BM25
+    # candidates, then the overall best 10
+    sql["q_diversified_sample"] = _sql_cand30 + """
+    SELECT CAST(query_id AS INT) AS query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY s DESC, doc_id ASC) AS INT) AS sample_rank,
+           doc_id, field_value, round(s, 6) AS score
+    FROM (
+      SELECT query_id, doc_id, s, field_value
+      FROM (
+        SELECT cand.query_id, cand.doc_id, cand.s,
+               d.source AS field_value,
+               row_number() OVER (PARTITION BY cand.query_id, d.source
+                 ORDER BY cand.s DESC, cand.doc_id ASC) AS vr
+        FROM cand JOIN documents d USING (doc_id)
+      ) WHERE vr <= 2
+    )
+    QUALIFY sample_rank <= 10
+    """
+
+    # numeric histogram: ES floor rounding rule, interval 100
+    sql["q_numeric_histogram"] = """
+    SELECT floor(CAST(n_chars AS DOUBLE) / 100.0) * 100.0 AS bucket,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           round(avg(CAST(n_chars AS DOUBLE)), 6) AS metric_avg
+    FROM documents WHERE n_chars IS NOT NULL
+    GROUP BY 1
+    """
+
+    # multi_terms: compound-key buckets by doc_count desc, key asc
+    sql["q_multi_terms"] = """
+    SELECT CAST(row_number() OVER (
+             ORDER BY doc_count DESC, lang ASC, source ASC)
+           AS INT) AS rank,
+           lang, source, doc_count, metric_avg
+    FROM (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS doc_count,
+             round(avg(CAST(n_chars AS DOUBLE)), 6) AS metric_avg
+      FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL
+      GROUP BY lang, source
+    )
+    QUALIFY rank <= 15
+    """
+
+    # top_metrics: the metrics at the latest (ts, event_id) per type
+    sql["q_top_metrics"] = """
+    SELECT event_type AS bucket,
+           CAST(epoch_us(ts) AS BIGINT) AS sort_value,
+           value, user_id
+    FROM (
+      SELECT event_type, ts, value, user_id,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """
+
+    # moving_percentiles: exact trailing-4 p50/p90 over daily rates
+    sql["q_moving_percentile"] = """
+    WITH roll AS (
+      SELECT CAST(floor(epoch_us(ts) / 86400000000)
+                  * 86400000000 AS BIGINT) AS window_start_us,
+             event_type, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start_us, event_type, n_events,
+           round(quantile_cont(CAST(n_events AS DOUBLE), 0.5)
+                 OVER w, 6) AS p50,
+           round(quantile_cont(CAST(n_events AS DOUBLE), 0.9)
+                 OVER w, 6) AS p90
+    FROM roll
+    WINDOW w AS (PARTITION BY event_type ORDER BY window_start_us
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
     """
     return sql
 

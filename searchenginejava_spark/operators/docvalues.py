@@ -594,3 +594,140 @@ def random_score_topk(
         )
         .orderBy("query_id", "rank")
     )
+
+
+def diversified_sample(
+    scored: DataFrame,
+    doc_meta: DataFrame,
+    field: str,
+    *,
+    max_per_value: int = 1,
+    sample_size: int = 100,
+) -> DataFrame:
+    """``diversified_sampler`` aggregation (Elasticsearch, public
+    semantics, made deterministic): cap the candidate set at
+    ``max_per_value`` best hits PER VALUE of a docvalue field, then
+    keep the overall best ``sample_size`` — the "don't let one domain
+    flood the sample" pre-aggregation. ES does this per shard with a
+    best-effort de-dup; here both stages rank exactly by (score desc,
+    doc_id asc), so the sample is reproducible and shard-independent.
+    Hits with a null/missing field value form their own bucket (ES
+    treats missing as a single value).
+
+    → (query_id, sample_rank, doc_id, field_value, score).
+
+    Plan shape: one candidate-pruned metadata join + two windows over
+    the candidate relation (per-(query, value) cap, then per-query
+    top-N) — everything is top-k-sized; the corpus never enters.
+    """
+    if max_per_value < 1 or sample_size < 1:
+        raise ValueError("max_per_value and sample_size must be >= 1")
+    w_val = Window.partitionBy("query_id", "field_value").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    w_all = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.select("query_id", "doc_id", "score")
+        .join(
+            doc_meta.select("doc_id", F.col(field).alias("field_value")),
+            "doc_id",
+            "left",
+        )
+        .withColumn("__vr", F.row_number().over(w_val))
+        .filter(F.col("__vr") <= int(max_per_value))
+        .withColumn("sample_rank", F.row_number().over(w_all))
+        .filter(F.col("sample_rank") <= int(sample_size))
+        .select(
+            F.col("query_id").cast("int"),
+            F.col("sample_rank").cast("int"),
+            F.col("doc_id").cast("long"),
+            "field_value",
+            F.col("score").cast("double"),
+        )
+        .orderBy("query_id", "sample_rank")
+    )
+
+
+def numeric_histogram(
+    doc_meta: DataFrame,
+    field: str,
+    *,
+    interval: float,
+    offset: float = 0.0,
+    min_doc_count: int = 1,
+    metric_col: str | None = None,
+) -> DataFrame:
+    """``histogram`` aggregation (Elasticsearch, public semantics):
+    fixed-``interval`` numeric buckets keyed by their lower bound,
+    bucket = floor((v − offset) / interval) · interval + offset (the
+    ES rounding rule — correct for negatives, where int-division
+    truncation would shift buckets). Buckets under ``min_doc_count``
+    are dropped (the default 1 ≡ observed buckets; 0-gap densify is
+    the caller's concern, as in ES). Null fields fall in no bucket.
+
+    → (bucket, doc_count[, metric_avg]) — one partial+final hash agg
+    over the projection; |buckets| rows shuffle, never the corpus.
+    """
+    if interval <= 0:
+        raise ValueError("interval must be > 0")
+    v = F.col(field).cast("double")
+    bucket = (
+        F.floor((v - F.lit(float(offset))) / F.lit(float(interval)))
+        * F.lit(float(interval))
+        + F.lit(float(offset))
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("doc_count")]
+    if metric_col is not None:
+        aggs.append(
+            F.round(F.avg(F.col(metric_col).cast("double")), 6)
+            .alias("metric_avg")
+        )
+    return (
+        doc_meta.filter(v.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(*aggs)
+        .filter(F.col("doc_count") >= int(min_doc_count))
+    )
+
+
+def multi_terms(
+    doc_meta: DataFrame,
+    fields: Sequence[str],
+    *,
+    size: int = 10,
+    metric_col: str | None = None,
+) -> DataFrame:
+    """``multi_terms`` aggregation (Elasticsearch, public semantics):
+    terms buckets keyed by a COMPOUND of field values, ordered by
+    doc_count desc (key asc tie-break — deterministic where ES is
+    shard-approximate), truncated to ``size``. Rows with a null in any
+    key field are excluded (the ES multi_terms contract — unlike
+    ``terms``, there is no missing parameter).
+
+    → (rank, <fields...>, doc_count[, metric_avg]).
+
+    Plan shape: one partial+final hash agg over the key projection,
+    then a top-``size`` rank over the |buckets|-sized relation — where
+    ES fans the compound key out per shard and re-merges approximately,
+    the exact agg here is the same one shuffle.
+    """
+    if not fields:
+        raise ValueError("multi_terms needs at least 1 field")
+    aggs = [F.count(F.lit(1)).cast("long").alias("doc_count")]
+    if metric_col is not None:
+        aggs.append(
+            F.round(F.avg(F.col(metric_col).cast("double")), 6)
+            .alias("metric_avg")
+        )
+    g = doc_meta.dropna(subset=list(fields)).groupBy(*fields).agg(*aggs)
+    w = Window.orderBy(
+        F.desc("doc_count"), *[F.asc(f) for f in fields]
+    )
+    return (
+        g.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(size))
+        .select("rank", *fields, *[a for a in g.columns if a not in fields])
+        .orderBy("rank")
+    )

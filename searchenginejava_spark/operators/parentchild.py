@@ -1,0 +1,98 @@
+"""Parent-child join-field queries — ES ``has_child`` / ``has_parent``.
+
+The reference models a flat corpus (SURVEY.md §1); production fulltext
+engines additionally serve PARENT-CHILD relations via the ``join``
+field type (Elasticsearch, public semantics): documents declare a
+parent key, ``has_child`` returns parents by properties of their
+matching children (with a score folded across children), and
+``has_parent`` returns children whose parent matches. In this engine
+the relation is any (child rows, parent key column) pair — e.g.
+documents parented by their ``source``, files parented by their repo —
+and the two operators COMPOSE: ``has_child``'s output is a parent
+relation ``has_parent`` can filter against.
+
+Scale shape (the reason ES restricts join fields to one shard): both
+operators are ONE key-partitioned hash aggregation / semi-join over the
+child relation — no corpus×corpus join ever forms. ``has_child`` is a
+filter → groupBy(parent) → threshold filter (partial+final agg,
+map-side combined); ``has_parent`` reduces the qualifying parents to a
+key set and semi-joins the children against it — when the parent
+predicate is selective that set is broadcast-sized, and AQE picks the
+broadcast side at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SCORE_MODES = ("sum", "max", "min", "avg", "none")
+
+
+def has_child(
+    children: DataFrame,
+    child_match: Column,
+    *,
+    parent_col: str = "parent_id",
+    score_col: str | None = None,
+    score_mode: str = "sum",
+    min_children: int = 1,
+    max_children: int | None = None,
+) -> DataFrame:
+    """ES ``has_child``: parents with between ``min_children`` and
+    ``max_children`` children satisfying ``child_match``, scored by
+    folding the children's ``score_col`` under ``score_mode``
+    (sum/max/min/avg — ``none`` scores 0, the ES default).
+
+    → (parent_id, n_matching_children, score) — one row per
+    qualifying parent. A null ``child_match`` is no-match (filter
+    context); children with a null parent key belong to no parent and
+    are dropped (ES requires the join field).
+    """
+    if score_mode not in _SCORE_MODES:
+        raise ValueError(f"score_mode must be one of {_SCORE_MODES}")
+    if score_mode != "none" and score_col is None:
+        raise ValueError("score_col is required unless score_mode='none'")
+    if min_children < 1:
+        raise ValueError("min_children must be >= 1")
+    m = children.filter(child_match).filter(F.col(parent_col).isNotNull())
+    if score_mode == "none":
+        score = F.round(F.lit(0.0), 6)
+    else:
+        fold = {"sum": F.sum, "max": F.max, "min": F.min, "avg": F.avg}[
+            score_mode
+        ]
+        score = F.round(fold(F.col(score_col).cast("double")), 6)
+    g = m.groupBy(F.col(parent_col).alias("parent_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matching_children"),
+        score.alias("score"),
+    )
+    g = g.filter(F.col("n_matching_children") >= int(min_children))
+    if max_children is not None:
+        g = g.filter(F.col("n_matching_children") <= int(max_children))
+    return g
+
+
+def has_parent(
+    children: DataFrame,
+    parents: DataFrame,
+    parent_match: Column,
+    *,
+    parent_col: str = "parent_id",
+) -> DataFrame:
+    """ES ``has_parent``: child rows whose parent row satisfies
+    ``parent_match``. ``parents`` is any relation carrying
+    ``parent_col`` — a separate parent table, or :func:`has_child`'s
+    output (the composition "children of parents that have such
+    children").
+
+    → the child rows (all columns) of qualifying parents, via one
+    semi-join against the filtered parent key set. The parent key is
+    read from ``parent_col`` in ``parents`` when present, else from
+    the ``parent_id`` column :func:`has_child` emits.
+    """
+    key = parent_col if parent_col in parents.columns else "parent_id"
+    keys = parents.filter(parent_match).select(F.col(key).alias("__pk"))
+    return children.join(
+        keys, children[parent_col] == F.col("__pk"), "left_semi"
+    )

@@ -599,3 +599,185 @@ def ab_ttest(
         F.round(t, 6).alias("t_stat"),
         F.round(dof, 6).alias("df"),
     )
+
+
+def auto_date_histogram(
+    events: DataFrame,
+    *,
+    target_buckets: int = 50,
+    intervals_minutes: tuple[int, ...] = (1, 5, 30, 60, 180, 720, 1440, 10080),
+) -> DataFrame:
+    """ES ``auto_date_histogram`` (public semantics): pick the SMALLEST
+    interval from a rounding ladder whose ALIGNED bucket count over the
+    data's time span stays ≤ ``target_buckets``, then histogram on it —
+    "give me about N buckets" without knowing the span. Bucket count
+    for interval i is floor(hi/i) − floor(lo/i) + 1 (floor-aligned
+    buckets, the event_rollup convention); if even the coarsest rung
+    overflows, the coarsest is used (ES's behavior).
+
+    → (interval_minutes, window_start_us, n_events) — the chosen rung
+    is a column so the caller (and the oracle) sees which fired.
+
+    Plan shape: ONE 1-row min/max agg over the events (map-side
+    combined), the ladder folded into a native CASE cascade on that
+    row, then a broadcast of the 1-row choice against the events for
+    the bucketing agg — two passes total, the first reduced to a
+    single row before it travels; no driver round-trip, so the whole
+    thing stays one lazy plan.
+    """
+    if not intervals_minutes:
+        raise ValueError("auto_date_histogram needs a non-empty ladder")
+    rungs = sorted(int(m) for m in intervals_minutes)
+    tus = F.expr(_MICROS)
+    bounds = events.agg(
+        F.min(tus).alias("__lo"), F.max(tus).alias("__hi")
+    )
+    choice = F.lit(rungs[-1] * 60_000_000).cast("long")
+    # build the cascade coarsest-to-finest so the finest passing rung
+    # wins (each WHEN overwrites with a finer interval if it fits)
+    for m in reversed(rungs):
+        iv = m * 60_000_000
+        n_buckets = (
+            F.floor(F.col("__hi") / F.lit(iv))
+            - F.floor(F.col("__lo") / F.lit(iv))
+            + F.lit(1)
+        )
+        choice = F.when(
+            n_buckets <= F.lit(int(target_buckets)), F.lit(iv).cast("long")
+        ).otherwise(choice)
+    chosen = bounds.select(choice.alias("__iv"))
+    return (
+        events.join(F.broadcast(chosen))
+        .groupBy(
+            (F.col("__iv") / F.lit(60_000_000))
+            .cast("long")
+            .alias("interval_minutes"),
+            (F.floor(tus / F.col("__iv")) * F.col("__iv"))
+            .cast("long")
+            .alias("window_start_us"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+
+
+def serial_diff(
+    events: DataFrame,
+    *,
+    window_minutes: int = 60,
+    lag: int = 1,
+) -> DataFrame:
+    """ES ``serial_diff`` pipeline aggregation (public semantics):
+    n − lag(n, ``lag``) per event_type over the date-histogram series —
+    lag 1 is the derivative, higher lags difference out seasonality of
+    that period. The first ``lag`` buckets of each series get null
+    (ES emits no value there). Observed buckets only (the
+    min_doc_count=1 convention, matching pipeline_aggs).
+
+    → (window_start_us, event_type, n_events, serial_diff). Runs on
+    the rollup relation — the corpus-sized work is the rollup's own
+    partial+final agg; the lag is a per-series window over
+    |types| × |windows| rows.
+    """
+    if lag < 1:
+        raise ValueError("lag must be >= 1")
+    hist = event_rollup(events, window_minutes=window_minutes).select(
+        "window_start_us", "event_type", "n_events"
+    )
+    w = Window.partitionBy("event_type").orderBy("window_start_us")
+    return hist.select(
+        "window_start_us",
+        "event_type",
+        "n_events",
+        (F.col("n_events") - F.lag("n_events", int(lag)).over(w))
+        .cast("long")
+        .alias("serial_diff"),
+    )
+
+
+def top_metrics(
+    events: DataFrame,
+    *,
+    bucket_col: str = "event_type",
+    sort_col: str | None = None,
+    metric_cols: tuple[str, ...] = ("value",),
+) -> DataFrame:
+    """``top_metrics`` aggregation (Elasticsearch, public semantics,
+    size=1): per bucket, the metric values read off the row with the
+    MAXIMUM sort value — "the value at the latest event", the argmax
+    twin of ``max``. Sort defaults to the event timestamp; ties break
+    by event_id so the winner is deterministic (ES leaves ties
+    undefined across shards).
+
+    → (bucket, sort_value, <metric_cols...>).
+
+    Plan shape: ONE ``max_by(struct(metrics), struct(sort, tie))``
+    aggregation with map-side partial combine — one (bucket, best)
+    pair per map partition crosses the shuffle, the same shape as the
+    VCS head-snapshot selection (`operators/vcs.py::head_snapshot`);
+    never a per-bucket sort of the history.
+    """
+    if not metric_cols:
+        raise ValueError("top_metrics needs at least 1 metric column")
+    sort_expr = (
+        F.col(sort_col) if sort_col is not None else F.expr(_MICROS)
+    ).cast("long")
+    order = F.struct(sort_expr.alias("s"), F.col("event_id").alias("t"))
+    best = F.max_by(
+        F.struct(
+            sort_expr.alias("__sort"),
+            *[F.col(c) for c in metric_cols],
+        ),
+        order,
+    )
+    g = events.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        best.alias("__b")
+    )
+    return g.select(
+        "bucket",
+        F.col("__b.__sort").alias("sort_value"),
+        *[F.col(f"__b.{c}").alias(c) for c in metric_cols],
+    )
+
+
+def moving_percentile(
+    events: DataFrame,
+    *,
+    window_minutes: int = 60,
+    trailing: int = 6,
+    percentiles: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """``moving_percentiles`` pipeline aggregation (Elasticsearch,
+    public semantics, made EXACT — ES runs it over TDigest sketches):
+    per event_type, the interpolated percentiles of n_events over the
+    trailing ``trailing`` buckets (current included, the moving_fn
+    frame convention; shorter heads use what exists). Observed buckets
+    only, matching pipeline_aggs.
+
+    → (window_start_us, event_type, n_events, p<q>...).
+
+    Plan shape: the rollup's partial+final agg is the only corpus
+    work; the percentile window runs per series over |types| ×
+    |windows| rows with a bounded row frame, so state per step is
+    ``trailing`` values — exact where the sketch would approximate,
+    affordable because the bucket relation is tiny.
+    """
+    if not percentiles:
+        raise ValueError("moving_percentile needs at least 1 percentile")
+    hist = event_rollup(events, window_minutes=window_minutes).select(
+        "window_start_us", "event_type", "n_events"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start_us")
+        .rowsBetween(-(int(trailing) - 1), Window.currentRow)
+    )
+    cols = [
+        F.round(
+            F.percentile(F.col("n_events").cast("double"), F.lit(q)).over(w),
+            6,
+        ).alias(f"p{int(q * 100)}")
+        for q in percentiles
+    ]
+    return hist.select(
+        "window_start_us", "event_type", "n_events", *cols
+    )

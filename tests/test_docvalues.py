@@ -465,3 +465,88 @@ def test_range_and_filters_agg_validation(spark, meta):
         filters_agg(meta, {"bad'name": "n_chars >= 0"})
     with pytest.raises(ValueError, match="collides"):
         filters_agg(meta, {"_other_": "n_chars >= 0"})
+
+
+def test_diversified_sample_caps_per_value(spark, scored, meta):
+    from searchenginejava_spark.operators.docvalues import diversified_sample
+
+    got = diversified_sample(
+        scored, meta, "lang", max_per_value=1, sample_size=10
+    ).filter("query_id = 0").collect()
+    # best per lang: doc 1 (a, 5.0) and doc 2 (b, 4.0) — docs 3/4/5/6
+    # are capped out by their bucket's better hit
+    assert [(r["doc_id"], r["field_value"]) for r in got] == [
+        (1, "a"), (2, "b"),
+    ]
+    assert [r["sample_rank"] for r in got] == [1, 2]
+    # max_per_value=2 admits the next-best of each bucket, sample_size
+    # truncates globally
+    got2 = diversified_sample(
+        scored, meta, "lang", max_per_value=2, sample_size=3
+    ).filter("query_id = 0").collect()
+    assert [r["doc_id"] for r in got2] == [1, 2, 3]
+    with pytest.raises(ValueError):
+        diversified_sample(scored, meta, "lang", max_per_value=0)
+
+
+def test_diversified_sample_missing_field_is_own_bucket(spark, scored):
+    from searchenginejava_spark.operators.docvalues import diversified_sample
+
+    # meta covers only doc 1: every other hit lands in the null bucket
+    meta1 = spark.createDataFrame([(1, "a")], "doc_id long, lang string")
+    got = diversified_sample(
+        scored, meta1, "lang", max_per_value=1, sample_size=10
+    ).filter("query_id = 0").collect()
+    # null bucket keeps its best (doc 2), doc 1 keeps bucket a
+    assert [(r["doc_id"], r["field_value"]) for r in got] == [
+        (1, "a"), (2, None),
+    ]
+
+
+def test_numeric_histogram_buckets_and_negatives(spark):
+    from searchenginejava_spark.operators.docvalues import numeric_histogram
+
+    df = spark.createDataFrame(
+        [(1, -15), (2, -5), (3, 5), (4, 15), (5, 25), (6, None)],
+        "doc_id long, v int",
+    )
+    got = {
+        r["bucket"]: r["doc_count"]
+        for r in numeric_histogram(df, "v", interval=10.0).collect()
+    }
+    # ES floor rule: -15 -> -20, -5 -> -10 (int truncation would put
+    # both at -10/0); nulls fall in no bucket
+    assert got == {-20.0: 1, -10.0: 1, 0.0: 1, 10.0: 1, 20.0: 1}
+    off = {
+        r["bucket"]: r["doc_count"]
+        for r in numeric_histogram(
+            df, "v", interval=10.0, offset=5.0
+        ).collect()
+    }
+    # offset 5 shifts the grid: every value sits ON a bucket start
+    assert off == {-15.0: 1, -5.0: 1, 5.0: 1, 15.0: 1, 25.0: 1}
+    # min_doc_count prunes sparse buckets
+    md = numeric_histogram(df, "v", interval=10.0, min_doc_count=2)
+    assert md.count() == 0
+    with pytest.raises(ValueError):
+        numeric_histogram(df, "v", interval=0)
+
+
+def test_multi_terms_orders_and_excludes_null_keys(spark):
+    from searchenginejava_spark.operators.docvalues import multi_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "x"), (2, "a", "x"), (3, "a", "y"),
+            (4, "b", "x"), (5, "b", "x"), (6, None, "x"),
+        ],
+        "doc_id long, lang string, src string",
+    )
+    got = multi_terms(df, ["lang", "src"], size=2).collect()
+    # (a,x) and (b,x) tie at 2 -> key asc breaks; the null-lang row is
+    # excluded entirely
+    assert [(r["rank"], r["lang"], r["src"], r["doc_count"]) for r in got] == [
+        (1, "a", "x", 2), (2, "b", "x", 2),
+    ]
+    with pytest.raises(ValueError):
+        multi_terms(df, [])

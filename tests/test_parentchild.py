@@ -1,0 +1,89 @@
+"""Parent-child join-field queries: has_child / has_parent."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginejava_spark.operators.parentchild import has_child, has_parent
+
+
+@pytest.fixture(scope="module")
+def fam(spark):
+    # parents p1 (3 kids), p2 (2 kids), p3 (1 kid), one orphan row
+    rows = [
+        (1, "p1", 10, "en"), (2, "p1", 20, "de"), (3, "p1", 30, "en"),
+        (4, "p2", 40, "en"), (5, "p2", 5, "en"),
+        (6, "p3", 50, "de"),
+        (7, None, 99, "en"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, parent_id string, n long, lang string"
+    )
+
+
+def test_has_child_thresholds_and_score_modes(fam):
+    got = {
+        r["parent_id"]: (r["n_matching_children"], r["score"])
+        for r in has_child(
+            fam, F.col("n") >= 10, score_col="n", score_mode="sum",
+            min_children=2,
+        ).collect()
+    }
+    # p1 has 3 kids with n>=10 (sum 60), p2 only one (40) -> dropped,
+    # p3 one -> dropped, the orphan never counts
+    assert got == {"p1": (3, 60.0)}
+    mx = has_child(
+        fam, F.col("n") >= 5, score_col="n", score_mode="max"
+    ).collect()
+    assert {r["parent_id"]: r["score"] for r in mx} == {
+        "p1": 30.0, "p2": 40.0, "p3": 50.0,
+    }
+    # max_children caps from above; score_mode none scores 0
+    capped = has_child(
+        fam, F.col("n") >= 5, score_mode="none", max_children=2,
+    ).collect()
+    assert {r["parent_id"]: r["score"] for r in capped} == {
+        "p2": 0.0, "p3": 0.0,
+    }
+
+
+def test_has_child_validates_args(fam):
+    with pytest.raises(ValueError, match="score_mode"):
+        has_child(fam, F.lit(True), score_col="n", score_mode="median")
+    with pytest.raises(ValueError, match="score_col"):
+        has_child(fam, F.lit(True), score_mode="sum")
+    with pytest.raises(ValueError, match="min_children"):
+        has_child(fam, F.lit(True), score_mode="none", min_children=0)
+
+
+def test_has_parent_composes_with_has_child(fam):
+    parents = has_child(
+        fam, F.col("n") >= 10, score_col="n", score_mode="sum"
+    )
+    # children of parents with >= 2 matching kids == p1's children;
+    # the child-side filter intersects independently
+    got = {
+        r["doc_id"]
+        for r in has_parent(
+            fam.filter(F.col("lang") == "en"),
+            parents,
+            F.col("n_matching_children") >= 2,
+        ).collect()
+    }
+    assert got == {1, 3}
+
+
+def test_has_parent_explicit_parent_table(spark, fam):
+    parents = spark.createDataFrame(
+        [("p1", "active"), ("p2", "archived"), ("p3", "active")],
+        "parent_id string, status string",
+    )
+    got = {
+        r["doc_id"]
+        for r in has_parent(
+            fam, parents, F.col("status") == "active"
+        ).collect()
+    }
+    # children of active parents; the orphan (null key) never matches
+    assert got == {1, 2, 3, 6}

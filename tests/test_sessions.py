@@ -643,3 +643,113 @@ def test_analyze_log_robust_and_ttest_cli(spark, tmp_path, capsys):
     bad = rs.filter("lo_fence > q1 OR hi_fence < q3").count()
     assert bad == 0
     assert rep["ttest"]["n_a"] > 0 and rep["ttest"]["t_stat"] is not None
+
+
+def test_auto_date_histogram_picks_smallest_fitting_rung(spark):
+    from searchenginejava_spark.operators.sessions import auto_date_histogram
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    # 10 events over ~4.5 hours: 1-min rung -> ~271 buckets (> 12),
+    # 5-min -> ~55 (> 12), 30-min -> 10 (<= 12) -> chosen
+    rows = [
+        (i, t0 + i * 27 * m, 1, "view", 1.0) for i in range(10)
+    ]
+    got = auto_date_histogram(
+        _ev(spark, rows), target_buckets=12
+    ).collect()
+    assert all(r["interval_minutes"] == 30 for r in got)
+    assert sum(r["n_events"] for r in got) == 10
+    # every bucket is 30-min aligned
+    assert all(
+        r["window_start_us"] % (30 * 60_000_000) == 0 for r in got
+    )
+
+
+def test_auto_date_histogram_coarsest_rung_overflow(spark):
+    from searchenginejava_spark.operators.sessions import auto_date_histogram
+
+    t0 = dt.datetime(2024, 1, 1)
+    d = dt.timedelta(days=7)
+    # 30 weekly events with target 3: even 10080-min buckets overflow
+    # -> the coarsest rung is used anyway (the ES fallback)
+    rows = [(i, t0 + i * d, 1, "view", 1.0) for i in range(30)]
+    got = auto_date_histogram(
+        _ev(spark, rows), target_buckets=3
+    ).collect()
+    assert all(r["interval_minutes"] == 10080 for r in got)
+    with pytest.raises(ValueError):
+        auto_date_histogram(_ev(spark, rows), intervals_minutes=())
+
+
+def test_serial_diff_lags_per_series(spark):
+    from searchenginejava_spark.operators.sessions import serial_diff
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        (0, t0, 1, "a", 1.0),
+        (1, t0 + h, 1, "a", 1.0), (2, t0 + h, 2, "a", 1.0),
+        (3, t0 + 2 * h, 1, "a", 1.0), (4, t0 + 2 * h, 2, "a", 1.0),
+        (5, t0 + 2 * h, 3, "a", 1.0), (6, t0 + 2 * h, 4, "a", 1.0),
+        (7, t0, 1, "b", 1.0),
+    ]
+    got = {
+        (r["event_type"], r["window_start_us"]): r["serial_diff"]
+        for r in serial_diff(
+            _ev(spark, rows), window_minutes=60, lag=2
+        ).collect()
+    }
+    base = 1704067200000000
+    hr = 3600000000
+    # series a: counts 1,2,4 -> lag-2 diffs null,null,3; series b: null
+    assert got[("a", base)] is None
+    assert got[("a", base + hr)] is None
+    assert got[("a", base + 2 * hr)] == 3
+    assert got[("b", base)] is None
+    with pytest.raises(ValueError):
+        serial_diff(_ev(spark, rows), lag=0)
+
+
+def test_top_metrics_argmax_with_tiebreak(spark):
+    from searchenginejava_spark.operators.sessions import top_metrics
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        (0, t0, 1, "a", 1.0), (1, t0 + h, 2, "a", 7.0),
+        # two b-events at the SAME latest timestamp: event_id breaks
+        (2, t0, 3, "b", 5.0), (3, t0, 4, "b", 9.0),
+    ]
+    got = {
+        r["bucket"]: (r["value"], r["user_id"])
+        for r in top_metrics(
+            _ev(spark, rows), metric_cols=("value", "user_id")
+        ).collect()
+    }
+    assert got == {"a": (7.0, 2), "b": (9.0, 4)}
+    with pytest.raises(ValueError):
+        top_metrics(_ev(spark, rows), metric_cols=())
+
+
+def test_moving_percentile_trailing_frame(spark):
+    from searchenginejava_spark.operators.sessions import moving_percentile
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    # counts per hour: 1, 2, 4 -> trailing-2 p50: 1, 1.5, 3
+    rows = (
+        [(0, t0, 1, "a", 1.0)]
+        + [(i, t0 + h, i, "a", 1.0) for i in range(1, 3)]
+        + [(i, t0 + 2 * h, i, "a", 1.0) for i in range(3, 7)]
+    )
+    got = [
+        r["p50"]
+        for r in moving_percentile(
+            _ev(spark, rows), window_minutes=60, trailing=2,
+            percentiles=(0.5,),
+        ).orderBy("window_start_us").collect()
+    ]
+    assert got == [1.0, 1.5, 3.0]
+    with pytest.raises(ValueError):
+        moving_percentile(_ev(spark, rows), percentiles=())

@@ -1992,6 +1992,155 @@ def main() -> None:
          + "\n\n" + p_so + "\n\n" + p_bp + "\n\n" + p_rnd, checks)
     )
 
+    # 43. wave-25 (r5 wave f): join field, adaptive histogram,
+    # diversified sampling — the claims: has_child is agg-only (zero
+    # joins); has_parent is ONE left-semi join; auto_date_histogram
+    # broadcasts its 1-row interval choice (no driver round-trip);
+    # serial_diff's only corpus work is the rollup agg; the
+    # diversified sample joins candidates only.
+    from searchenginejava_spark.operators.docvalues import (
+        diversified_sample,
+    )
+    from searchenginejava_spark.operators.parentchild import (
+        has_child,
+        has_parent,
+    )
+    from searchenginejava_spark.operators.sessions import (
+        auto_date_histogram,
+        serial_diff,
+    )
+
+    p_hc = plan_of(
+        has_child(
+            corpus, F.col("n_chars") >= 400, parent_col="source",
+            score_col="n_chars", score_mode="sum", min_children=8,
+        )
+    )
+    hc_parents = has_child(
+        corpus, F.col("n_chars") >= 400, parent_col="source",
+        score_col="n_chars", score_mode="sum", min_children=8,
+    )
+    p_hp = plan_of(
+        has_parent(
+            corpus, hc_parents,
+            F.col("n_matching_children") >= 10, parent_col="source",
+        )
+    )
+    p_adh = plan_of(auto_date_histogram(ev_a, target_buckets=50))
+    p_sdf = plan_of(serial_diff(ev_a, window_minutes=1440, lag=2))
+    p_div = plan_of(
+        diversified_sample(
+            cand_a, corpus, "source", max_per_value=2, sample_size=10
+        )
+    )
+    checks = [
+        (
+            "has_child: agg-only — ZERO joins, partial+final "
+            "HashAggregate, no Python",
+            n_nodes(p_hc, "Join") == 0
+            and n_nodes(p_hc, "HashAggregate") >= 2
+            and "ArrowEvalPython" not in p_hc,
+            f"Join x{n_nodes(p_hc, 'Join')}",
+        ),
+        (
+            "has_parent: ONE left-semi join against the parent key "
+            "set, no Python",
+            "LeftSemi" in p_hp
+            and "ArrowEvalPython" not in p_hp,
+            "",
+        ),
+        (
+            "auto_date_histogram: 1-row interval choice BROADCAST "
+            "(no driver round-trip), no Python",
+            "BroadcastNestedLoopJoin" in p_adh
+            and "ArrowEvalPython" not in p_adh,
+            "",
+        ),
+        (
+            "serial_diff: rollup partial+final agg + per-series "
+            "window, no Python",
+            n_nodes(p_sdf, "HashAggregate") >= 2
+            and "ArrowEvalPython" not in p_sdf,
+            "",
+        ),
+        (
+            "diversified_sample: candidate-relation joins/windows "
+            "only — no cartesian, no Python",
+            "CartesianProduct" not in p_div
+            and "ArrowEvalPython" not in p_div,
+            "",
+        ),
+    ]
+    sections.append(
+        ("wave-25: has_child/has_parent, auto_date_histogram, "
+         "serial_diff, diversified_sample",
+         p_hc + "\n\n" + p_hp + "\n\n" + p_adh + "\n\n" + p_sdf
+         + "\n\n" + p_div, checks)
+    )
+
+    # 44. wave-26 (r5 wave g): numeric histogram / multi_terms /
+    # top_metrics / moving percentiles — the claims: the histogram and
+    # multi_terms are one partial+final agg; top_metrics is ONE max_by
+    # agg with a partial combine (no window over the history);
+    # moving_percentile's only corpus work is the rollup agg.
+    from searchenginejava_spark.operators.docvalues import (
+        multi_terms,
+        numeric_histogram,
+    )
+    from searchenginejava_spark.operators.sessions import (
+        moving_percentile,
+        top_metrics,
+    )
+
+    p_nh = plan_of(
+        numeric_histogram(corpus, "n_chars", interval=100.0)
+    )
+    p_mt = plan_of(multi_terms(corpus, ["lang", "source"], size=15))
+    p_tm = plan_of(top_metrics(ev_a, metric_cols=("value", "user_id")))
+    p_mp = plan_of(
+        moving_percentile(ev_a, window_minutes=1440, trailing=4)
+    )
+    checks = [
+        (
+            "numeric_histogram: one partial+final hash agg, single "
+            "Exchange, no Python",
+            n_nodes(p_nh, "HashAggregate") >= 2
+            and n_nodes(p_nh, "Exchange") == 1
+            and "ArrowEvalPython" not in p_nh,
+            f"Exchange x{n_nodes(p_nh, 'Exchange')}",
+        ),
+        (
+            "multi_terms: agg + bucket-relation rank, no Python",
+            n_nodes(p_mt, "HashAggregate") >= 2
+            and "ArrowEvalPython" not in p_mt,
+            "",
+        ),
+        (
+            "top_metrics: ONE max_by agg with partial combine — no "
+            "Window over the event history, no Python",
+            n_nodes(p_tm, "Window") == 0
+            and (
+                "partial_max_by" in p_tm
+                or n_nodes(p_tm, "Aggregate") >= 2
+                or n_nodes(p_tm, "SortAggregate") >= 2
+            )
+            and "ArrowEvalPython" not in p_tm,
+            f"Window x{n_nodes(p_tm, 'Window')}",
+        ),
+        (
+            "moving_percentile: rollup partial+final agg + bounded "
+            "row-frame window, no Python",
+            n_nodes(p_mp, "HashAggregate") >= 2
+            and "ArrowEvalPython" not in p_mp,
+            "",
+        ),
+    ]
+    sections.append(
+        ("wave-26: numeric_histogram, multi_terms, top_metrics, "
+         "moving_percentile",
+         p_nh + "\n\n" + p_mt + "\n\n" + p_tm + "\n\n" + p_mp, checks)
+    )
+
     ok = True
     out = ["# PLANS.md — physical-plan audit (generated by tools/explain_audit.py)", ""]
     for title, plan, cks in sections:
