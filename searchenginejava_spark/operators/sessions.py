@@ -718,9 +718,14 @@ def top_metrics(
     """
     if not metric_cols:
         raise ValueError("top_metrics needs at least 1 metric column")
+    # only the default timestamp folds to integer micros — a custom
+    # sort column keeps its own type (casting a double sort key to
+    # long would silently truncate the ordering)
     sort_expr = (
-        F.col(sort_col) if sort_col is not None else F.expr(_MICROS)
-    ).cast("long")
+        F.col(sort_col)
+        if sort_col is not None
+        else F.expr(_MICROS).cast("long")
+    )
     order = F.struct(sort_expr.alias("s"), F.col("event_id").alias("t"))
     best = F.max_by(
         F.struct(

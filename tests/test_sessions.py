@@ -753,3 +753,17 @@ def test_moving_percentile_trailing_frame(spark):
     assert got == [1.0, 1.5, 3.0]
     with pytest.raises(ValueError):
         moving_percentile(_ev(spark, rows), percentiles=())
+
+
+def test_top_metrics_double_sort_col_not_truncated(spark):
+    from searchenginejava_spark.operators.sessions import top_metrics
+
+    t0 = dt.datetime(2024, 1, 1)
+    # sort by value (a DOUBLE): 2.9 must beat 2.1 — long truncation
+    # would tie them at 2 and fall to the event_id tie-break
+    rows = [(0, t0, 7, "a", 2.9), (1, t0, 8, "a", 2.1)]
+    got = top_metrics(
+        _ev(spark, rows), sort_col="value", metric_cols=("user_id",)
+    ).collect()[0]
+    assert got["sort_value"] == pytest.approx(2.9)
+    assert got["user_id"] == 7
