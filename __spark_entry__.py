@@ -4541,6 +4541,26 @@ def q_moving_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentile_ranks per event_type, EXACT (ES interpolates on
+    TDigest): % of values ≤ each threshold — all thresholds in ONE
+    conditional-agg pass, stack-unpivoted."""
+    from searchenginejava_spark.operators.sessions import percentile_ranks
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return percentile_ranks(ev, (10.0, 50.0, 100.0))
+
+
+def q_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sibling pipeline aggs (min/max/avg/sum/stats_bucket) over
+    the daily rollup per event_type — a second |buckets|-row agg to
+    |types| rows, the corpus work spent once in the rollup."""
+    from searchenginejava_spark.operators.sessions import bucket_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return bucket_stats(ev, window_minutes=1440)
+
+
 # Round-5 driver window (VERDICT r04 order #2): the driver checks the
 # FIRST 50 registered queries, so registration order rotates each round
 # to maximize the union of driver-green rows. union(r03, r04) = 91
@@ -4923,6 +4943,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multi_terms": q_multi_terms,
         "q_top_metrics": q_top_metrics,
         "q_moving_percentile": q_moving_percentile,
+        # round-5 wave h: inverse percentiles + sibling pipeline aggs
+        "q_percentile_ranks": q_percentile_ranks,
+        "q_bucket_stats": q_bucket_stats,
     }
     return all_q
 
@@ -10285,6 +10308,46 @@ def oracle_sql() -> dict[str, str]:
     FROM roll
     WINDOW w AS (PARTITION BY event_type ORDER BY window_start_us
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """
+
+    # percentile_ranks: exact CDF at each threshold, one pass
+    sql["q_percentile_ranks"] = """
+    WITH g AS (
+      SELECT event_type AS "group",
+             CAST(count(value) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value <= 10.0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS le10,
+             CAST(sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS le50,
+             CAST(sum(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS le100
+      FROM events GROUP BY 1
+    )
+    SELECT "group", CAST(10.0 AS DOUBLE) AS threshold,
+           round(CAST(100 AS DOUBLE) * le10 / n, 6) AS pct_rank FROM g
+    UNION ALL
+    SELECT "group", CAST(50.0 AS DOUBLE),
+           round(CAST(100 AS DOUBLE) * le50 / n, 6) FROM g
+    UNION ALL
+    SELECT "group", CAST(100.0 AS DOUBLE),
+           round(CAST(100 AS DOUBLE) * le100 / n, 6) FROM g
+    """
+
+    # sibling pipeline aggs: stats OF the daily bucket counts
+    sql["q_bucket_stats"] = """
+    WITH roll AS (
+      SELECT CAST(floor(epoch_us(ts) / 86400000000)
+                  * 86400000000 AS BIGINT) AS window_start_us,
+             event_type,
+             CAST(count(*) AS DOUBLE) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+           round(min(n_events), 6) AS bucket_min,
+           round(max(n_events), 6) AS bucket_max,
+           round(avg(n_events), 6) AS bucket_avg,
+           round(sum(n_events), 6) AS bucket_sum
+    FROM roll GROUP BY 1
     """
     return sql
 

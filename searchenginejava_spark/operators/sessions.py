@@ -786,3 +786,81 @@ def moving_percentile(
     return hist.select(
         "window_start_us", "event_type", "n_events", *cols
     )
+
+
+def percentile_ranks(
+    events: DataFrame,
+    thresholds: tuple[float, ...],
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """``percentile_ranks`` aggregation (Elasticsearch, public
+    semantics, EXACT — ES interpolates on TDigest): for each
+    threshold, the percentage of values ≤ it, per group — the inverse
+    of the percentiles agg ("what fraction of requests beat the
+    SLA?").
+
+    → (group, threshold, pct_rank) with pct_rank in [0, 100]; an
+    empty group yields null, never 0/0.
+
+    Plan shape: ALL thresholds fold into ONE conditional-aggregation
+    pass (a pair of running sums each, map-side combined) down to
+    |groups| rows, then a driver-sized stack unpivot — n thresholds
+    never cost n scans.
+    """
+    if not thresholds:
+        raise ValueError("percentile_ranks needs at least 1 threshold")
+    v = F.col(value_col).cast("double")
+    aggs = [F.count(v).cast("long").alias("__n")]
+    for i, t in enumerate(thresholds):
+        aggs.append(
+            F.sum(F.when(v <= float(t), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__le_{i}")
+        )
+    g = events.groupBy(F.col(group_col).alias("group")).agg(*aggs)
+    cells = ", ".join(
+        # 100 cast to DOUBLE: a 100.0 literal is DECIMAL in Spark SQL
+        # and the whole rank would silently become decimal-typed
+        f"{float(t)}D, round(CAST(100 AS DOUBLE) * `__le_{i}` / `__n`, 6)"
+        for i, t in enumerate(thresholds)
+    )
+    return g.select(
+        "group",
+        F.expr(
+            f"stack({len(thresholds)}, {cells})"
+            " as (threshold, pct_rank)"
+        ),
+    ).select("group", "threshold", "pct_rank")
+
+
+def bucket_stats(
+    events: DataFrame,
+    *,
+    window_minutes: int = 60,
+    metric: str = "n_events",
+) -> DataFrame:
+    """The ES sibling pipeline aggregations — ``min_bucket`` /
+    ``max_bucket`` / ``avg_bucket`` / ``sum_bucket`` /
+    ``stats_bucket`` — in one row per series: statistics OF the
+    bucket metric across a date histogram ("the busiest hour", "the
+    average hourly rate"), per event_type.
+
+    → (event_type, n_buckets, bucket_min, bucket_max, bucket_avg,
+    bucket_sum).
+
+    Plan shape: the rollup's partial+final agg is the corpus work;
+    the sibling stats are a second |buckets|-row agg to |types| rows —
+    exactly how ES computes them (over the bucket array, on the
+    coordinating node).
+    """
+    hist = event_rollup(events, window_minutes=window_minutes)
+    m = F.col(metric).cast("double")
+    return hist.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.round(F.min(m), 6).alias("bucket_min"),
+        F.round(F.max(m), 6).alias("bucket_max"),
+        F.round(F.avg(m), 6).alias("bucket_avg"),
+        F.round(F.sum(m), 6).alias("bucket_sum"),
+    )

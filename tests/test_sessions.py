@@ -767,3 +767,47 @@ def test_top_metrics_double_sort_col_not_truncated(spark):
     ).collect()[0]
     assert got["sort_value"] == pytest.approx(2.9)
     assert got["user_id"] == 7
+
+
+def test_percentile_ranks_exact_cdf(spark):
+    from searchenginejava_spark.operators.sessions import percentile_ranks
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 1, "a", 1.0), (1, t0, 1, "a", 2.0),
+        (2, t0, 2, "a", 3.0), (3, t0, 2, "a", 4.0),
+        (4, t0, 1, "b", 10.0),
+    ]
+    got = {
+        (r["group"], r["threshold"]): r["pct_rank"]
+        for r in percentile_ranks(
+            _ev(spark, rows), (2.0, 3.5, 100.0)
+        ).collect()
+    }
+    # a = [1,2,3,4]: <=2 is 50%, <=3.5 is 75%, <=100 is 100%
+    assert got[("a", 2.0)] == pytest.approx(50.0)
+    assert got[("a", 3.5)] == pytest.approx(75.0)
+    assert got[("a", 100.0)] == pytest.approx(100.0)
+    # threshold BELOW the group's min: 0, not null
+    assert got[("b", 2.0)] == pytest.approx(0.0)
+    with pytest.raises(ValueError):
+        percentile_ranks(_ev(spark, rows), ())
+
+
+def test_bucket_stats_matches_hand_rollup(spark):
+    from searchenginejava_spark.operators.sessions import bucket_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    # hourly counts for a: 2, 1, 3
+    rows = [
+        (0, t0, 1, "a", 1.0), (1, t0, 2, "a", 1.0),
+        (2, t0 + h, 1, "a", 1.0),
+        (3, t0 + 2 * h, 1, "a", 1.0), (4, t0 + 2 * h, 2, "a", 1.0),
+        (5, t0 + 2 * h, 3, "a", 1.0),
+    ]
+    got = bucket_stats(_ev(spark, rows), window_minutes=60).collect()[0]
+    assert got["n_buckets"] == 3
+    assert (got["bucket_min"], got["bucket_max"]) == (1.0, 3.0)
+    assert got["bucket_avg"] == pytest.approx(2.0)
+    assert got["bucket_sum"] == pytest.approx(6.0)
