@@ -1497,16 +1497,32 @@ def _perc_values() -> str:
     return ", ".join(rows)
 
 
+def _span_chain(n: int) -> str:
+    """The greedy-earliest ordered-chain expression all span oracles
+    share: for a span start p, each later term's position is the
+    smallest one after the previous term's — the single source of the
+    `q > (chain)` ordering and arity logic (was four inline copies)."""
+    chain = "p"
+    for i in range(2, n + 1):
+        chain = f"list_min(list_filter(t{i}.ps, q{i} -> q{i} > ({chain})))"
+    return chain
+
+
+def _span_joins(terms: list[str]) -> str:
+    """The term-slice equi-joins all span oracles share (t2..tk onto
+    t1 by doc_id, each pinned to its term)."""
+    return " ".join(
+        f"JOIN pl t{i} ON t{i}.doc_id = t1.doc_id"
+        f" AND t{i}.term = '{terms[i - 1]}'"
+        for i in range(2, len(terms) + 1)
+    )
+
+
 def _span_sql(terms: list[str], slop: int) -> str:
     """DuckDB restatement of span_near's greedy-earliest ordered chain."""
     k = len(terms)
-    chain = "p"
-    for i in range(2, k + 1):
-        chain = f"list_min(list_filter(t{i}.ps, q{i} -> q{i} > ({chain})))"
-    joins = " ".join(
-        f"JOIN pl t{i} ON t{i}.doc_id = t1.doc_id AND t{i}.term = '{terms[i - 1]}'"
-        for i in range(2, k + 1)
-    )
+    chain = _span_chain(k)
+    joins = _span_joins(terms)
     return _SQL_TOKL + f"""
     , pl AS (
       SELECT doc_id, term, list(pos ORDER BY pos) AS ps
@@ -1530,20 +1546,14 @@ def _span_not_sql(
     chain, minus occurrences overlapped (±pre/post) by the exclude
     chain's occurrences; LEFT-joined exclude slices behave as empty."""
     k = len(inc)
-    chain = "p"
-    for i in range(2, k + 1):
-        chain = f"list_min(list_filter(t{i}.ps, q{i} -> q{i} > ({chain})))"
+    chain = _span_chain(k)
     echain = "xx"
     for j in range(2, len(exc) + 1):
         echain = (
             f"list_min(list_filter(coalesce(x{j}.ps, []),"
             f" e{j} -> e{j} > ({echain})))"
         )
-    inc_joins = " ".join(
-        f"JOIN pl t{i} ON t{i}.doc_id = t1.doc_id"
-        f" AND t{i}.term = '{inc[i - 1]}'"
-        for i in range(2, k + 1)
-    )
+    inc_joins = _span_joins(inc)
     exc_joins = " ".join(
         f"LEFT JOIN pl x{j} ON x{j}.doc_id = t1.doc_id"
         f" AND x{j}.term = '{exc[j - 1]}'"
@@ -1581,14 +1591,8 @@ def _span_first_sql(terms: list[str], *, slop: int, end: int) -> str:
     greedy-earliest chain with the end-position bound in the lambda,
     emitting (doc_id, n_spans, min_span) like span_not."""
     k = len(terms)
-    chain = "p"
-    for i in range(2, k + 1):
-        chain = f"list_min(list_filter(t{i}.ps, q{i} -> q{i} > ({chain})))"
-    joins = " ".join(
-        f"JOIN pl t{i} ON t{i}.doc_id = t1.doc_id"
-        f" AND t{i}.term = '{terms[i - 1]}'"
-        for i in range(2, k + 1)
-    )
+    chain = _span_chain(k)
+    joins = _span_joins(terms)
     kept = (
         f"list_filter(list_transform(t1.ps, p -> CASE WHEN"
         f" ({chain}) - p - {k - 1} <= {int(slop)}"
@@ -1617,14 +1621,8 @@ def _span_containing_sql(
     greedy-earliest chain with a containment EXISTS over the little
     term's positions, emitting (doc_id, n_spans, min_span)."""
     k = len(big_terms)
-    chain = "p"
-    for i in range(2, k + 1):
-        chain = f"list_min(list_filter(t{i}.ps, q{i} -> q{i} > ({chain})))"
-    joins = " ".join(
-        f"JOIN pl t{i} ON t{i}.doc_id = t1.doc_id"
-        f" AND t{i}.term = '{big_terms[i - 1]}'"
-        for i in range(2, k + 1)
-    )
+    chain = _span_chain(k)
+    joins = _span_joins(big_terms)
     contains = (
         f"len(list_filter(lt.ps, q -> q >= p AND q <= ({chain}))) > 0"
     )
@@ -10086,7 +10084,8 @@ def oracle_sql() -> dict[str, str]:
       SELECT event_type AS "group",
              CAST(count(value) AS BIGINT) AS n,
              round(sum(value * (1 + event_id % 3))
-                   / sum(CAST(1 + event_id % 3 AS DOUBLE)), 6)
+                   / sum(CASE WHEN value IS NOT NULL
+                         THEN CAST(1 + event_id % 3 AS DOUBLE) END), 6)
                AS weighted_avg,
              quantile_cont(value, 0.25) AS q1,
              quantile_cont(value, 0.5) AS q2,
@@ -10140,9 +10139,9 @@ def oracle_sql() -> dict[str, str]:
     sql["q_ab_ttest"] = """
     WITH one AS (
       SELECT
-        CAST(count(CASE WHEN event_type = 'signup' THEN 1 END)
+        CAST(count(CASE WHEN event_type = 'signup' THEN value END)
              AS BIGINT) AS n_a,
-        CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+        CAST(count(CASE WHEN event_type = 'purchase' THEN value END)
              AS BIGINT) AS n_b,
         avg(CASE WHEN event_type = 'signup' THEN value END) AS mean_a,
         avg(CASE WHEN event_type = 'purchase' THEN value END) AS mean_b,
@@ -10248,7 +10247,7 @@ def oracle_sql() -> dict[str, str]:
                d.source AS field_value,
                row_number() OVER (PARTITION BY cand.query_id, d.source
                  ORDER BY cand.s DESC, cand.doc_id ASC) AS vr
-        FROM cand JOIN documents d USING (doc_id)
+        FROM cand LEFT JOIN documents d USING (doc_id)
       ) WHERE vr <= 2
     )
     QUALIFY sample_rank <= 10

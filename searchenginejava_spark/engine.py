@@ -372,7 +372,9 @@ class SearchEngine:
             "term", F.col("df").cast("long").alias("doc_count")
         ).filter(F.col("doc_count") <= int(max_doc_count))
         if include is not None:
-            agg = agg.filter(F.col("term").rlike(include))
+            # anchored full-match, the Lucene RegExp convention ES
+            # documents — bare rlike would substring-match
+            agg = agg.filter(F.col("term").rlike(f"^(?:{include})$"))
         return agg.orderBy(F.asc("doc_count"), F.asc("term")).limit(
             int(max_buckets)
         )

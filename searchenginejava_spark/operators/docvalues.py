@@ -430,13 +430,20 @@ def range_agg(
     """
     if not ranges:
         raise ValueError("range_agg needs at least 1 range")
+
+    def _bound(b: float | None) -> str:
+        # lossless key text (ES uses the decimal bound): 'g' formatting
+        # would collapse bounds agreeing to 6 significant digits into
+        # one key and falsely reject them as duplicates
+        if b is None:
+            return "*"
+        f = float(b)
+        return str(int(f)) if f.is_integer() else repr(f)
+
     rows = []
     seen: set[str] = set()
     for lo, hi in ranges:
-        key = (
-            f"{'*' if lo is None else format(float(lo), 'g')}"
-            f"-{'*' if hi is None else format(float(hi), 'g')}"
-        )
+        key = f"{_bound(lo)}-{_bound(hi)}"
         # a duplicate range would double-count every doc it matches
         # (the join fans out) — reject loudly like ES's key collision
         if key in seen:

@@ -460,7 +460,10 @@ def robust_stats(
         w = (
             F.col(weight_col) if isinstance(weight_col, str) else weight_col
         ).cast("double")
-        wavg = F.sum(v * w) / F.sum(w)
+        # the numerator skips null values automatically (null * w is
+        # null); the denominator must skip the SAME rows or a missing
+        # value would still drag the mean down by its weight
+        wavg = F.sum(v * w) / F.sum(F.when(v.isNotNull(), w))
     base = events.groupBy(F.col(group_col).alias("group")).agg(
         F.count(v).cast("long").alias("n"),
         F.round(wavg, 6).alias("weighted_avg"),
@@ -567,8 +570,12 @@ def ab_ttest(
     is_a = F.col(type_col) == group_a
     is_b = F.col(type_col) == group_b
     one = events.filter(is_a | is_b).agg(
-        F.count(F.when(is_a, 1)).cast("long").alias("n_a"),
-        F.count(F.when(is_b, 1)).cast("long").alias("n_b"),
+        # count VALUES, not rows: a row with a null value contributes
+        # to no moment, so letting it inflate n would skew the standard
+        # error and the Welch df (ES t_test skips docs missing the
+        # field)
+        F.count(F.when(is_a, v)).cast("long").alias("n_a"),
+        F.count(F.when(is_b, v)).cast("long").alias("n_b"),
         F.avg(F.when(is_a, v)).alias("mean_a"),
         F.avg(F.when(is_b, v)).alias("mean_b"),
         F.var_samp(F.when(is_a, v)).alias("var_a"),
@@ -768,6 +775,14 @@ def moving_percentile(
     """
     if not percentiles:
         raise ValueError("moving_percentile needs at least 1 percentile")
+    # round(), not int(): 0.29*100 is 28.999... in binary and int()
+    # would mislabel the column p28; near-misses that still collide
+    # (0.125 and 0.12 both round to p12) are rejected loudly
+    names = [f"p{round(q * 100)}" for q in percentiles]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"percentile labels collide after rounding: {names}"
+        )
     hist = event_rollup(events, window_minutes=window_minutes).select(
         "window_start_us", "event_type", "n_events"
     )
@@ -780,8 +795,8 @@ def moving_percentile(
         F.round(
             F.percentile(F.col("n_events").cast("double"), F.lit(q)).over(w),
             6,
-        ).alias(f"p{int(q * 100)}")
-        for q in percentiles
+        ).alias(name)
+        for q, name in zip(percentiles, names)
     ]
     return hist.select(
         "window_start_us", "event_type", "n_events", *cols

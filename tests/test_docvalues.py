@@ -550,3 +550,18 @@ def test_multi_terms_orders_and_excludes_null_keys(spark):
     ]
     with pytest.raises(ValueError):
         multi_terms(df, [])
+
+
+def test_range_agg_keys_lossless_above_six_sig_digits(spark, meta):
+    from searchenginejava_spark.operators.docvalues import range_agg
+
+    # 'g'-format would collapse both bounds to '1e+06' and falsely
+    # reject them as duplicates
+    got = {
+        r["range_key"]
+        for r in range_agg(
+            meta, "n_chars",
+            [(1000000.0, None), (1000001.0, None)],
+        ).collect()
+    }
+    assert got == {"1000000-*", "1000001-*"}

@@ -449,3 +449,16 @@ def test_engine_near_or_and_containing(eng):
         ).collect()
     }
     assert cont == near5
+
+
+def test_engine_rare_terms_include_is_anchored(eng):
+    # include must full-match (Lucene RegExp), not substring-match:
+    # 'tab' alone must not admit 'table'
+    got = {r["term"] for r in eng.rare_terms(
+        max_doc_count=10**9, include="tab", max_buckets=10**6
+    ).collect()}
+    assert "table" not in got
+    got2 = {r["term"] for r in eng.rare_terms(
+        max_doc_count=10**9, include="tab.*", max_buckets=10**6
+    ).collect()}
+    assert "table" in got2

@@ -811,3 +811,42 @@ def test_bucket_stats_matches_hand_rollup(spark):
     assert (got["bucket_min"], got["bucket_max"]) == (1.0, 3.0)
     assert got["bucket_avg"] == pytest.approx(2.0)
     assert got["bucket_sum"] == pytest.approx(6.0)
+
+
+def test_ab_ttest_and_robust_ignore_null_values(spark):
+    from searchenginejava_spark.operators.sessions import (
+        ab_ttest,
+        robust_stats,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 1, "a", 1.0), (1, t0, 1, "a", 3.0),
+        (2, t0, 2, "a", None),                       # no value
+        (3, t0, 1, "b", 2.0), (4, t0, 2, "b", 4.0),
+    ]
+    got = ab_ttest(_ev(spark, rows), "a", "b").collect()[0]
+    # n_a counts VALUES (2), not rows (3) — the null row carries no
+    # moment, so it must not inflate the standard error
+    assert (got["n_a"], got["n_b"]) == (2, 2)
+    # weighted_avg: the null-value row's weight must not drag the mean
+    rs = {
+        r["group"]: r["weighted_avg"]
+        for r in robust_stats(
+            _ev(spark, rows), weight_col=F.lit(1.0) + F.col("event_id")
+        ).collect()
+    }
+    # a: (1*1 + 3*2) / (1+2) = 7/3 — event 2's weight 3 excluded
+    assert rs["a"] == pytest.approx(7 / 3, abs=1e-6)
+
+
+def test_moving_percentile_label_rounding_and_collision(spark):
+    from searchenginejava_spark.operators.sessions import moving_percentile
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(0, t0, 1, "a", 1.0)]
+    # 0.29*100 is 28.999... in binary; int() would mislabel it p28
+    df = moving_percentile(_ev(spark, rows), percentiles=(0.29,))
+    assert "p29" in df.columns
+    with pytest.raises(ValueError, match="collide"):
+        moving_percentile(_ev(spark, rows), percentiles=(0.125, 0.12))

@@ -2010,16 +2010,11 @@ def main() -> None:
         serial_diff,
     )
 
-    p_hc = plan_of(
-        has_child(
-            corpus, F.col("n_chars") >= 400, parent_col="source",
-            score_col="n_chars", score_mode="sum", min_children=8,
-        )
-    )
     hc_parents = has_child(
         corpus, F.col("n_chars") >= 400, parent_col="source",
         score_col="n_chars", score_mode="sum", min_children=8,
     )
+    p_hc = plan_of(hc_parents)
     p_hp = plan_of(
         has_parent(
             corpus, hc_parents,
