@@ -4539,6 +4539,16 @@ def q_moving_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES change_point (step_change) per event_type over the daily
+    rates, EXACT: pooled-t scan of every split via two window passes
+    of running Σ/Σ² — O(1) per split, no per-split re-aggregation."""
+    from searchenginejava_spark.operators.sessions import change_point
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return change_point(ev, window_minutes=1440)
+
+
 def q_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES percentile_ranks per event_type, EXACT (ES interpolates on
     TDigest): % of values ≤ each threshold — all thresholds in ONE
@@ -4942,8 +4952,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_metrics": q_top_metrics,
         "q_moving_percentile": q_moving_percentile,
         # round-5 wave h: inverse percentiles + sibling pipeline aggs
+        # + change-point detection
         "q_percentile_ranks": q_percentile_ranks,
         "q_bucket_stats": q_bucket_stats,
+        "q_change_point": q_change_point,
     }
     return all_q
 
@@ -10347,6 +10359,58 @@ def oracle_sql() -> dict[str, str]:
            round(avg(n_events), 6) AS bucket_avg,
            round(sum(n_events), 6) AS bucket_sum
     FROM roll GROUP BY 1
+    """
+
+    # change_point: pooled-t scan over running sums, argmax on the
+    # ROUNDED statistic (earliest-split tie-break) — the same
+    # engine-portable ordering the operator uses
+    sql["q_change_point"] = """
+    WITH roll AS (
+      SELECT CAST(floor(epoch_us(ts) / 86400000000)
+                  * 86400000000 AS BIGINT) AS window_start_us,
+             event_type, CAST(count(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ), cum AS (
+      SELECT window_start_us, event_type,
+             row_number() OVER w AS i,
+             sum(y) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS s,
+             sum(y * y) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sq,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(y) OVER (PARTITION BY event_type) AS st,
+             sum(y * y) OVER (PARTITION BY event_type) AS sqt,
+             lead(window_start_us) OVER w AS change_at_us
+      FROM roll
+      WINDOW w AS (PARTITION BY event_type ORDER BY window_start_us)
+    ), cand AS (
+      SELECT event_type, window_start_us, change_at_us,
+             i, n, s / i AS ml, (st - s) / (n - i) AS mr,
+             ((sq - i * (s / i) * (s / i))
+              + ((sqt - sq) - (n - i) * ((st - s) / (n - i))
+                 * ((st - s) / (n - i)))) / (n - 2) AS s2p
+      FROM cum
+      WHERE i >= 3 AND n - i >= 3 AND n - 2 > 0
+    ), scored AS (
+      SELECT event_type, window_start_us, change_at_us,
+             CASE WHEN s2p > 0
+                  THEN abs(ml - mr)
+                       / sqrt(s2p * (1.0 / i + 1.0 / (n - i)))
+             END AS t, ml, mr
+      FROM cand
+    ), best AS (
+      SELECT event_type, change_at_us,
+             round(t, 6) AS t_stat,
+             round(ml, 6) AS mean_before,
+             round(mr, 6) AS mean_after,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY round(t, 6) DESC, window_start_us ASC) AS rn
+      FROM scored WHERE t IS NOT NULL
+    )
+    SELECT s.event_type, b.change_at_us, b.t_stat,
+           b.mean_before, b.mean_after
+    FROM (SELECT DISTINCT event_type FROM roll) s
+    LEFT JOIN best b ON b.event_type = s.event_type AND b.rn = 1
     """
     return sql
 

@@ -879,3 +879,104 @@ def bucket_stats(
         F.round(F.avg(m), 6).alias("bucket_avg"),
         F.round(F.sum(m), 6).alias("bucket_sum"),
     )
+
+
+def change_point(
+    events: DataFrame,
+    *,
+    window_minutes: int = 60,
+    min_side: int = 3,
+) -> DataFrame:
+    """``change_point`` aggregation (Elasticsearch 8.x, public
+    semantics — the step_change detector), EXACT: for each event_type
+    series, scan every split point of the date-histogram counts and
+    report the one maximizing the pooled two-sample t statistic
+    between the left and right segments:
+
+        t(k) = |m_L − m_R| / √(s²_p · (1/n_L + 1/n_R)),
+        s²_p = pooled variance (Σsq − n·m²) over both segments
+
+    Splits leaving fewer than ``min_side`` buckets on either side are
+    skipped; a series with all-equal counts (zero pooled variance) or
+    too few buckets reports a null statistic — no change detected,
+    never a division blow-up.
+
+    → (event_type, change_at_us, t_stat, mean_before, mean_after) —
+    one row per series; change_at_us is the first bucket of the right
+    segment.
+
+    Plan shape: the rollup's partial+final agg is the corpus work.
+    The scan is TWO window passes over the |types| × |windows| bucket
+    relation — running Σ and Σ² give every split's segment moments in
+    O(1) each (no per-split re-aggregation, no self-join), then one
+    max_by per series picks the argmax. Exact where ES subsamples.
+    """
+    if min_side < 1:
+        raise ValueError("min_side must be >= 1")
+    hist = event_rollup(events, window_minutes=window_minutes).select(
+        "window_start_us",
+        "event_type",
+        F.col("n_events").cast("double").alias("y"),
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("window_start_us")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("event_type")
+    cum = hist.select(
+        "window_start_us",
+        "event_type",
+        F.row_number().over(w_ord).alias("i"),
+        F.sum("y").over(w_cum).alias("s"),
+        F.sum(F.col("y") * F.col("y")).over(w_cum).alias("sq"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+        F.sum("y").over(w_all).alias("st"),
+        F.sum(F.col("y") * F.col("y")).over(w_all).alias("sqt"),
+        # the right segment's first bucket — computed BEFORE the
+        # min_side filter, so the last admissible split still sees its
+        # true successor rather than a filtered-out null
+        F.lead("window_start_us").over(w_ord).alias("change_at_us"),
+    )
+    nl = F.col("i").cast("double")
+    nr = (F.col("n") - F.col("i")).cast("double")
+    ml = F.col("s") / nl
+    mr = (F.col("st") - F.col("s")) / nr
+    # pooled variance from the two segments' Σ and Σ²
+    ssl = F.col("sq") - nl * ml * ml
+    ssr = (F.col("sqt") - F.col("sq")) - nr * mr * mr
+    dof = nl + nr - 2
+    s2p = (ssl + ssr) / dof
+    t = F.abs(ml - mr) / F.sqrt(s2p * (1.0 / nl + 1.0 / nr))
+    cand = cum.filter(
+        (F.col("i") >= int(min_side))
+        & (F.col("n") - F.col("i") >= int(min_side))
+        & (dof > 0)
+    ).select(
+        "event_type",
+        "window_start_us",
+        F.when(s2p > 0, t).alias("t"),
+        ml.alias("ml"),
+        mr.alias("mr"),
+        "change_at_us",
+    )
+    series = hist.select("event_type").distinct()
+    # argmax split per series over the ROUNDED statistic (engines may
+    # disagree on the last float bit of a sum — ordering on the
+    # rounded value + earliest-split tie-break keeps the winner
+    # engine-portable, the int8-kNN lesson); all-null t → no row
+    best = cand.filter(F.col("t").isNotNull()).groupBy("event_type").agg(
+        F.max_by(
+            F.struct(
+                F.col("change_at_us"),
+                F.round("t", 6).alias("t"),
+                F.round("ml", 6).alias("ml"),
+                F.round("mr", 6).alias("mr"),
+            ),
+            F.struct(F.round("t", 6), -F.col("window_start_us")),
+        ).alias("__b")
+    )
+    return series.join(best, "event_type", "left").select(
+        "event_type",
+        F.col("__b.change_at_us").alias("change_at_us"),
+        F.col("__b.t").alias("t_stat"),
+        F.col("__b.ml").alias("mean_before"),
+        F.col("__b.mr").alias("mean_after"),
+    )

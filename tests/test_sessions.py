@@ -850,3 +850,46 @@ def test_moving_percentile_label_rounding_and_collision(spark):
     assert "p29" in df.columns
     with pytest.raises(ValueError, match="collide"):
         moving_percentile(_ev(spark, rows), percentiles=(0.125, 0.12))
+
+
+def test_change_point_finds_the_step(spark):
+    from searchenginejava_spark.operators.sessions import change_point
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    # series a: 6 hours at ~2/hour then 6 hours at ~5/hour
+    rows = []
+    eid = 0
+    for hr in range(12):
+        n = 2 if hr < 6 else 5
+        if hr in (2, 8):          # mild noise, step still dominant
+            n += 1
+        for _ in range(n):
+            rows.append((eid, t0 + hr * h, 1 + eid % 3, "a", 1.0))
+            eid += 1
+    got = change_point(_ev(spark, rows), window_minutes=60).collect()[0]
+    base = 1704067200000000
+    # the detected split is the 6->7 hour boundary
+    assert got["change_at_us"] == base + 6 * 3600000000
+    assert got["mean_before"] < got["mean_after"]
+    assert got["t_stat"] > 3.0
+
+
+def test_change_point_degenerate_series_null(spark):
+    from searchenginejava_spark.operators.sessions import change_point
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    # constant series: zero pooled variance everywhere -> null report;
+    # short series: no admissible split -> null report
+    rows = [(i, t0 + i * h, 1, "flat", 1.0) for i in range(8)]
+    rows += [(100 + i, t0 + i * h, 1, "short", 1.0) for i in range(3)]
+    got = {
+        r["event_type"]: r for r in change_point(
+            _ev(spark, rows), window_minutes=60
+        ).collect()
+    }
+    assert got["flat"]["t_stat"] is None
+    assert got["short"]["t_stat"] is None
+    with pytest.raises(ValueError):
+        change_point(_ev(spark, rows), min_side=0)

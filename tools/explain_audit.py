@@ -2083,6 +2083,7 @@ def main() -> None:
         numeric_histogram,
     )
     from searchenginejava_spark.operators.sessions import (
+        change_point,
         moving_percentile,
         top_metrics,
     )
@@ -2090,6 +2091,7 @@ def main() -> None:
     p_nh = plan_of(
         numeric_histogram(corpus, "n_chars", interval=100.0)
     )
+    p_cp = plan_of(change_point(ev_a, window_minutes=1440))
     p_mt = plan_of(multi_terms(corpus, ["lang", "source"], size=15))
     p_tm = plan_of(top_metrics(ev_a, metric_cols=("value", "user_id")))
     p_mp = plan_of(
@@ -2129,11 +2131,20 @@ def main() -> None:
             and "ArrowEvalPython" not in p_mp,
             "",
         ),
+        (
+            "change_point: window-pass scan (no per-split re-agg, no "
+            "self-join of the series, no cartesian), no Python",
+            "CartesianProduct" not in p_cp
+            and "ArrowEvalPython" not in p_cp
+            and n_nodes(p_cp, "HashAggregate") >= 2,
+            "",
+        ),
     ]
     sections.append(
         ("wave-26: numeric_histogram, multi_terms, top_metrics, "
-         "moving_percentile",
-         p_nh + "\n\n" + p_mt + "\n\n" + p_tm + "\n\n" + p_mp, checks)
+         "moving_percentile, change_point",
+         p_nh + "\n\n" + p_mt + "\n\n" + p_tm + "\n\n" + p_mp
+         + "\n\n" + p_cp, checks)
     )
 
     ok = True
