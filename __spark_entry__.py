@@ -4569,6 +4569,181 @@ def q_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucket_stats(ev, window_minutes=1440)
 
 
+# --- Round-5 wave i: geo search + geo aggregations (ES semantics) ---
+# Synthetic deterministic geo docvalues: lat/lon derived from doc_id by
+# pure int64 multiplicative-hash arithmetic (identical in Spark and
+# DuckDB — no float divergence possible before the trig) in microdegree
+# resolution over the full globe. No external data.
+_GEO_MULT_LAT = 2654435761
+_GEO_MULT_LON = 2246822519
+_GEO_CENTER = (10.0, 20.0)          # distance-query center
+_GEO_RADIUS_M = 3_000_000.0         # ~5.5% of the globe at sf0.01
+_GEO_ORIGIN = (48.8566, 2.3522)     # distance-agg origin
+_GEO_EDGES_M = [2_000_000.0, 5_000_000.0, 10_000_000.0]
+_GEO_ZOOM, _GEO_TOP = 3, 15
+# antimeridian-crossing box (left > right → OR-of-halves, ES semantics)
+_GEO_BBOX = {"top": 40.0, "bottom": -10.0, "left": 160.0, "right": -160.0}
+_DEG2RAD = math.pi / 180.0
+
+
+def _geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lat = (
+        (F.col("doc_id") * F.lit(_GEO_MULT_LAT)) % F.lit(180000001)
+    ) / 1000000.0 - 90.0
+    lon = (
+        (F.col("doc_id") * F.lit(_GEO_MULT_LON)) % F.lit(360000001)
+    ) / 1000000.0 - 180.0
+    return _documents(spark, sf_dir).select(
+        "doc_id", lat.alias("lat"), lon.alias("lon"), "source"
+    )
+
+
+def q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_distance query + _geo_distance sort: points within 3000 km
+    of the center, nearest first — constant bounding-box prefilter
+    (scan-pushable) then one native haversine expression; distance
+    rounded to mm, order keyed on (rounded distance, doc_id)."""
+    from searchenginejava_spark.operators.geo import geo_distance_search
+
+    clat, clon = _GEO_CENTER
+    return geo_distance_search(
+        _geo(spark, sf_dir), lat=clat, lon=clon, radius_m=_GEO_RADIUS_M
+    )
+
+
+def q_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_bounding_box filter across the antimeridian (left > right
+    → OR-of-halves) — plain range predicates, fully scan-pushable."""
+    from searchenginejava_spark.operators.geo import geo_bounding_box
+
+    return geo_bounding_box(_geo(spark, sf_dir), **_GEO_BBOX)
+
+
+def q_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geotile_grid aggregation at zoom 3: web-mercator z/x/y tile
+    buckets (points beyond ±85.05112878° ignored, the ES contract),
+    top-15 by (count desc, tile asc)."""
+    from searchenginejava_spark.operators.geo import geotile_grid
+
+    return geotile_grid(_geo(spark, sf_dir), zoom=_GEO_ZOOM, top=_GEO_TOP)
+
+
+def q_geo_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_centroid aggregation per source bucket: per-axis Σ/n (the
+    exact ES accumulator) + doc_count, one partial+final hash agg."""
+    from searchenginejava_spark.operators.geo import geo_centroid
+
+    return geo_centroid(_geo(spark, sf_dir), "source")
+
+
+def q_geo_distance_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_distance (range) aggregation: distance bands from the
+    origin with ES band keys; every requested band present even when
+    empty. One haversine projection + one band-index hash agg."""
+    from searchenginejava_spark.operators.geo import geo_distance_agg
+
+    olat, olon = _GEO_ORIGIN
+    return geo_distance_agg(
+        _geo(spark, sf_dir), lat=olat, lon=olon, edges_m=_GEO_EDGES_M
+    )
+
+
+# --- Round-5 wave j: query-DSL completion (ES semantics) ---
+_CS_TERMS = ["merge", "spark"]   # constant_score filter (mode=all)
+_CS_BOOST = 1.2
+_BOOST_NEG = ["slow"]            # boosting-query negative vocabulary
+_BOOST_NB = 0.3
+_DFEAT = {"origin": 150.0, "pivot": 50.0, "boost": 2.0}
+_MPP_FIXED = ["fast"]            # match_phrase_prefix fixed words
+_MPP_PREFIX = "s"
+_MPP_MAXEXP = 3                  # exercises the expansion cap
+
+
+def _oracle_query_terms(spark: SparkSession) -> DataFrame:
+    q_rows = [(qid, t, 1) for qid, terms in _ORACLE_QUERIES for t in terms]
+    return spark.createDataFrame(q_rows, "query_id int, term string, qtf int")
+
+
+def q_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES constant_score: filter context made rankable — every doc
+    containing ALL filter terms scores exactly the boost. Term-pruned
+    tf scan + one distinct-count agg."""
+    from searchenginejava_spark.operators.querydsl import constant_score_search
+
+    return constant_score_search(
+        _tf(spark, sf_dir), _CS_TERMS, boost=_CS_BOOST, mode="all"
+    )
+
+
+def q_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boosting query: positive BM25 with negative-match DEMOTION
+    (×negative_boost — not exclusion); top-k truncates only after the
+    demotion reorders."""
+    from searchenginejava_spark.operators.querydsl import boosting_search
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    res = boosting_search(
+        _oracle_query_terms(spark), tf, dl, dct, stats,
+        _BOOST_NEG, negative_boost=_BOOST_NB, k=_TOPK,
+    )
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
+def q_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES distance_feature on a numeric docvalue: relevance plus
+    boost·pivot/(pivot+|n_chars−origin|) — proximity boost with
+    half-strength at the pivot; missing field contributes 0."""
+    from searchenginejava_spark.operators.querydsl import (
+        _all_bm25_scores,
+        distance_feature_rerank,
+    )
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    scored = _all_bm25_scores(
+        _oracle_query_terms(spark), tf, dl, dct, stats
+    )
+    res = distance_feature_rerank(
+        scored,
+        _documents(spark, sf_dir).select("doc_id", "n_chars"),
+        field="n_chars",
+        origin=_DFEAT["origin"],
+        pivot=_DFEAT["pivot"],
+        boost=_DFEAT["boost"],
+        k=_TOPK,
+    )
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
+def q_categorize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES categorize_text (deterministic template variant): digit runs
+    collapse to <num>, one hash agg on the template, top-20 by
+    (count desc, category asc) — stable and mergeable where ES's ML
+    categorizer is shard-order-dependent."""
+    from searchenginejava_spark.operators.sessions import categorize_text
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return categorize_text(ev, top=20)
+
+
+def q_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene match_phrase_prefix: fixed words consecutively, then ANY
+    of the first max_expansions dictionary terms (term order) under the
+    prefix at the final position — expansion capped BEFORE positions
+    are read."""
+    from searchenginejava_spark.operators.querydsl import match_phrase_prefix
+
+    return match_phrase_prefix(
+        _pindex(spark, sf_dir), _MPP_FIXED, _MPP_PREFIX,
+        max_expansions=_MPP_MAXEXP,
+    )
+
+
 # Round-5 driver window (VERDICT r04 order #2): the driver checks the
 # FIRST 50 registered queries, so registration order rotates each round
 # to maximize the union of driver-green rows. union(r03, r04) = 91
@@ -4956,6 +5131,19 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentile_ranks": q_percentile_ranks,
         "q_bucket_stats": q_bucket_stats,
         "q_change_point": q_change_point,
+        # Wave-i (r5): geo search + geo aggregations
+        "q_geo_distance": q_geo_distance,
+        "q_geo_bbox": q_geo_bbox,
+        "q_geotile_grid": q_geotile_grid,
+        "q_geo_centroid": q_geo_centroid,
+        "q_geo_distance_agg": q_geo_distance_agg,
+        # Wave-j (r5): query-DSL completion
+        "q_constant_score": q_constant_score,
+        "q_boosting": q_boosting,
+        "q_distance_feature": q_distance_feature,
+        "q_phrase_prefix": q_phrase_prefix,
+        # Wave-k (r5): log-template categorization
+        "q_categorize_text": q_categorize_text,
     }
     return all_q
 
@@ -10412,7 +10600,243 @@ def oracle_sql() -> dict[str, str]:
     FROM (SELECT DISTINCT event_type FROM roll) s
     LEFT JOIN best b ON b.event_type = s.event_type AND b.rn = 1
     """
+    # --- wave j: query-DSL completion ---
+    cs_in = ", ".join(f"'{t}'" for t in sorted(set(_CS_TERMS)))
+    sql["q_constant_score"] = (
+        _SQL_TF
+        + f"""
+        SELECT doc_id, CAST({_CS_BOOST!r} AS DOUBLE) AS score
+        FROM tf WHERE term IN ({cs_in})
+        GROUP BY doc_id
+        HAVING count(DISTINCT term) = {len(set(_CS_TERMS))}
+        """
+    )
+    # the boosting / distance_feature base: the UNtruncated exhaustive
+    # scorer, contribution spelled in bm25_score_col's association
+    # order (qtf * ((idf * (tf*2.2)) / norm))
+    _bm25_all = f"""
+        , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+                 FROM tf GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+        dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        q(query_id, term, qtf) AS (VALUES {q_values}),
+        scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 sum(q.qtf
+                     * ((ln((stats.n - dict.df + 0.5) / (dict.df + 0.5)
+                            + 1.0)
+                         * (tf.tf * {_K1 + 1.0}))
+                        / (tf.tf + {_K1} * ({1.0 - _B}
+                           + {_B} * dl.doc_len / stats.avgdl)))
+                 ) AS s
+          FROM q
+          JOIN dict USING (term)
+          JOIN tf USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          GROUP BY q.query_id, tf.doc_id
+        )
+    """
+    neg_in = ", ".join(f"'{t}'" for t in sorted(set(_BOOST_NEG)))
+    sql["q_boosting"] = (
+        _SQL_TF
+        + _bm25_all
+        + f"""
+        , neg AS (SELECT DISTINCT doc_id FROM tf
+                  WHERE term IN ({neg_in})),
+        demoted AS (
+          SELECT s.query_id, s.doc_id,
+                 s.s * CASE WHEN n.doc_id IS NOT NULL
+                            THEN {_BOOST_NB!r} ELSE 1.0 END AS f
+          FROM scored s LEFT JOIN neg n ON s.doc_id = n.doc_id
+        )
+        SELECT CAST(query_id AS INT) AS query_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY f DESC, doc_id ASC) AS INT) AS rank,
+               doc_id, round(f, 6) AS score
+        FROM demoted
+        QUALIFY rank <= {_TOPK}
+        """
+    )
+    d = _DFEAT
+    sql["q_distance_feature"] = (
+        _SQL_TF
+        + _bm25_all
+        + f"""
+        , boosted AS (
+          SELECT s.query_id, s.doc_id,
+                 s.s + CASE WHEN doc.n_chars IS NOT NULL
+                   THEN {d["boost"]!r} * {d["pivot"]!r}
+                        / ({d["pivot"]!r}
+                           + abs(doc.n_chars - {d["origin"]!r}))
+                   ELSE 0.0 END AS f
+          FROM scored s
+          LEFT JOIN documents doc ON s.doc_id = doc.doc_id
+        )
+        SELECT CAST(query_id AS INT) AS query_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY f DESC, doc_id ASC) AS INT) AS rank,
+               doc_id, round(f, 6) AS score
+        FROM boosted
+        QUALIFY rank <= {_TOPK}
+        """
+    )
+    sql["q_categorize_text"] = """
+    WITH t AS (
+      SELECT regexp_replace(concat_ws(' ', event_type, props),
+                            '[0-9]+', '<num>', 'g') AS category
+      FROM events
+    ), b AS (
+      SELECT category, CAST(count(*) AS BIGINT) AS doc_count
+      FROM t GROUP BY category
+    )
+    SELECT category, doc_count FROM b
+    QUALIFY row_number() OVER (ORDER BY doc_count DESC, category ASC)
+            <= 20
+    """
+    mpp_t0 = _MPP_FIXED[0]
+    sql["q_phrase_prefix"] = (
+        _SQL_TOKL
+        + f"""
+        , exp AS (SELECT term FROM (
+            SELECT DISTINCT term FROM tok
+            WHERE term LIKE '{_MPP_PREFIX}%'
+            ORDER BY term LIMIT {_MPP_MAXEXP})),
+        p0 AS (SELECT doc_id, pos FROM tok WHERE term = '{mpp_t0}'),
+        pl AS (SELECT t.doc_id, t.pos FROM tok t
+               JOIN exp ON t.term = exp.term)
+        SELECT p0.doc_id AS doc_id,
+               CAST(count(*) AS BIGINT) AS phrase_tf,
+               CAST(min(p0.pos) AS BIGINT) AS first_pos
+        FROM p0 JOIN pl ON pl.doc_id = p0.doc_id
+                       AND pl.pos = p0.pos + 1
+        GROUP BY p0.doc_id
+        """
+    )
+    sql.update(_geo_sql())
     return sql
+
+
+_SQL_GEO = f"""
+WITH geo AS (
+  SELECT doc_id, source,
+         ((doc_id * {_GEO_MULT_LAT}) % 180000001) / 1000000.0 - 90.0
+           AS lat,
+         ((doc_id * {_GEO_MULT_LON}) % 360000001) / 1000000.0 - 180.0
+           AS lon
+  FROM documents
+)
+"""
+
+
+def _hav_sql(clat: float, clon: float) -> str:
+    """Haversine meters from a constant center, spelled in EXACTLY the
+    Spark expression's shape (same literals — radians as one frozen
+    multiply, 2R pre-folded — same association order), so both engines
+    run the identical IEEE operation sequence."""
+    r = repr(_DEG2RAD)
+    dphi = f"(((lat - {clat!r}) * {r}) / 2.0)"
+    dlmb = f"(((lon - {clon!r}) * {r}) / 2.0)"
+    return (
+        f"12742000.0 * asin(sqrt(sin({dphi}) * sin({dphi})"
+        f" + cos({clat * _DEG2RAD!r}) * cos(lat * {r})"
+        f" * sin({dlmb}) * sin({dlmb})))"
+    )
+
+
+def _geo_sql() -> dict[str, str]:
+    clat, clon = _GEO_CENTER
+    olat, olon = _GEO_ORIGIN
+    out = {}
+    out["q_geo_distance"] = (
+        _SQL_GEO
+        + f"""
+        , d AS (SELECT doc_id, lat, lon,
+                       {_hav_sql(clat, clon)} AS dist
+                FROM geo)
+        SELECT doc_id, lat, lon, round(dist, 3) AS distance_m
+        FROM d WHERE dist <= {_GEO_RADIUS_M!r}
+        """
+    )
+    b = _GEO_BBOX
+    out["q_geo_bbox"] = (
+        _SQL_GEO
+        + f"""
+        SELECT doc_id, lat, lon FROM geo
+        WHERE lat BETWEEN {b["bottom"]!r} AND {b["top"]!r}
+          AND (lon >= {b["left"]!r} OR lon <= {b["right"]!r})
+        """
+    )
+    n = float(1 << _GEO_ZOOM)
+    lim = int(n) - 1
+    rad = repr(_DEG2RAD)
+    out["q_geotile_grid"] = (
+        _SQL_GEO
+        + f"""
+        , cells AS (
+          SELECT least(greatest(CAST(floor((lon + 180.0) / 360.0 * {n!r})
+                                     AS BIGINT), 0), {lim}) AS tx,
+                 least(greatest(CAST(floor(
+                   (1.0 - ln(tan(lat * {rad}) + 1.0 / cos(lat * {rad}))
+                          / {math.pi!r}) / 2.0 * {n!r}) AS BIGINT),
+                   0), {lim}) AS ty
+          FROM geo
+          WHERE lat BETWEEN -85.05112878 AND 85.05112878
+        ), buckets AS (
+          SELECT '{_GEO_ZOOM}' || '/' || CAST(tx AS VARCHAR) || '/'
+                 || CAST(ty AS VARCHAR) AS tile,
+                 CAST(count(*) AS BIGINT) AS doc_count
+          FROM cells GROUP BY tx, ty
+        )
+        SELECT tile, doc_count FROM buckets
+        QUALIFY row_number() OVER (ORDER BY doc_count DESC, tile ASC)
+                <= {_GEO_TOP}
+        """
+    )
+    out["q_geo_centroid"] = (
+        _SQL_GEO
+        + """
+        SELECT source, round(avg(lat), 6) AS centroid_lat,
+               round(avg(lon), 6) AS centroid_lon,
+               CAST(count(*) AS BIGINT) AS doc_count
+        FROM geo GROUP BY source
+        """
+    )
+    edges = _GEO_EDGES_M
+    lo = [0.0] + list(edges)
+    hi = list(edges) + [None]
+
+    def _fmt(v):
+        return str(int(v)) if float(v).is_integer() else str(v)
+
+    bands = ", ".join(
+        "({}, '{}', {!r})".format(
+            i,
+            ("*" if i == 0 else _fmt(lo[i]))
+            + "-"
+            + ("*" if hi[i] is None else _fmt(hi[i])),
+            lo[i],
+        )
+        for i in range(len(lo))
+    )
+    idx = " + ".join(
+        f"(CASE WHEN {_hav_sql(olat, olon)} >= {e!r} THEN 1 ELSE 0 END)"
+        for e in edges
+    )
+    out["q_geo_distance_agg"] = (
+        _SQL_GEO
+        + f"""
+        , counts AS (
+          SELECT (0 + {idx}) AS band_idx, CAST(count(*) AS BIGINT) AS n
+          FROM geo GROUP BY 1
+        )
+        SELECT b.band, CAST(b.lo_m AS DOUBLE) AS lo_m,
+               CAST(coalesce(c.n, 0) AS BIGINT) AS doc_count
+        FROM (VALUES {bands}) AS b(band_idx, band, lo_m)
+        LEFT JOIN counts c ON c.band_idx = b.band_idx
+        """
+    )
+    return out
 
 
 def _expansion_embedded_sql(

@@ -1,0 +1,290 @@
+"""Geo search + geo aggregations (Elasticsearch public semantics).
+
+The reference (jonmartz/SearchEngineJava — reconstructed contract,
+SURVEY.md §2; /root/reference is empty so no file:line can exist) has no
+geo surface; these are the standard search-engine geo operators every
+ES-class engine ships, re-expressed Spark-first over two plain double
+docvalue columns ``(lat, lon)``:
+
+- ``geo_distance_search``   — geo_distance query + sort by _geo_distance
+- ``geo_bounding_box``      — geo_bounding_box filter (antimeridian-aware)
+- ``geotile_grid``          — geotile_grid aggregation (web-mercator z/x/y)
+- ``geo_centroid``          — geo_centroid aggregation per bucket
+- ``geo_distance_agg``      — geo_distance (range) aggregation
+
+Scale design (100 TB): a geo point is just two doubles, so every filter
+here is a plain range predicate that reaches the Parquet scan
+(PushedFilters) — no geometry library, no UDF. ``geo_distance_search``
+derives a driver-side constant bounding box that provably contains the
+query circle and applies it BEFORE the haversine expression, so the
+exact (transcendental) math runs only on the pushdown survivors; on a
+cluster the table would additionally be laid out by geotile key
+(z-order / partitionBy on ``geotile_key(zoom≈5)``) so the same box
+prunes whole partitions. Aggregations are single partial+final hash
+aggs over |rows| → |buckets|; bucket relations are tiny.
+
+Float portability: distances order by the ROUNDED value + doc_id (the
+int8-kNN lesson — DuckDB's libm and the JVM's Math can differ in the
+last ulp, and a raw-float sort key would let engines disagree on ties).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_M = 6371000.0
+# Web-mercator latitude bound: ES geotile_grid ignores points beyond it.
+MERCATOR_MAX_LAT = 85.05112878
+# Lower bound on meters per degree of latitude (the meridian minimum is
+# ~110574 at the equator) — used only to build a SUPERSET bounding box.
+_M_PER_DEG_FLOOR = 110000.0
+# Degrees→radians as ONE frozen double literal, NOT engine radians():
+# Spark's Radians codegens Math.toRadians (x/180·π) while DuckDB computes
+# x·(π/180) — a last-ulp divergence that would poison every downstream
+# rounded comparison. Multiplying by the same literal is bit-identical.
+DEG2RAD = math.pi / 180.0
+
+
+def _rad(x: Column) -> Column:
+    return x * F.lit(DEG2RAD)
+
+
+def haversine_m(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in meters, haversine formula.
+
+    Expression order is frozen (sin²(Δφ/2) + cosφ1·cosφ2·sin²(Δλ/2),
+    then 2R·asin(√·)) — the DuckDB oracle spells the identical order so
+    the two engines agree to the last ulp wherever their libm does.
+    """
+    dphi = _rad(lat2 - lat1) / 2.0
+    dlmb = _rad(lon2 - lon1) / 2.0
+    a = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(_rad(lat1)) * F.cos(_rad(lat2))
+        * F.sin(dlmb) * F.sin(dlmb)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def _circle_bbox(
+    lat: float, lon: float, radius_m: float
+) -> tuple[float, float, float, float] | None:
+    """Driver-side constant box guaranteed to contain the query circle,
+    or None when the circle nears a pole / wraps the antimeridian (then
+    the exact filter runs unassisted — correctness never depends on the
+    box, only pruning does)."""
+    dlat = radius_m / _M_PER_DEG_FLOOR
+    hi = min(90.0, abs(lat) + dlat)
+    if hi >= 89.5:
+        return None
+    dlon = radius_m / (_M_PER_DEG_FLOOR * math.cos(math.radians(hi)))
+    if lon - dlon < -180.0 or lon + dlon > 180.0:
+        return None
+    return (lat - dlat, lat + dlat, lon - dlon, lon + dlon)
+
+
+def geo_distance_search(
+    geo: DataFrame,
+    *,
+    lat: float,
+    lon: float,
+    radius_m: float,
+    k: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``geo_distance`` query + ``_geo_distance`` sort: points within
+    ``radius_m`` of (lat, lon), nearest first.
+
+    → (doc_id, lat, lon, distance_m) with distance rounded to mm and the
+    sort keyed on (rounded distance, doc_id) for engine portability.
+
+    Plan: constant bounding-box range predicates (Parquet-pushable)
+    prefilter a superset of the circle, then one native haversine
+    expression filters and sorts the survivors — zero UDF, zero shuffle
+    beyond the top-k sort.
+    """
+    if radius_m <= 0:
+        raise ValueError("radius_m must be positive")
+    out = geo
+    box = _circle_bbox(lat, lon, radius_m)
+    if box is not None:
+        lo_lat, hi_lat, lo_lon, hi_lon = box
+        out = out.filter(
+            F.col("lat").between(lo_lat, hi_lat)
+            & F.col("lon").between(lo_lon, hi_lon)
+        )
+    d = haversine_m(F.lit(float(lat)), F.lit(float(lon)),
+                    F.col("lat"), F.col("lon"))
+    out = (
+        out.withColumn("distance_m", F.round(d, 3))
+        .filter(d <= F.lit(float(radius_m)))
+        .select(id_col, "lat", "lon", "distance_m")
+        .orderBy(F.col("distance_m").asc(), F.col(id_col).asc())
+    )
+    return out.limit(int(k)) if k is not None else out
+
+
+def geo_bounding_box(
+    geo: DataFrame,
+    *,
+    top: float,
+    bottom: float,
+    left: float,
+    right: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``geo_bounding_box`` filter. When ``left > right`` the box
+    crosses the antimeridian and the longitude predicate becomes the ES
+    OR-of-halves; latitude is always a plain range. Both shapes stay
+    scan-pushable (range predicates / OR of ranges).
+
+    → (doc_id, lat, lon) of the points inside the box (edges inclusive).
+    """
+    if bottom > top:
+        raise ValueError("bottom must be <= top")
+    lat_ok = F.col("lat").between(float(bottom), float(top))
+    if left <= right:
+        lon_ok = F.col("lon").between(float(left), float(right))
+    else:  # antimeridian crossing: [left, 180] ∪ [-180, right]
+        lon_ok = (F.col("lon") >= float(left)) | (
+            F.col("lon") <= float(right)
+        )
+    return geo.filter(lat_ok & lon_ok).select(id_col, "lat", "lon")
+
+
+def geotile_key(zoom: int) -> list[Column]:
+    """(zoom, x, y) web-mercator tile coordinates of (lat, lon) — the ES
+    ``geotile_grid`` bucket key. Pure native math (floor/ln/tan/cos)."""
+    n = float(1 << zoom)
+    x = F.floor((F.col("lon") + 180.0) / 360.0 * n)
+    phi = _rad(F.col("lat"))
+    merc = F.log(F.tan(phi) + 1.0 / F.cos(phi))
+    y = F.floor((1.0 - merc / math.pi) / 2.0 * n)
+    lim = int(n) - 1
+    return [
+        F.least(F.greatest(x.cast("long"), F.lit(0)), F.lit(lim)).alias("tx"),
+        F.least(F.greatest(y.cast("long"), F.lit(0)), F.lit(lim)).alias("ty"),
+    ]
+
+
+def geotile_grid(
+    geo: DataFrame, *, zoom: int, top: int | None = None
+) -> DataFrame:
+    """ES ``geotile_grid`` aggregation: bucket points into web-mercator
+    map tiles at ``zoom``, count per tile, largest first.
+
+    Points outside the mercator latitude range (|lat| > 85.05112878°)
+    are ignored, per the ES contract. → (tile, doc_count) with tile as
+    the canonical "z/x/y" string, ordered (count desc, tile asc) and
+    optionally truncated to the ``top`` buckets (ES ``size``).
+
+    Plan: one filter + one partial+final hash agg on two small ints;
+    the bucket relation is ≤ 4^zoom rows however large the input.
+    """
+    if not 0 <= zoom <= 29:
+        raise ValueError("zoom must be in [0, 29]")
+    cells = geo.filter(
+        F.col("lat").between(-MERCATOR_MAX_LAT, MERCATOR_MAX_LAT)
+    ).select(*geotile_key(zoom))
+    out = (
+        cells.groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .select(
+            F.concat_ws("/", F.lit(str(zoom)), F.col("tx"), F.col("ty"))
+            .alias("tile"),
+            "doc_count",
+        )
+    )
+    if top is not None:
+        w = Window.orderBy(F.col("doc_count").desc(), F.col("tile").asc())
+        out = (
+            out.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= int(top))
+            .drop("rn")
+        )
+    return out
+
+
+def geo_centroid(
+    geo: DataFrame, group_col: str, *, round_to: int = 6
+) -> DataFrame:
+    """ES ``geo_centroid`` aggregation per bucket: the arithmetic mean of
+    the bucket's coordinates (the ES accumulator is exactly Σ/n per
+    axis) plus the bucket count.
+
+    → (group, centroid_lat, centroid_lon, doc_count), means rounded for
+    engine portability. One partial+final hash agg.
+    """
+    return geo.groupBy(group_col).agg(
+        F.round(F.avg("lat"), round_to).alias("centroid_lat"),
+        F.round(F.avg("lon"), round_to).alias("centroid_lon"),
+        F.count(F.lit(1)).cast("long").alias("doc_count"),
+    )
+
+
+def geo_distance_agg(
+    geo: DataFrame,
+    *,
+    lat: float,
+    lon: float,
+    edges_m: Sequence[float],
+) -> DataFrame:
+    """ES ``geo_distance`` (range) aggregation: count points by distance
+    band from an origin. ``edges_m`` are the interior edges; bands are
+    [0, e1), [e1, e2), …, [eN, ∞) keyed the ES way ("*-e1", "e1-e2",
+    "eN-*") — and every requested band is present even when empty (the
+    ES contract), via a right join against the literal band relation.
+
+    → (band, lo_m, doc_count) — lo_m carried as the deterministic band
+    sort key. One haversine projection + one hash agg on the band index.
+    """
+    edges = [float(e) for e in edges_m]
+    if sorted(edges) != edges or len(set(edges)) != len(edges) or (
+        edges and edges[0] <= 0
+    ):
+        raise ValueError("edges_m must be strictly increasing and positive")
+    spark = geo.sparkSession
+    lo = [0.0] + edges
+    hi = edges + [None]
+
+    def _fmt(v: float) -> str:
+        return str(int(v)) if float(v).is_integer() else str(v)
+
+    bands = spark.createDataFrame(
+        [
+            (
+                i,
+                ("*" if i == 0 else _fmt(lo[i]))
+                + "-"
+                + ("*" if hi[i] is None else _fmt(hi[i])),
+                lo[i],
+            )
+            for i in range(len(lo))
+        ],
+        "band_idx int, band string, lo_m double",
+    )
+    d = haversine_m(F.lit(float(lat)), F.lit(float(lon)),
+                    F.col("lat"), F.col("lon"))
+    # band index = number of interior edges <= d  (bands are [lo, hi))
+    idx = F.lit(0)
+    for e in edges:
+        idx = idx + F.when(d >= F.lit(e), 1).otherwise(0)
+    counts = (
+        geo.select(idx.alias("band_idx"))
+        .groupBy("band_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        bands.join(counts, "band_idx", "left")
+        .select(
+            "band",
+            "lo_m",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("doc_count"),
+        )
+    )

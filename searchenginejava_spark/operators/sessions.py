@@ -28,6 +28,8 @@ unix_micros would force a session-timezone cast) and DuckDB's
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -980,3 +982,48 @@ def change_point(
         F.col("__b.ml").alias("mean_before"),
         F.col("__b.mr").alias("mean_after"),
     )
+
+
+def categorize_text(
+    events: DataFrame,
+    *,
+    message_cols: Sequence[str] = ("event_type", "props"),
+    top: int | None = None,
+) -> DataFrame:
+    """``categorize_text`` aggregation (Elasticsearch 8.x, public
+    semantics), the deterministic template variant: log messages are
+    normalized by collapsing every digit run to a ``<num>`` placeholder
+    and grouped by the resulting template — the drain-style category a
+    log line belongs to. Where ES's categorizer is a stateful ML
+    tokenizer whose categories can drift with shard order, this is a
+    pure function of the line, so categories are stable, mergeable
+    across any partitioning, and oracle-checkable.
+
+    → (category, doc_count) ordered (count desc, category asc),
+    optionally truncated to the ``top`` categories (ES ``size``).
+
+    Plan shape: one narrow projection (concat + regexp_replace, native)
+    + ONE partial+final hash agg on the template string; the bucket
+    relation is |templates| rows — log corpora collapse 4-6 orders of
+    magnitude at this step, so the optional top-size window is
+    coordinator-cheap.
+    """
+    if not message_cols:
+        raise ValueError("message_cols must be non-empty")
+    msg = F.concat_ws(" ", *[F.col(c) for c in message_cols])
+    template = F.regexp_replace(msg, "[0-9]+", "<num>")
+    out = (
+        events.select(template.alias("category"))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+    )
+    if top is not None:
+        w = Window.orderBy(
+            F.col("doc_count").desc(), F.col("category").asc()
+        )
+        out = (
+            out.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= int(top))
+            .drop("rn")
+        )
+    return out

@@ -1,0 +1,194 @@
+"""Geo query + aggregation operators (ES public semantics): haversine
+distance search with bbox prefilter, bounding box (antimeridian),
+geotile grid, centroid, distance-range agg."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginejava_spark.operators.geo import (
+    MERCATOR_MAX_LAT,
+    _circle_bbox,
+    geo_bounding_box,
+    geo_centroid,
+    geo_distance_agg,
+    geo_distance_search,
+    geotile_grid,
+    haversine_m,
+)
+
+
+def _hav_py(lat1, lon1, lat2, lon2):
+    r = math.pi / 180.0
+    dphi = (lat2 - lat1) * r / 2.0
+    dlmb = (lon2 - lon1) * r / 2.0
+    a = (
+        math.sin(dphi) ** 2
+        + math.cos(lat1 * r) * math.cos(lat2 * r) * math.sin(dlmb) ** 2
+    )
+    return 2.0 * 6371000.0 * math.asin(math.sqrt(a))
+
+
+@pytest.fixture(scope="module")
+def geo(spark):
+    rows = [
+        (0, 0.0, 0.0, "a"),          # origin
+        (1, 0.0, 1.0, "a"),          # ~111 km east
+        (2, 1.0, 0.0, "a"),          # ~111 km north
+        (3, 10.0, 10.0, "b"),        # ~1560 km away
+        (4, 52.5, 13.4, "b"),        # Berlin-ish
+        (5, -33.9, 151.2, "b"),      # Sydney-ish
+        (6, 89.9, 0.0, "c"),         # near-pole (outside mercator range)
+        (7, 0.5, 179.9, "c"),        # near antimeridian, east side
+        (8, 0.5, -179.8, "c"),       # near antimeridian, west side
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, lat double, lon double, source string"
+    )
+
+
+def test_haversine_matches_local_math(spark, geo):
+    got = geo.select(
+        "doc_id",
+        haversine_m(F.lit(0.0), F.lit(0.0), F.col("lat"), F.col("lon"))
+        .alias("d"),
+    ).collect()
+    for r in got:
+        lat, lon = {
+            0: (0, 0), 1: (0, 1), 2: (1, 0), 3: (10, 10), 4: (52.5, 13.4),
+            5: (-33.9, 151.2), 6: (89.9, 0), 7: (0.5, 179.9),
+            8: (0.5, -179.8),
+        }[r["doc_id"]]
+        assert r["d"] == pytest.approx(_hav_py(0, 0, lat, lon), rel=1e-12)
+
+
+def test_distance_search_radius_and_order(spark, geo):
+    res = geo_distance_search(
+        geo, lat=0.0, lon=0.0, radius_m=200_000
+    ).collect()
+    # origin (0 m), then the two ~111 km points: east (doc 1) is along
+    # the equator, north (doc 2) along the meridian — equidistant to mm,
+    # so doc_id breaks the tie.
+    assert [r["doc_id"] for r in res] == [0, 1, 2]
+    assert res[0]["distance_m"] == 0.0
+    assert res[1]["distance_m"] == pytest.approx(
+        _hav_py(0, 0, 0, 1), abs=0.001
+    )
+
+
+def test_distance_search_k_truncates(spark, geo):
+    res = geo_distance_search(
+        geo, lat=0.0, lon=0.0, radius_m=200_000, k=2
+    ).collect()
+    assert [r["doc_id"] for r in res] == [0, 1]
+
+
+def test_distance_search_bbox_prefilter_is_superset(spark, geo):
+    # With the bbox disabled (near-pole center returns None) the result
+    # must be identical — the box only prunes, never decides.
+    assert _circle_bbox(89.0, 0.0, 500_000) is None
+    box = _circle_bbox(0.0, 0.0, 200_000)
+    assert box is not None
+    lo_lat, hi_lat, lo_lon, hi_lon = box
+    for lat, lon in [(0, 0), (0, 1), (1, 0)]:  # every in-radius point
+        assert lo_lat <= lat <= hi_lat and lo_lon <= lon <= hi_lon
+
+
+def test_distance_search_rejects_bad_radius(spark, geo):
+    with pytest.raises(ValueError):
+        geo_distance_search(geo, lat=0.0, lon=0.0, radius_m=0)
+
+
+def test_bounding_box_plain(spark, geo):
+    got = {
+        r["doc_id"]
+        for r in geo_bounding_box(
+            geo, top=2.0, bottom=-1.0, left=-0.5, right=1.5
+        ).collect()
+    }
+    assert got == {0, 1, 2}
+
+
+def test_bounding_box_antimeridian(spark, geo):
+    # left > right wraps: [179, 180] ∪ [-180, -179]
+    got = {
+        r["doc_id"]
+        for r in geo_bounding_box(
+            geo, top=1.0, bottom=0.0, left=179.0, right=-179.0
+        ).collect()
+    }
+    assert got == {7, 8}
+
+
+def test_bounding_box_rejects_inverted_lat(spark, geo):
+    with pytest.raises(ValueError):
+        geo_bounding_box(geo, top=0.0, bottom=1.0, left=0.0, right=1.0)
+
+
+def test_geotile_grid_zoom0_counts_in_mercator_range(spark, geo):
+    res = geotile_grid(geo, zoom=0).collect()
+    # zoom 0 = one world tile; the near-pole point (lat 89.9) is outside
+    # the mercator range and must be ignored (ES contract).
+    assert len(res) == 1
+    assert res[0]["tile"] == "0/0/0"
+    assert res[0]["doc_count"] == 8
+
+
+def test_geotile_grid_zoom1_quadrants(spark, geo):
+    res = {r["tile"]: r["doc_count"] for r in geotile_grid(geo, zoom=1).collect()}
+    # lon<0 → x=0, lon>=0 → x=1; lat>0 → y=0; lat<=0 → y=1 (the equator
+    # sits exactly on the tile edge and floors into the southern tile)
+    # docs 2,3,4,7 → "1/1/0"; 0,1,5 → "1/1/1"; 8 → "1/0/0"
+    assert res == {"1/1/0": 4, "1/1/1": 3, "1/0/0": 1}
+
+
+def test_geotile_grid_top_truncates_deterministically(spark, geo):
+    res = geotile_grid(geo, zoom=1, top=2).collect()
+    assert [r["tile"] for r in res] == ["1/1/0", "1/1/1"]
+    with pytest.raises(ValueError):
+        geotile_grid(geo, zoom=30)
+
+
+def test_geo_centroid_means(spark, geo):
+    res = {
+        r["source"]: r
+        for r in geo_centroid(geo, "source").collect()
+    }
+    assert res["a"]["doc_count"] == 3
+    assert res["a"]["centroid_lat"] == pytest.approx((0 + 0 + 1) / 3, abs=1e-6)
+    assert res["a"]["centroid_lon"] == pytest.approx((0 + 1 + 0) / 3, abs=1e-6)
+    assert res["b"]["doc_count"] == 3
+
+
+def test_geo_distance_agg_bands_and_empties(spark, geo):
+    res = {
+        r["band"]: r["doc_count"]
+        for r in geo_distance_agg(
+            geo, lat=0.0, lon=0.0,
+            edges_m=[200_000, 2_000_000, 3_000_000],
+        ).collect()
+    }
+    # [0,200k): docs 0,1,2 — [200k,2M): doc 3 (~1568 km) —
+    # [2M,3M): nothing — [3M,*): docs 4,5,6,7,8
+    assert res == {
+        "*-200000": 3,
+        "200000-2000000": 1,
+        "2000000-3000000": 0,
+        "3000000-*": 5,
+    }
+
+
+def test_geo_distance_agg_rejects_bad_edges(spark, geo):
+    with pytest.raises(ValueError):
+        geo_distance_agg(geo, lat=0.0, lon=0.0, edges_m=[5.0, 5.0])
+    with pytest.raises(ValueError):
+        geo_distance_agg(geo, lat=0.0, lon=0.0, edges_m=[-1.0, 5.0])
+
+
+def test_mercator_constant_matches_es(spark):
+    assert MERCATOR_MAX_LAT == pytest.approx(
+        math.degrees(2 * math.atan(math.exp(math.pi)) - math.pi / 2)
+    )

@@ -1,0 +1,168 @@
+"""Query-DSL completion: constant_score, boosting demotion,
+distance_feature proximity boost, match_phrase_prefix expansion."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginejava_spark.operators.positional import positional_index
+from searchenginejava_spark.operators.querydsl import (
+    _all_bm25_scores,
+    boosting_search,
+    constant_score_search,
+    distance_feature_rerank,
+    match_phrase_prefix,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    """3 docs, uniform length 3 — BM25 rank is driven purely by tf."""
+    tf_rows = [
+        (1, "apple", 1), (1, "banana", 1), (1, "cherry", 1),
+        (2, "apple", 2), (2, "slow", 1),
+        (3, "apple", 1), (3, "banana", 1), (3, "table", 1),
+    ]
+    tf = spark.createDataFrame(tf_rows, "doc_id long, term string, tf long")
+    docs = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("doc_len")
+    )
+    dct = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    stats = {"N": 3, "avgdl": 3.0}
+    return tf, docs, dct, stats
+
+
+@pytest.fixture(scope="module")
+def qt(spark):
+    return spark.createDataFrame(
+        [(0, "apple", 1)], "query_id int, term string, qtf int"
+    )
+
+
+def test_constant_score_any_vs_all(spark, tiny):
+    tf = tiny[0]
+    any_hits = constant_score_search(
+        tf, ["banana", "cherry"], boost=2.5, mode="any"
+    ).collect()
+    assert {r["doc_id"] for r in any_hits} == {1, 3}
+    assert all(r["score"] == 2.5 for r in any_hits)
+    all_hits = constant_score_search(
+        tf, ["banana", "cherry"], mode="all"
+    ).collect()
+    assert {r["doc_id"] for r in all_hits} == {1}
+    with pytest.raises(ValueError):
+        constant_score_search(tf, [], mode="any")
+    with pytest.raises(ValueError):
+        constant_score_search(tf, ["x"], mode="or")
+
+
+def test_boosting_demotes_but_keeps(spark, tiny, qt):
+    tf, docs, dct, stats = tiny
+    base = boosting_search(
+        qt, tf, docs, dct, stats, ["zzz-absent"], negative_boost=0.5, k=10
+    ).collect()
+    # no negative matches → pure BM25: doc 2 (tf=2) first, then 1, 3
+    assert [r["doc_id"] for r in base] == [2, 1, 3]
+    demoted = boosting_search(
+        qt, tf, docs, dct, stats, ["slow"], negative_boost=0.1, k=10
+    ).collect()
+    # doc 2 matches the negative query → ×0.1 drops it below 1 and 3,
+    # but it is still PRESENT (demotion, not exclusion)
+    assert [r["doc_id"] for r in demoted] == [1, 3, 2]
+    # scores are emitted rounded to 6 decimals
+    assert demoted[2]["score"] == pytest.approx(
+        base[0]["score"] * 0.1, abs=1e-6
+    )
+
+
+def test_boosting_validates(spark, tiny, qt):
+    tf, docs, dct, stats = tiny
+    with pytest.raises(ValueError):
+        boosting_search(qt, tf, docs, dct, stats, [], negative_boost=0.5)
+    with pytest.raises(ValueError):
+        boosting_search(qt, tf, docs, dct, stats, ["x"], negative_boost=1.5)
+
+
+def test_distance_feature_boost_and_missing(spark):
+    scored = spark.createDataFrame(
+        [(0, 1, 10.0), (0, 2, 9.9), (0, 3, 9.8)],
+        "query_id int, doc_id long, score double",
+    )
+    fv = spark.createDataFrame(
+        [(1, 500), (2, 100)], "doc_id long, n_chars long"
+    )  # doc 3 has no field row → boost 0, never dropped
+    res = distance_feature_rerank(
+        scored, fv, field="n_chars", origin=100.0, pivot=50.0, boost=2.0,
+        k=10,
+    ).collect()
+    # doc 2 sits AT the origin → +2.0 (full boost) = 11.9 → first;
+    # doc 1 is 400 away → +2*50/450 ≈ +0.222 → 10.222; doc 3 → 9.8
+    assert [r["doc_id"] for r in res] == [2, 1, 3]
+    assert res[0]["score"] == pytest.approx(11.9, abs=1e-6)
+    assert res[2]["score"] == pytest.approx(9.8, abs=1e-6)
+    with pytest.raises(ValueError):
+        distance_feature_rerank(
+            scored, fv, field="n_chars", origin=0.0, pivot=0.0
+        )
+
+
+@pytest.fixture(scope="module")
+def pdocs(spark):
+    rows = [
+        (1, "fast table scan"),
+        (2, "fast tablet mode"),
+        (3, "fast car"),
+        (4, "table fast tab"),
+    ]
+    return positional_index(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        mode="simple",
+    )
+
+
+def test_phrase_prefix_expands_in_term_order(spark, pdocs):
+    res = {
+        r["doc_id"]: r
+        for r in match_phrase_prefix(pdocs, ["fast"], "ta").collect()
+    }
+    # "fast ta*": table (d1@1), tablet (d2@1), tab (d4@2); d3 no match
+    assert set(res) == {1, 2, 4}
+    assert res[1]["phrase_tf"] == 1 and res[1]["first_pos"] == 1
+    assert res[4]["first_pos"] == 2
+
+
+def test_phrase_prefix_cap_takes_first_terms(spark, pdocs):
+    # dictionary under 'ta' sorted: tab, table, tablet — cap 1 keeps
+    # only 'tab' (the Lucene max_expansions contract), so only doc 4
+    res = match_phrase_prefix(
+        pdocs, ["fast"], "ta", max_expansions=1
+    ).collect()
+    assert [r["doc_id"] for r in res] == [4]
+
+
+def test_phrase_prefix_prefix_only(spark, pdocs):
+    res = {
+        r["doc_id"]: r
+        for r in match_phrase_prefix(pdocs, [], "ta").collect()
+    }
+    # bare prefix = capped multi-term union: d1 table@2, d2 tablet@2,
+    # d4 table@1 + tab@3
+    assert set(res) == {1, 2, 4}
+    assert res[4]["phrase_tf"] == 2 and res[4]["first_pos"] == 1
+
+
+def test_phrase_prefix_validates(spark, pdocs):
+    with pytest.raises(ValueError):
+        match_phrase_prefix(pdocs, ["fast"], "")
+    with pytest.raises(ValueError):
+        match_phrase_prefix(pdocs, ["fast"], "ta", max_expansions=0)
+
+
+def test_all_bm25_scores_matches_topk_head(spark, tiny, qt):
+    tf, docs, dct, stats = tiny
+    full = _all_bm25_scores(qt, tf, docs, dct, stats).collect()
+    # every doc containing 'apple' is scored, none truncated
+    assert {r["doc_id"] for r in full} == {1, 2, 3}
+    by_doc = {r["doc_id"]: r["score"] for r in full}
+    assert by_doc[2] > by_doc[1] == pytest.approx(by_doc[3])

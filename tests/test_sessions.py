@@ -893,3 +893,31 @@ def test_change_point_degenerate_series_null(spark):
     assert got["short"]["t_stat"] is None
     with pytest.raises(ValueError):
         change_point(_ev(spark, rows), min_side=0)
+
+
+# --- categorize_text (r5 wave k) ---
+
+
+def test_categorize_text_templates_and_top(spark):
+    from searchenginejava_spark.operators.sessions import categorize_text
+
+    rows = [
+        ("error", "code 500 at line 42"),
+        ("error", "code 404 at line 7"),
+        ("error", "code 500 at line 99"),
+        ("login", "user 1001 ok"),
+        ("login", None),  # null message col is skipped by concat_ws
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, props string")
+    res = {r["category"]: r["doc_count"] for r in categorize_text(ev).collect()}
+    assert res == {
+        "error code <num> at line <num>": 3,
+        "login user <num> ok": 1,
+        "login": 1,
+    }
+    top = categorize_text(ev, top=1).collect()
+    assert [r["category"] for r in top] == ["error code <num> at line <num>"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        categorize_text(ev, message_cols=())

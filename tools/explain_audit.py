@@ -2147,6 +2147,160 @@ def main() -> None:
          + "\n\n" + p_cp, checks)
     )
 
+    # 45. wave-27 (r5 wave i): geo — the claims: geo_distance_search's
+    # constant bounding box reaches the Parquet scan as pushed range
+    # predicates (the haversine runs only on pushdown survivors);
+    # geotile_grid is ONE partial+final hash agg; geo_distance_agg's
+    # band relation joins broadcast. Zero Python anywhere.
+    import tempfile
+
+    from searchenginejava_spark.operators.geo import (
+        geo_distance_agg,
+        geo_distance_search,
+        geotile_grid,
+    )
+
+    with tempfile.TemporaryDirectory() as td_geo:
+        gsrc = corpus.select(
+            "doc_id",
+            ((F.col("doc_id") * F.lit(2654435761)) % F.lit(180000001)
+             / 1000000.0 - 90.0).alias("lat"),
+            ((F.col("doc_id") * F.lit(2246822519)) % F.lit(360000001)
+             / 1000000.0 - 180.0).alias("lon"),
+        )
+        gsrc.write.mode("overwrite").parquet(td_geo + "/geo")
+        gdf = spark.read.parquet(td_geo + "/geo")
+        p_gd = plan_of(
+            geo_distance_search(gdf, lat=10.0, lon=20.0, radius_m=3e6)
+        )
+        p_gt = plan_of(geotile_grid(gdf, zoom=3))
+        p_ga = plan_of(
+            geo_distance_agg(gdf, lat=48.0, lon=2.0, edges_m=[2e6, 5e6])
+        )
+        checks = [
+            (
+                "geo_distance_search: bbox range predicates pushed to "
+                "the Parquet scan (lat AND lon in PushedFilters)",
+                "GreaterThanOrEqual(lat" in p_gd
+                and "GreaterThanOrEqual(lon" in p_gd
+                and "LessThanOrEqual(lat" in p_gd,
+                "",
+            ),
+            (
+                "geo_distance_search: native haversine — zero Python",
+                "ArrowEvalPython" not in p_gd
+                and "MapInPandas" not in p_gd
+                and "BatchEvalPython" not in p_gd,
+                "",
+            ),
+            (
+                "geotile_grid: ONE partial+final hash agg on the tile "
+                "key, zero Python",
+                n_nodes(p_gt, "HashAggregate") >= 2
+                and n_nodes(p_gt, "Exchange") == 1
+                and "ArrowEvalPython" not in p_gt,
+                f"Exchange x{n_nodes(p_gt, 'Exchange')}",
+            ),
+            (
+                "geo_distance_agg: band-index agg + broadcast band "
+                "join (never shuffles the band relation)",
+                n_nodes(p_ga, "HashAggregate") >= 2
+                and "BroadcastExchange" in p_ga
+                and "ArrowEvalPython" not in p_ga,
+                "",
+            ),
+        ]
+        sections.append(
+            ("wave-27 geo: distance search (pushed bbox), geotile grid, "
+             "distance-range agg", p_gd + "\n\n" + p_gt + "\n\n" + p_ga,
+             checks)
+        )
+
+    # 46. wave-28 (r5 waves j/k): query-DSL completion + categorize —
+    # the claims: boosting's scorer broadcasts the query-sized
+    # vocabulary (never shuffles it) and joins the negative doc set
+    # without a cartesian; match_phrase_prefix caps+broadcasts the
+    # expansion before positions are read; categorize_text is ONE
+    # partial+final hash agg. Zero Python throughout.
+    from searchenginejava_spark.operators.positional import (
+        positional_index as _pidx_dsl,
+    )
+    from searchenginejava_spark.operators.querydsl import (
+        boosting_search,
+        constant_score_search,
+        match_phrase_prefix,
+    )
+    from searchenginejava_spark.operators.sessions import categorize_text
+
+    tf_dsl = (
+        corpus.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    docs_dsl = tf_dsl.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("doc_len")
+    )
+    dct_dsl = tf_dsl.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    qt_dsl = spark.createDataFrame(
+        [(0, "merge", 1)], "query_id int, term string, qtf int"
+    )
+    p_bo = plan_of(
+        boosting_search(
+            qt_dsl, tf_dsl, docs_dsl, dct_dsl,
+            {"N": 100, "avgdl": 30.0}, ["slow"], negative_boost=0.3,
+        )
+    )
+    p_cs = plan_of(constant_score_search(tf_dsl, ["merge", "spark"]))
+    p_mx = plan_of(
+        match_phrase_prefix(
+            _pidx_dsl(corpus, mode="simple"), ["fast"], "s",
+            max_expansions=3,
+        )
+    )
+    p_cz = plan_of(categorize_text(ev_a))
+    checks = [
+        (
+            "boosting: query vocabulary broadcast, no cartesian",
+            "BroadcastExchange" in p_bo
+            and "CartesianProduct" not in p_bo
+            and "ArrowEvalPython" not in p_bo,
+            "",
+        ),
+        (
+            "constant_score: term-pruned agg, zero Python",
+            n_nodes(p_cs, "HashAggregate") >= 2
+            and "ArrowEvalPython" not in p_cs,
+            "",
+        ),
+        (
+            "match_phrase_prefix: capped expansion broadcast into the "
+            "positions relation, no cartesian",
+            "BroadcastExchange" in p_mx
+            and "CartesianProduct" not in p_mx
+            and "ArrowEvalPython" not in p_mx,
+            "",
+        ),
+        (
+            "categorize_text: ONE partial+final hash agg on the "
+            "template, single Exchange, zero Python",
+            n_nodes(p_cz, "HashAggregate") >= 2
+            and n_nodes(p_cz, "Exchange") == 1
+            and "ArrowEvalPython" not in p_cz,
+            f"Exchange x{n_nodes(p_cz, 'Exchange')}",
+        ),
+    ]
+    sections.append(
+        ("wave-28 query-DSL + categorize: boosting, constant_score, "
+         "match_phrase_prefix, categorize_text",
+         p_bo + "\n\n" + p_cs + "\n\n" + p_mx + "\n\n" + p_cz, checks)
+    )
+
     ok = True
     out = ["# PLANS.md — physical-plan audit (generated by tools/explain_audit.py)", ""]
     for title, plan, cks in sections:
