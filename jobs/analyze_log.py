@@ -48,6 +48,13 @@ def main(argv: list[str] | None = None) -> int:
     # Welch t-test between two event types on value -> printed in the
     # summary (a one-row result, no dataset)
     p.add_argument("--ttest", nargs=2, metavar=("GROUP_A", "GROUP_B"))
+    # per-type extended_stats (ES moments formulas) -> extended_stats/
+    p.add_argument("--extended-stats", action="store_true")
+    # per-unit rate normalization of the rollup -> rate/ dataset
+    p.add_argument("--rate-unit-minutes", type=int, default=None)
+    # digit-collapsed log-template categories -> categories/ dataset
+    p.add_argument("--categorize", action="store_true")
+    p.add_argument("--categorize-top", type=int, default=100)
     p.add_argument("--json", action="store_true")
     args = p.parse_args(argv)
 
@@ -132,6 +139,34 @@ def main(argv: list[str] | None = None) -> int:
             f"{args.output}/robust_stats"
         )
         n_robust = spark.read.parquet(f"{args.output}/robust_stats").count()
+    n_xstats = None
+    if args.extended_stats:
+        from searchenginejava_spark.operators.sessions import extended_stats
+
+        extended_stats(ev).write.mode("overwrite").parquet(
+            f"{args.output}/extended_stats"
+        )
+        n_xstats = spark.read.parquet(
+            f"{args.output}/extended_stats"
+        ).count()
+    n_rate = None
+    if args.rate_unit_minutes is not None:
+        from searchenginejava_spark.operators.sessions import rate_agg
+
+        rate_agg(
+            ev,
+            window_minutes=args.window_minutes,
+            unit_minutes=args.rate_unit_minutes,
+        ).write.mode("overwrite").parquet(f"{args.output}/rate")
+        n_rate = spark.read.parquet(f"{args.output}/rate").count()
+    n_cat = None
+    if args.categorize:
+        from searchenginejava_spark.operators.sessions import categorize_text
+
+        categorize_text(ev, top=args.categorize_top).write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/categories")
+        n_cat = spark.read.parquet(f"{args.output}/categories").count()
     ttest_row = None
     if args.ttest:
         from searchenginejava_spark.operators.sessions import ab_ttest
@@ -159,6 +194,9 @@ def main(argv: list[str] | None = None) -> int:
         "n_retention_cells": n_ret,
         "n_anomalous_buckets": n_anom,
         "n_robust_groups": n_robust,
+        "n_extended_stats_groups": n_xstats,
+        "n_rate_rows": n_rate,
+        "n_categories": n_cat,
         "ttest": ttest_row,
         "out": args.output,
     }

@@ -829,6 +829,131 @@ class SearchEngine:
         )
         return res.filter(F.col("rank") <= k)
 
+    # -- query-DSL completion (r5 wave j/m) ------------------------------
+
+    def _query_terms(self, text: str) -> DataFrame:
+        from .operators.search import query_terms_df
+
+        return query_terms_df(self.spark, [(0, text)], tokenizer=self._tok)
+
+    def search_boosting(
+        self, text: str, negative_terms: Sequence[str], *,
+        negative_boost: float = 0.5, k: int = TOP_K,
+    ) -> DataFrame:
+        """ES boosting query: positive BM25, negative matches demoted
+        ×negative_boost (tombstoned docs hard-excluded)."""
+        from .operators.querydsl import boosting_search
+
+        return boosting_search(
+            self._query_terms(text), self.index.tf, self.index.docs,
+            self.index.dictionary, self.index.stats,
+            [t for nt in negative_terms for t in self._tok(nt)],
+            negative_boost=negative_boost, k=k,
+            doc_exclude=self.index.tombstones,
+        )
+
+    def search_constant(
+        self, terms: Sequence[str], *, boost: float = 1.0,
+        mode: str = "any",
+    ) -> DataFrame:
+        """ES constant_score: filter context scored with a flat boost."""
+        from .operators.querydsl import constant_score_search
+
+        folded = [t for raw in terms for t in self._tok(raw)]
+        return constant_score_search(
+            self.index.tf, folded, boost=boost, mode=mode
+        )
+
+    def search_distance_feature(
+        self, text: str, field: str, *, doc_meta: DataFrame,
+        origin: float, pivot: float, boost: float = 1.0,
+        k: int = TOP_K, candidates: int = 200,
+    ) -> DataFrame:
+        """ES distance_feature: relevance + boost·pivot/(pivot+|Δ|)
+        proximity on a numeric docvalue; rescores ``candidates`` BM25
+        hits (wider than k) and truncates after the boost."""
+        from .operators.querydsl import distance_feature_rerank
+
+        return distance_feature_rerank(
+            self.search(text, k=max(candidates, k)), doc_meta,
+            field=field, origin=origin, pivot=pivot, boost=boost, k=k,
+        )
+
+    def search_pinned(
+        self, text: str, promoted: Sequence[int], *,
+        k: int = TOP_K, candidates: int = 200,
+    ) -> DataFrame:
+        """ES pinned query: editorial ids first in listed order, the
+        organic tail after (pins excluded; tombstoned/absent pins
+        dropped)."""
+        from .operators.querydsl import pinned_search
+
+        universe = self.index.docs.select("doc_id")
+        if self.index.tombstones is not None:
+            universe = universe.join(
+                F.broadcast(self.index.tombstones.select("doc_id")),
+                "doc_id", "anti",
+            )
+        scored = self.search(text, k=max(candidates, k)).select(
+            "query_id", "doc_id", "score"
+        )
+        return pinned_search(scored, universe, promoted, k=k)
+
+    def phrase_prefix(
+        self, terms: Sequence[str], prefix: str, *,
+        max_expansions: int = 50,
+    ) -> DataFrame:
+        """Lucene match_phrase_prefix over the compressed positional
+        postings: only the fixed terms' and prefix range's postings are
+        decoded."""
+        from .operators.index import decode_postings_positions_df
+        from .operators.querydsl import match_phrase_prefix
+
+        if self.index.postings is None:
+            raise ValueError("phrase_prefix needs compressed postings")
+        cond = F.col("term").startswith(prefix)
+        for t in terms:
+            cond = cond | (F.col("term") == t)
+        pi = decode_postings_positions_df(
+            self.index.postings.filter(cond)
+        )
+        return match_phrase_prefix(
+            pi, list(terms), prefix, max_expansions=max_expansions
+        )
+
+    def search_combined(
+        self, text: str, *, artifacts=None, boosts=None, k: int = TOP_K,
+    ) -> DataFrame:
+        """ES combined_fields over the published fielded artifacts —
+        tf-level blending into one synthetic field (the fourth
+        multi-field model next to best_fields/cross_fields/BM25F)."""
+        from .operators.fielded import combined_fields_topk
+
+        art = artifacts if artifacts is not None else getattr(
+            self, "_fielded", None
+        )
+        if art is None:
+            raise ValueError(
+                "no fielded artifacts — call publish_fielded(corpus, "
+                "fields) first or pass artifacts="
+            )
+        return combined_fields_topk(
+            self._query_terms(text), art.ftf,
+            boosts=dict(boosts if boosts is not None else art.boosts),
+            k=k,
+        )
+
+    def terms_lookup(
+        self, doc_id: int, *, min_match: int = 1, k: int | None = None,
+    ) -> DataFrame:
+        """ES terms-lookup query: docs sharing vocabulary with ``doc_id``
+        (filter terms fetched from the index at query time)."""
+        from .operators.querydsl import terms_lookup_search
+
+        return terms_lookup_search(
+            self.index.tf, doc_id, min_match=min_match, k=k
+        )
+
     # -- maintenance ------------------------------------------------------
 
     def delete(self, doc_ids: Sequence[int]) -> "SearchEngine":

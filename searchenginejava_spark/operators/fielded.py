@@ -603,3 +603,96 @@ def cross_fields_topk(
         )
         .orderBy("query_id", "rank")
     )
+
+
+def combined_fields_topk(
+    query_terms: DataFrame,
+    ftf: DataFrame,
+    *,
+    boosts: Mapping[str, float],
+    k: int = TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """``combined_fields`` query (Elasticsearch / Lucene
+    CombinedFieldQuery, public semantics) — the third multi-field
+    ranking model, completing the set next to best_fields
+    (``dismax_topk``), cross_fields (``cross_fields_topk``) and BM25F
+    (``bm25f_topk``): the fields are merged into ONE synthetic field
+    BEFORE scoring,
+
+        t̃f(t,d)  = Σ_f w_f · tf_f(t,d)
+        d̃l(d)    = Σ_f w_f · dl_f(d)
+        score    = Σ_t qtf · idf(df_any) · t̃f·(k1+1)
+                                / (t̃f + k1·(1−b + b·d̃l/av̇gdl))
+
+    with ONE document-level df (docs where the term appears in ANY
+    field) and one global avgdl of the merged length — term-centric
+    like cross_fields but with tf-level (not score-level) blending.
+    Per the ES contract, ``boosts`` (field weights) must be ≥ 1.
+
+    Plan shape: two hash aggs fold ftf to the merged (doc, term, t̃f)
+    and (doc, d̃l) relations (integer-weighted sums stay EXACT when the
+    boosts are integral — the oracle relies on this for bit-stable
+    avgdl); query-sized broadcast join prunes to the query vocabulary;
+    native score; top-k window. → (query_id, rank, doc_id, score),
+    ties (score desc, doc_id asc).
+    """
+    if not boosts:
+        raise ValueError("boosts must be non-empty")
+    if any(float(w) < 1.0 for w in boosts.values()):
+        raise ValueError("combined_fields boosts must be >= 1 (ES contract)")
+    w = None
+    for name, wt in boosts.items():
+        cond = F.when(F.col("field") == name, F.lit(float(wt)))
+        w = cond if w is None else w.when(
+            F.col("field") == name, F.lit(float(wt))
+        )
+    wtf = ftf.withColumn("w", w).filter(F.col("w").isNotNull())
+    ctf = wtf.groupBy("doc_id", "term").agg(
+        F.sum(F.col("w") * F.col("tf")).alias("tfc")
+    )
+    dlc = wtf.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("tf")).alias("dlc")
+    )
+    srow = dlc.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dlc").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(srow["n"]), float(srow["avgdl"])
+    vocab = query_terms.select("term").distinct()
+    dfc = (
+        ctf.join(F.broadcast(vocab), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    qd = F.broadcast(query_terms.join(dfc, "term"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + 1.0
+    )
+    norm = F.col("tfc") + F.lit(float(k1)) * (
+        F.lit(1.0 - float(b))
+        + F.lit(float(b)) * F.col("dlc") / F.lit(avgdl)
+    )
+    contrib = (
+        F.col("qtf") * idf * (F.col("tfc") * F.lit(float(k1) + 1.0)) / norm
+    )
+    scored = (
+        ctf.join(qd, "term")
+        .join(dlc, "doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib).alias("s"))
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            F.round("s", 6).alias("score"),
+        )
+    )

@@ -288,3 +288,87 @@ def geo_distance_agg(
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("doc_count"),
         )
     )
+
+
+# base32 alphabet of the geohash public spec (no a/i/l/o)
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_cell(precision: int) -> Column:
+    """Geohash string of (lat, lon) at ``precision`` characters — the ES
+    ``geohash_grid`` bucket key, from the public geohash spec: lat/lon
+    bisection bits interleaved lon-first, 5 bits per base32 character.
+
+    Pure integer arithmetic end to end (scale → floor → bit interleave
+    via shifts → per-character array lookup), so Spark and the DuckDB
+    oracle agree bit-for-bit; the only float ops are the two initial
+    scalings, identical-order in both engines.
+    """
+    if not 1 <= precision <= 12:
+        raise ValueError("precision must be in [1, 12]")
+    total = 5 * precision
+    n_lon = (total + 1) // 2  # lon-first interleave gets the extra bit
+    n_lat = total // 2
+    # cell indices: floor of the fraction across the axis range, clamped
+    # (lat=90 / lon=180 land in the last cell, not one past it)
+    lon_i = F.least(
+        F.floor((F.col("lon") + 180.0) / 360.0 * F.lit(float(1 << n_lon)))
+        .cast("long"),
+        F.lit((1 << n_lon) - 1),
+    )
+    lat_i = F.least(
+        F.floor((F.col("lat") + 90.0) / 180.0 * F.lit(float(1 << n_lat)))
+        .cast("long"),
+        F.lit((1 << n_lat) - 1),
+    )
+    # interleave lon-first from the MSB: reading the code MSB→LSB the
+    # bits alternate lon, lat, lon, … — so counting slots from the LSB,
+    # bit b of lon_i lands at slot 2b+1 when the total is even and 2b
+    # when odd, and lat_i at the complementary parity (derived from
+    # slot = total−1−position_from_msb; pinned by the spec test vectors)
+    code = F.lit(0).cast("long")
+    for b in range(n_lon):
+        code = code + F.shiftleft(
+            F.shiftright(lon_i, b).bitwiseAND(F.lit(1)),
+            2 * b + 1 - (total % 2),
+        )
+    for b in range(n_lat):
+        code = code + F.shiftleft(
+            F.shiftright(lat_i, b).bitwiseAND(F.lit(1)), 2 * b + (total % 2)
+        )
+    # 5-bit groups, MSB group first → base32 chars
+    chars = [
+        F.substring(
+            F.lit(_GEOHASH32),
+            F.shiftright(code, 5 * (precision - 1 - i))
+            .bitwiseAND(F.lit(31))
+            .cast("int")
+            + 1,
+            1,
+        )
+        for i in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_grid(
+    geo: DataFrame, *, precision: int, top: int | None = None
+) -> DataFrame:
+    """ES ``geohash_grid`` aggregation: bucket points into geohash cells
+    at ``precision`` chars, count per cell, (count desc, hash asc),
+    optional top-``size``. Same single partial+final hash-agg shape as
+    ``geotile_grid``; the bucket relation is ≤ 32^precision rows.
+    """
+    out = (
+        geo.select(geohash_cell(precision).alias("geohash"))
+        .groupBy("geohash")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+    )
+    if top is not None:
+        w = Window.orderBy(F.col("doc_count").desc(), F.col("geohash").asc())
+        out = (
+            out.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= int(top))
+            .drop("rn")
+        )
+    return out

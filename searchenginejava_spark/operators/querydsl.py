@@ -114,10 +114,13 @@ def boosting_search(
     *,
     negative_boost: float = 0.5,
     k: int = 10,
+    doc_exclude: DataFrame | None = None,
 ) -> DataFrame:
     """ES ``boosting`` query: rank by the positive query's BM25 score,
     but multiply by ``negative_boost`` for docs matching the negative
     query (demotion, NOT exclusion — the distinction from must_not).
+    ``doc_exclude`` (e.g. the tombstone set) anti-joins candidates out
+    BEFORE ranking — hard exclusion, unlike the negative demotion.
 
     → (query_id, rank, doc_id, score) top-k per query, the demoted
     score, (score desc, doc_id asc) order.
@@ -133,6 +136,10 @@ def boosting_search(
     if not neg:
         raise ValueError("negative_terms must be non-empty")
     scored = _all_bm25_scores(query_terms, tf, docs, dictionary, stats)
+    if doc_exclude is not None:
+        scored = scored.join(
+            F.broadcast(doc_exclude.select("doc_id")), "doc_id", "anti"
+        )
     neg_docs = (
         tf.filter(F.col("term").isin(neg))
         .select("doc_id")
@@ -274,3 +281,121 @@ def match_phrase_prefix(
         F.count(F.lit(1)).cast("long").alias("phrase_tf"),
         F.min("p0").cast("long").alias("first_pos"),
     )
+
+
+def pinned_search(
+    scored: DataFrame,
+    corpus_ids: DataFrame,
+    promoted: Sequence[int],
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``pinned`` query: the promoted ids surface FIRST, in exactly
+    the order given (editorial curation), then the organic results —
+    promoted docs excluded from the organic tail. A promoted doc that
+    matches nothing organically still surfaces (ES pins via an ids
+    query OR'd over the organic query) with a null relevance score; a
+    promoted id absent from the corpus is dropped.
+
+    ``scored`` is the organic (query_id, doc_id, score) set;
+    ``corpus_ids`` is the doc universe (doc_id). → (query_id, rank,
+    doc_id, score, pinned) top-k per query.
+
+    Plan: the promoted relation is a driver-side literal (editorial
+    lists are tiny by definition) — broadcast everywhere; one
+    left-join attaches organic scores to pins, one broadcast anti-join
+    removes pins from the organic tail, one top-k window over the
+    union keyed (pinned desc, position asc, score desc, doc_id asc).
+    """
+    if not promoted:
+        raise ValueError("promoted must be non-empty")
+    if len(set(promoted)) != len(promoted):
+        raise ValueError("promoted ids must be unique")
+    spark = scored.sparkSession
+    prom = spark.createDataFrame(
+        [(i + 1, int(d)) for i, d in enumerate(promoted)],
+        "ppos int, doc_id long",
+    )
+    prom = F.broadcast(
+        prom.join(corpus_ids.select("doc_id").distinct(), "doc_id", "semi")
+    )
+    qids = scored.select("query_id").distinct()
+    pinned_part = (
+        qids.crossJoin(prom)
+        .join(scored, ["query_id", "doc_id"], "left")
+        .select(
+            "query_id", "doc_id", "ppos",
+            F.col("score").alias("s"),
+            F.lit(1).alias("pinned"),
+        )
+    )
+    organic = scored.join(prom.select("doc_id"), "doc_id", "anti").select(
+        "query_id", "doc_id",
+        F.lit(None).cast("int").alias("ppos"),
+        F.col("score").alias("s"),
+        F.lit(0).alias("pinned"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pinned").desc(),
+        F.col("ppos").asc_nulls_last(),
+        F.col("s").desc_nulls_last(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        pinned_part.unionByName(organic)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            F.round("s", 6).alias("score"),
+            F.col("pinned").cast("int").alias("pinned"),
+        )
+    )
+
+
+def terms_lookup_search(
+    tf: DataFrame,
+    lookup_doc_id: int,
+    *,
+    min_match: int = 1,
+    k: int | None = None,
+) -> DataFrame:
+    """ES ``terms`` query with TERMS LOOKUP: the filter's term set is
+    fetched from another document's field at query time ("docs sharing
+    vocabulary with doc X" — the building block behind more_like_this
+    without its tf·idf scoring). Matching docs rank by how many lookup
+    terms they share (deterministic: shared desc, doc_id asc); the
+    lookup doc itself is excluded.
+
+    → (doc_id, shared) — docs containing ≥ ``min_match`` of the lookup
+    doc's distinct terms.
+
+    Plan: the lookup doc's vocabulary is one term-pruned slice (a
+    single-doc posting fetch), broadcast into a semi-join against tf —
+    the corpus-side work is one scan pruned to that vocabulary plus a
+    per-doc count agg. Never collects the corpus.
+    """
+    if min_match < 1:
+        raise ValueError("min_match must be >= 1")
+    lookup = (
+        tf.filter(F.col("doc_id") == int(lookup_doc_id))
+        .select("term")
+        .distinct()
+    )
+    hits = (
+        tf.join(F.broadcast(lookup), "term")
+        .filter(F.col("doc_id") != int(lookup_doc_id))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("term").cast("long").alias("shared"))
+        .filter(F.col("shared") >= int(min_match))
+    )
+    if k is not None:
+        w = Window.orderBy(F.col("shared").desc(), F.col("doc_id").asc())
+        hits = (
+            hits.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= int(k))
+            .drop("rn")
+        )
+    return hits

@@ -1027,3 +1027,118 @@ def categorize_text(
             .drop("rn")
         )
     return out
+
+
+def extended_stats(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    sigma: float = 2.0,
+) -> DataFrame:
+    """``extended_stats`` aggregation (Elasticsearch public semantics),
+    emitting the exact ES field set from the exact ES formulas — the
+    moments form, NOT var_pop()/stddev(), so the DuckDB oracle can spell
+    the identical arithmetic:
+
+        mean              = Σx / n
+        variance          = Σx² / n − mean·mean           (population)
+        variance_sampling = (Σx² − Σx·Σx / n) / (n − 1)
+        std_deviation     = √variance
+        upper/lower       = mean ± sigma·std_deviation
+
+    → (group, vcount, vmin, vmax, vsum, vavg, sum_of_squares, variance,
+    variance_sampling, std_deviation, std_upper, std_lower); n = 1 →
+    null sampling variance (never a division blow-up); nulls excluded
+    per the SQL/ES convention. ONE partial+final hash agg — every
+    output is arithmetic over the five streamed moments, so the shuffle
+    carries |groups| rows of constants regardless of input size.
+    """
+    if sigma < 0:
+        raise ValueError("sigma must be >= 0")
+    v = F.col(value_col).cast("double")
+    base = events.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(v).cast("long").alias("n"),
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("sq"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s") / n
+    var_p = F.col("sq") / n - mean * mean
+    var_s = F.when(
+        F.col("n") > 1, (F.col("sq") - F.col("s") * F.col("s") / n) / (n - 1.0)
+    )
+    std = F.sqrt(var_p)
+    return base.select(
+        "group",
+        F.col("n").alias("vcount"),
+        F.round("mn", 6).alias("vmin"),
+        F.round("mx", 6).alias("vmax"),
+        F.round("s", 6).alias("vsum"),
+        F.round(mean, 6).alias("vavg"),
+        F.round("sq", 6).alias("sum_of_squares"),
+        F.round(var_p, 6).alias("variance"),
+        F.round(var_s, 6).alias("variance_sampling"),
+        F.round(std, 6).alias("std_deviation"),
+        F.round(mean + F.lit(float(sigma)) * std, 6).alias("std_upper"),
+        F.round(mean - F.lit(float(sigma)) * std, 6).alias("std_lower"),
+    )
+
+
+def missing_count(
+    df: DataFrame,
+    field: Column | str,
+    *,
+    group_col: str = "event_type",
+) -> DataFrame:
+    """``missing`` aggregation (ES public semantics): per bucket, how
+    many docs lack a value for the field (null or absent) — the data-
+    quality complement every mapping migration checks — plus the
+    present count and total. One conditional hash agg; the field may be
+    any Column expression (e.g. a JSON extraction), evaluated once.
+
+    → (group, doc_count, present_count, missing_count).
+    """
+    f = F.col(field) if isinstance(field, str) else field
+    return df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("doc_count"),
+        F.count(f).cast("long").alias("present_count"),
+        F.sum(F.when(f.isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("missing_count"),
+    )
+
+
+def rate_agg(
+    events: DataFrame,
+    *,
+    window_minutes: int = 1440,
+    unit_minutes: int = 60,
+    value_col: str | None = None,
+) -> DataFrame:
+    """``rate`` aggregation inside a date_histogram (ES public
+    semantics): each bucket's count (or field sum) normalized to a
+    per-``unit`` rate — rate = bucket_value · unit / bucket_interval,
+    e.g. events-per-hour from daily buckets. The normalization makes
+    mixed-calendar buckets comparable; here buckets are fixed-width so
+    it is one exact native divide on the rollup relation.
+
+    → (window_start_us, event_type, rate) — the rollup agg is the only
+    corpus work; the rate projection runs on |buckets| rows.
+    """
+    if unit_minutes <= 0 or window_minutes <= 0:
+        raise ValueError("window_minutes and unit_minutes must be positive")
+    roll = event_rollup(events, window_minutes=window_minutes)
+    per_units = float(window_minutes) / float(unit_minutes)
+    val = (
+        F.col("n_events").cast("double")
+        if value_col is None
+        else F.col("value_sum")
+    )
+    return roll.select(
+        "window_start_us",
+        "event_type",
+        F.round(val / F.lit(per_units), 6).alias("rate"),
+    )

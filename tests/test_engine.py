@@ -462,3 +462,86 @@ def test_engine_rare_terms_include_is_anchored(eng):
         max_doc_count=10**9, include="tab.*", max_buckets=10**6
     ).collect()}
     assert "table" in got2
+
+
+# --- query-DSL completion facade (r5 waves j/m) ---
+
+
+def test_engine_boosting_demotes(eng):
+    base = eng.search("table hash join", path="exhaustive", k=10).collect()
+    res = eng.search_boosting(
+        "table hash join", ["customer"], negative_boost=0.1, k=10
+    ).collect()
+    assert res and len(res) <= 10
+    # the demoted ranking still contains only docs from the organic set
+    organic_all = {
+        r["doc_id"]
+        for r in eng.search("table hash join", path="exhaustive", k=10000)
+        .collect()
+    }
+    assert {r["doc_id"] for r in res} <= organic_all
+    assert base  # organic path unchanged
+
+
+def test_engine_constant_and_distance_feature(eng, spark):
+    cs = eng.search_constant(["table", "hash"], boost=3.0, mode="all")
+    rows = cs.collect()
+    assert rows and all(r["score"] == 3.0 for r in rows)
+    meta = eng.index.docs.select(
+        "doc_id", F.col("doc_len").cast("long").alias("dl")
+    )
+    df = eng.search_distance_feature(
+        "table hash join", "dl", doc_meta=meta, origin=30.0, pivot=10.0,
+        boost=2.0, k=5,
+    ).collect()
+    assert df and len(df) <= 5
+    assert [r["rank"] for r in df] == list(range(1, len(df) + 1))
+
+
+def test_engine_pinned_promotes(eng):
+    organic = eng.search("table hash join", k=5).collect()
+    top_id = organic[0]["doc_id"]
+    other = organic[1]["doc_id"]
+    res = eng.search_pinned(
+        "table hash join", [other, 10**9], k=5
+    ).collect()
+    # 'other' is pinned to rank 1; the absent id is dropped; the old
+    # top doc leads the organic tail
+    assert res[0]["doc_id"] == other and res[0]["pinned"] == 1
+    assert res[1]["doc_id"] == top_id and res[1]["pinned"] == 0
+
+
+def test_engine_phrase_prefix(eng):
+    full = {r["doc_id"] for r in eng.phrase(["table", "hash"]).collect()}
+    pp = {
+        r["doc_id"] for r in eng.phrase_prefix(["table"], "ha").collect()
+    }
+    # every exact "table hash" doc matches "table ha*"
+    assert full <= pp
+
+
+def test_engine_search_combined(eng, spark):
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    eng.publish_fielded(
+        docs,
+        {
+            "title": F.array_join(
+                F.slice(F.split(F.lower("text"), " "), 1, 3), " "
+            ),
+            "body": F.col("text"),
+        },
+        boosts={"title": 3.0, "body": 1.0},
+    )
+    res = eng.search_combined("table hash join", k=5).collect()
+    assert res and [r["rank"] for r in res] == list(range(1, len(res) + 1))
+    with pytest.raises(ValueError):
+        SearchEngine(eng.spark, eng.index, mode="simple").search_combined(
+            "x"
+        )
+
+
+def test_engine_terms_lookup(eng):
+    some_doc = eng.index.tf.select("doc_id").first()["doc_id"]
+    res = eng.terms_lookup(int(some_doc), min_match=2, k=5).collect()
+    assert len(res) <= 5
+    assert all(r["shared"] >= 2 and r["doc_id"] != some_doc for r in res)

@@ -192,3 +192,45 @@ def test_mercator_constant_matches_es(spark):
     assert MERCATOR_MAX_LAT == pytest.approx(
         math.degrees(2 * math.atan(math.exp(math.pi)) - math.pi / 2)
     )
+
+
+# --- geohash_grid (r5 wave n) ---
+
+
+def test_geohash_cell_matches_spec_vectors(spark):
+    from searchenginejava_spark.operators.geo import geohash_cell
+
+    cases = [
+        (57.64911, 10.40744, 11, "u4pruydqqvj"),
+        (0.0, 0.0, 1, "s"),
+        (0.0, 0.0, 5, "s0000"),
+        (48.8566, 2.3522, 6, "u09tvw"),
+        (-33.8688, 151.2093, 7, "r3gx2f7"),
+        (90.0, 180.0, 3, "zzz"),    # edge clamp: last cell, not past it
+        (-90.0, -180.0, 3, "000"),
+    ]
+    for p in sorted({c[2] for c in cases}):
+        sub = [c for c in cases if c[2] == p]
+        df = spark.createDataFrame(
+            [(la, lo, want) for la, lo, _, want in sub],
+            "lat double, lon double, want string",
+        ).withColumn("got", geohash_cell(p))
+        for r in df.collect():
+            assert r["got"] == r["want"], (p, r["want"], r["got"])
+    with pytest.raises(ValueError):
+        geohash_cell(0)
+    with pytest.raises(ValueError):
+        geohash_cell(13)
+
+
+def test_geohash_grid_buckets_and_top(spark, geo):
+    from searchenginejava_spark.operators.geo import geohash_grid
+
+    res = geohash_grid(geo, precision=1).collect()
+    assert sum(r["doc_count"] for r in res) == 9  # every point bucketed
+    assert all(len(r["geohash"]) == 1 for r in res)
+    top = geohash_grid(geo, precision=1, top=2).collect()
+    full = sorted(res, key=lambda r: (-r["doc_count"], r["geohash"]))
+    assert [(r["geohash"], r["doc_count"]) for r in top] == [
+        (r["geohash"], r["doc_count"]) for r in full[:2]
+    ]

@@ -166,3 +166,99 @@ def test_all_bm25_scores_matches_topk_head(spark, tiny, qt):
     assert {r["doc_id"] for r in full} == {1, 2, 3}
     by_doc = {r["doc_id"]: r["score"] for r in full}
     assert by_doc[2] > by_doc[1] == pytest.approx(by_doc[3])
+
+
+# --- combined_fields + pinned (r5 wave m) ---
+
+
+def test_combined_fields_hand_computed(spark):
+    import math
+
+    from searchenginejava_spark.operators.fielded import combined_fields_topk
+
+    ftf_rows = [
+        (1, "title", "apple", 1), (1, "body", "apple", 2),
+        (1, "body", "banana", 3),
+        (2, "title", "cherry", 1), (2, "body", "banana", 1),
+        (2, "ignored", "apple", 9),  # field not in boosts → excluded
+    ]
+    ftf = spark.createDataFrame(
+        ftf_rows, "doc_id long, field string, term string, tf long"
+    )
+    qt = spark.createDataFrame(
+        [(0, "apple", 1)], "query_id int, term string, qtf int"
+    )
+    res = combined_fields_topk(
+        qt, ftf, boosts={"title": 2.0, "body": 1.0}, k=10
+    ).collect()
+    # merged stats: doc1 tfc(apple)=2·1+1·2=4, dl1=2+2+3=7 (w-weighted:
+    # 2·1+1·2+1·3=7); doc2 dl2=2·1+1·1=3; avgdl=5, N=2, df(apple)=1
+    assert [r["doc_id"] for r in res] == [1]
+    idf = math.log((2 - 1 + 0.5) / (1 + 0.5) + 1.0)
+    tfc, dl, avgdl = 4.0, 7.0, 5.0
+    want = idf * (tfc * 2.2) / (tfc + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert res[0]["score"] == pytest.approx(want, abs=1e-6)
+
+
+def test_combined_fields_validates(spark):
+    from searchenginejava_spark.operators.fielded import combined_fields_topk
+
+    ftf = spark.createDataFrame(
+        [(1, "body", "x", 1)], "doc_id long, field string, term string, tf long"
+    )
+    qt = spark.createDataFrame(
+        [(0, "x", 1)], "query_id int, term string, qtf int"
+    )
+    with pytest.raises(ValueError):
+        combined_fields_topk(qt, ftf, boosts={})
+    with pytest.raises(ValueError):
+        combined_fields_topk(qt, ftf, boosts={"body": 0.5})
+
+
+def test_pinned_order_and_missing_ids(spark):
+    from searchenginejava_spark.operators.querydsl import pinned_search
+
+    scored = spark.createDataFrame(
+        [(0, 1, 5.0), (0, 2, 4.0), (0, 3, 3.0)],
+        "query_id int, doc_id long, score double",
+    )
+    corpus = spark.createDataFrame(
+        [(i,) for i in range(1, 6)], "doc_id long"
+    )
+    # 99 absent from corpus → dropped; 5 in corpus but matches nothing
+    # organically → pinned with null score; 2 promoted above doc 1
+    res = pinned_search(scored, corpus, [2, 99, 5], k=10).collect()
+    assert [r["doc_id"] for r in res] == [2, 5, 1, 3]
+    assert [r["pinned"] for r in res] == [1, 1, 0, 0]
+    assert res[0]["score"] == 4.0 and res[1]["score"] is None
+    assert [r["rank"] for r in res] == [1, 2, 3, 4]
+
+
+def test_pinned_validates(spark):
+    from searchenginejava_spark.operators.querydsl import pinned_search
+
+    scored = spark.createDataFrame(
+        [(0, 1, 5.0)], "query_id int, doc_id long, score double"
+    )
+    corpus = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        pinned_search(scored, corpus, [])
+    with pytest.raises(ValueError):
+        pinned_search(scored, corpus, [1, 1])
+
+
+def test_terms_lookup_shared_vocabulary(spark, tiny):
+    from searchenginejava_spark.operators.querydsl import terms_lookup_search
+
+    tf = tiny[0]
+    # lookup doc 1 = {apple, banana, cherry}: doc 2 shares {apple}=1,
+    # doc 3 shares {apple, banana}=2; the lookup doc itself is excluded
+    res = {r["doc_id"]: r["shared"]
+           for r in terms_lookup_search(tf, 1).collect()}
+    assert res == {2: 1, 3: 2}
+    res2 = terms_lookup_search(tf, 1, min_match=2).collect()
+    assert [(r["doc_id"], r["shared"]) for r in res2] == [(3, 2)]
+    res3 = terms_lookup_search(tf, 1, k=1).collect()
+    assert [r["doc_id"] for r in res3] == [3]  # shared desc wins
+    with pytest.raises(ValueError):
+        terms_lookup_search(tf, 1, min_match=0)

@@ -921,3 +921,104 @@ def test_categorize_text_templates_and_top(spark):
 
     with _pytest.raises(ValueError):
         categorize_text(ev, message_cols=())
+
+
+# --- extended_stats / missing / rate (r5 wave l) ---
+
+
+def test_extended_stats_exact_moments(spark):
+    from searchenginejava_spark.operators.sessions import extended_stats
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0), ("b", None)]
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+    res = {r["group"]: r for r in extended_stats(ev, sigma=2.0).collect()}
+    a = res["a"]
+    assert a["vcount"] == 3 and a["vsum"] == 6.0 and a["vavg"] == 2.0
+    assert a["sum_of_squares"] == 14.0
+    # population variance: 14/3 - 4 = 2/3; sampling: (14 - 12)/2 = 1
+    assert a["variance"] == round(14.0 / 3 - 4.0, 6)
+    assert a["variance_sampling"] == 1.0
+    import math as _m
+
+    std = _m.sqrt(14.0 / 3 - 4.0)
+    assert a["std_upper"] == round(2.0 + 2.0 * std, 6)
+    assert a["std_lower"] == round(2.0 - 2.0 * std, 6)
+    # single-value group: population variance 0, sampling null (n-1=0)
+    b = res["b"]
+    assert b["vcount"] == 1 and b["variance"] == 0.0
+    assert b["variance_sampling"] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        extended_stats(ev, sigma=-1.0)
+
+
+def test_missing_count_nulls(spark):
+    from pyspark.sql import functions as _F
+
+    from searchenginejava_spark.operators.sessions import missing_count
+
+    rows = [("a", 1), ("a", None), ("a", 3), ("b", None)]
+    df = spark.createDataFrame(rows, "event_type string, fld int")
+    res = {r["group"]: r for r in missing_count(df, _F.col("fld")).collect()}
+    assert res["a"]["doc_count"] == 3
+    assert res["a"]["present_count"] == 2
+    assert res["a"]["missing_count"] == 1
+    assert res["b"]["missing_count"] == 1 and res["b"]["present_count"] == 0
+    # string field name accepted too
+    res2 = {r["group"]: r for r in missing_count(df, "fld").collect()}
+    assert res2 == res
+
+
+def test_rate_agg_normalizes_per_unit(spark):
+    import datetime as _dt
+
+    from searchenginejava_spark.operators.sessions import rate_agg
+
+    base = _dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + _dt.timedelta(hours=h), "error", 1.0)
+        for i, h in enumerate([0, 1, 2, 25, 26])
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, event_type string, value double"
+    )
+    res = sorted(
+        rate_agg(ev, window_minutes=1440, unit_minutes=60).collect(),
+        key=lambda r: r["window_start_us"],
+    )
+    # day 1: 3 events → 0.125/hour; day 2: 2 → round(2/24, 6)
+    assert res[0]["rate"] == 0.125
+    assert res[1]["rate"] == round(2.0 / 24.0, 6)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rate_agg(ev, window_minutes=0)
+
+
+def test_analyze_log_job_new_aggs(spark, tmp_path, capsys):
+    """--extended-stats / --rate-unit-minutes / --categorize surfaces."""
+    import json as _json
+
+    from jobs.analyze_log import main
+
+    out = str(tmp_path / "logout2")
+    rc = main([
+        "--input", "/root/testdata/sf0.001/events.parquet",
+        "--output", out, "--window-minutes", "1440",
+        "--extended-stats", "--rate-unit-minutes", "60",
+        "--categorize", "--categorize-top", "10",
+    ])
+    assert rc == 0
+    line = [
+        x for x in capsys.readouterr().out.strip().splitlines()
+        if x.startswith("{")
+    ][-1]
+    rep = _json.loads(line)
+    assert rep["n_extended_stats_groups"] > 0
+    assert rep["n_rate_rows"] == rep["n_rollup_buckets"]
+    assert 0 < rep["n_categories"] <= 10
+    xs = spark.read.parquet(f"{out}/extended_stats")
+    assert {"variance", "std_upper"} <= set(xs.columns)
+    rt = spark.read.parquet(f"{out}/rate").collect()
+    assert all(r["rate"] is not None for r in rt)

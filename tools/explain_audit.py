@@ -2301,6 +2301,76 @@ def main() -> None:
          p_bo + "\n\n" + p_cs + "\n\n" + p_mx + "\n\n" + p_cz, checks)
     )
 
+    # 47. wave-29 (r5 wave l): metrics-agg completion — the claims:
+    # extended_stats streams five moments through ONE partial+final
+    # hash agg (single Exchange — every output is arithmetic on the
+    # |groups|-row relation); rate's only corpus work is the rollup agg.
+    from searchenginejava_spark.operators.sessions import (
+        extended_stats,
+        rate_agg,
+    )
+
+    p_es = plan_of(extended_stats(ev_a))
+    p_ra = plan_of(rate_agg(ev_a, window_minutes=1440, unit_minutes=60))
+    checks = [
+        (
+            "extended_stats: ONE partial+final hash agg, single "
+            "Exchange, zero Python",
+            n_nodes(p_es, "HashAggregate") >= 2
+            and n_nodes(p_es, "Exchange") == 1
+            and "ArrowEvalPython" not in p_es,
+            f"Exchange x{n_nodes(p_es, 'Exchange')}",
+        ),
+        (
+            "rate: rollup agg is the only corpus work (single "
+            "Exchange), zero Python",
+            n_nodes(p_ra, "HashAggregate") >= 2
+            and n_nodes(p_ra, "Exchange") == 1
+            and "ArrowEvalPython" not in p_ra,
+            f"Exchange x{n_nodes(p_ra, 'Exchange')}",
+        ),
+    ]
+    sections.append(
+        ("wave-29 metrics aggs: extended_stats, rate",
+         p_es + "\n\n" + p_ra, checks)
+    )
+
+    # 48. wave-30 (r5 wave m): combined_fields — the claim: the merged
+    # (doc, term) and doc-length relations fold in hash aggs, the query
+    # vocabulary joins broadcast, and nothing is cartesian or Python.
+    from searchenginejava_spark.operators.fielded import (
+        combined_fields_topk,
+        fielded_tf as _ftf_cf,
+    )
+
+    ftf_cf = _ftf_cf(
+        corpus,
+        {
+            "title": F.array_join(F.slice(F.split("text", " "), 1, 3), " "),
+            "body": F.col("text"),
+        },
+    )
+    p_cf = plan_of(
+        combined_fields_topk(
+            qt_dsl, ftf_cf, boosts={"title": 3.0, "body": 1.0}
+        )
+    )
+    checks = [
+        (
+            "combined_fields: merged-stats hash aggs + broadcast query "
+            "join, no cartesian, zero Python",
+            n_nodes(p_cf, "HashAggregate") >= 2
+            and "BroadcastExchange" in p_cf
+            and "CartesianProduct" not in p_cf
+            and "ArrowEvalPython" not in p_cf,
+            "",
+        ),
+    ]
+    sections.append(
+        ("wave-30 combined_fields (tf-level multi-field blending)",
+         p_cf, checks)
+    )
+
     ok = True
     out = ["# PLANS.md — physical-plan audit (generated by tools/explain_audit.py)", ""]
     for title, plan, cks in sections:
