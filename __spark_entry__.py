@@ -4860,6 +4860,44 @@ def q_terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Round-5 wave o: EWMA moving_fn + match_bool_prefix ---
+_EWMA_W, _EWMA_ALPHA = 4, 0.3
+_BOOLPFX_QUERIES = [(0, "batch s"), (1, "hash join m")]
+_BOOLPFX_MAXEXP = 3
+
+
+def q_moving_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES moving_fn ewma, EXACT: the Lucene window recursion unrolled
+    to one fixed linear combination of W lag() columns (driver-side
+    constant coefficients, Σ=1) — no iterative fold."""
+    from searchenginejava_spark.operators.sessions import moving_ewma
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return moving_ewma(
+        ev, window_minutes=1440, trailing=_EWMA_W, alpha=_EWMA_ALPHA
+    )
+
+
+def q_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_bool_prefix (search-as-you-type): last token expands as
+    a prefix in term order capped BEFORE postings are read, earlier
+    tokens match exactly, standard exhaustive BM25."""
+    from searchenginejava_spark.operators.termmatch import bool_prefix_search
+
+    tf, dl, dct, stats = _bm25_parts(spark, sf_dir)
+    res = bool_prefix_search(
+        _BOOLPFX_QUERIES, tf, dl, dct, stats, k=_TOPK,
+        max_expansions=_BOOLPFX_MAXEXP,
+        tokenizer=lambda t: [x for x in t.lower().split(" ") if x],
+    ).select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+    res.persist()
+    res.count()
+    tf.unpersist()
+    return res
+
+
 # Round-5 driver window (VERDICT r04 order #2): the driver checks the
 # FIRST 50 registered queries, so registration order rotates each round
 # to maximize the union of driver-green rows. union(r03, r04) = 91
@@ -5270,6 +5308,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Wave-n (r5): geohash grid + terms lookup
         "q_geohash_grid": q_geohash_grid,
         "q_terms_lookup": q_terms_lookup,
+        # Wave-o (r5): exact EWMA moving_fn + match_bool_prefix
+        "q_moving_ewma": q_moving_ewma,
+        "q_bool_prefix": q_bool_prefix,
     }
     return all_q
 
@@ -10892,6 +10933,81 @@ def oracle_sql() -> dict[str, str]:
            round(CAST(n AS DOUBLE) / 24.0, 6) AS rate
     FROM roll
     """
+    # --- wave o: exact EWMA moving_fn + match_bool_prefix ---
+    _ew = [
+        _EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** j for j in range(_EWMA_W - 1)
+    ] + [(1.0 - _EWMA_ALPHA) ** (_EWMA_W - 1)]
+    _ew_expr = " + ".join(
+        f"{c!r} * " + ("x" if j == 0 else f"lag(x, {j}) OVER w")
+        for j, c in enumerate(_ew)
+    )
+    sql["q_moving_ewma"] = f"""
+    WITH roll AS (
+      SELECT CAST(floor(epoch_us(ts) / 86400000000)
+                  * 86400000000 AS BIGINT) AS window_start_us,
+             event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), ser AS (
+      SELECT window_start_us, event_type, n AS n_events,
+             CAST(n AS DOUBLE) AS x
+      FROM roll
+    )
+    SELECT window_start_us, event_type, n_events,
+           round(CASE WHEN row_number() OVER w >= {_EWMA_W}
+                 THEN ({_ew_expr}) END, 6) AS ewma
+    FROM ser
+    WINDOW w AS (PARTITION BY event_type ORDER BY window_start_us)
+    """
+    _bp_tok = lambda t: [x for x in t.lower().split(" ") if x]  # noqa: E731
+    _bp_fixed, _bp_pf = [], []
+    for qid, text in _BOOLPFX_QUERIES:
+        toks = _bp_tok(text)
+        _bp_pf.append(f"({qid}, '{toks[-1]}')")
+        for term in toks[:-1]:
+            _bp_fixed.append(f"({qid}, '{term}', 1)")
+    sql["q_bool_prefix"] = (
+        _SQL_TF
+        + f"""
+        , dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+                 FROM tf GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+        dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        pf(query_id, prefix) AS (VALUES {", ".join(_bp_pf)}),
+        fixedq(query_id, term, qtf) AS (VALUES {", ".join(_bp_fixed)}),
+        expq AS (
+          SELECT pf.query_id, dict.term, 1 AS qtf
+          FROM dict JOIN pf ON dict.term LIKE pf.prefix || '%'
+          QUALIFY row_number() OVER (PARTITION BY pf.query_id
+            ORDER BY dict.term ASC) <= {_BOOLPFX_MAXEXP}
+        ),
+        q AS (
+          SELECT query_id, term, CAST(sum(qtf) AS INT) AS qtf
+          FROM (SELECT * FROM expq UNION ALL SELECT * FROM fixedq)
+          GROUP BY query_id, term
+        ),
+        scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 sum(q.qtf
+                     * ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                     * (tf.tf * {_K1 + 1.0})
+                     / (tf.tf + {_K1} * (1.0 - {_B}
+                        + {_B} * dl.doc_len / stats.avgdl))
+                 ) AS s
+          FROM q
+          JOIN dict USING (term)
+          JOIN tf USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          GROUP BY q.query_id, tf.doc_id
+        )
+        SELECT CAST(query_id AS INT) AS query_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY s DESC, doc_id ASC) AS INT) AS rank,
+               doc_id, round(s, 6) AS score
+        FROM scored
+        QUALIFY rank <= {_TOPK}
+        """
+    )
     # --- wave n: terms lookup ---
     sql["q_terms_lookup"] = (
         _SQL_TF

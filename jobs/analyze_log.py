@@ -52,6 +52,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--extended-stats", action="store_true")
     # per-unit rate normalization of the rollup -> rate/ dataset
     p.add_argument("--rate-unit-minutes", type=int, default=None)
+    # exact EWMA moving_fn over the rollup -> ewma/ dataset
+    p.add_argument("--ewma-alpha", type=float, default=None)
+    p.add_argument("--ewma-trailing", type=int, default=5)
     # digit-collapsed log-template categories -> categories/ dataset
     p.add_argument("--categorize", action="store_true")
     p.add_argument("--categorize-top", type=int, default=100)
@@ -159,6 +162,17 @@ def main(argv: list[str] | None = None) -> int:
             unit_minutes=args.rate_unit_minutes,
         ).write.mode("overwrite").parquet(f"{args.output}/rate")
         n_rate = spark.read.parquet(f"{args.output}/rate").count()
+    n_ewma = None
+    if args.ewma_alpha is not None:
+        from searchenginejava_spark.operators.sessions import moving_ewma
+
+        moving_ewma(
+            ev,
+            window_minutes=args.window_minutes,
+            trailing=args.ewma_trailing,
+            alpha=args.ewma_alpha,
+        ).write.mode("overwrite").parquet(f"{args.output}/ewma")
+        n_ewma = spark.read.parquet(f"{args.output}/ewma").count()
     n_cat = None
     if args.categorize:
         from searchenginejava_spark.operators.sessions import categorize_text
@@ -196,6 +210,7 @@ def main(argv: list[str] | None = None) -> int:
         "n_robust_groups": n_robust,
         "n_extended_stats_groups": n_xstats,
         "n_rate_rows": n_rate,
+        "n_ewma_rows": n_ewma,
         "n_categories": n_cat,
         "ttest": ttest_row,
         "out": args.output,

@@ -943,6 +943,19 @@ class SearchEngine:
             k=k,
         )
 
+    def search_as_you_type(
+        self, text: str, *, k: int = TOP_K, max_expansions: int = 50,
+    ) -> DataFrame:
+        """ES match_bool_prefix: the search-as-you-type query — last
+        token as a term-order-capped prefix, earlier tokens exact."""
+        from .operators.termmatch import bool_prefix_search
+
+        return bool_prefix_search(
+            [(0, text)], self.index.tf, self.index.docs,
+            self.index.dictionary, self.index.stats, k=k,
+            max_expansions=max_expansions, tokenizer=self._tok,
+        )
+
     def terms_lookup(
         self, doc_id: int, *, min_match: int = 1, k: int | None = None,
     ) -> DataFrame:

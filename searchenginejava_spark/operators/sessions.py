@@ -1142,3 +1142,49 @@ def rate_agg(
         "event_type",
         F.round(val / F.lit(per_units), 6).alias("rate"),
     )
+
+
+def moving_ewma(
+    events: DataFrame,
+    *,
+    window_minutes: int = 1440,
+    trailing: int = 5,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """``moving_fn`` with ``MovingFunctions.ewma`` (Elasticsearch public
+    semantics), EXACT: the exponentially-weighted moving average of the
+    trailing-``trailing`` bucket counts per series. The Lucene recursion
+    (avg starts at the window's first value, then avg = α·v + (1−α)·avg)
+    unrolls to a FIXED linear combination of the window's values —
+
+        ewma = (1−α)^(W−1)·v_oldest + Σ_{j=0..W−2} α(1−α)^j·v_{t−j}
+
+    — so instead of a per-row iterative fold the whole series is ONE
+    window projection over W lag() columns with driver-side constant
+    coefficients (identical literals in the DuckDB oracle; Σcoef = 1).
+    Buckets with fewer than ``trailing`` values in the window report
+    null (the ``moving_percentile`` min-periods convention).
+
+    → (window_start_us, event_type, n_events, ewma). The rollup agg is
+    the only corpus work; the lag window runs on |buckets| rows.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    if trailing < 1:
+        raise ValueError("trailing must be >= 1")
+    w = int(trailing)
+    coefs = [alpha * (1.0 - alpha) ** j for j in range(w - 1)]
+    coefs.append((1.0 - alpha) ** (w - 1))
+    roll = event_rollup(events, window_minutes=window_minutes)
+    w_ord = Window.partitionBy("event_type").orderBy("window_start_us")
+    x = F.col("n_events").cast("double")
+    expr = F.lit(coefs[0]) * x
+    for j in range(1, w):
+        expr = expr + F.lit(coefs[j]) * F.lag(x, j).over(w_ord)
+    full = F.row_number().over(w_ord) >= w
+    return roll.select(
+        "window_start_us",
+        "event_type",
+        "n_events",
+        F.round(F.when(full, expr), 6).alias("ewma"),
+    )

@@ -26,6 +26,7 @@ expanded term sets feed the standard BM25 scorer (search.py) unchanged.
 
 from __future__ import annotations
 
+from collections import Counter
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -621,3 +622,75 @@ def phrase_suggest(
         )
         .orderBy("rank")
     )
+
+
+def bool_prefix_search(
+    queries: Sequence[tuple[int, str]],
+    postings_exploded: DataFrame,
+    docs: DataFrame,
+    dictionary: DataFrame,
+    stats: dict,
+    *,
+    k: int = 10,
+    max_expansions: int = 50,
+    tokenizer=None,
+) -> DataFrame:
+    """``match_bool_prefix`` (Elasticsearch public semantics — the
+    search-as-you-type serving query): every token but the last matches
+    as a normal term, the LAST token matches as a prefix expanded
+    against the dictionary in TERM ORDER capped at ``max_expansions``
+    (the same Lucene rewrite contract as match_phrase_prefix, WITHOUT
+    the adjacency requirement — terms may appear anywhere). Expansions
+    score with qtf=1; a term reached both exactly and by expansion sums
+    its qtf (the fuzzy_search convention).
+
+    Plan: fixed terms are driver-side literals; the prefix relation is
+    query-sized and range-prunes the dictionary scan (anchored
+    startswith), capped per query BEFORE any postings are read, then
+    the standard exhaustive scorer. → (query_id, rank, doc_id, score).
+    """
+    from ..functions.tokenize import tokenize_query
+    from .search import score_exhaustive
+
+    if max_expansions < 1:
+        raise ValueError("max_expansions must be >= 1")
+    tok = tokenizer or tokenize_query
+    spark = postings_exploded.sparkSession
+    fixed_rows, prefix_rows = [], []
+    for qid, text in queries:
+        toks = tok(text)
+        if not toks:
+            continue
+        *fixed, prefix = toks
+        prefix_rows.append((int(qid), prefix))
+        for term, qtf in Counter(fixed).items():
+            fixed_rows.append((int(qid), term, int(qtf)))
+    if not prefix_rows:
+        raise ValueError("queries must contain at least one token each")
+    pf = spark.createDataFrame(prefix_rows, "query_id int, prefix string")
+    exp = (
+        dictionary.select("term")
+        .join(
+            F.broadcast(pf),
+            F.col("term").startswith(F.col("prefix")),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("term").asc())
+            ),
+        )
+        .filter(F.col("rn") <= int(max_expansions))
+        .select("query_id", "term", F.lit(1).cast("int").alias("qtf"))
+    )
+    qt = exp
+    if fixed_rows:
+        qt = qt.unionByName(
+            spark.createDataFrame(
+                fixed_rows, "query_id int, term string, qtf int"
+            )
+        )
+    qt = qt.groupBy("query_id", "term").agg(
+        F.sum("qtf").cast("int").alias("qtf")
+    )
+    return score_exhaustive(qt, postings_exploded, docs, dictionary, stats, k=k)

@@ -545,3 +545,12 @@ def test_engine_terms_lookup(eng):
     res = eng.terms_lookup(int(some_doc), min_match=2, k=5).collect()
     assert len(res) <= 5
     assert all(r["shared"] >= 2 and r["doc_id"] != some_doc for r in res)
+
+
+def test_engine_search_as_you_type(eng):
+    res = eng.search_as_you_type("table ha", k=5).collect()
+    assert res and len(res) <= 5
+    # prefix docs ("ha*" → hash, ...) surface; exact-phrase docs subset
+    full = {r["doc_id"] for r in eng.search("table hash", k=100).collect()}
+    got = {r["doc_id"] for r in eng.search_as_you_type("table ha", k=100).collect()}
+    assert full & got

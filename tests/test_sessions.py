@@ -1022,3 +1022,61 @@ def test_analyze_log_job_new_aggs(spark, tmp_path, capsys):
     assert {"variance", "std_upper"} <= set(xs.columns)
     rt = spark.read.parquet(f"{out}/rate").collect()
     assert all(r["rate"] is not None for r in rt)
+
+
+def test_moving_ewma_matches_recursion(spark):
+    import datetime as _dt
+
+    from searchenginejava_spark.operators.sessions import moving_ewma
+
+    base = _dt.datetime(2024, 1, 1)
+    counts = [4, 1, 3, 2, 5]  # daily bucket counts for one series
+    rows = []
+    eid = 0
+    for d, n in enumerate(counts):
+        for _ in range(n):
+            rows.append((eid, base + _dt.timedelta(days=d), "error", 1.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, event_type string, value double"
+    )
+    res = sorted(
+        moving_ewma(ev, window_minutes=1440, trailing=3, alpha=0.5).collect(),
+        key=lambda r: r["window_start_us"],
+    )
+    # Lucene recursion over each trailing-3 window
+    def ewma(vals, a=0.5):
+        avg = vals[0]
+        for v in vals[1:]:
+            avg = a * v + (1 - a) * avg
+        return round(avg, 6)
+
+    assert [r["ewma"] for r in res[:2]] == [None, None]  # partial windows
+    for t in range(2, 5):
+        assert res[t]["ewma"] == ewma([float(c) for c in counts[t - 2:t + 1]])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        moving_ewma(ev, alpha=0.0)
+    with _pytest.raises(ValueError):
+        moving_ewma(ev, trailing=0)
+
+
+def test_analyze_log_job_ewma(spark, tmp_path, capsys):
+    import json as _json
+
+    from jobs.analyze_log import main
+
+    out = str(tmp_path / "logout3")
+    rc = main([
+        "--input", "/root/testdata/sf0.001/events.parquet",
+        "--output", out, "--window-minutes", "1440",
+        "--ewma-alpha", "0.3", "--ewma-trailing", "3",
+    ])
+    assert rc == 0
+    line = [
+        x for x in capsys.readouterr().out.strip().splitlines()
+        if x.startswith("{")
+    ][-1]
+    rep = _json.loads(line)
+    assert rep["n_ewma_rows"] == rep["n_rollup_buckets"]

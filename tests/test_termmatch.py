@@ -387,3 +387,49 @@ def test_engine_suggest_phrase_facade(spark):
         "quer plan", docs, max_edits=2, n=2, tokenizer=lambda t: t.split()
     ).collect()
     assert res[0]["suggestion"] == "query plan"
+
+
+# --- match_bool_prefix (r5 wave o) ---
+
+
+def test_bool_prefix_expands_and_sums(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as _F
+
+    from searchenginejava_spark.operators.termmatch import bool_prefix_search
+
+    tf_rows = [
+        (1, "batch", 1), (1, "stream", 1),
+        (2, "batch", 1), (2, "storm", 2),
+        (3, "stream", 1),
+        (4, "batch", 1),
+    ]
+    tf = spark.createDataFrame(tf_rows, "doc_id long, term string, tf long")
+    docs = tf.groupBy("doc_id").agg(
+        _F.sum("tf").cast("long").alias("doc_len")
+    )
+    dct = tf.groupBy("term").agg(
+        _F.count(_F.lit(1)).cast("long").alias("df")
+    )
+    stats = {"N": 4, "avgdl": 1.5}
+    res = bool_prefix_search(
+        [(0, "batch st")], tf, docs, dct, stats, k=10,
+        tokenizer=lambda t: [x for x in t.lower().split(" ") if x],
+    ).collect()
+    # "st" expands to {storm, stream}: docs 1,2 match both clauses,
+    # 3 matches only the prefix, 4 only the fixed term — all surface
+    assert {r["doc_id"] for r in res} == {1, 2, 3, 4}
+    # expansion cap in TERM order: max_expansions=1 keeps only 'storm'
+    res_cap = bool_prefix_search(
+        [(0, "batch st")], tf, docs, dct, stats, k=10, max_expansions=1,
+        tokenizer=lambda t: [x for x in t.lower().split(" ") if x],
+    ).collect()
+    assert {r["doc_id"] for r in res_cap} == {1, 2, 4}  # doc 3 drops
+    with _pytest.raises(ValueError):
+        bool_prefix_search([(0, "x")], tf, docs, dct, stats,
+                           max_expansions=0)
+    with _pytest.raises(ValueError):
+        bool_prefix_search(
+            [(0, "   ")], tf, docs, dct, stats,
+            tokenizer=lambda t: [x for x in t.lower().split(" ") if x],
+        )
