@@ -897,7 +897,11 @@ class SearchEngine:
         scored = self.search(text, k=max(candidates, k)).select(
             "query_id", "doc_id", "score"
         )
-        return pinned_search(scored, universe, promoted, k=k)
+        # explicit query universe: pins surface even when the organic
+        # query matches nothing (the ES ids-OR semantics)
+        return pinned_search(
+            scored, universe, promoted, k=k, query_ids=[0]
+        )
 
     def phrase_prefix(
         self, terms: Sequence[str], prefix: str, *,

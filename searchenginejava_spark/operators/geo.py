@@ -302,7 +302,12 @@ def geohash_cell(precision: int) -> Column:
     Pure integer arithmetic end to end (scale → floor → bit interleave
     via shifts → per-character array lookup), so Spark and the DuckDB
     oracle agree bit-for-bit; the only float ops are the two initial
-    scalings, identical-order in both engines.
+    scalings, identical-order in both engines. Cell-edge semantics are
+    those of a SCALED-INDEX encoder (the approach Lucene's
+    GeoEncodingUtils also takes): a coordinate within ~1 ulp of a cell
+    boundary may land in the adjacent cell relative to the textbook
+    bisection loop — a measure-zero zone, property-fuzzed everywhere
+    else (tests/test_fuzz_props.py) and spec-vector-pinned.
     """
     if not 1 <= precision <= 12:
         raise ValueError("precision must be in [1, 12]")

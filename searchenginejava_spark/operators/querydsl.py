@@ -289,6 +289,7 @@ def pinned_search(
     promoted: Sequence[int],
     *,
     k: int = 10,
+    query_ids: Sequence[int] | None = None,
 ) -> DataFrame:
     """ES ``pinned`` query: the promoted ids surface FIRST, in exactly
     the order given (editorial curation), then the organic results —
@@ -296,6 +297,12 @@ def pinned_search(
     matches nothing organically still surfaces (ES pins via an ids
     query OR'd over the organic query) with a null relevance score; a
     promoted id absent from the corpus is dropped.
+
+    The query universe defaults to the DISTINCT query_ids of
+    ``scored`` — a query with zero organic hits would then lose its
+    pins too, so batch callers that can name their queries should pass
+    ``query_ids`` explicitly (the ES behavior: pins surface even when
+    the organic query matches nothing).
 
     ``scored`` is the organic (query_id, doc_id, score) set;
     ``corpus_ids`` is the doc universe (doc_id). → (query_id, rank,
@@ -319,7 +326,12 @@ def pinned_search(
     prom = F.broadcast(
         prom.join(corpus_ids.select("doc_id").distinct(), "doc_id", "semi")
     )
-    qids = scored.select("query_id").distinct()
+    if query_ids is not None:
+        qids = spark.createDataFrame(
+            [(int(q),) for q in query_ids], "query_id int"
+        )
+    else:
+        qids = scored.select("query_id").distinct()
     pinned_part = (
         qids.crossJoin(prom)
         .join(scored, ["query_id", "doc_id"], "left")

@@ -7,7 +7,7 @@ from __future__ import annotations
 import random
 import re
 
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from searchenginejava_spark.operators.termmatch import deletion_variants_py
@@ -117,3 +117,103 @@ def test_deletion_variants_lengths(word, d):
     vs = deletion_variants_py(word, d)
     assert word in vs
     assert all(len(word) - d <= len(v) <= len(word) for v in vs)
+
+
+# --- geohash closed-form interleave == classical bisection ----------------
+
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_classic(lat, lon, precision):
+    """The textbook bisection encoder from the public geohash spec —
+    an INDEPENDENT implementation the closed-form encoder must match."""
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    bits, even, out = 0, True, []
+    n = 0
+    while len(out) < precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                bits = (bits << 1) | 1
+                lon_lo = mid
+            else:
+                bits <<= 1
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                bits = (bits << 1) | 1
+                lat_lo = mid
+            else:
+                bits <<= 1
+                lat_hi = mid
+        even = not even
+        n += 1
+        if n == 5:
+            out.append(_GH32[bits])
+            bits, n = 0, 0
+    return "".join(out)
+
+
+def _geohash_closed_form(lat, lon, precision):
+    """Pure-Python twin of geo.geohash_cell's formula (scale → floor →
+    interleave by shifts) — the same arithmetic the Column expression
+    runs."""
+    total = 5 * precision
+    n_lon = (total + 1) // 2
+    n_lat = total // 2
+    lon_i = min(int((lon + 180.0) / 360.0 * float(1 << n_lon)), (1 << n_lon) - 1)
+    lat_i = min(int((lat + 90.0) / 180.0 * float(1 << n_lat)), (1 << n_lat) - 1)
+    code = 0
+    for b in range(n_lon):
+        code += ((lon_i >> b) & 1) << (2 * b + 1 - (total % 2))
+    for b in range(n_lat):
+        code += ((lat_i >> b) & 1) << (2 * b + (total % 2))
+    return "".join(
+        _GH32[(code >> (5 * (precision - 1 - i))) & 31]
+        for i in range(precision)
+    )
+
+
+@settings(max_examples=500)
+@given(
+    st.floats(min_value=-90.0, max_value=90.0),
+    st.floats(min_value=-180.0, max_value=180.0),
+    st.integers(1, 12),
+)
+def test_geohash_closed_form_matches_classic(lat, lon, precision):
+    # Within ~1 ulp of a cell edge the scaled-index encoder (the same
+    # approach Lucene's GeoEncodingUtils takes) and textbook bisection
+    # may legitimately pick adjacent cells — exclude that measure-zero
+    # boundary zone; the property under test is the bit interleave +
+    # base32 mapping, which must agree EVERYWHERE else.
+    total = 5 * precision
+    n_lon = (total + 1) // 2
+    n_lat = total // 2
+    s_lon = (lon + 180.0) / 360.0 * float(1 << n_lon)
+    s_lat = (lat + 90.0) / 180.0 * float(1 << n_lat)
+    assume(abs(s_lon - round(s_lon)) > 1e-6)
+    assume(abs(s_lat - round(s_lat)) > 1e-6)
+    assert _geohash_closed_form(lat, lon, precision) == _geohash_classic(
+        lat, lon, precision
+    )
+
+
+# --- EWMA closed-form coefficients == the Lucene recursion ----------------
+
+
+@settings(max_examples=300)
+@given(
+    st.lists(st.floats(min_value=0.0, max_value=1e6), min_size=1, max_size=12),
+    st.floats(min_value=0.01, max_value=1.0),
+)
+def test_ewma_closed_form_matches_recursion(vals, alpha):
+    w = len(vals)
+    coefs = [alpha * (1.0 - alpha) ** j for j in range(w - 1)]
+    coefs.append((1.0 - alpha) ** (w - 1))
+    closed = sum(c * vals[w - 1 - j] for j, c in enumerate(coefs))
+    avg = vals[0]
+    for v in vals[1:]:
+        avg = alpha * v + (1 - alpha) * avg
+    assert abs(closed - avg) <= 1e-6 * max(1.0, abs(avg))

@@ -262,3 +262,22 @@ def test_terms_lookup_shared_vocabulary(spark, tiny):
     assert [r["doc_id"] for r in res3] == [3]  # shared desc wins
     with pytest.raises(ValueError):
         terms_lookup_search(tf, 1, min_match=0)
+
+
+def test_pinned_explicit_query_ids_surface_pins_without_organic(spark):
+    from searchenginejava_spark.operators.querydsl import pinned_search
+
+    scored = spark.createDataFrame(
+        [(0, 1, 5.0)], "query_id int, doc_id long, score double"
+    )  # query 1 has NO organic hits at all
+    corpus = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    res = pinned_search(
+        scored, corpus, [2], k=10, query_ids=[0, 1]
+    ).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # query 1 still gets its pin (null score) — the ES ids-OR semantics
+    assert [r["doc_id"] for r in by_q[1]] == [2]
+    assert by_q[1][0]["score"] is None and by_q[1][0]["pinned"] == 1
+    assert [r["doc_id"] for r in by_q[0]] == [2, 1]
