@@ -10947,10 +10947,23 @@ def oracle_sql() -> dict[str, str]:
                   * 86400000000 AS BIGINT) AS window_start_us,
              event_type, CAST(count(*) AS BIGINT) AS n
       FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, min(window_start_us) AS lo,
+             max(window_start_us) AS hi
+      FROM roll GROUP BY event_type
+    ), grid AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, 86400000000))
+               AS window_start_us
+      FROM bounds
     ), ser AS (
-      SELECT window_start_us, event_type, n AS n_events,
-             CAST(n AS DOUBLE) AS x
-      FROM roll
+      SELECT g.window_start_us, g.event_type,
+             CAST(coalesce(r.n, 0) AS BIGINT) AS n_events,
+             CAST(coalesce(r.n, 0) AS DOUBLE) AS x
+      FROM grid g
+      LEFT JOIN roll r
+        ON r.event_type = g.event_type
+       AND r.window_start_us = g.window_start_us
     )
     SELECT window_start_us, event_type, n_events,
            round(CASE WHEN row_number() OVER w >= {_EWMA_W}

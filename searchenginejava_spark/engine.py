@@ -861,7 +861,8 @@ class SearchEngine:
 
         folded = [t for raw in terms for t in self._tok(raw)]
         return constant_score_search(
-            self.index.tf, folded, boost=boost, mode=mode
+            self.index.tf, folded, boost=boost, mode=mode,
+            doc_exclude=self.index.tombstones,
         )
 
     def search_distance_feature(
@@ -958,6 +959,7 @@ class SearchEngine:
             [(0, text)], self.index.tf, self.index.docs,
             self.index.dictionary, self.index.stats, k=k,
             max_expansions=max_expansions, tokenizer=self._tok,
+            doc_exclude=self.index.tombstones,
         )
 
     def terms_lookup(
@@ -968,7 +970,8 @@ class SearchEngine:
         from .operators.querydsl import terms_lookup_search
 
         return terms_lookup_search(
-            self.index.tf, doc_id, min_match=min_match, k=k
+            self.index.tf, doc_id, min_match=min_match, k=k,
+            doc_exclude=self.index.tombstones,
         )
 
     # -- maintenance ------------------------------------------------------

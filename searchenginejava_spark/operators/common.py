@@ -1,0 +1,26 @@
+"""Small shared dataflow helpers used across operator modules."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_n(df: DataFrame, n: int, *order: Column) -> DataFrame:
+    """Deterministic global top-``n`` of ``df`` under ``order`` — the
+    (count desc, key asc)-style truncation every bucket aggregation's
+    ``size`` parameter needs.
+
+    One unpartitioned row_number window: correct for the bucket
+    relations it is used on (|buckets| rows — tiles, templates,
+    categories, shared-vocabulary hits — always orders of magnitude
+    smaller than the corpus), NOT for corpus-sized inputs, where a
+    single-partition sort would bottleneck; corpus-sized top-k goes
+    through the per-query partitioned windows instead.
+    """
+    w = Window.orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(n))
+        .drop("__rn")
+    )

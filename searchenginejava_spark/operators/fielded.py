@@ -658,6 +658,13 @@ def combined_fields_topk(
     srow = dlc.agg(
         F.count(F.lit(1)).alias("n"), F.avg("dlc").alias("avgdl")
     ).collect()[0]
+    if int(srow["n"]) == 0:
+        # avgdl is null here — fail loudly instead of float(None): the
+        # usual cause is a boosts/fields name mismatch
+        raise ValueError(
+            "combined_fields: no ftf rows match any boosted field "
+            f"({sorted(boosts)}) — check the field names"
+        )
     n_docs, avgdl = int(srow["n"]), float(srow["avgdl"])
     vocab = query_terms.select("term").distinct()
     dfc = (

@@ -202,11 +202,10 @@ def geotile_grid(
         )
     )
     if top is not None:
-        w = Window.orderBy(F.col("doc_count").desc(), F.col("tile").asc())
-        out = (
-            out.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= int(top))
-            .drop("rn")
+        from .common import top_n
+
+        out = top_n(
+            out, top, F.col("doc_count").desc(), F.col("tile").asc()
         )
     return out
 
@@ -315,15 +314,25 @@ def geohash_cell(precision: int) -> Column:
     n_lon = (total + 1) // 2  # lon-first interleave gets the extra bit
     n_lat = total // 2
     # cell indices: floor of the fraction across the axis range, clamped
-    # (lat=90 / lon=180 land in the last cell, not one past it)
+    # BOTH sides (lat=90 / lon=180 land in the last cell, not one past
+    # it; a stray -90.0000001 lands in the first cell instead of
+    # arithmetic-shifting a NEGATIVE index into a wrong-hemisphere hash)
     lon_i = F.least(
-        F.floor((F.col("lon") + 180.0) / 360.0 * F.lit(float(1 << n_lon)))
-        .cast("long"),
+        F.greatest(
+            F.floor(
+                (F.col("lon") + 180.0) / 360.0 * F.lit(float(1 << n_lon))
+            ).cast("long"),
+            F.lit(0),
+        ),
         F.lit((1 << n_lon) - 1),
     )
     lat_i = F.least(
-        F.floor((F.col("lat") + 90.0) / 180.0 * F.lit(float(1 << n_lat)))
-        .cast("long"),
+        F.greatest(
+            F.floor(
+                (F.col("lat") + 90.0) / 180.0 * F.lit(float(1 << n_lat))
+            ).cast("long"),
+            F.lit(0),
+        ),
         F.lit((1 << n_lat) - 1),
     )
     # interleave lon-first from the MSB: reading the code MSB→LSB the
@@ -361,19 +370,25 @@ def geohash_grid(
 ) -> DataFrame:
     """ES ``geohash_grid`` aggregation: bucket points into geohash cells
     at ``precision`` chars, count per cell, (count desc, hash asc),
-    optional top-``size``. Same single partial+final hash-agg shape as
-    ``geotile_grid``; the bucket relation is ≤ 32^precision rows.
+    optional top-``size``. Malformed points (NaN / out-of-range
+    coordinates) are dropped before bucketing — the ES
+    ignore_malformed convention. Same single partial+final hash-agg
+    shape as ``geotile_grid``; the bucket relation is ≤ 32^precision
+    rows.
     """
+    from .common import top_n
+
     out = (
-        geo.select(geohash_cell(precision).alias("geohash"))
+        geo.filter(
+            F.col("lat").between(-90.0, 90.0)
+            & F.col("lon").between(-180.0, 180.0)
+        )
+        .select(geohash_cell(precision).alias("geohash"))
         .groupBy("geohash")
         .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
     )
     if top is not None:
-        w = Window.orderBy(F.col("doc_count").desc(), F.col("geohash").asc())
-        out = (
-            out.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= int(top))
-            .drop("rn")
+        out = top_n(
+            out, top, F.col("doc_count").desc(), F.col("geohash").asc()
         )
     return out

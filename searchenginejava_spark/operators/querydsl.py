@@ -77,10 +77,12 @@ def constant_score_search(
     *,
     boost: float = 1.0,
     mode: str = "any",
+    doc_exclude: DataFrame | None = None,
 ) -> DataFrame:
     """ES ``constant_score``: a filter query wrapped so every matching
     doc scores exactly ``boost`` — no tf/idf, no length norm (filter
-    context made rankable).
+    context made rankable). ``doc_exclude`` (the tombstone set)
+    anti-joins matches out.
 
     ``mode='any'`` matches docs containing any of ``terms`` (bool
     should), ``mode='all'`` requires every term (bool must). → (doc_id,
@@ -101,6 +103,10 @@ def constant_score_search(
     )
     if mode == "all":
         hits = hits.filter(F.col("nt") == len(uniq))
+    if doc_exclude is not None:
+        hits = hits.join(
+            F.broadcast(doc_exclude.select("doc_id")), "doc_id", "anti"
+        )
     return hits.select("doc_id", F.lit(float(boost)).alias("score"))
 
 
@@ -330,6 +336,11 @@ def pinned_search(
         qids = spark.createDataFrame(
             [(int(q),) for q in query_ids], "query_id int"
         )
+        # the explicit universe is total: organic rows of UNLISTED
+        # queries are dropped entirely (they would otherwise lose
+        # their pinned docs to the anti-join below while keeping the
+        # rest of their ranking — a silently corrupted result)
+        scored = scored.join(F.broadcast(qids), "query_id", "semi")
     else:
         qids = scored.select("query_id").distinct()
     pinned_part = (
@@ -373,6 +384,7 @@ def terms_lookup_search(
     *,
     min_match: int = 1,
     k: int | None = None,
+    doc_exclude: DataFrame | None = None,
 ) -> DataFrame:
     """ES ``terms`` query with TERMS LOOKUP: the filter's term set is
     fetched from another document's field at query time ("docs sharing
@@ -387,10 +399,17 @@ def terms_lookup_search(
     Plan: the lookup doc's vocabulary is one term-pruned slice (a
     single-doc posting fetch), broadcast into a semi-join against tf —
     the corpus-side work is one scan pruned to that vocabulary plus a
-    per-doc count agg. Never collects the corpus.
+    per-doc count agg. Never collects the corpus. ``doc_exclude`` (the
+    tombstone set) removes excluded docs from BOTH sides: a tombstoned
+    lookup doc yields no vocabulary (empty result), and tombstoned docs
+    never surface as hits.
     """
     if min_match < 1:
         raise ValueError("min_match must be >= 1")
+    if doc_exclude is not None:
+        tf = tf.join(
+            F.broadcast(doc_exclude.select("doc_id")), "doc_id", "anti"
+        )
     lookup = (
         tf.filter(F.col("doc_id") == int(lookup_doc_id))
         .select("term")
@@ -404,10 +423,9 @@ def terms_lookup_search(
         .filter(F.col("shared") >= int(min_match))
     )
     if k is not None:
-        w = Window.orderBy(F.col("shared").desc(), F.col("doc_id").asc())
-        hits = (
-            hits.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= int(k))
-            .drop("rn")
+        from .common import top_n
+
+        hits = top_n(
+            hits, k, F.col("shared").desc(), F.col("doc_id").asc()
         )
     return hits

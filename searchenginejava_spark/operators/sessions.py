@@ -1130,6 +1130,14 @@ def rate_agg(
     """
     if unit_minutes <= 0 or window_minutes <= 0:
         raise ValueError("window_minutes and unit_minutes must be positive")
+    if value_col not in (None, "value"):
+        # event_rollup sums the events table's `value` field; a silently
+        # accepted other name would rate the WRONG column
+        raise ValueError(
+            "rate_agg sums the events `value` column — pass "
+            "value_col='value' (field-sum mode) or None (count mode), "
+            f"not {value_col!r}"
+        )
     roll = event_rollup(events, window_minutes=window_minutes)
     per_units = float(window_minutes) / float(unit_minutes)
     val = (
@@ -1165,8 +1173,15 @@ def moving_ewma(
     Buckets with fewer than ``trailing`` values in the window report
     null (the ``moving_percentile`` min-periods convention).
 
+    Each series is DENSIFIED first (every bucket from the series'
+    first to its last, quiet buckets at count 0) — ES's date_histogram
+    with ``min_doc_count: 0`` feeds exactly those zero buckets into
+    moving_fn, so a gap-skipping lag() would overweight the buckets
+    around a quiet period.
+
     → (window_start_us, event_type, n_events, ewma). The rollup agg is
-    the only corpus work; the lag window runs on |buckets| rows.
+    the only corpus work; the grid join and lag window run on
+    |buckets| rows.
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError("alpha must be in (0, 1]")
@@ -1175,7 +1190,25 @@ def moving_ewma(
     w = int(trailing)
     coefs = [alpha * (1.0 - alpha) ** j for j in range(w - 1)]
     coefs.append((1.0 - alpha) ** (w - 1))
-    roll = event_rollup(events, window_minutes=window_minutes)
+    win_us = int(window_minutes) * 60_000_000
+    base = event_rollup(events, window_minutes=window_minutes)
+    bounds = base.groupBy("event_type").agg(
+        F.min("window_start_us").alias("lo"),
+        F.max("window_start_us").alias("hi"),
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(win_us))
+        ).alias("window_start_us"),
+    )
+    roll = grid.join(
+        base.select("window_start_us", "event_type", "n_events"),
+        ["event_type", "window_start_us"],
+        "left",
+    ).withColumn(
+        "n_events", F.coalesce("n_events", F.lit(0)).cast("long")
+    )
     w_ord = Window.partitionBy("event_type").orderBy("window_start_us")
     x = F.col("n_events").cast("double")
     expr = F.lit(coefs[0]) * x

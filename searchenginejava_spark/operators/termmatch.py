@@ -634,6 +634,7 @@ def bool_prefix_search(
     k: int = 10,
     max_expansions: int = 50,
     tokenizer=None,
+    doc_exclude: DataFrame | None = None,
 ) -> DataFrame:
     """``match_bool_prefix`` (Elasticsearch public semantics — the
     search-as-you-type serving query): every token but the last matches
@@ -660,13 +661,18 @@ def bool_prefix_search(
     for qid, text in queries:
         toks = tok(text)
         if not toks:
-            continue
+            # loud, per-query: a silently vanished query_id would read
+            # as "no results" to a batch caller joining results back
+            raise ValueError(
+                f"query {qid} tokenizes to no tokens — match_bool_prefix "
+                "needs at least the prefix token"
+            )
         *fixed, prefix = toks
         prefix_rows.append((int(qid), prefix))
         for term, qtf in Counter(fixed).items():
             fixed_rows.append((int(qid), term, int(qtf)))
     if not prefix_rows:
-        raise ValueError("queries must contain at least one token each")
+        raise ValueError("queries must be non-empty")
     pf = spark.createDataFrame(prefix_rows, "query_id int, prefix string")
     exp = (
         dictionary.select("term")
@@ -693,4 +699,7 @@ def bool_prefix_search(
     qt = qt.groupBy("query_id", "term").agg(
         F.sum("qtf").cast("int").alias("qtf")
     )
-    return score_exhaustive(qt, postings_exploded, docs, dictionary, stats, k=k)
+    return score_exhaustive(
+        qt, postings_exploded, docs, dictionary, stats, k=k,
+        doc_exclude=doc_exclude,
+    )

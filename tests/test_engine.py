@@ -554,3 +554,27 @@ def test_engine_search_as_you_type(eng):
     full = {r["doc_id"] for r in eng.search("table hash", k=100).collect()}
     got = {r["doc_id"] for r in eng.search_as_you_type("table ha", k=100).collect()}
     assert full & got
+
+
+def test_engine_dsl_facades_respect_tombstones(spark):
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    e2 = SearchEngine.build(
+        spark, docs, text_col="text", mode="simple", num_partitions=4,
+    )
+    victim = e2.search_constant(["table"], mode="any").first()["doc_id"]
+    e2.delete([int(victim)])
+    assert victim not in {
+        r["doc_id"] for r in e2.search_constant(["table"]).collect()
+    }
+    assert victim not in {
+        r["doc_id"]
+        for r in e2.search_as_you_type("table ha", k=10000).collect()
+    }
+    some = e2.index.tf.filter(
+        F.col("doc_id") != int(victim)
+    ).first()["doc_id"]
+    assert victim not in {
+        r["doc_id"] for r in e2.terms_lookup(int(some), k=None).collect()
+    }
+    # a tombstoned LOOKUP doc yields nothing rather than serving results
+    assert e2.terms_lookup(int(victim)).count() == 0

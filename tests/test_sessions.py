@@ -1080,3 +1080,50 @@ def test_analyze_log_job_ewma(spark, tmp_path, capsys):
     ][-1]
     rep = _json.loads(line)
     assert rep["n_ewma_rows"] == rep["n_rollup_buckets"]
+
+
+def test_moving_ewma_densifies_quiet_buckets(spark):
+    import datetime as _dt
+
+    from searchenginejava_spark.operators.sessions import moving_ewma
+
+    base = _dt.datetime(2024, 1, 1)
+    # events on days 0,1,2 and 5 only — days 3,4 are quiet
+    rows = [
+        (i, base + _dt.timedelta(days=d), "error", 1.0)
+        for i, d in enumerate([0, 1, 2, 5])
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, event_type string, value double"
+    )
+    res = sorted(
+        moving_ewma(ev, window_minutes=1440, trailing=3, alpha=0.5).collect(),
+        key=lambda r: r["window_start_us"],
+    )
+    # the grid emits ALL 6 buckets (ES min_doc_count=0), zeros included
+    assert [r["n_events"] for r in res] == [1, 1, 1, 0, 0, 1]
+    # day-5 window is [0, 0, 1] (the quiet days count), NOT [1, 1, 1]
+    def ewma(vals, a=0.5):
+        avg = vals[0]
+        for v in vals[1:]:
+            avg = a * v + (1 - a) * avg
+        return round(avg, 6)
+
+    assert res[5]["ewma"] == ewma([0.0, 0.0, 1.0])
+    assert res[2]["ewma"] == ewma([1.0, 1.0, 1.0])
+
+
+def test_rate_agg_rejects_unknown_value_col(spark):
+    import datetime as _dt
+
+    import pytest as _pytest
+
+    from searchenginejava_spark.operators.sessions import rate_agg
+
+    ev = spark.createDataFrame(
+        [(0, _dt.datetime(2024, 1, 1), "a", 1.0)],
+        "event_id long, ts timestamp_ntz, event_type string, value double",
+    )
+    with _pytest.raises(ValueError):
+        rate_agg(ev, value_col="duration")
+    assert rate_agg(ev, value_col="value").collect()[0]["rate"] is not None
