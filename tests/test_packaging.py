@@ -1,0 +1,64 @@
+"""spark-submit --py-files packaging: the package must import and run
+FROM the zip (zip-import safety — no __file__-relative resources), and
+the archive build must be deterministic."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import textwrap
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def test_zip_builds_deterministically(tmp_path):
+    from tools.make_pyfiles_zip import build
+
+    a, b = str(tmp_path / "a.zip"), str(tmp_path / "b.zip")
+    names = build(a)
+    build(b)
+    assert open(a, "rb").read() == open(b, "rb").read()
+    assert any(n.endswith("operators/index.py") for n in names)
+    assert not any("__pycache__" in n or n.endswith(".pyc") for n in names)
+
+
+def test_package_imports_and_runs_from_zip(tmp_path):
+    """A clean subprocess whose ONLY path to the package is the zip:
+    imports must resolve inside the archive and a pure core (the
+    varbyte codec round-trip + the Porter stemmer) must run — the
+    executor-side situation under spark-submit --py-files."""
+    from tools.make_pyfiles_zip import build
+
+    zpath = str(tmp_path / "searchenginejava_spark.zip")
+    build(zpath)
+    probe = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, {zpath!r})
+        import searchenginejava_spark
+        import searchenginejava_spark.functions.codec as codec
+        import searchenginejava_spark.functions.stemmer as stemmer
+        assert {zpath!r} in searchenginejava_spark.__file__, (
+            searchenginejava_spark.__file__)
+        import numpy as np
+        ids = np.array([3, 7, 50, 4096, 4097], dtype=np.int64)
+        tfs = np.array([1, 2, 1, 9, 1], dtype=np.int64)
+        blob = codec.encode_postings(ids, tfs)
+        out_ids, out_tfs = codec.decode_postings(bytes(blob))
+        assert list(out_ids) == list(ids) and list(out_tfs) == list(tfs)
+        assert stemmer.porter_stem("running") == "run"
+        print("ZIP-OK")
+        """
+    )
+    env = dict(os.environ)
+    # the subprocess must NOT see the repo copy of the package
+    env["PYTHONPATH"] = ""
+    res = subprocess.run(
+        [sys.executable, "-c", probe],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=120,
+    )
+    assert res.returncode == 0, res.stderr
+    assert "ZIP-OK" in res.stdout

@@ -1,0 +1,57 @@
+"""Build the ``--py-files`` archive the spark-submit jobs ship with.
+
+Usage:
+  python tools/make_pyfiles_zip.py [out.zip]
+
+Produces a deterministic zip of the ``searchenginejava_spark`` package
+(sorted entries, fixed timestamps, no __pycache__/.pyc) so repeated
+builds are byte-identical — a cluster deploy can content-address the
+artifact. The package is zip-import-safe by construction: no module
+loads resources relative to ``__file__`` (everything it opens at
+runtime is a data path the caller passes in), which
+``tests/test_packaging.py`` locks in by importing and exercising the
+package FROM the zip in a clean subprocess.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "searchenginejava_spark"
+# fixed DOS timestamp → byte-identical archives across builds
+_EPOCH = (1980, 1, 1, 0, 0, 0)
+
+
+def build(out_path: str) -> list[str]:
+    entries = []
+    root = os.path.join(REPO, PKG)
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
+        for fn in sorted(filenames):
+            if fn.endswith((".pyc", ".pyo")):
+                continue
+            full = os.path.join(dirpath, fn)
+            entries.append((os.path.relpath(full, REPO), full))
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for arcname, full in entries:
+            info = zipfile.ZipInfo(arcname, date_time=_EPOCH)
+            info.compress_type = zipfile.ZIP_DEFLATED
+            info.external_attr = 0o644 << 16
+            with open(full, "rb") as f:
+                zf.writestr(info, f.read())
+    return [a for a, _ in entries]
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = argv if argv is not None else sys.argv[1:]
+    out = args[0] if args else os.path.join(REPO, f"{PKG}.zip")
+    names = build(out)
+    print(f"wrote {out} ({len(names)} files)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
