@@ -10116,7 +10116,7 @@ def oracle_sql() -> dict[str, str]:
     SELECT '{ca}' AS field_a, '{cb}' AS field_b,
            CAST(count(*) AS BIGINT) AS row_count,
            round(avg(CAST({ca} AS DOUBLE)), 6) AS mean_a,
-           round(covar_pop(CAST({ca} AS DOUBLE), CAST({cb} AS DOUBLE)), 6)
+           round(covar_samp(CAST({ca} AS DOUBLE), CAST({cb} AS DOUBLE)), 6)
                AS covariance,
            {"1.0" if ca == cb else
             f"round(corr(CAST({ca} AS DOUBLE), CAST({cb} AS DOUBLE)), 6)"}

@@ -280,7 +280,12 @@ def rank_feature_search(
     convention), unlike function_score's multiplicative boost_mode.
     Docs missing the feature (no row, or null) get contribution 0 —
     the clause simply doesn't match (left join; the function_score
-    missing-row lesson). ``scored`` should be a candidate set WIDER
+    missing-row lesson). NON-POSITIVE feature values are treated as
+    missing too: ES rejects them at rank_feature INDEX time, so a
+    serving path can only meet them as dirty data — contribution 0
+    keeps the transforms inside their documented bounds instead of
+    emitting NULL (saturation at x = −pivot divides by zero) or
+    out-of-range scores. ``scored`` should be a candidate set WIDER
     than k (the decay-window lesson): the feature boost re-orders, so
     truncation happens AFTER re-scoring. One candidate-pruned join +
     window — never a corpus pass; the feature column is a docvalue
@@ -297,7 +302,8 @@ def rank_feature_search(
         "doc_id", F.col(feature_col).cast("double").alias("_f")
     )
     contrib = F.when(
-        F.col("_f").isNotNull(), F.lit(float(boost)) * fx
+        F.col("_f").isNotNull() & (F.col("_f") > 0),
+        F.lit(float(boost)) * fx,
     ).otherwise(F.lit(0.0))
     rescored = (
         scored.join(feats, "doc_id", "left")
@@ -333,7 +339,19 @@ def adjacency_matrix(
     membership-sized (docs × matching filters), never corpus × filters;
     at scale the membership relation is the output of n term/bool
     matches, each already candidate-pruned. Bucket count is bounded by
-    n + n(n−1)/2 regardless of corpus size."""
+    n + n(n−1)/2 regardless of corpus size. Filter names must not
+    contain the separator — 'a&b' as a NAME would collide with the
+    (a, b) intersection KEY and the two buckets would silently merge."""
+    bad = [
+        r["name"]
+        for r in tagged.select("name").distinct().collect()
+        if separator in str(r["name"])
+    ]
+    if bad:
+        raise ValueError(
+            f"filter names {bad} contain the separator {separator!r} — "
+            "their buckets would collide with intersection keys"
+        )
     m = tagged.select("name", "doc_id").distinct()
     a = m.select(F.col("name").alias("a"), "doc_id")
     b = m.select(F.col("name").alias("b"), "doc_id")
@@ -355,14 +373,18 @@ def matrix_stats(
     """``matrix_stats`` aggregation (Elasticsearch, public semantics),
     flattened to one row per ordered field pair: (field_a, field_b,
     row_count, mean_a, covariance, correlation). Diagonal rows carry
-    the field's variance (covar_pop(x,x)) and correlation 1.
+    the field's SAMPLE variance (covar_samp(x,x)) and correlation 1.
 
-    Entirely native partial-aggregable moments (count/avg/covar_pop/
+    Entirely native partial-aggregable moments (count/avg/covar_samp/
     corr) — one map-side-combined pass over the input regardless of
     width; p fields cost p² running sums, no per-row Python, no second
-    scan. Rows with a null in either field of a pair are excluded from
-    that pair (the ES pairwise-deletion convention matches SQL's
-    covar_pop/corr null handling)."""
+    scan. Covariance divides by n−1 — ES's MatrixStatsResults divides
+    by docCount−1 (sample covariance), so covar_pop would run
+    (n−1)/n low against a real ES response; a single-row pair yields
+    null (the SQL n−1 convention; correlation is scale-invariant
+    either way). Rows with a null in either field of a pair are
+    excluded from that pair (the ES pairwise-deletion convention
+    matches SQL's covar_samp/corr null handling)."""
     aggs = []
     for ca in cols:
         for cb in cols:
@@ -373,7 +395,7 @@ def matrix_stats(
             aggs += [
                 F.count(F.when(both, 1)).cast("long").alias(f"{pref}__n"),
                 F.avg(F.when(both, x)).alias(f"{pref}__mean_a"),
-                F.covar_pop(x, y).alias(f"{pref}__cov"),
+                F.covar_samp(x, y).alias(f"{pref}__cov"),
                 F.corr(x, y).alias(f"{pref}__corr"),
             ]
     one = df.agg(*aggs)
@@ -509,9 +531,13 @@ def filters_agg(
     if not filters:
         raise ValueError("filters_agg needs at least 1 filter")
     for name in filters:
-        # bucket names become string literals in the stack() unpivot
-        if "'" in name or "`" in name:
-            raise ValueError(f"filter name {name!r} may not contain ' or `")
+        # bucket names become string literals in the stack() unpivot —
+        # a backslash would escape the closing quote just as a quote
+        # would terminate it early
+        if "'" in name or "`" in name or "\\" in name:
+            raise ValueError(
+                f"filter name {name!r} may not contain ', ` or \\"
+            )
         if other_bucket and name == other_bucket_key:
             raise ValueError(
                 f"filter name {name!r} collides with the other bucket"
@@ -529,10 +555,11 @@ def filters_agg(
         names.append(other_bucket_key)
     aggs = []
     for i, name in enumerate(names):
+        # count(when) not sum(when): sum over ZERO rows is null, and an
+        # empty input must report doc_count 0 per bucket (the ES
+        # contract; range_agg's empty buckets behave the same way)
         aggs.append(
-            F.sum(F.when(conds[name], 1).otherwise(0))
-            .cast("long")
-            .alias(f"__c_{i}")
+            F.count(F.when(conds[name], 1)).cast("long").alias(f"__c_{i}")
         )
         if metric_col is not None:
             aggs.append(

@@ -382,16 +382,15 @@ def kmv_sketch(
     if not group_cols:
         topk = hashed.orderBy("h").limit(k)
         w = Window.orderBy("h")
-    else:
-        w_rank = Window.partitionBy(*group_cols).orderBy("h")
-        topk = hashed.withColumn(
-            "pos", F.row_number().over(w_rank)
-        ).filter(F.col("pos") <= k).drop("pos")
-        w = Window.partitionBy(*group_cols).orderBy("h")
-    return topk.select(
-        *group_cols,
-        F.row_number().over(w).cast("int").alias("pos"),
-        "h",
+        return topk.select(
+            F.row_number().over(w).cast("int").alias("pos"), "h"
+        )
+    # one window pass: the rank that filters IS the emitted position
+    w_rank = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashed.withColumn("pos", F.row_number().over(w_rank))
+        .filter(F.col("pos") <= k)
+        .select(*group_cols, F.col("pos").cast("int").alias("pos"), "h")
     )
 
 
@@ -533,8 +532,15 @@ def bottomk_sample(
 
     Executes as TakeOrderedAndProject (per-partition bottom-n + n-row
     merge), never a full sort. Output keeps all input columns plus the
-    rank ``r`` (1..n in hash order).
+    rank ``r`` (1..n in hash order); inputs already carrying a ``r`` or
+    ``_h`` column are rejected rather than silently overwritten.
     """
+    clash = {"r", "_h"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"bottomk_sample reserves columns {sorted(clash)} — rename "
+            "them on the input"
+        )
     ranked = (
         df.filter(F.col(id_col).isNotNull())  # no id → no rank key
         .withColumn("_h", _salted60(F.col(id_col), seed))
@@ -577,8 +583,16 @@ def weighted_sample(
     decimals for display only. Rounding before ranking would be wrong
     at scale: for weights ~1e9+ the key collapses below 1e-8 and a
     fixed 9-decimal grid degenerates the draw into id-order. Rows with non-positive weight are excluded (zero
-    selection mass). Output: all input columns + ``key`` + ``r``.
+    selection mass). Output: all input columns + ``key`` + ``r``;
+    inputs already carrying ``key``/``r``/``_key`` are rejected rather
+    than silently overwritten or duplicated.
     """
+    clash = {"key", "r", "_key"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"weighted_sample reserves columns {sorted(clash)} — rename "
+            "them on the input"
+        )
     u = (
         (_salted60(F.col(id_col), seed) + F.lit(1)).cast("double")
         / F.lit(float(1 << 60))

@@ -325,7 +325,9 @@ def test_matrix_stats_against_numpy(spark):
     for r in matrix_stats(df, ["x", "y"]).collect()}
     assert got[("x", "x")]["row_count"] == 200
     assert got[("x", "x")]["correlation"] == 1.0
-    assert abs(got[("x", "y")]["covariance"] - float(np.cov(x, y, bias=True)[0, 1])) < 1e-4
+    # SAMPLE covariance (n-1): ES's MatrixStatsResults divides by
+    # docCount-1, so bias=False is the parity target
+    assert abs(got[("x", "y")]["covariance"] - float(np.cov(x, y, bias=False)[0, 1])) < 1e-4
     assert abs(got[("x", "y")]["correlation"] - float(np.corrcoef(x, y)[0, 1])) < 1e-6
     assert got[("x", "y")]["covariance"] == got[("y", "x")]["covariance"]
 
@@ -565,3 +567,56 @@ def test_range_agg_keys_lossless_above_six_sig_digits(spark, meta):
         ).collect()
     }
     assert got == {"1000000-*", "1000001-*"}
+
+
+# --- second review-pass regressions (r5) ---
+
+
+def test_rank_feature_nonpositive_values_contribute_zero(spark):
+    from searchenginejava_spark.operators.docvalues import rank_feature_search
+
+    scored = spark.createDataFrame(
+        [(0, 1, 5.0), (0, 2, 4.0), (0, 3, 3.0)],
+        "query_id int, doc_id long, score double",
+    )
+    feats = spark.createDataFrame(
+        [(1, -1.0), (2, 0.0), (3, 2.0)], "doc_id long, pagerank double"
+    )
+    res = {r["doc_id"]: r for r in rank_feature_search(
+        scored, feats, "pagerank", pivot=1.0, boost=1.0
+    ).collect()}
+    # -pivot would divide by zero; 0 and negatives are index-time
+    # invalid in ES → contribution 0, never NULL or out-of-bound
+    assert res[1]["score"] == 5.0 and res[2]["score"] == 4.0
+    assert res[3]["score"] == 3.0 + round(1.0 * 2.0 / 3.0, 6)
+    assert all(r["score"] is not None for r in res.values())
+
+
+def test_filters_agg_empty_input_counts_zero(spark):
+    from searchenginejava_spark.operators.docvalues import filters_agg
+
+    empty = spark.createDataFrame([], "n long")
+    got = {r["bucket"]: r["doc_count"] for r in filters_agg(
+        empty, {"pos": "n > 0"}, other_bucket=True
+    ).collect()}
+    assert got == {"pos": 0, "_other_": 0}
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1,)], "n long")
+    with _pytest.raises(ValueError):
+        filters_agg(df, {"bad\\name": "n > 0"})
+
+
+def test_adjacency_matrix_rejects_separator_in_names(spark):
+    import pytest as _pytest
+
+    from searchenginejava_spark.operators.docvalues import adjacency_matrix
+
+    tagged = spark.createDataFrame(
+        [("a&b", 1), ("a", 1)], "name string, doc_id long"
+    )
+    with _pytest.raises(ValueError):
+        adjacency_matrix(tagged)
+    # a different separator dodges the collision
+    got = {r["key"] for r in adjacency_matrix(tagged, separator="|").collect()}
+    assert got == {"a", "a&b", "a|a&b"}

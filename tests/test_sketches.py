@@ -392,3 +392,21 @@ def test_new_sketch_ops_empty_inputs(spark):
     edocs = spark.createDataFrame([], "doc_id long, w double")
     assert bottomk_sample(edocs, 5, id_col="doc_id").count() == 0
     assert weighted_sample(edocs, 5, "w", id_col="doc_id").count() == 0
+
+
+def test_samplers_reject_reserved_column_collisions(spark):
+    import pytest as _pytest
+
+    from searchenginejava_spark.operators.sketches import (
+        bottomk_sample,
+        weighted_sample,
+    )
+
+    df_r = spark.createDataFrame([(1, 2.0, 9)], "doc_id long, w double, r int")
+    with _pytest.raises(ValueError):
+        bottomk_sample(df_r, 1)
+    df_key = spark.createDataFrame(
+        [(1, 2.0, "x")], "doc_id long, w double, key string"
+    )
+    with _pytest.raises(ValueError):
+        weighted_sample(df_key, 1, "w")
