@@ -10893,15 +10893,19 @@ def oracle_sql() -> dict[str, str]:
            round(mn, 6) AS vmin, round(mx, 6) AS vmax,
            round(s, 6) AS vsum, round(s / n, 6) AS vavg,
            round(sq, 6) AS sum_of_squares,
-           round(sq / n - (s / n) * (s / n), 6) AS variance,
+           round(greatest(sq / n - (s / n) * (s / n), 0.0), 6)
+             AS variance,
            round(CASE WHEN n > 1
-                 THEN (sq - s * s / n) / (n - 1.0) END, 6)
+                 THEN greatest((sq - s * s / n) / (n - 1.0), 0.0) END, 6)
              AS variance_sampling,
-           round(sqrt(sq / n - (s / n) * (s / n)), 6) AS std_deviation,
-           round(s / n + 2.0 * sqrt(sq / n - (s / n) * (s / n)), 6)
-             AS std_upper,
-           round(s / n - 2.0 * sqrt(sq / n - (s / n) * (s / n)), 6)
-             AS std_lower
+           round(sqrt(greatest(sq / n - (s / n) * (s / n), 0.0)), 6)
+             AS std_deviation,
+           round(s / n
+                 + 2.0 * sqrt(greatest(sq / n - (s / n) * (s / n), 0.0)),
+                 6) AS std_upper,
+           round(s / n
+                 - 2.0 * sqrt(greatest(sq / n - (s / n) * (s / n), 0.0)),
+                 6) AS std_lower
     FROM base
     """
     sql["q_missing_agg"] = f"""

@@ -76,6 +76,10 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     ev = spark.read.parquet(args.input)
+    # several optional stages (pipeline aggs, anomalies, rate, ewma,
+    # extended stats, categorize) each aggregate the events table;
+    # cache the scan so N enabled stages cost N aggs, not N scans
+    ev.persist()
     sess = sessionize(ev, gap_minutes=args.gap_minutes)
     sess.write.mode("overwrite").parquet(f"{args.output}/sessions")
     roll = event_rollup(ev, window_minutes=args.window_minutes)
@@ -215,6 +219,7 @@ def main(argv: list[str] | None = None) -> int:
         "ttest": ttest_row,
         "out": args.output,
     }
+    ev.unpersist()
     print(json.dumps(summary))
     return 0
 

@@ -280,11 +280,17 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id_col,
             seed=args.holdout_seed,
         ).select(args.id_col)
+        # persist the full curated plan BEFORE splitting: the holdout
+        # and main writes are two separate actions, and without the
+        # cache each would re-run the whole near-dup/substr/DSIR
+        # pipeline from scratch
+        out.persist()
         holdout = out.join(hold_ids, args.id_col, "left_semi")
         out = out.join(hold_ids, args.id_col, "left_anti")
         holdout.write.mode("overwrite").parquet(args.holdout_output)
         n_held = spark.read.parquet(args.holdout_output).count()
     out.write.mode("overwrite").parquet(args.output)
+    out.unpersist()
     n_out = spark.read.parquet(args.output).count()
     print(
         json.dumps(

@@ -613,11 +613,19 @@ def dsir_weights(
     )
     feats = corpus.select(
         F.col(id_col).alias("doc_id"),
-        target_pred.alias("_t"),
+        # a null predicate (e.g. lang IS NULL under lang == 'en') is
+        # NOT in the target — coalesce here, or a bucket populated only
+        # by null-pred rows gets c_t = null (SUM of all nulls), a null
+        # log-ratio, and a silently feature-dropped weight sum
+        F.coalesce(target_pred.cast("boolean"), F.lit(False)).alias("_t"),
         F.explode(grams).alias("g"),
     ).select(
         "doc_id", "_t", (str_hash60(F.col("g")) % n_buckets).alias("b")
     )
+    # the exploded bigram projection feeds BOTH the bucket histogram
+    # and the join-back below — persist it so the documented "ONE
+    # featurize pass" holds physically, not just logically
+    feats.persist()
     raw = feats.groupBy("b").agg(
         F.count(F.lit(1)).cast("long").alias("c_r"),
         F.sum(F.col("_t").cast("long")).cast("long").alias("c_t"),
@@ -639,7 +647,7 @@ def dsir_weights(
             )
         ).alias("lr"),
     )
-    return (
+    out = (
         feats.join(F.broadcast(lr), "b")
         .groupBy("doc_id")
         .agg(
@@ -647,6 +655,12 @@ def dsir_weights(
             F.round(F.sum("lr"), 6).alias("weight"),
         )
     )
+    # materialize the doc-level result, then release the corpus-sized
+    # bigram cache (the contamination-cache lesson)
+    out.persist()
+    out.count()
+    feats.unpersist()
+    return out
 
 
 def stratified_sample(
@@ -720,16 +734,22 @@ def line_dedup(
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
     )
     eligible = F.length(F.trim(F.col("line"))) >= int(min_len)
-    marked = lines.withColumn(
-        "keep",
-        (~eligible)
-        | (
+    # the keep-first window runs ONLY over eligible lines: routing
+    # ineligible rows through it would funnel every blank/brace line in
+    # the corpus into a single (false, '') window partition — a
+    # one-reducer sort of billions of rows whose rank is then discarded
+    marked = (
+        lines.filter(eligible)
+        .withColumn(
+            "keep",
             F.row_number().over(
-                Window.partitionBy(eligible, "line").orderBy("_id", "pos")
+                Window.partitionBy("line").orderBy("_id", "pos")
             )
-            == 1
+            == 1,
         )
-        & eligible,
+        .unionByName(
+            lines.filter(~eligible).withColumn("keep", F.lit(True))
+        )
     )
     per_doc = marked.groupBy("_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
@@ -779,6 +799,11 @@ def curriculum_order(
     Everything is engine-portable arithmetic: band edges on the rounded
     score, hash order from the repo-wide H60 family.
 
+    UNSCORED docs (null score) go to the LAST phase explicitly, in
+    either direction — without the rule, Spark's null-skipping
+    greatest/least would clamp null to 0.0 and an ascending curriculum
+    would silently train on unscored data FIRST.
+
     Returns (id, phase, position, score-rounded).
     """
     from ..operators.dedup import salted_hash60
@@ -791,7 +816,7 @@ def curriculum_order(
         F.lit(n_phases),
         (F.floor(clamped * n_phases) + 1).cast("int"),
     )
-    phase = (
+    phase = F.when(s.isNull(), F.lit(n_phases)).otherwise(
         (F.lit(n_phases + 1) - bucket) if descending else bucket
     ).cast("int")
     w = Window.partitionBy("phase").orderBy("_h", id_col)

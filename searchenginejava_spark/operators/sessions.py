@@ -1066,9 +1066,19 @@ def extended_stats(
     )
     n = F.col("n").cast("double")
     mean = F.col("s") / n
-    var_p = F.col("sq") / n - mean * mean
+    # clamp at 0: the moments form cancels catastrophically on
+    # constant/low-variance groups (sq/n − mean² ≈ −1e−10), and a
+    # negative variance would turn std_deviation and both sigma bounds
+    # into NaN
+    var_p = F.greatest(
+        F.col("sq") / n - mean * mean, F.lit(0.0)
+    )
     var_s = F.when(
-        F.col("n") > 1, (F.col("sq") - F.col("s") * F.col("s") / n) / (n - 1.0)
+        F.col("n") > 1,
+        F.greatest(
+            (F.col("sq") - F.col("s") * F.col("s") / n) / (n - 1.0),
+            F.lit(0.0),
+        ),
     )
     std = F.sqrt(var_p)
     return base.select(

@@ -157,10 +157,21 @@ def start_incremental_index(
             num_salts=num_salts,
         )
         latest = _os.path.join(index_dir, "LATEST")
+        version = f"v{int(batch_id):012d}"
         merged = seg
+        prev = None
         if _os.path.exists(latest):
             with open(latest) as fh:
                 prev = _json.load(fh)["version"]
+            if prev == version:
+                # at-least-once replay AFTER this batch's pointer flip
+                # (crash between _os.replace and the checkpoint
+                # commit): the batch is already fully folded and
+                # published. Re-running would merge the live index
+                # with ITSELF (double-counting) and read-and-overwrite
+                # the version dir — skip, which is the idempotent
+                # outcome the docstring promises.
+                return
             live = load_index(spark, _os.path.join(index_dir, prev))
             merged = merge_indexes(spark, live, seg)
         maint = {"action": "disabled"}
@@ -168,7 +179,6 @@ def start_incremental_index(
             merged, maint = auto_compact(
                 spark, merged, max_tombstone_frac=max_tombstone_frac
             )
-        version = f"v{int(batch_id):012d}"
         save_index(merged, _os.path.join(index_dir, version))
         card = None
         if cardinality_col is not None:

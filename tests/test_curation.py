@@ -875,3 +875,59 @@ def test_line_dedup_within_doc_duplicates(spark):
     row = line_dedup(docs).collect()[0]
     assert (row["n_lines"], row["n_removed"]) == (3, 2)
     assert row["text_clean"] == "x y z"
+
+
+# --- third review-pass regressions (r5) ---
+
+
+def test_dsir_weights_null_target_pred_counts_as_nontarget(spark):
+    from pyspark.sql import functions as F
+
+    from searchenginejava_spark.operators.curation import dsir_weights
+
+    rows = [
+        (1, "alpha beta gamma", "en"),
+        (2, "alpha beta delta", None),   # null lang → NOT target
+        (3, "alpha beta gamma", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    res = dsir_weights(
+        df, target_pred=F.col("lang") == "en", n_buckets=64
+    ).collect()
+    by = {r["doc_id"]: r for r in res}
+    # every doc gets a NON-NULL weight covering ALL its bigrams — a
+    # null predicate must not blank out a bucket's log-ratio
+    assert all(r["weight"] is not None for r in res)
+    assert by[2]["n_feats"] == 2
+
+
+def test_curriculum_null_scores_go_last_both_directions(spark):
+    from searchenginejava_spark.operators.curation import curriculum_order
+
+    rows = [(1, 0.9), (2, 0.1), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, quality double")
+    desc = {r["doc_id"]: r["phase"] for r in curriculum_order(
+        df, n_phases=4, descending=True
+    ).collect()}
+    asc = {r["doc_id"]: r["phase"] for r in curriculum_order(
+        df, n_phases=4, descending=False
+    ).collect()}
+    assert desc[3] == 4 and asc[3] == 4  # unscored trains LAST, always
+    assert desc[1] == 1 and asc[1] == 4  # scored docs flip as usual
+
+
+def test_line_dedup_ineligible_lines_skip_the_window(spark):
+    from searchenginejava_spark.operators.curation import line_dedup
+
+    rows = [
+        (1, "keep me\n\nshared line"),
+        (2, "shared line\n\nother"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = {r["doc_id"]: r for r in line_dedup(df, min_len=2).collect()}
+    # blank lines always survive; 'shared line' keeps only its first
+    # (doc 1) occurrence
+    assert res[1]["n_removed"] == 0
+    assert res[2]["n_removed"] == 1
+    assert "shared line" not in res[2]["text_clean"]
+    assert res[1]["text_clean"].count("\n") == 2

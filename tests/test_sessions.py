@@ -1127,3 +1127,25 @@ def test_rate_agg_rejects_unknown_value_col(spark):
     with _pytest.raises(ValueError):
         rate_agg(ev, value_col="duration")
     assert rate_agg(ev, value_col="value").collect()[0]["rate"] is not None
+
+
+def test_extended_stats_constant_group_never_nan(spark):
+    from searchenginejava_spark.operators.sessions import extended_stats
+
+    import math as _m
+
+    # non-dyadic constant with mean² ≈ 1e12: the moments form (ES's own
+    # published formula) carries ~1e-4 of float noise there — the clamp
+    # guarantees the noise can never go NEGATIVE and poison sqrt with
+    # NaN; the magnitude itself is inherent to sq/n − mean²
+    rows = [("a", 1000000.1)] * 7
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+    r = extended_stats(ev).collect()[0]
+    assert 0.0 <= r["variance"] < 1e-3
+    assert r["variance_sampling"] is None or 0.0 <= r["variance_sampling"] < 1e-3
+    for fld in ("std_deviation", "std_upper", "std_lower"):
+        assert r[fld] is not None and not _m.isnan(r[fld])
+    # a small-magnitude constant hits exact zero
+    ev2 = spark.createDataFrame([("b", 0.3)] * 5, "event_type string, value double")
+    r2 = extended_stats(ev2).collect()[0]
+    assert r2["variance"] == 0.0 and r2["std_deviation"] == 0.0

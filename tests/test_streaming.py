@@ -538,3 +538,51 @@ def test_nrt_stream_carries_mergeable_hll_state(spark, tmp_path):
     # exact sanity: few distinct repos → linear counting is near-exact
     n_repos = corpus.select("repo").distinct().count()
     assert abs(latest["cardinality_est"] - n_repos) / n_repos < 0.25
+
+
+def test_incremental_index_replay_of_committed_batch_is_noop(spark, tmp_path):
+    """Checkpoint loss AFTER a batch's pointer flip replays the same
+    batch_id: the fold must detect prev == version and skip — merging
+    the live index with itself would double-count every df/cf and
+    read-while-overwriting the version dir."""
+    import json as _json
+    import os as _os
+    import shutil
+
+    from searchenginejava_spark.streaming.stream_index import (
+        load_latest_index,
+        start_incremental_index,
+        stream_source,
+    )
+    from searchenginejava_spark.synth.gen_code_table import gen_code_table
+
+    src_dir = str(tmp_path / "rp_src")
+    idx_dir = str(tmp_path / "rp_idx")
+    ckpt1 = str(tmp_path / "rp_ckpt1")
+    corpus = gen_code_table(spark, 20, num_partitions=1)
+    corpus.write.parquet(src_dir)
+
+    stream = stream_source(spark, src_dir, max_files_per_trigger=100)
+    start_incremental_index(stream, idx_dir, ckpt1, num_salts=2)\
+        .awaitTermination(300)
+    latest_path = _os.path.join(idx_dir, "LATEST")
+    committed = open(latest_path).read()
+    want = {
+        r["term"]: (r["df"], r["cf"])
+        for r in load_latest_index(spark, idx_dir).dictionary.collect()
+    }
+
+    # lose the checkpoint → a fresh run re-delivers batch 0 against an
+    # index whose LATEST already names batch 0's version
+    shutil.rmtree(ckpt1)
+    stream2 = stream_source(spark, src_dir, max_files_per_trigger=100)
+    start_incremental_index(
+        stream2, idx_dir, str(tmp_path / "rp_ckpt2"), num_salts=2
+    ).awaitTermination(300)
+
+    assert open(latest_path).read() == committed  # pointer untouched
+    got = {
+        r["term"]: (r["df"], r["cf"])
+        for r in load_latest_index(spark, idx_dir).dictionary.collect()
+    }
+    assert got == want  # no double-counted statistics
