@@ -242,7 +242,12 @@ def measure_pair(n_lo: int, n_hi: int, files_per_proc: int, rounds: int) -> dict
         round(lo["wall_s"] / hi["wall_s"], 3)
         for lo, hi in zip(runs_lo, runs_hi)
     ]
-    q = statistics.quantiles(per_round, n=4) if len(per_round) >= 2 else None
+    # method='inclusive': the default exclusive method extrapolates
+    # OUTSIDE the observed rounds at small n (2 rounds -> bounds never
+    # measured; 3 rounds -> min..max labeled IQR) — inclusive keeps the
+    # quartiles inside the data
+    q = (statistics.quantiles(per_round, n=4, method='inclusive')
+         if len(per_round) >= 2 else None)
     return {
         "n_lo": n_lo,
         "n_hi": n_hi,
@@ -323,9 +328,12 @@ def main() -> None:
     try:
         with open(out_path) as f:
             prev = json.load(f)
-        for key, val in prev.items():
-            if key not in result:
-                result[key] = val
+        # a valid-JSON-but-non-dict file (array, string, null) must not
+        # crash AFTER the multi-minute measurement finished
+        if isinstance(prev, dict):
+            for key, val in prev.items():
+                if key not in result:
+                    result[key] = val
     except (OSError, ValueError):
         pass
     with open(out_path, "w") as f:

@@ -3,7 +3,8 @@
 Usage:
   spark-submit --py-files searchenginejava_spark.zip jobs/run_queries.py \
       --checkpoint /path/to/ckpt --queries /path/to/queries.tsv \
-      --output /path/to/results [--k 10] [--path wand|exhaustive]
+      --output /path/to/results [--k 10]
+      [--path wand|exhaustive|maxscore|planned] [--assets /path/to/assets]
 
 ``--queries queries.tsv``: one ``query_id<TAB>text`` per line; OR
 ``--topics topics.txt``: a classic TREC ``<top>/<num>/<title>`` topic
@@ -81,6 +82,11 @@ def main(argv: list[str] | None = None) -> int:
         p.error("--assets applies to --path planned only")
     if args.path == "planned" and (args.rm3 or args.expand):
         p.error("--path planned does not compose with --rm3/--expand")
+    if args.rm3 and args.path != "exhaustive":
+        # the RM3 branch scores exhaustively (two-pass feedback); a
+        # requested pruned path would be silently dropped otherwise
+        p.error("--rm3 serves via the exhaustive scorer — drop --path "
+                f"{args.path}")
 
     from pyspark.sql import SparkSession
 

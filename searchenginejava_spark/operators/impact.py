@@ -98,6 +98,7 @@ def impact_topk(
     k: int = TOP_K,
     bits: int = 8,
     rho: int | None = None,
+    doc_exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Score-at-a-time top-k over the impact index.
 
@@ -133,6 +134,13 @@ def impact_topk(
         "query_id int, term string, w double",
     )
     cand = impacts.join(F.broadcast(qw), "term")
+    if doc_exclude is not None:
+        # tombstone exclusion BEFORE the rho cut and the agg: the
+        # refill invariant (exactly k live results) holds like on every
+        # other serving leg
+        cand = cand.join(
+            F.broadcast(doc_exclude.select("doc_id")), "doc_id", "anti"
+        )
     if rho is not None:
         # anytime cut: the impact-ORDERED prefix of each term's list —
         # ties broken by doc_id so reruns are deterministic. The window

@@ -547,17 +547,20 @@ def sample_video_frames(
     )
 
 
-# chroma subsampling → bytes per frame, as a fraction of W*H. All C420
-# variants (jpeg/paldv/mpeg2 siting differ only in WHERE chroma samples
-# sit, not how many there are) share one size.
+# chroma subsampling → per-axis divisors (dw, dh) of the TWO chroma
+# planes; each plane is ceil(W/dw) × ceil(H/dh) bytes — the ceil
+# matters for odd dimensions, where a W*H-ratio shortcut undercounts
+# and the frame walker would land mid-frame on a spec-legal stream.
+# All C420 variants (jpeg/paldv/mpeg2 siting differs only in WHERE
+# chroma samples sit, not how many there are) share one size.
 _Y4M_PLANES = {
-    "mono": (1, 1),     # Y only
-    "420": (3, 2),      # Y + Cb/4 + Cr/4
-    "420jpeg": (3, 2),
-    "420paldv": (3, 2),
-    "420mpeg2": (3, 2),
-    "422": (2, 1),      # Y + Cb/2 + Cr/2
-    "444": (3, 1),      # Y + Cb + Cr
+    "mono": None,          # Y only, no chroma planes
+    "420": (2, 2),         # Cb,Cr each ceil(W/2) × ceil(H/2)
+    "420jpeg": (2, 2),
+    "420paldv": (2, 2),
+    "420mpeg2": (2, 2),
+    "422": (2, 1),         # Cb,Cr each ceil(W/2) × H
+    "444": (1, 1),         # Cb,Cr each W × H
 }
 
 
@@ -567,10 +570,14 @@ def _y4m_sample_one(
     """Pure-stdlib YUV4MPEG2 frame sampling: parse the stream header
     (``YUV4MPEG2 W<w> H<h> ... [C<cs>]``), walk the concatenated
     ``FRAME\\n``-delimited raw planar frames, keep every Nth frame and
-    fingerprint its luma plane (sha256 of the W*H grayscale bytes —
-    byte-identical to what the ffmpeg path would hash for a gray
-    rawvideo pipe of the same plane). Malformed streams raise loudly;
-    a truncated trailing frame is an error, not a silent drop."""
+    fingerprint its FULL-RESOLUTION luma plane (sha256 of the W*H
+    grayscale bytes). NOTE the convention difference from the ffmpeg
+    path, which hashes a 64×64-rescaled gray frame: the two decoders'
+    frame_sha256 values are NOT joinable across each other — y4m
+    hashes exact source luma (resolution-faithful, the dedup-grade
+    fingerprint), ffmpeg hashes the normalized thumbnail. Malformed
+    streams raise loudly; a truncated trailing frame is an error, not
+    a silent drop."""
     import hashlib
 
     nl = payload.find(b"\n")
@@ -600,9 +607,14 @@ def _y4m_sample_one(
             f"media_id={media_id}: unsupported Y4M colorspace "
             f"C{colorspace} (supported: {sorted(_Y4M_PLANES)})"
         )
-    num, den = _Y4M_PLANES[colorspace]
+    sub = _Y4M_PLANES[colorspace]
     luma = width * height
-    frame_size = luma * num // den
+    if sub is None:
+        frame_size = luma
+    else:
+        dw, dh = sub
+        chroma = -(-width // dw) * -(-height // dh)  # ceil per axis
+        frame_size = luma + 2 * chroma
     pos, n, out = nl + 1, 0, []
     while pos < len(payload):
         fnl = payload.find(b"\n", pos)
@@ -611,17 +623,25 @@ def _y4m_sample_one(
                 f"media_id={media_id}: expected FRAME marker at byte "
                 f"{pos}, got {payload[pos:pos + 16]!r}"
             )
-        body = payload[fnl + 1 : fnl + 1 + frame_size]
-        if len(body) < frame_size:
+        body_start = fnl + 1
+        if len(payload) - body_start < frame_size:
             raise ValueError(
                 f"media_id={media_id}: truncated frame {n} "
-                f"({len(body)} of {frame_size} bytes)"
+                f"({len(payload) - body_start} of {frame_size} bytes)"
             )
         if n % every_n == 0:
+            # slice only the frames actually sampled — copying every
+            # skipped body re-memcpys ~the whole payload for nothing
             out.append(
-                (media_id, n, hashlib.sha256(body[:luma]).hexdigest())
+                (
+                    media_id,
+                    n,
+                    hashlib.sha256(
+                        payload[body_start : body_start + luma]
+                    ).hexdigest(),
+                )
             )
-        pos = fnl + 1 + frame_size
+        pos = body_start + frame_size
         n += 1
     return out
 

@@ -254,6 +254,7 @@ def _serve_routed(
                 impact["impacts"], index.dictionary, index.stats,
                 impact["umax"], k=k,
                 bits=impact.get("bits", 8), rho=impact.get("rho"),
+                doc_exclude=index.tombstones,
             )
         else:
             sub = [(qid, text) for qid, text in queries if qid in qset]

@@ -130,3 +130,28 @@ def test_impact_topk_deterministic_rerun(spark, relations, queries):
     a = impact_topk(queries, impacts, dct, stats, umax, k=10).collect()
     b = impact_topk(queries, impacts, dct, stats, umax, k=10).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_impact_topk_excludes_tombstones(spark, relations, queries):
+    """doc_exclude (the serve_planned tombstone wiring): excluded docs
+    never surface and the top-k refills with live docs — the same
+    contract as every other serving leg."""
+    from searchenginejava_spark.operators.impact import (
+        build_impact_index,
+        impact_topk,
+    )
+
+    tf, dl, dct, stats = relations
+    impacts, umax = build_impact_index(tf, dl, stats, bits=8)
+    base = impact_topk(queries, impacts, dct, stats, umax, k=5).collect()
+    victim = base[0]["doc_id"]
+    dead = spark.createDataFrame([(int(victim),)], "doc_id long")
+    got = impact_topk(
+        queries, impacts, dct, stats, umax, k=5, doc_exclude=dead
+    ).collect()
+    assert victim not in {r["doc_id"] for r in got}
+    # refill: each query still serves a full page when enough docs live
+    for qid in (0, 1):
+        n_base = sum(1 for r in base if r["query_id"] == qid)
+        n_got = sum(1 for r in got if r["query_id"] == qid)
+        assert n_got == n_base

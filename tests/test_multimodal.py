@@ -494,3 +494,26 @@ def test_y4m_matches_ffmpeg_when_available(spark):
         df, decoder="y4m", every_n=1
     ).collect()
     assert len(rows) == 6
+
+
+def test_y4m_odd_dimension_chroma_ceil(spark):
+    """Spec-legal odd-dimension subsampled stream: chroma planes are
+    ceil-sized per axis — a W*H-ratio shortcut undercounts the frame
+    and the walker lands mid-frame on a valid stream."""
+    import hashlib
+
+    from searchenginejava_spark.operators.multimodal import _y4m_sample_one
+
+    w, h = 5, 4                       # C422: chroma = ceil(5/2)*4 = 12
+    luma = bytes(range(w * h))
+    chroma = bytes(12)
+    frame = b"FRAME\n" + luma + chroma + chroma
+    payload = b"YUV4MPEG2 W5 H4 F25:1 C422\n" + frame + frame
+    res = _y4m_sample_one(7, payload, 1)
+    assert [(m, n) for m, n, _ in res] == [(7, 0), (7, 1)]
+    assert res[0][2] == hashlib.sha256(luma).hexdigest()
+    # odd BOTH axes under 420: chroma = ceil(3/2)*ceil(3/2) = 4
+    luma9 = bytes(9)
+    f420 = b"FRAME\n" + luma9 + bytes(4) + bytes(4)
+    res2 = _y4m_sample_one(8, b"YUV4MPEG2 W3 H3 C420\n" + f420, 1)
+    assert len(res2) == 1
