@@ -358,6 +358,13 @@ class SearchEngine:
         tf = decode_postings_df(
             self.index.postings.filter(F.col("term").isin(list(terms)))
         )
+        if self.index.tombstones is not None:
+            # deletion contract: filter-context queries exclude
+            # tombstoned docs exactly, like every scoring path
+            tf = tf.join(
+                F.broadcast(self.index.tombstones.select("doc_id")),
+                "doc_id", "anti",
+            )
         return terms_set_match(
             tf, list(terms), required, required_col=required_col
         )
@@ -366,17 +373,41 @@ class SearchEngine:
         self, *, max_doc_count: int = 1, include: str | None = None,
         max_buckets: int = 100,
     ) -> DataFrame:
-        """rare_terms aggregation straight off the published dictionary
-        (term, df) — no posting or corpus access at all."""
-        agg = self.index.dictionary.select(
+        """rare_terms aggregation off the published dictionary (term,
+        df), TOMBSTONE-ADJUSTED: with the default max_doc_count=1 a
+        single deleted doc flips bucket membership, so df is corrected
+        by each term's deleted-doc count (one tombstone-pruned tf pass
+        — the tombstone set is tiny by the compaction contract) before
+        the shared tail filter. No corpus access when nothing is
+        deleted."""
+        from .operators.search import rare_terms_from_counts
+
+        counts = self.index.dictionary.select(
             "term", F.col("df").cast("long").alias("doc_count")
-        ).filter(F.col("doc_count") <= int(max_doc_count))
-        if include is not None:
-            # anchored full-match, the Lucene RegExp convention ES
-            # documents — bare rlike would substring-match
-            agg = agg.filter(F.col("term").rlike(f"^(?:{include})$"))
-        return agg.orderBy(F.asc("doc_count"), F.asc("term")).limit(
-            int(max_buckets)
+        )
+        if self.index.tombstones is not None:
+            dead = (
+                self.index.tf.join(
+                    F.broadcast(self.index.tombstones.select("doc_id")),
+                    "doc_id",
+                )
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_dead"))
+            )
+            counts = (
+                counts.join(dead, "term", "left")
+                .select(
+                    "term",
+                    (
+                        F.col("doc_count")
+                        - F.coalesce(F.col("n_dead"), F.lit(0))
+                    ).cast("long").alias("doc_count"),
+                )
+                .filter(F.col("doc_count") > 0)
+            )
+        return rare_terms_from_counts(
+            counts, max_doc_count=max_doc_count, include=include,
+            max_buckets=max_buckets,
         )
 
     def suggest(self, prefix: str, *, k: int = 10) -> DataFrame:
@@ -909,18 +940,28 @@ class SearchEngine:
         max_expansions: int = 50,
     ) -> DataFrame:
         """Lucene match_phrase_prefix over the compressed positional
-        postings: only the fixed terms' and prefix range's postings are
-        decoded."""
+        postings: the expansion set is capped FROM THE DICTIONARY
+        (term order, the Lucene rewrite) before anything is decoded, so
+        only the fixed terms' and the ≤max_expansions winners' posting
+        rows are ever varbyte-decoded — a broad prefix ('a*') costs the
+        cap, not the prefix's whole dictionary range."""
         from .operators.index import decode_postings_positions_df
         from .operators.querydsl import match_phrase_prefix
 
         if self.index.postings is None:
             raise ValueError("phrase_prefix needs compressed postings")
-        cond = F.col("term").startswith(prefix)
-        for t in terms:
-            cond = cond | (F.col("term") == t)
+        exp = [
+            r["term"]
+            for r in self.index.dictionary.filter(
+                F.col("term").startswith(prefix)
+            )
+            .orderBy(F.col("term").asc())
+            .limit(int(max_expansions))
+            .collect()
+        ]
+        wanted = set(terms) | set(exp)
         pi = decode_postings_positions_df(
-            self.index.postings.filter(cond)
+            self.index.postings.filter(F.col("term").isin(list(wanted)))
         )
         return match_phrase_prefix(
             pi, list(terms), prefix, max_expansions=max_expansions

@@ -180,6 +180,19 @@ def publish_fielded(
         if with_positions else None
     )
     fstats = bm25f_stats(ftf)
+    # fail at PUBLISH time, not on the first query: a declared field
+    # with no content corpus-wide has no avgdl entry, and bm25f_topk
+    # would raise a bare KeyError mid-serving
+    empty = sorted(set(fields) - set(fstats["avgdl"]))
+    if empty:
+        ftf.unpersist()
+        if fpos is not None:
+            fpos.unpersist()
+        raise ValueError(
+            f"fields {empty} have no posting rows anywhere in the "
+            "corpus — drop them from the field map or fix the "
+            "extraction expressions"
+        )
     dictionary = (
         ftf.groupBy("term")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -613,6 +626,7 @@ def combined_fields_topk(
     k: int = TOP_K,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    merged_stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """``combined_fields`` query (Elasticsearch / Lucene
     CombinedFieldQuery, public semantics) — the third multi-field
@@ -636,7 +650,11 @@ def combined_fields_topk(
     boosts are integral — the oracle relies on this for bit-stable
     avgdl); query-sized broadcast join prunes to the query vocabulary;
     native score; top-k window. → (query_id, rank, doc_id, score),
-    ties (score desc, doc_id asc).
+    ties (score desc, doc_id asc). Both merged relations are persisted
+    for the duration of the call (each feeds two subtrees), and batch
+    servers should pass ``merged_stats=(n_docs, avgdl)`` — a per-boosts
+    constant that belongs with the published fielded artifacts — to
+    skip the per-request corpus count/collect entirely.
     """
     if not boosts:
         raise ValueError("boosts must be non-empty")
@@ -652,20 +670,29 @@ def combined_fields_topk(
     ctf = wtf.groupBy("doc_id", "term").agg(
         F.sum(F.col("w") * F.col("tf")).alias("tfc")
     )
+    ctf.persist()
     dlc = wtf.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("tf")).alias("dlc")
     )
-    srow = dlc.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dlc").alias("avgdl")
-    ).collect()[0]
-    if int(srow["n"]) == 0:
-        # avgdl is null here — fail loudly instead of float(None): the
-        # usual cause is a boosts/fields name mismatch
-        raise ValueError(
-            "combined_fields: no ftf rows match any boosted field "
-            f"({sorted(boosts)}) — check the field names"
-        )
-    n_docs, avgdl = int(srow["n"]), float(srow["avgdl"])
+    dlc.persist()
+    if merged_stats is not None:
+        n_docs, avgdl = int(merged_stats[0]), float(merged_stats[1])
+        if n_docs <= 0:
+            raise ValueError("merged_stats n_docs must be positive")
+    else:
+        srow = dlc.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("dlc").alias("avgdl")
+        ).collect()[0]
+        if int(srow["n"]) == 0:
+            # avgdl is null here — fail loudly instead of float(None):
+            # the usual cause is a boosts/fields name mismatch
+            ctf.unpersist()
+            dlc.unpersist()
+            raise ValueError(
+                "combined_fields: no ftf rows match any boosted field "
+                f"({sorted(boosts)}) — check the field names"
+            )
+        n_docs, avgdl = int(srow["n"]), float(srow["avgdl"])
     vocab = query_terms.select("term").distinct()
     dfc = (
         ctf.join(F.broadcast(vocab), "term")
@@ -693,7 +720,7 @@ def combined_fields_topk(
     win = Window.partitionBy("query_id").orderBy(
         F.col("s").desc(), F.col("doc_id").asc()
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= int(k))
         .select(
@@ -703,3 +730,10 @@ def combined_fields_topk(
             F.round("s", 6).alias("score"),
         )
     )
+    # materialize the top-k while the merged relations are cached,
+    # then release them (the corpus-sized-cache hygiene rule)
+    out.persist()
+    out.count()
+    ctf.unpersist()
+    dlc.unpersist()
+    return out

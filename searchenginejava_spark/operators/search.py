@@ -1238,17 +1238,34 @@ def rare_terms(
     → (term, doc_count), deterministically capped at ``max_buckets``
     rows by (doc_count asc, term asc) — rarest first; the cap is a
     TakeOrdered (per-partition heaps), never a single-partition window.
+    The ``include`` regex is ANCHORED full-match (the Lucene RegExp
+    convention ES documents — bare rlike would substring-match).
     """
-    agg = (
-        term_docs.select(
-            F.col(term_col).alias("term"), F.col(doc_col).alias("doc_id")
-        )
-        .groupBy("term")
-        .agg(F.countDistinct("doc_id").cast("long").alias("doc_count"))
-        .filter(F.col("doc_count") <= int(max_doc_count))
+    agg = term_docs.select(
+        F.col(term_col).alias("term"), F.col(doc_col).alias("doc_id")
+    ).groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("doc_count")
     )
+    return rare_terms_from_counts(
+        agg, max_doc_count=max_doc_count, include=include,
+        max_buckets=max_buckets,
+    )
+
+
+def rare_terms_from_counts(
+    counts: DataFrame,
+    *,
+    max_doc_count: int = 1,
+    include: str | None = None,
+    max_buckets: int = 100,
+) -> DataFrame:
+    """The rare_terms tail filter over an already-computed
+    (term, doc_count) relation — shared by the term_docs path above and
+    the dictionary-backed engine facade so the two can never drift on
+    include-regex or ordering semantics."""
+    agg = counts.filter(F.col("doc_count") <= int(max_doc_count))
     if include is not None:
-        agg = agg.filter(F.col("term").rlike(include))
+        agg = agg.filter(F.col("term").rlike(f"^(?:{include})$"))
     return agg.orderBy(F.asc("doc_count"), F.asc("term")).limit(
         int(max_buckets)
     )

@@ -159,9 +159,13 @@ def save_serving_assets(
     before the manifest flips to it — so a loader never sees an asset
     whose data directory is half-written, including across
     RE-publishes (an in-place overwrite would delete-then-rewrite data
-    the previous manifest still advertises). The previous generation
-    is kept for in-flight readers; generations older than that are
-    removed after the flip.
+    the previous manifest still advertises). Publishing a SUBSET
+    carries every other previously published asset forward — the
+    manifest records a per-asset data directory (``dirs``), so an
+    hourly cache refresh never un-publishes the sharded/impact legs.
+    The previous generation and every directory the new manifest still
+    references are kept; older unreferenced generations are removed
+    after the flip.
     """
     if sharded is not None and not num_shards:
         raise ValueError("sharded assets need num_shards")
@@ -175,12 +179,27 @@ def save_serving_assets(
         raise ValueError("no assets given")
     n = term_partitions or some.sparkSession.sparkContext.defaultParallelism
     os.makedirs(path, exist_ok=True)
+    prev: dict = {}
     try:
         with open(os.path.join(path, "assets.json")) as f:
-            gen = int(json.load(f).get("gen", 0)) + 1
+            loaded = json.load(f)
+        if isinstance(loaded, dict):
+            prev = loaded
     except (OSError, ValueError):
-        gen = 1
+        pass
+    gen = int(prev.get("gen", 0)) + 1
     gdir = os.path.join(path, f"g{gen}")
+    this_gen = f"g{gen}"
+    prev_dirs = prev.get("dirs", {})
+
+    def _prev_dir(asset: str) -> str:
+        # pre-``dirs`` manifests stored everything in g{gen}, or flat
+        # at the root ('.') for the oldest layout
+        return prev_dirs.get(
+            asset, f"g{int(prev['gen'])}" if "gen" in prev else "."
+        )
+
+    dirs: dict = {}
     if sharded is not None:
         (
             sharded.repartitionByRange(n, "term")
@@ -189,6 +208,7 @@ def save_serving_assets(
             .parquet(os.path.join(gdir, "sharded"))
         )
         manifest["num_shards"] = int(num_shards)
+        dirs["sharded"] = this_gen
     if impact is not None:
         (
             impact["impacts"].repartitionByRange(n, "term")
@@ -202,19 +222,34 @@ def save_serving_assets(
             "rho": (None if impact.get("rho") is None
                     else int(impact["rho"])),
         }
+        dirs["impact"] = this_gen
     if cache is not None:
         cache.write.mode("overwrite").parquet(os.path.join(gdir, "cache"))
         manifest["cache"] = True
+        dirs["cache"] = this_gen
+    # carry forward previously published assets NOT in this publish —
+    # a subset re-publish must never silently un-publish the others
+    if "num_shards" not in manifest and "num_shards" in prev:
+        manifest["num_shards"] = prev["num_shards"]
+        dirs["sharded"] = _prev_dir("sharded")
+    if "impact" not in manifest and "impact" in prev:
+        manifest["impact"] = prev["impact"]
+        dirs["impact"] = _prev_dir("impact")
+    if "cache" not in manifest and prev.get("cache"):
+        manifest["cache"] = True
+        dirs["cache"] = _prev_dir("cache")
     manifest["gen"] = gen
+    manifest["dirs"] = dirs
     tmp = os.path.join(path, "assets.json.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.replace(tmp, os.path.join(path, "assets.json"))
-    # retain gen-1 for readers that loaded the old manifest; drop older
+    # retain gen-1 for readers that loaded the old manifest plus every
+    # directory the NEW manifest still references; drop the rest
+    keep = {v for v in dirs.values() if v} | {f"g{gen - 1}", this_gen}
     for name in os.listdir(path):
-        if name.startswith("g") and name[1:].isdigit():
-            if int(name[1:]) < gen - 1:
-                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+        if name.startswith("g") and name[1:].isdigit() and name not in keep:
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
 
 
 def load_serving_assets(spark: SparkSession, path: str) -> dict:
@@ -229,29 +264,41 @@ def load_serving_assets(spark: SparkSession, path: str) -> dict:
             manifest = json.load(f)
     except FileNotFoundError:
         return {}
-    # generation layout (re-publish-safe); pre-generation manifests
-    # point at the flat layout
-    base = (
+    # per-asset directories (subset-re-publish-safe); older manifests
+    # fall back to the generation dir or the flat layout
+    default_base = (
         os.path.join(path, f"g{int(manifest['gen'])}")
         if "gen" in manifest
         else path
     )
+    dirs = manifest.get("dirs", {})
+
+    def _base(asset: str) -> str:
+        d = dirs.get(asset, "")
+        if d == ".":        # carried forward from the oldest flat layout
+            return path
+        return os.path.join(path, d) if d else default_base
+
     out: dict = {}
     if "num_shards" in manifest:
         out["sharded"] = spark.read.schema(PARTIAL_POSTINGS).parquet(
-            os.path.join(base, "sharded")
+            os.path.join(_base("sharded"), "sharded")
         )
         out["num_shards"] = int(manifest["num_shards"])
     if "impact" in manifest:
         meta = manifest["impact"]
         out["impact"] = {
-            "impacts": spark.read.parquet(os.path.join(base, "impact")),
+            "impacts": spark.read.parquet(
+                os.path.join(_base("impact"), "impact")
+            ),
             "umax": float(meta["umax"]),
             "bits": int(meta["bits"]),
             "rho": meta["rho"],
         }
     if manifest.get("cache"):
-        out["cache"] = spark.read.parquet(os.path.join(base, "cache"))
+        out["cache"] = spark.read.parquet(
+            os.path.join(_base("cache"), "cache")
+        )
     return out
 
 

@@ -578,3 +578,52 @@ def test_engine_dsl_facades_respect_tombstones(spark):
     }
     # a tombstoned LOOKUP doc yields nothing rather than serving results
     assert e2.terms_lookup(int(victim)).count() == 0
+
+
+def test_engine_rare_terms_tombstone_adjusted_and_anchored(spark):
+    from searchenginejava_spark.operators.search import rare_terms as op_rare
+
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    e3 = SearchEngine.build(
+        spark, docs, text_col="text", mode="simple", num_partitions=4,
+    )
+    # pick a term with df == 1 and delete its only doc
+    singles = (
+        e3.index.dictionary.filter(F.col("df") == 1).limit(1).collect()
+    )
+    if singles:
+        term = singles[0]["term"]
+        only_doc = (
+            e3.index.tf.filter(F.col("term") == term).first()["doc_id"]
+        )
+        e3.delete([int(only_doc)])
+        got = {
+            r["term"]
+            for r in e3.rare_terms(max_doc_count=1, max_buckets=10**6)
+            .collect()
+        }
+        assert term not in got  # its only doc is deleted → no bucket
+    # include is ANCHORED in both implementations (no substring match)
+    td = spark.createDataFrame(
+        [("seafood", 1), ("foo", 2)], "term string, doc_id long"
+    )
+    got_op = {r["term"] for r in op_rare(
+        td, max_doc_count=5, include="foo"
+    ).collect()}
+    assert got_op == {"foo"}
+
+
+def test_engine_terms_set_respects_tombstones(spark):
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    e4 = SearchEngine.build(
+        spark, docs, text_col="text", mode="simple", num_partitions=4,
+        positional=True,
+    )
+    req = docs.select("doc_id", F.lit(1).alias("required"))
+    base = e4.terms_set(["table", "hash"], req).collect()
+    victim = base[0]["doc_id"]
+    e4.delete([int(victim)])
+    got = {r["doc_id"] for r in e4.terms_set(["table", "hash"], req).collect()}
+    assert victim not in got and got == {
+        r["doc_id"] for r in base
+    } - {victim}

@@ -574,3 +574,34 @@ def test_serving_assets_republish_generations(spark, tmp_path):
     assert _os.path.isdir(_os.path.join(root, "g2"))
     got = load_serving_assets(spark, root)["cache"].collect()
     assert [r["score"] for r in got] == [3.0]
+
+
+def test_serving_assets_subset_republish_carries_others(spark, tmp_path):
+    """A subset re-publish (e.g. an hourly cache refresh) must not
+    un-publish the other legs: the manifest carries per-asset dirs and
+    GC keeps every directory still referenced."""
+    import os as _os
+
+    from searchenginejava_spark.sources.index_store import (
+        load_serving_assets,
+        save_serving_assets,
+    )
+
+    path = str(tmp_path / "assets")
+    sharded = spark.createDataFrame(
+        [("t", 0, bytearray(b"\x01"), 1, 1, 1, 0)],
+        "term string, salt int, postings binary, df long, cf long,"
+        " max_tf long, shard int",
+    )
+    save_serving_assets(path, sharded=sharded, num_shards=4)
+    cache = spark.createDataFrame(
+        [("q", 1, 7, 1.5)], "qkey string, rank int, doc_id long, score double"
+    )
+    # cache-only refreshes, repeatedly — the sharded leg must survive
+    save_serving_assets(path, cache=cache)
+    save_serving_assets(path, cache=cache)
+    out = load_serving_assets(spark, path)
+    assert "cache" in out and "sharded" in out
+    assert out["num_shards"] == 4
+    assert out["sharded"].count() == 1   # g1 data still on disk
+    assert _os.path.isdir(_os.path.join(path, "g1"))

@@ -1046,11 +1046,15 @@ def test_rare_terms_include_regex_and_cap(spark):
         [(i, f"tag_{i}") for i in range(10)] + [(99, "other")],
         "doc_id long, term string",
     )
+    # include is a FULL-match pattern (the Lucene RegExp convention ES
+    # documents — implicitly anchored, so 'tag_.*', not a substring)
     got = rare_terms(
-        td, max_doc_count=1, include="^tag_", max_buckets=3
+        td, max_doc_count=1, include="tag_.*", max_buckets=3
     ).collect()
     # rarest-first cap is deterministic: (doc_count, term) ascending
     assert [r["term"] for r in got] == ["tag_0", "tag_1", "tag_2"]
+    # a pattern matching only a SUBSTRING of the term matches nothing
+    assert rare_terms(td, max_doc_count=1, include="tag_").count() == 0
 
 
 def test_rare_terms_distinct_doc_count(spark):
