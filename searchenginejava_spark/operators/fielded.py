@@ -627,6 +627,7 @@ def combined_fields_topk(
     k1: float = BM25_K1,
     b: float = BM25_B,
     merged_stats: tuple[int, float] | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """``combined_fields`` query (Elasticsearch / Lucene
     CombinedFieldQuery, public semantics) — the third multi-field
@@ -650,11 +651,14 @@ def combined_fields_topk(
     boosts are integral — the oracle relies on this for bit-stable
     avgdl); query-sized broadcast join prunes to the query vocabulary;
     native score; top-k window. → (query_id, rank, doc_id, score),
-    ties (score desc, doc_id asc). Both merged relations are persisted
-    for the duration of the call (each feeds two subtrees), and batch
-    servers should pass ``merged_stats=(n_docs, avgdl)`` — a per-boosts
-    constant that belongs with the published fielded artifacts — to
-    skip the per-request corpus count/collect entirely.
+    ties (score desc, doc_id asc). By default (``eager``) both merged
+    relations are persisted for the duration of the call (each feeds
+    two subtrees) and the top-k is materialized before they are
+    released; ``eager=False`` returns the fully lazy plan with no
+    caching (plan inspection / callers managing their own caches).
+    Batch servers should pass ``merged_stats=(n_docs, avgdl)`` — a
+    per-boosts constant that belongs with the published fielded
+    artifacts — to skip the per-request corpus count/collect entirely.
     """
     if not boosts:
         raise ValueError("boosts must be non-empty")
@@ -670,11 +674,12 @@ def combined_fields_topk(
     ctf = wtf.groupBy("doc_id", "term").agg(
         F.sum(F.col("w") * F.col("tf")).alias("tfc")
     )
-    ctf.persist()
     dlc = wtf.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("tf")).alias("dlc")
     )
-    dlc.persist()
+    if eager:
+        ctf.persist()
+        dlc.persist()
     if merged_stats is not None:
         n_docs, avgdl = int(merged_stats[0]), float(merged_stats[1])
         if n_docs <= 0:
@@ -686,8 +691,9 @@ def combined_fields_topk(
         if int(srow["n"]) == 0:
             # avgdl is null here — fail loudly instead of float(None):
             # the usual cause is a boosts/fields name mismatch
-            ctf.unpersist()
-            dlc.unpersist()
+            if eager:
+                ctf.unpersist()
+                dlc.unpersist()
             raise ValueError(
                 "combined_fields: no ftf rows match any boosted field "
                 f"({sorted(boosts)}) — check the field names"
@@ -730,10 +736,11 @@ def combined_fields_topk(
             F.round("s", 6).alias("score"),
         )
     )
-    # materialize the top-k while the merged relations are cached,
-    # then release them (the corpus-sized-cache hygiene rule)
-    out.persist()
-    out.count()
-    ctf.unpersist()
-    dlc.unpersist()
+    if eager:
+        # materialize the top-k while the merged relations are cached,
+        # then release them (the corpus-sized-cache hygiene rule)
+        out.persist()
+        out.count()
+        ctf.unpersist()
+        dlc.unpersist()
     return out

@@ -2352,7 +2352,8 @@ def main() -> None:
     )
     p_cf = plan_of(
         combined_fields_topk(
-            qt_dsl, ftf_cf, boosts={"title": 3.0, "body": 1.0}
+            qt_dsl, ftf_cf, boosts={"title": 3.0, "body": 1.0},
+            merged_stats=(100, 30.0), eager=False,
         )
     )
     checks = [
