@@ -7279,16 +7279,16 @@ def oracle_sql() -> dict[str, str]:
                  sum((pow(2.0, rel) - 1.0) / log2(rank + 1.0)) AS dcg
           FROM j GROUP BY query_id
         )
-        SELECT CAST(per_q.query_id AS INT) AS query_id,
+        SELECT CAST(totals.query_id AS INT) AS query_id,
                totals.n_rel,
-               per_q.n_rel_ret,
-               round(p_at_k, 6) AS p_at_k,
+               CAST(coalesce(per_q.n_rel_ret, 0) AS BIGINT) AS n_rel_ret,
+               round(coalesce(p_at_k, 0.0), 6) AS p_at_k,
                round(coalesce(mrr, 0.0), 6) AS mrr,
                round(coalesce(ap_num, 0.0) / totals.n_rel, 6) AS ap,
-               round(dcg / ideal.idcg, 6) AS ndcg
-        FROM per_q
-        JOIN totals USING (query_id)
+               round(coalesce(dcg, 0.0) / ideal.idcg, 6) AS ndcg
+        FROM totals
         JOIN ideal USING (query_id)
+        LEFT JOIN per_q USING (query_id)
         """,
         "q_percolate": _SQL_TF
         + f"""
@@ -8961,20 +8961,27 @@ def oracle_sql() -> dict[str, str]:
       FROM jj CROSS JOIN mx
       GROUP BY query_id
     )
-    SELECT query_id,
-           round(list_reduce(
-             list_prepend({{'err': CAST(0.0 AS DOUBLE),
-                            'disc': CAST(1.0 AS DOUBLE)}},
-               list_transform(hits,
-                 h -> {{'err': h.r / h.rank, 'disc': 1.0 - h.r}})),
-             (a, e) -> {{'err': a.err + e.err * a.disc,
-                         'disc': a.disc * e.disc}}).err, 6) AS err_at_k,
-           round(0.19999999999999996 * list_reduce(
-             list_prepend(CAST(0.0 AS DOUBLE),
-               list_transform(hits,
-                 h -> h.relbin * pow(0.8, CAST(h.rank AS DOUBLE) - 1.0))),
-             (a, b) -> a + b), 6) AS rbp
-    FROM hits
+    , per_q_re AS (
+      SELECT query_id,
+             round(list_reduce(
+               list_prepend({{'err': CAST(0.0 AS DOUBLE),
+                              'disc': CAST(1.0 AS DOUBLE)}},
+                 list_transform(hits,
+                   h -> {{'err': h.r / h.rank, 'disc': 1.0 - h.r}})),
+               (a, e) -> {{'err': a.err + e.err * a.disc,
+                           'disc': a.disc * e.disc}}).err, 6) AS err_at_k,
+             round(0.19999999999999996 * list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(hits,
+                   h -> h.relbin * pow(0.8, CAST(h.rank AS DOUBLE) - 1.0))),
+               (a, b) -> a + b), 6) AS rbp
+      FROM hits
+    )
+    SELECT j.query_id,
+           coalesce(p.err_at_k, 0.0) AS err_at_k,
+           coalesce(p.rbp, 0.0) AS rbp
+    FROM (SELECT DISTINCT query_id FROM qr) j
+    LEFT JOIN per_q_re p USING (query_id)
     """
     # index-time synonyms: fold members to the lexicographic-min
     # canonical on BOTH the tf relation and the query, dictionary over

@@ -58,16 +58,13 @@ def head_queries(
 ) -> DataFrame:
     """Top-n canonical keys by frequency over a workload's (qkey) rows
     → (qkey, freq). Deterministic tie-break on the key itself."""
-    from pyspark.sql.window import Window
+    from .common import top_n
 
     counts = workload_keys.groupBy("qkey").agg(
         F.count(F.lit(1)).cast("long").alias("freq")
     )
-    w = Window.orderBy(F.desc("freq"), F.asc("qkey"))
-    return (
-        counts.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= n)
-        .drop("r")
+    return top_n(
+        counts, n, F.desc("freq"), F.asc("qkey")
     )
 
 

@@ -91,19 +91,27 @@ def ir_metrics(
             / F.log2(F.col("rank") + F.lit(1.0))
         ).alias("dcg"),
     )
+    # anchor on the JUDGED-query universe (totals), not the results: a
+    # judged query the run returned nothing for must score 0 across the
+    # board, not vanish — a silently dropped row inflates every mean
+    # (what trec_eval -c exists to prevent)
     return (
-        per_q.join(totals, "query_id")
-        .join(ideal, "query_id")
+        totals.join(ideal, "query_id")
+        .join(per_q, "query_id", "left")
         .select(
             F.col("query_id").cast("int"),
             "n_rel",
-            "n_rel_ret",
-            F.round("p_at_k", 6).alias("p_at_k"),
+            F.coalesce("n_rel_ret", F.lit(0).cast("long")).alias(
+                "n_rel_ret"
+            ),
+            F.round(F.coalesce("p_at_k", F.lit(0.0)), 6).alias("p_at_k"),
             F.round(F.coalesce("mrr", F.lit(0.0)), 6).alias("mrr"),
             F.round(
                 F.coalesce("ap_num", F.lit(0.0)) / F.col("n_rel"), 6
             ).alias("ap"),
-            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+            F.round(
+                F.coalesce("dcg", F.lit(0.0)) / F.col("idcg"), 6
+            ).alias("ndcg"),
         )
     )
 
@@ -295,7 +303,9 @@ def rank_eval_extras(
     sort_array, F.aggregate with a struct accumulator) — identical
     left-fold op order to the oracle's list_reduce, no window-product
     ln-tricks that would break on R = 1. Queries with no qrels row are
-    dropped (the trec_eval convention ir_metrics also follows).
+    dropped (the trec_eval convention ir_metrics also follows); a
+    JUDGED query the run retrieved nothing for scores 0 — it must
+    never vanish from the output (a dropped row inflates every mean).
     """
     if not (0.0 < p < 1.0):
         raise ValueError(f"RBP persistence p must be in (0,1), got {p}")
@@ -351,8 +361,14 @@ def rank_eval_extras(
         + h["relbin"]
         * F.pow(F.lit(p), h["rank"].cast("double") - F.lit(1.0)),
     )
-    return ranked.select(
+    scored = ranked.select(
         "query_id",
         F.round(err_fold, 6).alias("err_at_k"),
         F.round(rbp, 6).alias("rbp"),
+    )
+    judged = qr.select("query_id").distinct()
+    return judged.join(scored, "query_id", "left").select(
+        "query_id",
+        F.coalesce("err_at_k", F.lit(0.0)).alias("err_at_k"),
+        F.coalesce("rbp", F.lit(0.0)).alias("rbp"),
     )

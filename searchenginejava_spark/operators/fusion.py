@@ -162,8 +162,17 @@ def hybrid_search(
     scorer path — exhaustive, WAND, structured) with the exact cosine
     top-k for ``query_vec`` over a doc-aligned embedding table. The
     vector leg reuses similarity.cosine_topk (swap in ann_lsh_topk /
-    ann_ivf_topk at scale — same (rank, id) shape)."""
+    ann_ivf_topk at scale — same (rank, id) shape).
+
+    ``query_vec`` belongs to ONE query (``query_id``); the lexical
+    side is filtered to that query — fusing a multi-query lexical
+    batch against a single query's vector leg would silently emit
+    lexical-only pages labeled hybrid for every other query."""
     from .similarity import cosine_topk
+
+    bm25_results = bm25_results.filter(
+        F.col("query_id") == int(query_id)
+    )
 
     # cosine_topk emits (id, cosine rounded 6) ordered; the rank is
     # derived from the ROUNDED values (ties by id) so it is identical on

@@ -134,7 +134,17 @@ def shard_bloom_summaries(
 
     Size argument: at m_bits=2^17 (16 KiB) and 10^4 shards the whole
     summary table is 160 MB — one broadcast on a coordinator, while the
-    exact directory at 10^7 terms/shard would be ~TBs of strings."""
+    exact directory at 10^7 terms/shard would be ~TBs of strings.
+
+    ``m_bits`` must be a multiple of 64 (whole words): truncating the
+    word array would let probe positions reach past it — a crash under
+    ANSI mode, silent FALSE-NEGATIVE pruning (lost candidates) without.
+    Build and probe must use the SAME m_bits; the probe side re-checks.
+    """
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError(
+            f"m_bits must be a positive multiple of 64, got {m_bits}"
+        )
     n_words = m_bits // 64
     directory = shard_term_directory(parts)
     pos = _bloom_positions(F.col("term"), m_bits, k)
@@ -186,6 +196,20 @@ def route_queries_bloom(
     anything shard-sized."""
     if mode not in ("any", "all"):
         raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError(
+            f"m_bits must be a positive multiple of 64, got {m_bits}"
+        )
+    # probe/build m_bits mismatch would index past the word array — a
+    # crash under ANSI, silent false-negative pruning without; verify
+    # against the actual stored word count (cheap: one first())
+    first = blooms.select(F.size("bits").alias("nw")).first()
+    if first is not None and int(first["nw"]) * 64 != int(m_bits):
+        raise ValueError(
+            f"m_bits={m_bits} does not match the bloom table "
+            f"({int(first['nw'])} words = {int(first['nw']) * 64} bits) "
+            "— build and probe must agree"
+        )
     qt = query_terms.select("query_id", "term").distinct()
     pos = _bloom_positions(F.col("term"), m_bits, k)
     qtp = qt.select("query_id", "term", F.array(*pos).alias("probes"))

@@ -49,17 +49,16 @@ def tier_split(
         raise ValueError("hot_frac must be in (0, 1]")
     n = priors.count()
     n_hot = max(1, int(n * hot_frac))
-    w = Window.orderBy(F.desc(rank_col), F.asc("doc_id"))
-    # single-partition window: acceptable at test scale; at 10^12 docs
-    # replace with the same range-partition + prefix-sum rank the
+    # single-partition top_n window: acceptable at test scale; at 10^12
+    # docs replace with the same range-partition + prefix-sum rank the
     # source layer uses (assign_doc_ids(scalable=True)) — membership is
     # a THRESHOLD on static rank, which an approximate quantile already
     # gives without any global sort
-    return (
-        priors.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= n_hot)
-        .select("doc_id")
-    )
+    from .common import top_n
+
+    return top_n(
+        priors, n_hot, F.desc(rank_col), F.asc("doc_id")
+    ).select("doc_id")
 
 
 def tiered_topk(
@@ -112,7 +111,7 @@ def tiered_topk(
         .filter(F.col("rank") <= k)
         .withColumn("tier", F.lit("full"))
     )
-    return (
+    out = (
         page_hot.unionByName(page_full)
         .select(
             F.col("query_id").cast("int"),
@@ -123,6 +122,14 @@ def tiered_topk(
         )
         .orderBy("query_id", "rank")
     )
+    # materialize the (page-sized) result while the candidate stream is
+    # cached, then RELEASE it — a per-call pinned full-candidate cache
+    # would accumulate across a serving session until executors evict
+    # useful state (the corpus-sized-cache hygiene rule)
+    out.persist()
+    out.count()
+    all_scored.unpersist()
+    return out
 
 
 def tier_audit(

@@ -39,13 +39,18 @@ def test_ir_metrics_no_relevant_retrieved_and_missing_query(spark):
         [(0, 50, 1), (2, 1, 1)], "query_id int, doc_id long, rel int"
     )
     got = {r["query_id"]: r for r in ir_metrics(results, qrels, k=5).collect()}
-    # query 1 has no qrels → dropped; query 2 retrieved nothing → dropped
-    # (no results rows); query 0 retrieved no relevant → zeros
-    assert set(got) == {0}
+    # query 1 has no qrels → dropped (trec_eval convention); query 2 is
+    # JUDGED but retrieved nothing → all-zero row, NEVER dropped
+    # (trec_eval -c: a vanished judged query would inflate every mean);
+    # query 0 retrieved no relevant → zeros
+    assert set(got) == {0, 2}
     m = got[0]
     assert m["n_rel_ret"] == 0
     assert m["p_at_k"] == 0.0 and m["mrr"] == 0.0 and m["ap"] == 0.0
     assert m["ndcg"] == 0.0
+    z = got[2]
+    assert z["n_rel"] == 1 and z["n_rel_ret"] == 0
+    assert z["p_at_k"] == z["mrr"] == z["ap"] == z["ndcg"] == 0.0
 
 
 def test_ir_metrics_perfect_ranking(spark):

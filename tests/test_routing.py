@@ -130,3 +130,40 @@ def test_federated_with_routing_is_output_invisible(spark):
     for a, b in zip(full, pruned):
         assert a["score"] == pytest.approx(b["score"], rel=1e-12)
     tf.unpersist()
+
+
+def test_bloom_m_bits_validation(spark):
+    """m_bits must be whole words on BOTH sides, and probe must match
+    the built table — the mismatch previously indexed past the bits
+    array (crash under ANSI, silent false-negative pruning without)."""
+    import pytest as _pytest
+
+    from searchenginejava_spark.operators.routing import (
+        route_queries_bloom,
+        shard_bloom_summaries,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta")], "doc_id long, text string"
+    )
+    from pyspark.sql import functions as _F
+
+    def part(df):
+        tf = df.select(
+            "doc_id", _F.explode(_F.split("text", " ")).alias("term")
+        ).groupBy("doc_id", "term").agg(_F.count(_F.lit(1)).alias("tf"))
+        dct = tf.groupBy("term").agg(
+            _F.count(_F.lit(1)).cast("long").alias("df")
+        )
+        return (tf, None, dct, {})
+
+    parts = [part(docs.filter(_F.col("doc_id") == i)) for i in (0, 1)]
+    with _pytest.raises(ValueError):
+        shard_bloom_summaries(parts, m_bits=96)
+    blooms = shard_bloom_summaries(parts, m_bits=128)
+    qt = spark.createDataFrame([(0, "alpha", 1)],
+                               "query_id int, term string, qtf int")
+    with _pytest.raises(ValueError):
+        route_queries_bloom(qt, blooms, m_bits=192)
+    got = route_queries_bloom(qt, blooms, m_bits=128).collect()
+    assert any(r["shard_id"] == 0 for r in got)  # superset guarantee
