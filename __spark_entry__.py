@@ -6100,7 +6100,7 @@ def oracle_sql() -> dict[str, str]:
           FROM p GROUP BY id_a, id_b
         )
         SELECT id_a, id_b, round(dot / (nx * ny), 6) AS cosine
-        FROM s WHERE dot / (nx * ny) >= 0.35
+        FROM s WHERE round(dot / (nx * ny), 6) >= 0.35
         """,
         "q_simhash": _SQL_SIMHASH_CORE + " SELECT doc_id, simhash FROM shh",
         "q_simhash_neardup": _SQL_SIMHASH_CORE

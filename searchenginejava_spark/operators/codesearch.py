@@ -433,16 +433,20 @@ def secret_scrub(
     df: DataFrame, *, text_col: str = "code", id_col: str = "doc_id"
 ) -> DataFrame:
     """Mask every SECRET_RULES match in place → (doc_id, clean_code,
-    n_secrets). Rules apply in SECRET_RULES order (they are mutually
-    non-overlapping by construction: key prefix, PEM header, lowercase
-    hex run, assignment) so the masking is deterministic. Same
+    n_secrets). Masking applies sequentially in SECRET_RULES order
+    (deterministic); n_secrets counts each rule's matches against the
+    ORIGINAL text (the gitleaks per-rule-detection convention) —
+    counting on the progressively masked text let a replacement token
+    like ``<SECRET:hex_token>`` re-match a later assignment rule and
+    double-count one secret. A region genuinely matched by two rules
+    counts once per rule, as a per-rule report should. Same
     single-projection / zero-shuffle shape as ``scrub_pii``.
     """
     code = F.col(text_col)
     total = F.lit(0).cast("long")
     clean = code
     for name, rx in SECRET_RULES:
-        total = total + F.size(F.regexp_extract_all(clean, F.lit(rx), 0))
+        total = total + F.size(F.regexp_extract_all(code, F.lit(rx), 0))
         clean = F.regexp_replace(clean, rx, f"<SECRET:{name}>")
     return df.select(
         F.col(id_col).alias("doc_id"),

@@ -91,13 +91,21 @@ def shingles(
     """Distinct word n-gram shingles per doc — native higher-order fns.
 
     tokens = lower+space split (oracle-compatible); shingle i =
-    tokens[i..i+n-1] joined by space, for i in [0, len-n].
+    tokens[i..i+n-1] joined by space, for i in [0, len-n]. A doc with
+    fewer than n tokens has NO shingles (empty array, zero rows after
+    the explode) — without the guard, sequence(0, size-n) runs
+    DESCENDING for short docs and the slice start of 0 is a Spark
+    runtime error, crashing every MinHash/decontamination consumer on
+    the first short document.
     """
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit(""))
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
         .distinct()
@@ -164,7 +172,15 @@ def lsh_candidate_pairs(
     signatures: DataFrame, *, num_hashes: int = 64, bands: int = 16
 ) -> DataFrame:
     """Band the signature (rows = num_hashes/bands) → bucket join →
-    candidate pairs (id_a < id_b, distinct)."""
+    candidate pairs (id_a < id_b, distinct). ``bands`` must divide
+    ``num_hashes``: bands > num_hashes would give zero-width bands
+    (every doc in one bucket → a full cross join, the exact blow-up
+    LSH blocking exists to prevent), and a non-dividing value would
+    silently drop the trailing hash columns from banding."""
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     band_cols = []
     for bi in range(bands):
@@ -224,9 +240,16 @@ def minhash_near_duplicates(
     # bounded — let AQE pick broadcast vs shuffle from the runtime size
     sh_cand = sh.join(cand_ids, "doc_id", "left_semi")
     verified = jaccard_pairs(sh_cand, threshold=threshold)
-    return cands.join(verified, ["id_a", "id_b"]).select(
+    out = cands.join(verified, ["id_a", "id_b"]).select(
         "id_a", "id_b", "jaccard"
     )
+    # materialize the (pair-sized) result, then RELEASE the two
+    # corpus-sized caches — the contamination-cache hygiene rule
+    out.persist()
+    out.count()
+    sh.unpersist()
+    cands.unpersist()
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -465,18 +488,39 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Block on 8-bit chunks (pigeonhole: distance ≤ 3 over 4 chunks → at
-    least one chunk identical) so the self-join is an equi-join on
-    (chunk_idx, chunk_value), never a cross-join.
+    Block on max_hamming+1 as-even-as-possible chunks (pigeonhole:
+    distance ≤ d over d+1 chunks → at least one chunk identical,
+    regardless of chunk widths) so the self-join is an equi-join on
+    (chunk_idx, chunk_value), never a cross-join — and the guarantee
+    holds for WHATEVER max_hamming the caller asks for (a fixed chunk
+    count would silently miss qualifying pairs at distances ≥ the
+    chunk count).
     """
+    if max_hamming < 0:
+        raise ValueError("max_hamming must be >= 0")
+    n_chunks = int(max_hamming) + 1
+    if n_chunks > bits:
+        raise ValueError(
+            f"max_hamming+1 ({n_chunks}) exceeds bits ({bits})"
+        )
     sh = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
-    n_chunks = 4
-    width = bits // n_chunks
+    # driver-side chunk layout: widths differ by at most 1
+    base_w, extra = divmod(bits, n_chunks)
+    spans, off = [], 0
+    for ci in range(n_chunks):
+        wdt = base_w + (1 if ci < extra else 0)
+        spans.append((ci, off, wdt))
+        off += wdt
+    cv = None
+    for ci, o, wdt in spans:
+        branch = F.expr(f"shiftright(simhash, {o}) & {(1 << wdt) - 1}")
+        cv = (
+            F.when(F.col("ci") == ci, branch)
+            if cv is None
+            else cv.when(F.col("ci") == ci, branch)
+        )
     chunk = F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("ci")
-    chunked = sh.select("doc_id", "simhash", chunk).withColumn(
-        "cv",
-        F.expr(f"shiftright(simhash, ci * {width}) & {(1 << width) - 1}"),
-    )
+    chunked = sh.select("doc_id", "simhash", chunk).withColumn("cv", cv)
     a, b = chunked.alias("a"), chunked.alias("b")
     pairs = (
         a.join(b, ["ci", "cv"])
@@ -675,6 +719,7 @@ def cross_source_duplicates(
     source_col: str = "repo",
     text_col: str = "content",
     min_sources: int = 2,
+    max_sources_listed: int = 20,
 ) -> DataFrame:
     """Fork / vendored-code detection: content that appears byte-identical
     in ≥ ``min_sources`` distinct sources (repos) →
@@ -686,23 +731,36 @@ def cross_source_duplicates(
 
     Plan: one hash aggregation on sha256(content) — content itself never
     shuffles, only the 64-hex digest + source string. ``sources`` is the
-    sorted distinct source list serialized as a CSV string (bounded by
-    ``max_sources_listed``; a hub file present in 10^5 forks must not
-    build a 10^5-element array in one reduce value — the full membership
-    stays derivable by re-joining on the hash).
+    lexicographically-smallest ``max_sources_listed`` distinct sources
+    as a CSV string — capped by a per-hash rank window BEFORE any
+    collect, so a hub file present in 10^5 forks never builds a
+    10^5-element array in one reduce value (the full membership stays
+    derivable by re-joining on the hash).
     """
     sha = F.sha2(F.col(text_col), 256)
-    return (
-        df.select(sha.alias("content_sha256"), F.col(source_col).alias("_src"))
+    pairs = df.select(
+        sha.alias("content_sha256"), F.col(source_col).alias("_src")
+    )
+    stats = pairs.groupBy("content_sha256").agg(
+        F.countDistinct("_src").cast("long").alias("n_sources"),
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+    )
+    w = Window.partitionBy("content_sha256").orderBy(F.asc("_src"))
+    capped = (
+        pairs.distinct()
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= int(max_sources_listed))
         .groupBy("content_sha256")
         .agg(
-            F.countDistinct("_src").cast("long").alias("n_sources"),
-            F.count(F.lit(1)).cast("long").alias("n_files"),
-            F.array_join(
-                F.slice(F.array_sort(F.collect_set("_src")), 1, 20), ","
-            ).alias("sources"),
+            F.array_join(F.array_sort(F.collect_list("_src")), ",").alias(
+                "sources"
+            )
         )
+    )
+    return (
+        stats.join(capped, "content_sha256")
         .filter(F.col("n_sources") >= int(min_sources))
+        .select("content_sha256", "n_sources", "n_files", "sources")
     )
 
 

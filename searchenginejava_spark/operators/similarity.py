@@ -219,8 +219,14 @@ def all_pairs_above(
             ).alias("cosine"),
         )
     )
-    return pairs.filter(F.col("cosine") >= threshold).select(
-        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    # threshold compares the ROUNDED cosine (the repo-wide convention —
+    # semantic_dedup, knn_int8): a raw-value filter could split a
+    # boundary pair across engines an ulp apart, and the emitted set
+    # would disagree with its own published (rounded) column
+    return (
+        pairs.withColumn("cosine", F.round("cosine", 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 
@@ -498,29 +504,16 @@ def ivfpq_topk(
 
     order = sorted((_d2(c), i) for i, c in enumerate(centroids))
     probe = sorted(i for _, i in order[:n_probe])
-    m = len(codebooks)
-    kc = len(codebooks[0])
-    d0 = len(codebooks[0][0])
-    table: list[float] = []
-    for mi in range(m):
-        q_sub = [float(x) for x in query_vec[mi * d0 : (mi + 1) * d0]]
-        for c in codebooks[mi]:
-            table.append(_d2_py(q_sub, c))
-    flat = F.array(*[F.lit(v) for v in table])
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, mi: acc
-        + F.element_at(
-            flat, (mi * F.lit(kc) + F.element_at("codes", mi + 1) + 1).cast("int")
+    # the ADC stage IS pq_topk over the probed cells — one shared
+    # implementation keeps the distance-table/fold/ordering arithmetic
+    # (oracle-bit-exact) from drifting between the two entry points
+    return pq_topk(
+        index_df.filter(F.col("cid").isin(probe)).select(
+            "vec_id", "codes"
         ),
-    )
-    return (
-        index_df.filter(F.col("cid").isin(probe))
-        .select("vec_id", adc.alias("adc"))
-        .orderBy(F.asc("adc"), F.asc("vec_id"))
-        .limit(k)
-        .select("vec_id", F.round("adc", 6).alias("adc"))
+        codebooks,
+        query_vec,
+        k=k,
     )
 
 

@@ -32,7 +32,12 @@ def token_stats(
     """Whitespace token count, BPE-ish regex token count, distinct tokens,
     mean token length."""
     toks = _tokens(F.col(text_col))
-    regex_toks = F.expr(f"regexp_extract_all({text_col}, '{TOKEN_REGEX}', 0)")
+    # Column-based API, not f-string SQL interpolation of the column
+    # name — a name needing quoting (space/dot/reserved word) would
+    # fail to parse or resolve the wrong column
+    regex_toks = F.regexp_extract_all(
+        F.col(text_col), F.lit(TOKEN_REGEX), 0
+    )
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).cast("long").alias("n_tokens"),
@@ -290,9 +295,11 @@ def vocab_coverage(
     the exact total (one IEEE division — engine-portable), so "what
     vocab size covers 95% of tokens" reads straight off the table.
 
-    One hash agg + a single-partition top-k window over the (tiny)
-    capped result; ordering (cf desc, term asc) is total and
-    deterministic.
+    One hash agg, then a distributed TakeOrdered cut to the k head
+    rows BEFORE any window — the rank/cumsum windows run over the
+    k-row result only (a row_number over the full vocabulary would
+    funnel 10^8-10^9 (term, cf) rows through one task at scale);
+    ordering (cf desc, term asc) is total and deterministic.
     """
     toks = _tokens(F.col(text_col))
     uni = (
@@ -303,13 +310,13 @@ def vocab_coverage(
     total = df.select(F.sum(F.size(toks)).cast("long").alias("t")).collect()[
         0
     ]["t"]
+    head = uni.orderBy(F.desc("cf"), F.asc("term")).limit(int(k))
     w = Window.orderBy(F.desc("cf"), F.asc("term"))
     cum = Window.orderBy(F.desc("cf"), F.asc("term")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return (
-        uni.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        head.withColumn("rank", F.row_number().over(w))
         .withColumn("cum_cf", F.sum("cf").over(cum))
         .select(
             F.col("rank").cast("int").alias("rank"),
@@ -651,6 +658,12 @@ def clone_pairs(
         )
         .filter(F.col("overlap") >= min_overlap)
     )
+    # materialize the pair-sized result, then RELEASE the two cached
+    # corpus-sized fingerprint relations (the cache hygiene rule)
+    out.persist()
+    out.count()
+    fps.unpersist()
+    rare.unpersist()
     return out
 
 

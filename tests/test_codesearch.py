@@ -548,3 +548,19 @@ def test_anchor_field_lifts_heavily_referenced_definition(spark):
         qt, content, bm25f_stats(content), boosts={"content": 1.0}, k=3
     ).collect()
     assert body_only[0]["doc_id"] == 1            # without anchors: filler
+
+
+def test_secret_scrub_masked_token_not_recounted(spark):
+    """Counts come from the ORIGINAL text per rule: a replacement token
+    must not re-match a later rule and double-count one secret."""
+    from searchenginejava_spark.operators.codesearch import secret_scrub
+
+    hexv = "deadbeefdeadbeefdeadbeefdeadbeef"
+    df = spark.createDataFrame(
+        [(1, f'password = "{hexv}"')], "doc_id long, code string"
+    )
+    r = secret_scrub(df).collect()[0]
+    assert "<SECRET:" in r["clean_code"] and hexv not in r["clean_code"]
+    # the hex run and the assignment each detect once on the source —
+    # never a third count from re-matching the replacement token
+    assert r["n_secrets"] <= 2

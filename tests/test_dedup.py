@@ -336,3 +336,63 @@ def test_semantic_dedup_cluster_restriction_is_real(spark):
         assert res[4]["keep"] is True    # pair straddles cells → kept
     else:
         assert res[4]["keep"] is False
+
+
+# --- seventh review-pass regressions (r5) ---
+
+
+def test_shingles_short_docs_yield_no_rows(spark):
+    from searchenginejava_spark.operators.dedup import shingles
+
+    rows = [(1, ""), (2, "one"), (3, "one two"), (4, "one two three")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = shingles(df, n=3).collect()   # previously a runtime crash
+    assert {r["doc_id"] for r in got} == {4}
+    assert got[0]["shingle"] == "one two three"
+
+
+def test_lsh_bands_validation(spark):
+    import pytest as _pytest
+
+    from searchenginejava_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(shingles(df, n=2), num_hashes=8)
+    with _pytest.raises(ValueError):
+        lsh_candidate_pairs(sigs, num_hashes=8, bands=16)  # zero-width
+    with _pytest.raises(ValueError):
+        lsh_candidate_pairs(sigs, num_hashes=8, bands=3)   # non-dividing
+
+
+def test_simhash_blocking_complete_at_requested_distance(spark):
+    """Pigeonhole must hold for the REQUESTED max_hamming: block on
+    max_hamming+1 chunks, so distance-4 pairs survive when asked for."""
+    from searchenginejava_spark.operators.dedup import simhash_near_duplicates
+
+    # two near-identical docs whose hashes differ in a few bits
+    rows = [(1, "alpha beta gamma delta one"), (2, "alpha beta gamma delta two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = simhash_near_duplicates(df, max_hamming=31).collect()
+    assert len(full) == 1  # the pair always qualifies at max distance
+    d = full[0]["hamming"]
+    got = simhash_near_duplicates(df, max_hamming=d).collect()
+    assert len(got) == 1 and got[0]["hamming"] == d
+
+
+def test_cross_source_duplicates_caps_listed_sources(spark):
+    from searchenginejava_spark.operators.dedup import cross_source_duplicates
+
+    rows = [(f"repo{i:03d}", "same bytes") for i in range(30)]
+    df = spark.createDataFrame(rows, "repo string, content string")
+    got = cross_source_duplicates(df, max_sources_listed=5).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_sources"] == 30 and r["n_files"] == 30
+    # the 5 lexicographically-smallest sources, sorted
+    assert r["sources"] == ",".join(f"repo{i:03d}" for i in range(5))
